@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 (plus
+the beyond-reference LLM-pipeline surface); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (omitted only for operators whose
+results are engine-specific by construction, e.g. approx sketches).
 """
 
 from __future__ import annotations
@@ -13,26 +13,82 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fxblue_etl_spark.plans import relational
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.flagship_account_pnl(spark, "/root/testdata/sf0.001")
+
+
+def _modules():
+    mods = [relational]
+    try:
+        from fxblue_etl_spark.operators import cleaning
+
+        mods.append(cleaning)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import merge
+
+        mods.append(merge)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import windows
+
+        mods.append(windows)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import dedup
+
+        mods.append(dedup)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import similarity
+
+        mods.append(similarity)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import textops
+
+        mods.append(textops)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.operators import multimodal
+
+        mods.append(multimodal)
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.sources import fxblue_csv, rss_feed
+
+        mods.extend([fxblue_csv, rss_feed])
+    except ImportError:
+        pass
+    try:
+        from fxblue_etl_spark.streaming import pipelines
+
+        mods.append(pipelines)
+    except ImportError:
+        pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

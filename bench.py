@@ -1,0 +1,69 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the scan/join/agg/window workhorses — kept to queries
+#: whose runtime reflects engine quality rather than driver-side
+#: row fetch (all are aggregates or bounded outputs).
+HEADLINE = (
+    "flagship_account_pnl",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "rollup_returns",
+    "topk_orders_per_customer",
+    "events_json_extract",
+    "exact_distinct_and_quantiles",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from fxblue_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + file listings once so timings measure the plans
+    for name in names:
+        qs[name](spark, SF_DIR).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if df.isStreaming is False else -1
+        _ = df.limit(10000).collect()
+        timings[name] = round(time.time() - t0, 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Fixture/table loaders.
+
+The driver provides a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` as one parquet file per table
+(TESTDATA.md). Loading is a plain columnar parquet scan — Catalyst
+gets predicate pushdown / column pruning for free, and at cluster
+scale the same call fans out one task per row-group/split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimensions small enough to broadcast at any realistic scale factor
+#: (region/nation are bounded by geography; supplier/part/customer are
+#: orders-of-magnitude smaller than the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. `name` must be in TABLES.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.tune) it
+    surfaces as epoch-nanos long, converted here to TimestampType at
+    microsecond precision — the same truncation DuckDB applies.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from .session import tune
+
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div — float division would lose precision at 1e18 nanos
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,559 @@
+"""Relational query surface over the fixture star schema (SURVEY §2.8-2.9, M4).
+
+The reference's registry columns (`trade win`, `Total return`,
+`Trades per day` — `RSS PARSER/gcp_rss.py:61-63`) are per-account
+aggregates of the trade tables, and its denormalizing join J1
+(`RSS PARSER/gcp_rss.py:49-63,162`) copies small-dim metadata onto every
+fact row. This module provides that analysis surface on the driver
+fixtures: multiway joins with broadcast dims, aggregation with
+conditional metrics (win-rate style), semi/anti joins, set ops,
+rollup/cube/grouping-sets, window ranking/frames, top-k, and JSON
+extraction over `events.props`.
+
+Scale posture: facts (`orders`, `lineitem`, `events`) are only ever
+shuffled on their join/group keys; bounded dims (`region`, `nation`,
+`supplier`, and `customer` where it appears as a dim) are broadcast so
+no fact shuffle happens for denormalization. Every float aggregate is
+rounded at the final projection (both here and in the DuckDB oracles)
+so the order-insensitive value hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+# ── Flagship: per-account trade rollup with broadcast dims ───────────────
+# The J1 + §2.9 shape: account registry (customer) denormalized onto
+# trades (orders×lineitem), rolled up to per-account performance
+# metrics incl. a win-rate-style conditional aggregate — the analytic
+# the reference's registry consumes (`RSS PARSER/gcp_rss.py:61-63`).
+
+def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    # dims: nation⋈region is tiny — broadcast onto customer, then the
+    # denormalized account dim broadcasts onto the fact join so the
+    # only shuffle is the groupBy on c_custkey.
+    dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    accounts = customer.join(
+        F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
+
+    facts = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        facts.join(F.broadcast(accounts), facts.o_custkey == accounts.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.round(F.sum(net), 4).alias("gross_pnl"),
+            F.round(F.avg(net), 4).alias("avg_trade_pnl"),
+            F.round(
+                F.avg((F.col("o_orderstatus") == "F").cast("double")), 4
+            ).alias("fill_rate"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_trade"),
+        )
+        .withColumnRenamed("c_custkey", "account_id")
+        .withColumnRenamed("c_name", "account_name")
+        .withColumnRenamed("n_name", "nation")
+        .withColumnRenamed("r_name", "region")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT c.c_custkey AS account_id,
+       c.c_name AS account_name,
+       n.n_name AS nation,
+       r.r_name AS region,
+       count(*) AS n_trades,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS gross_pnl,
+       round(avg(l.l_extendedprice * (1 - l.l_discount)), 4) AS avg_trade_pnl,
+       round(avg(CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 4) AS fill_rate,
+       round(max(l.l_extendedprice), 4) AS max_trade
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ── TPC-H-shaped aggregates ──────────────────────────────────────────────
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    The filter and the 4-column read schema reach the parquet scan
+    (predicate pushdown + column pruning); map-side partial aggregation
+    means the shuffle carries only 6 groups regardless of fact size.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dims broadcast, one fact shuffle."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    # customer and supplier must share a nation (TPC-H Q5 semantics)
+    joined = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# ── Semi / anti joins ────────────────────────────────────────────────────
+
+def semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having ≥1 urgent order (left_semi — no row dup)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders at all (left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ── Set operations ───────────────────────────────────────────────────────
+
+def setop_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation keys of customers vs suppliers.
+
+    Returns one row per (op, nationkey) so all three set ops are
+    exercised and hash-checked in a single deterministic result.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    union = c.union(s).distinct().withColumn("op", F.lit("union"))
+    intersect = c.intersect(s).withColumn("op", F.lit("intersect"))
+    except_ = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("except"))
+    return union.unionByName(intersect).unionByName(except_).select("op", "nationkey")
+
+
+SETOP_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT 'union' AS op, nationkey FROM (SELECT DISTINCT nationkey FROM (SELECT * FROM c UNION ALL SELECT * FROM s))
+UNION ALL
+SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (SELECT DISTINCT nationkey FROM c EXCEPT SELECT DISTINCT nationkey FROM s)
+"""
+
+
+# ── Rollup / cube / grouping sets ────────────────────────────────────────
+
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping() markers."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS sum_price,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ── Window functions ─────────────────────────────────────────────────────
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order date (ROWS frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS cum_spend
+FROM orders
+"""
+
+
+def lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days since a customer's previous order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+            o_orderdate) AS INT) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+           AS next_orderkey
+FROM orders
+"""
+
+
+# ── Scalar functions / JSON over events.props ────────────────────────────
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + scalar string/math functions."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.upper("event_type").alias("event_type_uc"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 4).alias("sqrt_value"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("ts_hour"),
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       upper(event_type) AS event_type_uc,
+       round(sqrt(abs(value)), 4) AS sqrt_value,
+       strftime(ts, '%Y-%m-%d %H') AS ts_hour
+FROM events
+"""
+
+
+def exact_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts + exact median per event type.
+
+    (The approx variants — approx_count_distinct / percentile_approx —
+    are provided as a separate rows-only query since HLL/KLL sketches
+    are engine-specific and cannot hash-match a DuckDB oracle.)
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+DISTINCT_QUANTILE_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx (rows-only check:
+    sketch results are engine-specific by construction)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status × priority (fixed pivot values)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("n_open"),
+            F.col("F").alias("n_filled"),
+            F.col("P").alias("n_partial"),
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "flagship_account_pnl": flagship_account_pnl,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "semi_customers_with_urgent": semi_customers_with_urgent,
+    "anti_customers_no_orders": anti_customers_no_orders,
+    "setop_active_nations": setop_active_nations,
+    "rollup_returns": rollup_returns,
+    "cube_order_status": cube_order_status,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "running_customer_spend": running_customer_spend,
+    "lag_lead_order_gaps": lag_lead_order_gaps,
+    "events_json_extract": events_json_extract,
+    "exact_distinct_and_quantiles": exact_distinct_and_quantiles,
+    "approx_sketches": approx_sketches,
+    "pivot_status_by_priority": pivot_status_by_priority,
+}
+
+ORACLES = {
+    "flagship_account_pnl": FLAGSHIP_ORACLE,
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_region_revenue": Q5_ORACLE,
+    "semi_customers_with_urgent": SEMI_ORACLE,
+    "anti_customers_no_orders": ANTI_ORACLE,
+    "setop_active_nations": SETOP_ORACLE,
+    "rollup_returns": ROLLUP_ORACLE,
+    "cube_order_status": CUBE_ORACLE,
+    "topk_orders_per_customer": TOPK_ORACLE,
+    "running_customer_spend": RUNNING_ORACLE,
+    "lag_lead_order_gaps": LAG_LEAD_ORACLE,
+    "events_json_extract": EVENTS_JSON_ORACLE,
+    "exact_distinct_and_quantiles": DISTINCT_QUANTILE_ORACLE,
+    # approx_sketches: intentionally no oracle (sketches are engine-specific)
+    "pivot_status_by_priority": PIVOT_ORACLE,
+}

@@ -1,0 +1,74 @@
+"""SparkSession construction and per-session conf guards.
+
+The engine never *owns* the session when driven externally (the driver
+contract passes one in), so every public query funnels through
+:func:`tune` — a cheap, idempotent runtime-conf guard that pins the
+semantics the engine's operators assume:
+
+* ``spark.sql.session.timeZone=UTC`` — required for timestamp parity
+  with the reference's ``pytz.utc.localize`` behavior
+  (`RSS PARSER/gcp_rss.py:35`) and with the DuckDB oracle (UTC-naive).
+* ``spark.sql.ansi.enabled=false`` — the reference's coercion semantics
+  are "invalid → NULL" (``pd.to_numeric(errors='coerce')``,
+  `CSV PARSER/gcp_csv.py:135`); non-ANSI cast matches that. Operators
+  additionally use ``try_cast``/``try_to_timestamp`` so they stay
+  correct even under a session we could not tune.
+
+Scale notes (100 TB posture): AQE on for runtime coalescing / skew-join
+handling; shuffle partitions default to cores locally but should be
+sized ~2-3× total cluster cores (or left to AQE with a high initial
+count) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime SQL confs every engine query assumes. All of these are
+#: settable on a live session (no restart needed).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # The events fixture stores TIMESTAMP(NANOS) which vanilla Spark
+    # rejects; read as long and convert in io.table (truncation to
+    # micros matches DuckDB's own TIMESTAMP_NS → TIMESTAMP behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Idempotently pin the runtime confs the engine's semantics need."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked-down session; try_* fallbacks still apply
+    return spark
+
+
+def get_spark(app_name: str = "fxblue-analytics-spark") -> SparkSession:
+    """Build (or reuse) a local session sized for this machine.
+
+    Used by tests and bench; the external driver supplies its own
+    session to `__spark_entry__` instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

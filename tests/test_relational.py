@@ -1,0 +1,56 @@
+"""Relational surface smoke + semantics tests (sf0.001)."""
+
+from __future__ import annotations
+
+from fxblue_etl_spark.plans import relational
+
+
+def test_flagship_returns_rows(spark, sf_dir):
+    df = relational.flagship_account_pnl(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = set(df.columns)
+    assert {"account_id", "nation", "region", "n_trades", "gross_pnl"} <= cols
+
+
+def test_q1_six_groups(spark, sf_dir):
+    rows = relational.q1_pricing_summary(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 6
+    for r in rows:
+        assert r.count_order > 0
+        assert r.sum_qty >= r.avg_qty
+
+
+def test_topk_at_most_3_per_customer(spark, sf_dir):
+    rows = relational.topk_orders_per_customer(spark, sf_dir).collect()
+    from collections import Counter
+
+    per_cust = Counter(r.o_custkey for r in rows)
+    assert max(per_cust.values()) <= 3
+    assert all(r.rk <= 3 for r in rows)
+
+
+def test_setops_disjoint_partition(spark, sf_dir):
+    rows = relational.setop_active_nations(spark, sf_dir).collect()
+    union = {r.nationkey for r in rows if r.op == "union"}
+    intersect = {r.nationkey for r in rows if r.op == "intersect"}
+    except_ = {r.nationkey for r in rows if r.op == "except"}
+    assert intersect <= union
+    assert except_ <= union
+    assert not (intersect & except_)
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    rows = relational.rollup_returns(spark, sf_dir).collect()
+    grand = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
+    assert len(grand) == 1
+    assert grand[0].n_rows == sum(
+        r.n_rows for r in rows if r.g_flag == 0 and r.g_status == 0
+    )
+
+
+def test_broadcast_join_in_flagship_plan(spark, sf_dir):
+    """The account dim join must be broadcast, not a fact shuffle."""
+    df = relational.flagship_account_pnl(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
