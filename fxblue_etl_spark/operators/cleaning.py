@@ -1,0 +1,557 @@
+"""Cleaning / transform operator library (SURVEY §2.3-2.5, M1).
+
+Each operator from the reference's pandas row-wise code re-expressed as
+a native Spark column expression (JVM-side, whole-stage-codegen'd — no
+Python UDFs anywhere on this surface):
+
+* T1 numeric coercion         — ``pd.to_numeric(errors='coerce')``
+                                 (`CSV PARSER/gcp_csv.py:121-135`) → ``try_cast``
+* T2 ISO timestamp format     — (`CSV PARSER/gcp_csv.py:102-105`)
+* T3 custom-format parse, UTC — ``'%a %d %b %Y %H:%M:%S'``
+                                 (`RSS PARSER/gcp_rss.py:31-37`)
+* T4 percent-string → ratio   — (`RSS PARSER/gcp_rss.py:54-59`)
+* T5 sentinel → NULL          — epoch close_time / ``"0"`` tp-sl / empty
+                                 (`RSS PARSER/gcp_rss.py:99-112`)
+* T6 string ops (basename)    — (`CSV PARSER/gcp_csv.py:79`)
+* T7/T8 md5 row hash          — (`CSV PARSER/gcp_csv.py:150-155`)
+* P1-P5 rename/derive/default/select/drop
+                                 (`CSV PARSER/gcp_csv.py:80-99,137-146,157`)
+* F2-F4 record filters        — (`RSS PARSER/gcp_rss.py:87,94-95,36-37`)
+* D1 composite-key dedup      — (`CSV PARSER/gcp_csv.py:148-157`)
+
+The ``queries()`` entries exercise each operator over the driver
+fixtures (orders/lineitem/customer/events standing in for trade data —
+FIXTURES.md role mapping), with exact DuckDB oracles. The reusable
+column-expression builders are the public API; the query functions are
+thin demonstrations over them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+# reference formats
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"  # gcp_csv.py:105 strftime("%Y-%m-%dT%H:%M:%S")
+RSS_FMT = "EEE d MMM yyyy HH:mm:ss"  # gcp_rss.py:34 "%a %d %b %Y %H:%M:%S"
+EPOCH_SENTINEL = "Thu 1 Jan 1970 00:00:00"  # gcp_rss.py:104
+
+
+# ── column-expression builders (the operator library proper) ─────────────
+
+def coerce_numeric(c: Column | str) -> Column:
+    """T1: invalid → NULL, exactly ``pd.to_numeric(errors='coerce')``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.try_cast("double")
+
+
+def iso_timestamp(c: Column | str) -> Column:
+    """T2: parse anything timestamp-like, emit ISO-8601 string."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(F.try_to_timestamp(c), ISO_FMT)
+
+
+def parse_rss_timestamp(c: Column | str) -> Column:
+    """T3: ``'Thu 21 Mar 2019 09:00:11'`` → UTC timestamp; bad → NULL.
+
+    Spark's CORRECTED datetime parser rejects day-of-week fields in
+    *parse* patterns, so the (information-free) day name is stripped
+    first — Python's ``strptime('%a …')`` doesn't cross-validate the
+    day name against the date either, so semantics match the
+    reference (`RSS PARSER/gcp_rss.py:34`).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    tail = F.substring_index(c, " ", -4)  # '21 Mar 2019 09:00:11'
+    return F.try_to_timestamp(tail, F.lit("d MMM yyyy HH:mm:ss"))
+
+
+def pct_to_ratio(c: Column | str) -> Column:
+    """T4: ``'12%'``→0.12, ``'-'``→NULL, ``'0.5'``→0.5, NULL→NULL."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.when(c.isNull() | (c == "-"), F.lit(None).cast("double"))
+        .when(
+            c.contains("%"),
+            F.regexp_replace(c, "%", "").try_cast("double") / 100.0,
+        )
+        .otherwise(c.try_cast("double"))
+    )
+
+
+def null_if_sentinel(c: Column | str, *sentinels: str) -> Column:
+    """T5: any listed sentinel value (or empty string) → NULL."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.when(c == "", F.lit(None))
+    for s in sentinels:
+        out = out.when(c == s, F.lit(None))
+    return out.otherwise(c)
+
+
+def basename_account_id(path: Column | str) -> Column:
+    """T6/S3: ``'…/12345.csv'`` → ``'12345'`` (gcp_csv.py:79-80)."""
+    path = F.col(path) if isinstance(path, str) else path
+    return F.regexp_extract(path, r"([^/]+)\.csv$", 1)
+
+
+def row_hash(*cols: Column | str) -> Column:
+    """T7/T8: ``md5(f"{account_id}{ticket}{timestamp}")`` parity."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.md5(F.concat_ws("", *parts))
+
+
+def with_null_defaults(df: DataFrame, cols: Mapping[str, str]) -> DataFrame:
+    """P3: add each missing column as typed NULL (the reference's
+    *intent* at gcp_csv.py:137-146 — see SURVEY §1.4 for the
+    ``setdefault`` bug we deliberately do not reproduce)."""
+    for name, dtype in cols.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P1: bulk rename; missing sources are ignored (pandas parity)."""
+    present = {k: v for k, v in mapping.items() if k in df.columns}
+    return df.withColumnsRenamed(present)
+
+
+def select_sink_schema(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P4: project + reorder to the fixed sink column list."""
+    return df.select(*cols)
+
+
+def dedup_by_key(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column] | None = None) -> DataFrame:
+    """D1/W2: keep one row per composite key.
+
+    With ``order_by``, keeps the first row in that order (deterministic
+    analogue of pandas ``drop_duplicates(keep='first')``, which relied
+    on file order); without, falls back to ``dropDuplicates`` (any
+    row — cheaper, needs no sort).
+    """
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+#: FXBlue → sink rename map (`CSV PARSER/gcp_csv.py:81-99`)
+FXBLUE_RENAMES = {
+    "Ticket": "ticket",
+    "Symbol": "symbol",
+    "Buy/sell": "trade_type",
+    "Open price": "entry_price",
+    "Close price": "exit_price",
+    "Lots": "lot_size",
+    "Profit": "pnl",
+    "Net profit": "net_profit",
+    "MAE": "mae",
+    "MFE": "mfe",
+    "Open time": "timestamp",
+    "Pips": "pips",
+    "T/P": "tp",
+    "S/L": "sl",
+    "Trade duration (hours)": "trade_duration_hours",
+}
+
+#: `gpt_*` enrichment placeholders (`CSV PARSER/gcp_csv.py:137-146`)
+GPT_PLACEHOLDER_COLS = {
+    "gpt_inferred_strategy": "string",
+    "gpt_strategy_confidence": "double",
+    "gpt_trade_evaluation": "string",
+    "gpt_alternative_action": "string",
+    "was_gpt_recommendation_followed": "string",
+    "gpt_impact_alignment": "string",
+}
+
+#: required-column gate F1 (`CSV PARSER/gcp_csv.py:107-119`)
+REQUIRED_TRADE_COLS = (
+    "timestamp",
+    "symbol",
+    "trade_type",
+    "entry_price",
+    "exit_price",
+    "lot_size",
+    "pnl",
+)
+
+
+# ── oracle-checked demonstration queries over the fixtures ───────────────
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+def t1_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 on mixed valid/invalid strings built from orders."""
+    o = _t(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")  # non-numeric
+    ).otherwise(F.format_string("%.2f", F.col("o_totalprice")))
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_value"),
+        coerce_numeric(raw).alias("coerced"),
+    )
+
+
+T1_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+            ELSE printf('%.2f', o_totalprice) END AS raw_value,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                     ELSE printf('%.2f', o_totalprice) END AS DOUBLE) AS coerced
+FROM orders
+"""
+
+
+def t2_timestamp_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: normalize order dates to the reference's ISO-string form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", ISO_FMT).alias("timestamp_iso"),
+    )
+
+
+T2_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS timestamp_iso
+FROM orders
+"""
+
+
+def t3_custom_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: format order dates into the RSS feed format, parse back
+    (UTC), with an injected unparseable value → NULL (F4 tolerance)."""
+    o = _t(spark, sf_dir, "orders")
+    rss_str = F.when(F.col("o_orderkey") % 7 == 0, F.lit("not a date")).otherwise(
+        F.date_format("o_orderdate", RSS_FMT)
+    )
+    parsed = parse_rss_timestamp(rss_str)
+    return o.select(
+        "o_orderkey",
+        rss_str.alias("rss_string"),
+        F.date_format(parsed, ISO_FMT).alias("parsed_iso"),
+    )
+
+
+T3_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+            ELSE strftime(o_orderdate, '%a %-d %b %Y %H:%M:%S') END AS rss_string,
+       strftime(try_strptime(
+           CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+                ELSE strftime(o_orderdate, '%a %-d %b %Y %H:%M:%S') END,
+           '%a %d %b %Y %H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS parsed_iso
+FROM orders
+"""
+
+
+def t4_percent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 on registry-style strings built from customer balances."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 4
+    # integer-derived strings: printf('%.Nf') rounds HALF_UP in the JVM
+    # but half-even in C/DuckDB, so float-formatted fixtures would
+    # diverge at the ulp — integers are exact in both engines.
+    pct_int = (F.col("c_custkey") % 200).cast("string")
+    frac_int = (F.col("c_custkey") % 1000).cast("string")
+    raw = (
+        F.when(k == 0, F.concat(pct_int, F.lit(".5%")))
+        .when(k == 1, F.lit("-"))
+        .when(k == 2, F.concat(F.lit("0."), frac_int))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return c.select(
+        "c_custkey",
+        raw.alias("raw_pct"),
+        F.round(pct_to_ratio(raw), 6).alias("ratio"),
+    )
+
+
+T4_ORACLE = """
+WITH src AS (
+  SELECT c_custkey,
+         CASE c_custkey % 4
+           WHEN 0 THEN CAST(c_custkey % 200 AS VARCHAR) || '.5%'
+           WHEN 1 THEN '-'
+           WHEN 2 THEN '0.' || CAST(c_custkey % 1000 AS VARCHAR)
+           ELSE NULL END AS raw_pct
+  FROM customer)
+SELECT c_custkey, raw_pct,
+       round(CASE
+         WHEN raw_pct IS NULL OR raw_pct = '-' THEN NULL
+         WHEN raw_pct LIKE '%\\%%' ESCAPE '\\'
+           THEN TRY_CAST(replace(raw_pct, '%', '') AS DOUBLE) / 100.0
+         ELSE TRY_CAST(raw_pct AS DOUBLE) END, 6) AS ratio
+FROM src
+"""
+
+
+def t5_sentinel_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: epoch close-time / '0' tp-sl / empty-string sentinels → NULL."""
+    l = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_linenumber")
+    close_raw = F.when((k % 3) == 0, F.lit(EPOCH_SENTINEL)).otherwise(
+        F.date_format("l_shipdate", RSS_FMT)
+    )
+    tp_raw = F.when((k % 2) == 0, F.lit("0")).otherwise(
+        F.format_string("%.2f", F.col("l_extendedprice"))
+    )
+    lots_raw = F.when((k % 5) == 0, F.lit("")).otherwise(
+        F.format_string("%.1f", F.col("l_quantity"))
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(
+            parse_rss_timestamp(null_if_sentinel(close_raw, EPOCH_SENTINEL)), ISO_FMT
+        ).alias("close_time"),
+        null_if_sentinel(tp_raw, "0").try_cast("double").alias("tp"),
+        null_if_sentinel(lots_raw).try_cast("double").alias("lots"),
+    )
+
+
+T5_ORACLE = f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 3 = 0 THEN '{EPOCH_SENTINEL}'
+              ELSE strftime(l_shipdate, '%a %-d %b %Y %H:%M:%S') END AS close_raw,
+         CASE WHEN l_linenumber % 2 = 0 THEN '0'
+              ELSE printf('%.2f', l_extendedprice) END AS tp_raw,
+         CASE WHEN l_linenumber % 5 = 0 THEN ''
+              ELSE printf('%.1f', l_quantity) END AS lots_raw
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       strftime(try_strptime(CASE WHEN close_raw = '{EPOCH_SENTINEL}' THEN NULL
+                                  ELSE close_raw END,
+                             '%a %d %b %Y %H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS close_time,
+       TRY_CAST(nullif(nullif(tp_raw, '0'), '') AS DOUBLE) AS tp,
+       TRY_CAST(nullif(lots_raw, '') AS DOUBLE) AS lots
+FROM src
+"""
+
+
+def t6_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/S3: account id from a storage path (basename minus .csv)."""
+    c = _t(spark, sf_dir, "customer")
+    path = F.concat(F.lit("gs://bucket/testcsvs/acct_"), F.col("c_custkey"), F.lit(".csv"))
+    return c.select(
+        "c_custkey",
+        path.alias("blob_path"),
+        basename_account_id(path).alias("account_id"),
+    )
+
+
+T6_ORACLE = """
+SELECT c_custkey,
+       'gs://bucket/testcsvs/acct_' || CAST(c_custkey AS VARCHAR) || '.csv' AS blob_path,
+       regexp_extract('gs://bucket/testcsvs/acct_' || CAST(c_custkey AS VARCHAR) || '.csv',
+                      '([^/]+)\\.csv$', 1) AS account_id
+FROM customer
+"""
+
+
+def t7_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+D1: md5 composite-key hash, dedup a doubled input back to one
+    row per key (the reference's intra-file dedup on a re-read file)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("account_id"),
+        F.col("o_orderkey").alias("ticket"),
+        F.date_format("o_orderdate", ISO_FMT).alias("timestamp"),
+    )
+    doubled = o.unionAll(o)
+    hashed = doubled.withColumn(
+        "row_hash", row_hash("account_id", F.col("ticket").cast("string"), "timestamp")
+    )
+    return dedup_by_key(hashed, ["row_hash"], order_by=[F.asc("ticket")])
+
+
+T7_ORACLE = """
+WITH src AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS account_id,
+         o_orderkey AS ticket,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS "timestamp"
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_custkey AS VARCHAR), o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+  FROM orders),
+hashed AS (
+  SELECT *, md5(account_id || CAST(ticket AS VARCHAR) || "timestamp") AS row_hash
+  FROM src)
+SELECT account_id, ticket, "timestamp", row_hash
+FROM (SELECT *, row_number() OVER (PARTITION BY row_hash ORDER BY ticket ASC) AS rn
+      FROM hashed)
+WHERE rn = 1
+"""
+
+
+def p1_p4_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 bulk rename + P2 derived const + P4 sink projection, lineitem
+    standing in for an FXBlue file (FIXTURES.md role mapping)."""
+    l = _t(spark, sf_dir, "lineitem")
+    df = rename_columns(
+        l,
+        {
+            "l_orderkey": "ticket",
+            "l_partkey": "symbol_id",
+            "l_quantity": "lot_size",
+            "l_extendedprice": "entry_price",
+            "l_discount": "pnl",
+            "l_shipdate": "timestamp",
+        },
+    )
+    df = df.withColumn("account_id", F.concat(F.lit("acct_"), F.col("l_suppkey")))
+    return select_sink_schema(
+        df.withColumn("timestamp", F.date_format("timestamp", ISO_FMT)),
+        ["ticket", "l_linenumber", "account_id", "symbol_id", "entry_price", "lot_size", "pnl", "timestamp"],
+    )
+
+
+P1_ORACLE = """
+SELECT l_orderkey AS ticket,
+       l_linenumber,
+       'acct_' || CAST(l_suppkey AS VARCHAR) AS account_id,
+       l_partkey AS symbol_id,
+       l_extendedprice AS entry_price,
+       l_quantity AS lot_size,
+       l_discount AS pnl,
+       strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S') AS "timestamp"
+FROM lineitem
+"""
+
+
+def p3_null_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: typed-NULL enrichment placeholders added when absent."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ticket"),
+        F.col("o_totalprice").alias("pnl"),
+    )
+    out = with_null_defaults(o, GPT_PLACEHOLDER_COLS)
+    return out.select(
+        "ticket",
+        "pnl",
+        "gpt_inferred_strategy",
+        "gpt_strategy_confidence",
+        "gpt_trade_evaluation",
+    )
+
+
+P3_ORACLE = """
+SELECT o_orderkey AS ticket,
+       o_totalprice AS pnl,
+       CAST(NULL AS VARCHAR) AS gpt_inferred_strategy,
+       CAST(NULL AS DOUBLE) AS gpt_strategy_confidence,
+       CAST(NULL AS VARCHAR) AS gpt_trade_evaluation
+FROM orders
+"""
+
+
+def f2_f3_record_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: feed-record routing by field presence — events rows with a
+    JSON `k` ≥ 50 act as 'position' records, others as snapshots; only
+    positions pass, and each carries the snapshot branch marker."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    typed = e.withColumn("position_ticket", F.when(k >= 50, F.col("event_id")))
+    return (
+        typed.filter(F.col("position_ticket").isNotNull())  # F2
+        .select(
+            "position_ticket",
+            "user_id",
+            (F.col("event_type") == "signup").cast("int").alias("is_snapshot_kind"),  # F3
+        )
+    )
+
+
+F2_ORACLE = """
+SELECT event_id AS position_ticket,
+       user_id,
+       CAST(event_type = 'signup' AS INT) AS is_snapshot_kind
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+def csv_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference CSV pipeline §3.1 as ONE lazy DataFrame chain
+    (rename → derive account → ISO timestamp → numeric coercion → NULL
+    defaults → hash dedup), orders standing in for an FXBlue file.
+    Catalyst fuses every step before the dedup shuffle into a single
+    whole-stage-codegen pass over the scan."""
+    o = _t(spark, sf_dir, "orders")
+    df = rename_columns(
+        o,
+        {"o_orderkey": "ticket", "o_totalprice": "pnl_raw", "o_orderdate": "timestamp"},
+    )
+    df = (
+        df.withColumn("account_id", F.concat(F.lit("acct_"), F.col("o_custkey") % 10))
+        .withColumn("timestamp", F.date_format("timestamp", ISO_FMT))
+        .withColumn("pnl", coerce_numeric(F.format_string("%.2f", F.col("pnl_raw"))))
+    )
+    df = with_null_defaults(df, GPT_PLACEHOLDER_COLS)
+    df = df.withColumn(
+        "row_hash", row_hash("account_id", F.col("ticket").cast("string"), "timestamp")
+    )
+    df = dedup_by_key(df, ["row_hash"], order_by=[F.asc("ticket")])
+    return select_sink_schema(
+        df, ["ticket", "account_id", "timestamp", "pnl", "gpt_inferred_strategy", "row_hash"]
+    )
+
+
+PIPELINE_ORACLE = """
+WITH renamed AS (
+  SELECT o_orderkey AS ticket,
+         'acct_' || CAST(o_custkey % 10 AS VARCHAR) AS account_id,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS "timestamp",
+         TRY_CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS pnl,
+         CAST(NULL AS VARCHAR) AS gpt_inferred_strategy
+  FROM orders),
+hashed AS (
+  SELECT *, md5(account_id || CAST(ticket AS VARCHAR) || "timestamp") AS row_hash
+  FROM renamed)
+SELECT ticket, account_id, "timestamp", pnl, gpt_inferred_strategy, row_hash
+FROM (SELECT *, row_number() OVER (PARTITION BY row_hash ORDER BY ticket ASC) AS rn
+      FROM hashed)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "t1_numeric_coercion": t1_numeric_coercion,
+    "t2_timestamp_iso": t2_timestamp_iso,
+    "t3_custom_ts_roundtrip": t3_custom_ts_roundtrip,
+    "t4_percent_parse": t4_percent_parse,
+    "t5_sentinel_null": t5_sentinel_null,
+    "t6_string_extract": t6_string_extract,
+    "t7_hash_dedup": t7_hash_dedup,
+    "p1_p4_rename_project": p1_p4_rename_project,
+    "p3_null_defaults": p3_null_defaults,
+    "f2_f3_record_filters": f2_f3_record_filters,
+    "csv_normalize_pipeline": csv_normalize_pipeline,
+}
+
+ORACLES = {
+    "t1_numeric_coercion": T1_ORACLE,
+    "t2_timestamp_iso": T2_ORACLE,
+    "t3_custom_ts_roundtrip": T3_ORACLE,
+    "t4_percent_parse": T4_ORACLE,
+    "t5_sentinel_null": T5_ORACLE,
+    "t6_string_extract": T6_ORACLE,
+    "t7_hash_dedup": T7_ORACLE,
+    "p1_p4_rename_project": P1_ORACLE,
+    "p3_null_defaults": P3_ORACLE,
+    "f2_f3_record_filters": F2_ORACLE,
+    "csv_normalize_pipeline": PIPELINE_ORACLE,
+}
