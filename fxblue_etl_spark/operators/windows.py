@@ -1,0 +1,171 @@
+"""Window / analytic operators (SURVEY §2.7, W1-W2).
+
+W1 is the reference's only stateful operator: while iterating a feed
+in entry order, the last-seen account snapshot's balance/equity/
+floating-profit/closed-profit/free-margin values are carried forward
+onto every subsequent position row (`RSS PARSER/gcp_rss.py:84-92`,
+consumed at `:163`). That per-run mutable-variable scan is exactly a
+forward-fill (LOCF) window:
+
+    last(col, ignorenulls=True) OVER (PARTITION BY account
+                                      ORDER BY entry_idx
+                                      ROWS UNBOUNDED PRECEDING..CURRENT)
+
+Scale notes: the window shuffles once on the partition key (account);
+state per key is one row of carried values — no unbounded buffering.
+The streaming restatement (transformWithStateInPandas) lives in
+streaming/pipelines.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+#: snapshot columns carried forward in the reference (gcp_rss.py:88-92)
+SNAPSHOT_COLS = (
+    "account_balance",
+    "account_equity",
+    "account_floating_profit",
+    "account_closed_profit",
+    "account_free_margin",
+)
+
+
+def locf(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """W1: forward-fill each column from the last non-NULL value seen
+    within the partition, in order. NULL until the first snapshot —
+    matching the reference's `bal = eq = … = None` initialization."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+# ── oracle-checked demonstration ─────────────────────────────────────────
+# Feed simulation on events: per user (=account), 'signup' rows act as
+# account snapshots carrying `value`; every row then receives the last
+# snapshot's value forward-filled, and only non-snapshot rows survive
+# (F2) — the exact RSS pipeline shape §3.2.
+
+def w1_locf_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(tune(spark), sf_dir, "events")
+    snap = F.when(F.col("event_type") == "signup", F.col("value"))
+    feed = e.select(
+        F.col("user_id").alias("account_id"),
+        F.col("event_id").alias("entry_idx"),
+        F.col("event_type"),
+        snap.alias("account_balance"),
+    )
+    filled = locf(feed, ["account_balance"], ["account_id"], [F.asc("entry_idx")])
+    return filled.filter(F.col("event_type") != "signup").select(
+        "account_id", "entry_idx", "account_balance"
+    )
+
+
+W1_ORACLE = """
+WITH feed AS (
+  SELECT user_id AS account_id,
+         event_id AS entry_idx,
+         event_type,
+         CASE WHEN event_type = 'signup' THEN value END AS account_balance
+  FROM events),
+filled AS (
+  SELECT account_id, entry_idx, event_type,
+         last_value(account_balance IGNORE NULLS) OVER (
+             PARTITION BY account_id ORDER BY entry_idx ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS account_balance
+  FROM feed)
+SELECT account_id, entry_idx, account_balance
+FROM filled WHERE event_type != 'signup'
+"""
+
+
+def w2_keep_one_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: newest event per (user, event_type) — row_number()==1."""
+    e = table(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+W2_ORACLE = """
+SELECT user_id, event_type, event_id, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after
+    >30 min of inactivity per user; batch analogue of session_window."""
+    e = table(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = (gap.isNull() | (gap > 1800)).cast("int")
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_sess = e.withColumn("session_seq", sess_id)
+    return with_sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "w1_locf_snapshots": w1_locf_snapshots,
+    "w2_keep_one_per_key": w2_keep_one_per_key,
+    "sessionize_events": sessionize_events,
+}
+
+ORACLES = {
+    "w1_locf_snapshots": W1_ORACLE,
+    "w2_keep_one_per_key": W2_ORACLE,
+    "sessionize_events": SESSIONIZE_ORACLE,
+}

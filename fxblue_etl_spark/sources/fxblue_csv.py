@@ -1,0 +1,199 @@
+"""FXBlue CSV source + ingest pipeline (SURVEY §2.1 S1-S3, §3.1, M3).
+
+The reference lists GCS blobs, downloads each, and parses with
+``pd.read_csv(skiprows=1)`` because FXBlue exports carry a non-header
+title line (`CSV PARSER/gcp_csv.py:75-76`). OSS Spark's CSV reader has
+no per-file skip-rows, so the scan is a two-stage Spark-native shim:
+
+1. ``spark.read.text(glob, wholetext=True)`` — one task per file,
+   distributed listing and IO exactly like any multi-file scan (S1's
+   thread pool disappears into the scheduler).
+2. ``mapInPandas`` — per file: drop the title line, parse the rest
+   with pandas (Arrow-batched), stamp ``account_id`` from the
+   filename (S3, `gcp_csv.py:79-80`), and apply the F1 required-column
+   gate (`gcp_csv.py:107-119`) — a file missing required columns
+   yields zero rows (log-and-skip, `gcp_csv.py:117-119,197-198`).
+
+Scale notes: FXBlue exports are per-account files (thousands of small
+files, not one huge file), so file-granular parallelism is the right
+unit; wholetext is bounded by the largest single export. For
+monolithic CSVs the plain ``spark.read.csv`` path (no title row)
+applies instead. Everything after parse is native Catalyst (the M1
+expression chain), one lazy plan to the merge.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import table
+from ..session import tune
+from ..operators import cleaning as C
+
+#: raw FXBlue columns (pre-rename) surfaced from the CSV text — all
+#: strings at this stage; typing happens in the Catalyst chain below
+RAW_FIELDS = [
+    ("Ticket", "string"),
+    ("Symbol", "string"),
+    ("Buy/sell", "string"),
+    ("Open price", "string"),
+    ("Close price", "string"),
+    ("Open time", "string"),
+    ("Lots", "string"),
+    ("Profit", "string"),
+    ("Net profit", "string"),
+]
+
+_RAW_SCHEMA = T.StructType(
+    [T.StructField("account_id", T.StringType())]
+    + [
+        T.StructField(name.replace("/", "_").replace(" ", "_").lower(), T.StringType())
+        for name, _ in RAW_FIELDS
+    ]
+)
+
+#: raw header → struct field name used by the shim
+_FIELD_OF = {
+    name: name.replace("/", "_").replace(" ", "_").lower() for name, _ in RAW_FIELDS
+}
+
+#: F1 gate in raw-header terms (gcp_csv.py:108-116 checks post-rename;
+#: equivalent pre-rename set)
+REQUIRED_RAW = ("Open time", "Symbol", "Buy/sell", "Open price", "Close price", "Lots", "Profit")
+
+
+def read_fxblue_csv(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1+S2+S3+F1: distributed scan of FXBlue CSVs (title-row skip,
+    account_id from filename, per-file required-column gate)."""
+    tune(spark)
+    files = spark.read.text(path_glob, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("content")
+    )
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                account_id = os.path.basename(path).split(".csv")[0]
+                try:
+                    raw = pd.read_csv(io.StringIO(content), skiprows=1, dtype=str)
+                except Exception:
+                    continue  # F5: log-and-skip file (gcp_csv.py:197-198)
+                if not all(c in raw.columns for c in REQUIRED_RAW):
+                    continue  # F1: whole file skipped (gcp_csv.py:117-119)
+                out = pd.DataFrame({"account_id": account_id}, index=raw.index)
+                for raw_name, field in _FIELD_OF.items():
+                    out[field] = raw[raw_name] if raw_name in raw.columns else None
+                yield out[[f.name for f in _RAW_SCHEMA.fields]]
+
+    return files.mapInPandas(parse_files, _RAW_SCHEMA)
+
+
+def normalize_trades(raw: DataFrame) -> DataFrame:
+    """§3.1 steps 5-6 as one Catalyst chain: rename → ISO timestamp →
+    numeric coercion → gpt NULL-defaults → composite-key dedup."""
+    df = raw.select(
+        F.col("ticket").try_cast("long").alias("ticket"),  # int(r['Ticket']), gcp_csv.py:166
+        F.col("account_id"),
+        F.col("symbol"),
+        F.col("buy_sell").alias("trade_type"),
+        C.coerce_numeric("open_price").alias("entry_price"),
+        C.coerce_numeric("close_price").alias("exit_price"),
+        C.iso_timestamp("open_time").alias("timestamp"),
+        C.coerce_numeric("lots").alias("lot_size"),
+        C.coerce_numeric("profit").alias("pnl"),
+        C.coerce_numeric("net_profit").alias("net_profit"),
+    )
+    df = C.with_null_defaults(df, C.GPT_PLACEHOLDER_COLS)
+    df = df.withColumn(
+        "row_hash",
+        C.row_hash("account_id", F.col("ticket").cast("string"), "timestamp"),
+    )
+    return C.dedup_by_key(df, ["row_hash"], order_by=[F.asc("ticket")]).drop("row_hash")
+
+
+def ingest_fxblue_dir(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Full CSV ingest: scan → normalize. Feed the result to
+    operators.merge.merge_upsert(old, new, ['ticket'],
+    preserve_cols=GPT_PLACEHOLDER_COLS) for the K1 sink."""
+    return normalize_trades(read_fxblue_csv(spark, path_glob))
+
+
+# ── deterministic CSV fixture generation (for the oracle query) ──────────
+
+def materialize_fixture_csvs(sf_dir: str, out_dir: str) -> str:
+    """Write FXBlue-shaped CSVs derived from the orders parquet: one
+    file per (o_custkey % 8) with a title row, plus one file missing a
+    required column (must be gate-skipped). Idempotent per sf_dir."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet")).to_pandas()
+    orders["acct"] = orders["o_orderkey"] % 8
+    for acct, grp in orders.groupby("acct"):
+        rows = pd.DataFrame(
+            {
+                "Ticket": grp["o_orderkey"],
+                "Symbol": "EURUSD",
+                "Buy/sell": grp["o_orderstatus"].map({"O": "Buy"}).fillna("Sell"),
+                "Open price": (grp["o_orderkey"] % 1000).astype(str),
+                "Close price": (grp["o_orderkey"] % 997).astype(str),
+                "Open time": grp["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "Lots": (grp["o_orderkey"] % 10).astype(str),
+                "Profit": grp["o_totalprice"].map("{:.2f}".format),
+            }
+        ).sort_values("Ticket")
+        path = os.path.join(out_dir, f"acct_{acct}.csv")
+        with open(path, "w") as f:
+            f.write("FXBlue trade history export\n")
+            rows.to_csv(f, index=False)
+    # a file failing the F1 gate: no 'Open time' column
+    with open(os.path.join(out_dir, "acct_bad.csv"), "w") as f:
+        f.write("FXBlue trade history export\nTicket,Symbol\n1,EURUSD\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def s2_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CSV ingest over real files (title-row skip, filename
+    account_id, F1 gate dropping the bad file) — oracle recomputes the
+    same result relationally from orders."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = materialize_fixture_csvs(sf_dir, f"/tmp/fxblue_csv_{sf_tag}")
+    df = ingest_fxblue_dir(spark, os.path.join(out_dir, "*.csv"))
+    return df.select(
+        "ticket", "account_id", "symbol", "trade_type", "entry_price",
+        "exit_price", "timestamp", "lot_size", "pnl", "net_profit",
+        "gpt_inferred_strategy",
+    )
+
+
+S2_ORACLE = """
+SELECT o_orderkey AS ticket,
+       'acct_' || CAST(o_orderkey % 8 AS VARCHAR) AS account_id,
+       'EURUSD' AS symbol,
+       CASE WHEN o_orderstatus = 'O' THEN 'Buy' ELSE 'Sell' END AS trade_type,
+       CAST(o_orderkey % 1000 AS DOUBLE) AS entry_price,
+       CAST(o_orderkey % 997 AS DOUBLE) AS exit_price,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS "timestamp",
+       CAST(o_orderkey % 10 AS DOUBLE) AS lot_size,
+       TRY_CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS pnl,
+       CAST(NULL AS DOUBLE) AS net_profit,
+       CAST(NULL AS VARCHAR) AS gpt_inferred_strategy
+FROM orders
+"""
+
+
+QUERIES = {"s2_csv_ingest": s2_csv_ingest}
+ORACLES = {"s2_csv_ingest": S2_ORACLE}
