@@ -1,0 +1,335 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.13, M6).
+
+Four dedup families over `documents`, all engine-portable (hashes are
+md5/sha256 so the DuckDB oracle reproduces them bit-for-bit — no
+engine-specific seeded hashing in the oracle-checked paths):
+
+* **exact**       — sha256(normalized content) → group → keep min id.
+* **MinHash+LSH** — word shingles → K permutation-hashes (md5 keyed by
+  permutation index; the min of a keyed cryptographic hash is a valid
+  minwise sketch) → band signatures → candidate pairs from shared
+  bands → exact-Jaccard verification. The classic near-dup pipeline:
+  shuffle cost is O(docs × bands), never O(docs²).
+* **SimHash**     — 32-bit sign-aggregated token hashes; near-dup =
+  hamming distance ≤ r within 16-bit blocking buckets.
+* **n-gram Jaccard** — blocked pairwise token-shingle Jaccard.
+
+Scale notes: every pairwise step is *blocked* (LSH band, simhash
+prefix, first-token block) so candidate generation is an equi-join on
+the block key — a hash-partitioned shuffle that AQE can skew-split —
+followed by per-pair verification. Nothing materializes the full
+cross product. The `ml.feature.MinHashLSH` variant (JVM sketches,
+`approxSimilarityJoin`) is provided as the rows-only
+`minhash_lsh_ml` for comparison with Spark's built-in implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+from .textops import ws_tokens
+
+N_PERM = 12  # minhash permutations
+BAND_ROWS = 3  # rows per LSH band → 4 bands
+
+
+def _norm_text(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def word_shingles(c: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text."""
+    toks = ws_tokens(_norm_text(c))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keeper id + duplicate count per
+    distinct content (generalizes D1 to content-addressed dedup)."""
+    d = table(tune(spark), sf_dir, "documents")
+    h = F.sha2(_norm_text("text"), 256)
+    return (
+        d.select("doc_id", h.alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_sha,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → minhash signature array (N_PERM md5-min values)."""
+    sh = word_shingles(text_col)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s)))
+            )
+            for p in range(N_PERM)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"), sh.alias("shingles"))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup candidates + exact Jaccard verification.
+
+    Bands of BAND_ROWS minhashes are hashed to a band signature;
+    pairs sharing any (band_idx, band_sig) bucket are candidates;
+    each candidate pair is verified with exact shingle Jaccard.
+    """
+    d = table(tune(spark), sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(N_PERM // BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_idx", "band.band_sig")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+MINHASH_ORACLE = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]))
+           AS shingles
+  FROM norm),
+sigs AS (
+  SELECT doc_id, shingles,
+         [list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+          FOR p IN range(0, {N_PERM})] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, shingles, CAST(b AS INT) AS band_idx,
+         md5(sig[CAST(b AS INT) * {BAND_ROWS} + 1] || '|' ||
+             sig[CAST(b AS INT) * {BAND_ROWS} + 2] || '|' ||
+             sig[CAST(b AS INT) * {BAND_ROWS} + 3]) AS band_sig
+  FROM sigs, range(0, {N_PERM // BAND_ROWS}) t(b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+"""
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived 32-bit
+    hashes, sign-aggregated bit-wise (majority vote). The token hash
+    is the first 8 md5 hex chars as an int — `conv` here, explicit
+    base-16 arithmetic in the oracle, identical values."""
+    d = table(tune(spark), sf_dir, "documents")
+    toks = F.array_distinct(ws_tokens(_norm_text("text")))
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    hashes = F.transform(toks, lambda t: tok_hash(t))
+    def _vote(b):  # closure factory: a 2-arg lambda per bit position
+        def merge(acc, h):
+            return acc + F.when(((h / (2 ** b)).cast("long") % 2) == 1, 1).otherwise(-1)
+
+        return merge
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(32)
+    ]
+    simhash = sum(
+        (F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b, v in enumerate(bit_votes)),
+        start=F.lit(0).cast("long"),
+    )
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '')) AS t
+  FROM documents),
+hashes AS (
+  SELECT doc_id,
+         list_transform(t, tok -> (
+           (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1))) AS hs
+  FROM toks),
+votes AS (
+  SELECT doc_id, hs,
+         [list_reduce(list_transform(hs,
+              h -> CASE WHEN CAST(floor(h / power(2, CAST(b AS INT))) AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END),
+              (a, x) -> a + x)
+          FOR b IN range(0, 32)] AS v
+  FROM hashes)
+SELECT doc_id,
+       CAST(list_reduce(list_transform(range(0, 32),
+            b -> CASE WHEN v[CAST(b AS INT) + 1] > 0
+                      THEN CAST(power(2, CAST(b AS INT)) AS BIGINT) ELSE 0 END),
+            (a, x) -> a + x) AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: documents sharing
+    (lang, first token) are compared; pairs with Jaccard ≥ 0.05 of
+    their word-bigram sets are emitted."""
+    d = table(tune(spark), sf_dir, "documents")
+    grams = word_shingles("text", k=2)
+    toks = ws_tokens(_norm_text("text"))
+    blocked = d.select(
+        "doc_id",
+        F.col("lang").alias("block_lang"),
+        F.element_at(toks, 1).alias("block_tok"),
+        grams.alias("grams"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_lang") == F.col("b.block_lang"))
+        & (F.col("a.block_tok") == F.col("b.block_tok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+    union = (
+        F.size("a.grams") + F.size("b.grams") - F.size(F.array_intersect("a.grams", "b.grams"))
+    ).cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.05)
+
+
+NGRAM_ORACLE = r"""
+WITH prep AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+blocked AS (
+  SELECT doc_id, lang AS block_lang, toks[1] AS block_tok,
+         list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS grams
+  FROM prep)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+FROM blocked a
+JOIN blocked b
+  ON a.block_lang = b.block_lang AND a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.05
+"""
+
+
+def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML MinHashLSH approxSimilarityJoin (rows-only check:
+    JVM-internal seeded hash families aren't oracle-reproducible).
+    This is the built-in scale path for near-dup joins."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = table(tune(spark), sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens(_norm_text("text")).alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True, minDF=1.0)
+    model = cv.fit(toks)
+    feats = model.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    lsh_model = lsh.fit(feats)
+    joined = lsh_model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_docs": simhash_docs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_ml": minhash_lsh_ml,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "minhash_lsh_pairs": MINHASH_ORACLE,
+    "simhash_docs": SIMHASH_ORACLE,
+    "ngram_jaccard_pairs": NGRAM_ORACLE,
+    # minhash_lsh_ml: rows-only (seeded JVM hash family)
+}

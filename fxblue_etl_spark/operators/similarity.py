@@ -1,0 +1,221 @@
+"""Embedding similarity search (SURVEY §2.13, M6).
+
+Over `embeddings(vec_id, embedding array<float>, label)`:
+
+* **brute-force cosine top-k** — the exactness baseline. The query
+  set broadcasts onto the candidate scan (a broadcast nested-loop
+  join), so the big side is read once with no shuffle; per-partition
+  top-k then a single narrow global top-k per query.
+* **IVF top-k** — the scale path: vectors are assigned to their
+  nearest of C fixed centroids (one broadcast pass), queries probe
+  only their own cluster (equi-join on cluster id = partition
+  pruning). At 100 TB the cluster id becomes the storage partition
+  key and a probe touches 1/C of the data.
+* **sign-LSH near-dup** — random-hyperplane-style bucketing using the
+  sign pattern of the leading dimensions as the bucket key; pairs are
+  verified with exact cosine. Candidate generation is an equi-join on
+  the bucket, never a cross product.
+
+All dot products fold elementwise in float64; Spark's ``aggregate``
+and DuckDB's ``list_dot_product`` are bit-identical on this path
+(verified), so the oracles match without tolerance tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+
+def _dvec(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+_DUCK_DVEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector
+    (vec_id % 50 == 0), excluding self."""
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+_COS_AB = _DUCK_COS.format(a="q.qv", b="c.v")
+COSINE_TOPK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_DUCK_DVEC.format(c='embedding')} AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_COS_AB} AS sim
+  FROM q JOIN base c ON c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest fixed
+    centroid (vec_id % 100 == 0), then answer each query (vec_id %
+    50 == 0) from its own cluster only — top-3 by cosine."""
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    # one broadcast pass: argmin centroid per vector (deterministic
+    # tie-break on centroid id)
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster").alias("qcluster"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", F.col("v")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_DUCK_DVEC.format(c='embedding')} AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % 100 = 0),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT b.vec_id, b.v, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS.format(a='b.v', b='c.cv')} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM base b CROSS JOIN cents c)
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cluster AS qcluster
+  FROM assigned WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_DUCK_COS.format(a='q.qv', b='a.v')} AS sim
+  FROM q JOIN assigned a
+    ON a.cluster = q.qcluster AND a.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH blocked near-dup: bucket on the sign pattern of the
+    first 8 dimensions, verify candidates with exact cosine ≥ 0.15."""
+    e = table(tune(spark), sf_dir, "embeddings")
+    v = _dvec("embedding")
+    bucket = F.concat_ws(
+        "",
+        *[(F.element_at(v, i + 1) >= 0).cast("int").cast("string") for i in range(8)],
+    )
+    base = e.select("vec_id", v.alias("v"), bucket.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.15)
+    )
+
+
+NEAR_DUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_DUCK_DVEC.format(c='embedding')} AS v,
+         list_reduce(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                     (a, x) -> a || x) AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DUCK_COS.format(a='a.v', b='b.v')}, 6) AS sim
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_DUCK_COS.format(a='a.v', b='b.v')}, 6) >= 0.15
+"""
+
+
+QUERIES = {
+    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_near_dup": embedding_near_dup,
+}
+
+ORACLES = {
+    "cosine_topk_bruteforce": COSINE_TOPK_ORACLE,
+    "ann_ivf_topk": ANN_IVF_ORACLE,
+    "embedding_near_dup": NEAR_DUP_ORACLE,
+}

@@ -1,0 +1,216 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.13, M6).
+
+Everything here is native Spark SQL expressions over the `documents`
+fixture — per-row string work is embarrassingly parallel and stays
+inside whole-stage codegen (no shuffle except final aggregations, no
+Python). At 100 TB these scale linearly with input splits.
+
+Operators: token counting (whitespace + BPE-ish regex), quality
+scoring (length/punct/stopword ratios), language-ID (stopword-marker
+heuristic), document fingerprinting (normalized-content hash + minhash
+of character shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+#: BPE-ish pretokenizer: word pieces or single non-space symbols
+BPE_RE = r"\w+|[^\w\s]"
+
+#: tiny per-language marker sets for the heuristic language-ID
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "de", "los"),
+}
+
+
+def ws_tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpeish_tokens(c: Column | str) -> Column:
+    """BPE-style pretokenization: words + individual punctuation."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality signals per document."""
+    d = table(tune(spark), sf_dir, "documents")
+    toks = ws_tokens("text")
+    bpe = bpeish_tokens("text")
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+TEXT_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS ws,
+         regexp_extract_all(text, '\w+|[^\w\s]') AS bpe
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_ws_tokens,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       round(list_reduce(list_transform(ws, t -> CAST(length(t) AS DOUBLE)),
+                         (a, x) -> a + x) / len(ws), 4) AS avg_token_len,
+       round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio
+FROM toks
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length band + stopword presence -
+    punctuation noise (a Gopher-rules-flavored heuristic)."""
+    d = table(tune(spark), sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    punct_ratio = F.length(F.regexp_replace("text", r"[\w\s]", "")).cast(
+        "double"
+    ) / F.length("text")
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 2).alias("quality_score"),
+        (score >= 0.7).cast("int").alias("keep"),
+    )
+
+
+QUALITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS ws,
+         CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_tokens,
+         CAST(len(list_intersect(ws, ['the','and','of','to','a'])) AS INT) AS n_stopwords,
+         CAST(CASE WHEN len(ws) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+          + CASE WHEN len(list_intersect(ws, ['the','and','of','to','a'])) > 0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS score
+  FROM toks)
+SELECT doc_id, n_tokens, n_stopwords,
+       round(score, 2) AS quality_score,
+       CAST(score >= 0.7 AS INT) AS keep
+FROM scored
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: argmax of per-language marker hits
+    (deterministic tie-break by fixed language order)."""
+    d = table(tune(spark), sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    hit_cols = []
+    df = d.select("doc_id", "lang", toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        df = df.withColumn(f"hits_{lang}", F.size(F.array_intersect(F.col("toks"), arr)))
+        hit_cols.append(f"hits_{lang}")
+    best = F.greatest(*[F.col(c) for c in hit_cols])
+    pred = F.lit("unk")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", F.col("lang").alias("label_lang"), *hit_cols, pred.alias("pred_lang"))
+
+
+LANG_ID_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+         CAST(len(list_intersect(t, ['the','and','of','to','a'])) AS INT) AS hits_en,
+         CAST(len(list_intersect(t, ['der','die','und','das','ist'])) AS INT) AS hits_de,
+         CAST(len(list_intersect(t, ['le','la','et','les','des'])) AS INT) AS hits_fr,
+         CAST(len(list_intersect(t, ['el','la','que','de','los'])) AS INT) AS hits_es
+  FROM toks)
+SELECT doc_id, lang AS label_lang, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'unk'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM hits
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of whitespace/case-normalized text +
+    a rolling-hash-style minimum over character 8-gram hashes
+    (winnowing's select-min step over the full document)."""
+    d = table(tune(spark), sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
+    gram_hashes = F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(8))))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.array_min(gram_hashes).alias("winnow_min_hash"),
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+       md5(t) AS content_md5,
+       list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                               i -> md5(substr(t, CAST(i AS INT), 8)))) AS winnow_min_hash
+FROM norm
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_ORACLE,
+    "quality_score": QUALITY_ORACLE,
+    "lang_id": LANG_ID_ORACLE,
+    "doc_fingerprint": FINGERPRINT_ORACLE,
+}

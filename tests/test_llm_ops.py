@@ -1,0 +1,109 @@
+"""Tests for the LLM-pipeline operator surface (dedup / similarity /
+text analysis / multimodal)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.operators import dedup, multimodal, similarity, textops
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    sh = df.select("doc_id", dedup.word_shingles("text", k=3).alias("s")).collect()
+    got = {r.doc_id: set(r.s) for r in sh}
+    assert got[1] == {"a b c", "b c d"}
+    assert got[2] == {"a b c", "b c e"}
+
+
+def test_dedup_exact_groups_identical_content(spark, tmp_path):
+    # same text modulo case/whitespace must hash identically
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    h = F.sha2(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 256)
+    groups = (
+        df.select("doc_id", h.alias("sha"))
+        .groupBy("sha")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .collect()
+    )
+    by_n = sorted((r.n, r.keeper) for r in groups)
+    assert by_n == [(1, 3), (2, 1)]
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x1 x2 x3 x4 x5")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(df).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_cosine_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a = df.filter("vec_id = 1").select(F.col("embedding").alias("a"))
+    for other, expect in [(2, 0.0), (3, 1 / math.sqrt(2))]:
+        b = df.filter(f"vec_id = {other}").select(F.col("embedding").alias("b"))
+        got = (
+            a.crossJoin(b)
+            .select(similarity.cosine(F.col("a"), F.col("b")).alias("c"))
+            .collect()[0]
+            .c
+        )
+        assert got == pytest.approx(expect)
+
+
+def test_ivf_cluster_assignment_is_nearest(spark, sf_dir):
+    out = similarity.ann_ivf_topk(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.rank <= 3 for r in rows)
+    assert all(-1.0 <= r.sim <= 1.0 for r in rows)
+
+
+def test_lang_id_marker_hits(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", "en"), (2, "der hund und die katze", "de"),
+         (3, "zzz qqq", "xx")],
+        ["doc_id", "text", "lang"],
+    )
+    df.createOrReplaceTempView("_docs")
+    toks = textops.ws_tokens(F.lower(F.col("text")))
+    # reuse the operator's marker logic through the public query is
+    # fixture-bound; check the marker sets directly instead
+    en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in textops.LANG_MARKERS["en"]])))
+    de = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in textops.LANG_MARKERS["de"]])))
+    got = {r.doc_id: (r.en, r.de) for r in df.select("doc_id", en.alias("en"), de.alias("de")).collect()}
+    assert got[1][0] > 0 and got[1][1] == 0
+    assert got[2][1] > 0 and got[2][0] == 0
+    assert got[3] == (0, 0)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image(b"\x89PNG....")
+
+
+def test_byte_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    feats = multimodal.extract_byte_features(
+        multimodal.with_binary_payload(
+            df.withColumn("source", F.lit("s"))
+        )
+    ).collect()[0]
+    assert feats.n_bytes == 4
+    assert feats.mean_byte == pytest.approx((97 + 98 + 99 + 100) / 4)
+    assert feats.max_byte == 100
+    assert feats.frame_sample == "61"  # every 64th byte → just byte 0
