@@ -1,0 +1,319 @@
+"""Structured Streaming restatement of the ingest loop (SURVEY §2.11, M5).
+
+The reference achieves incrementality by *re-running batch jobs* —
+re-list the prefix, re-fetch the feeds, upsert again. The idiomatic
+Spark form is a streaming pipeline over the same logical operators:
+
+| reference behavior            | here                                       |
+|-------------------------------|--------------------------------------------|
+| re-list prefix per run        | file-source stream (exactly-once tracking) |
+| upsert PK dedup across runs   | dropDuplicatesWithinWatermark / foreachBatch merge |
+| per-run snapshot LOCF (W1)    | applyInPandasWithState stateful processor  |
+| (none) late/ooo data          | withWatermark + event-time windows         |
+
+Each ``queries()`` entry drives a real streaming query to completion
+with ``Trigger.AvailableNow`` into a memory sink, then returns the
+materialized result — so the driver's batch comparison still applies.
+Aggregations run in *complete* mode so end-of-stream windows are
+emitted (append mode would hold back windows the watermark hasn't
+passed — that operational difference is the point of watermarks, not
+a correctness gap to paper over).
+
+Scale notes: the file source scales by split like any scan; windowed
+state is bounded by watermark eviction; LOCF state is one row per
+key. ``foreachBatch`` + ``merge_upsert`` gives the exactly-once keyed
+sink (K1/K2) on any table format.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file-stream source tracks *directories*; stage the events
+    parquet into one (testdata itself is read-only)."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/stream_events_{tag}"
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (epoch-nanos → ts)."""
+    tune(spark)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(_stage_dir(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming frame to completion (AvailableNow) into a
+    memory sink; return the materialized result."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (10 min) with a watermark."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute windows every 5 minutes — each event
+    lands in 2 overlapping windows."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        "total",
+    )
+
+
+SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes' AS win_start,
+         value
+  FROM events, range(0, 2) t(i)
+  WHERE ts < time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes'
+             + INTERVAL '10 minutes')
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM exploded
+GROUP BY 1
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a stream that re-delivers
+    every event (union with itself — the re-run upsert D2 shape)."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionAll(s).withWatermark("ts", "1 hour")
+    dedup = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_table(dedup, "append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+DEDUP_WM_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+_LOCF_OUT = (
+    "account_id long, entry_idx long, event_type string, account_balance double"
+)
+_LOCF_STATE = "last_balance double"
+
+
+def streaming_locf_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 LOCF as a custom stateful streaming operator
+    (applyInPandasWithState): per account, carry the last snapshot
+    balance across entries (and across micro-batches via state)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("account_id"),
+        F.col("event_id").alias("entry_idx"),
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("value")).alias("snap_balance"),
+    )
+
+    def locf_fn(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values("entry_idx")
+        filled = []
+        for _, r in rows.iterrows():
+            if pd.notna(r["snap_balance"]):
+                last = float(r["snap_balance"])
+            filled.append(last)
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "account_id": rows["account_id"],
+                "entry_idx": rows["entry_idx"],
+                "event_type": rows["event_type"],
+                "account_balance": filled,
+            }
+        )
+
+    filled = s.groupBy("account_id").applyInPandasWithState(
+        locf_fn, _LOCF_OUT, _LOCF_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    out = run_to_table(filled, "append")
+    return out.filter(F.col("event_type") != "signup").select(
+        "account_id", "entry_idx", "account_balance"
+    )
+
+
+LOCF_STREAM_ORACLE = """
+WITH feed AS (
+  SELECT user_id AS account_id, event_id AS entry_idx, event_type,
+         CASE WHEN event_type = 'signup' THEN value END AS snap
+  FROM events),
+filled AS (
+  SELECT account_id, entry_idx, event_type,
+         last_value(snap IGNORE NULLS) OVER (
+             PARTITION BY account_id ORDER BY entry_idx ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS account_balance
+  FROM feed)
+SELECT account_id, entry_idx, account_balance
+FROM filled WHERE event_type != 'signup'
+"""
+
+
+def streaming_csv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed merge: stream micro-batches are upserted
+    into a target with merge_upsert (K2) — the streaming sink analogue
+    of ON CONFLICT (rows-only: the sink path is imperative I/O).
+    """
+    from ..operators.merge import merge_upsert
+
+    s = events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("ticket"),
+        F.col("user_id").cast("string").alias("account_id"),
+        F.round("value", 4).alias("pnl"),
+    )
+    target: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        new = batch_df
+        if "t" in target:
+            target["t"] = merge_upsert(target["t"], new, ["ticket"])
+        else:
+            target["t"] = new
+        target["t"] = target["t"].localCheckpoint()  # cut lineage per batch
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    return target["t"]
+
+
+STREAMING_MERGE_ORACLE = """
+SELECT event_id AS ticket,
+       CAST(user_id AS VARCHAR) AS account_id,
+       round(value, 4) AS pnl
+FROM events
+"""
+
+
+QUERIES = {
+    "streaming_tumbling_windows": streaming_tumbling_windows,
+    "streaming_sliding_windows": streaming_sliding_windows,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_locf_stateful": streaming_locf_stateful,
+    "streaming_csv_merge": streaming_csv_merge,
+}
+
+ORACLES = {
+    "streaming_tumbling_windows": TUMBLING_ORACLE,
+    "streaming_sliding_windows": SLIDING_ORACLE,
+    "streaming_session_windows": SESSION_ORACLE,
+    "streaming_dedup_watermark": DEDUP_WM_ORACLE,
+    "streaming_locf_stateful": LOCF_STREAM_ORACLE,
+    "streaming_csv_merge": STREAMING_MERGE_ORACLE,
+}
