@@ -56,6 +56,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread per-row-heavy (interpreted HOF / Pandas-UDF) work.
+
+    A small table scans as one split, which serializes CPU-bound
+    per-row expressions no matter how many cores the cluster has.
+    Repartition up to cluster parallelism when the scan is narrower;
+    at real scale the scan already yields enough splits and this is a
+    no-op (no shuffle inserted).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from ..session import tune
 from .textops import ws_tokens
 
@@ -52,7 +52,11 @@ def word_shingles(c: Column | str, k: int = 3) -> Column:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keeper id + duplicate count per
-    distinct content (generalizes D1 to content-addressed dedup)."""
+    distinct content (generalizes D1 to content-addressed dedup).
+
+    No fan_out here: sha2 is codegen'd JVM work, cheap enough that a
+    repartition shuffle of the full text would cost more than it buys.
+    """
     d = table(tune(spark), sf_dir, "documents")
     h = F.sha2(_norm_text("text"), 256)
     return (
@@ -92,9 +96,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing any (band_idx, band_sig) bucket are candidates;
     each candidate pair is verified with exact shingle Jaccard.
     """
-    d = table(tune(spark), sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    bands = sigs.select(
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+
+    # Materialize the shingle array behind a Generate node: explode of
+    # a 1-element array makes `shingles` an *attribute*, so the 12
+    # minhash passes below reference the computed array instead of
+    # re-inlining the whole tokenize+shingle tree per reference
+    # (CollapseProject otherwise duplicates it ~13×; measured 61s →
+    # ~2s on sf0.01).
+    sh_df = d.select(
+        "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
+    )
+    sh = F.col("shingles")
+
+    # Band signatures straight from the shingles: permutation p belongs
+    # to exactly one band, so each of the N_PERM minhash passes is
+    # computed once (an intermediate `sig` array column would likewise
+    # be inlined into every element_at reference).
+    def _minhash(p: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s)))
+        )
+
+    bands = sh_df.select(
         "doc_id",
         "shingles",
         F.explode(
@@ -105,7 +129,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.md5(
                             F.concat_ws(
                                 "|",
-                                *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)],
+                                *[_minhash(b * BAND_ROWS + r) for r in range(BAND_ROWS)],
                             )
                         ).alias("band_sig"),
                     )
@@ -184,7 +208,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, sign-aggregated bit-wise (majority vote). The token hash
     is the first 8 md5 hex chars as an int — `conv` here, explicit
     base-16 arithmetic in the oracle, identical values."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     toks = F.array_distinct(ws_tokens(_norm_text("text")))
     tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     hashes = F.transform(toks, lambda t: tok_hash(t))
@@ -244,7 +268,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup: documents sharing
     (lang, first token) are compared; pairs with Jaccard ≥ 0.05 of
     their word-bigram sets are emitted."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     grams = word_shingles("text", k=2)
     toks = ws_tokens(_norm_text("text"))
     blocked = d.select(
@@ -300,7 +324,7 @@ def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the built-in scale path for near-dup joins."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     toks = d.select("doc_id", ws_tokens(_norm_text("text")).alias("toks"))
     cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True, minDF=1.0)
     model = cv.fit(toks)

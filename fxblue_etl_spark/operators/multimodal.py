@@ -24,7 +24,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from ..session import tune
 
 FEATURE_SCHEMA = (
@@ -96,7 +96,12 @@ def extract_byte_features(payloads: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → metadata + pandas-UDF byte features, rounded
     for cross-engine hashing (documents are ASCII so byte stats equal
-    codepoint stats, which the SQL oracle can reproduce)."""
+    codepoint stats, which the SQL oracle can reproduce).
+
+    No fan_out: the per-row byte stats are trivial, so scan-split
+    parallelism suffices — a 32-way repartition just multiplies Arrow
+    batch + Python-worker startup overhead at test scale.
+    """
     d = table(tune(spark), sf_dir, "documents")
     feats = extract_byte_features(with_binary_payload(d))
     return feats.select(
@@ -133,7 +138,7 @@ FROM stats
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-function metadata over binary payloads (no Python):
     size, sha, magic-byte sniff — the cheap pre-filter that runs
-    before any decode at scale."""
+    before any decode at scale. Native codegen only — no fan_out."""
     d = table(tune(spark), sf_dir, "documents")
     payload = F.encode("text", "utf-8")
     return d.select(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from ..session import tune
 
 #: BPE-ish pretokenizer: word pieces or single non-space symbols
@@ -45,7 +45,7 @@ def bpeish_tokens(c: Column | str) -> Column:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality signals per document."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     toks = ws_tokens("text")
     bpe = bpeish_tokens("text")
     n_chars = F.length("text")
@@ -89,7 +89,7 @@ FROM toks
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length band + stopword presence -
     punctuation noise (a Gopher-rules-flavored heuristic)."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     toks = ws_tokens("text")
     n_tok = F.size(toks)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
@@ -136,7 +136,7 @@ FROM scored
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID: argmax of per-language marker hits
     (deterministic tie-break by fixed language order)."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     toks = ws_tokens(F.lower(F.col("text")))
     hit_cols = []
     df = d.select("doc_id", "lang", toks.alias("toks"))
@@ -177,7 +177,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of whitespace/case-normalized text +
     a rolling-hash-style minimum over character 8-gram hashes
     (winnowing's select-min step over the full document)."""
-    d = table(tune(spark), sf_dir, "documents")
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))

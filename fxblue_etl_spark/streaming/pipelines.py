@@ -220,11 +220,11 @@ def streaming_locf_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def locf_fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         rows = pd.concat(list(pdfs)).sort_values("entry_idx")
-        filled = []
-        for _, r in rows.iterrows():
-            if pd.notna(r["snap_balance"]):
-                last = float(r["snap_balance"])
-            filled.append(last)
+        filled = rows["snap_balance"].astype("float64").ffill()
+        if last is not None:
+            filled = filled.fillna(last)
+        if len(filled) and pd.notna(filled.iloc[-1]):
+            last = float(filled.iloc[-1])
         state.update((last,))
         yield pd.DataFrame(
             {
