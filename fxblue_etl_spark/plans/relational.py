@@ -11,9 +11,12 @@ rollup/cube/grouping-sets, window ranking/frames, top-k, and JSON
 extraction over `events.props`.
 
 Scale posture: facts (`orders`, `lineitem`, `events`) are only ever
-shuffled on their join/group keys; bounded dims (`region`, `nation`,
-`supplier`, and `customer` where it appears as a dim) are broadcast so
-no fact shuffle happens for denormalization. Every float aggregate is
+shuffled on their join/group keys. Truly bounded dims (`region`,
+`nation` — fixed by geography) carry hard broadcast hints; growing
+dims (`customer`, `supplier`) get no hint — AQE broadcasts them while
+they fit `autoBroadcastJoinThreshold` and falls back to a shuffle
+join at warehouse scale, where a forced hint would OOM the build
+side. Every float aggregate is
 rounded at the final projection (both here and in the DuckDB oracles)
 so the order-insensitive value hash is stable across engines.
 """
@@ -46,9 +49,11 @@ def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
 
-    # dims: nation⋈region is tiny — broadcast onto customer, then the
-    # denormalized account dim broadcasts onto the fact join so the
-    # only shuffle is the groupBy on c_custkey.
+    # dims: nation⋈region is bounded (geography) — always broadcast.
+    # The denormalized account dim is customer-sized: broadcastable at
+    # test SF but ~15B rows at 100 TB, so no hard hint — AQE broadcasts
+    # it while it fits the threshold and falls back to a shuffle join
+    # beyond that. Only shuffles then: the fact join key + the groupBy.
     dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     accounts = customer.join(
         F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
@@ -60,7 +65,7 @@ def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        facts.join(F.broadcast(accounts), facts.o_custkey == accounts.c_custkey)
+        facts.join(accounts, facts.o_custkey == accounts.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name", "r_name")
         .agg(
             F.count("*").alias("n_trades"),
@@ -150,8 +155,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # no broadcast hint on customer: AQE broadcasts the pruned
+    # c_custkey column while small, shuffle-joins at data-warehouse SF
     joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey
+        c.select("c_custkey"), o.o_custkey == c.c_custkey
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -189,7 +196,13 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join, dims broadcast, one fact shuffle."""
+    """TPC-H Q5 shape: 6-way join, one fact shuffle.
+
+    nation/region carry hard broadcast hints (bounded by geography);
+    customer/supplier are left to AQE — broadcast while under the
+    threshold, shuffle-join at warehouse scale where a forced hint
+    would OOM the build side.
+    """
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -202,8 +215,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer and supplier must share a nation (TPC-H Q5 semantics)
     joined = (
         l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == s.s_suppkey)
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
