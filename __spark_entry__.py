@@ -77,6 +77,12 @@ def _modules():
         mods.append(pipelines)
     except ImportError:
         pass
+    try:
+        from fxblue_etl_spark.functions import udfs
+
+        mods.append(udfs)
+    except ImportError:
+        pass
     return mods
 
 

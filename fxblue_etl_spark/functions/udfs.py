@@ -1,0 +1,149 @@
+"""UDF machinery surface (SURVEY §2.12): the three Python extension
+points the engine exposes for semantics native expressions can't
+reach, each demonstrated as an oracle-checked query.
+
+The reference's own "UDFs" are row-wise Python helpers that all
+restate as native expressions (§2.5) — so none of these is needed for
+reference parity. They exist because the beyond-reference surface
+(custom featurizers, model scoring, feed fetching) needs them:
+
+* scalar ``pandas_udf`` — Arrow-vectorized elementwise compute
+  (10-100× over row-at-a-time Python UDFs; still ~2-5× slower than
+  staying JVM-side, so only for logic with no expression equivalent).
+* grouped-map ``applyInPandas`` — per-group pandas programs; the
+  group key partitions the shuffle, each group must fit one worker.
+* Python UDTF — one row in, many rows out, usable from SQL via
+  ``spark.udtf.register``.
+
+Scale notes: every entry here crosses the JVM→Arrow→pandas boundary,
+so partition parallelism (``io.fan_out`` locally, scan splits at real
+scale) is what sets throughput; nothing shuffles except the
+``applyInPandas`` group key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import table
+from ..session import tune
+
+
+# ── scalar pandas_udf ────────────────────────────────────────────────────
+
+def make_log_return():
+    """Vectorized log1p — stand-in for numeric feature transforms that
+    live in numpy/scipy rather than Spark expressions. Built lazily:
+    decorating with @pandas_udf requires an active SparkSession."""
+
+    @pandas_udf("double")
+    def log_return(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.log1p(price.to_numpy()))
+
+    return log_return
+
+
+def pandas_udf_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(tune(spark), sf_dir, "orders")
+    log_return = make_log_return()
+    return o.select(
+        "o_orderkey",
+        F.round(log_return("o_totalprice"), 6).alias("log_total"),
+    )
+
+
+PANDAS_UDF_ORACLE = """
+SELECT o_orderkey, round(ln(1 + o_totalprice), 6) AS log_total
+FROM orders
+"""
+
+
+# ── grouped-map applyInPandas ────────────────────────────────────────────
+
+def grouped_map_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-value share via a grouped-map pandas program
+    (the applyInPandas shape used for per-key model fitting). The same
+    semantics are a window expression — the point here is the
+    machinery contract: key-partitioned shuffle, per-group pandas."""
+    o = table(tune(spark), sf_dir, "orders")
+
+    def share(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = pdf["o_totalprice"].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "spend_share": (pdf["o_totalprice"] / total).round(6),
+            }
+        )
+
+    return o.select("o_custkey", "o_orderkey", "o_totalprice").groupBy(
+        "o_custkey"
+    ).applyInPandas(share, "o_custkey long, o_orderkey long, spend_share double")
+
+
+GROUPED_MAP_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+         AS spend_share
+FROM orders
+"""
+
+
+# ── Python UDTF ──────────────────────────────────────────────────────────
+
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF registered into SQL: one document row → one row per
+    token with its position (the feed-entry-explosion shape of
+    `RSS PARSER/gcp_rss.py:86-112`, where one fetched feed yields many
+    records)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: int, token: string")
+    class TokenExplode:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split()):
+                yield doc_id, i, tok
+
+    spark = tune(spark)
+    spark.udtf.register("token_explode", TokenExplode)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM documents_v d,
+             LATERAL token_explode(d.doc_id, d.text) t
+        WHERE d.doc_id % 10 = 0
+        """
+    )
+
+
+UDTF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents
+  WHERE doc_id % 10 = 0)
+SELECT doc_id,
+       CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+       unnest(t) AS token
+FROM toks
+"""
+
+
+QUERIES = {
+    "pandas_udf_log_return": pandas_udf_log_return,
+    "grouped_map_share": grouped_map_share,
+    "udtf_token_explode": udtf_token_explode,
+}
+
+ORACLES = {
+    "pandas_udf_log_return": PANDAS_UDF_ORACLE,
+    "grouped_map_share": GROUPED_MAP_ORACLE,
+    "udtf_token_explode": UDTF_ORACLE,
+}

@@ -1,0 +1,48 @@
+"""UDF-machinery surface tests (SURVEY §2.12): scalar pandas_udf,
+grouped-map applyInPandas, Python UDTF, and the functions re-exports."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.functions import udfs
+
+
+def test_functions_reexports():
+    import fxblue_etl_spark.functions as fns
+
+    for name in fns.__all__:
+        assert callable(getattr(fns, name)), name
+
+
+def test_pandas_udf_log_return(spark, sf_dir):
+    out = udfs.pandas_udf_log_return(spark, sf_dir)
+    row = out.orderBy("o_orderkey").first()
+    price = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .orderBy("o_orderkey")
+        .first()
+        .o_totalprice
+    )
+    assert abs(row.log_total - round(math.log1p(price), 6)) < 1e-9
+
+
+def test_grouped_map_share_sums_to_one(spark, sf_dir):
+    out = udfs.grouped_map_share(spark, sf_dir)
+    sums = out.groupBy("o_custkey").agg(F.round(F.sum("spend_share"), 3).alias("s"))
+    assert sums.filter(F.abs(F.col("s") - 1.0) > 0.01).count() == 0
+
+
+def test_udtf_token_explode_positions(spark, sf_dir):
+    out = udfs.udtf_token_explode(spark, sf_dir)
+    one = out.filter(F.col("doc_id") == 0).orderBy("pos").collect()
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .first()
+        .text
+    )
+    assert [r.token for r in one] == text.split()
+    assert [r.pos for r in one] == list(range(len(one)))
