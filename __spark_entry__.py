@@ -72,6 +72,12 @@ def _modules():
     except ImportError:
         pass
     try:
+        from fxblue_etl_spark.sources import rss_datasource
+
+        mods.append(rss_datasource)
+    except ImportError:
+        pass
+    try:
         from fxblue_etl_spark.streaming import pipelines
 
         mods.append(pipelines)
