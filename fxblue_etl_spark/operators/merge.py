@@ -56,6 +56,7 @@ def merge_upsert(
     new: DataFrame,
     key: Sequence[str],
     preserve_cols: Sequence[str] = (),
+    order_col: str | None = None,
 ) -> DataFrame:
     """Upsert ``new`` into ``old`` by ``key``.
 
@@ -64,6 +65,12 @@ def merge_upsert(
     them). Unmatched old rows pass through; unmatched new rows insert.
     With ``preserve_cols=()`` this is K2 last-write-wins.
 
+    ``new`` must be unique per key for the join to stay 1:1; pass
+    ``order_col`` to first collapse a multi-write batch to its newest
+    row per key (D3) — otherwise duplicate keys fan out the join, the
+    same way multi-row ``ON CONFLICT`` source batches error out in
+    Postgres.
+
     Both inputs must share the same schema (sink-schema projection P4
     runs upstream). Returns a DataFrame with that schema.
     """
@@ -71,6 +78,8 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: old={old.columns} new={new.columns}"
         )
+    if order_col is not None:
+        new = resolve_last_write(new, key, order_col)
     keyset = set(key)
     o = old.alias("o")
     n = new.alias("n")

@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY §5.4, hypothesis): the invariants the
+reference enforces only via DB constraints — upsert idempotence,
+parse round-trips, dedup idempotence — checked over generated inputs.
+
+Example counts are kept small: each example is a Spark job, so the
+value is input diversity, not volume.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.operators.cleaning import (
+    RSS_FMT,
+    parse_rss_timestamp,
+    pct_to_ratio,
+)
+from fxblue_etl_spark.operators.merge import merge_upsert, resolve_last_write
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # ticket (forces collisions)
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.integers(min_value=0, max_value=5),  # ingest_ts
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(old_rows=rows_strategy, new_rows=rows_strategy)
+def test_merge_upsert_idempotent(spark, old_rows, new_rows):
+    """merge(merge(old,new),new) == merge(old,new) — the ON CONFLICT
+    invariant that makes the reference's re-run loop safe."""
+    cols = ["ticket", "pnl", "_ingest_ts"]
+    # idempotence requires deterministic last-write resolution: make
+    # (_ingest_ts) unique per key by construction
+    dedup = {}
+    for t, p, ts in new_rows:
+        dedup[(t, ts)] = (t, p, ts)
+    new_rows = list(dedup.values())
+    old = resolve_last_write(spark.createDataFrame(old_rows, cols), ["ticket"])
+    new = spark.createDataFrame(new_rows, cols)
+    once = merge_upsert(old, new, ["ticket"], order_col="_ingest_ts").localCheckpoint()
+    twice = merge_upsert(once, new, ["ticket"], order_col="_ingest_ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(**SETTINGS)
+@given(
+    dts=st.lists(
+        st.datetimes(
+            min_value=datetime(1971, 1, 1),
+            max_value=datetime(2037, 12, 31),
+        ).map(lambda d: d.replace(microsecond=0)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rss_timestamp_roundtrip(spark, dts):
+    """format(RSS_FMT) → parse_rss_timestamp recovers the instant."""
+    df = spark.createDataFrame([(d,) for d in dts], ["ts"])
+    out = df.select(
+        "ts",
+        parse_rss_timestamp(F.date_format("ts", RSS_FMT)).alias("rt"),
+    ).collect()
+    for r in out:
+        assert r.rt == r.ts, (r.ts, r.rt)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.just("-"),
+            st.floats(
+                min_value=-1000, max_value=1000, allow_nan=False
+            ).map(lambda x: f"{round(x, 6)}%"),
+            st.floats(min_value=-10, max_value=10, allow_nan=False).map(
+                lambda x: str(round(x, 6))
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_pct_to_ratio_semantics(spark, vals):
+    """'x%' → x/100; '-'/NULL → NULL; bare numeric → itself."""
+    df = spark.createDataFrame([(v,) for v in vals], "raw string")
+    out = [r.v for r in df.select(pct_to_ratio("raw").alias("v")).collect()]
+    for raw, got in zip(vals, out):
+        if raw is None or raw == "-":
+            assert got is None
+        elif raw.endswith("%"):
+            assert got == pytest.approx(float(raw[:-1]) / 100.0, rel=1e-9)
+        else:
+            assert got == pytest.approx(float(raw), rel=1e-9)
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy)
+def test_last_write_wins_idempotent_and_keyed(spark, rows):
+    df = spark.createDataFrame(rows, ["ticket", "pnl", "_ingest_ts"])
+    once = resolve_last_write(df, ["ticket"]).localCheckpoint()
+    twice = resolve_last_write(once, ["ticket"])
+    assert once.count() == df.select("ticket").distinct().count()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # survivor carries the max ingest_ts of its key group
+    max_ts = {
+        r.ticket: r.m
+        for r in df.groupBy("ticket").agg(F.max("_ingest_ts").alias("m")).collect()
+    }
+    for r in once.collect():
+        assert r._ingest_ts == max_ts[r.ticket]
