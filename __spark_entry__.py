@@ -24,6 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     mods = [relational]
     try:
+        from fxblue_etl_spark.plans import advanced
+
+        mods.append(advanced)
+    except ImportError:
+        pass
+    try:
         from fxblue_etl_spark.operators import cleaning
 
         mods.append(cleaning)

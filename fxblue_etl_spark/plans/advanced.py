@@ -1,0 +1,277 @@
+"""Advanced relational shapes (M4 widening): subqueries, grouping
+sets, range frames, array/temporal analytics.
+
+Complements `plans/relational.py` with the query shapes a user of the
+produced tables reaches for next: correlated scalar subqueries,
+EXISTS, explicit GROUPING SETS, time-RANGE window frames, array
+higher-order aggregates over `embeddings.embedding`, and event-time
+bucketing on `events` (the batch complement of the streaming
+windows).
+
+Scale notes: the correlated subquery and EXISTS forms decorrelate in
+Catalyst to aggregate+join / left-semi — same physical shape as the
+explicit versions, one key-shuffle each. The RANGE frame sorts within
+`o_custkey` partitions only (no global sort). Array aggregates are
+per-row (no shuffle at all until the final stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    _t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ── TPC-H Q6 shape: selective filter + single agg (pushdown showcase) ────
+
+def q6_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 10
+"""
+
+
+# ── correlated scalar subquery (decorrelates to agg + join) ──────────────
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose price exceeds their customer's average — written
+    as a correlated scalar subquery in SQL so Catalyst demonstrates
+    decorrelation (RewriteCorrelatedScalarSubquery → agg + join)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice, 4) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SCALAR_SUBQ_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT avg(o_totalprice) FROM orders i
+    WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+# ── EXISTS (plans as left-semi) ──────────────────────────────────────────
+
+def exists_suppliers_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with at least one high-quantity discounted
+    shipment — EXISTS form, planned as a left-semi join (no fact
+    fan-out)."""
+    _view(spark, sf_dir, "supplier")
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_quantity >= 45
+              AND l.l_discount >= 0.08)
+        """
+    )
+
+
+EXISTS_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey
+      AND l.l_quantity >= 45
+      AND l.l_discount >= 0.08)
+"""
+
+
+# ── explicit GROUPING SETS ───────────────────────────────────────────────
+
+def grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with mixed granularities (finer than rollup/cube
+    — exactly the requested sets, nothing more)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+# ── time-RANGE window frame (interval-bounded rolling agg) ───────────────
+
+def rolling_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day order spend: RANGE frame over the
+    event-time axis — the frame is value-bounded, not row-bounded, so
+    gaps and bursts are handled correctly."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_7d"),
+        F.count("*").over(w).alias("n_orders_7d"),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER w, 4) AS spend_7d,
+       count(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+# ── array higher-order aggregates over embeddings ────────────────────────
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm / mean / extremes via array HOFs — the
+    vector hygiene pass (NaN/zero-norm detection) before any
+    similarity join. Entirely per-row until the final projection."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    s = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(s / F.size("embedding"), 6).alias("mean_val"),
+        F.round(F.array_max(vec), 6).alias("max_val"),
+        F.round(F.array_min(vec), 6).alias("min_val"),
+    )
+
+
+EMB_NORM_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                              (a, b) -> a + b)), 6) AS l2_norm,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b) / len(embedding), 6) AS mean_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+FROM embeddings
+"""
+
+
+# ── event-time bucketing (batch complement of streaming windows) ─────────
+
+def hourly_event_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q6_selective_agg": q6_selective_agg,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "exists_suppliers_shipping": exists_suppliers_shipping,
+    "grouping_sets_status": grouping_sets_status,
+    "rolling_week_spend": rolling_week_spend,
+    "embedding_norm_stats": embedding_norm_stats,
+    "hourly_event_load": hourly_event_load,
+}
+
+ORACLES = {
+    "q6_selective_agg": Q6_ORACLE,
+    "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
+    "exists_suppliers_shipping": EXISTS_ORACLE,
+    "grouping_sets_status": GROUPING_SETS_ORACLE,
+    "rolling_week_spend": ROLLING_ORACLE,
+    "embedding_norm_stats": EMB_NORM_ORACLE,
+    "hourly_event_load": HOURLY_ORACLE,
+}
