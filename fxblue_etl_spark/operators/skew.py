@@ -1,0 +1,121 @@
+"""Skew-handling join/aggregation (100 TB posture).
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) handles
+most skew automatically, but only for sort-merge joins and only at
+runtime. This module provides the explicit *salting* pattern for the
+cases AQE can't reach — e.g. a hot key inside a shuffle whose other
+side is small enough to replicate:
+
+* ``salted_join`` — fact rows get a uniform salt in ``[0, n)``; the
+  (small) build side is exploded ×n with every salt value; the join
+  key becomes ``(key, salt)`` so one hot key spreads across n tasks.
+  Replication cost: ``|dim| × n`` rows — only viable when the build
+  side is dim-sized, which is exactly when the hot-key problem bites.
+* ``salted_count`` — two-phase aggregation through an explicit salt,
+  for aggregates that aren't algebraic (Spark's own partial
+  aggregation already covers sums/counts; the two-phase form is the
+  template for e.g. exact distinct sketches per hot key).
+
+The salt is derived from ``xxhash64`` of the fact's own columns, so
+results are deterministic and salt only affects placement, never
+values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: Sequence[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the build side replicated across ``n_salt``
+    sub-keys so a hot fact key fans out over ``n_salt`` tasks."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = f.join(d, [*key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_count(
+    df: DataFrame, key: Sequence[str], n_salt: int = 8
+) -> DataFrame:
+    """Two-phase count through an explicit salt: partial count per
+    (key, salt), then final sum per key."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy(*key)
+        .agg(F.sum("_partial").alias("n"))
+    )
+
+
+# ── oracle-checked demonstrations ────────────────────────────────────────
+
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier through an 8-way salted join, then revenue
+    per nation — values identical to the unsalted join (oracle), only
+    task placement differs."""
+    spark = tune(spark)
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(
+        l.select("l_suppkey", "l_extendedprice", "l_discount"),
+        s.select("l_suppkey", "s_nationkey"),
+        ["l_suppkey"],
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT s_nationkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def salted_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune(spark)
+    e = table(spark, sf_dir, "events")
+    return salted_count(e, ["event_type"])
+
+
+SALTED_COUNT_ORACLE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "salted_join_supplier_revenue": salted_join_supplier_revenue,
+    "salted_count_events": salted_count_events,
+}
+
+ORACLES = {
+    "salted_join_supplier_revenue": SALTED_JOIN_ORACLE,
+    "salted_count_events": SALTED_COUNT_ORACLE,
+}

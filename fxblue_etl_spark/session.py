@@ -66,6 +66,8 @@ def get_spark(app_name: str = "fxblue-analytics-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # saveAsTable target for bucketed-table tests; keep out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,95 @@
+"""Scale-behavior tests: plans, not just values — pushdown reaches
+the scan, bucketing eliminates the join shuffle, salting preserves
+semantics while spreading hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.operators.skew import salted_count, salted_join
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from fxblue_etl_spark.plans.advanced import q6_selective_agg
+
+    plan = _executed_plan(q6_selective_agg(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # the selective predicates appear as pushed filters, not post-scan only
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _executed_plan(df)
+    # ReadSchema carries only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_discount" not in read_schema
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir):
+    """Tables bucketed+sorted on the join key join with zero Exchange
+    nodes — the co-located join strategy for repeated fact joins."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            l.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("lineitem_bucketed")
+        )
+        j = spark.table("lineitem_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it still returns the right row count
+        assert j.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+        .select("l_suppkey", "s_nationkey")
+    )
+    salted = salted_join(l, s, ["l_suppkey"], n_salt=4)
+    plain = l.join(s, "l_suppkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_count_matches_groupby(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r.event_type: r.n for r in salted_count(e, ["event_type"]).collect()}
+    want = {r.event_type: r["count"] for r in e.groupBy("event_type").count().collect()}
+    assert got == want
