@@ -260,6 +260,79 @@ FROM filled WHERE event_type != 'signup'
 """
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM; the
+    package is not in this container (and installs are off-limits)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_locf_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 LOCF on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState: typed per-key ValueState,
+    explicit processor lifecycle, RocksDB-backed state store. Same
+    semantics and oracle as `streaming_locf_stateful`."""
+    if not _has_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf), absent in this container — use "
+            "streaming_locf_stateful (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class LocfProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_balance", "balance double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get()[0] if self._last.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values("entry_idx")
+                filled = pdf["snap_balance"].astype("float64").ffill()
+                if last is not None:
+                    filled = filled.fillna(last)
+                if len(filled) and pd.notna(filled.iloc[-1]):
+                    last = float(filled.iloc[-1])
+                yield pd.DataFrame(
+                    {
+                        "account_id": pdf["account_id"],
+                        "entry_idx": pdf["entry_idx"],
+                        "event_type": pdf["event_type"],
+                        "account_balance": filled,
+                    }
+                )
+            if last is not None:
+                self._last.update((last,))
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    s = events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("account_id"),
+        F.col("event_id").alias("entry_idx"),
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("value")).alias("snap_balance"),
+    )
+    filled = s.groupBy("account_id").transformWithStateInPandas(
+        LocfProcessor(),
+        outputStructType=_LOCF_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+    out = run_to_table(filled, "append")
+    return out.filter(F.col("event_type") != "signup").select(
+        "account_id", "entry_idx", "account_balance"
+    )
+
+
 def streaming_csv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed merge: stream micro-batches are upserted
     into a target with merge_upsert (K2) — the streaming sink analogue
@@ -309,6 +382,9 @@ QUERIES = {
     "streaming_csv_merge": streaming_csv_merge,
 }
 
+if _has_protobuf():  # pragma: no cover — env-dependent registration
+    QUERIES["streaming_locf_tws"] = streaming_locf_tws
+
 ORACLES = {
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
@@ -317,3 +393,6 @@ ORACLES = {
     "streaming_locf_stateful": LOCF_STREAM_ORACLE,
     "streaming_csv_merge": STREAMING_MERGE_ORACLE,
 }
+
+if "streaming_locf_tws" in QUERIES:
+    ORACLES["streaming_locf_tws"] = LOCF_STREAM_ORACLE
