@@ -72,6 +72,20 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write a table hive-partitioned by low-cardinality columns so
+    predicates on them prune whole directories at scan time (the
+    layout for `historical_trades`-style fact tables: partition by
+    ingest date / account bucket, never by a high-cardinality key).
+    """
+    df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

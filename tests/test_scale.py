@@ -93,3 +93,21 @@ def test_salted_count_matches_groupby(spark, sf_dir):
     got = {r.event_type: r.n for r in salted_count(e, ["event_type"]).collect()}
     want = {r.event_type: r["count"] for r in e.groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    from fxblue_etl_spark.io import write_partitioned
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(o, path, ["order_month"])
+
+    back = spark.read.parquet(path).filter(F.col("order_month") == "1996-03")
+    plan = _executed_plan(back)
+    # the month predicate prunes partitions at scan planning, it is
+    # not a post-scan filter
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "order_month" in pf
+    assert back.count() == o.filter(F.col("order_month") == "1996-03").count()
