@@ -208,10 +208,43 @@ WHERE round({_DUCK_COS.format(a='a.v', b='b.v')}, 6) >= 0.15
 """
 
 
+def brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML BucketedRandomProjectionLSH approxSimilarityJoin over
+    the embeddings (rows-only: the random projection family is JVM-
+    seeded, not oracle-reproducible). The built-in scale path for
+    euclidean near-neighbor joins — hashes once, joins on buckets,
+    never materializes the cross product."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id", array_to_vector(_dvec("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 3.0, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+    )
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
+    "brp_lsh_ml": brp_lsh_ml,
 }
 
 ORACLES = {

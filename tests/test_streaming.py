@@ -73,3 +73,103 @@ def test_foreachbatch_merge_is_keyed_and_complete(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.count() == n_events
     assert out.select("ticket").distinct().count() == n_events
+
+
+def test_streaming_csv_ingest_end_to_end(spark, tmp_path):
+    """The reference's whole CSV job as a stream: file-source over an
+    FXBlue CSV directory (exactly-once file tracking), per-batch
+    normalize + K1 merge into a parquet target; a second export drop
+    upserts instead of duplicating.
+
+    Semantic delta vs the reference, on purpose: the file source
+    identifies files by path, so an overwritten path is NOT re-read —
+    each export drop must land as a new path (here: per-drop subdir),
+    which is how object-store drops behave anyway."""
+    import pandas as pd
+    from fxblue_etl_spark.operators.cleaning import GPT_PLACEHOLDER_COLS
+    from fxblue_etl_spark.operators.merge import merge_upsert
+    from fxblue_etl_spark.sources.fxblue_csv import normalize_trades, _RAW_SCHEMA
+
+    csv_dir = tmp_path / "in"
+    csv_dir.mkdir()
+    target = str(tmp_path / "historical_trades")
+
+    def write_csv(drop: str, account: str, rows: list[tuple]):
+        d = csv_dir / drop
+        d.mkdir(exist_ok=True)
+        body = "\n".join(
+            f"{t},EURUSD,Buy,1.1,1.2,2019-03-21 09:00:{s:02d},0.5,{p}"
+            for t, s, p in rows
+        )
+        (d / f"{account}.csv").write_text(
+            "FXBlue personal trade history\n"
+            "Ticket,Symbol,Buy/sell,Open price,Close price,Open time,Lots,Profit\n"
+            + body + "\n"
+        )
+
+    write_csv("drop1", "111", [(1, 1, 10.0), (2, 2, -5.0)])
+
+    # file-source stream of whole files, parsed per batch like the
+    # batch reader (wholetext keeps the title-row handling identical)
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .schema("value string")
+        .option("recursiveFileLookup", "true")
+        .load(str(csv_dir))
+    )
+
+    def ingest_batch(batch_df, epoch_id):
+        import io as _io
+        from pyspark.sql import functions as F
+
+        files = batch_df.select(
+            F.input_file_name().alias("path"), F.col("value").alias("content")
+        )
+
+        def parse(batches):
+            import os as _os
+
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    account = _os.path.basename(path).split(".csv")[0]
+                    raw = pd.read_csv(_io.StringIO(content), skiprows=1, dtype=str)
+                    out = pd.DataFrame({"account_id": account}, index=raw.index)
+                    from fxblue_etl_spark.sources.fxblue_csv import _FIELD_OF
+
+                    for raw_name, field in _FIELD_OF.items():
+                        out[field] = raw[raw_name] if raw_name in raw.columns else None
+                    yield out[[f.name for f in _RAW_SCHEMA.fields]]
+
+        new = normalize_trades(files.mapInPandas(parse, _RAW_SCHEMA))
+        s = batch_df.sparkSession
+        try:
+            old = s.read.parquet(target)
+            merged = merge_upsert(
+                old, new, ["ticket"], preserve_cols=list(GPT_PLACEHOLDER_COLS)
+            )
+        except Exception:
+            merged = new
+        merged.localCheckpoint().write.mode("overwrite").parquet(target)
+
+    def run_once():
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(target).collect()
+    assert {r.ticket for r in first} == {1, 2}
+
+    # second drop: re-export of account 111 (new pnl for ticket 2) + new account
+    write_csv("drop2", "111", [(1, 1, 10.0), (2, 2, 99.0)])
+    write_csv("drop2", "222", [(7, 3, 1.5)])
+    run_once()
+    rows = {r.ticket: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2, 7}
+    assert rows[2].pnl == 99.0  # upserted, not duplicated
+    assert rows[7].account_id == "222"
