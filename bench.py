@@ -47,7 +47,8 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        n = df.count() if df.isStreaming is False else -1
+        # single full execution; limit only caps driver-side transfer
+        # (all headline queries are aggregates/bounded outputs)
         _ = df.limit(10000).collect()
         timings[name] = round(time.time() - t0, 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
