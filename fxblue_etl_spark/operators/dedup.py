@@ -76,17 +76,25 @@ GROUP BY 1
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → minhash signature array (N_PERM md5-min values)."""
-    sh = word_shingles(text_col)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s)))
-            )
-            for p in range(N_PERM)
-        ]
+    """doc_id → minhash signature array (N_PERM md5-min values).
+
+    Computed as one fold over the shingles (element-wise running min
+    of the per-shingle hash vector) — never as N_PERM parallel
+    array_min(transform(...)) columns, which corrupt string minima
+    when evaluated side by side (see minhash_lsh_pairs)."""
+    sh_df = docs.select(
+        "doc_id", F.explode(F.array(word_shingles(text_col))).alias("shingles")
     )
-    return docs.select("doc_id", sig.alias("sig"), sh.alias("shingles"))
+    sig = F.aggregate(
+        "shingles",
+        F.array_repeat(F.lit("g"), N_PERM),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(F.lit(f"{p}|"), s)) for p in range(N_PERM)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return sh_df.select("doc_id", F.explode(F.array(sig)).alias("sig"), "shingles")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,8 +103,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bands of BAND_ROWS minhashes are hashed to a band signature;
     pairs sharing any (band_idx, band_sig) bucket are candidates;
     each candidate pair is verified with exact shingle Jaccard.
+
+    Documents with fewer than 3 tokens cannot form a 3-word shingle
+    and are excluded up front (otherwise partial shingles pair every
+    short doc with every other — and NULL-handling of the partial
+    concat differs between engines).
     """
     d = fan_out(table(tune(spark), sf_dir, "documents"))
+    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
 
     # Materialize the shingle array behind a Generate node: explode of
     # a 1-element array makes `shingles` an *attribute*, so the 12
@@ -107,18 +121,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_df = d.select(
         "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
     )
-    sh = F.col("shingles")
 
-    # Band signatures straight from the shingles: permutation p belongs
-    # to exactly one band, so each of the N_PERM minhash passes is
-    # computed once (an intermediate `sig` array column would likewise
-    # be inlined into every element_at reference).
-    def _minhash(p: int) -> Column:
-        return F.array_min(
-            F.transform(sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}|"), s)))
-        )
+    # The whole signature in ONE fold over the shingles: acc is the
+    # running element-wise minimum of the per-shingle hash vector.
+    # One pass instead of N_PERM, and — critically — a single string
+    # HOF per operator: multiple parallel array_min(transform(...))
+    # string folds in one projection return corrupted minima (UTF8
+    # buffer reuse; caught by the sf0.1 oracle diff), while the
+    # single combined aggregate is bit-exact. "g" > every md5 hex
+    # digit, so it is the fold's +infinity.
+    sig = F.aggregate(
+        "shingles",
+        F.array_repeat(F.lit("g"), N_PERM),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(F.lit(f"{p}|"), s)) for p in range(N_PERM)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sig_df = sh_df.select(
+        "doc_id", "shingles", F.explode(F.array(sig)).alias("sig")
+    )
 
-    bands = sh_df.select(
+    bands = sig_df.select(
         "doc_id",
         "shingles",
         F.explode(
@@ -129,7 +154,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.md5(
                             F.concat_ws(
                                 "|",
-                                *[_minhash(b * BAND_ROWS + r) for r in range(BAND_ROWS)],
+                                *[
+                                    F.element_at("sig", b * BAND_ROWS + r + 1)
+                                    for r in range(BAND_ROWS)
+                                ],
                             )
                         ).alias("band_sig"),
                     )
@@ -178,7 +206,8 @@ sh AS (
              range(0, greatest(len(toks) - 3, 0) + 1),
              i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]))
            AS shingles
-  FROM norm),
+  FROM norm
+  WHERE len(toks) >= 3),
 sigs AS (
   SELECT doc_id, shingles,
          [list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
