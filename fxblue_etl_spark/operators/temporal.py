@@ -1,0 +1,381 @@
+"""Temporal operators Spark lacks natively: as-of join, range join,
+hypertable-style rollup, heavy hitters.
+
+The reference's data is implicitly temporal — trades keyed by
+``timestamp``/``open_time`` (`CSV PARSER/gcp_csv.py:92,102-105`) and
+account-equity snapshots interleaved with position rows in feed order
+(`RSS PARSER/gcp_rss.py:86-92`). Its only temporal operator is the
+snapshot forward-fill W1; an analysis surface over such data also
+needs the classic time-series joins this module provides, each
+re-expressed as compositions of built-in DataFrame ops (SURVEY §2.13
+"custom operators" route (a) — no UDF, no mapPartitions):
+
+* **As-of join** — the union+window formulation: tag both sides, union,
+  one shuffle on (key, ts), ``last(..., ignorenulls)`` over an
+  unbounded-preceding frame. Linear in input, no range-join explosion,
+  and the single shuffle is on the same key a subsequent per-key
+  aggregate would need. This is how kdb's ``aj`` / pandas
+  ``merge_asof`` semantics map onto a shuffle engine at 100 TB: the
+  quote side is usually far larger than the trade side, and a
+  broadcast-range approach dies exactly when it matters.
+* **Range join** — interval dim × fact value: explode each interval
+  into the fixed-width buckets it covers, broadcast equi-join on
+  bucket id, exact ``[lo, hi)`` filter after. Turns an O(n·m)
+  broadcast-nested-loop join into a broadcast hash join; bucket width
+  trades duplication on the (tiny) interval side for selectivity.
+* **Hypertable rollup** — TimescaleDB-style continuous aggregate:
+  fine buckets hold decomposable partials (count/sum/max); the coarse
+  level re-aggregates the partials, never the raw rows. At scale the
+  fine level is the materialized rollup table and every coarser
+  resolution derives from it for free.
+* **Heavy hitters** — exact top-k by frequency (two-phase: partial
+  count per partition, merged — plain groupBy), plus a Count-Min
+  sketch variant (`df.stat.countMinSketch`, JVM-side merged partials)
+  whose estimates are checked rows-only, the sketch being
+  engine-specific by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+# ── As-of join ───────────────────────────────────────────────────────────
+
+def asof_join(
+    trades: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    trade_ts: str = "ts",
+    quote_ts: str = "ts",
+    quote_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each trade row, attach the most recent quote row with
+    ``quote.ts <= trade.ts`` for the same key (inclusive as-of,
+    matching DuckDB ``ASOF JOIN`` / pandas ``merge_asof``).
+
+    Union + window — ONE shuffle on ``key``, linear in rows; never a
+    range-join product. Quote columns come back as ``{prefix}{col}``,
+    plus ``{prefix}ts`` for the matched quote's timestamp; trades with
+    no prior quote keep NULLs (left-join semantics).
+    """
+    q = quotes.select(
+        F.col(key).alias(key),
+        F.col(quote_ts).alias("__ts"),
+        F.lit(0).alias("__is_trade"),
+        *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+    )
+    t = trades.withColumn("__ts", F.col(trade_ts)).withColumn(
+        "__is_trade", F.lit(1)
+    )
+    for c in quote_cols:
+        t = t.withColumn(f"__q_{c}", F.lit(None).cast(q.schema[f"__q_{c}"].dataType))
+    u = t.unionByName(q, allowMissingColumns=True)
+
+    # quote sorts before trade at equal ts → inclusive (ts >= quote ts)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("__ts"), F.asc("__is_trade"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn(
+        f"{prefix}ts",
+        F.last(F.when(F.col("__is_trade") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    )
+    for c in quote_cols:
+        filled = filled.withColumn(
+            f"{prefix}{c}", F.last(f"__q_{c}", ignorenulls=True).over(w)
+        )
+    keep = [c for c in trades.columns] + [f"{prefix}ts"] + [
+        f"{prefix}{c}" for c in quote_cols
+    ]
+    return filled.filter(F.col("__is_trade") == 1).select(*keep)
+
+
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined as-of to the user's most recent view:
+    the 'trade gets the prevailing quote' shape on the events fixture."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(purchases, views, key="user_id", quote_cols=("value",))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("trade_ts_us"),
+        F.round("value", 4).alias("trade_value"),
+        F.unix_micros("asof_ts").alias("view_ts_us"),
+        F.round("asof_value", 4).alias("view_value"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT t.event_id,
+       t.user_id,
+       epoch_us(t.ts) AS trade_ts_us,
+       round(t.value, 4) AS trade_value,
+       epoch_us(q.ts) AS view_ts_us,
+       round(q.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+  ON t.user_id = q.user_id AND t.ts >= q.ts
+"""
+
+
+# ── Range join (interval dim × fact value) ───────────────────────────────
+
+def range_join_buckets(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Join fact rows to ``[lo, hi)`` intervals via a bucketed equi-join.
+
+    Each interval explodes to the fixed-width buckets it overlaps
+    (duplication only on the tiny interval side); facts compute one
+    bucket id; broadcast hash join on bucket id; exact half-open
+    range filter last. Replaces the O(n·m) broadcast-nested-loop plan
+    Spark would otherwise pick for a pure ``BETWEEN`` join condition.
+    """
+    w = F.lit(bucket_width)
+    exploded = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    bucketed = facts.withColumn("__bucket", F.floor(F.col(value_col) / w))
+    return (
+        bucketed.join(F.broadcast(exploded), "__bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
+#: Non-overlapping, bucket-misaligned price bands: misalignment proves
+#: the exact post-filter does the precision work, not bucket luck.
+_PRICE_BANDS = [
+    ("budget", 900.0, 926.0),
+    ("mid", 926.0, 947.5),
+    ("premium", 947.5, 975.0),
+    ("luxury", 975.0, 1000.01),
+]
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join_buckets(p, bands, "p_retailprice", bucket_width=10.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.min("p_retailprice"), 4).alias("min_price"),
+        F.round(F.max("p_retailprice"), 4).alias("max_price"),
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH bands(band, lo, hi) AS (VALUES
+    ('budget', 900.0, 926.0),
+    ('mid', 926.0, 947.5),
+    ('premium', 947.5, 975.0),
+    ('luxury', 975.0, 1000.01))
+SELECT band,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       round(min(p_retailprice), 4) AS min_price,
+       round(max(p_retailprice), 4) AS max_price
+FROM part
+JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# ── Hypertable-style continuous aggregate ────────────────────────────────
+
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous aggregate over ``events``: 15-minute fine
+    buckets holding decomposable partials (count/sum/max), and a daily
+    level computed FROM the partials — count-of-counts, sum-of-sums,
+    max-of-maxes — never re-reading raw rows. Both levels returned
+    union-tagged; ``avg_value`` derives from partials at output time.
+    """
+    e = _t(spark, sf_dir, "events")
+    fine = (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_v", "max_v")
+    )
+    daily = (
+        fine.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+    def out(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+            "event_type",
+            "n_events",
+            F.round("sum_v", 4).alias("sum_value"),
+            F.round("max_v", 4).alias("max_value"),
+            # divide the ROUNDED sum: raw float sums differ across
+            # engines in the last bit (different partial-agg order) and
+            # a boundary-adjacent quotient then rounds differently;
+            # rounded sums are bit-identical doubles in both engines.
+            F.round(F.round("sum_v", 4) / F.col("n_events"), 4).alias("avg_value"),
+        )
+
+    return out(fine, "15m").unionByName(out(daily, "1d"))
+
+
+TIME_BUCKET_ORACLE = """
+WITH fine AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+           count(*) AS n_events, sum(value) AS sum_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2),
+daily AS (
+    SELECT date_trunc('day', bucket) AS bucket, event_type,
+           sum(n_events) AS n_events, sum(sum_v) AS sum_v, max(max_v) AS max_v
+    FROM fine GROUP BY 1, 2)
+SELECT '15m' AS level, strftime(bucket, '%Y-%m-%d %H:%M') AS bucket, event_type,
+       n_events, round(sum_v, 4) AS sum_value, round(max_v, 4) AS max_value,
+       round(round(sum_v, 4) / n_events, 4) AS avg_value
+FROM fine
+UNION ALL
+SELECT '1d', strftime(bucket, '%Y-%m-%d %H:%M'), event_type,
+       CAST(n_events AS BIGINT), round(sum_v, 4), round(max_v, 4),
+       round(round(sum_v, 4) / n_events, 4)
+FROM daily
+"""
+
+
+# ── Heavy hitters ────────────────────────────────────────────────────────
+
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 parts by lineitem frequency, deterministic tiebreak.
+
+    groupBy + count is already the two-phase algorithm at scale
+    (map-side partial counts, one shuffle of distinct keys); the
+    top-k sort runs on the aggregated (small) side only.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(F.desc("n_items"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+HEAVY_HITTERS_ORACLE = """
+SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY n_items DESC, l_partkey ASC
+LIMIT 20
+"""
+
+
+#: CMS geometry: d independent hash rows × w counters. w bounds the
+#: over-estimate at ~e·N/w; d drives the confidence. 4×8192 ints is
+#: 128 KiB — trivially broadcastable state no matter the input size.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 8192
+
+
+def _cms_buckets(key, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH):
+    """(row, bucket) struct per hash row for one key column; row i uses
+    ``xxhash64`` seeded by i as its independent hash function."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(F.lit(i), key), F.lit(width)).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_table(df: DataFrame, key_col: str) -> DataFrame:
+    """Build a Count-Min sketch as a (d, b, cnt) DataFrame: explode each
+    key into its d buckets, one groupBy. Fully distributed — the
+    counter table is ≤ d·w rows regardless of input size, and never
+    touches the driver (contrast the removed JVM
+    ``df.stat.countMinSketch``, which collected the sketch).
+    """
+    return (
+        df.select(F.explode(_cms_buckets(F.col(key_col))).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the top-20 keys
+    (rows-only check: bucket collisions make estimates hash-specific,
+    so no cross-engine oracle; the CMS one-sided-error invariant
+    ``estimate >= exact`` is asserted in tests instead).
+
+    Estimate = min over the d rows of the counter each hash maps the
+    key to: candidates explode to (key, d, b), broadcast-join the
+    counter table, min per key.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    counters = count_min_table(l, "l_partkey")
+    candidates = (
+        heavy_hitters_exact(spark, sf_dir)
+        .select(F.col("l_partkey"), F.col("n_items").alias("exact_count"))
+        .withColumn("db", F.explode(_cms_buckets(F.col("l_partkey"))))
+        .select("l_partkey", "exact_count", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    )
+    return (
+        counters.join(F.broadcast(candidates), ["d", "b"])
+        .groupBy("l_partkey", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+QUERIES = {
+    "asof_purchase_view": asof_purchase_view,
+    "range_join_price_bands": range_join_price_bands,
+    "time_bucket_rollup": time_bucket_rollup,
+    "heavy_hitters_exact": heavy_hitters_exact,
+    "countmin_heavy_hitters": countmin_heavy_hitters,
+}
+
+ORACLES = {
+    "asof_purchase_view": ASOF_ORACLE,
+    "range_join_price_bands": RANGE_JOIN_ORACLE,
+    "time_bucket_rollup": TIME_BUCKET_ORACLE,
+    "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,
+    # countmin_heavy_hitters: intentionally no oracle (sketch estimates
+    # are engine-specific; rows-only + invariant test below)
+}

@@ -1,0 +1,160 @@
+"""Temporal operators: as-of join, bucketed range join, hypertable
+rollup, Count-Min heavy hitters — semantics on literal frames plus
+plan shape (one shuffle for as-of; hash join, not nested-loop, for
+the range join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.operators.temporal import (
+    asof_join,
+    count_min_table,
+    countmin_heavy_hitters,
+    heavy_hitters_exact,
+    range_join_buckets,
+    time_bucket_rollup,
+)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ── as-of join semantics ────────────────────────────────────────────────
+
+def test_asof_join_picks_latest_prior_quote(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:05:00"), (2, 10, "2024-01-01 00:20:00")],
+        "trade_id long, acct long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:01:00", 1.0),
+            (10, "2024-01-01 00:04:00", 2.0),  # latest before trade 1
+            (10, "2024-01-01 00:10:00", 3.0),  # latest before trade 2
+        ],
+        "acct long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.trade_id: r.asof_value
+        for r in asof_join(trades, quotes, key="acct").collect()
+    }
+    assert out == {1: 2.0, 2: 3.0}
+
+
+def test_asof_join_no_prior_quote_is_null_and_equal_ts_inclusive(spark):
+    trades = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:30"), (2, 7, "2024-01-01 00:02:00")],
+        "trade_id long, acct long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(7, "2024-01-01 00:02:00", 9.0)],  # exactly at trade 2's ts
+        "acct long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.trade_id: r for r in asof_join(trades, quotes, key="acct").collect()}
+    assert rows[1].asof_value is None and rows[1].asof_ts is None
+    assert rows[2].asof_value == 9.0  # ts >= quote ts is inclusive
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window formulation shuffles once, on the key — no
+    range-join explosion, no extra exchange."""
+    trades = spark.range(10).select(
+        F.col("id").alias("acct"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    quotes = spark.range(10).select(
+        F.col("id").alias("acct"),
+        F.timestamp_seconds(F.col("id") * 30).alias("ts"),
+        F.rand(7).alias("value"),
+    )
+    plan = _executed_plan(asof_join(trades, quotes, key="acct"))
+    # tree lines render as "Exchange (n)"; detail headers as "(n) Exchange"
+    assert plan.count("Exchange (") == 1
+
+
+# ── range join ──────────────────────────────────────────────────────────
+
+def test_range_join_boundaries_half_open(spark):
+    facts = spark.createDataFrame(
+        [(1, 899.99), (2, 900.0), (3, 925.99), (4, 926.0), (5, 1000.01)],
+        "id long, price double",
+    )
+    bands = spark.createDataFrame(
+        [("a", 900.0, 926.0), ("b", 926.0, 1000.01)],
+        "band string, lo double, hi double",
+    )
+    out = {
+        r.id: r.band
+        for r in range_join_buckets(facts, bands, "price", bucket_width=10.0).collect()
+    }
+    # 899.99 below all bands; 1000.01 == hi of b is excluded (half-open)
+    assert out == {2: "a", 3: "a", 4: "b"}
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    facts = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    bands = spark.createDataFrame([("wide", 5.0, 77.0)], "band string, lo double, hi double")
+    got = range_join_buckets(facts, bands, "v", bucket_width=10.0)
+    assert got.count() == 72  # [5, 77) over integers
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    facts = spark.range(1000).select(F.col("id"), (F.col("id") % 100).cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("hi", 50.0, 100.0)], "band string, lo double, hi double"
+    )
+    plan = _executed_plan(range_join_buckets(facts, bands, "v", bucket_width=10.0))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ── hypertable rollup ───────────────────────────────────────────────────
+
+def test_time_bucket_daily_level_matches_direct_aggregate(spark, sf_dir):
+    """The coarse level built FROM partials must equal aggregating the
+    raw rows directly — the continuous-aggregate correctness property."""
+    out = time_bucket_rollup(spark, sf_dir)
+    daily = out.filter(F.col("level") == "1d").select(
+        "bucket", "event_type", "n_events"
+    )
+    from fxblue_etl_spark.io import table
+
+    e = table(spark, sf_dir, "events")
+    direct = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm").alias("bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    assert daily.exceptAll(direct).count() == 0
+    assert direct.exceptAll(daily).count() == 0
+
+
+# ── heavy hitters ───────────────────────────────────────────────────────
+
+def test_cms_estimate_one_sided_error(spark, sf_dir):
+    """Count-Min never under-counts: estimate >= exact for every key."""
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.cms_estimate >= r.exact_count for r in rows)
+    # with 4x8192 counters at this scale, estimates should be tight
+    assert all(r.cms_estimate <= r.exact_count * 2 for r in rows)
+
+
+def test_cms_counter_table_bounded(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cms = count_min_table(l, "l_partkey")
+    assert cms.count() <= 4 * 8192
+    # total mass per hash row == number of input rows
+    per_row = {r.d: r.total for r in cms.groupBy("d").agg(F.sum("cnt").alias("total")).collect()}
+    n = l.count()
+    assert all(v == n for v in per_row.values())
+
+
+def test_heavy_hitters_exact_descending(spark, sf_dir):
+    counts = [r.n_items for r in heavy_hitters_exact(spark, sf_dir).collect()]
+    assert counts == sorted(counts, reverse=True)
