@@ -30,6 +30,12 @@ def _modules():
     except ImportError:
         pass
     try:
+        from fxblue_etl_spark.plans import tpch_more
+
+        mods.append(tpch_more)
+    except ImportError:
+        pass
+    try:
         from fxblue_etl_spark.operators import cleaning
 
         mods.append(cleaning)

@@ -1,0 +1,299 @@
+"""Additional TPC-H-shaped query coverage (M4 widening).
+
+The reference's analysis surface (SURVEY §2.8-2.9) is exercised here
+with six more canonical decision-support shapes adapted to the fixture
+columns, each chosen for a distinct plan pattern the engine must get
+right at 100 TB:
+
+* q4-shape  — EXISTS semi-join with a non-equi correlated predicate
+* q7-shape  — two-sided dim filter on a symmetric nation pair (join
+  reordering + broadcast both dims)
+* q10-shape — selective fact filter → 4-way join → top-k on aggregate
+* q14-shape — conditional aggregate ratio over a fact×dim join
+* q18-shape — HAVING on a grouped fact, re-joined to the fact (the
+  "aggregate feeds its own filter" two-pass shape)
+* q19-shape — disjunction of conjunctive range predicates (OR of ANDs:
+  pushdown-hostile; the engine still prunes columns and broadcasts)
+
+All shuffles are on join/group keys of the fact side only; dims are
+either hard-broadcast (bounded: nation) or left to AQE (growing:
+customer/supplier/part), per the repo-wide scale posture in
+`plans/relational.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority having ≥1 lineitem shipped >60 days after
+    order date — EXISTS with a non-equi correlated predicate, planned
+    as a left-semi join (no row duplication, fact shuffled once)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between a symmetric nation pair by year:
+    supplier-nation × customer-nation flows for (NATION_1, NATION_2)
+    in both directions. Both nation dims are hard-broadcast (bounded);
+    the only shuffles are the two fact joins."""
+    n1 = "NATION_1"
+    n2 = "NATION_2"
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem")
+
+    supp_n = supp.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+
+    joined = (
+        l.join(orders, l.l_orderkey == orders.o_orderkey)
+        .join(supp_n, l.l_suppkey == supp_n.s_suppkey)
+        .join(cust_n, F.col("o_custkey") == cust_n.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter —
+    selective fact filters first (pushed to the scans), then the
+    4-way join, then top-k on the aggregated (small) side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one quarter: conditional aggregate over
+    a fact×part join — one output row, so the whole query is map-side
+    partials + a singleton reduce."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0)))
+            / F.sum(net),
+            4,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300, with their customer —
+    the aggregate-feeds-its-own-filter shape: group the fact, HAVING,
+    then join the survivors (tiny) back to dims broadcast-style."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR-of-ANDs predicate across brand/size/quantity
+    bands — the pushdown-hostile shape: the disjunction can't reach the
+    scan, but column pruning and the part-side broadcast still apply."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+QUERIES = {
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+}
+
+ORACLES = {
+    "q4_priority_late_ship": Q4_ORACLE,
+    "q7_nation_volume": Q7_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
+    "q18_large_volume_orders": Q18_ORACLE,
+    "q19_disjunctive_predicates": Q19_ORACLE,
+}
