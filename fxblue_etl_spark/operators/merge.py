@@ -263,11 +263,145 @@ WHERE rn = 1
 """
 
 
+# ── SCD Type 2 merge ─────────────────────────────────────────────────────
+# The reference's metadata upsert (K3) keeps no history — each run
+# overwrites the registry row in place. The warehouse-scale upgrade is
+# a slowly-changing-dimension type-2 merge: close the current version,
+# open a new one, keep every historical version queryable by validity
+# interval. Same single-shuffle join skeleton as merge_upsert.
+
+def merge_scd2(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_col: str = "_effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Apply one batch of ``updates`` to an SCD2 dimension ``dim``.
+
+    ``dim`` carries ``key + tracked_cols + valid_from + valid_to +
+    current_flag`` (open rows: ``valid_to`` NULL, flag true).
+    ``updates`` carries ``key + tracked_cols + effective_col``.
+
+    Per update key: if no current row exists → insert an open version;
+    if any tracked column differs (NULL-safe) → close the current row
+    at the update's effective timestamp and open a new version;
+    if nothing differs → no-op (idempotent re-runs). History rows pass
+    through untouched.
+
+    One shuffle join on the key (history is filtered out before the
+    join, so the join side is only the current slice); the result is
+    union(history, kept/closed currents, opened versions).
+    """
+    current = dim.filter(F.col(current_flag))
+    history = dim.filter(~F.col(current_flag))
+    u = updates.withColumn("__present", F.lit(1)).alias("u")
+    c = current.alias("c")
+
+    cond = None
+    for k in key:
+        eq = F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = c.join(u, cond, "full_outer")
+
+    has_current = F.col(f"c.{current_flag}").isNotNull()
+    has_update = F.col("u.__present").isNotNull()
+    changed = F.lit(False)
+    for t in tracked_cols:
+        changed = changed | ~F.col(f"c.{t}").eqNullSafe(F.col(f"u.{t}"))
+    closes = has_current & has_update & changed
+    opens = has_update & (~has_current | changed)
+
+    dim_cols = dim.columns
+    kept = joined.filter(has_current).select(
+        *[F.col(f"c.{col}").alias(col) for col in dim_cols if col not in (valid_to, current_flag)],
+        F.when(closes, F.col(f"u.{effective_col}"))
+        .otherwise(F.col(f"c.{valid_to}"))
+        .alias(valid_to),
+        (~closes).alias(current_flag),
+    ).select(*dim_cols)
+    opened = joined.filter(opens).select(
+        *[
+            F.col(f"u.{col}").alias(col)
+            if col in (*key, *tracked_cols)
+            else F.col(f"u.{effective_col}").alias(col)
+            if col == valid_from
+            else F.lit(None).cast(dim.schema[valid_to].dataType).alias(col)
+            if col == valid_to
+            else F.lit(True).alias(col)
+            for col in dim_cols
+        ]
+    )
+    return history.unionByName(kept).unionByName(opened)
+
+
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 demo: a customer dimension opened on 2024-01-01 receives a
+    batch where every 4th key changed balance (→ close + open), every
+    other even key re-sent unchanged (→ no-op), odd keys absent."""
+    cust = table(tune(spark), sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("account_id"),
+        "c_name",
+        F.round("c_acctbal", 4).alias("balance"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("account_id"),
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.round(F.col("c_acctbal") + 100, 4)
+        )
+        .otherwise(F.round("c_acctbal", 4))
+        .alias("balance"),
+        F.lit("2024-06-01").alias("_effective_ts"),
+    )
+    return merge_scd2(
+        dim, upd, key=["account_id"], tracked_cols=["c_name", "balance"]
+    )
+
+
+SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS account_id, c_name, round(c_acctbal, 4) AS balance,
+         '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+         true AS is_current
+  FROM customer),
+upd AS (
+  SELECT c_custkey AS account_id, c_name,
+         CASE WHEN c_custkey % 4 = 0 THEN round(c_acctbal + 100, 4)
+              ELSE round(c_acctbal, 4) END AS balance,
+         '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 2 = 0),
+changed AS (
+  SELECT u.* FROM upd u JOIN dim c ON u.account_id = c.account_id
+  WHERE u.c_name IS DISTINCT FROM c.c_name
+     OR u.balance IS DISTINCT FROM c.balance),
+new_keys AS (
+  SELECT u.* FROM upd u LEFT JOIN dim c ON u.account_id = c.account_id
+  WHERE c.account_id IS NULL)
+SELECT c.account_id, c.c_name, c.balance, c.valid_from,
+       CASE WHEN ch.account_id IS NOT NULL THEN ch.eff ELSE c.valid_to END AS valid_to,
+       ch.account_id IS NULL AS is_current
+FROM dim c LEFT JOIN changed ch ON c.account_id = ch.account_id
+UNION ALL
+SELECT account_id, c_name, balance, eff, NULL, true FROM changed
+UNION ALL
+SELECT account_id, c_name, balance, eff, NULL, true FROM new_keys
+"""
+
+
 QUERIES = {
     "merge_k1_preserve": merge_k1_preserve,
     "merge_k2_clobber": merge_k2_clobber,
     "merge_k3_metadata": merge_k3_metadata,
     "d3_last_write_wins": d3_last_write_wins,
+    "scd2_customer_dim": scd2_customer_dim,
 }
 
 ORACLES = {
@@ -275,4 +409,5 @@ ORACLES = {
     "merge_k2_clobber": MERGE_K2_ORACLE,
     "merge_k3_metadata": MERGE_K3_ORACLE,
     "d3_last_write_wins": D3_ORACLE,
+    "scd2_customer_dim": SCD2_ORACLE,
 }

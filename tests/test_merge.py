@@ -64,3 +64,55 @@ def test_schema_mismatch_raises(spark):
     new = old.select("ticket", "pnl")
     with pytest.raises(ValueError):
         merge_upsert(old, new, ["ticket"])
+
+
+# ── SCD2 ────────────────────────────────────────────────────────────────
+
+def _scd2_dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, valid_from string, valid_to string, is_current boolean"
+    )
+
+
+def _scd2_upd(spark, rows):
+    return spark.createDataFrame(rows, "k long, attr string, _effective_ts string")
+
+
+def test_scd2_change_closes_and_opens_version(spark):
+    from fxblue_etl_spark.operators.merge import merge_scd2
+
+    dim = _scd2_dim(spark, [(1, "a", "t0", None, True)])
+    upd = _scd2_upd(spark, [(1, "b", "t1"), (2, "x", "t1")])
+    out = merge_scd2(dim, upd, key=["k"], tracked_cols=["attr"])
+    rows = {(r.k, r.attr): r for r in out.collect()}
+    assert len(rows) == 3
+    closed = rows[(1, "a")]
+    assert closed.valid_to == "t1" and closed.is_current is False
+    opened = rows[(1, "b")]
+    assert opened.valid_from == "t1" and opened.valid_to is None and opened.is_current
+    inserted = rows[(2, "x")]
+    assert inserted.valid_from == "t1" and inserted.is_current
+
+
+def test_scd2_unchanged_update_is_noop_idempotent(spark):
+    from fxblue_etl_spark.operators.merge import merge_scd2
+
+    dim = _scd2_dim(spark, [(1, "a", "t0", None, True)])
+    upd = _scd2_upd(spark, [(1, "b", "t1")])
+    once = merge_scd2(dim, upd, key=["k"], tracked_cols=["attr"])
+    twice = merge_scd2(once, upd, key=["k"], tracked_cols=["attr"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_version_chain_over_batches(spark):
+    from fxblue_etl_spark.operators.merge import merge_scd2
+
+    dim = _scd2_dim(spark, [(1, "a", "t0", None, True)])
+    v2 = merge_scd2(dim, _scd2_upd(spark, [(1, "b", "t1")]), ["k"], ["attr"])
+    v3 = merge_scd2(v2, _scd2_upd(spark, [(1, "c", "t2")]), ["k"], ["attr"])
+    rows = sorted(v3.collect(), key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("a", "t0", "t1", False),
+        ("b", "t1", "t2", False),
+        ("c", "t2", None, True),
+    ]
