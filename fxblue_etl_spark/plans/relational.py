@@ -394,6 +394,35 @@ WHERE rk <= 3
 """
 
 
+def ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one pass — dense_rank,
+    ntile, percent_rank, cume_dist over per-nation balance order.
+    All share one window spec, so Catalyst evaluates them in a single
+    Window node over a single shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+RANKING_ORACLE = """
+SELECT c_custkey,
+       CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+       CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+       round(percent_rank() OVER w, 6) AS bal_pct_rank,
+       round(cume_dist() OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer over order date (ROWS frame)."""
     o = _t(spark, sf_dir, "orders")
@@ -544,6 +573,7 @@ QUERIES = {
     "rollup_returns": rollup_returns,
     "cube_order_status": cube_order_status,
     "topk_orders_per_customer": topk_orders_per_customer,
+    "ranking_variants": ranking_variants,
     "running_customer_spend": running_customer_spend,
     "lag_lead_order_gaps": lag_lead_order_gaps,
     "events_json_extract": events_json_extract,
@@ -563,6 +593,7 @@ ORACLES = {
     "rollup_returns": ROLLUP_ORACLE,
     "cube_order_status": CUBE_ORACLE,
     "topk_orders_per_customer": TOPK_ORACLE,
+    "ranking_variants": RANKING_ORACLE,
     "running_customer_spend": RUNNING_ORACLE,
     "lag_lead_order_gaps": LAG_LEAD_ORACLE,
     "events_json_extract": EVENTS_JSON_ORACLE,

@@ -333,6 +333,66 @@ def streaming_locf_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase pairs with the same user's views from the preceding
+    6 hours. Watermarks on BOTH sides bound the join state — Spark
+    keeps only rows younger than watermark + interval, so state is
+    O(rate × window), not O(stream). The batch complement of
+    `asof_purchase_view` (which keeps only the latest view, this keeps
+    all in-window pairs)."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    )
+    out = run_to_table(joined, "append")
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(v.ts) AS view_ts_us
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 6 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 def streaming_csv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed merge: stream micro-batches are upserted
     into a target with merge_upsert (K2) — the streaming sink analogue
@@ -380,6 +440,7 @@ QUERIES = {
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_locf_stateful": streaming_locf_stateful,
     "streaming_csv_merge": streaming_csv_merge,
+    "streaming_interval_join": streaming_interval_join,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -392,6 +453,7 @@ ORACLES = {
     "streaming_dedup_watermark": DEDUP_WM_ORACLE,
     "streaming_locf_stateful": LOCF_STREAM_ORACLE,
     "streaming_csv_merge": STREAMING_MERGE_ORACLE,
+    "streaming_interval_join": INTERVAL_JOIN_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:
