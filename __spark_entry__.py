@@ -90,6 +90,12 @@ def _modules():
     except ImportError:
         pass
     try:
+        from fxblue_etl_spark.operators import graph
+
+        mods.append(graph)
+    except ImportError:
+        pass
+    try:
         from fxblue_etl_spark.sources import fxblue_csv, rss_feed
 
         mods.extend([fxblue_csv, rss_feed])

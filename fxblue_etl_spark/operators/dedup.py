@@ -350,17 +350,27 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML MinHashLSH approxSimilarityJoin (rows-only check:
     JVM-internal seeded hash families aren't oracle-reproducible).
-    This is the built-in scale path for near-dup joins."""
+    This is the built-in scale path for near-dup joins.
+
+    Run on a deterministic 1/3 slice with a 0.2 distance cutoff
+    (Jaccard >= 0.8 — the near-dup regime; the fixture docs share so
+    much vocabulary that sim >= 0.5 admits ~75% of ALL pairs): the
+    self-join's candidate set grows quadratically with bucket density,
+    and this query exists as a JVM comparison point, not the engine's
+    near-dup path (that's `minhash_lsh_pairs`) — unsliced at sf0.1 it
+    alone costs 10+ minutes while proving nothing extra."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    d = fan_out(
+        table(tune(spark), sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    )
     toks = d.select("doc_id", ws_tokens(_norm_text("text")).alias("toks"))
     cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True, minDF=1.0)
     model = cv.fit(toks)
     feats = model.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     lsh_model = lsh.fit(feats)
-    joined = lsh_model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    joined = lsh_model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
     return (
         joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

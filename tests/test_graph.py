@@ -1,0 +1,54 @@
+"""Connected-components label propagation: semantics on literal
+graphs plus the cluster-consistency property on the fixture pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.operators.graph import connected_components, dedup_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cc_chain_and_island(spark):
+    # chain 1-2-3 plus island 4-5: two components, labeled by min id
+    out = {
+        r.id: r.component
+        for r in connected_components(_edges(spark, [(1, 2), (2, 3), (4, 5)])).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_cc_bridge_merges_components(spark):
+    # two triangles joined by one bridge edge collapse to one component
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)]
+    out = connected_components(_edges(spark, edges))
+    assert out.select("component").distinct().count() == 1
+    assert out.agg(F.min("component")).first()[0] == 1
+
+
+def test_cc_long_path_converges(spark):
+    # a 12-vertex path needs several supersteps — exercises the loop
+    edges = [(i, i + 1) for i in range(12)]
+    out = connected_components(_edges(spark, edges))
+    assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_dedup_components_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair's endpoints must share a component, and each
+    component must be labeled by its minimum member."""
+    from fxblue_etl_spark.operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    comp = dedup_components(spark, sf_dir)
+    joined = (
+        pairs.join(comp.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .withColumnRenamed("component", "comp_a")
+        .join(comp.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+        .withColumnRenamed("component", "comp_b")
+    )
+    assert joined.filter(F.col("comp_a") != F.col("comp_b")).count() == 0
+    mins = comp.groupBy("component").agg(F.min("vec_id").alias("min_member"))
+    assert mins.filter(F.col("component") != F.col("min_member")).count() == 0
