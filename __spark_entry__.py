@@ -36,6 +36,12 @@ def _modules():
     except ImportError:
         pass
     try:
+        from fxblue_etl_spark.plans import corpus
+
+        mods.append(corpus)
+    except ImportError:
+        pass
+    try:
         from fxblue_etl_spark.operators import cleaning
 
         mods.append(cleaning)

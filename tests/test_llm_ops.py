@@ -107,3 +107,19 @@ def test_byte_features_deterministic(spark):
     assert feats.mean_byte == pytest.approx((97 + 98 + 99 + 100) / 4)
     assert feats.max_byte == 100
     assert feats.frame_sample == "61"  # every 64th byte → just byte 0
+
+
+def test_llm_corpus_prep_stage_order(spark, sf_dir):
+    """The composite keeps only quality+lang survivors, and dedup
+    keepers are chosen among them (not the raw corpus)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators.textops import quality_score
+    from fxblue_etl_spark.plans.corpus import llm_corpus_prep
+
+    out = llm_corpus_prep(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "corpus prep must keep at least one language group"
+    n_kept = sum(r.n_docs for r in rows)
+    n_quality = quality_score(spark, sf_dir).filter(F.col("keep") == 1).count()
+    assert 0 < n_kept <= n_quality  # dedup only ever removes survivors
