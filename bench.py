@@ -17,10 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Headline set: the scan/join/agg/window workhorses — kept to queries
-#: whose runtime reflects engine quality rather than driver-side
-#: row fetch (all are aggregates or bounded outputs).
+#: Headline set: one representative per operator family — kept to
+#: queries whose runtime reflects engine quality rather than
+#: driver-side row fetch (all are aggregates or bounded outputs).
 HEADLINE = (
+    # relational workhorses: scan/join/agg/window
     "flagship_account_pnl",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -29,6 +30,16 @@ HEADLINE = (
     "topk_orders_per_customer",
     "events_json_extract",
     "exact_distinct_and_quantiles",
+    # wider TPC-H shapes
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    # temporal operators
+    "asof_purchase_view",
+    "time_bucket_rollup",
+    "heavy_hitters_exact",
+    # LLM-pipeline surface
+    "minhash_lsh_pairs",
+    "llm_corpus_prep",
 )
 
 
