@@ -71,9 +71,14 @@ def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_trades"),
             F.round(F.sum(net), 4).alias("gross_pnl"),
             F.round(F.avg(net), 4).alias("avg_trade_pnl"),
-            F.round(
-                F.avg((F.col("o_orderstatus") == "F").cast("double")), 4
-            ).alias("fill_rate"),
+            # floored ppm, not round(avg, 4): the win-rate is a k/n
+            # rational that can terminate on a decimal half-boundary
+            # (k/160 = .00625...) where Spark HALF_UP and DuckDB
+            # binary-double rounding disagree; floor of the
+            # bit-identical quotient is engine-stable.
+            F.floor(
+                F.avg((F.col("o_orderstatus") == "F").cast("double")) * 1e6
+            ).alias("fill_rate_ppm"),
             F.round(F.max("l_extendedprice"), 4).alias("max_trade"),
         )
         .withColumnRenamed("c_custkey", "account_id")
@@ -91,7 +96,7 @@ SELECT c.c_custkey AS account_id,
        count(*) AS n_trades,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS gross_pnl,
        round(avg(l.l_extendedprice * (1 - l.l_discount)), 4) AS avg_trade_pnl,
-       round(avg(CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 4) AS fill_rate,
+       CAST(floor(avg(CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS fill_rate_ppm,
        round(max(l.l_extendedprice), 4) AS max_trade
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -398,7 +403,14 @@ def ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function family in one pass — dense_rank,
     ntile, percent_rank, cume_dist over per-nation balance order.
     All share one window spec, so Catalyst evaluates them in a single
-    Window node over a single shuffle."""
+    Window node over a single shuffle.
+
+    percent_rank/cume_dist are emitted as FLOORED parts-per-million:
+    these are k/n rationals that terminate on decimal half-boundaries
+    whenever the partition size has enough factors of 2 (e.g.
+    41/640 = .0640625 at sf0.1), where Spark's HALF_UP round and
+    DuckDB's binary round disagree — floor of the bit-identical
+    quotient double is deterministic in both engines."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
@@ -406,8 +418,8 @@ def ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("int").alias("c_nationkey"),
         F.dense_rank().over(w).alias("bal_dense_rank"),
         F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.floor(F.percent_rank().over(w) * 1e6).alias("bal_pct_rank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1e6).alias("bal_cume_dist_ppm"),
     )
 
 
@@ -416,8 +428,8 @@ SELECT c_custkey,
        CAST(c_nationkey AS INT) AS c_nationkey,
        CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
        CAST(ntile(4) OVER w AS INT) AS bal_quartile,
-       round(percent_rank() OVER w, 6) AS bal_pct_rank,
-       round(cume_dist() OVER w, 6) AS bal_cume_dist
+       CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS bal_pct_rank_ppm,
+       CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS bal_cume_dist_ppm
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
 """
