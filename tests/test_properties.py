@@ -126,3 +126,65 @@ def test_last_write_wins_idempotent_and_keyed(spark, rows):
     }
     for r in once.collect():
         assert r._ingest_ts == max_ts[r.ticket]
+
+
+# ── as-of join vs pandas merge_asof (differential oracle) ──────────────
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key (forces collisions)
+        st.integers(min_value=0, max_value=100),  # ts seconds
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(trade_rows=asof_rows, quote_rows=asof_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, trade_rows, quote_rows):
+    """The union+window as-of join must agree with pandas.merge_asof
+    (backward direction, inclusive) on arbitrary inputs."""
+    import pandas as pd
+
+    from fxblue_etl_spark.operators.temporal import asof_join
+
+    # merge_asof demands unique, sorted 'on' keys per group to be
+    # deterministic; dedup (key, ts) keeping the max value, like the
+    # operator's documented precondition
+    def dedup(rows):
+        d = {}
+        for k, ts, v in rows:
+            d[(k, ts)] = max(v, d.get((k, ts), float("-inf")))
+        return sorted((k, ts, v) for (k, ts), v in d.items())
+
+    trade_rows, quote_rows = dedup(trade_rows), dedup(quote_rows)
+    trades = spark.createDataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(trade_rows)],
+        "trade_id long, acct long, ts long, tv double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    quotes = spark.createDataFrame(
+        quote_rows, "acct long, ts long, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        r.trade_id: r.asof_value
+        for r in asof_join(trades, quotes, key="acct").collect()
+    }
+
+    tpd = pd.DataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(trade_rows)],
+        columns=["trade_id", "acct", "ts", "tv"],
+    ).sort_values("ts", kind="stable")
+    qpd = pd.DataFrame(quote_rows, columns=["acct", "ts", "value"]).sort_values(
+        "ts", kind="stable"
+    )
+    want_df = pd.merge_asof(
+        tpd, qpd, on="ts", by="acct", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.trade_id): (None if pd.isna(r.value) else float(r.value))
+        for r in want_df.itertuples()
+    }
+    assert got == want
