@@ -280,6 +280,125 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue — the argmax-via-
+    scalar-subquery shape: the revenue 'view' is computed once, its max
+    is a 1-row broadcast back onto itself."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.mr)
+        .join(s, revenue.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on a multi-supplier
+    order — the q21 double-correlation shape: EXISTS (another supplier
+    on the order) AND NOT EXISTS (another LATE supplier on the order),
+    planned as a semi join and an anti join on the same fact."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)).alias("late"),
+    )
+    l1 = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: some other supplier shipped on the same order
+    others = li.select("l_orderkey", F.col("l_suppkey").alias("o_supp")).distinct()
+    with_others = l1.join(
+        others,
+        (l1.l_orderkey == others.l_orderkey) & (l1.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier was ALSO late on that order
+    other_late = l1.select("l_orderkey", F.col("l_suppkey").alias("o_supp")).distinct()
+    sole = with_others.join(
+        other_late,
+        (with_others.l_orderkey == other_late.l_orderkey)
+        & (with_others.l_suppkey != other_late.o_supp),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_sole_late_orders"))
+    )
+
+
+Q21_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+SELECT s_suppkey, s_name, count(*) AS n_sole_late_orders
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM li x
+              WHERE x.l_orderkey = l1.l_orderkey AND x.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 y
+                  WHERE y.l_orderkey = l1.l_orderkey AND y.l_suppkey != l1.l_suppkey)
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count/balance of customers with above-average balance
+    and no orders after 1999 — scalar-average subquery feeding an anti
+    join (the q22 shape on available columns)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       count(*) AS n_custs,
+       round(sum(c_acctbal), 4) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q4_priority_late_ship": q4_priority_late_ship,
     "q7_nation_volume": q7_nation_volume,
@@ -287,6 +406,9 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q22_dormant_rich_customers": q22_dormant_rich_customers,
 }
 
 ORACLES = {
@@ -296,4 +418,7 @@ ORACLES = {
     "q14_promo_revenue": Q14_ORACLE,
     "q18_large_volume_orders": Q18_ORACLE,
     "q19_disjunctive_predicates": Q19_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q21_sole_late_supplier": Q21_ORACLE,
+    "q22_dormant_rich_customers": Q22_ORACLE,
 }
