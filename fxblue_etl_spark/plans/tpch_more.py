@@ -399,6 +399,74 @@ GROUP BY c_nationkey
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1's share of PROMO-part revenue inside its own region by
+    year — the q8 shape: the widest join in the suite (lineitem ×
+    orders × customer × supplier × part × nation ×2 × region), with a
+    conditional-sum ratio on top. Bounded dims broadcast; the fact is
+    shuffled only on its join keys; the share ratio is a quotient of
+    two float sums (non-terminating decimals — no round-half hazard)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+
+    # region of the TARGET nation, resolved from the bounded dims
+    target_region = (
+        n.filter(F.col("n_name") == "NATION_1")
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_regionkey").alias("target_rk"))
+    )
+    cust_nation = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_regionkey")
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_nation, F.col("o_custkey") == cust_nation.c_custkey)
+        .join(F.broadcast(target_region), F.col("n_regionkey") == F.col("target_rk"), "left_semi")
+        .join(supp_nation, l.l_suppkey == supp_nation.s_suppkey)
+    )
+    return joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.floor(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", net).otherwise(F.lit(0.0)))
+            / F.sum(net)
+            * 1e6
+        ).alias("mkt_share_ppm"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(floor(sum(CASE WHEN sn.n_name = 'NATION_1'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)
+           AS mkt_share_ppm,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  AND cn.n_regionkey = (SELECT n_regionkey FROM nation WHERE n_name = 'NATION_1')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q4_priority_late_ship": q4_priority_late_ship,
     "q7_nation_volume": q7_nation_volume,
@@ -409,6 +477,7 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q21_sole_late_supplier": q21_sole_late_supplier,
     "q22_dormant_rich_customers": q22_dormant_rich_customers,
+    "q8_market_share": q8_market_share,
 }
 
 ORACLES = {
@@ -421,4 +490,5 @@ ORACLES = {
     "q15_top_supplier": Q15_ORACLE,
     "q21_sole_late_supplier": Q21_ORACLE,
     "q22_dormant_rich_customers": Q22_ORACLE,
+    "q8_market_share": Q8_ORACLE,
 }
