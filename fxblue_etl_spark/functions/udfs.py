@@ -23,6 +23,7 @@ scale) is what sets throughput; nothing shuffles except the
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,23 +75,29 @@ def grouped_map_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def share(pdf: pd.DataFrame) -> pd.DataFrame:
         total = pdf["o_totalprice"].sum()
+        # floored parts-per-million, not .round(6): the share is a
+        # quotient that can land on a decimal half-boundary, where
+        # pandas' half-even, Spark's HALF_UP and DuckDB's binary
+        # rounding all disagree; floor of the quotient is stable.
         return pd.DataFrame(
             {
                 "o_custkey": pdf["o_custkey"],
                 "o_orderkey": pdf["o_orderkey"],
-                "spend_share": (pdf["o_totalprice"] / total).round(6),
+                "spend_share_ppm": np.floor(
+                    pdf["o_totalprice"] / total * 1e6
+                ).astype("int64"),
             }
         )
 
     return o.select("o_custkey", "o_orderkey", "o_totalprice").groupBy(
         "o_custkey"
-    ).applyInPandas(share, "o_custkey long, o_orderkey long, spend_share double")
+    ).applyInPandas(share, "o_custkey long, o_orderkey long, spend_share_ppm long")
 
 
 GROUPED_MAP_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
-         AS spend_share
+       CAST(floor(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey) * 1e6) AS BIGINT)
+         AS spend_share_ppm
 FROM orders
 """
 

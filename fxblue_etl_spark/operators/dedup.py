@@ -76,12 +76,23 @@ GROUP BY 1
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → minhash signature array (N_PERM md5-min values).
+    """doc_id → (shingles, minhash signature array of N_PERM md5-mins).
 
-    Computed as one fold over the shingles (element-wise running min
-    of the per-shingle hash vector) — never as N_PERM parallel
-    array_min(transform(...)) columns, which corrupt string minima
-    when evaluated side by side (see minhash_lsh_pairs)."""
+    Both arrays are materialized behind Generate nodes: explode of a
+    1-element array makes each an *attribute*, so downstream
+    references use the computed value instead of CollapseProject
+    re-inlining the whole tokenize+shingle tree per reference
+    (measured 61s → ~2s on sf0.01).
+
+    The whole signature is ONE fold over the shingles: acc is the
+    running element-wise minimum of the per-shingle hash vector.
+    One pass instead of N_PERM, and — critically — a single string
+    HOF per operator: multiple parallel array_min(transform(...))
+    string folds in one projection return corrupted minima (UTF8
+    buffer reuse; caught by the sf0.1 oracle diff), while the
+    single combined aggregate is bit-exact. "g" > every md5 hex
+    digit, so it is the fold's +infinity.
+    """
     sh_df = docs.select(
         "doc_id", F.explode(F.array(word_shingles(text_col))).alias("shingles")
     )
@@ -94,7 +105,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda a, b: F.least(a, b),
         ),
     )
-    return sh_df.select("doc_id", F.explode(F.array(sig)).alias("sig"), "shingles")
+    return sh_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,37 +122,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = fan_out(table(tune(spark), sf_dir, "documents"))
     d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
-
-    # Materialize the shingle array behind a Generate node: explode of
-    # a 1-element array makes `shingles` an *attribute*, so the 12
-    # minhash passes below reference the computed array instead of
-    # re-inlining the whole tokenize+shingle tree per reference
-    # (CollapseProject otherwise duplicates it ~13×; measured 61s →
-    # ~2s on sf0.01).
-    sh_df = d.select(
-        "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
-    )
-
-    # The whole signature in ONE fold over the shingles: acc is the
-    # running element-wise minimum of the per-shingle hash vector.
-    # One pass instead of N_PERM, and — critically — a single string
-    # HOF per operator: multiple parallel array_min(transform(...))
-    # string folds in one projection return corrupted minima (UTF8
-    # buffer reuse; caught by the sf0.1 oracle diff), while the
-    # single combined aggregate is bit-exact. "g" > every md5 hex
-    # digit, so it is the fold's +infinity.
-    sig = F.aggregate(
-        "shingles",
-        F.array_repeat(F.lit("g"), N_PERM),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.md5(F.concat(F.lit(f"{p}|"), s)) for p in range(N_PERM)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    sig_df = sh_df.select(
-        "doc_id", "shingles", F.explode(F.array(sig)).alias("sig")
-    )
+    sig_df = minhash_signatures(d)
 
     bands = sig_df.select(
         "doc_id",
@@ -296,8 +277,15 @@ FROM votes
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup: documents sharing
     (lang, first token) are compared; pairs with Jaccard ≥ 0.05 of
-    their word-bigram sets are emitted."""
+    their word-bigram sets are emitted.
+
+    Documents with fewer than 2 tokens cannot form a word bigram and
+    are excluded up front (same guard as minhash_lsh_pairs' 3-token
+    filter: Spark's concat_ws skips the missing second token while
+    SQL || propagates NULL, so partial grams diverge across engines).
+    """
     d = fan_out(table(tune(spark), sf_dir, "documents"))
+    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 2)
     grams = word_shingles("text", k=2)
     toks = ws_tokens(_norm_text("text"))
     blocked = d.select(
@@ -335,7 +323,8 @@ blocked AS (
   SELECT doc_id, lang AS block_lang, toks[1] AS block_tok,
          list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
              i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS grams
-  FROM prep)
+  FROM prep
+  WHERE len(toks) >= 2)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard

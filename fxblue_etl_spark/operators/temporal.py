@@ -186,7 +186,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_buckets(p, bands, "p_retailprice", bucket_width=10.0)
     return joined.groupBy("band").agg(
         F.count("*").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        # floored 1e4-scaled avg: sum/count quotient half-boundary rule
+        F.floor(F.avg("p_retailprice") * 1e4).alias("avg_price_e4"),
         F.round(F.min("p_retailprice"), 4).alias("min_price"),
         F.round(F.max("p_retailprice"), 4).alias("max_price"),
     )
@@ -200,7 +201,7 @@ WITH bands(band, lo, hi) AS (VALUES
     ('luxury', 975.0, 1000.01))
 SELECT band,
        count(*) AS n_parts,
-       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(floor(avg(p_retailprice) * 1e4) AS BIGINT) AS avg_price_e4,
        round(min(p_retailprice), 4) AS min_price,
        round(max(p_retailprice), 4) AS max_price
 FROM part

@@ -70,7 +70,13 @@ def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_trades"),
             F.round(F.sum(net), 4).alias("gross_pnl"),
-            F.round(F.avg(net), 4).alias("avg_trade_pnl"),
+            # floored 1e4-scaled avg, not round(avg, 4): avg is a
+            # sum/count quotient that can land on a decimal
+            # half-boundary (seen at sf0.01: 2/1500 rows, e.g.
+            # 49898.93575) where Spark's HALF_UP and DuckDB's
+            # binary-double rounding legitimately disagree; floor of
+            # the bit-identical quotient is engine-stable.
+            F.floor(F.avg(net) * 1e4).alias("avg_trade_pnl_e4"),
             # floored ppm, not round(avg, 4): the win-rate is a k/n
             # rational that can terminate on a decimal half-boundary
             # (k/160 = .00625...) where Spark HALF_UP and DuckDB
@@ -95,7 +101,7 @@ SELECT c.c_custkey AS account_id,
        r.r_name AS region,
        count(*) AS n_trades,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS gross_pnl,
-       round(avg(l.l_extendedprice * (1 - l.l_discount)), 4) AS avg_trade_pnl,
+       CAST(floor(avg(l.l_extendedprice * (1 - l.l_discount)) * 1e4) AS BIGINT) AS avg_trade_pnl_e4,
        CAST(floor(avg(CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS fill_rate_ppm,
        round(max(l.l_extendedprice), 4) AS max_trade
 FROM lineitem l
@@ -127,9 +133,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avgs as floored 1e4-scaled ints: sum/count quotients can
+            # land on decimal half-boundaries where Spark HALF_UP and
+            # DuckDB binary rounding disagree (same rule as the
+            # flagship's avg_trade_pnl_e4).
+            F.floor(F.avg("l_quantity") * 1e4).alias("avg_qty_e4"),
+            F.floor(F.avg("l_extendedprice") * 1e4).alias("avg_price_e4"),
+            F.floor(F.avg("l_discount") * 1e4).alias("avg_disc_e4"),
             F.count("*").alias("count_order"),
         )
     )
@@ -141,9 +151,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 4) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(floor(avg(l_quantity) * 1e4) AS BIGINT) AS avg_qty_e4,
+       CAST(floor(avg(l_extendedprice) * 1e4) AS BIGINT) AS avg_price_e4,
+       CAST(floor(avg(l_discount) * 1e4) AS BIGINT) AS avg_disc_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

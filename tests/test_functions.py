@@ -31,7 +31,9 @@ def test_pandas_udf_log_return(spark, sf_dir):
 
 def test_grouped_map_share_sums_to_one(spark, sf_dir):
     out = udfs.grouped_map_share(spark, sf_dir)
-    sums = out.groupBy("o_custkey").agg(F.round(F.sum("spend_share"), 3).alias("s"))
+    sums = out.groupBy("o_custkey").agg(
+        (F.sum("spend_share_ppm") / 1e6).alias("s")
+    )
     assert sums.filter(F.abs(F.col("s") - 1.0) > 0.01).count() == 0
 
 

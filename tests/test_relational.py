@@ -18,7 +18,7 @@ def test_q1_six_groups(spark, sf_dir):
     assert 1 <= len(rows) <= 6
     for r in rows:
         assert r.count_order > 0
-        assert r.sum_qty >= r.avg_qty
+        assert r.sum_qty >= r.avg_qty_e4 / 1e4
 
 
 def test_topk_at_most_3_per_customer(spark, sf_dir):
