@@ -69,18 +69,27 @@ def asof_join(
     range-join product. Quote columns come back as ``{prefix}{col}``,
     plus ``{prefix}ts`` for the matched quote's timestamp; trades with
     no prior quote keep NULLs (left-join semantics).
+
+    The whole quote row travels as ONE struct filled by a single
+    ``last(ignorenulls)`` — not one window per quote column, which
+    would skip a quote's NULL field and attach that field from an
+    *older* quote row, diverging from DuckDB ASOF / pandas merge_asof
+    row-level semantics (the matched row is matched wholesale, NULL
+    fields included).
     """
     q = quotes.select(
         F.col(key).alias(key),
         F.col(quote_ts).alias("__ts"),
         F.lit(0).alias("__is_trade"),
-        *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+        F.struct(
+            F.col(quote_ts).alias("ts"), *[F.col(c).alias(c) for c in quote_cols]
+        ).alias("__q"),
     )
-    t = trades.withColumn("__ts", F.col(trade_ts)).withColumn(
-        "__is_trade", F.lit(1)
+    t = (
+        trades.withColumn("__ts", F.col(trade_ts))
+        .withColumn("__is_trade", F.lit(1))
+        .withColumn("__q", F.lit(None).cast(q.schema["__q"].dataType))
     )
-    for c in quote_cols:
-        t = t.withColumn(f"__q_{c}", F.lit(None).cast(q.schema[f"__q_{c}"].dataType))
     u = t.unionByName(q, allowMissingColumns=True)
 
     # quote sorts before trade at equal ts → inclusive (ts >= quote ts)
@@ -89,17 +98,10 @@ def asof_join(
         .orderBy(F.asc("__ts"), F.asc("__is_trade"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.withColumn(
-        f"{prefix}ts",
-        F.last(F.when(F.col("__is_trade") == 0, F.col("__ts")), ignorenulls=True).over(w),
-    )
-    for c in quote_cols:
-        filled = filled.withColumn(
-            f"{prefix}{c}", F.last(f"__q_{c}", ignorenulls=True).over(w)
-        )
-    keep = [c for c in trades.columns] + [f"{prefix}ts"] + [
-        f"{prefix}{c}" for c in quote_cols
-    ]
+    filled = u.withColumn("__qm", F.last("__q", ignorenulls=True).over(w))
+    keep = [F.col(c) for c in trades.columns] + [
+        F.col("__qm.ts").alias(f"{prefix}ts")
+    ] + [F.col(f"__qm.{c}").alias(f"{prefix}{c}") for c in quote_cols]
     return filled.filter(F.col("__is_trade") == 1).select(*keep)
 
 

@@ -16,17 +16,22 @@ into an offset-tracked micro-batch stream.
 
 Options:
 
-* ``accounts_json`` — JSON list of ``{account_id, rss_url}`` (the
-  registry is a small dim; at scale pass a path-backed registry into
-  the batch planner instead).
+* ``registry_path`` — parquet file/directory with columns
+  ``account_id`` (+ optional ``rss_url``). This is the scale path:
+  the planner reads only parquet FOOTERS on the driver and emits one
+  input partition per row group, so driver memory is O(row groups)
+  while each task reads its own slice of the registry executor-side.
+  A billion-account registry plans in milliseconds.
+* ``accounts_json`` — JSON list of ``{account_id, rss_url}`` inline;
+  convenience for tiny registries and tests only.
 * ``mode`` — ``"fake"`` (default): deterministic synthetic feed, a
   pure function of (account_id, entry_idx) so a SQL oracle can
   reproduce it bit-for-bit; ``"network"``: fetch via ``feedparser``
   (absent in this container → NotImplementedError naming it).
-* ``chunk_size`` — accounts per input partition (default 64): one
-  task per *chunk of feeds*, not per feed, so task-launch overhead
-  doesn't dominate at small registries while a large registry still
-  fans out across the cluster.
+* ``chunk_size`` — accounts per input partition for the inline
+  registry (default 64): one task per *chunk of feeds*, not per
+  feed, so task-launch overhead doesn't dominate at small registries
+  while a large registry still fans out across the cluster.
 
 Streaming: each micro-batch is one poll round; the offset is the poll
 index, and poll *p* yields every account's entry ``p`` (accounts with
@@ -116,11 +121,59 @@ def _network_entries(rss_url: str) -> list[dict]:
 
 
 class AccountChunk(InputPartition):
+    """Inline registry slice: the account dicts travel in the task."""
+
     def __init__(self, accounts: list[dict]):
         self.accounts = accounts
 
 
-def _chunks(options: dict) -> list[AccountChunk]:
+class RegistrySlice(InputPartition):
+    """Path-backed registry slice: only (file, row_group) travels in
+    the task; the account rows are read executor-side."""
+
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+def _registry_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def _registry_slices(path: str) -> list[RegistrySlice]:
+    """One input partition per parquet row group — footer-only planning."""
+    import pyarrow.parquet as pq
+
+    slices = []
+    for f in _registry_files(path):
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            slices.append(RegistrySlice(f, rg))
+    return slices
+
+
+def _slice_accounts(part: RegistrySlice):
+    """Executor-side: read ONE row group of the registry parquet."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.ParquetFile(part.path).read_row_group(part.row_group)
+    cols = tbl.column_names
+    ids = tbl.column("account_id").to_pylist()
+    urls = tbl.column("rss_url").to_pylist() if "rss_url" in cols else [None] * len(ids)
+    return [{"account_id": i, "rss_url": u} for i, u in zip(ids, urls)]
+
+
+def _partitions(options: dict) -> list[InputPartition]:
+    path = options.get("registry_path")
+    if path:
+        return _registry_slices(path) or [AccountChunk([])]
     accounts = json.loads(options.get("accounts_json", "[]"))
     size = int(options.get("chunk_size", "64"))
     return [
@@ -128,8 +181,14 @@ def _chunks(options: dict) -> list[AccountChunk]:
     ] or [AccountChunk([])]
 
 
-def _read_chunk(part: AccountChunk, mode: str):
-    for acct in part.accounts:
+def _part_accounts(part: InputPartition) -> list[dict]:
+    if isinstance(part, RegistrySlice):
+        return _slice_accounts(part)
+    return part.accounts
+
+
+def _read_accounts(accounts: list[dict], mode: str):
+    for acct in accounts:
         aid = str(acct["account_id"])
         if mode == "fake":
             for idx in range(fake_entry_count(int(aid))):
@@ -147,24 +206,41 @@ class RssFeedReader(DataSourceReader):
         self.options = options
 
     def partitions(self) -> list[InputPartition]:
-        return _chunks(self.options)
+        return _partitions(self.options)
 
-    def read(self, partition: AccountChunk):
-        yield from _read_chunk(partition, self.options.get("mode", "fake"))
+    def read(self, partition: InputPartition):
+        yield from _read_accounts(
+            _part_accounts(partition), self.options.get("mode", "fake")
+        )
+
+
+#: ``fake_entry_count`` is 3 + aid%5 — never more than this many polls.
+MAX_FAKE_POLLS = 7
 
 
 class RssFeedStreamReader(DataSourceStreamReader):
     """Poll-per-micro-batch: offset = poll index; poll *p* emits every
-    account's entry *p*. State is a single int — replayable, so the
-    source is exactly-once under checkpointing."""
+    account's entry *p* (shorter feeds stop contributing). State is a
+    single int — replayable, so the source is exactly-once under
+    checkpointing.
+
+    With a path-backed registry the latest offset is the static upper
+    bound of the fake feed length: the driver never reads account
+    rows, and polls past a feed's end yield nothing. Each micro-batch
+    fans out as polls × registry row groups."""
 
     def __init__(self, options: dict):
         self.options = options
-        self.accounts = json.loads(options.get("accounts_json", "[]"))
-        self.max_polls = max(
-            (fake_entry_count(int(a["account_id"])) for a in self.accounts),
-            default=0,
-        )
+        self.path = options.get("registry_path")
+        if self.path:
+            self.accounts = None
+            self.max_polls = MAX_FAKE_POLLS
+        else:
+            self.accounts = json.loads(options.get("accounts_json", "[]"))
+            self.max_polls = max(
+                (fake_entry_count(int(a["account_id"])) for a in self.accounts),
+                default=0,
+            )
 
     def initialOffset(self) -> dict:
         return {"poll": 0}
@@ -174,14 +250,25 @@ class RssFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         polls = list(range(start["poll"], end["poll"]))
-        return [PollPartition(p, self.accounts) for p in polls] or [
-            PollPartition(-1, [])
-        ]
+        if self.path:
+            parts = [
+                PollPartition(p, None, s)
+                for p in polls
+                for s in _registry_slices(self.path)
+            ]
+        else:
+            parts = [PollPartition(p, self.accounts, None) for p in polls]
+        return parts or [PollPartition(-1, [], None)]
 
     def read(self, partition: "PollPartition"):
         if partition.poll < 0:
             return
-        for acct in partition.accounts:
+        accounts = (
+            _slice_accounts(partition.slice_)
+            if partition.slice_ is not None
+            else partition.accounts
+        )
+        for acct in accounts:
             aid = str(acct["account_id"])
             if partition.poll < fake_entry_count(int(aid)):
                 yield fake_entry(aid, partition.poll)
@@ -191,9 +278,10 @@ class RssFeedStreamReader(DataSourceStreamReader):
 
 
 class PollPartition(InputPartition):
-    def __init__(self, poll: int, accounts: list[dict]):
+    def __init__(self, poll: int, accounts, slice_: RegistrySlice | None):
         self.poll = poll
         self.accounts = accounts
+        self.slice_ = slice_
 
 
 class RssFeedDataSource(DataSource):
@@ -213,21 +301,44 @@ class RssFeedDataSource(DataSource):
 
 # ── oracle-checked demonstration query ───────────────────────────────────
 
+def _registry_parquet(spark, sf_dir: str) -> str:
+    """Materialize the demo registry (distinct event users) as parquet
+    via a Spark write — executor-side end to end, no driver collect.
+    At scale the registry already lives in storage and this step
+    disappears; only the parquet path crosses the driver."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..io import table
+    from ..session import tune
+
+    path = tempfile.mkdtemp(prefix="fxblue_registry_") + "/registry"
+    (
+        table(tune(spark), sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("account_id"))
+        .distinct()
+        .select(
+            "account_id",
+            F.concat(F.lit("https://fxblue/feed/u"), "account_id").alias("rss_url"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 def rss_datasource_scan(spark, sf_dir: str):
     """Batch scan through the custom DataSource: registry = distinct
-    event users, fake-feed mode, full 22-column entry output."""
-    from ..io import table
+    event users via a path-backed parquet (partitions planned from
+    its row groups), fake-feed mode, full 22-column entry output."""
     from ..session import tune
 
     spark = tune(spark)
     spark.dataSource.register(RssFeedDataSource)
-    accounts = [
-        {"account_id": str(r.user_id), "rss_url": f"https://fxblue/feed/u{r.user_id}"}
-        for r in table(spark, sf_dir, "events").select("user_id").distinct().collect()
-    ]
     return (
         spark.read.format("fxblue_rss")
-        .option("accounts_json", json.dumps(accounts))
+        .option("registry_path", _registry_parquet(spark, sf_dir))
         .load()
     )
 
@@ -267,22 +378,18 @@ FROM idx
 
 
 def rss_datasource_stream(spark, sf_dir: str):
-    """The same registry consumed through the *streaming* reader:
-    one poll per micro-batch, offset-tracked; driven to completion
+    """The same path-backed registry consumed through the *streaming*
+    reader: one poll per micro-batch, offset-tracked, each batch
+    fanned out over the registry's row groups; driven to completion
     into a memory sink. Result must equal the batch scan."""
-    from ..io import table
     from ..session import tune
     from ..streaming.pipelines import run_to_table
 
     spark = tune(spark)
     spark.dataSource.register(RssFeedDataSource)
-    accounts = [
-        {"account_id": str(r.user_id), "rss_url": f"https://fxblue/feed/u{r.user_id}"}
-        for r in table(spark, sf_dir, "events").select("user_id").distinct().collect()
-    ]
     s = (
         spark.readStream.format("fxblue_rss")
-        .option("accounts_json", json.dumps(accounts))
+        .option("registry_path", _registry_parquet(spark, sf_dir))
         .load()
     )
     return run_to_table(s, "append")

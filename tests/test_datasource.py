@@ -59,6 +59,36 @@ def test_stream_equals_batch(spark, registry):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_registry_path_matches_inline_and_plans_per_row_group(spark, registry, tmp_path):
+    """Path-backed registry: same rows as the inline registry, with one
+    input partition per parquet row group and no driver-side account
+    materialization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    accounts = json.loads(registry)
+    path = str(tmp_path / "registry.parquet")
+    tbl = pa.table(
+        {
+            "account_id": [a["account_id"] for a in accounts],
+            "rss_url": [a["rss_url"] for a in accounts],
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=6)  # 20 accounts → 4 row groups
+
+    spark.dataSource.register(RssFeedDataSource)
+    df = spark.read.format("fxblue_rss").option("registry_path", path).load()
+    assert df.rdd.getNumPartitions() == 4
+    inline = _batch(spark, registry)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, inline.collect()))
+
+    s = spark.readStream.format("fxblue_rss").option("registry_path", path).load()
+    from fxblue_etl_spark.streaming.pipelines import run_to_table
+
+    out = run_to_table(s, "append")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, inline.collect()))
+
+
 def test_network_mode_requires_feedparser(spark, registry):
     try:
         import feedparser  # noqa: F401

@@ -61,6 +61,23 @@ def test_asof_join_no_prior_quote_is_null_and_equal_ts_inclusive(spark):
     assert rows[2].asof_value == 9.0  # ts >= quote ts is inclusive
 
 
+def test_asof_join_null_quote_field_comes_from_matched_row(spark):
+    """A matched quote row with a NULL field attaches that NULL — it
+    must NOT backfill the field from an older quote (row-level match,
+    like DuckDB ASOF and pandas merge_asof)."""
+    trades = spark.createDataFrame(
+        [(1, 5, "2024-01-01 00:10:00")],
+        "trade_id long, acct long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(5, "2024-01-01 00:01:00", 1.0), (5, "2024-01-01 00:05:00", None)],
+        "acct long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(trades, quotes, key="acct").collect()[0]
+    assert row.asof_ts.minute == 5  # matched the later quote row...
+    assert row.asof_value is None  # ...and took its NULL, not 1.0
+
+
 def test_asof_join_single_shuffle(spark):
     """The union+window formulation shuffles once, on the key — no
     range-join explosion, no extra exchange."""
