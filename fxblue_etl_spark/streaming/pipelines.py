@@ -14,10 +14,12 @@ Spark form is a streaming pipeline over the same logical operators:
 Each ``queries()`` entry drives a real streaming query to completion
 with ``Trigger.AvailableNow`` into a memory sink, then returns the
 materialized result — so the driver's batch comparison still applies.
-Aggregations run in *complete* mode so end-of-stream windows are
-emitted (append mode would hold back windows the watermark hasn't
-passed — that operational difference is the point of watermarks, not
-a correctness gap to paper over).
+Windowed aggregations come in two certified flavors: *complete* mode
+(all end-of-stream windows, comparable to the plain batch oracle —
+unbounded state, fixture-only) and *append* mode (the production
+path: watermark-evicted bounded state, oracle restricted to
+watermark-passed windows via Spark's emission rule
+``window_end <= max(event_time) - delay``).
 
 Scale notes: the file source scales by split like any scan; windowed
 state is bounded by watermark eviction; LOCF state is one row per
@@ -180,6 +182,120 @@ SELECT user_id,
        round(sum(value), 4) AS session_value
 FROM sess
 GROUP BY user_id, sid
+"""
+
+
+# ── append-mode variants: bounded state is the certified path ────────────
+# The complete-mode queries above make end-of-stream windows comparable
+# to a batch oracle but keep ALL window state forever — fine for a
+# finite fixture, wrong at scale. These variants run in APPEND mode:
+# the watermark evicts state as it advances, and only watermark-passed
+# windows are emitted, so state is O(windows inside the watermark
+# horizon). The oracle models Spark's exact emission rule (verified
+# empirically): a window is emitted iff
+# ``window_end <= max(event_time) - watermark_delay``, all compared in
+# integer microseconds (Spark truncates nanos → micros with div).
+
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in append mode: watermark-evicted state."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    out = run_to_table(agg, "append")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+TUMBLING_APPEND_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events)
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM events, wm
+WHERE epoch_us(time_bucket(INTERVAL '10 minutes', ts)) + 600000000 <= wm.wm_us
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min every 5 min) in append mode."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    out = run_to_table(agg, "append")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        "total",
+    )
+
+
+SLIDING_APPEND_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events),
+exploded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes' AS win_start,
+         value
+  FROM events, range(0, 2) t(i)
+  WHERE ts < time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes'
+             + INTERVAL '10 minutes')
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM exploded, wm
+WHERE epoch_us(win_start) + 600000000 <= wm.wm_us
+GROUP BY 1
+"""
+
+
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) in append mode: a session is
+    emitted once the watermark passes its end (last event + gap)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+    out = run_to_table(agg, "append")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+SESSION_APPEND_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sess, wm
+GROUP BY user_id, sid, wm.wm_us
+HAVING max(epoch_us(ts)) + 1800000000 <= wm.wm_us
 """
 
 
@@ -437,6 +553,9 @@ QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_tumbling_append": streaming_tumbling_append,
+    "streaming_sliding_append": streaming_sliding_append,
+    "streaming_session_append": streaming_session_append,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_locf_stateful": streaming_locf_stateful,
     "streaming_csv_merge": streaming_csv_merge,
@@ -450,6 +569,9 @@ ORACLES = {
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,
+    "streaming_tumbling_append": TUMBLING_APPEND_ORACLE,
+    "streaming_sliding_append": SLIDING_APPEND_ORACLE,
+    "streaming_session_append": SESSION_APPEND_ORACLE,
     "streaming_dedup_watermark": DEDUP_WM_ORACLE,
     "streaming_locf_stateful": LOCF_STREAM_ORACLE,
     "streaming_csv_merge": STREAMING_MERGE_ORACLE,
