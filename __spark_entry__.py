@@ -39,7 +39,7 @@ from fxblue_etl_spark.operators import (
     textops,
     windows,
 )
-from fxblue_etl_spark.plans import advanced, corpus, relational, tpch_more
+from fxblue_etl_spark.plans import advanced, corpus, relational, tpch_extra, tpch_more
 from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed
 from fxblue_etl_spark.streaming import pipelines
 
@@ -69,6 +69,7 @@ _MODULES = [
     rss_datasource,
     pipelines,
     udfs,
+    tpch_extra,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -95,12 +96,30 @@ _R01_DRIVER_GREEN = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    # Changed-this-round queries first (their r01 rows are stale), then
-    # everything without a driver row yet, then the standing-green rest.
-    head = ["flagship_account_pnl", "q1_pricing_summary"]
+        oracles.update(getattr(mod, "ORACLES", {}))
+    # Priority for the driver's ~50-entry gate window:
+    # 1. changed-this-round / judge-flagged queries (stale or no row),
+    # 2. oracle-backed queries without a round-1 driver row,
+    # 3. rows-only queries without a row (can't hash-fail — weakest),
+    # 4. the round-1-green remainder (standing rows, unchanged code).
+    head = [
+        "flagship_account_pnl",
+        "q1_pricing_summary",
+        "llm_corpus_prep",
+        "q17_small_qty_revenue",
+        "q20_part_supp_chain",
+    ]
     out = {k: merged[k] for k in head if k in merged}
+    out.update(
+        {
+            k: v
+            for k, v in merged.items()
+            if k not in _R01_DRIVER_GREEN and k in oracles
+        }
+    )
     out.update({k: v for k, v in merged.items() if k not in _R01_DRIVER_GREEN})
     out.update(merged)
     return out

@@ -35,6 +35,18 @@ from .textops import ws_tokens
 N_PERM = 12  # minhash permutations
 BAND_ROWS = 3  # rows per LSH band → 4 bands
 
+#: Mersenne prime modulus for the universal permutation hashes.
+MERSENNE_31 = 2_147_483_647
+
+#: Per-permutation multipliers/offsets (odd golden-ratio multiples,
+#: < 2^30): ``perm_p(h) = (A[p]*h + B[p]) % MERSENNE_31`` is the
+#: textbook pairwise-independent minhash family. NOT plain double
+#: hashing ``h1 + p*h2`` — that family's permutations share argmins
+#: (any common low-h shingle collides every band), which blew the
+#: LSH candidate set up ~50× on the sf0.1 fixture.
+PERM_A = [(2654435761 * (p + 1)) % 2**30 | 1 for p in range(N_PERM)]
+PERM_B = [(2246822519 * (p + 1)) % 2**30 for p in range(N_PERM)]
+
 
 def _norm_text(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
@@ -76,7 +88,14 @@ GROUP BY 1
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → (shingles, minhash signature array of N_PERM md5-mins).
+    """doc_id → (shingles, minhash signature array of N_PERM BIGINT mins).
+
+    ONE md5 per shingle, reduced to a 32-bit int h; the N_PERM
+    permutation hashes are the pairwise-independent universal family
+    ``(A[p]*h + B[p]) % MERSENNE_31`` — ~N_PERM× cheaper than hashing
+    each shingle N_PERM times, reproducible in any engine with hex +
+    BIGINT arithmetic (A[p] < 2^30, h < 2^32 → products < 2^62, far
+    from BIGINT overflow in either engine).
 
     Both arrays are materialized behind Generate nodes: explode of a
     1-element array makes each an *attribute*, so downstream
@@ -84,44 +103,56 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     re-inlining the whole tokenize+shingle tree per reference
     (measured 61s → ~2s on sf0.01).
 
-    The whole signature is ONE fold over the shingles: acc is the
-    running element-wise minimum of the per-shingle hash vector.
-    One pass instead of N_PERM, and — critically — a single string
-    HOF per operator: multiple parallel array_min(transform(...))
-    string folds in one projection return corrupted minima (UTF8
-    buffer reuse; caught by the sf0.1 oracle diff), while the
-    single combined aggregate is bit-exact. "g" > every md5 hex
-    digit, so it is the fold's +infinity.
+    The whole signature is ONE fold over the per-shingle hashes: acc
+    is the running element-wise minimum of the permutation-hash
+    vector. (A single combined fold also avoids a real PySpark 4.1.2
+    bug where multiple parallel *string* folds in one projection
+    corrupt minima — the fold here is numeric, but the shape is kept.)
     """
     sh_df = docs.select(
         "doc_id", F.explode(F.array(word_shingles(text_col))).alias("shingles")
     )
-    sig = F.aggregate(
+    hashes = F.transform(
         "shingles",
-        F.array_repeat(F.lit("g"), N_PERM),
-        lambda acc, s: F.zip_with(
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    hs_df = sh_df.select(
+        "doc_id", "shingles", F.explode(F.array(hashes)).alias("hs")
+    )
+    sig = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(2**62).cast("long"), N_PERM),
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.md5(F.concat(F.lit(f"{p}|"), s)) for p in range(N_PERM)]),
+            F.array(
+                *[
+                    (F.lit(PERM_A[p]) * h + F.lit(PERM_B[p])) % F.lit(MERSENNE_31)
+                    for p in range(N_PERM)
+                ]
+            ),
             lambda a, b: F.least(a, b),
         ),
     )
-    return sh_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
+    return hs_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup candidates + exact Jaccard verification.
+def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
+    ``text``) with exact shingle Jaccard: ``(doc_a, doc_b, jaccard)``,
+    jaccard an unrounded double.
 
     Bands of BAND_ROWS minhashes are hashed to a band signature;
     pairs sharing any (band_idx, band_sig) bucket are candidates;
     each candidate pair is verified with exact shingle Jaccard.
+    Shuffle cost is O(docs × bands) on the band-bucket equi-join —
+    never the all-pairs product.
 
     Documents with fewer than 3 tokens cannot form a 3-word shingle
     and are excluded up front (otherwise partial shingles pair every
     short doc with every other — and NULL-handling of the partial
     concat differs between engines).
     """
-    d = fan_out(table(tune(spark), sf_dir, "documents"))
-    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
+    d = docs.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
     sig_df = minhash_signatures(d)
 
     bands = sig_df.select(
@@ -170,9 +201,45 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a",
         "doc_b",
-        F.round(inter / union, 6).alias("jaccard"),
+        (inter / union).alias("jaccard"),
     )
 
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs over the documents fixture (see
+    ``lsh_jaccard_pairs`` for the plan shape)."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    return lsh_jaccard_pairs(d).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _hex8_sql(var: str, offset: int) -> str:
+    """SQL for big-endian base-16 int of 8 hex chars of ``var`` from
+    1-based ``offset`` — DuckDB's portable equivalent of Spark's
+    ``conv(substring(m, offset, 8), 16, 10)``."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({var}, {offset + k}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+
+
+#: the signature-array SQL (shared by MINHASH_ORACLE and the corpus
+#: composite's oracle): one md5 per shingle, N_PERM universal-hash mins.
+_A_SQL = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+_B_SQL = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+SIG_LIST_SQL = (
+    f"[list_min(list_transform(ms, m -> "
+    f"(({_A_SQL})[CAST(p AS INT) + 1] * ({_hex8_sql('m', 1)})"
+    f" + ({_B_SQL})[CAST(p AS INT) + 1]) % {MERSENNE_31}))"
+    f" FOR p IN range(0, {N_PERM})]"
+)
+
+#: band-signature SQL over a BIGINT ``sig`` array (b = band index var)
+BAND_SIG_SQL = " || '|' || ".join(
+    f"CAST(sig[CAST(b AS INT) * {BAND_ROWS} + {r + 1}] AS VARCHAR)"
+    for r in range(BAND_ROWS)
+)
 
 MINHASH_ORACLE = rf"""
 WITH norm AS (
@@ -189,16 +256,15 @@ sh AS (
            AS shingles
   FROM norm
   WHERE len(toks) >= 3),
-sigs AS (
-  SELECT doc_id, shingles,
-         [list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
-          FOR p IN range(0, {N_PERM})] AS sig
+hs AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS ms
   FROM sh),
+sigs AS (
+  SELECT doc_id, shingles, {SIG_LIST_SQL} AS sig
+  FROM hs),
 bands AS (
   SELECT doc_id, shingles, CAST(b AS INT) AS band_idx,
-         md5(sig[CAST(b AS INT) * {BAND_ROWS} + 1] || '|' ||
-             sig[CAST(b AS INT) * {BAND_ROWS} + 2] || '|' ||
-             sig[CAST(b AS INT) * {BAND_ROWS} + 3]) AS band_sig
+         md5({BAND_SIG_SQL}) AS band_sig
   FROM sigs, range(0, {N_PERM // BAND_ROWS}) t(b)),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,24 +1,30 @@
 """End-to-end LLM corpus preparation pipeline (the §2.13 composite).
 
 The individual operators — quality scoring, language-ID, content-hash
-dedup, fingerprint near-dup — are each oracle-checked in isolation
-(`operators/textops.py`, `operators/dedup.py`); a real training-data
+dedup, MinHash-LSH near-dup, connected components — are each
+oracle-checked in isolation (`operators/textops.py`,
+`operators/dedup.py`, `operators/graph.py`); a real training-data
 pipeline runs them as one chained plan:
 
     documents → quality gate (Gopher-ish score ≥ 0.7)
               → language gate (marker-ID ≠ unk)
               → exact dedup   (keep min doc_id per content md5)
-              → near-dup trim (keep min doc_id per winnowing min-hash)
+              → near-dup trim (banded MinHash pair graph, exact
+                Jaccard ≥ 0.5, connected components → keep the min
+                doc_id of each duplicate CLUSTER)
               → per-language corpus stats
 
-Chaining matters at 100 TB: every stage here is a narrow projection
-or a window over a hash-partitioned key, so Catalyst fuses the three
-filters into the scan (one pass over the text) and the two dedup
-windows share a shuffle only when their keys collide — the whole prep
-is two shuffles + the final aggregate, regardless of input size. The
-composite is oracle-checked end-to-end, which also pins the *order*
-of stages (dedup keepers are chosen among quality+lang survivors, not
-the raw corpus).
+The near-dup stage is the real pipeline shape: pair generation is the
+banded LSH equi-join (O(docs × bands) shuffle, never all-pairs), and
+transitive closure over the pair graph merges A~B~C chains that a
+single global fingerprint (the previous winnowing min-hash trim)
+under-merges — while never collapsing docs that merely share one
+boilerplate 8-gram.
+
+Chaining matters at 100 TB: the three filters fuse into the scan, the
+exact-dedup window and the LSH band join are both hash-partitioned
+shuffles on content keys, and the component loop is a handful of
+supersteps over the (tiny) pair graph, not the corpus.
 """
 
 from __future__ import annotations
@@ -27,22 +33,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.dedup import BAND_SIG_SQL, SIG_LIST_SQL
 from ..session import tune
+
+#: exact-Jaccard threshold for a candidate pair to count as near-dup
+NEAR_DUP_JACCARD = 0.5
 
 
 def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textops import doc_fingerprint, lang_id, quality_score
+    from ..io import table
+    from ..operators.dedup import lsh_jaccard_pairs
+    from ..operators.graph import connected_components
+    from ..operators.textops import lang_id, quality_score
 
     tune(spark)
     q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality_score", "keep")
     lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    fp = doc_fingerprint(spark, sf_dir)
+    from ..io import fan_out
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.md5(norm).alias("content_md5")
+    )
 
     survivors = (
         q.filter(F.col("keep") == 1)
         .join(lang, "doc_id")
         .filter(F.col("pred_lang") != "unk")
-        .join(fp, "doc_id")
+        .join(docs, "doc_id")
     )
     exact_kept = (
         survivors.withColumn(
@@ -50,14 +68,31 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") == F.col("__m"))
         .drop("__m")
+        # exact_kept feeds BOTH the pair graph and the final keep-set
+        # anti join; checkpoint so the quality/lang/md5 lineage runs
+        # once instead of twice (it is tiny: post-gate survivors only)
+        .localCheckpoint()
     )
-    near_kept = (
-        exact_kept.withColumn(
-            "__m", F.min("doc_id").over(Window.partitionBy("winnow_min_hash"))
-        )
-        .filter(F.col("doc_id") == F.col("__m"))
-        .drop("__m")
+
+    # Near-dup trim over the exact-dedup survivors: banded-LSH pair
+    # graph (verified Jaccard >= 0.5) → connected components → keep
+    # the cluster-minimum doc. Docs outside the pair graph keep
+    # themselves. The component label IS the min reachable doc_id, so
+    # "keeper" = (id == component).
+    # fan_out: the signature fold is interpreted-HOF CPU work; a
+    # single-split fixture scan would serialize it on one core.
+    pairs = (
+        lsh_jaccard_pairs(fan_out(exact_kept.select("doc_id", "text")))
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select("doc_a", "doc_b")
     )
+    losers = (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+
     return near_kept.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens_total"),
@@ -65,8 +100,8 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LLM_CORPUS_ORACLE = r"""
-WITH toks AS (
+LLM_CORPUS_ORACLE = rf"""
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS ws,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS lt,
@@ -75,7 +110,7 @@ WITH toks AS (
          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
   FROM documents),
 scored AS (
-  SELECT doc_id,
+  SELECT doc_id, norm,
          CAST(len(ws) AS INT) AS n_tokens,
          CAST(CASE WHEN len(ws) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
           + CASE WHEN len(list_intersect(ws, ['the','and','of','to','a'])) > 0 THEN 0.3 ELSE 0.0 END
@@ -84,9 +119,7 @@ scored AS (
          CAST(len(list_intersect(lt, ['der','die','und','das','ist'])) AS INT) AS hits_de,
          CAST(len(list_intersect(lt, ['le','la','et','les','des'])) AS INT) AS hits_fr,
          CAST(len(list_intersect(lt, ['el','la','que','de','los'])) AS INT) AS hits_es,
-         md5(norm) AS content_md5,
-         list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
-                                 i -> md5(substr(norm, CAST(i AS INT), 8)))) AS winnow_min_hash
+         md5(norm) AS content_md5
   FROM toks),
 survivors AS (
   SELECT *,
@@ -103,10 +136,55 @@ exact_kept AS (
   SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY content_md5) AS m
                  FROM lang_ok)
   WHERE doc_id = m),
+mtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(norm, '\s+'), t -> t != '') AS mt
+  FROM exact_kept),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, greatest(len(mt) - 3, 0) + 1),
+             i -> mt[CAST(i AS INT) + 1] || ' ' || mt[CAST(i AS INT) + 2] || ' ' || mt[CAST(i AS INT) + 3]))
+           AS shingles
+  FROM mtoks
+  WHERE len(mt) >= 3),
+hs AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS ms
+  FROM sh),
+sigs AS (
+  SELECT doc_id, shingles, {SIG_LIST_SQL} AS sig
+  FROM hs),
+bands AS (
+  SELECT doc_id, shingles, CAST(b AS INT) AS band_idx,
+         md5({BAND_SIG_SQL}) AS band_sig
+  FROM sigs, range(0, 4) t(b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges),
+comp AS (
+  SELECT s AS doc_id, min(d) AS component FROM closure GROUP BY s),
 near_kept AS (
-  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY winnow_min_hash) AS m2
-                 FROM exact_kept)
-  WHERE doc_id = m2)
+  SELECT e.* FROM exact_kept e
+  LEFT JOIN comp c ON e.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.doc_id = c.component)
 SELECT pred_lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
