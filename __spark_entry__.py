@@ -40,7 +40,7 @@ from fxblue_etl_spark.operators import (
     windows,
 )
 from fxblue_etl_spark.plans import advanced, corpus, relational, tpch_extra, tpch_more
-from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed
+from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed, xlsx_registry
 from fxblue_etl_spark.streaming import pipelines
 
 
@@ -70,6 +70,7 @@ _MODULES = [
     pipelines,
     udfs,
     tpch_extra,
+    xlsx_registry,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_corpus_prep",
         "q17_small_qty_revenue",
         "q20_part_supp_chain",
+        "s4_xlsx_registry",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(
