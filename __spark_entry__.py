@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from fxblue_etl_spark.functions import udfs
 from fxblue_etl_spark.operators import (
     cleaning,
+    corpusops,
     dedup,
     graph,
     merge,
@@ -71,6 +72,7 @@ _MODULES = [
     udfs,
     tpch_extra,
     xlsx_registry,
+    corpusops,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):

@@ -1,0 +1,253 @@
+"""Corpus-management operators for training-data pipelines (§2.13+).
+
+The four ops every pretraining data pipeline runs between "cleaned
+documents" and "training shards":
+
+- ``corpus_split``: deterministic hash-bucketed train/val/test split —
+  membership is a pure function of the stable doc key, so re-runs,
+  backfills, and incremental appends land every doc in the same split
+  without coordination (no sampling state, no shuffle beyond the final
+  summary agg).
+- ``stratified_sample``: per-language hash-threshold sampling with
+  different rates per stratum (down-sample the head language, keep the
+  tail) — again stateless and re-run-stable, unlike ``df.sample``
+  whose output changes with partitioning.
+- ``sequence_pack``: contiguous token-budget packing — assign docs to
+  ~``PACK_BUDGET``-token bins per language in stable doc order via an
+  exclusive running sum. One window shuffle per language partition; at
+  scale this is the pass that turns a corpus into equally-sized
+  training shards.
+- ``df_prune``: corpus-level document-frequency pruning (the
+  vocabulary form of C4-ish boilerplate removal): tokens present in
+  more than half of all documents are dropped from every document,
+  preserving order and multiplicity. The vocabulary aggregate is tiny
+  → broadcast back; per-doc rewrite stays in whole-stage codegen
+  (array filter, no Python, no second shuffle). The reconstructed
+  text is certified by md5 so the oracle checks content, not counts.
+
+All hash bucketing uses md5 prefixes (cross-engine reproducible);
+quotients are never rounded (see README rounding rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import fan_out, table
+from ..session import tune
+from .dedup import _hex8_sql
+from .textops import ws_tokens
+
+#: split fractions in percent: <TRAIN_PCT train, <VAL_PCT val, else test
+TRAIN_PCT = 80
+VAL_PCT = 90
+
+#: per-mille sampling rates per language (head lang down-sampled)
+SAMPLE_RATES = {"en": 100, "de": 300, "fr": 300, "es": 300, "zh": 300}
+DEFAULT_RATE = 200
+
+#: token budget per packed bin
+PACK_BUDGET = 2048
+
+
+def _hash_bucket(key, salt: str, mod: int):
+    """First 8 md5 hex chars of ``salt || key`` as int, mod ``mod`` —
+    the engine-portable uniform bucket hash."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def _hash_bucket_sql(key_sql: str, salt: str, mod: int) -> str:
+    md5_sql = f"md5('{salt}' || {key_sql})"
+    return f"({_hex8_sql(md5_sql, 1)}) % {mod}"
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split, summarized per (lang, split)."""
+    d = table(tune(spark), sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), "split|", 100)
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars", "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+CORPUS_SPLIT_ORACLE = f"""
+SELECT lang,
+       CASE WHEN {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "split|", 100)} < {TRAIN_PCT} THEN 'train'
+            WHEN {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "split|", 100)} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-threshold sample: doc kept iff its per-mille
+    bucket falls under the language's rate. Pure row-local predicate —
+    fuses into the scan, no shuffle at all."""
+    d = table(tune(spark), sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_RATES.items()],
+        F.lit(DEFAULT_RATE),
+    )
+    b = _hash_bucket(F.col("doc_id"), "sample|", 1000)
+    return d.filter(b < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "sample|", 1000)} < {_RATE_SQL}
+"""
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous packing: per language, docs in doc_id order fill
+    ~PACK_BUDGET-token bins (bin = exclusive running token sum ÷
+    budget). Emits per-bin shard stats. One hash shuffle on lang for
+    the window; the same pass at scale writes the shard files."""
+    d = table(tune(spark), sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("lang", "doc_id", F.size(ws_tokens("text")).alias("n_tokens"))
+    binned = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''))
+           AS n_tokens
+  FROM documents),
+binned AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks)
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned
+GROUP BY 1, 2
+"""
+
+
+def df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level DF pruning: drop every token that appears in more
+    than half of all documents; md5-certify each rewritten doc.
+
+    Plan shape: (1) one agg over distinct (doc, token) → per-token
+    document frequency; (2) the over-threshold vocabulary — a handful
+    of rows — is collapsed to ONE array row and broadcast; (3) each
+    doc filters its token array in codegen. The corpus is scanned
+    twice but never shuffled by token content; the only wide exchange
+    carries (token, df) pairs, bounded by vocabulary size not corpus
+    size.
+    """
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    total = d.select(F.count("*").alias("n_total"))
+    dfreq = (
+        d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    hi = (
+        dfreq.crossJoin(F.broadcast(total))
+        .filter(F.col("df") * 2 > F.col("n_total"))
+        .agg(F.coalesce(F.collect_list("tok"), F.array()).alias("hi_arr"))
+    )
+    cleaned = d.crossJoin(F.broadcast(hi)).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.filter(
+            "toks", lambda t: ~F.array_contains(F.col("hi_arr"), t)
+        ).alias("clean"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        F.size("clean").alias("n_kept"),
+        (F.col("n_tokens") - F.size("clean")).alias("n_dropped"),
+        F.md5(F.array_join("clean", " ")).alias("clean_md5"),
+    )
+
+
+DF_PRUNE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+dfreq AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, t.tok
+        FROM tk, unnest(list_distinct(toks)) t(tok))
+  GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM tk),
+hi AS (
+  SELECT coalesce(list(tok), []) AS hi_arr
+  FROM dfreq, tot WHERE df * 2 > n_total),
+cleaned AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_filter(toks, t -> NOT list_contains(hi_arr, t)) AS clean
+  FROM tk, hi)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(clean) AS INT) AS n_kept,
+       CAST(n_tokens - len(clean) AS INT) AS n_dropped,
+       md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+FROM cleaned
+"""
+
+
+QUERIES = {
+    "corpus_split": corpus_split,
+    "stratified_sample": stratified_sample,
+    "sequence_pack": sequence_pack,
+    "df_prune": df_prune,
+}
+
+ORACLES = {
+    "corpus_split": CORPUS_SPLIT_ORACLE,
+    "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+    "sequence_pack": SEQUENCE_PACK_ORACLE,
+    "df_prune": DF_PRUNE_ORACLE,
+}

@@ -1,0 +1,93 @@
+"""Corpus-management operators: split/sample/pack/prune semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.io import table
+from fxblue_etl_spark.operators.corpusops import (
+    PACK_BUDGET,
+    SAMPLE_RATES,
+    corpus_split,
+    df_prune,
+    sequence_pack,
+    stratified_sample,
+)
+
+
+def test_split_is_exhaustive_and_deterministic(spark, sf_dir):
+    out = corpus_split(spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).first()[0]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+    splits = {r["split"] for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
+    # deterministic: a re-run yields identical rows
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, corpus_split(spark, sf_dir).collect()))
+    assert a == b
+    # roughly 80/10/10 overall
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert by_split["train"] > by_split.get("val", 0)
+    assert by_split["train"] > by_split.get("test", 0)
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    samp = stratified_sample(spark, sf_dir)
+    tot = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in samp.groupBy("lang").count().collect()}
+    for lang, n in tot.items():
+        rate = SAMPLE_RATES[lang] / 1000
+        # loose binomial bound on the fixture sizes
+        assert got.get(lang, 0) <= n
+        assert abs(got.get(lang, 0) - rate * n) < 0.2 * n + 10
+    # membership is a pure function of doc_id: sample ⊆ corpus, stable
+    again = stratified_sample(spark, sf_dir)
+    assert sorted(r["doc_id"] for r in samp.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sequence_pack_bins_contiguous(spark, sf_dir):
+    out = sequence_pack(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["bin"])
+        # bins are dense from 0 and doc ranges don't overlap
+        assert rows[0]["bin"] == 0
+        assert [r["bin"] for r in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        # every bin but the last was closed because it crossed budget:
+        # bin_tokens >= budget - (docs can straddle the boundary) means
+        # cumulative start of next bin >= its index * budget
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["bin_tokens"]
+            assert cum >= (r["bin"] + 1) * PACK_BUDGET
+
+
+def test_df_prune_preserves_order_and_multiplicity(spark, sf_dir):
+    out = df_prune(spark, sf_dir)
+    rows = out.collect()
+    d = {r["doc_id"]: r for r in rows}
+    docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_tokens"]
+    # at least one doc keeps something or drops something (non-degenerate)
+    assert any(r["n_dropped"] > 0 for r in rows)
+    # recompute one doc by hand
+    doc = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == rows[0]["doc_id"])
+        .first()
+    )
+    toks = [t for t in doc["text"].strip().split() if t]
+    assert len(toks) == d[doc["doc_id"]]["n_tokens"]
