@@ -33,6 +33,7 @@ from fxblue_etl_spark.operators import (
     dedup,
     graph,
     merge,
+    ml,
     multimodal,
     similarity,
     skew,
@@ -40,7 +41,7 @@ from fxblue_etl_spark.operators import (
     textops,
     windows,
 )
-from fxblue_etl_spark.plans import advanced, corpus, relational, tpch_extra, tpch_more
+from fxblue_etl_spark.plans import advanced, corpus, relational, sinks, tpch_extra, tpch_more
 from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed, xlsx_registry
 from fxblue_etl_spark.streaming import pipelines
 
@@ -73,6 +74,8 @@ _MODULES = [
     tpch_extra,
     xlsx_registry,
     corpusops,
+    ml,
+    sinks,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):

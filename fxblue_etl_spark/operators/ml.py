@@ -1,0 +1,257 @@
+"""Embedding-space ML operators: k-means and quantization (§2.13+).
+
+The scale story for Lloyd's algorithm on Spark is the textbook one:
+centroids are K×dim doubles — broadcast them; assignment is a
+row-local argmin that fuses into the embedding scan; the update step
+is one groupBy(cluster) shuffle whose map-side partial aggregation
+reduces each partition to at most K partial sums before anything
+crosses the network. Nothing iterates over collect()ed data except
+the K-row centroid table itself, which is the broadcast value by
+construction. Per-round ``localCheckpoint`` truncates the lineage the
+same way ``operators/graph.connected_components`` does.
+
+Determinism: init centroids are the K lowest vec_ids; argmin
+tie-breaks on the lower centroid id (min over (dist, id) structs);
+oracle-facing centroid components are emitted as floor(1e6·x)
+integers per the repo's quotient-rounding rule (README).
+
+``embedding_quantize`` is symmetric per-vector int8 scalar
+quantization — the shard-prep step for ANN indexes; every arithmetic
+step is written identically in Spark and the oracle so the floor is
+taken of bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+#: number of clusters (init = the K lowest vec_ids)
+K = 8
+
+#: Lloyd iterations for the iterative demo
+N_ITER = 3
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² as a left-to-right fold (index order, so both
+    engines sum in the same sequence)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _init_centroids(emb: DataFrame) -> DataFrame:
+    """(cluster, centroid) = the K lowest vec_ids' embeddings, cast to
+    double once so later arithmetic is double everywhere."""
+    return emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """vec_id → nearest cluster. Broadcast the K centroids, explode the
+    K candidates per row, keep the (dist, cluster)-lexicographic min —
+    ties go to the lower cluster id."""
+    cand = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.struct(
+            _sq_dist(
+                F.transform("embedding", lambda x: x.cast("double")), F.col("centroid")
+            ).alias("dist"),
+            F.col("cluster"),
+        ).alias("dc"),
+    )
+    return (
+        cand.groupBy("vec_id")
+        .agg(
+            F.min("dc").getField("cluster").alias("cluster"),
+            F.first("label").alias("label"),
+        )
+    )
+
+
+def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One assignment pass against the deterministic init centroids,
+    summarized per cluster (exact-integer outputs → robust oracle)."""
+    emb = table(tune(spark), sf_dir, "embeddings")
+    a = _assign(emb, _init_centroids(emb))
+    return a.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("first_vec"),
+        F.max("vec_id").alias("last_vec"),
+        F.sum("label").cast("long").alias("label_sum"),
+    )
+
+
+_DIST_SQL = (
+    "list_reduce(list_transform(range(1, len(centroid) + 1), "
+    "i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - centroid[CAST(i AS INT)])"
+    " * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - centroid[CAST(i AS INT)])), "
+    "(a, b) -> a + b)"
+)
+
+_ASSIGN_SQL = f"""
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {K}),
+assigned AS (
+  SELECT vec_id, label,
+         min(ROW({_DIST_SQL}, cluster)) AS dc
+  FROM embeddings, cent
+  GROUP BY vec_id, label)
+"""
+
+KMEANS_ASSIGN_ORACLE = f"""
+WITH {_ASSIGN_SQL.strip()}
+SELECT dc[2] AS cluster, count(*) AS n_members,
+       min(vec_id) AS first_vec, max(vec_id) AS last_vec,
+       CAST(sum(label) AS BIGINT) AS label_sum
+FROM assigned
+GROUP BY 1
+"""
+
+
+def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd step: assignment + centroid recompute, emitted
+    per (cluster, dim) as floor(1e6·mean) (the quotient-rounding rule;
+    a mean is a sum/count quotient)."""
+    emb = table(tune(spark), sf_dir, "embeddings")
+    a = _assign(emb, _init_centroids(emb)).select("vec_id", "cluster")
+    j = a.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "cluster",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    return j.groupBy("cluster", "dim").agg(
+        F.count("*").alias("n_members"),
+        F.floor(F.avg("x") * 1e6).cast("long").alias("centroid_e6"),
+    )
+
+
+KMEANS_UPDATE_ORACLE = f"""
+WITH {_ASSIGN_SQL.strip()},
+member AS (
+  SELECT a.vec_id, dc[2] AS cluster, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)),
+comp AS (
+  -- parallel unnests zip in DuckDB: (dim, component) pairs
+  SELECT cluster,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+         CAST(unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS DOUBLE) AS x
+  FROM member)
+SELECT cluster, dim, count(*) AS n_members,
+       CAST(floor(avg(x) * 1e6) AS BIGINT) AS centroid_e6
+FROM comp
+GROUP BY 1, 2
+"""
+
+
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_ITER full Lloyd rounds (assignment ⇄ update), returning final
+    per-cluster sizes and inertia. Engine-iterative by construction —
+    checked rows-only by the driver; the per-step operators above are
+    the hash-certified parts, and tests assert inertia monotonicity."""
+    emb = table(tune(spark), sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    cent = _init_centroids(emb.select("vec_id", F.col("emb").alias("embedding")))
+    for _ in range(N_ITER):
+        cand = emb.join(F.broadcast(cent)).select(
+            "vec_id",
+            "emb",
+            F.struct(_sq_dist("emb", "centroid").alias("dist"), F.col("cluster")).alias(
+                "dc"
+            ),
+        )
+        a = cand.groupBy("vec_id").agg(
+            F.min("dc").getField("cluster").alias("cluster"),
+            F.first("emb").alias("emb"),
+        )
+        cent = (
+            a.select("cluster", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    final = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        F.struct(_sq_dist("emb", "centroid").alias("dist"), F.col("cluster")).alias(
+            "dc"
+        ),
+    )
+    a = final.groupBy("vec_id").agg(F.min("dc").alias("dc"))
+    return (
+        a.select("vec_id", F.col("dc.cluster").alias("cluster"), F.col("dc.dist").alias("d"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.floor(F.sum("d") * 1e3).cast("long").alias("inertia_e3"),
+        )
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i·127 / max|x|). Row-local, fuses into the scan."""
+    emb = table(tune(spark), sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, F.abs))
+    return emb.select(
+        "vec_id",
+        F.floor(mx * 1e9).cast("long").alias("max_abs_e9"),
+        F.when(
+            mx > 0,
+            F.transform(xd, lambda x: F.floor(x * 127.0 / mx).cast("int")),
+        )
+        .otherwise(F.transform(xd, lambda x: F.lit(0)))
+        .alias("q"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings),
+m AS (
+  SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x)
+SELECT vec_id,
+       CAST(floor(mx * 1e9) AS BIGINT) AS max_abs_e9,
+       CASE WHEN mx > 0
+            THEN list_transform(xd, v -> CAST(floor(v * 127.0 / mx) AS INT))
+            ELSE list_transform(xd, v -> 0) END AS q
+FROM m
+"""
+
+
+QUERIES = {
+    "kmeans_assign_stats": kmeans_assign_stats,
+    "kmeans_update_centroids": kmeans_update_centroids,
+    "kmeans_iterate": kmeans_iterate,
+    "embedding_quantize": embedding_quantize,
+}
+
+ORACLES = {
+    "kmeans_assign_stats": KMEANS_ASSIGN_ORACLE,
+    "kmeans_update_centroids": KMEANS_UPDATE_ORACLE,
+    # kmeans_iterate: engine-iterative, rows-only by design
+    "embedding_quantize": QUANTIZE_ORACLE,
+}

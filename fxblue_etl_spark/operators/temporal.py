@@ -362,12 +362,76 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: per user, a dense daily series
+    between that user's first and last event day; days with no events
+    carry the previous day's total forward (LOCF) and are flagged.
+
+    Plan shape: one agg to daily totals, a tiny per-user span agg,
+    ``sequence()`` + explode to the dense grid (bounded: span/day ≤
+    days-in-range per user), left join back on (user, day) — an
+    equi-join co-partitioned with the grid — then one LOCF window per
+    user. At scale everything shuffles once on user_id and the grid
+    explode is linear in output rows, never a cross join.
+    """
+    e = table(tune(spark), sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("day_value").isNull().cast("int"))
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "filled_value",
+        "is_gap",
+    )
+
+
+GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span),
+filled AS (
+  SELECT g.user_id, g.day, d.day_value,
+         last_value(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, filled_value,
+       CAST(day_value IS NULL AS INT) AS is_gap
+FROM filled
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
     "heavy_hitters_exact": heavy_hitters_exact,
     "countmin_heavy_hitters": countmin_heavy_hitters,
+    "gapfill_daily_locf": gapfill_daily_locf,
 }
 
 ORACLES = {
@@ -377,4 +441,5 @@ ORACLES = {
     "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,
     # countmin_heavy_hitters: intentionally no oracle (sketch estimates
     # are engine-specific; rows-only + invariant test below)
+    "gapfill_daily_locf": GAPFILL_ORACLE,
 }

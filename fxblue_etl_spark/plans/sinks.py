@@ -1,0 +1,72 @@
+"""Sink-side layout plans: partitioned write + pruned read-back.
+
+The reference's sink is a keyed Postgres table (`operators/merge.py`
+models the upsert semantics); at Spark scale the fact-table sink is a
+hive-partitioned parquet layout instead, chosen so the dominant query
+predicates prune whole directories. This plan certifies that path end
+to end through the driver's correctness gate: write `orders`
+partitioned by its low-cardinality priority column, read it back with
+a partition predicate, and aggregate — if the sink round-trip loses
+rows, types, or partition values, the hash diverges from the oracle
+computed straight off the source table.
+
+Layout rules encoded here (io.write_partitioned docstring): partition
+only by bounded-cardinality columns (priority: 5 values — never a
+key), so file counts stay sane at 100 TB and the scan's
+PartitionFilters line carries the predicate instead of row-level IO.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table, write_partitioned
+from ..session import tune
+
+#: the partition predicate certified by the round-trip
+KEPT_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → partitioned parquet sink → pruned scan → summary."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_by_priority")
+    write_partitioned(o, path, ["o_orderpriority"])
+
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin(*KEPT_PRIORITIES)
+    )
+    return back.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.min("o_orderdate").cast("string").alias("first_date"),
+        F.max("o_orderdate").cast("string").alias("last_date"),
+    )
+
+
+SINK_ROUNDTRIP_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price,
+       CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(max(o_orderdate) AS VARCHAR) AS last_date
+FROM orders
+WHERE o_orderpriority IN {KEPT_PRIORITIES!r}
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
+}
+
+ORACLES = {
+    "partitioned_sink_roundtrip": SINK_ROUNDTRIP_ORACLE,
+}

@@ -1,0 +1,99 @@
+"""k-means / quantization / gapfill / sink operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.io import table
+from fxblue_etl_spark.operators.ml import (
+    K,
+    _assign,
+    _init_centroids,
+    embedding_quantize,
+    kmeans_assign_stats,
+    kmeans_iterate,
+)
+from fxblue_etl_spark.operators.temporal import gapfill_daily_locf
+from fxblue_etl_spark.plans.sinks import KEPT_PRIORITIES, partitioned_sink_roundtrip
+
+
+def test_assign_covers_all_vectors(spark, sf_dir):
+    out = kmeans_assign_stats(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in out) == table(spark, sf_dir, "embeddings").count()
+    assert {r["cluster"] for r in out} <= set(range(K))
+    # each init centroid is its own nearest centroid (distance 0)
+    emb = table(spark, sf_dir, "embeddings")
+    a = _assign(emb, _init_centroids(emb))
+    for r in a.filter(F.col("vec_id") < K).collect():
+        assert r["cluster"] == r["vec_id"]
+
+
+def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
+    """Inertia after N_ITER Lloyd rounds <= inertia of the init
+    assignment (monotone non-increasing objective)."""
+    emb = table(spark, sf_dir, "embeddings")
+    init_assign = _assign(emb, _init_centroids(emb))
+    # inertia of init assignment
+    from fxblue_etl_spark.operators.ml import _sq_dist
+
+    cent = _init_centroids(emb)
+    cand = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        F.struct(
+            _sq_dist(
+                F.transform("embedding", lambda x: x.cast("double")), F.col("centroid")
+            ).alias("dist"),
+            F.col("cluster"),
+        ).alias("dc"),
+    )
+    init_inertia = (
+        cand.groupBy("vec_id").agg(F.min("dc").alias("dc")).agg(F.sum("dc.dist")).first()[0]
+    )
+    final = kmeans_iterate(spark, sf_dir).collect()
+    final_inertia = sum(r["inertia_e3"] for r in final) / 1e3
+    assert final_inertia <= init_inertia + 1e-6
+    assert sum(r["n_members"] for r in final) == emb.count()
+
+
+def test_quantize_bounds_and_argmax(spark, sf_dir):
+    out = embedding_quantize(spark, sf_dir).collect()
+    emb = {r["vec_id"]: r["embedding"] for r in table(spark, sf_dir, "embeddings").collect()}
+    for r in out[:50]:
+        assert all(-128 <= q <= 127 for q in r["q"])
+        mx = max(abs(x) for x in emb[r["vec_id"]])
+        assert abs(r["max_abs_e9"] / 1e9 - mx) < 1e-6
+        # the max-magnitude element hits ±127 or -128-ish floor edge
+        assert max(abs(q) for q in r["q"]) >= 126
+
+
+def test_gapfill_dense_and_locf(spark, sf_dir):
+    out = gapfill_daily_locf(spark, sf_dir)
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import datetime as dt
+
+    for user, rs in list(by_user.items())[:20]:
+        rs.sort(key=lambda r: r["day"])
+        days = [dt.date.fromisoformat(r["day"]) for r in rs]
+        # dense daily grid, no holes
+        assert (days[-1] - days[0]).days + 1 == len(days)
+        # first day is never a gap; gaps carry the previous value
+        assert rs[0]["is_gap"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            if cur["is_gap"]:
+                assert cur["filled_value"] == prev["filled_value"]
+
+
+def test_sink_roundtrip_prunes_partitions(spark, sf_dir):
+    df = partitioned_sink_roundtrip(spark, sf_dir)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the priority predicate must be a partition filter on the
+    # read-back scan, not a row-level Filter over all partitions
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "o_orderpriority" in seg[: seg.index("]") + 1]
+    pris = {r["o_orderpriority"] for r in df.collect()}
+    assert pris == set(KEPT_PRIORITIES)
