@@ -182,10 +182,11 @@ def df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (token, df) pairs, bounded by vocabulary size not corpus
     size.
     """
-    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
-    total = d.select(F.count("*").alias("n_total"))
+    base = table(tune(spark), sf_dir, "documents")
+    d = fan_out(base).select("doc_id", ws_tokens("text").alias("toks"))
+    # corpus size off the raw scan: a metadata-only count, not routed
+    # through the fan_out exchange or the tokenizer
+    total = base.select(F.count("*").alias("n_total"))
     dfreq = (
         d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
         .groupBy("tok")

@@ -256,7 +256,44 @@ GROUP BY 1, 2
 """
 
 
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (`DataFrame.unpivot`, SQL UNPIVOT/melt): the
+    four lineitem measures melted to (metric, val) rows, then one agg
+    per metric. Unpivot is a row-local Generate — no shuffle is added
+    beyond the final 4-group aggregation, and column pruning still
+    reaches the scan (only the four measure columns are read)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "metric", "val"
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 4).alias("total"),
+        F.round(F.min("val"), 4).alias("lo"),
+        F.round(F.max("val"), 4).alias("hi"),
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+SELECT metric, count(*) AS n, round(sum(val), 4) AS total,
+       round(min(val), 4) AS lo, round(max(val), 4) AS hi
+FROM long
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "q6_selective_agg": q6_selective_agg,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "exists_suppliers_shipping": exists_suppliers_shipping,
@@ -267,6 +304,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unpivot_lineitem_metrics": UNPIVOT_ORACLE,
     "q6_selective_agg": Q6_ORACLE,
     "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
     "exists_suppliers_shipping": EXISTS_ORACLE,

@@ -63,10 +63,73 @@ GROUP BY 1, 2
 """
 
 
+def _monthly_layout(spark: SparkSession, sf_dir: str) -> str:
+    """orders written hive-partitioned by order month (idempotent per
+    sf_dir; the layout a date-bounded fact sink would use at scale)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_by_month")
+    done = os.path.join(path, "_fxblue_done")
+    if not os.path.exists(done):
+        write_partitioned(o, path, ["order_month"])
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def dpp_monthly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the month-partitioned fact joined to
+    a small month dimension carrying a selective filter. Catalyst
+    plants the dim's month set as a runtime partition filter on the
+    fact scan (DPP), so only qualifying month directories are read —
+    the mechanism that makes date-dim joins cheap on a 100 TB
+    partitioned fact. `tests/test_ml.py` asserts the
+    dynamicpruning expression is present in the plan."""
+    tune(spark)
+    fact = spark.read.parquet(_monthly_layout(spark, sf_dir))
+    # month dim derived from the fact's own calendar: quarter rollup
+    months = (
+        table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .distinct()
+        .withColumn("quarter", F.concat(F.substring("order_month", 1, 4),
+                                        F.lit("-Q"),
+                                        F.ceil(F.substring("order_month", 6, 2).cast("int") / 3)))
+    )
+    dim = months.filter(F.col("quarter") == "1996-Q2")
+    joined = fact.join(F.broadcast(dim), "order_month")
+    return joined.groupBy("order_month", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+DPP_ORACLE = """
+WITH fact AS (
+  SELECT *, strftime(o_orderdate, '%Y-%m') AS order_month FROM orders),
+dim AS (
+  SELECT DISTINCT order_month,
+         substr(order_month, 1, 4) || '-Q' ||
+           CAST(CAST(ceil(CAST(substr(order_month, 6, 2) AS INT) / 3.0) AS INT) AS VARCHAR)
+           AS quarter
+  FROM fact)
+SELECT f.order_month, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM fact f JOIN dim d ON f.order_month = d.order_month
+WHERE d.quarter = '1996-Q2'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
+    "dpp_monthly_join": dpp_monthly_join,
 }
 
 ORACLES = {
     "partitioned_sink_roundtrip": SINK_ROUNDTRIP_ORACLE,
+    "dpp_monthly_join": DPP_ORACLE,
 }

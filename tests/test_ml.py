@@ -86,6 +86,18 @@ def test_gapfill_dense_and_locf(spark, sf_dir):
                 assert cur["filled_value"] == prev["filled_value"]
 
 
+def test_dpp_join_plants_runtime_partition_filter(spark, sf_dir):
+    from fxblue_etl_spark.plans.sinks import dpp_monthly_join
+
+    df = dpp_monthly_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # the month-partitioned fact scan must carry a PartitionFilter
+    scan = plan[plan.index("orders_by_month") - 600 : plan.index("orders_by_month") + 600]
+    assert "PartitionFilters: [(" in scan or "PartitionFilters: [dynamicpruning" in scan
+    assert df.count() > 0
+
+
 def test_sink_roundtrip_prunes_partitions(spark, sf_dir):
     df = partitioned_sink_roundtrip(spark, sf_dir)
     assert df.count() > 0

@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import zipfile
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from fxblue_etl_spark.sources.xlsx_registry import (
     _read_xlsx_stdlib,
     read_xlsx,
@@ -76,6 +79,45 @@ def test_cells_without_refs(tmp_path):
     h, rows = _read_xlsx_stdlib(p)
     assert h == ["h1", "h2"]
     assert rows == [[1, 2.5]]
+
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc")
+        ),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    header=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    body=st.lists(st.lists(_cell, min_size=5, max_size=5), max_size=8),
+)
+def test_roundtrip_property(tmp_path_factory, header, body):
+    """write_xlsx → read_xlsx is the identity on (header, rows) for
+    arbitrary unicode / numeric / NULL cells (rows truncated/padded to
+    header width, as a registry reader must)."""
+    p = str(tmp_path_factory.mktemp("xl") / "prop.xlsx")
+    rows = [r[: len(header)] for r in body]
+    write_xlsx(p, header, rows)
+    h, got = read_xlsx(p)
+    assert h == header
+    want = [r + [None] * (len(header) - len(r)) for r in rows]
+    assert got == want
 
 
 def test_registry_df_all_strings(spark, tmp_path):
