@@ -41,7 +41,15 @@ from fxblue_etl_spark.operators import (
     textops,
     windows,
 )
-from fxblue_etl_spark.plans import advanced, corpus, relational, sinks, tpch_extra, tpch_more
+from fxblue_etl_spark.plans import (
+    advanced,
+    bucketing,
+    corpus,
+    relational,
+    sinks,
+    tpch_extra,
+    tpch_more,
+)
 from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed, xlsx_registry
 from fxblue_etl_spark.streaming import pipelines
 
@@ -76,6 +84,7 @@ _MODULES = [
     corpusops,
     ml,
     sinks,
+    bucketing,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
