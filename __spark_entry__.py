@@ -35,6 +35,7 @@ from fxblue_etl_spark.operators import (
     merge,
     ml,
     multimodal,
+    quality,
     similarity,
     skew,
     temporal,
@@ -85,6 +86,7 @@ _MODULES = [
     ml,
     sinks,
     bucketing,
+    quality,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):

@@ -1,0 +1,207 @@
+"""Repetition-quality filtering and train/eval decontamination.
+
+Two pretraining-corpus gates the reference has no analogue for (its
+scope stops at trade-row ETL, `CSV PARSER/gcp_csv.py`) but that any
+100 TB text pipeline runs between ingest and sharding:
+
+- ``gopher_repetition``: per-document repetition metrics in the style
+  of the Gopher/MassiveText quality rules — top-token dominance and
+  duplicate-bigram fraction — plus the keep/drop verdict. Top-token
+  counts use the scale-linear explode → two-level groupBy shape
+  (partial aggs map-side; never O(len²) per doc the way a
+  nested-loop HOF would be on long documents). Bigram dedup stats are
+  row-local array expressions fused into the same scan.
+- ``contamination_check``: token-3-gram overlap between the training
+  split and a held-out eval split (the decontamination pass every
+  benchmark-respecting pipeline runs). Both sides explode *distinct*
+  grams per doc, the eval gram set is broadcast (real benchmark sets
+  are tiny next to the corpus), and the contaminated-doc set falls
+  out of one equi-join — O(corpus grams), never pairwise over docs.
+
+All ratios are emitted as integer-division ppm (``1e6*k DIV n``) —
+exact in both engines, immune to the round-half divergence documented
+in the README rounding rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import fan_out, table
+from ..session import tune
+from .textops import ws_tokens
+
+#: Gopher-style keep thresholds (ppm)
+TOP_TOK_MAX_PPM = 120_000
+DUP_BIGRAM_MAX_PPM = 500_000
+
+#: eval split: ~1% of docs by stable key
+EVAL_MOD = 97
+
+NGRAM_N = 3
+
+
+def _tok_ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as strings, [] for docs shorter than ``n`` —
+    row-local (sequence + element_at), no shuffle."""
+    joined = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), joined),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics + keep verdict."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", "lang", ws_tokens("text").alias("toks")
+    )
+    bigrams = _tok_ngrams(F.col("toks"), 2)
+    row_local = d.select(
+        "doc_id",
+        "lang",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    tok_stats = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_toks"))
+    )
+    m = row_local.join(tok_stats, "doc_id")
+    metrics = m.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.expr("1000000 * top_cnt DIV n_toks").alias("top_tok_ppm"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr(
+                "1000000 * (n_bigrams - n_distinct_bigrams) DIV n_bigrams"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_bigram_ppm"),
+    )
+    return metrics.withColumn(
+        "keep",
+        (F.col("top_tok_ppm") < TOP_TOK_MAX_PPM)
+        & (F.col("dup_bigram_ppm") < DUP_BIGRAM_MAX_PPM),
+    )
+
+
+GOPHER_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
+         CASE WHEN len(toks) >= 2
+              THEN len(list_distinct(list_transform(
+                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
+              ELSE 0 END AS n_distinct_bigrams
+  FROM tk),
+cnt AS (
+  SELECT doc_id, t.tok, count(*) AS c
+  FROM tk, unnest(toks) t(tok)
+  GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_toks FROM cnt GROUP BY 1),
+m AS (
+  SELECT b.doc_id, b.lang,
+         CAST(s.n_toks AS BIGINT) AS n_toks,
+         (1000000 * s.top_cnt) // s.n_toks AS top_tok_ppm,
+         CAST(CASE WHEN b.n_bigrams > 0
+              THEN (1000000 * (b.n_bigrams - b.n_distinct_bigrams)) // b.n_bigrams
+              ELSE 0 END AS BIGINT) AS dup_bigram_ppm
+  FROM bg b JOIN stats s USING (doc_id))
+SELECT doc_id, lang, n_toks, top_tok_ppm, dup_bigram_ppm,
+       (top_tok_ppm < {TOP_TOK_MAX_PPM} AND dup_bigram_ppm < {DUP_BIGRAM_MAX_PPM}) AS keep
+FROM m
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any token 3-gram with the eval split,
+    summarized per language with a floored-ppm contamination rate."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_tok_ngrams(ws_tokens("text"), NGRAM_N)).alias("grams"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = d.filter(~is_eval)
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select("doc_id", F.explode("grams").alias("gram"))
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("1000000 * n_contaminated DIV n_train"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= {NGRAM_N}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {NGRAM_N - 2}),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+              ELSE [] END AS gs
+  FROM tk),
+eval_grams AS (
+  SELECT DISTINCT g.gram FROM grams, unnest(gs) g(gram)
+  WHERE doc_id % {EVAL_MOD} = 0),
+train AS (SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM train t, unnest(t.gs) g(gram)
+  JOIN eval_grams e ON g.gram = e.gram)
+SELECT t.lang,
+       count(*) AS n_train,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       (1000000 * count(c.doc_id)) // count(*) AS contamination_ppm
+FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "gopher_repetition": gopher_repetition,
+    "contamination_check": contamination_check,
+}
+
+ORACLES = {
+    "gopher_repetition": GOPHER_ORACLE,
+    "contamination_check": CONTAMINATION_ORACLE,
+}
