@@ -51,7 +51,13 @@ from fxblue_etl_spark.plans import (
     tpch_extra,
     tpch_more,
 )
-from fxblue_etl_spark.sources import fxblue_csv, rss_datasource, rss_feed, xlsx_registry
+from fxblue_etl_spark.sources import (
+    fxblue_csv,
+    jsonl,
+    rss_datasource,
+    rss_feed,
+    xlsx_registry,
+)
 from fxblue_etl_spark.streaming import pipelines
 
 
@@ -87,6 +93,7 @@ _MODULES = [
     sinks,
     bucketing,
     quality,
+    jsonl,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):

@@ -124,12 +124,50 @@ GROUP BY 1, 2
 """
 
 
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC sink → scan → pricing rollup. Certifies the
+    second columnar format end to end (type fidelity through ORC's
+    writer/reader, predicate pushdown works the same as parquet);
+    oracle computed straight off the source table, so any loss in the
+    round trip diverges the hash."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "lineitem_orc")
+    done = os.path.join(path, "_fxblue_done")
+    if not os.path.exists(done):
+        li.write.mode("overwrite").orc(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.orc(path).filter(F.col("l_quantity") > 10)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
+    "orc_sink_roundtrip": orc_sink_roundtrip,
 }
 
 ORACLES = {
     "partitioned_sink_roundtrip": SINK_ROUNDTRIP_ORACLE,
     "dpp_monthly_join": DPP_ORACLE,
+    "orc_sink_roundtrip": ORC_ROUNDTRIP_ORACLE,
 }
