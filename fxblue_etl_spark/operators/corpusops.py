@@ -239,11 +239,72 @@ FROM cleaned
 """
 
 
+#: temperature-sampling constant: keep probability ∝ K/sqrt(n_lang)
+TEMP_K = 10
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the n^alpha rule,
+    alpha=0.5): per-language keep probability ∝ 1/sqrt(n_lang), capped
+    at 1 — head languages are down-sampled toward the tail without a
+    hand-tuned rate table (contrast ``stratified_sample``).
+
+    Plan: one tiny per-lang count agg → broadcast back onto the scan →
+    row-local hash-threshold keep (re-run-stable, like the other
+    bucketed samplers). The ppm threshold is floor(1e6*K/sqrt(n)):
+    sqrt and division are correctly-rounded IEEE ops in both engines,
+    so the floor is cross-engine exact — no round-half hazard."""
+    d = table(tune(spark), sf_dir, "documents").select("doc_id", "lang")
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_in"))
+        .withColumn(
+            "p_ppm",
+            F.least(
+                F.lit(1_000_000),
+                F.floor(F.lit(1_000_000.0 * TEMP_K) / F.sqrt(F.col("n_in"))),
+            ).cast("long"),
+        )
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        _hash_bucket(F.col("doc_id"), "temp|", 1_000_000) < F.col("p_ppm")
+    )
+    sampled = kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc")
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_in",
+        "p_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        "first_doc",
+    )
+
+
+TEMPERATURE_ORACLE = f"""
+WITH rates AS (
+  SELECT lang, count(*) AS n_in,
+         CAST(least(1000000, floor({1_000_000.0 * TEMP_K} / sqrt(count(*)))) AS BIGINT) AS p_ppm
+  FROM documents GROUP BY 1),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN rates r USING (lang)
+  WHERE ({_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "temp|", 1_000_000)}) < r.p_ppm),
+s AS (
+  SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+  FROM kept GROUP BY 1)
+SELECT r.lang, r.n_in, r.p_ppm,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled, s.first_doc
+FROM rates r LEFT JOIN s USING (lang)
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
     "sequence_pack": sequence_pack,
     "df_prune": df_prune,
+    "temperature_resample": temperature_resample,
 }
 
 ORACLES = {
@@ -251,4 +312,5 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "sequence_pack": SEQUENCE_PACK_ORACLE,
     "df_prune": DF_PRUNE_ORACLE,
+    "temperature_resample": TEMPERATURE_ORACLE,
 }

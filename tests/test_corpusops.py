@@ -91,3 +91,18 @@ def test_df_prune_preserves_order_and_multiplicity(spark, sf_dir):
     )
     toks = [t for t in doc["text"].strip().split() if t]
     assert len(toks) == d[doc["doc_id"]]["n_tokens"]
+
+
+def test_temperature_resample_downsamples_head(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import temperature_resample
+
+    rows = {r["lang"]: r for r in temperature_resample(spark, sf_dir).collect()}
+    head = max(rows.values(), key=lambda r: r["n_in"])
+    tail = min(rows.values(), key=lambda r: r["n_in"])
+    # head language gets a strictly lower keep rate than the tail
+    assert head["p_ppm"] < tail["p_ppm"]
+    for r in rows.values():
+        assert 0 < r["p_ppm"] <= 1_000_000
+        assert r["n_sampled"] <= r["n_in"]
+    # sampling actually removed something from the head language
+    assert head["n_sampled"] < head["n_in"]
