@@ -47,6 +47,7 @@ from fxblue_etl_spark.plans import (
     bucketing,
     corpus,
     relational,
+    runtime_filters,
     sinks,
     tpch_extra,
     tpch_more,
@@ -94,6 +95,7 @@ _MODULES = [
     bucketing,
     quality,
     jsonl,
+    runtime_filters,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
