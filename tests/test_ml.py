@@ -109,3 +109,28 @@ def test_sink_roundtrip_prunes_partitions(spark, sf_dir):
     assert "o_orderpriority" in seg[: seg.index("]") + 1]
     pris = {r["o_orderpriority"] for r in df.collect()}
     assert pris == set(KEPT_PRIORITIES)
+
+
+def test_compaction_is_range_clustered(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from fxblue_etl_spark.plans.sinks import compact_small_files
+
+    row = compact_small_files(spark, sf_dir).collect()[0]
+    assert row["n_files_compact"] < row["n_files_frag"]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_compact")
+    spans = []
+    for n in sorted(os.listdir(path)):
+        if n.startswith("part-") and n.endswith(".parquet"):
+            part = spark.read.parquet(os.path.join(path, n))
+            lo, hi = part.agg({"o_orderdate": "min"}).first()[0], part.agg(
+                {"o_orderdate": "max"}
+            ).first()[0]
+            spans.append((lo, hi))
+    # range clustering: per-file date spans must not interleave
+    spans.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= nxt_lo
