@@ -436,8 +436,75 @@ def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: edit-distance blocking: length-band width and closeness ratio
+LEV_BAND = 32
+LEV_RATIO = 5  # close iff dist * LEV_RATIO <= min(len_a, len_b)
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs, blocked on (lang, length band).
+
+    The fifth dedup family: character-level edit distance, the metric
+    of record for short-document / OCR-noise dedup where token
+    shingles are too coarse. Candidates come from an equi-join on
+    (lang, n_chars DIV LEV_BAND) — same blocked shape as the other
+    families, never a cross product — then each candidate pays one
+    O(len²) levenshtein verification, bounded by the band width.
+    Pairs straddling a band boundary are missed by construction (run
+    with bands b and b+1 joined for full recall); the oracle encodes
+    the same blocking so the contract is exact.
+
+    Both engines implement classic unit-cost Levenshtein over
+    codepoints, so the distance is cross-engine exact — no float, no
+    rounding surface at all."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", "lang", "text", "n_chars", F.expr(f"n_chars DIV {LEV_BAND}").alias("lb")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    min_chars = F.least(F.col("a.n_chars"), F.col("b.n_chars"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # triangle-inequality prefilter: dist >= |len_a - len_b|,
+            # so this prunes candidates BEFORE paying the O(len²)
+            # levenshtein and provably never changes the result (the
+            # oracle needs no mirror — it is implied by the final
+            # threshold)
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * LEV_RATIO
+                <= F.least(F.col("a.n_chars"), F.col("b.n_chars"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            dist.cast("long").alias("edit_dist"),
+            min_chars.cast("long").alias("min_chars"),
+        )
+        .filter(F.col("edit_dist") * LEV_RATIO <= F.col("min_chars"))
+    )
+
+
+EDIT_DISTANCE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, n_chars, n_chars // {LEV_BAND} AS lb
+  FROM documents)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(least(a.n_chars, b.n_chars) AS BIGINT) AS min_chars
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * {LEV_RATIO} <= least(a.n_chars, b.n_chars)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "edit_distance_pairs": edit_distance_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_docs": simhash_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -446,6 +513,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
     "minhash_lsh_pairs": MINHASH_ORACLE,
     "simhash_docs": SIMHASH_ORACLE,
     "ngram_jaccard_pairs": NGRAM_ORACLE,
