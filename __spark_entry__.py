@@ -51,6 +51,7 @@ from fxblue_etl_spark.plans import (
     sinks,
     tpch_extra,
     tpch_more,
+    zorder,
 )
 from fxblue_etl_spark.sources import (
     fxblue_csv,
@@ -96,6 +97,7 @@ _MODULES = [
     quality,
     jsonl,
     runtime_filters,
+    zorder,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):

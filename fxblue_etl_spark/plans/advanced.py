@@ -292,8 +292,56 @@ GROUP BY 1
 """
 
 
+def winsorized_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust aggregation: winsorize o_totalprice to its
+    per-group [P1, P99] before summing. Two passes — the per-group
+    percentile aggregate is 5 rows, broadcast back onto the fact scan;
+    the clip is a row-local least/greatest. `percentile_disc` (an
+    actual order statistic, not interpolated `percentile_cont`) is
+    chosen deliberately: both engines return an exact data value, so
+    there is no interpolation-formula float divergence."""
+    o = _t(spark, sf_dir, "orders")
+    pct = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p01"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p99"),
+    )
+    j = o.join(F.broadcast(pct), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") < F.col("p01"), 1)).alias("n_clip_low"),
+        F.count(F.when(F.col("o_totalprice") > F.col("p99"), 1)).alias("n_clip_high"),
+        F.min("p01").alias("p01"),
+        F.min("p99").alias("p99"),
+        F.round(F.sum(clipped), 4).alias("winsorized_sum"),
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.01) AS p01,
+         quantile_disc(o_totalprice, 0.99) AS p99
+  FROM orders GROUP BY 1)
+SELECT o.o_orderpriority,
+       count(*) AS n,
+       count(*) FILTER (o_totalprice < p01) AS n_clip_low,
+       count(*) FILTER (o_totalprice > p99) AS n_clip_high,
+       min(p01) AS p01,
+       min(p99) AS p99,
+       round(sum(least(greatest(o_totalprice, p01), p99)), 4) AS winsorized_sum
+FROM orders o JOIN pct USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "winsorized_totalprice": winsorized_totalprice,
     "q6_selective_agg": q6_selective_agg,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "exists_suppliers_shipping": exists_suppliers_shipping,
@@ -305,6 +353,7 @@ QUERIES = {
 
 ORACLES = {
     "unpivot_lineitem_metrics": UNPIVOT_ORACLE,
+    "winsorized_totalprice": WINSORIZED_ORACLE,
     "q6_selective_agg": Q6_ORACLE,
     "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
     "exists_suppliers_shipping": EXISTS_ORACLE,
