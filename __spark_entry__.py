@@ -46,6 +46,7 @@ from fxblue_etl_spark.plans import (
     advanced,
     bucketing,
     corpus,
+    dq,
     relational,
     runtime_filters,
     sinks,
@@ -98,6 +99,7 @@ _MODULES = [
     jsonl,
     runtime_filters,
     zorder,
+    dq,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -140,6 +142,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue",
         "q20_part_supp_chain",
         "s4_xlsx_registry",
+        # new this round — no driver row exists yet, certify first
+        "gopher_repetition",
+        "contamination_check",
+        "temperature_resample",
+        "edit_distance_pairs",
+        "winsorized_totalprice",
+        "bucketed_colocated_join",
+        "bloom_filter_join",
+        "dpp_monthly_join",
+        "zorder_clustering_stats",
+        "compact_small_files",
+        "jsonl_tolerant_roundtrip",
+        "orc_sink_roundtrip",
+        "unpivot_lineitem_metrics",
+        "mad_outliers",
+        "dq_audit",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

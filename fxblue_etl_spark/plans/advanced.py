@@ -339,9 +339,68 @@ GROUP BY 1
 """
 
 
+#: MAD outlier threshold multiplier
+MAD_K = 10
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per group — the
+    robust-statistics sibling of ``winsorized_totalprice``. Two
+    aggregate passes (median, then median of |x - median|), each a
+    tiny per-group frame broadcast back onto the fact scan. Both
+    statistics are `percentile_disc` order statistics (actual data
+    values), and the deviation is |a - b| of exact doubles, so the
+    whole contract is float-divergence-free except the final
+    deterministic comparison."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority")
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.count(
+            F.when(F.col("adev") > MAD_K * F.col("mad"), 1)
+        ).alias("n_outliers"),
+    )
+
+
+MAD_ORACLE = f"""
+WITH med AS (
+  SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1),
+dev AS (
+  SELECT o.o_orderpriority, abs(o_totalprice - med) AS adev
+  FROM orders o JOIN med USING (o_orderpriority)),
+mad AS (
+  SELECT o_orderpriority, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY 1)
+SELECT d.o_orderpriority,
+       count(*) AS n,
+       min(m.med) AS med,
+       min(a.mad) AS mad,
+       count(*) FILTER (d.adev > {MAD_K} * a.mad) AS n_outliers
+FROM dev d
+JOIN med m USING (o_orderpriority)
+JOIN mad a USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
+    "mad_outliers": mad_outliers,
     "q6_selective_agg": q6_selective_agg,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "exists_suppliers_shipping": exists_suppliers_shipping,
@@ -354,6 +413,7 @@ QUERIES = {
 ORACLES = {
     "unpivot_lineitem_metrics": UNPIVOT_ORACLE,
     "winsorized_totalprice": WINSORIZED_ORACLE,
+    "mad_outliers": MAD_ORACLE,
     "q6_selective_agg": Q6_ORACLE,
     "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
     "exists_suppliers_shipping": EXISTS_ORACLE,
