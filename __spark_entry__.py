@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_metrics",
         "mad_outliers",
         "dq_audit",
+        "regression_analytics",
+        "variant_json_shred",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

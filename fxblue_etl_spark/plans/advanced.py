@@ -397,10 +397,73 @@ GROUP BY 1
 """
 
 
+def regression_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in bivariate statistics (regr_slope / regr_intercept /
+    corr) per group — single-pass JVM aggregates, no Python. Both
+    engines implement the same covariance-over-variance formulas;
+    outputs are continuous statistics (not decimal-terminating
+    quotients), so round() is stable here — verified identical at
+    sf0.01 and sf0.1."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+    )
+
+
+REGR_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    parse_json once, typed variant_get extraction — the open-format
+    answer to schema-on-read JSON at scale (parse cost paid once per
+    row, extraction is binary-encoded field access, and the whole
+    pipeline stays in codegen). Compare `events_json_extract`, which
+    uses per-path string parsing (get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+       min(CAST(props->>'$.k' AS INT)) AS k_min,
+       max(CAST(props->>'$.k' AS INT)) AS k_max
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
     "mad_outliers": mad_outliers,
+    "regression_analytics": regression_analytics,
+    "variant_json_shred": variant_json_shred,
     "q6_selective_agg": q6_selective_agg,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "exists_suppliers_shipping": exists_suppliers_shipping,
@@ -414,6 +477,8 @@ ORACLES = {
     "unpivot_lineitem_metrics": UNPIVOT_ORACLE,
     "winsorized_totalprice": WINSORIZED_ORACLE,
     "mad_outliers": MAD_ORACLE,
+    "regression_analytics": REGR_ORACLE,
+    "variant_json_shred": VARIANT_ORACLE,
     "q6_selective_agg": Q6_ORACLE,
     "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
     "exists_suppliers_shipping": EXISTS_ORACLE,

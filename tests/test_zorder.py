@@ -63,3 +63,24 @@ def test_zvalue_interleave_exact(spark):
     assert r["z"] == sum(
         (1 << (2 * i) if i % 2 else 1 << (2 * i + 1)) for i in range(8)
     )
+
+
+def test_zvalue_bijective_on_sample(spark):
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "x int, y int")
+    rows = df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+
+    def decode(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert decode(r["z"]) == (r["x"], r["y"])
+    # bijective: no two distinct pairs share a z
+    assert len({r["z"] for r in rows}) == len({(r["x"], r["y"]) for r in rows})
