@@ -59,38 +59,54 @@ def flagship_account_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
     ).select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
 
-    facts = lineitem.join(
+    facts = lineitem.select("l_orderkey", "l_extendedprice", "l_discount").join(
         orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
         lineitem.l_orderkey == orders.o_orderkey,
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        facts.join(accounts, facts.o_custkey == accounts.c_custkey)
-        .groupBy("c_custkey", "c_name", "n_name", "r_name")
-        .agg(
-            F.count("*").alias("n_trades"),
-            F.round(F.sum(net), 4).alias("gross_pnl"),
-            # floored 1e4-scaled avg, not round(avg, 4): avg is a
-            # sum/count quotient that can land on a decimal
-            # half-boundary (seen at sf0.01: 2/1500 rows, e.g.
-            # 49898.93575) where Spark's HALF_UP and DuckDB's
-            # binary-double rounding legitimately disagree; floor of
-            # the bit-identical quotient is engine-stable.
-            F.floor(F.avg(net) * 1e4).alias("avg_trade_pnl_e4"),
-            # floored ppm, not round(avg, 4): the win-rate is a k/n
-            # rational that can terminate on a decimal half-boundary
-            # (k/160 = .00625...) where Spark HALF_UP and DuckDB
-            # binary-double rounding disagree; floor of the
-            # bit-identical quotient is engine-stable.
-            F.floor(
-                F.avg((F.col("o_orderstatus") == "F").cast("double")) * 1e6
-            ).alias("fill_rate_ppm"),
-            F.round(F.max("l_extendedprice"), 4).alias("max_trade"),
-        )
-        .withColumnRenamed("c_custkey", "account_id")
-        .withColumnRenamed("c_name", "account_name")
-        .withColumnRenamed("n_name", "nation")
-        .withColumnRenamed("r_name", "region")
+    # Aggregate BEFORE the account join: the groupBy key IS the join
+    # key, and every aggregate reads only fact columns, so the rollup
+    # is pushed below the join (Catalyst does not do this rewrite
+    # itself). The account join then carries n_accounts rows, not
+    # n_trades rows — at 100 TB that is the difference between joining
+    # a per-account summary and shuffling every fact row through the
+    # join. The aggregates are identical: custkey is unique in
+    # customer, so post-join groups == pre-join groups.
+    per_account = facts.groupBy("o_custkey").agg(
+        F.count("*").alias("n_trades"),
+        F.sum(net).alias("sum_net"),
+        # 0/1 doubles sum exactly → the fill quotient is the same k/n
+        # rational as before
+        F.sum((F.col("o_orderstatus") == "F").cast("double")).alias("n_fill"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return per_account.join(
+        accounts, per_account.o_custkey == accounts.c_custkey
+    ).select(
+        F.col("c_custkey").alias("account_id"),
+        F.col("c_name").alias("account_name"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        "n_trades",
+        F.round(F.col("sum_net"), 4).alias("gross_pnl"),
+        # floored 1e4-scaled avg, not round(avg, 4): avg is a
+        # sum/count quotient that can land on a decimal half-boundary
+        # (seen at sf0.01: 2/1500 rows, e.g. 49898.93575) where
+        # Spark's HALF_UP and DuckDB's binary-double rounding
+        # legitimately disagree; floor of the quotient is
+        # engine-stable. Same association as avg(): (sum/count)*1e4.
+        F.floor(F.col("sum_net") / F.col("n_trades") * 1e4).alias(
+            "avg_trade_pnl_e4"
+        ),
+        # floored ppm, not round(avg, 4): the win-rate is a k/n
+        # rational that can terminate on a decimal half-boundary
+        # (k/160 = .00625...) where Spark HALF_UP and DuckDB
+        # binary-double rounding disagree; floor of the bit-identical
+        # quotient is engine-stable.
+        F.floor(F.col("n_fill") / F.col("n_trades") * 1e6).alias(
+            "fill_rate_ppm"
+        ),
+        F.round(F.col("max_price"), 4).alias("max_trade"),
     )
 
 
