@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_audit",
         "regression_analytics",
         "variant_json_shred",
+        "funnel_conversion",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -458,12 +458,68 @@ GROUP BY 1
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: clicks that convert to a purchase by the same
+    user within one hour, rolled up by click hour-of-day. The
+    conversion test is a LEFT SEMI join on user_id with a time-range
+    residual — one hash shuffle on the (bounded-cardinality) user key,
+    never a time-range cross product; the same shape as the streaming
+    interval join but in batch. Conversion rate is a k/n integer
+    quotient emitted as DIV ppm (README rounding rule)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["user_id"])
+        & (purchases["p_ts"] >= clicks["c_ts"])
+        & (purchases["p_ts"] <= clicks["c_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(F.hour("c_ts").alias("click_hour"), F.lit(1).alias("conv"))
+    all_clicks = clicks.select(F.hour("c_ts").alias("click_hour"))
+    n_all = all_clicks.groupBy("click_hour").agg(F.count("*").alias("n_clicks"))
+    n_conv = converted.groupBy("click_hour").agg(
+        F.count("*").alias("n_converted")
+    )
+    return (
+        n_all.join(n_conv, "click_hour", "left")
+        .withColumn("n_converted", F.coalesce(F.col("n_converted"), F.lit(0)))
+        .withColumn("conv_ppm", F.expr("1000000 * n_converted DIV n_clicks"))
+    )
+
+
+FUNNEL_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT c.user_id, c.ts FROM c
+  WHERE EXISTS (SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)),
+n_all AS (
+  SELECT hour(ts) AS click_hour, count(*) AS n_clicks FROM c GROUP BY 1),
+n_conv AS (
+  SELECT hour(ts) AS click_hour, count(*) AS n_converted FROM conv GROUP BY 1)
+SELECT a.click_hour, a.n_clicks,
+       coalesce(v.n_converted, 0) AS n_converted,
+       (1000000 * coalesce(v.n_converted, 0)) // a.n_clicks AS conv_ppm
+FROM n_all a LEFT JOIN n_conv v USING (click_hour)
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
     "mad_outliers": mad_outliers,
     "regression_analytics": regression_analytics,
     "variant_json_shred": variant_json_shred,
+    "funnel_conversion": funnel_conversion,
     "q6_selective_agg": q6_selective_agg,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "exists_suppliers_shipping": exists_suppliers_shipping,
@@ -479,6 +535,7 @@ ORACLES = {
     "mad_outliers": MAD_ORACLE,
     "regression_analytics": REGR_ORACLE,
     "variant_json_shred": VARIANT_ORACLE,
+    "funnel_conversion": FUNNEL_ORACLE,
     "q6_selective_agg": Q6_ORACLE,
     "scalar_subquery_above_avg": SCALAR_SUBQ_ORACLE,
     "exists_suppliers_shipping": EXISTS_ORACLE,
