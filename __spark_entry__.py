@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_analytics",
         "variant_json_shred",
         "funnel_conversion",
+        "quantized_topk",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

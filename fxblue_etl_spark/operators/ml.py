@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import table
 from ..session import tune
@@ -242,11 +243,72 @@ FROM m
 """
 
 
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the int8 codes: top-5 neighbors per query
+    (vec_id % 50 == 0) ranked by the INTEGER dot product of quantized
+    vectors — the asymmetric-distance scan a product-quantization /
+    int8 index runs at serving time, at 4× less memory bandwidth than
+    float32. Integer scores (|q_i| ≤ 127, dim 64 → |dot| ≤ ~1M) make
+    the ranking bit-exact in both engines — the rare ANN contract
+    with no float surface at all. `tests/test_ml.py` additionally
+    certifies recall@5 against the exact float `cosine_topk` baseline
+    (`operators/similarity.py`)."""
+    qd = embedding_quantize(spark, sf_dir).select("vec_id", "q")
+    queries = qd.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = qd.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    qdot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), qdot.alias("qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+QUANTIZED_TOPK_ORACLE = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings),
+m AS (
+  SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x),
+qd AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(xd, v -> CAST(floor(v * 127.0 / mx) AS INT))
+              ELSE list_transform(xd, v -> 0) END AS q
+  FROM m),
+qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM qd WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot
+  FROM qs JOIN qd c ON c.vec_id != qs.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_iterate": kmeans_iterate,
     "embedding_quantize": embedding_quantize,
+    "quantized_topk": quantized_topk,
 }
 
 ORACLES = {
@@ -254,4 +316,5 @@ ORACLES = {
     "kmeans_update_centroids": KMEANS_UPDATE_ORACLE,
     # kmeans_iterate: engine-iterative, rows-only by design
     "embedding_quantize": QUANTIZE_ORACLE,
+    "quantized_topk": QUANTIZED_TOPK_ORACLE,
 }

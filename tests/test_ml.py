@@ -134,3 +134,22 @@ def test_compaction_is_range_clustered(spark, sf_dir):
     spans.sort()
     for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
         assert prev_hi <= nxt_lo
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from fxblue_etl_spark.operators.ml import quantized_topk
+    from fxblue_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    approx = quantized_topk(spark, sf_dir).collect()
+    exact = cosine_topk_bruteforce(spark, sf_dir).collect()
+    a, e = {}, {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(a) == set(e)
+    recalls = [len(a[q] & e[q]) / len(e[q]) for q in e]
+    mean_recall = sum(recalls) / len(recalls)
+    # int8 codes must preserve neighborhoods well; dot-vs-cosine and
+    # quantization noise cost some of the tail
+    assert mean_recall >= 0.5, mean_recall
