@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json_shred",
         "funnel_conversion",
         "quantized_topk",
+        "csv_sink_roundtrip",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

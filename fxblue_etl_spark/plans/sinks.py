@@ -224,11 +224,56 @@ FROM orders
 """
 
 
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → headered CSV sink → schema'd read-back → rollup.
+    Completes the format matrix (parquet / ORC / JSONL / CSV). The
+    read specifies the schema explicitly (inference is an extra full
+    pass) and must reproduce doubles exactly: Spark writes shortest
+    round-trip decimal text, so parse(write(x)) == x bit-for-bit and
+    the rollup hashes identically to the source table's."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "customer_csv")
+    done = os.path.join(path, "_fxblue_done")
+    if not os.path.exists(done):
+        c.write.mode("overwrite").option("header", "true").csv(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("c_custkey").cast("long").alias("custkey_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
+        F.round(F.min("c_acctbal"), 4).alias("acctbal_min"),
+    )
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum,
+       round(sum(c_acctbal), 4) AS acctbal_sum,
+       round(min(c_acctbal), 4) AS acctbal_min
+FROM customer
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
     "orc_sink_roundtrip": orc_sink_roundtrip,
     "compact_small_files": compact_small_files,
+    "csv_sink_roundtrip": csv_sink_roundtrip,
 }
 
 ORACLES = {
@@ -236,4 +281,5 @@ ORACLES = {
     "dpp_monthly_join": DPP_ORACLE,
     "orc_sink_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "compact_small_files": COMPACT_ORACLE,
+    "csv_sink_roundtrip": CSV_ROUNDTRIP_ORACLE,
 }

@@ -153,3 +153,43 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     # int8 codes must preserve neighborhoods well; dot-vs-cosine and
     # quantization noise cost some of the tail
     assert mean_recall >= 0.5, mean_recall
+
+
+def test_grouped_pandas_ols_matches_builtin_regr(spark, sf_dir):
+    """Differential: a per-group OLS fit via applyInPandas (Arrow
+    grouped-map, numpy math) must agree with the JVM regr_slope /
+    regr_intercept aggregates to float tolerance."""
+    import pandas as pd
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.advanced import regression_analytics
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x, y = pdf["l_quantity"].to_numpy(), pdf["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    udf_fit = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .applyInPandas(fit, "l_returnflag string, slope double, intercept double")
+        .collect()
+    }
+    builtin = {r["l_returnflag"]: r for r in regression_analytics(spark, sf_dir).collect()}
+    assert set(udf_fit) == set(builtin)
+    for flag, b in builtin.items():
+        u = udf_fit[flag]
+        assert abs(u["slope"] - b["slope"]) < 1e-2, (flag, u["slope"], b["slope"])
+        assert abs(u["intercept"] - b["intercept"]) < 1.0, flag
