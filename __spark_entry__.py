@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion",
         "quantized_topk",
         "csv_sink_roundtrip",
+        "training_shard_roundtrip",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -194,10 +194,94 @@ GROUP BY pred_lang
 """
 
 
+def training_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone sink step a pretraining pipeline ends with: assign
+    every document its deterministic split (`corpusops.corpus_split`
+    hashing), write the corpus as parquet partitioned by split — the
+    layout a trainer's dataloader lists and reads — then read the
+    shards back and certify per-(split, lang) document counts, token
+    sums, and a content checksum against the source table. If the
+    shard write lost a row, reordered unicode bytes, or misrouted a
+    split, the hash diverges.
+
+    Scale: the write is one scan + hash-partitioned directory write
+    (split is 3-valued — bounded cardinality, the partition rule from
+    `io.write_partitioned`); the certify pass reads only the shard
+    columns it aggregates."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..io import table
+    from ..operators.corpusops import TRAIN_PCT, VAL_PCT, _hash_bucket
+    from ..operators.textops import ws_tokens
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), "split|", 100)
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    shards = d.select("doc_id", "lang", "text", split.alias("split"))
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"fxblue_sink_{tag}", "training_shards"
+    )
+    done = _os.path.join(path, "_fxblue_done")
+    if not _os.path.exists(done):
+        shards.write.partitionBy("split").mode("overwrite").parquet(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(path)
+    return back.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        # order-insensitive content checksum: sum of per-doc md5
+        # prefixes — certifies the text payload survived the shard
+        # write byte-for-byte
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        ).cast("long").alias("content_sum"),
+    )
+
+
+def _shard_oracle() -> str:
+    from ..operators.corpusops import TRAIN_PCT, VAL_PCT, _hash_bucket_sql
+    from ..operators.dedup import _hex8_sql
+
+    bucket = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", "split|", 100)
+    return rf"""
+WITH s AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                t -> t != ''))) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(sum({_hex8_sql("md5(text)", 1)}) AS BIGINT) AS content_sum
+FROM s
+GROUP BY 1, 2
+"""
+
+
+TRAINING_SHARD_ORACLE = _shard_oracle()
+
+
 QUERIES = {
+    "training_shard_roundtrip": training_shard_roundtrip,
     "llm_corpus_prep": llm_corpus_prep,
 }
 
 ORACLES = {
     "llm_corpus_prep": LLM_CORPUS_ORACLE,
+    "training_shard_roundtrip": TRAINING_SHARD_ORACLE,
 }
