@@ -81,8 +81,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * top_cnt DIV n_toks").alias("top_tok_ppm"),
         F.when(
             F.col("n_bigrams") > 0,
+            # cast before the multiply: F.size yields int32, and
+            # 1e6 × a >2147-duplicate-bigram doc would silently wrap
             F.expr(
-                "1000000 * (n_bigrams - n_distinct_bigrams) DIV n_bigrams"
+                "1000000 * CAST(n_bigrams - n_distinct_bigrams AS BIGINT)"
+                " DIV n_bigrams"
             ),
         )
         .otherwise(F.lit(0))
@@ -118,7 +121,10 @@ stats AS (
 m AS (
   SELECT b.doc_id, b.lang,
          CAST(s.n_toks AS BIGINT) AS n_toks,
-         (1000000 * s.top_cnt) // s.n_toks AS top_tok_ppm,
+         -- DuckDB sum() types n_toks HUGEINT; without the cast the
+         -- quotient column stays HUGEINT and hash-canonicalizes
+         -- differently from Spark's BIGINT despite equal values
+         CAST((1000000 * s.top_cnt) // s.n_toks AS BIGINT) AS top_tok_ppm,
          CAST(CASE WHEN b.n_bigrams > 0
               THEN (1000000 * (b.n_bigrams - b.n_distinct_bigrams)) // b.n_bigrams
               ELSE 0 END AS BIGINT) AS dup_bigram_ppm

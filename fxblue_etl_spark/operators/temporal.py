@@ -375,9 +375,11 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is linear in output rows, never a cross join.
     """
     e = table(tune(spark), sf_dir, "events")
+    # exact integer day totals: floor-scaled e4 sums are partial-agg-
+    # order-independent, unlike round(sum(double), 4) (README rule)
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    ).agg(F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("day_value_e4"))
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -392,13 +394,15 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = (
         grid.join(daily, ["user_id", "day"], "left")
-        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
-        .withColumn("is_gap", F.col("day_value").isNull().cast("int"))
+        .withColumn(
+            "filled_value_e4", F.last("day_value_e4", ignorenulls=True).over(w)
+        )
+        .withColumn("is_gap", F.col("day_value_e4").isNull().cast("int"))
     )
     return filled.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "filled_value",
+        "filled_value_e4",
         "is_gap",
     )
 
@@ -406,7 +410,7 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_ORACLE = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-         round(sum(value), 4) AS day_value
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS day_value
   FROM events GROUP BY 1, 2),
 span AS (
   SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
@@ -419,7 +423,8 @@ filled AS (
            PARTITION BY g.user_id ORDER BY g.day
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
   FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
-SELECT user_id, strftime(day, '%Y-%m-%d') AS day, filled_value,
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(filled_value AS BIGINT) AS filled_value_e4,
        CAST(day_value IS NULL AS INT) AS is_gap
 FROM filled
 """

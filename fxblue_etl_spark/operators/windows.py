@@ -130,9 +130,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     with_sess = e.withColumn("session_seq", sess_id)
+    # session value as an exact integer sum: round(sum(double), 4) is
+    # partial-aggregation-order-dependent in ulps (the round-2 hash
+    # mismatch); floor-scaling each value first makes the sum
+    # order-independent and floor of identical IEEE products is
+    # bit-exact cross-engine (no round-half hazard at all)
     return with_sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("session_value_e4"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
@@ -151,7 +156,7 @@ sess AS (
   FROM marked)
 SELECT user_id, session_seq,
        count(*) AS n_events,
-       round(sum(value), 4) AS session_value,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS session_value_e4,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM sess
 GROUP BY user_id, session_seq

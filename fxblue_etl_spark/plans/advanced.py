@@ -233,14 +233,16 @@ def hourly_event_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact integer total: round(sum(double), 4) is partial-
+            # agg-order-dependent in ulps (README rounding rule)
+            F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("total_value_e4"),
         )
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n",
             "n_users",
-            "total_value",
+            "total_value_e4",
         )
     )
 
@@ -250,7 +252,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 4) AS total_value
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4
 FROM events
 GROUP BY 1, 2
 """

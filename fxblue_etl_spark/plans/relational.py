@@ -544,20 +544,25 @@ def exact_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific and cannot hash-match a DuckDB oracle.)
     """
     e = _t(spark, sf_dir, "events")
+    # discrete median: percentile_disc picks an actual data value, so
+    # both engines return the same double bit-for-bit; the continuous
+    # interpolated variant is cross-engine half-boundary bait
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "median_value"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
 
 
 DISTINCT_QUANTILE_ORACLE = """
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
-       round(quantile_cont(value, 0.5), 4) AS median_value,
-       round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value
+       quantile_disc(value, 0.5) AS median_value,
+       min(value) AS min_value,
+       max(value) AS max_value
 FROM events
 GROUP BY event_type
 """

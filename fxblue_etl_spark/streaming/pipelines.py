@@ -88,28 +88,41 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _value_sum_e4() -> F.Column:
+    """Exact integer sum of floor(value·1e4): rounded float sums over
+    doubles are partial-aggregation-order-dependent in ulps (the
+    round-2 ``sessionize_events`` hash mismatch); floor of identical
+    IEEE products is bit-exact cross-engine with no round-half
+    hazard, and an integer sum is order-independent."""
+    return F.sum(F.floor(F.col("value") * 1e4)).cast("long")
+
+
+#: the DuckDB mirror of ``_value_sum_e4``
+_VALUE_SUM_E4_SQL = "CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)"
+
+
 def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (10 min) with a watermark."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
     )
     out = run_to_table(agg, "complete")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n",
-        "total",
+        "total_e4",
     )
 
 
-TUMBLING_ORACLE = """
+TUMBLING_ORACLE = f"""
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 4) AS total
+       {_VALUE_SUM_E4_SQL} AS total_e4
 FROM events
 GROUP BY 1, 2
 """
@@ -122,17 +135,17 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
     )
     out = run_to_table(agg, "complete")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "n",
-        "total",
+        "total_e4",
     )
 
 
-SLIDING_ORACLE = """
+SLIDING_ORACLE = f"""
 WITH exploded AS (
   SELECT time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes' AS win_start,
          value
@@ -141,7 +154,7 @@ WITH exploded AS (
              + INTERVAL '10 minutes')
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        count(*) AS n,
-       round(sum(value), 4) AS total
+       {_VALUE_SUM_E4_SQL} AS total_e4
 FROM exploded
 GROUP BY 1
 """
@@ -153,18 +166,18 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), _value_sum_e4().alias("session_value_e4"))
     )
     out = run_to_table(agg, "complete")
     return out.select(
         "user_id",
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
-        "session_value",
+        "session_value_e4",
     )
 
 
-SESSION_ORACLE = """
+SESSION_ORACLE = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -179,7 +192,7 @@ sess AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 4) AS session_value
+       {_VALUE_SUM_E4_SQL} AS session_value_e4
 FROM sess
 GROUP BY user_id, sid
 """
@@ -193,8 +206,10 @@ GROUP BY user_id, sid
 # windows are emitted, so state is O(windows inside the watermark
 # horizon). The oracle models Spark's exact emission rule (verified
 # empirically): a window is emitted iff
-# ``window_end <= max(event_time) - watermark_delay``, all compared in
-# integer microseconds (Spark truncates nanos → micros with div).
+# ``window_end <= max(event_time) - watermark_delay``, compared in
+# integer microseconds — with max(event_time) first truncated to whole
+# milliseconds, because Spark tracks event-time watermarks in ms while
+# the fixture's timestamps carry sub-ms microseconds.
 
 def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows in append mode: watermark-evicted state."""
@@ -202,23 +217,23 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
     )
     out = run_to_table(agg, "append")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n",
-        "total",
+        "total_e4",
     )
 
 
-TUMBLING_APPEND_ORACLE = """
-WITH wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events)
+TUMBLING_APPEND_ORACLE = f"""
+WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 1800000000 AS wm_us FROM events)
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 4) AS total
+       {_VALUE_SUM_E4_SQL} AS total_e4
 FROM events, wm
 WHERE epoch_us(time_bucket(INTERVAL '10 minutes', ts)) + 600000000 <= wm.wm_us
 GROUP BY 1, 2
@@ -231,18 +246,18 @@ def streaming_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
     )
     out = run_to_table(agg, "append")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "n",
-        "total",
+        "total_e4",
     )
 
 
-SLIDING_APPEND_ORACLE = """
-WITH wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events),
+SLIDING_APPEND_ORACLE = f"""
+WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 1800000000 AS wm_us FROM events),
 exploded AS (
   SELECT time_bucket(INTERVAL '5 minutes', ts) - CAST(i AS INT) * INTERVAL '5 minutes' AS win_start,
          value
@@ -251,7 +266,7 @@ exploded AS (
              + INTERVAL '10 minutes')
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        count(*) AS n,
-       round(sum(value), 4) AS total
+       {_VALUE_SUM_E4_SQL} AS total_e4
 FROM exploded, wm
 WHERE epoch_us(win_start) + 600000000 <= wm.wm_us
 GROUP BY 1
@@ -265,19 +280,19 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), _value_sum_e4().alias("session_value_e4"))
     )
     out = run_to_table(agg, "append")
     return out.select(
         "user_id",
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
-        "session_value",
+        "session_value_e4",
     )
 
 
-SESSION_APPEND_ORACLE = """
-WITH wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events),
+SESSION_APPEND_ORACLE = f"""
+WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events),
 marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -292,7 +307,7 @@ sess AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 4) AS session_value
+       {_VALUE_SUM_E4_SQL} AS session_value_e4
 FROM sess, wm
 GROUP BY user_id, sid, wm.wm_us
 HAVING max(epoch_us(ts)) + 1800000000 <= wm.wm_us
