@@ -43,7 +43,15 @@ HEADLINE = (
 )
 
 
+#: timed executions per query; the median filters out one-off JVM /
+#: GC / session-state noise (round 2 showed >50% swings on
+#: byte-identical queries when a single execution was timed)
+N_RUNS = 3
+
+
 def main() -> None:
+    import statistics
+
     import __spark_entry__ as entrymod
     from fxblue_etl_spark.session import get_spark
 
@@ -56,12 +64,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # single full execution; limit only caps driver-side transfer
-        # (all headline queries are aggregates/bounded outputs)
-        _ = df.limit(10000).collect()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # full execution; limit only caps driver-side transfer
+            # (all headline queries are aggregates/bounded outputs)
+            _ = df.limit(10000).collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     total = round(sum(timings.values()), 3)
     print(

@@ -64,12 +64,36 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     Repartition up to cluster parallelism when the scan is narrower;
     at real scale the scan already yields enough splits and this is a
     no-op (no shuffle inserted).
+
+    The width probe uses ``inputFiles()`` (a driver-side metadata
+    lookup), never ``df.rdd`` — RDD conversion re-plans the whole
+    physical tree on every call. File count under-estimates splits
+    for one huge file, but a scan that big is already past the
+    repartition threshold at cluster scale; non-scan plans (no input
+    files) keep their upstream shuffle partitioning untouched.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < target:
         return df.repartition(target)
     return df
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of the RDD behind a ``localCheckpoint``'d
+    DataFrame. Superseded checkpoint blocks otherwise sit in executor
+    storage until JVM GC + ContextCleaner reclaim them — measurable
+    memory pressure in a shared-session bench or long driver run."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup must never fail the query
 
 
 def write_partitioned(

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import release_local_checkpoint
 from ..session import tune
 
 
@@ -40,7 +41,12 @@ def connected_components(
     """Return ``(id, component)`` for every vertex in ``edges``, where
     ``component`` is the minimum vertex id reachable over the
     undirected graph. Raises if not converged within ``max_iter``
-    supersteps (near-dup graphs converge in a handful)."""
+    supersteps (near-dup graphs converge in a handful).
+
+    Each superstep checkpoint supersedes the previous round's; the
+    superseded blocks (and the edge list, on return) are released
+    eagerly — an unreleased checkpoint per round is a storage leak
+    in any shared, long-lived session."""
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
@@ -48,6 +54,7 @@ def connected_components(
         .localCheckpoint()
     )
     labels = sym.select("id").distinct().withColumn("label", F.col("id"))
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.withColumnRenamed("id", "nbr"), "nbr"
@@ -64,8 +71,12 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        # `changed` was the last reader of the previous round's blocks
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = labels = new_labels
         if changed == 0:
+            release_local_checkpoint(sym)
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 

@@ -39,6 +39,23 @@ from ..session import tune
 #: exact-Jaccard threshold for a candidate pair to count as near-dup
 NEAR_DUP_JACCARD = 0.5
 
+#: the live cache from the previous llm_corpus_prep invocation —
+#: released on the next call so a shared-session bench/driver run
+#: never accumulates more than one invocation's worth of blocks
+#: (round 2's unreleased localCheckpoint was the leading suspect for
+#: unrelated-query bench regressions in the shared session)
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _swap_cache(df: DataFrame) -> DataFrame:
+    while _LIVE_CACHE:
+        try:
+            _LIVE_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
+    _LIVE_CACHE.append(df)
+    return df
+
 
 def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import table
@@ -68,11 +85,13 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") == F.col("__m"))
         .drop("__m")
-        # exact_kept feeds BOTH the pair graph and the final keep-set
-        # anti join; checkpoint so the quality/lang/md5 lineage runs
-        # once instead of twice (it is tiny: post-gate survivors only)
-        .localCheckpoint()
     )
+    # exact_kept feeds BOTH the pair graph and the final keep-set
+    # anti join; persist so the quality/lang/md5 lineage runs once
+    # instead of twice (it is tiny: post-gate survivors only).
+    # persist — not localCheckpoint — so the blocks are releasable
+    # via unpersist; _swap_cache frees the previous invocation's.
+    exact_kept = _swap_cache(exact_kept.persist())
 
     # Near-dup trim over the exact-dedup survivors: banded-LSH pair
     # graph (verified Jaccard >= 0.5) → connected components → keep

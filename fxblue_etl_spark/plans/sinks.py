@@ -205,18 +205,23 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(done, "w") as f:
             f.write("ok")
     back = spark.read.parquet(compact)
+    # hash the INVARIANT, not the exact file counts: repartitionByRange
+    # writes no file for an empty range partition, so compact-side
+    # count is <= COMPACT_FILES (not ==) across fixtures/scales. The
+    # counts come from the directory listing at call time (the query
+    # functions rebuild per invocation, so no stale-literal hazard).
+    n_frag, n_compact = _parquet_files(frag), _parquet_files(compact)
+    compacted_ok = n_frag > n_compact and 1 <= n_compact <= COMPACT_FILES
     return back.agg(
-        F.lit(_parquet_files(frag)).cast("long").alias("n_files_frag"),
-        F.lit(_parquet_files(compact)).cast("long").alias("n_files_compact"),
+        F.lit(bool(compacted_ok)).alias("compaction_ok"),
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
 
 
-COMPACT_ORACLE = f"""
-SELECT CAST({FRAG_FILES} AS BIGINT) AS n_files_frag,
-       CAST({COMPACT_FILES} AS BIGINT) AS n_files_compact,
+COMPACT_ORACLE = """
+SELECT TRUE AS compaction_ok,
        count(*) AS n_rows,
        CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
        round(sum(o_totalprice), 4) AS total_price

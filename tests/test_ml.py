@@ -83,7 +83,7 @@ def test_gapfill_dense_and_locf(spark, sf_dir):
         assert rs[0]["is_gap"] == 0
         for prev, cur in zip(rs, rs[1:]):
             if cur["is_gap"]:
-                assert cur["filled_value"] == prev["filled_value"]
+                assert cur["filled_value_e4"] == prev["filled_value_e4"]
 
 
 def test_dpp_join_plants_runtime_partition_filter(spark, sf_dir):
@@ -119,7 +119,7 @@ def test_compaction_is_range_clustered(spark, sf_dir):
     from fxblue_etl_spark.plans.sinks import compact_small_files
 
     row = compact_small_files(spark, sf_dir).collect()[0]
-    assert row["n_files_compact"] < row["n_files_frag"]
+    assert row["compaction_ok"] is True
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_compact")
     spans = []

@@ -15,12 +15,15 @@ def test_tumbling_windows_match_batch(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("total_e4"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
             "n",
-            "total",
+            "total_e4",
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
