@@ -51,6 +51,11 @@ DEFAULT_RATE = 200
 #: token budget per packed bin
 PACK_BUDGET = 2048
 
+#: sub-streams per language for packing — the running sum inside one
+#: (lang, bucket) is a single window task, so buckets set the
+#: parallelism floor of the packing pass
+N_PACK_BUCKETS = 8
+
 
 def _hash_bucket(key, salt: str, mod: int):
     """First 8 md5 hex chars of ``salt || key`` as int, mod ``mod`` —
@@ -126,22 +131,37 @@ WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "sample|", 1000)} < {_RATE_SQ
 
 
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contiguous packing: per language, docs in doc_id order fill
+    """Token-budget packing: docs in stable doc_id order fill
     ~PACK_BUDGET-token bins (bin = exclusive running token sum ÷
-    budget). Emits per-bin shard stats. One hash shuffle on lang for
-    the window; the same pass at scale writes the shard files."""
+    budget) within each (lang, pack_bucket) sub-stream, where the
+    bucket is a deterministic hash of doc_id.
+
+    The sub-buckets are the scale fix for the greedy running sum: a
+    window partitioned by language alone is ONE task per language —
+    the head language of a 100 TB corpus would serialize on a single
+    core. Hash-bucketing first caps every window task at ~1/N of a
+    language while keeping assignment re-run-stable; each (lang,
+    bucket) still packs its own docs contiguously, and a trainer
+    reads bins within a bucket exactly as before. One hash shuffle on
+    (lang, bucket) for the window; the same pass at scale writes the
+    shard files."""
     d = table(tune(spark), sf_dir, "documents")
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "pack_bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = d.select("lang", "doc_id", F.size(ws_tokens("text")).alias("n_tokens"))
+    toks = d.select(
+        "lang",
+        _hash_bucket(F.col("doc_id"), "pack|", N_PACK_BUCKETS).alias("pack_bucket"),
+        "doc_id",
+        F.size(ws_tokens("text")).alias("n_tokens"),
+    )
     binned = toks.withColumn(
         "bin",
         F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
     )
-    return binned.groupBy("lang", "bin").agg(
+    return binned.groupBy("lang", "pack_bucket", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -151,22 +171,26 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEQUENCE_PACK_ORACLE = f"""
 WITH toks AS (
-  SELECT lang, doc_id,
+  SELECT lang,
+         {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "pack|", N_PACK_BUCKETS)}
+           AS pack_bucket,
+         doc_id,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != ''))
            AS n_tokens
   FROM documents),
 binned AS (
-  SELECT lang, doc_id, n_tokens,
+  SELECT lang, pack_bucket, doc_id, n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (
-             PARTITION BY lang ORDER BY doc_id
+             PARTITION BY lang, pack_bucket ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            / {PACK_BUDGET}) AS BIGINT) AS bin
   FROM toks)
-SELECT lang, bin, count(*) AS n_docs,
+SELECT lang, CAST(pack_bucket AS BIGINT) AS pack_bucket, bin,
+       count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM binned
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """
 
 

@@ -276,6 +276,115 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual 100 TB serving-time ANN shape: IVF clustering picks
+    WHICH vectors to scan, int8 codes decide HOW each one is scored.
+    Vectors are assigned to their nearest fixed centroid (vec_id %
+    100 == 0, float cosine — one broadcast pass, same family as
+    `similarity.ann_ivf_topk`); each query (vec_id % 50 == 0) probes
+    only its own cluster and ranks candidates by the INTEGER dot
+    product of quantized codes. At scale the cluster id is the
+    storage partition key, so a probe reads 1/C of the data at 4×
+    less bandwidth than float32 — composing the two certified halves
+    (`ann_ivf_topk`, `quantized_topk`) instead of scanning
+    everything. Integer scores keep the ranking bit-exact; recall vs
+    the exact float baseline is certified in `tests/test_ml.py`."""
+    from .similarity import _dvec, cosine
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", cosine(F.col("v"), F.col("cv")).alias("csim"), "cent_id"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
+    aq = assigned.join(codes, "vec_id")
+    queries = aq.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("qcluster"),
+        F.col("q").alias("qq"),
+    )
+    cand = aq.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    qdot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), qdot.alias("qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+_DUCK_COS_IVF = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+QUANTIZED_IVF_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % 100 = 0),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS_IVF.format(a='b.v', b='c.cv')} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM base b CROSS JOIN cents c)
+  WHERE rn = 1),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM base),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM m),
+aq AS (
+  SELECT a.vec_id, a.cluster, c.q
+  FROM assigned a JOIN codes c USING (vec_id)),
+qs AS (
+  SELECT vec_id AS query_id, cluster AS qcluster, q AS qq
+  FROM aq WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.q, qs.qq) AS BIGINT) AS qdot
+  FROM qs JOIN aq a
+    ON a.cluster = qs.qcluster AND a.vec_id != qs.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUANTIZED_TOPK_ORACLE = """
 WITH x AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
@@ -309,6 +418,7 @@ QUERIES = {
     "kmeans_iterate": kmeans_iterate,
     "embedding_quantize": embedding_quantize,
     "quantized_topk": quantized_topk,
+    "quantized_ivf_topk": quantized_ivf_topk,
 }
 
 ORACLES = {
@@ -317,4 +427,5 @@ ORACLES = {
     # kmeans_iterate: engine-iterative, rows-only by design
     "embedding_quantize": QUANTIZE_ORACLE,
     "quantized_topk": QUANTIZED_TOPK_ORACLE,
+    "quantized_ivf_topk": QUANTIZED_IVF_ORACLE,
 }

@@ -53,13 +53,15 @@ def test_stratified_sample_rates(spark, sf_dir):
 
 
 def test_sequence_pack_bins_contiguous(spark, sf_dir):
-    out = sequence_pack(spark, sf_dir).collect()
-    by_lang: dict[str, list] = {}
+    df = sequence_pack(spark, sf_dir)
+    out = df.collect()
+    by_stream: dict[tuple, list] = {}
     for r in out:
-        by_lang.setdefault(r["lang"], []).append(r)
-    for lang, rows in by_lang.items():
+        by_stream.setdefault((r["lang"], r["pack_bucket"]), []).append(r)
+    for (lang, bucket), rows in by_stream.items():
         rows.sort(key=lambda r: r["bin"])
-        # bins are dense from 0 and doc ranges don't overlap
+        # bins are dense from 0 and doc ranges don't overlap within a
+        # (lang, bucket) sub-stream
         assert rows[0]["bin"] == 0
         assert [r["bin"] for r in rows] == list(range(len(rows)))
         for a, b in zip(rows, rows[1:]):
@@ -71,6 +73,15 @@ def test_sequence_pack_bins_contiguous(spark, sf_dir):
         for r in rows[:-1]:
             cum += r["bin_tokens"]
             assert cum >= (r["bin"] + 1) * PACK_BUDGET
+    # the scale property the bucketing exists for: more than one
+    # packing task per language (one window task per (lang, bucket)),
+    # and the window shuffle keyed by both columns
+    langs = {lang for lang, _ in by_stream}
+    for lang in langs:
+        assert len({b for l, b in by_stream if l == lang}) > 1, lang
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    widx = plan.index("Window")
+    assert "pack_bucket" in plan[widx : widx + 400]
 
 
 def test_df_prune_preserves_order_and_multiplicity(spark, sf_dir):

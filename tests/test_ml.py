@@ -155,6 +155,30 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     assert mean_recall >= 0.5, mean_recall
 
 
+def test_quantized_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """The IVF+int8 composition still finds real neighbors: its top-3
+    per query overlaps the exact float top-5, despite probing a single
+    cluster AND ranking by quantized integer dot product."""
+    from fxblue_etl_spark.operators.ml import quantized_ivf_topk
+    from fxblue_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    approx = quantized_ivf_topk(spark, sf_dir).collect()
+    exact = cosine_topk_bruteforce(spark, sf_dir).collect()
+    a, e = {}, {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(a) == set(e)
+    # every query returns k=3 candidates from its probe cluster
+    assert all(len(v) == 3 for v in a.values())
+    hits = [len(a[q] & e[q]) / 3 for q in e]
+    mean_overlap = sum(hits) / len(hits)
+    # single-cluster probing trades recall for 1/C scan cost; the
+    # composition must still beat chance by a wide margin
+    assert mean_overlap >= 0.3, mean_overlap
+
+
 def test_grouped_pandas_ols_matches_builtin_regr(spark, sf_dir):
     """Differential: a per-group OLS fit via applyInPandas (Arrow
     grouped-map, numpy math) must agree with the JVM regr_slope /
