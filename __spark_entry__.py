@@ -13,11 +13,13 @@ the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, ~50 per round) certifies the
-queries that don't yet have a driver-side CORRECTNESS row: round 1
-hash-checked the first 50 entries (through ``d3_last_write_wins``),
-so this round leads with the two re-rounded queries plus everything
-round 1 never reached; the round-1-green remainder keeps its standing
-rows and follows after.
+queries that don't yet have a driver-side CORRECTNESS row. Rounds 1-2
+hash-checked 97 distinct queries (CORRECTNESS_r01/r02); round 3 leads
+with the two re-fixed round-2 red rows, every query whose
+code/schema changed this round, the one new query, and the full set
+the driver has never reached (streaming, source chains, UDFs,
+q2/q9/q11/q13/q16, corpus/k-means ops). Prior-round-green queries
+keep their standing rows and follow after.
 """
 
 from __future__ import annotations
@@ -131,39 +133,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
     # Priority for the driver's ~50-entry gate window:
-    # 1. changed-this-round / judge-flagged queries (stale or no row),
-    # 2. oracle-backed queries without a round-1 driver row,
-    # 3. rows-only queries without a row (can't hash-fail — weakest),
-    # 4. the round-1-green remainder (standing rows, unchanged code).
+    # 1. the flagship (always certified),
+    # 2. the two round-2 red rows, re-fixed this round,
+    # 3. queries whose code or output schema changed this round,
+    # 4. the one new query,
+    # 5. everything no driver round has ever hash-checked,
+    # 6. the prior-round-green remainder (standing rows).
     head = [
         "flagship_account_pnl",
-        "q1_pricing_summary",
-        "llm_corpus_prep",
-        "q17_small_qty_revenue",
-        "q20_part_supp_chain",
-        "s4_xlsx_registry",
-        # new this round — no driver row exists yet, certify first
+        # round-2 red rows, fixed (typed ppm quotient / integer sum)
         "gopher_repetition",
-        "contamination_check",
-        "temperature_resample",
-        "edit_distance_pairs",
-        "winsorized_totalprice",
-        "bucketed_colocated_join",
-        "bloom_filter_join",
-        "dpp_monthly_join",
-        "zorder_clustering_stats",
+        "sessionize_events",
+        # changed this round (integer-scaled event sums, disc median,
+        # bucketed packing, invariant-hashed compaction, persist swap)
+        "exact_distinct_and_quantiles",
+        "hourly_event_load",
+        "gapfill_daily_locf",
+        "sequence_pack",
         "compact_small_files",
-        "jsonl_tolerant_roundtrip",
-        "orc_sink_roundtrip",
-        "unpivot_lineitem_metrics",
-        "mad_outliers",
-        "dq_audit",
-        "regression_analytics",
-        "variant_json_shred",
-        "funnel_conversion",
-        "quantized_topk",
-        "csv_sink_roundtrip",
-        "training_shard_roundtrip",
+        "llm_corpus_prep",
+        # new this round
+        "quantized_ivf_topk",
+        "pii_scrub",
+        "domain_quality_gate",
+        # never driver-checked: streaming block (append oracles now
+        # model the ms-truncated watermark)
+        "streaming_tumbling_windows",
+        "streaming_sliding_windows",
+        "streaming_session_windows",
+        "streaming_tumbling_append",
+        "streaming_sliding_append",
+        "streaming_session_append",
+        "streaming_dedup_watermark",
+        "streaming_locf_stateful",
+        "streaming_csv_merge",
+        "streaming_interval_join",
+        # never driver-checked: source chains (certify S1-S5/F1/F5)
+        "s2_csv_ingest",
+        "s5_rss_trades_pipeline",
+        "s4_account_metadata",
+        "rss_datasource_scan",
+        "rss_datasource_stream",
+        # never driver-checked: UDF surface
+        "pandas_udf_log_return",
+        "grouped_map_share",
+        "udtf_token_explode",
+        # never driver-checked: TPC-H remainder
+        "q2_min_cost_supplier",
+        "q9_profit_by_nation_year",
+        "q11_value_concentration",
+        "q13_order_count_distribution",
+        "q16_supplier_part_variety",
+        # never driver-checked: corpus / k-means / sink ops
+        "corpus_split",
+        "stratified_sample",
+        "df_prune",
+        "kmeans_assign_stats",
+        "kmeans_update_centroids",
+        "embedding_quantize",
+        "partitioned_sink_roundtrip",
+        "dedup_components",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -202,12 +202,65 @@ GROUP BY 1
 """
 
 
+def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level (per-source) quality gating: keep a source iff its
+    mean document length is at least the corpus mean — the aggregate
+    form of blocklist derivation every web-scale pipeline runs (C4
+    dropped whole domains the same way; here the list is computed, not
+    curated).
+
+    The keep test is the cross-multiplied integer comparison
+    ``sum_chars·n_total >= sum_total·n_docs`` — exactly the avg-vs-avg
+    predicate with no division and no float surface (the README
+    quotient rule). Done in decimal(38) so it cannot overflow at
+    corpus scale. Plan: one groupBy(source) agg (map-side combined),
+    one 1-row corpus agg broadcast back — the per-source table is
+    bounded by domain cardinality, never corpus size."""
+    d = table(tune(spark), sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = d.agg(
+        F.count("*").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("sum_total"),
+    )
+    dec = "decimal(38,0)"
+    kept = (
+        F.col("sum_chars").cast(dec) * F.col("n_total").cast(dec)
+        >= F.col("sum_total").cast(dec) * F.col("n_docs").cast(dec)
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        kept.alias("kept"),
+    )
+
+
+DOMAIN_GATE_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT count(*) AS n_total, CAST(sum(n_chars) AS BIGINT) AS sum_total
+  FROM documents)
+SELECT source, n_docs, sum_chars,
+       (CAST(sum_chars AS HUGEINT) * n_total
+          >= CAST(sum_total AS HUGEINT) * n_docs) AS kept
+FROM per_src, tot
+"""
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "contamination_check": contamination_check,
+    "domain_quality_gate": domain_quality_gate,
 }
 
 ORACLES = {
     "gopher_repetition": GOPHER_ORACLE,
     "contamination_check": CONTAMINATION_ORACLE,
+    "domain_quality_gate": DOMAIN_GATE_ORACLE,
 }

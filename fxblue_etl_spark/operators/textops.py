@@ -201,11 +201,75 @@ FROM norm
 """
 
 
+#: standard PII patterns (ASCII-safe in both Java regex and RE2) and a
+#: configurable keyword redaction list. The fixture's synthetic text
+#: contains no real PII, so the regex legs certify as exact no-ops
+#: while the wordlist leg rewrites real tokens — both paths hashed.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+REDACT_WORDS = ("key", "hash")
+REDACT_WORDS_RE = r"\b(" + "|".join(REDACT_WORDS) + r")\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-keyword scrubbing — the redaction pass every
+    shareable training corpus runs before sharding. Emails, phone
+    numbers, and IPs are replaced by type tags; a configurable
+    keyword list is masked. All four legs are sequential
+    regexp_replace calls fused into one codegen'd scan projection (no
+    Python, no shuffle); the scrubbed text is certified by md5 and the
+    per-doc match counts are taken on the ORIGINAL text so the oracle
+    checks detection and rewrite independently."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    n_pii = (
+        F.regexp_count("text", F.lit(PII_EMAIL_RE))
+        + F.regexp_count("text", F.lit(PII_PHONE_RE))
+        + F.regexp_count("text", F.lit(PII_IP_RE))
+    )
+    n_kw = F.regexp_count("text", F.lit(REDACT_WORDS_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+                PII_PHONE_RE,
+                "[PHONE]",
+            ),
+            PII_IP_RE,
+            "[IP]",
+        ),
+        REDACT_WORDS_RE,
+        "[REDACTED]",
+    )
+    return d.select(
+        "doc_id",
+        n_pii.cast("int").alias("n_pii"),
+        n_kw.cast("int").alias("n_keywords"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+          + len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+          + len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT) AS n_pii,
+       CAST(len(regexp_extract_all(text, '{REDACT_WORDS_RE}')) AS INT) AS n_keywords,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_IP_RE}', '[IP]', 'g'),
+             '{REDACT_WORDS_RE}', '[REDACTED]', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -213,4 +277,5 @@ ORACLES = {
     "quality_score": QUALITY_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprint": FINGERPRINT_ORACLE,
+    "pii_scrub": PII_SCRUB_ORACLE,
 }
