@@ -111,3 +111,31 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "order_month" in pf
     assert back.count() == o.filter(F.col("order_month") == "1996-03").count()
+
+
+def test_no_cross_product_in_relational_headliners(spark, sf_dir):
+    """Join-strategy guard: none of the relational headline queries
+    may plan a CartesianProduct or a BroadcastNestedLoopJoin — every
+    join must be an equi hash/merge join (singleton-scalar broadcast
+    crossJoins are deliberately excluded from this set)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "flagship_account_pnl",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "rollup_returns",
+        "topk_orders_per_customer",
+        "exact_distinct_and_quantiles",
+        "q10_returned_items",
+        "q18_large_volume_orders",
+        "time_bucket_rollup",
+        "sessionize_events",
+        "gapfill_daily_locf",
+        "hourly_event_load",
+    ):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
