@@ -32,6 +32,38 @@ from ..io import release_local_checkpoint
 from ..session import tune
 
 
+#: edge-count ceiling for the driver-side union-find fast path; above
+#: it the distributed superstep loop runs (a near-dup pair graph is
+#: orders of magnitude smaller than its corpus, but "smaller" can
+#: still exceed driver memory at 100 TB — hence a bound, not a bet)
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(spark: SparkSession, edge_rows) -> DataFrame:
+    """Min-label union-find over a collected edge list: O(E α(V)),
+    one pass, zero extra Spark jobs."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min label so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -43,10 +75,25 @@ def connected_components(
     undirected graph. Raises if not converged within ``max_iter``
     supersteps (near-dup graphs converge in a handful).
 
-    Each superstep checkpoint supersedes the previous round's; the
-    superseded blocks (and the edge list, on return) are released
-    eagerly — an unreleased checkpoint per round is a storage leak
-    in any shared, long-lived session."""
+    Two physical strategies behind one contract:
+
+    * **small graphs** (≤ DRIVER_CC_MAX_EDGES edges, checked with one
+      count action): collect the edge list and run union-find on the
+      driver — the closure of a bounded pair graph is not worth k
+      supersteps × 2 shuffles of scheduler latency;
+    * **large graphs**: the iterative min-label propagation loop.
+      Each superstep checkpoint supersedes the previous round's; the
+      superseded blocks (and the edge list, on return) are released
+      eagerly — an unreleased checkpoint per round is a storage leak
+      in any shared, long-lived session."""
+    slim = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    # limit()+collect bounds driver transfer even before the count:
+    # fetch at most MAX+1 edges to learn which side of the bound we're on
+    probe = slim.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= DRIVER_CC_MAX_EDGES:
+        return _driver_union_find(edges.sparkSession, [(r.s, r.d) for r in probe])
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))

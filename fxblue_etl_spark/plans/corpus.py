@@ -48,11 +48,16 @@ _LIVE_CACHE: list[DataFrame] = []
 
 
 def _swap_cache(df: DataFrame) -> DataFrame:
+    # release FIRST, persist SECOND: CacheManager dedups by logical
+    # plan, so persisting the new (identical) plan before dropping the
+    # old entry would no-op, and the old entry's unpersist would then
+    # evict the cache the new invocation is counting on
     while _LIVE_CACHE:
         try:
             _LIVE_CACHE.pop().unpersist(False)
         except Exception:
             pass
+    df = df.persist()
     _LIVE_CACHE.append(df)
     return df
 
@@ -91,7 +96,7 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of twice (it is tiny: post-gate survivors only).
     # persist — not localCheckpoint — so the blocks are releasable
     # via unpersist; _swap_cache frees the previous invocation's.
-    exact_kept = _swap_cache(exact_kept.persist())
+    exact_kept = _swap_cache(exact_kept)
 
     # Near-dup trim over the exact-dedup survivors: banded-LSH pair
     # graph (verified Jaccard >= 0.5) → connected components → keep
