@@ -117,10 +117,14 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
+    # quality_sum as an exact integer e1 sum: the per-doc score is a
+    # bit-identical double in both engines (same additions, same
+    # order), so floor(score·10) matches exactly and the integer sum
+    # is aggregation-order-independent (README determinism rule 1)
     return near_kept.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens_total"),
-        F.round(F.sum("quality_score"), 2).alias("quality_sum"),
+        F.sum(F.floor(F.col("quality_score") * 10)).cast("long").alias("quality_sum_e1"),
     )
 
 
@@ -212,7 +216,7 @@ near_kept AS (
 SELECT pred_lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
-       round(sum(round(score, 2)), 2) AS quality_sum
+       CAST(sum(CAST(floor(round(score, 2) * 10) AS BIGINT)) AS BIGINT) AS quality_sum_e1
 FROM near_kept
 GROUP BY pred_lang
 """
