@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ivf_topk",
         "pii_scrub",
         "domain_quality_gate",
+        "span_dedup_stats",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

@@ -202,6 +202,85 @@ GROUP BY 1
 """
 
 
+#: span-level dedup: span length in tokens and the keep threshold
+SPAN_K = 6
+SPAN_DUP_MAX_PPM = 200_000
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span statistics — the detection half of
+    span-level dedup (the "repeated ≥k-token substring" family that
+    suffix-array pipelines run; a k-token sliding window is the
+    Spark-joinable restatement). Per doc: how many of its distinct
+    k-token spans occur in at least one OTHER document, as an exact
+    ppm, plus the keep verdict.
+
+    Plan: distinct spans per doc (row-local) → explode → one groupBy
+    for global span document-frequency → equi-join back → per-doc
+    count. O(corpus spans) with two hash shuffles, never pairwise
+    over docs — the same scale shape as ``contamination_check``."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id",
+        F.array_distinct(_tok_ngrams(ws_tokens("text"), SPAN_K)).alias("spans"),
+    )
+    px = d.select("doc_id", F.explode("spans").alias("span"))
+    shared = (
+        px.groupBy("span")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("span")
+    )
+    hit = px.join(shared, "span").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    base = d.select("doc_id", F.size("spans").alias("n_spans"))
+    out = base.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+    )
+    ppm = F.when(
+        F.col("n_spans") > 0,
+        F.expr("1000000 * n_dup_spans DIV n_spans"),
+    ).otherwise(F.lit(0)).cast("long")
+    return out.withColumn("dup_span_ppm", ppm).withColumn(
+        "keep", F.col("dup_span_ppm") < SPAN_DUP_MAX_PPM
+    )
+
+
+SPAN_DEDUP_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {SPAN_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {SPAN_K - 2}),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+                          || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]))
+              ELSE [] END AS spans
+  FROM tk),
+px AS (SELECT doc_id, s.span FROM g, unnest(spans) s(span)),
+sdf AS (SELECT span FROM px GROUP BY span HAVING count(*) > 1),
+hit AS (
+  SELECT p.doc_id, count(*) AS n_dup_spans
+  FROM px p JOIN sdf USING (span)
+  GROUP BY 1)
+SELECT g.doc_id,
+       CAST(len(g.spans) AS INT) AS n_spans,
+       CAST(coalesce(h.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN len(g.spans) > 0
+            THEN (1000000 * coalesce(h.n_dup_spans, 0)) // len(g.spans)
+            ELSE 0 END AS BIGINT) AS dup_span_ppm,
+       (CAST(CASE WHEN len(g.spans) > 0
+             THEN (1000000 * coalesce(h.n_dup_spans, 0)) // len(g.spans)
+             ELSE 0 END AS BIGINT) < {SPAN_DUP_MAX_PPM}) AS keep
+FROM g LEFT JOIN hit h USING (doc_id)
+"""
+
+
 def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level (per-source) quality gating: keep a source iff its
     mean document length is at least the corpus mean — the aggregate
@@ -257,10 +336,12 @@ QUERIES = {
     "gopher_repetition": gopher_repetition,
     "contamination_check": contamination_check,
     "domain_quality_gate": domain_quality_gate,
+    "span_dedup_stats": span_dedup_stats,
 }
 
 ORACLES = {
     "gopher_repetition": GOPHER_ORACLE,
     "contamination_check": CONTAMINATION_ORACLE,
     "domain_quality_gate": DOMAIN_GATE_ORACLE,
+    "span_dedup_stats": SPAN_DEDUP_ORACLE,
 }

@@ -120,3 +120,47 @@ def test_pii_scrub_redacts_and_counts(spark, sf_dir):
     rows = pii_scrub(spark, sf_dir).collect()
     assert all(r["n_pii"] == 0 for r in rows)
     assert any(r["n_keywords"] > 0 for r in rows)
+
+
+def test_span_dedup_counts_shared_spans_only(spark, sf_dir):
+    from fxblue_etl_spark.operators.quality import SPAN_K, span_dedup_stats
+
+    rows = span_dedup_stats(spark, sf_dir).collect()
+    docs = {r["doc_id"] for r in rows}
+    # one row per document, including span-less short docs
+    from fxblue_etl_spark.io import table
+
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        if r["n_spans"] == 0:
+            assert r["dup_span_ppm"] == 0 and r["keep"]
+        else:
+            assert r["dup_span_ppm"] == 1_000_000 * r["n_dup_spans"] // r["n_spans"]
+    # shared spans are symmetric: nobody can be the only doc with dups
+    dup_docs = [r for r in rows if r["n_dup_spans"] > 0]
+    assert len(dup_docs) != 1
+    # cross-check one duplicated-span doc by hand against raw text
+    if dup_docs:
+        import itertools
+
+        probe = sorted(dup_docs, key=lambda r: r["doc_id"])[0]
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in table(spark, sf_dir, "documents").collect()
+        }
+
+        def spans_of(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + SPAN_K])
+                for i in range(max(len(toks) - SPAN_K + 1, 0))
+            }
+
+        mine = spans_of(texts[probe["doc_id"]])
+        others = set(
+            itertools.chain.from_iterable(
+                spans_of(t) for d, t in texts.items() if d != probe["doc_id"]
+            )
+        )
+        assert len(mine & others) == probe["n_dup_spans"]
