@@ -188,3 +188,46 @@ def test_asof_join_matches_pandas_merge_asof(spark, trade_rows, quote_rows):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+scrub_text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+        min_size=0,
+        max_size=24,
+    ).map(lambda s: s if s else "x"),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=scrub_text_strategy)
+@settings(**SETTINGS)
+def test_pii_scrub_is_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x): replacement tags contain no PII
+    shapes and no redaction keywords, so a second pass is a no-op —
+    the invariant that makes re-running the redaction stage safe."""
+    import fxblue_etl_spark.operators.textops as t
+
+    # salt the generated words with every redaction trigger class
+    salted = texts + [
+        "mail a.b@x-y.org now",
+        "call 555-123-4567",
+        "host 10.0.0.1 up",
+        f"the {t.REDACT_WORDS[0]} and the {t.REDACT_WORDS[1]}",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(salted)], "doc_id long, text string"
+    )
+
+    def scrub(col):
+        out = F.regexp_replace(col, t.PII_EMAIL_RE, "[EMAIL]")
+        out = F.regexp_replace(out, t.PII_PHONE_RE, "[PHONE]")
+        out = F.regexp_replace(out, t.PII_IP_RE, "[IP]")
+        return F.regexp_replace(out, t.REDACT_WORDS_RE, "[REDACTED]")
+
+    rows = df.select(
+        "doc_id", scrub(F.col("text")).alias("once")
+    ).select("doc_id", "once", scrub(F.col("once")).alias("twice")).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], r
