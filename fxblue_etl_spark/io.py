@@ -37,10 +37,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. `name` must be in TABLES.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.tune) it
-    surfaces as epoch-nanos long, converted here to TimestampType at
-    microsecond precision — the same truncation DuckDB applies.
+    ``events.ts`` has shipped in two physical parquet forms across
+    driver rounds — TIMESTAMP(NANOS) (surfacing as epoch-nanos long
+    under ``spark.sql.legacy.parquet.nanosAsLong``) and untagged
+    TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ). Both normalize
+    here to session-TZ ``TimestampType`` at microsecond precision:
+    with the session pinned to UTC (session.tune) the NTZ→LTZ cast
+    preserves the wall clock, which is exactly how the DuckDB oracle
+    reads the same file (naive TIMESTAMP). Every downstream operator
+    sees one ts type regardless of fixture vintage.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,11 +53,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer div — float division would lose precision at 1e18 nanos
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # integer div — float division would lose precision at 1e18 nanos
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

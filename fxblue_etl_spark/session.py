@@ -33,9 +33,12 @@ _RUNTIME_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # The events fixture stores TIMESTAMP(NANOS) which vanilla Spark
-    # rejects; read as long and convert in io.table (truncation to
-    # micros matches DuckDB's own TIMESTAMP_NS → TIMESTAMP behavior).
+    # Some fixture vintages store events.ts as TIMESTAMP(NANOS), which
+    # vanilla Spark rejects; with this conf they read as epoch-nanos
+    # long and io.table converts to micros (the same truncation DuckDB
+    # applies for TIMESTAMP_NS → TIMESTAMP). Micros-vintage fixtures
+    # are unaffected (they surface as TIMESTAMP_NTZ, normalized in
+    # io.table / streaming.events_stream).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

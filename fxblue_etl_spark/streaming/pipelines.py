@@ -39,37 +39,46 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _stage_dir(sf_dir: str) -> str:
     """The file-stream source tracks *directories*; stage the events
-    parquet into one (testdata itself is read-only)."""
+    parquet into one (testdata itself is read-only). The staged copy
+    is refreshed whenever the fixture's size or mtime changes, so a
+    driver-regenerated testdata set never streams stale bytes."""
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = f"/tmp/stream_events_{tag}"
+    src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
+    s = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != s.st_size
+        or os.stat(dst).st_mtime < s.st_mtime
+    ):
         os.makedirs(d, exist_ok=True)
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+        shutil.copyfile(src, dst)
     return d
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (epoch-nanos → ts)."""
+    """File-source stream over the events fixture.
+
+    ``ts`` has shipped in two physical parquet forms across driver
+    rounds (TIMESTAMP(NANOS) → nanos-as-long under the legacy conf,
+    and untagged TIMESTAMP(MICROS) → TIMESTAMP_NTZ); the stream
+    schema is probed from the staged file itself so both normalize to
+    session-TZ TimestampType, mirroring ``io.table``."""
     tune(spark)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    d = _stage_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
+    raw = spark.readStream.schema(schema).parquet(d)
+    t = {f.name: f.dataType.simpleString() for f in schema}.get("ts")
+    if t == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif t == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:

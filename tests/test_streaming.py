@@ -6,14 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from fxblue_etl_spark.io import table
 from fxblue_etl_spark.streaming import pipelines
 
 
 def test_tumbling_windows_match_batch(spark, sf_dir):
     out = pipelines.streaming_tumbling_windows(spark, sf_dir)
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
