@@ -42,6 +42,7 @@ from fxblue_etl_spark.operators import (
     skew,
     temporal,
     textops,
+    tfidf,
     windows,
 )
 from fxblue_etl_spark.plans import (
@@ -98,6 +99,7 @@ _MODULES = [
     sinks,
     bucketing,
     quality,
+    tfidf,
     jsonl,
     runtime_filters,
     zorder,
@@ -157,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub",
         "domain_quality_gate",
         "span_dedup_stats",
+        "term_salience_topk",
+        "rare_token_quality",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

@@ -1,0 +1,168 @@
+"""Term-relevance operators: per-document keyword salience and
+corpus-frequency quality scoring (SURVEY §2.13 text-analysis surface).
+
+Beyond the reference's scope (its text handling stops at passthrough
+columns, `CSV PARSER/gcp_csv.py:43-45`); these are the TF-IDF-family
+passes a training-data pipeline runs for topic tagging and
+quality-gating:
+
+- ``term_salience_topk``: per-document top-k salient terms ranked by
+  the integer tf/df-ratio ppm (``1e6*tf DIV df``) — the exact-integer
+  restatement of TF-IDF ranking (idf is monotone-decreasing in df, so
+  within a document the tf/df ratio prefers the same
+  frequent-here-rare-elsewhere terms, with no transcendental ``ln``
+  whose ulps could differ cross-engine).
+- ``rare_token_quality``: per-document rarity profile against the
+  corpus unigram distribution — the integer-exact proxy for a unigram
+  LM quality score (documents dominated by below-mean-frequency
+  tokens are OOV-ish/noisy; documents of only stop-frequency tokens
+  are boilerplate-ish).
+
+Scale shape (100 TB): both operators explode to (doc, token) and
+aggregate — scale-linear in corpus tokens, partial aggs map-side.
+The vocabulary-keyed joins are equi-joins on ``tok``; the vocabulary
+table is orders of magnitude smaller than the corpus (Heaps' law) but
+not necessarily broadcastable, so they stay shuffle equi-joins and
+AQE may promote to broadcast when stats allow. No all-pairs step
+anywhere; every emitted ratio is an integer quotient (README
+rounding rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import fan_out, table
+from ..session import tune
+from .textops import ws_tokens
+
+#: salient terms kept per document
+TOPK_TERMS = 3
+
+_TOKS_SQL = r"""
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+"""
+
+
+def term_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per doc by integer tf/df salience.
+
+    Plan: explode → (doc, tok) counts (one shuffle, map-side
+    combined) → token document-frequency off the same table (second
+    small shuffle, vocabulary-sized) → equi-join back → per-doc
+    window top-k. The window partitions by doc_id — millions of tiny
+    partitions, never one big one.
+    """
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf already has one row per (doc, term): df = rows per term
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("1000000 * tf DIV df").alias("salience_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", "salience_ppm", "rank")
+    )
+
+
+TERM_SALIENCE_ORACLE = f"""
+WITH tk AS ({_TOKS_SQL}),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM tk, unnest(toks) t(term)
+  GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf, d.df,
+         CAST((1000000 * f.tf) // d.df AS BIGINT) AS salience_ppm
+  FROM tf f JOIN dfreq d USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY salience_ppm DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, salience_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK_TERMS}
+"""
+
+
+def rare_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rarity profile vs the corpus unigram distribution.
+
+    A token is "rare" iff its total corpus count is below the mean
+    token count — the comparison is cross-multiplied to stay in
+    integers (``cnt * n_vocab < n_total``), so the threshold is exact
+    in both engines. Emits per doc: token count, rare-token count,
+    rare ppm, and the exact corpus-frequency mass of its tokens
+    (``sum over tokens of corpus_count(tok)`` — the integer sufficient
+    statistic a unigram-LM score is the log of).
+    """
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    px = d.select("doc_id", F.explode("toks").alias("tok"))
+    cnt = px.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_vocab"),
+    )
+    marked = px.join(cnt, "tok").crossJoin(F.broadcast(tot))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(
+                (F.col("cnt") * F.col("n_vocab") < F.col("n_total")).cast("long")
+            ).alias("n_rare"),
+            F.sum("cnt").cast("long").alias("corpus_freq_sum"),
+        )
+        .withColumn("rare_ppm", F.expr("1000000 * n_rare DIV n_toks"))
+        .select("doc_id", "n_toks", "n_rare", "rare_ppm", "corpus_freq_sum")
+    )
+
+
+RARE_TOKEN_ORACLE = f"""
+WITH tk AS ({_TOKS_SQL}),
+px AS (SELECT doc_id, t.tok FROM tk, unnest(toks) t(tok)),
+cnt AS (SELECT tok, count(*) AS cnt FROM px GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_vocab FROM cnt)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN c.cnt * t.n_vocab < t.n_total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST((1000000 * sum(CASE WHEN c.cnt * t.n_vocab < t.n_total THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS rare_ppm,
+       CAST(sum(c.cnt) AS BIGINT) AS corpus_freq_sum
+FROM px p JOIN cnt c USING (tok), tot t
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "term_salience_topk": term_salience_topk,
+    "rare_token_quality": rare_token_quality,
+}
+
+ORACLES = {
+    "term_salience_topk": TERM_SALIENCE_ORACLE,
+    "rare_token_quality": RARE_TOKEN_ORACLE,
+}

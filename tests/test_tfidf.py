@@ -1,0 +1,42 @@
+"""Term-relevance operators: value parity is the oracle gate's job;
+these pin the semantic invariants (top-k shape, integer ranking,
+rarity bounds)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from fxblue_etl_spark.operators.tfidf import (
+    TOPK_TERMS,
+    rare_token_quality,
+    term_salience_topk,
+)
+
+
+def test_salience_topk_shape_and_integer_rank(spark, sf_dir):
+    rows = term_salience_topk(spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+        # integer quotient, never a float
+        assert r["salience_ppm"] == (1_000_000 * r["tf"]) // r["df"]
+        assert r["df"] >= 1 and r["tf"] >= 1
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= TOPK_TERMS
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1))
+        # ranking is by descending salience with term tiebreak
+        ordered = sorted(doc_rows, key=lambda r: r["rank"])
+        keys = [(-r["salience_ppm"], r["term"]) for r in ordered]
+        assert keys == sorted(keys)
+
+
+def test_rare_token_quality_bounds(spark, sf_dir):
+    rows = rare_token_quality(spark, sf_dir).collect()
+    assert rows, "documents fixture is non-empty"
+    for r in rows:
+        assert 0 <= r["n_rare"] <= r["n_toks"]
+        assert 0 <= r["rare_ppm"] <= 1_000_000
+        assert r["rare_ppm"] == (1_000_000 * r["n_rare"]) // r["n_toks"]
+        # every token contributes at least its own occurrence
+        assert r["corpus_freq_sum"] >= r["n_toks"]
