@@ -47,6 +47,7 @@ from fxblue_etl_spark.operators import (
 )
 from fxblue_etl_spark.plans import (
     advanced,
+    behavior,
     bucketing,
     corpus,
     dq,
@@ -104,6 +105,7 @@ _MODULES = [
     runtime_filters,
     zorder,
     dq,
+    behavior,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -161,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_stats",
         "term_salience_topk",
         "rare_token_quality",
+        "retention_cohorts",
+        "event_cooccurrence",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

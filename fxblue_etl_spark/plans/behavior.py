@@ -1,0 +1,168 @@
+"""Behavioral analytics over the events stream: retention cohorts and
+event-type co-occurrence (association) statistics.
+
+Beyond the reference's scope (its event handling stops at per-row
+upserts, `RSS PARSER/gcp_rss.py:86-112`); these are the standard
+product-analytics readouts a warehouse team runs on an events table,
+and they exercise distinct plan shapes: a self-aligned
+min-per-key → join → distinct-count matrix (retention) and a
+bounded self-join on a distinct key set (co-occurrence).
+
+Determinism: every emitted ratio is an integer ppm quotient and every
+count is exact — no float aggregate anywhere (README rounding rule).
+
+Scale shape (100 TB):
+
+- ``retention_cohorts``: first-touch per user is one map-side-combined
+  min; the activity set is a distinct over (user, day) — both shuffle
+  on ``user_id``, so the subsequent join is co-partitioned and AQE
+  plans it without an extra exchange. The output matrix is
+  O(days²) — tiny regardless of input scale.
+- ``event_cooccurrence``: the self-join runs on the *distinct*
+  (user, type) set, whose width per user is bounded by the event-type
+  vocabulary (5 here, dozens in practice), never the raw event count —
+  so the pair explosion is O(users × vocab²), linear in users. Both
+  sides shuffle on ``user_id`` (co-partitioned); the final aggregate
+  has vocab² groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-cohort retention: users grouped by first-active
+    day; for each later day, how many came back.
+
+    Emits one row per (cohort_day, day_offset) with the exact active
+    count, the cohort size, and retained ppm (integer quotient).
+    """
+    e = table(tune(spark), sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    sized = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .join(sized, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("1000000 * n_active DIV cohort_size").alias("retained_ppm"),
+        )
+    )
+
+
+RETENTION_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+sized AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY 1),
+mat AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, e.day) AS day_offset,
+         count(*) AS n_active
+  FROM e JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(m.day_offset AS INT) AS day_offset,
+       m.n_active,
+       s.cohort_size,
+       CAST((1000000 * m.n_active) // s.cohort_size AS BIGINT) AS retained_ppm
+FROM mat m JOIN sized s USING (cohort_day)
+"""
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association matrix: for each unordered type pair,
+    how many users did both, with the integer sufficient statistics
+    of PMI/lift (``lift = P(ab)/(P(a)P(b))`` emitted cross-multiplied
+    as ppm: ``1e6 * n_both * n_users DIV (n_a * n_b)``) — the log/
+    float step is the caller's, keeping the engine output exact.
+    """
+    ut = (
+        table(tune(spark), sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n_single"))
+    nu = ut.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("n_single", "n_a")
+        .join(
+            F.broadcast(singles.withColumnRenamed("event_type", "type_b")), "type_b"
+        )
+        .withColumnRenamed("n_single", "n_b")
+        .crossJoin(F.broadcast(nu))  # 1-row scalar, broadcast by design
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_users",
+            F.expr("1000000 * n_both * n_users DIV (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+singles AS (SELECT event_type, count(*) AS n_single FROM ut GROUP BY 1),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n_single AS n_a, sb.n_single AS n_b,
+       CAST(nu.n_users AS BIGINT) AS n_users,
+       CAST((1000000 * p.n_both * nu.n_users) // (sa.n_single * sb.n_single)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b, nu
+"""
+
+
+QUERIES = {
+    "retention_cohorts": retention_cohorts,
+    "event_cooccurrence": event_cooccurrence,
+}
+
+ORACLES = {
+    "retention_cohorts": RETENTION_ORACLE,
+    "event_cooccurrence": COOCCURRENCE_ORACLE,
+}

@@ -1,0 +1,34 @@
+"""Behavioral analytics: value parity is the oracle gate's job; these
+pin the semantic invariants of the retention matrix and the
+co-occurrence statistics."""
+
+from __future__ import annotations
+
+from fxblue_etl_spark.plans.behavior import event_cooccurrence, retention_cohorts
+
+
+def test_retention_day_zero_is_full_cohort(spark, sf_dir):
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    cohorts = {r["cohort_day"] for r in rows}
+    # every cohort has a day-0 row, and on day 0 everyone is active
+    assert {r["cohort_day"] for r in day0} == cohorts
+    for r in day0:
+        assert r["n_active"] == r["cohort_size"]
+        assert r["retained_ppm"] == 1_000_000
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+
+
+def test_cooccurrence_bounds_and_symmetric_closure(spark, sf_dir):
+    rows = event_cooccurrence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]  # unordered pairs, one row each
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert max(r["n_a"], r["n_b"]) <= r["n_users"]
+        assert r["lift_ppm"] == (1_000_000 * r["n_both"] * r["n_users"]) // (
+            r["n_a"] * r["n_b"]
+        )
