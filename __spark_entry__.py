@@ -34,6 +34,7 @@ from fxblue_etl_spark.operators import (
     corpusops,
     dedup,
     graph,
+    indexing,
     merge,
     ml,
     multimodal,
@@ -106,6 +107,7 @@ _MODULES = [
     zorder,
     dq,
     behavior,
+    indexing,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -165,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_quality",
         "retention_cohorts",
         "event_cooccurrence",
+        "inverted_index_postings",
+        "vocab_coverage",
+        "training_order_shuffle",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

@@ -1,0 +1,59 @@
+"""Indexing & ordering operators: value parity is the oracle gate's
+job; these pin posting-list shape, nucleus monotonicity, and shuffle
+determinism/balance."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from fxblue_etl_spark.operators.indexing import (
+    COVERAGE_PCTS,
+    MIN_DF,
+    N_SHARDS,
+    POSTINGS_K,
+    inverted_index_postings,
+    training_order_shuffle,
+    vocab_coverage,
+)
+
+
+def test_postings_head_sorted_and_bounded(spark, sf_dir):
+    rows = inverted_index_postings(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= MIN_DF
+        assert r["tf_total"] >= r["df"]  # each posting has tf >= 1
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert len(ids) == min(r["df"], POSTINGS_K)
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_vocab_coverage_monotone_in_threshold(spark, sf_dir):
+    rows = vocab_coverage(spark, sf_dir).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["pct"]] = r
+        assert 1 <= r["n_types"] <= r["total_types"]
+        assert 100 * r["covered_toks"] >= r["pct"] * r["total_toks"]
+    for lang, per_pct in by_lang.items():
+        assert set(per_pct) == set(COVERAGE_PCTS), lang
+        # more coverage requires at least as many types
+        ns = [per_pct[p]["n_types"] for p in sorted(COVERAGE_PCTS)]
+        assert ns == sorted(ns)
+
+
+def test_training_shuffle_is_a_permutation(spark, sf_dir):
+    rows = training_order_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r["doc_id"] for r in rows}) == n  # every doc once
+    per_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHARDS
+        per_shard[r["shard"]].append(r["pos"])
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # md5 bucketing should touch most shards even on the small fixture
+    assert len(per_shard) >= N_SHARDS // 2
+    # deterministic: a second run yields the identical assignment
+    again = training_order_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
