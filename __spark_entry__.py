@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_postings",
         "vocab_coverage",
         "training_order_shuffle",
+        "label_cohesion_stats",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import fan_out, table
 from ..session import tune
 
 #: number of clusters (init = the K lowest vec_ids)
@@ -412,6 +412,86 @@ SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 5
 """
 
 
+def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster-cohesion sufficient statistics, integer-exact.
+
+    Embeddings are quantized to e5 ints (float32 → double is exact,
+    floor is exact — the repo's cross-engine rule), then per label:
+
+    - ``n_members``
+    - ``self_dot_sum`` = Σ_i |q_i|² (total quantized energy)
+    - ``centroid_sq_sum`` = |Σ_i q_i|² — the squared norm of the
+      un-normalized centroid, computed from per-dimension sums so no
+      member-vs-centroid join is ever needed
+    - ``cohesion_ppm`` = 1e6·|S|² DIV (n·Σ|q_i|²) — 1e6 when all
+      members are identical, ~0 for isotropic noise (the mean
+      pairwise-cosine estimate, exact in integers).
+
+    Scale shape: one posexplode (linear in rows×dim, map-side
+    combined on (label, pos)) + one row-local HOF aggregate — no
+    join, no window, no all-pairs. Headroom: |x|<1 → q<1e5; a label
+    needs ~1e9 aligned members before |S|² nears int64 — far beyond
+    any per-label population; the e5 scale is chosen exactly for
+    that bound."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1e5).cast("long"))
+    q = emb.select("vec_id", "label", qv.alias("q"))
+    self_dot = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    per_label = q.select("label", self_dot.alias("sd")).groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.sum("sd").cast("long").alias("self_dot_sum"),
+    )
+    dim_sums = (
+        q.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("centroid_sq_sum"))
+    )
+    return (
+        per_label.join(dim_sums, "label")
+        .select(
+            "label",
+            "n_members",
+            "self_dot_sum",
+            "centroid_sq_sum",
+            F.expr(
+                "1000000 * centroid_sq_sum DIV (n_members * self_dot_sum)"
+            ).alias("cohesion_ppm"),
+        )
+    )
+
+
+COHESION_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e5) AS BIGINT)) AS qv
+  FROM embeddings),
+per_label AS (
+  SELECT label, count(*) AS n_members,
+         CAST(sum(list_reduce(list_transform(qv, x -> x * x),
+                              (a, b) -> a + b)) AS BIGINT) AS self_dot_sum
+  FROM q GROUP BY 1),
+dims AS (
+  -- indexed lambda stands in for WITH ORDINALITY (not in this DuckDB)
+  SELECT label, u.i AS pos, CAST(sum(u.v) AS BIGINT) AS s
+  FROM (SELECT label,
+               unnest(list_transform(qv, (x, i) -> {'v': x, 'i': i})) AS u
+        FROM q)
+  GROUP BY 1, 2),
+cent AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS centroid_sq_sum
+  FROM dims GROUP BY 1)
+SELECT p.label, p.n_members, p.self_dot_sum, c.centroid_sq_sum,
+       CAST((1000000 * c.centroid_sq_sum) // (p.n_members * p.self_dot_sum)
+            AS BIGINT) AS cohesion_ppm
+FROM per_label p JOIN cent c USING (label)
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -419,6 +499,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "quantized_topk": quantized_topk,
     "quantized_ivf_topk": quantized_ivf_topk,
+    "label_cohesion_stats": label_cohesion_stats,
 }
 
 ORACLES = {
@@ -428,4 +509,5 @@ ORACLES = {
     "embedding_quantize": QUANTIZE_ORACLE,
     "quantized_topk": QUANTIZED_TOPK_ORACLE,
     "quantized_ivf_topk": QUANTIZED_IVF_ORACLE,
+    "label_cohesion_stats": COHESION_ORACLE,
 }

@@ -217,3 +217,18 @@ def test_grouped_pandas_ols_matches_builtin_regr(spark, sf_dir):
         u = udf_fit[flag]
         assert abs(u["slope"] - b["slope"]) < 1e-2, (flag, u["slope"], b["slope"])
         assert abs(u["intercept"] - b["intercept"]) < 1.0, flag
+
+
+def test_label_cohesion_bounds(spark, sf_dir):
+    from fxblue_etl_spark.operators.ml import label_cohesion_stats
+
+    rows = label_cohesion_stats(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert r["self_dot_sum"] > 0
+        # Cauchy-Schwarz: |S|^2 <= n * sum|q_i|^2, so ppm is in [0, 1e6]
+        assert 0 <= r["cohesion_ppm"] <= 1_000_000
+        assert r["cohesion_ppm"] == (1_000_000 * r["centroid_sq_sum"]) // (
+            r["n_members"] * r["self_dot_sum"]
+        )
