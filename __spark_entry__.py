@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage",
         "training_order_shuffle",
         "label_cohesion_stats",
+        "ohlc_bars_hourly",
+        "event_transition_matrix",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

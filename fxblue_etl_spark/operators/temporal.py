@@ -430,6 +430,137 @@ FROM filled
 """
 
 
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the financial-bar resample
+    the reference's FX domain implies but its write-only ETL never
+    computes (trades land in Postgres unaggregated,
+    `CSV PARSER/gcp_csv.py:159-193`).
+
+    Open/close are first/last by (ts, event_id) — the tiebreak makes
+    the selection deterministic even with equal timestamps. All four
+    prices are actual data values scaled to exact e4 ints (the
+    events.value rule); volume is the exact floor-scaled sum.
+
+    Plan: both row_numbers share one (hour, type) exchange+sort, and
+    the final groupBy reuses the same keys — a single shuffle total.
+    Bar populations are time-bounded, so no skew regardless of total
+    scale."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    asc = Window.partitionBy("hour", "event_type").orderBy("ts", "event_id")
+    desc = Window.partitionBy("hour", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select(
+            "*",
+            F.row_number().over(asc).alias("rn_a"),
+            F.row_number().over(desc).alias("rn_d"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.floor(F.col("value") * 1e4)))
+            .cast("long")
+            .alias("open_e4"),
+            F.floor(F.max("value") * 1e4).cast("long").alias("high_e4"),
+            F.floor(F.min("value") * 1e4).cast("long").alias("low_e4"),
+            F.max(F.when(F.col("rn_d") == 1, F.floor(F.col("value") * 1e4)))
+            .cast("long")
+            .alias("close_e4"),
+            F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("volume_e4"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "open_e4",
+            "high_e4",
+            "low_e4",
+            "close_e4",
+            "volume_e4",
+        )
+    )
+
+
+OHLC_ORACLE = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(max(CASE WHEN rn_a = 1 THEN CAST(floor(value * 10000) AS BIGINT) END) AS BIGINT) AS open_e4,
+       CAST(floor(max(value) * 10000) AS BIGINT) AS high_e4,
+       CAST(floor(min(value) * 10000) AS BIGINT) AS low_e4,
+       CAST(max(CASE WHEN rn_d = 1 THEN CAST(floor(value * 10000) AS BIGINT) END) AS BIGINT) AS close_e4,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS volume_e4
+FROM e
+GROUP BY 1, 2
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user, with integer ppm transition probabilities.
+
+    Plan: one lag window per user (ordered by ts with event_id
+    tiebreak), then a vocab²-group aggregate — the per-user sequence
+    scan a session-based recommender or anomaly model starts from.
+    Windows partition by user_id: bounded state, parallelism = user
+    count."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    outgoing = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(outgoing), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("1000000 * n DIV n_from").alias("prob_ppm"),
+        )
+    )
+
+
+TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2),
+outgoing AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, o.n_from,
+       CAST((1000000 * p.n) // o.n_from AS BIGINT) AS prob_ppm
+FROM pairs p JOIN outgoing o USING (from_type)
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "range_join_price_bands": range_join_price_bands,
@@ -437,6 +568,8 @@ QUERIES = {
     "heavy_hitters_exact": heavy_hitters_exact,
     "countmin_heavy_hitters": countmin_heavy_hitters,
     "gapfill_daily_locf": gapfill_daily_locf,
+    "ohlc_bars_hourly": ohlc_bars_hourly,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES = {
@@ -447,4 +580,6 @@ ORACLES = {
     # countmin_heavy_hitters: intentionally no oracle (sketch estimates
     # are engine-specific; rows-only + invariant test below)
     "gapfill_daily_locf": GAPFILL_ORACLE,
+    "ohlc_bars_hourly": OHLC_ORACLE,
+    "event_transition_matrix": TRANSITION_ORACLE,
 }

@@ -175,3 +175,33 @@ def test_cms_counter_table_bounded(spark, sf_dir):
 def test_heavy_hitters_exact_descending(spark, sf_dir):
     counts = [r.n_items for r in heavy_hitters_exact(spark, sf_dir).collect()]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+
+    rows = ohlc_bars_hourly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low_e4"] <= r["open_e4"] <= r["high_e4"]
+        assert r["low_e4"] <= r["close_e4"] <= r["high_e4"]
+        assert r["n_events"] >= 1
+        if r["n_events"] == 1:
+            assert r["open_e4"] == r["close_e4"] == r["high_e4"] == r["low_e4"]
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from fxblue_etl_spark.operators.temporal import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    out = defaultdict(int)
+    for r in rows:
+        assert 0 < r["n"] <= r["n_from"]
+        assert r["prob_ppm"] == (1_000_000 * r["n"]) // r["n_from"]
+        out[r["from_type"]] += r["n"]
+    for ft, tot in out.items():
+        n_from = next(r["n_from"] for r in rows if r["from_type"] == ft)
+        assert tot == n_from, ft
