@@ -6,7 +6,7 @@ upserts, `RSS PARSER/gcp_rss.py:86-112`); these are the standard
 product-analytics readouts a warehouse team runs on an events table,
 and they exercise distinct plan shapes: a self-aligned
 min-per-key → join → distinct-count matrix (retention) and a
-bounded self-join on a distinct key set (co-occurrence).
+set-collapse with row-local pair generation (co-occurrence).
 
 Determinism: every emitted ratio is an integer ppm quotient and every
 count is exact — no float aggregate anywhere (README rounding rule).
@@ -18,12 +18,12 @@ Scale shape (100 TB):
   on ``user_id``, so the subsequent join is co-partitioned and AQE
   plans it without an extra exchange. The output matrix is
   O(days²) — tiny regardless of input scale.
-- ``event_cooccurrence``: the self-join runs on the *distinct*
-  (user, type) set, whose width per user is bounded by the event-type
-  vocabulary (5 here, dozens in practice), never the raw event count —
-  so the pair explosion is O(users × vocab²), linear in users. Both
-  sides shuffle on ``user_id`` (co-partitioned); the final aggregate
-  has vocab² groups.
+- ``event_cooccurrence``: one distinct + one groupBy collapse events
+  to a per-user *sorted type set* (width bounded by the event-type
+  vocabulary — 5 here, dozens in practice), and unordered pairs are
+  generated row-locally from that set. No self-join exists anywhere:
+  total work is O(users × vocab²), one shuffle, and singles / user
+  count / pair counts all reuse the same grouped frame.
 """
 
 from __future__ import annotations
@@ -98,21 +98,37 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ppm: ``1e6 * n_both * n_users DIV (n_a * n_b)``) — the log/
     float step is the caller's, keeping the engine output exact.
     """
-    ut = (
+    # One distinct shuffle into per-user sorted type sets; pair
+    # generation is then a row-local nested transform (set width is
+    # vocab-bounded), so there is NO self-join and the events table is
+    # scanned once — singles, the user count, and the pair counts all
+    # derive from the same grouped frame.
+    sets = (
         table(tune(spark), sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
     )
-    singles = ut.groupBy("event_type").agg(F.count("*").alias("n_single"))
-    nu = ut.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    pairs = (
-        ut.alias("a")
-        .join(ut.alias("b"), "user_id")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+    singles = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_single"))
+    )
+    nu = sets.agg(F.count("*").cast("long").alias("n_users"))
+    pair_col = F.flatten(
+        F.transform(
+            "types",
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size("types")),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
         )
+    )
+    pairs = (
+        sets.select(F.explode(pair_col).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_both"))
     )
     return (
