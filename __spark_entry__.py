@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cohesion_stats",
         "ohlc_bars_hourly",
         "event_transition_matrix",
+        "dedup_degree_hist",
+        "dedup_component_size_hist",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",

@@ -168,10 +168,88 @@ GROUP BY s
 """
 
 
+def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph: how many vectors
+    have k near-duplicates. The shape QA reads before trusting a
+    dedup pass — a fat tail here means one template document glued
+    half the corpus into a single cluster.
+
+    Plan: pair edges symmetrized (row-count doubling union, no
+    shuffle), one groupBy per node, one vocab-small groupBy per
+    degree — scale-linear in edges."""
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+        )
+    )
+    return (
+        sym.groupBy("vec_a")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+DEGREE_HIST_ORACLE = f"""
+WITH pairs AS ({_near_dup_pairs_sql()}),
+sym AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+deg AS (
+  SELECT vec_a, count(*) AS degree FROM sym GROUP BY 1)
+SELECT degree, count(*) AS n_vecs
+FROM deg GROUP BY 1
+"""
+
+
+def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the near-dup cluster graph: how
+    many duplicate clusters have k members (the dedup yield curve —
+    sum over (size-1)·n is exactly the number of rows a
+    keep-one-per-cluster pass deletes)."""
+    return (
+        dedup_components(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+COMPONENT_SIZE_HIST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_near_dup_pairs_sql()}),
+edges(s, d) AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges),
+comp AS (
+  SELECT s AS vec_id, min(d) AS component FROM closure GROUP BY s),
+sizes AS (
+  SELECT component, count(*) AS component_size FROM comp GROUP BY 1)
+SELECT component_size, count(*) AS n_components
+FROM sizes GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_components": dedup_components,
+    "dedup_degree_hist": dedup_degree_hist,
+    "dedup_component_size_hist": dedup_component_size_hist,
 }
 
 ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
+    "dedup_degree_hist": DEGREE_HIST_ORACLE,
+    "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,
 }

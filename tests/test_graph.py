@@ -52,3 +52,23 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
     assert joined.filter(F.col("comp_a") != F.col("comp_b")).count() == 0
     mins = comp.groupBy("component").agg(F.min("vec_id").alias("min_member"))
     assert mins.filter(F.col("component") != F.col("min_member")).count() == 0
+
+
+def test_degree_and_component_histograms_consistent(spark, sf_dir):
+    from fxblue_etl_spark.operators.graph import (
+        dedup_component_size_hist,
+        dedup_degree_hist,
+    )
+    from fxblue_etl_spark.operators.similarity import embedding_near_dup
+
+    n_pairs = embedding_near_dup(spark, sf_dir).count()
+    deg = dedup_degree_hist(spark, sf_dir).collect()
+    # handshake lemma: sum of degrees == 2 * |edges|
+    assert sum(r["degree"] * r["n_vecs"] for r in deg) == 2 * n_pairs
+    sizes = dedup_component_size_hist(spark, sf_dir).collect()
+    # every component in the pair graph has >= 2 members, and the
+    # node totals of both histograms agree
+    assert all(r["component_size"] >= 2 for r in sizes)
+    assert sum(r["component_size"] * r["n_components"] for r in sizes) == sum(
+        r["n_vecs"] for r in deg
+    )
