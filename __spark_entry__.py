@@ -138,12 +138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Priority for the driver's ~50-entry gate window:
+    # Priority for the driver's ~50-entry gate window (the round-2
+    # verdict's ask, in its order):
     # 1. the flagship (always certified),
     # 2. the two round-2 red rows, re-fixed this round,
-    # 3. queries whose code or output schema changed this round,
-    # 4. the one new query,
-    # 5. everything no driver round has ever hash-checked,
+    # 3. queries whose code or output schema changed this round
+    #    (incl. quantized_ivf_topk, verdict item 7),
+    # 4. the 37 queries no driver round has ever hash-checked —
+    #    completing "every oracle-backed query has a driver row
+    #    across r1-r3" (verdict item 3),
+    # 5. operators newly added in round 3 (locally oracle-verified;
+    #    whatever misses the ~50 window is certified in round 4),
     # 6. the prior-round-green remainder (standing rows).
     head = [
         "flagship_account_pnl",
@@ -158,23 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack",
         "compact_small_files",
         "llm_corpus_prep",
-        # new this round
+        # verdict item 7: IVF-composed quantized ANN
         "quantized_ivf_topk",
-        "pii_scrub",
-        "domain_quality_gate",
-        "span_dedup_stats",
-        "term_salience_topk",
-        "rare_token_quality",
-        "retention_cohorts",
-        "event_cooccurrence",
-        "inverted_index_postings",
-        "vocab_coverage",
-        "training_order_shuffle",
-        "label_cohesion_stats",
-        "ohlc_bars_hourly",
-        "event_transition_matrix",
-        "dedup_degree_hist",
-        "dedup_component_size_hist",
         # never driver-checked: streaming block (append oracles now
         # model the ms-truncated watermark)
         "streaming_tumbling_windows",
@@ -212,6 +202,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize",
         "partitioned_sink_roundtrip",
         "dedup_components",
+        # new in round 3, locally oracle-verified; ordered so the
+        # highest-leverage operators catch any remaining gate slots
+        "pii_scrub",
+        "domain_quality_gate",
+        "span_dedup_stats",
+        "retention_cohorts",
+        "event_cooccurrence",
+        "ohlc_bars_hourly",
+        "event_transition_matrix",
+        "term_salience_topk",
+        "rare_token_quality",
+        "inverted_index_postings",
+        "vocab_coverage",
+        "training_order_shuffle",
+        "label_cohesion_stats",
+        "dedup_degree_hist",
+        "dedup_component_size_hist",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(
