@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_stats",
         "retention_cohorts",
         "event_cooccurrence",
+        "rolling_active_users",
+        "value_percentile_bands",
         "ohlc_bars_hourly",
         "event_transition_matrix",
         "term_salience_topk",

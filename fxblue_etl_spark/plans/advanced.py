@@ -515,6 +515,32 @@ FROM n_all a LEFT JOIN n_conv v USING (click_hour)
 """
 
 
+def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete p50/p90/p99 bands per event type. percentile_disc
+    picks an actual data value, so both engines return the identical
+    double bit-for-bit (the continuous interpolated variant is
+    cross-engine half-boundary bait — see exact_distinct_and_quantiles).
+    One partial-aggregable shuffle; group count = type vocabulary."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+
+
+PERCENTILE_BANDS_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -529,6 +555,7 @@ QUERIES = {
     "rolling_week_spend": rolling_week_spend,
     "embedding_norm_stats": embedding_norm_stats,
     "hourly_event_load": hourly_event_load,
+    "value_percentile_bands": value_percentile_bands,
 }
 
 ORACLES = {
@@ -545,4 +572,5 @@ ORACLES = {
     "rolling_week_spend": ROLLING_ORACLE,
     "embedding_norm_stats": EMB_NORM_ORACLE,
     "hourly_event_load": HOURLY_ORACLE,
+    "value_percentile_bands": PERCENTILE_BANDS_ORACLE,
 }

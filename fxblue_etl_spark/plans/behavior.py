@@ -173,12 +173,54 @@ JOIN singles sb ON sb.event_type = p.type_b, nu
 """
 
 
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day distinct active users per day (DAU/WAU
+    denominator). Sliding distinct counts don't decompose into window
+    partials, so the exact formulation joins the distinct (user, day)
+    set to the day grid with a 7-day band and re-counts — the grid is
+    calendar-sized (tiny, broadcast); work is O(days_in_window ×
+    active-pairs), linear in users at any corpus scale."""
+    e = table(tune(spark), sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    ud = e.distinct()
+    grid = ud.select(F.col("day").alias("grid_day")).distinct()
+    return (
+        ud.join(
+            F.broadcast(grid),
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") >= F.date_sub("grid_day", 6)),
+        )
+        .groupBy("grid_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("grid_day", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+        )
+    )
+
+
+ROLLING_ACTIVE_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+grid AS (SELECT DISTINCT day AS grid_day FROM ud)
+SELECT strftime(g.grid_day, '%Y-%m-%d') AS day,
+       count(DISTINCT u.user_id) AS active_7d
+FROM grid g
+JOIN ud u ON u.day <= g.grid_day AND u.day >= g.grid_day - INTERVAL 6 DAY
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
+    "rolling_active_users": rolling_active_users,
 }
 
 ORACLES = {
     "retention_cohorts": RETENTION_ORACLE,
     "event_cooccurrence": COOCCURRENCE_ORACLE,
+    "rolling_active_users": ROLLING_ACTIVE_ORACLE,
 }

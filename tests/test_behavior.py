@@ -32,3 +32,26 @@ def test_cooccurrence_bounds_and_symmetric_closure(spark, sf_dir):
         assert r["lift_ppm"] == (1_000_000 * r["n_both"] * r["n_users"]) // (
             r["n_a"] * r["n_b"]
         )
+
+
+def test_rolling_active_users_bounds(spark, sf_dir):
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.behavior import rolling_active_users
+    from pyspark.sql import functions as F
+
+    rows = {r["day"]: r["active_7d"] for r in rolling_active_users(spark, sf_dir).collect()}
+    assert rows
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = {
+        r["d"]: r["n"]
+        for r in e.distinct()
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total_users = e.select("user_id").distinct().count()
+    for day, a7 in rows.items():
+        # rolling window dominates the single day and never exceeds the population
+        assert daily[day] <= a7 <= total_users
