@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_udf_log_return",
         "grouped_map_share",
         "udtf_token_explode",
+        "arrow_udf_order_tier",
         # never driver-checked: TPC-H remainder
         "q2_min_cost_supplier",
         "q9_profit_by_nation_year",

@@ -143,14 +143,60 @@ FROM toks
 """
 
 
+def arrow_udf_order_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized scalar Python UDF (``useArrow=True``):
+    rows cross the JVM↔Python boundary as Arrow batches instead of
+    pickled singletons. Still the slow path versus built-in
+    expressions (the tiering below is one CASE away from pure
+    codegen — a real pipeline would write that instead); this query
+    exists to cover the fourth UDF execution mode alongside
+    pandas_udf / applyInPandas / UDTF, with bit-identical results to
+    the SQL oracle (boundary constants are exact doubles)."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def tier(total: float) -> str:
+        if total is None:
+            return None
+        if total < 50000.0:
+            return "small"
+        if total < 200000.0:
+            return "mid"
+        return "large"
+
+    o = table(tune(spark), sf_dir, "orders")
+    return (
+        o.select(tier("o_totalprice").alias("tier"), "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            # o_totalprice is 2-decimal by construction: e2 scaling is exact
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("total_e2"),
+        )
+    )
+
+
+ARROW_UDF_ORACLE = """
+SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+            WHEN o_totalprice < 200000.0 THEN 'mid'
+            ELSE 'large' END AS tier,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_e2
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
     "udtf_token_explode": udtf_token_explode,
+    "arrow_udf_order_tier": arrow_udf_order_tier,
 }
 
 ORACLES = {
     "pandas_udf_log_return": PANDAS_UDF_ORACLE,
     "grouped_map_share": GROUPED_MAP_ORACLE,
     "udtf_token_explode": UDTF_ORACLE,
+    "arrow_udf_order_tier": ARROW_UDF_ORACLE,
 }
