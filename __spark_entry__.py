@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_stats",
         "retention_cohorts",
         "event_cooccurrence",
+        "mixture_allocation",
         "rolling_active_users",
         "value_percentile_bands",
         "ohlc_bars_hourly",

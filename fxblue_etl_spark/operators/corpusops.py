@@ -323,12 +323,99 @@ FROM rates r LEFT JOIN s USING (lang)
 """
 
 
+#: total document budget apportioned across languages
+MIX_BUDGET = 10_000
+
+#: mixture weights (config-sized; broadcast literally)
+MIX_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+
+
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a document
+    budget across languages — the exact-integer step that turns
+    training-mixture weights into per-language quotas summing to the
+    budget precisely (floor-only quotas under-fill; float rounding
+    over/under-fills nondeterministically).
+
+    ``base = (B·w) DIV ΣW``; the ``B - Σbase`` leftover goes to the
+    largest ``(B·w) MOD ΣW`` remainders (lang tiebreak). Everything
+    is integer arithmetic, so both engines agree bit-for-bit.
+
+    Scale shape: the mixture table is config-sized (languages ×
+    sources, thousands at most) — the apportionment window is
+    trivially small; the corpus-sized part is only the per-language
+    availability count, one map-side-combined aggregate."""
+    d = table(tune(spark), sf_dir, "documents")
+    wsum = sum(MIX_WEIGHTS.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
+    )
+    avail = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("weight", F.coalesce(wmap[F.col("lang")], F.lit(0)).cast("long"))
+    )
+    scored = avail.select(
+        "lang",
+        "weight",
+        "n_avail",
+        F.expr(f"{MIX_BUDGET} * weight DIV {wsum}").alias("base_quota"),
+        F.expr(f"({MIX_BUDGET} * weight) % {wsum}").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    w_all = Window.partitionBy()
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover", F.lit(MIX_BUDGET) - F.sum("base_quota").over(w_all)
+        )
+        .withColumn(
+            "extra", (F.col("rank") <= F.col("leftover")).cast("int")
+        )
+        .select(
+            "lang",
+            "weight",
+            "n_avail",
+            "base_quota",
+            "extra",
+            (F.col("base_quota") + F.col("extra")).alias("final_quota"),
+        )
+    )
+
+
+MIXTURE_ORACLE = f"""
+WITH avail AS (
+  SELECT lang, count(*) AS n_avail FROM documents GROUP BY 1),
+weighted AS (
+  SELECT lang, n_avail,
+         CAST(CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())}
+              ELSE 0 END AS BIGINT) AS weight
+  FROM avail),
+scored AS (
+  SELECT lang, weight, n_avail,
+         ({MIX_BUDGET} * weight) // {sum(MIX_WEIGHTS.values())} AS base_quota,
+         ({MIX_BUDGET} * weight) % {sum(MIX_WEIGHTS.values())} AS rem
+  FROM weighted),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rank,
+         {MIX_BUDGET} - sum(base_quota) OVER () AS leftover
+  FROM scored)
+SELECT lang, weight, n_avail,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(rank <= leftover AS INT) AS extra,
+       CAST(base_quota + CAST(rank <= leftover AS INT) AS BIGINT) AS final_quota
+FROM ranked
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
     "sequence_pack": sequence_pack,
     "df_prune": df_prune,
     "temperature_resample": temperature_resample,
+    "mixture_allocation": mixture_allocation,
 }
 
 ORACLES = {
@@ -337,4 +424,5 @@ ORACLES = {
     "sequence_pack": SEQUENCE_PACK_ORACLE,
     "df_prune": DF_PRUNE_ORACLE,
     "temperature_resample": TEMPERATURE_ORACLE,
+    "mixture_allocation": MIXTURE_ORACLE,
 }

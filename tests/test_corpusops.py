@@ -117,3 +117,14 @@ def test_temperature_resample_downsamples_head(spark, sf_dir):
         assert r["n_sampled"] <= r["n_in"]
     # sampling actually removed something from the head language
     assert head["n_sampled"] < head["n_in"]
+
+
+def test_mixture_allocation_sums_to_budget(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import MIX_BUDGET, mixture_allocation
+
+    rows = mixture_allocation(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["final_quota"] for r in rows) == MIX_BUDGET
+    for r in rows:
+        assert r["extra"] in (0, 1)
+        assert r["final_quota"] in (r["base_quota"], r["base_quota"] + 1)
