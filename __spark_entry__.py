@@ -55,6 +55,7 @@ from fxblue_etl_spark.plans import (
     relational,
     runtime_filters,
     sinks,
+    stats,
     tpch_extra,
     tpch_more,
     zorder,
@@ -108,6 +109,7 @@ _MODULES = [
     dq,
     behavior,
     indexing,
+    stats,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -223,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cohesion_stats",
         "dedup_degree_hist",
         "dedup_component_size_hist",
+        "equidepth_histogram",
+        "mcv_stats",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -1,0 +1,120 @@
+"""Optimizer-statistics collection — the ANALYZE TABLE surface an
+engine needs to plan with: equi-depth histograms and most-common-value
+(MCV) lists, computed exactly and deterministically.
+
+The reference has no planner at all (write-only ETL); these are the
+stats a cost-based optimizer over the same tables consumes, exposed
+as first-class queries so collection itself is certified.
+
+Determinism: bucket assignment uses ``ntile`` over a totally ordered
+key (value, primary key) — no ties left to engine choice; every
+emitted money value is an exact e2 integer.
+
+Scale shape (100 TB): a global ``ntile`` needs a total order — a
+single sort task in the naive plan. That's acceptable for stats
+collection over a SAMPLE (how every warehouse runs ANALYZE) and the
+fixture-scale plan documents it; the scale path samples first (the
+hash-threshold sampler in corpusops), keeping sort input bounded.
+The MCV pass is two map-side-combined aggregates, scale-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+#: equi-depth buckets
+N_BUCKETS = 32
+#: most-common values kept
+MCV_K = 20
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of orders.o_totalprice: N_BUCKETS buckets
+    of equal row count, each with exact bounds and population."""
+    o = table(tune(spark), sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.floor(F.min("o_totalprice") * 100).cast("long").alias("lo_e2"),
+            F.floor(F.max("o_totalprice") * 100).cast("long").alias("hi_e2"),
+        )
+    )
+
+
+EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT o_totalprice,
+         ntile({N_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders)
+SELECT CAST(bucket AS INT) AS bucket,
+       count(*) AS n_rows,
+       CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS lo_e2,
+       CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_e2
+FROM b GROUP BY 1
+"""
+
+
+def mcv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-value list for lineitem.l_quantity with the
+    accompanying column-level stats every MCV consumer needs: total
+    rows, distinct values, and each value's exact frequency ppm."""
+    li = table(tune(spark), sf_dir, "lineitem").select("l_quantity")
+    counts = li.groupBy("l_quantity").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MCV_K)
+        .crossJoin(F.broadcast(tot))  # 1-row scalar, broadcast by design
+        .select(
+            F.floor(F.col("l_quantity") * 100).cast("long").alias("value_e2"),
+            "n",
+            "rank",
+            "n_total",
+            "n_distinct",
+            F.expr("1000000 * n DIV n_total").alias("freq_ppm"),
+        )
+    )
+
+
+MCV_ORACLE = f"""
+WITH counts AS (
+  SELECT l_quantity, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, l_quantity ASC) AS rank
+  FROM counts)
+SELECT CAST(floor(r.l_quantity * 100) AS BIGINT) AS value_e2,
+       r.n,
+       CAST(r.rank AS INT) AS rank,
+       t.n_total,
+       t.n_distinct,
+       CAST((1000000 * r.n) // t.n_total AS BIGINT) AS freq_ppm
+FROM ranked r, tot t
+WHERE r.rank <= {MCV_K}
+"""
+
+
+QUERIES = {
+    "equidepth_histogram": equidepth_histogram,
+    "mcv_stats": mcv_stats,
+}
+
+ORACLES = {
+    "equidepth_histogram": EQUIDEPTH_ORACLE,
+    "mcv_stats": MCV_ORACLE,
+}
