@@ -20,10 +20,12 @@ training-data stack runs after cleaning:
 Scale shape (100 TB):
 
 - postings: explode → (tok, doc) partial-agg'd counts. The head-of-
-  posting-list step uses a per-token window; stop-word tokens make
-  those partitions skewed, so at real scale the row_number pass runs
-  after a per-partition top-K pre-prune (tournament top-K) — the
-  fixture-scale plan keeps the single window and documents the swap.
+  posting-list step is a two-level tournament top-K: level 1 keeps
+  the K smallest doc_ids per (tok, doc-hash-bucket) — N_TOURNAMENT
+  ways parallel even for stop-word tokens — and level 2 merges the
+  ≤ N_TOURNAMENT·K survivors per token. No window ever sees a
+  stop-word's full posting list, so the skewed-token partition that
+  a single per-token window would serialize on never exists.
   ``MIN_DF`` prunes the hapax tail before any join.
 - vocab_coverage: the cumulative-mass window is one task per
   language (vocabularies are Heaps-law-bounded, millions of rows at
@@ -49,6 +51,9 @@ from .textops import ws_tokens
 POSTINGS_K = 5
 #: tokens rarer than this document frequency are pruned
 MIN_DF = 5
+#: level-1 tournament ways for the posting-list head (bounds the
+#: widest per-token window partition to ~df/N_TOURNAMENT)
+N_TOURNAMENT = 8
 #: nucleus thresholds, percent of per-language token mass
 COVERAGE_PCTS = (50, 90, 99)
 #: training shards for the deterministic shuffle
@@ -77,9 +82,20 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),
     )
-    w = Window.partitionBy("tok").orderBy("doc_id")
+    # tournament level 1: K smallest doc_ids within each of
+    # N_TOURNAMENT hash sub-streams of the token
+    w1 = Window.partitionBy("tok", "tb").orderBy("doc_id")
+    level1 = (
+        td.withColumn(
+            "tb", _hash_bucket(F.col("doc_id"), "postings|", N_TOURNAMENT)
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= POSTINGS_K)
+    )
+    # level 2: merge the <= N_TOURNAMENT*K survivors per token
+    w2 = Window.partitionBy("tok").orderBy("doc_id")
     head = (
-        td.withColumn("rn", F.row_number().over(w))
+        level1.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= POSTINGS_K)
         .groupBy("tok")
         .agg(
