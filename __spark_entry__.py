@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_component_size_hist",
         "equidepth_histogram",
         "mcv_stats",
+        "streaming_ohlc_stateful",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

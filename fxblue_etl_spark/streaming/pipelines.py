@@ -573,6 +573,81 @@ FROM events
 """
 
 
+_OHLC_OUT = (
+    "hour string, event_type string, n_events long, open_e4 long, "
+    "high_e4 long, low_e4 long, close_e4 long, volume_e4 long"
+)
+_OHLC_STATE = (
+    "n long, open_e4 long, high_e4 long, low_e4 long, close_e4 long, "
+    "volume_e4 long"
+)
+
+
+def streaming_ohlc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars as a custom stateful streaming operator
+    (applyInPandasWithState), keyed by (hour, event_type).
+
+    State is the bar's running (n, open, high, low, close, volume) —
+    open survives from the first batch that touched the bar, close
+    tracks the latest, high/low/volume merge monotonically, so the
+    operator is correct across any micro-batch slicing. Driven with
+    Trigger.AvailableNow the fixture arrives as one batch and the
+    emitted bars equal the batch ``ohlc_bars_hourly`` exactly (same
+    oracle); a production deployment would add an event-time timeout
+    to emit each bar once its hour passes the watermark.
+
+    Scale: state is six longs per (hour, type) bar — bounded by the
+    calendar, not the event volume."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+
+    def ohlc_fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        e4 = rows["value"].map(lambda v: math.floor(v * 1e4)).astype("int64")
+        n = len(rows)
+        o, c = int(e4.iloc[0]), int(e4.iloc[-1])
+        hi, lo, vol = int(e4.max()), int(e4.min()), int(e4.sum())
+        if state.exists:
+            pn, po, ph, pl, _pc, pv = state.get
+            n, o = n + pn, po
+            hi, lo, vol = max(hi, ph), min(lo, pl), vol + pv
+        state.update((n, o, hi, lo, c, vol))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": key[0],
+                    "event_type": key[1],
+                    "n_events": n,
+                    "open_e4": o,
+                    "high_e4": hi,
+                    "low_e4": lo,
+                    "close_e4": c,
+                    "volume_e4": vol,
+                }
+            ]
+        )
+
+    bars = s.groupBy("hour", "event_type").applyInPandasWithState(
+        ohlc_fn, _OHLC_OUT, _OHLC_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    return run_to_table(bars, "append")
+
+
+# identical result to the batch resample — share its oracle
+from ..operators.temporal import OHLC_ORACLE as STREAMING_OHLC_ORACLE  # noqa: E402
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -584,6 +659,7 @@ QUERIES = {
     "streaming_locf_stateful": streaming_locf_stateful,
     "streaming_csv_merge": streaming_csv_merge,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_ohlc_stateful": streaming_ohlc_stateful,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -600,6 +676,7 @@ ORACLES = {
     "streaming_locf_stateful": LOCF_STREAM_ORACLE,
     "streaming_csv_merge": STREAMING_MERGE_ORACLE,
     "streaming_interval_join": INTERVAL_JOIN_ORACLE,
+    "streaming_ohlc_stateful": STREAMING_OHLC_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:

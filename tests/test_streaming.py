@@ -176,3 +176,13 @@ def test_streaming_csv_ingest_end_to_end(spark, tmp_path):
     assert set(rows) == {1, 2, 7}
     assert rows[2].pnl == 99.0  # upserted, not duplicated
     assert rows[7].account_id == "222"
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+
+    got = sorted(
+        map(tuple, pipelines.streaming_ohlc_stateful(spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, ohlc_bars_hourly(spark, sf_dir).collect()))
+    assert got == want
