@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram",
         "mcv_stats",
         "streaming_ohlc_stateful",
+        "containment_pairs",
+        "source_overlap_matrix",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -136,10 +136,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hs_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
 
 
-def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
-    ``text``) with exact shingle Jaccard: ``(doc_a, doc_b, jaccard)``,
-    jaccard an unrounded double.
+    ``text``): ``(doc_a, doc_b, sh_a, sh_b)`` with each side's
+    distinct shingle set, ready for exact verification (Jaccard,
+    containment, …).
 
     Bands of BAND_ROWS minhashes are hashed to a band signature;
     pairs sharing any (band_idx, band_sig) bucket are candidates;
@@ -181,7 +182,7 @@ def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -196,6 +197,12 @@ def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs scored with exact Jaccard (see
+    ``lsh_candidate_pairs`` for the plan shape)."""
+    cand = lsh_candidate_pairs(docs)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
     return cand.select(
@@ -241,7 +248,9 @@ BAND_SIG_SQL = " || '|' || ".join(
     for r in range(BAND_ROWS)
 )
 
-MINHASH_ORACLE = rf"""
+#: shared candidate-pair CTE chain (normalize → shingle → minhash →
+#: band → equi-join); every LSH-derived oracle composes on `cand`
+CAND_PAIRS_SQL = rf"""
 WITH norm AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(
@@ -271,7 +280,9 @@ cand AS (
          any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+MINHASH_ORACLE = rf"""{CAND_PAIRS_SQL}
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
@@ -502,6 +513,85 @@ WHERE levenshtein(a.text, b.text) * {LEV_RATIO} <= least(a.n_chars, b.n_chars)
 """
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the LSH candidate pairs:
+    ``|A∩B| / |A|`` (and ``/ |B|``) as integer ppm. Jaccard misses
+    the quote-inclusion case — a short document wholly embedded in a
+    long one scores low Jaccard but 1e6 containment ppm on the short
+    side; dedup policies drop the contained copy. Same banded plan as
+    ``minhash_lsh_pairs``; only the verification expression differs."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    cand = lsh_candidate_pairs(d)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.expr("1000000 * n_common DIV n_a").alias("containment_a_ppm"),
+        F.expr("1000000 * n_common DIV n_b").alias("containment_b_ppm"),
+    )
+
+
+CONTAINMENT_ORACLE = rf"""{CAND_PAIRS_SQL}
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_common,
+       CAST((1000000 * len(list_intersect(sh_a, sh_b))) // len(sh_a) AS BIGINT)
+         AS containment_a_ppm,
+       CAST((1000000 * len(list_intersect(sh_a, sh_b))) // len(sh_b) AS BIGINT)
+         AS containment_b_ppm
+FROM cand
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources near-duplicate each other: the LSH pair graph
+    joined back to each side's ``source``, counted per unordered
+    source pair — the governance readout that finds mirror domains
+    and syndication clusters before they skew a training mixture.
+
+    Scale: two equi-joins of the (tiny) pair graph against the
+    doc→source projection on ``doc_id``, then a sources²-group
+    aggregate. The pair graph is edges-sized, never corpus-sized."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    src = d.select("doc_id", "source")
+    pairs = lsh_candidate_pairs(d).select("doc_a", "doc_b")
+    both = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("source", "source_a")
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        both.select(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SOURCE_OVERLAP_ORACLE = rf"""{CAND_PAIRS_SQL}
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*) AS n_pairs
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "edit_distance_pairs": edit_distance_pairs,
@@ -509,6 +599,8 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_ml": minhash_lsh_ml,
+    "containment_pairs": containment_pairs,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES = {
@@ -518,4 +610,6 @@ ORACLES = {
     "simhash_docs": SIMHASH_ORACLE,
     "ngram_jaccard_pairs": NGRAM_ORACLE,
     # minhash_lsh_ml: rows-only (seeded JVM hash family)
+    "containment_pairs": CONTAINMENT_ORACLE,
+    "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
 }

@@ -123,3 +123,31 @@ def test_llm_corpus_prep_stage_order(spark, sf_dir):
     n_kept = sum(r.n_docs for r in rows)
     n_quality = quality_score(spark, sf_dir).filter(F.col("keep") == 1).count()
     assert 0 < n_kept <= n_quality  # dedup only ever removes survivors
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    from fxblue_etl_spark.operators.dedup import containment_pairs, minhash_lsh_pairs
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    cont = containment_pairs(spark, sf_dir).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in cont} == set(jac)
+    for r in cont:
+        assert 0 <= r["containment_a_ppm"] <= 1_000_000
+        assert 0 <= r["containment_b_ppm"] <= 1_000_000
+        # containment >= jaccard on both sides (A∩B/|A| >= A∩B/|A∪B|)
+        j = jac[(r["doc_a"], r["doc_b"])]
+        assert r["containment_a_ppm"] >= int(j * 1e6) - 1
+        assert r["containment_b_ppm"] >= int(j * 1e6) - 1
+
+
+def test_source_overlap_totals_match_pair_count(spark, sf_dir):
+    from fxblue_etl_spark.operators.dedup import minhash_lsh_pairs, source_overlap_matrix
+
+    n_pairs = minhash_lsh_pairs(spark, sf_dir).count()
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_x"] <= r["source_y"]
