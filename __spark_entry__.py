@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ohlc_stateful",
         "containment_pairs",
         "source_overlap_matrix",
+        "doc_chunking",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

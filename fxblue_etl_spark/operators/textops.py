@@ -264,12 +264,79 @@ FROM documents
 """
 
 
+#: tokens per chunk / stride between chunk starts (overlap = CHUNK - STRIDE)
+CHUNK_TOKS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks per document — the
+    retrieval/embedding prep step (chunk → embed → index). Chunk
+    starts step by CHUNK_STRIDE so consecutive chunks overlap by
+    ``CHUNK_TOKS - CHUNK_STRIDE`` tokens; the final partial chunk is
+    kept. Emits the chunk's exact token span and a content hash so a
+    chunk-level exact-dedup (boilerplate detection across documents)
+    is one groupBy away.
+
+    Scale shape: entirely row-local (tokenize → computed start
+    sequence → slice → hash fused into the scan) — the only
+    multiplication is the ~n_toks/STRIDE output rows per doc. No
+    shuffle at all."""
+    from ..io import fan_out, table
+    from ..session import tune
+
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: s < F.size("toks"),
+    )
+    chunked = d.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "tok_start")
+    )
+    piece = F.slice("toks", F.col("tok_start") + 1, CHUNK_TOKS)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        F.size(piece).alias("n_toks"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+CHUNKING_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE}),
+                     s -> s < len(toks)) AS starts
+  FROM tk),
+ex AS (
+  SELECT doc_id, toks,
+         u.s.st AS tok_start, u.s.i - 1 AS chunk_idx
+  FROM (SELECT doc_id, toks,
+               unnest(list_transform(starts, (st, i) -> {{'st': st, 'i': i}})) AS s
+        FROM st) u)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(tok_start AS INT) AS tok_start,
+       CAST(len(toks[tok_start + 1 : tok_start + {CHUNK_TOKS}]) AS INT) AS n_toks,
+       md5(array_to_string(toks[tok_start + 1 : tok_start + {CHUNK_TOKS}], ' ')) AS chunk_hash
+FROM ex
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "pii_scrub": pii_scrub,
+    "doc_chunking": doc_chunking,
 }
 
 ORACLES = {
@@ -278,4 +345,5 @@ ORACLES = {
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprint": FINGERPRINT_ORACLE,
     "pii_scrub": PII_SCRUB_ORACLE,
+    "doc_chunking": CHUNKING_ORACLE,
 }

@@ -151,3 +151,39 @@ def test_source_overlap_totals_match_pair_count(spark, sf_dir):
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     for r in rows:
         assert r["source_x"] <= r["source_y"]
+
+
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    from collections import defaultdict
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.textops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        doc_chunking,
+        ws_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(ws_tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc = defaultdict(list)
+    for r in doc_chunking(spark, sf_dir).collect():
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        total = n_toks[doc_id]
+        # starts step by the stride, idx is dense from 0
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["tok_start"] == i * CHUNK_STRIDE
+            assert 1 <= c["n_toks"] <= CHUNK_TOKS
+        # last chunk reaches the end of the document
+        last = chunks[-1]
+        assert last["tok_start"] + last["n_toks"] == total
+        # every doc with tokens is fully covered from position 0
+        assert chunks[0]["tok_start"] == 0
