@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs",
         "source_overlap_matrix",
         "doc_chunking",
+        "chunk_boilerplate",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

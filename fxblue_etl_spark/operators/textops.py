@@ -330,6 +330,50 @@ FROM ex
 """
 
 
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: 64-token windows whose content hash
+    repeats (within or across documents) — boilerplate headers,
+    licence blocks, templated passages. One hash-keyed groupBy over
+    the row-local chunking; at scale this is the cheap first pass
+    that removes repeated passages before any near-dup machinery."""
+    c = doc_chunking(spark, sf_dir)
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.col("doc_id") * 100000 + F.col("tok_start")).alias(
+                "first_site"
+            ),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+CHUNK_BOILERPLATE_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE}),
+                     s -> s < len(toks)) AS starts
+  FROM tk),
+ex AS (
+  SELECT doc_id, u.s AS tok_start,
+         md5(array_to_string(toks[u.s + 1 : u.s + {CHUNK_TOKS}], ' ')) AS chunk_hash
+  FROM st, unnest(starts) u(s))
+SELECT chunk_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(min(doc_id * 100000 + tok_start) AS BIGINT) AS first_site
+FROM ex
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -337,6 +381,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "pii_scrub": pii_scrub,
     "doc_chunking": doc_chunking,
+    "chunk_boilerplate": chunk_boilerplate,
 }
 
 ORACLES = {
@@ -346,4 +391,5 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_ORACLE,
     "pii_scrub": PII_SCRUB_ORACLE,
     "doc_chunking": CHUNKING_ORACLE,
+    "chunk_boilerplate": CHUNK_BOILERPLATE_ORACLE,
 }
