@@ -63,6 +63,7 @@ from fxblue_etl_spark.plans import (
 from fxblue_etl_spark.sources import (
     fxblue_csv,
     jsonl,
+    pyds_sink,
     rss_datasource,
     rss_feed,
     xlsx_registry,
@@ -110,6 +111,7 @@ _MODULES = [
     behavior,
     indexing,
     stats,
+    pyds_sink,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -232,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix",
         "doc_chunking",
         "chunk_boilerplate",
+        "pyds_jsonl_sink_roundtrip",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -99,3 +99,28 @@ def test_network_mode_requires_feedparser(spark, registry):
     df = _batch(spark, registry, mode="network")
     with pytest.raises(Exception, match="feedparser"):
         df.collect()
+
+
+def test_pyds_sink_manifest_and_shards(spark, sf_dir):
+    import json
+    import os
+
+    from fxblue_etl_spark.sources.pyds_sink import (
+        N_SHARDS,
+        pyds_jsonl_sink_roundtrip,
+    )
+
+    row = pyds_jsonl_sink_roundtrip(spark, sf_dir).collect()[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert row["n_rows"] == row["n_docs"] == n_docs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/pyds_jsonl_{tag}"
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_rows"] == n_docs
+    assert len(manifest["shards"]) == N_SHARDS
+    # every manifest shard exists and the per-shard counts add up
+    assert sum(s["n_rows"] for s in manifest["shards"]) == n_docs
+    for s in manifest["shards"]:
+        assert os.path.exists(s["path"])
