@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking",
         "chunk_boilerplate",
         "pyds_jsonl_sink_roundtrip",
+        "dynamic_partition_backfill",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

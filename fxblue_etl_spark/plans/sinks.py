@@ -273,12 +273,85 @@ GROUP BY 1
 """
 
 
+#: the day the backfill drop corrects
+BACKFILL_DAY = "2024-01-15"
+
+
+def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT-OVERWRITE-one-partition backfill, the warehouse re-run
+    primitive the reference approximates with row upserts
+    (`CSV PARSER/gcp_csv.py:159-193`): load events day-partitioned,
+    then land a corrected drop for one day under
+    ``partitionOverwriteMode=dynamic`` — only that day's directory is
+    rewritten; every other partition's files are untouched.
+
+    The read-back aggregate certifies both halves: untouched days
+    carry original values, the backfilled day carries corrected
+    (doubled) values. Scale: the backfill writes O(one day), not
+    O(table) — dynamic mode is what makes per-partition re-runs
+    constant-cost at warehouse scale."""
+    import shutil
+
+    tune(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") * 1e4).cast("long").alias("value_e4"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/dpo_backfill_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    corrected = e.filter(F.col("day") == F.lit(BACKFILL_DAY)).withColumn(
+        "value_e4", F.col("value_e4") * 2
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count("*").alias("n_rows"),
+        F.sum("value_e4").cast("long").alias("total_value_e4"),
+        F.sum(
+            F.when(F.col("day") == F.lit(BACKFILL_DAY), F.col("value_e4"))
+        )
+        .cast("long")
+        .alias("backfilled_day_value_e4"),
+    )
+
+
+DPO_BACKFILL_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(floor(value * 10000) AS BIGINT) AS value_e4
+  FROM events),
+adj AS (
+  SELECT day,
+         CASE WHEN day = DATE '{BACKFILL_DAY}' THEN value_e4 * 2
+              ELSE value_e4 END AS value_e4
+  FROM e)
+SELECT count(DISTINCT day) AS n_days,
+       count(*) AS n_rows,
+       CAST(sum(value_e4) AS BIGINT) AS total_value_e4,
+       CAST(sum(CASE WHEN day = DATE '{BACKFILL_DAY}' THEN value_e4 END) AS BIGINT)
+         AS backfilled_day_value_e4
+FROM adj
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
     "orc_sink_roundtrip": orc_sink_roundtrip,
     "compact_small_files": compact_small_files,
     "csv_sink_roundtrip": csv_sink_roundtrip,
+    "dynamic_partition_backfill": dynamic_partition_backfill,
 }
 
 ORACLES = {
@@ -287,4 +360,5 @@ ORACLES = {
     "orc_sink_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "compact_small_files": COMPACT_ORACLE,
     "csv_sink_roundtrip": CSV_ROUNDTRIP_ORACLE,
+    "dynamic_partition_backfill": DPO_BACKFILL_ORACLE,
 }

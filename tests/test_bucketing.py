@@ -23,3 +23,34 @@ def test_bucketed_join_reuses_catalog_tables(spark, sf_dir):
     a = {tuple(r) for r in bucketed_colocated_join(spark, sf_dir).collect()}
     b = {tuple(r) for r in bucketed_colocated_join(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dynamic_backfill_touches_only_target_partition(spark, sf_dir):
+    """The corrected drop must rewrite only the backfill day's
+    directory: other partitions keep their original file mtimes."""
+    import os
+
+    from fxblue_etl_spark.plans.sinks import (
+        BACKFILL_DAY,
+        dynamic_partition_backfill,
+    )
+
+    dynamic_partition_backfill(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/dpo_backfill_{tag}"
+    days = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert f"day={BACKFILL_DAY}" in days
+    assert len(days) > 1
+
+    def newest(day_dir):
+        files = [
+            os.path.join(out, day_dir, f)
+            for f in os.listdir(os.path.join(out, day_dir))
+            if f.endswith(".parquet")
+        ]
+        return max(os.path.getmtime(f) for f in files)
+
+    target_m = newest(f"day={BACKFILL_DAY}")
+    others_m = max(newest(d) for d in days if d != f"day={BACKFILL_DAY}")
+    # the backfilled partition was written strictly after the rest
+    assert target_m > others_m
