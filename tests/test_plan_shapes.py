@@ -1,0 +1,58 @@
+"""Plan-shape regression tests for round-3 operators: the structural
+properties that make each one scale-correct must survive refactors.
+(Value parity is the oracle gate's job.)"""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ohlc_uses_a_single_exchange(spark, sf_dir):
+    """Both row_number windows and the final aggregate share one
+    (hour, event_type) partitioning: exactly one shuffle."""
+    from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+
+    plan = _plan(ohlc_bars_hourly(spark, sf_dir))
+    # AQE wraps the tree; count distinct Exchange operators planned
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cooccurrence_has_no_join(spark, sf_dir):
+    """Pairs are generated row-locally from per-user sets — the plan
+    must contain no self-join of the events relation (the only joins
+    are the final broadcasts of the vocab²-sized aggregates)."""
+    from fxblue_etl_spark.plans.behavior import event_cooccurrence
+
+    plan = _plan(event_cooccurrence(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_postings_tournament_bounds_window_width(spark, sf_dir):
+    """The head-of-postings pass must run two row_number windows (the
+    two tournament levels), the first partitioned by (tok, bucket)."""
+    from fxblue_etl_spark.operators.indexing import inverted_index_postings
+
+    plan = _plan(inverted_index_postings(spark, sf_dir))
+    assert plan.count("row_number()") >= 2, plan
+    assert "tb" in plan  # level-1 sub-stream key reaches the plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is row-local: no Exchange anywhere in the plan."""
+    from fxblue_etl_spark.operators.textops import doc_chunking
+
+    plan = _plan(doc_chunking(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mixture_allocation_is_config_sized(spark, sf_dir):
+    """The corpus-sized side is one partial-agg count; the
+    apportionment windows run on the config-sized language table."""
+    from fxblue_etl_spark.operators.corpusops import mixture_allocation
+
+    plan = _plan(mixture_allocation(spark, sf_dir))
+    # partial + final aggregate pair for the availability count
+    assert plan.count("HashAggregate") >= 2
