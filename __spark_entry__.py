@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_boilerplate",
         "pyds_jsonl_sink_roundtrip",
         "dynamic_partition_backfill",
+        "type_correlation_stats",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -213,14 +213,73 @@ GROUP BY 1
 """
 
 
+def type_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer sufficient statistics for the hourly co-movement
+    (Pearson correlation) of every event-type pair: n, Σx, Σy, Σx²,
+    Σy², Σxy over the aligned hourly value sums (e4-scaled ints).
+    The float correlation is one division away for the caller; the
+    engine emits only order-independent integer sums, so the result
+    is bit-stable across engines and partitionings.
+
+    Scale: hourly aligned series are calendar-bounded — the self-join
+    on ``hour`` is tiny regardless of event volume; the corpus-sized
+    work is the one map-side-combined hourly aggregate."""
+    e = table(tune(spark), sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+    hourly = e.groupBy("hour", "event_type").agg(
+        F.sum("v_e4").cast("long").alias("x")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    return (
+        a.join(b, "hour")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("a.x").cast("long").alias("sum_x"),
+            F.sum("b.x").cast("long").alias("sum_y"),
+            F.sum(F.col("a.x") * F.col("a.x")).cast("long").alias("sum_xx"),
+            F.sum(F.col("b.x") * F.col("b.x")).cast("long").alias("sum_yy"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sum_xy"),
+        )
+    )
+
+
+TYPE_CORR_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_hours,
+       CAST(sum(a.x) AS BIGINT) AS sum_x,
+       CAST(sum(b.x) AS BIGINT) AS sum_y,
+       CAST(sum(a.x * a.x) AS BIGINT) AS sum_xx,
+       CAST(sum(b.x * b.x) AS BIGINT) AS sum_yy,
+       CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy
+FROM hourly a JOIN hourly b USING (hour)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
     "rolling_active_users": rolling_active_users,
+    "type_correlation_stats": type_correlation_stats,
 }
 
 ORACLES = {
     "retention_cohorts": RETENTION_ORACLE,
     "event_cooccurrence": COOCCURRENCE_ORACLE,
     "rolling_active_users": ROLLING_ACTIVE_ORACLE,
+    "type_correlation_stats": TYPE_CORR_ORACLE,
 }

@@ -55,3 +55,19 @@ def test_rolling_active_users_bounds(spark, sf_dir):
     for day, a7 in rows.items():
         # rolling window dominates the single day and never exceeds the population
         assert daily[day] <= a7 <= total_users
+
+
+def test_type_correlation_stats_cauchy_schwarz(spark, sf_dir):
+    from fxblue_etl_spark.plans.behavior import type_correlation_stats
+
+    rows = type_correlation_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_hours"]
+        assert n >= 1
+        # derived correlation must be a valid correlation
+        cov = n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        vx = n * r["sum_xx"] - r["sum_x"] ** 2
+        vy = n * r["sum_yy"] - r["sum_y"] ** 2
+        assert vx >= 0 and vy >= 0
+        assert cov * cov <= vx * vy  # |corr| <= 1, integer-exact
