@@ -1,0 +1,30 @@
+"""Partition-count invariance: the repo's integer-sum discipline
+claims results are independent of physical parallelism. Re-running a
+representative query set under a different shuffle-partition count
+must produce bit-identical rows — this is the property that makes
+the same code safe from local[32] to a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from fxblue_etl_spark.operators.ml import label_cohesion_stats
+from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+from fxblue_etl_spark.operators.windows import sessionize_events
+from fxblue_etl_spark.plans.behavior import type_correlation_stats
+
+
+@pytest.mark.parametrize(
+    "query",
+    [sessionize_events, ohlc_bars_hourly, label_cohesion_stats, type_correlation_stats],
+    ids=lambda q: q.__name__,
+)
+def test_result_independent_of_shuffle_partitions(spark, sf_dir, query):
+    base = sorted(map(tuple, query(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        odd = sorted(map(tuple, query(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == odd
