@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_jsonl_sink_roundtrip",
         "dynamic_partition_backfill",
         "type_correlation_stats",
+        "daily_anomaly_days",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -561,6 +561,76 @@ FROM pairs p JOIN outgoing o USING (from_type)
 """
 
 
+def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection: per event type, flag the
+    days whose total value deviates from the type's median daily
+    total by more than 3 MADs. Median and MAD use discrete
+    percentiles over exact e4-scaled integers, and the 3-MAD test is
+    a pure integer comparison — no float threshold can flicker
+    cross-engine.
+
+    Scale: the daily rollup is the only corpus-sized pass (map-side
+    combined); medians run over calendar-bounded daily series and the
+    per-type stats broadcast back."""
+    e = table(tune(spark), sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.sum("v_e4").cast("long").alias("total_e4")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY total_e4)")
+        .cast("long")
+        .alias("med_e4")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("total_e4") - F.col("med_e4"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)")
+        .cast("long")
+        .alias("mad_e4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "total_e4",
+            "med_e4",
+            "mad_e4",
+            (F.col("abs_dev") > 3 * F.col("mad_e4")).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+DAILY_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+  FROM events
+  GROUP BY 1, 2),
+med AS (
+  SELECT event_type, CAST(quantile_disc(total_e4, 0.5) AS BIGINT) AS med_e4
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.*, m.med_e4, abs(d.total_e4 - m.med_e4) AS abs_dev
+  FROM daily d JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, CAST(quantile_disc(abs_dev, 0.5) AS BIGINT) AS mad_e4
+  FROM dev GROUP BY 1)
+SELECT strftime(v.day, '%Y-%m-%d') AS day,
+       v.event_type,
+       v.total_e4,
+       v.med_e4,
+       a.mad_e4,
+       CAST(v.abs_dev > 3 * a.mad_e4 AS INT) AS is_anomaly
+FROM dev v JOIN mad a USING (event_type)
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "range_join_price_bands": range_join_price_bands,
@@ -570,6 +640,7 @@ QUERIES = {
     "gapfill_daily_locf": gapfill_daily_locf,
     "ohlc_bars_hourly": ohlc_bars_hourly,
     "event_transition_matrix": event_transition_matrix,
+    "daily_anomaly_days": daily_anomaly_days,
 }
 
 ORACLES = {
@@ -582,4 +653,5 @@ ORACLES = {
     "gapfill_daily_locf": GAPFILL_ORACLE,
     "ohlc_bars_hourly": OHLC_ORACLE,
     "event_transition_matrix": TRANSITION_ORACLE,
+    "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
 }

@@ -205,3 +205,18 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
     for ft, tot in out.items():
         n_from = next(r["n_from"] for r in rows if r["from_type"] == ft)
         assert tot == n_from, ft
+
+
+def test_daily_anomaly_days_mad_semantics(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import daily_anomaly_days
+
+    rows = daily_anomaly_days(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad_e4"] >= 0
+        expected = int(abs(r["total_e4"] - r["med_e4"]) > 3 * r["mad_e4"])
+        assert r["is_anomaly"] == expected
+    # at least half of each type's days are within 1 MAD of the median
+    # (definition of MAD), so anomalies are a strict minority
+    n_anom = sum(r["is_anomaly"] for r in rows)
+    assert n_anom < len(rows) / 2
