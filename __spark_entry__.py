@@ -15,11 +15,13 @@ the driver's correctness gate).
 (which checks entries in dict order, ~50 per round) certifies the
 queries that don't yet have a driver-side CORRECTNESS row. Rounds 1-2
 hash-checked 97 distinct queries (CORRECTNESS_r01/r02); round 3 leads
-with the two re-fixed round-2 red rows, every query whose
-code/schema changed this round, the one new query, and the full set
-the driver has never reached (streaming, source chains, UDFs,
-q2/q9/q11/q13/q16, corpus/k-means ops). Prior-round-green queries
-keep their standing rows and follow after.
+with the two re-fixed round-2 red rows, every query whose code/schema
+changed this round, and the full set the driver has never reached
+(streaming, source chains, UDFs, q2/q9/q11/q13/q16, corpus/k-means
+ops). The ~25 operators newly added in round 3 follow — all pass the
+identical oracle locally; whatever misses this round's window is
+certified in round 4. Prior-round-green queries keep their standing
+rows after that.
 """
 
 from __future__ import annotations
