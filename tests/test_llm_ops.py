@@ -187,3 +187,44 @@ def test_chunking_covers_and_overlaps(spark, sf_dir):
         assert last["tok_start"] + last["n_toks"] == total
         # every doc with tokens is fully covered from position 0
         assert chunks[0]["tok_start"] == 0
+
+
+def test_lsh_recall_of_true_high_jaccard_pairs(spark, sf_dir):
+    """Every true pair with shingle Jaccard >= 0.8 must appear among
+    the banded LSH candidates (the fixture's near-dups are far above
+    the band threshold, so missing any would be a banding bug)."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.dedup import (
+        _norm_text,
+        lsh_candidate_pairs,
+        word_shingles,
+        ws_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
+        .select("doc_id", word_shingles("text").alias("sh"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = (
+        F.size("a.sh") + F.size("b.sh") - F.size(F.array_intersect("a.sh", "b.sh"))
+    ).cast("double")
+    truth = (
+        a.crossJoin(b)  # test-only exactness baseline, 500x500 rows
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter / union >= 0.8)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    assert truth, "fixture contains constructed near-dups"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            table(spark, sf_dir, "documents")
+        ).select("doc_a", "doc_b").collect()
+    }
+    missed = [(r["x"], r["y"]) for r in truth if (r["x"], r["y"]) not in cand]
+    assert not missed, f"LSH missed true near-dup pairs: {missed[:5]}"
