@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_partition_backfill",
         "type_correlation_stats",
         "daily_anomaly_days",
+        "rag_corpus_prep",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -269,6 +269,27 @@ CHUNK_TOKS = 64
 CHUNK_STRIDE = 48
 
 
+def chunk_frame(d: DataFrame) -> DataFrame:
+    """Row-local chunking of a (doc_id, text) frame; see
+    ``doc_chunking`` for semantics."""
+    d = d.select("doc_id", ws_tokens("text").alias("toks"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: s < F.size("toks"),
+    )
+    chunked = d.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "tok_start")
+    )
+    piece = F.slice("toks", F.col("tok_start") + 1, CHUNK_TOKS)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        F.size(piece).alias("n_toks"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping token chunks per document — the
     retrieval/embedding prep step (chunk → embed → index). Chunk
@@ -285,24 +306,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import fan_out, table
     from ..session import tune
 
-    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
-        lambda s: s < F.size("toks"),
-    )
-    chunked = d.select(
-        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "tok_start")
-    )
-    piece = F.slice("toks", F.col("tok_start") + 1, CHUNK_TOKS)
-    return chunked.select(
-        "doc_id",
-        "chunk_idx",
-        "tok_start",
-        F.size(piece).alias("n_toks"),
-        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
-    )
+    return chunk_frame(fan_out(table(tune(spark), sf_dir, "documents")))
 
 
 CHUNKING_ORACLE = rf"""

@@ -304,12 +304,109 @@ GROUP BY 1, 2
 TRAINING_SHARD_ORACLE = _shard_oracle()
 
 
+#: minimum whitespace tokens for a document to enter the RAG corpus
+RAG_MIN_TOKS = 10
+
+
+def rag_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval-corpus prep composite: length gate →
+    overlapping chunking → boilerplate chunk dedup (keep the first
+    site of each repeated chunk, drop the rest) → corpus summary with
+    an order-insensitive content checksum.
+
+    The retrieval sibling of ``llm_corpus_prep``: where that one
+    feeds a *training* mixture (document-level near-dup trim), this
+    one feeds an *index* (chunk-level exact dedup — a repeated
+    licence block should be embedded once, not once per document).
+
+    Plan shape: the gate and chunking fuse into the scan (no
+    shuffle); dedup is one hash-keyed window (min-site per
+    chunk_hash); the summary is a single-row aggregate. Scale-linear
+    in corpus tokens."""
+    from ..io import fan_out, table
+    from ..operators.textops import chunk_frame, ws_tokens
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    n_in = d.select(F.count("*").alias("n_docs_in"))
+    kept = d.filter(F.size(ws_tokens("text")) >= RAG_MIN_TOKS)
+    chunks = chunk_frame(kept)
+    w = Window.partitionBy("chunk_hash")
+    site = F.col("doc_id") * 100000 + F.col("tok_start")
+    deduped = (
+        chunks.withColumn("min_site", F.min(site).over(w))
+        .withColumn("n_sites", F.count("*").over(w))
+        .filter(site == F.col("min_site"))
+    )
+    summary = deduped.agg(
+        F.count("*").alias("n_chunks_kept"),
+        F.sum((F.col("n_sites") > 1).cast("long")).alias("n_boilerplate_hashes"),
+        F.sum("n_sites").cast("long").alias("n_chunks_raw"),
+        F.countDistinct("doc_id").alias("n_docs_chunked"),
+        F.sum(
+            F.conv(F.substring("chunk_hash", 1, 8), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("chunk_content_sum"),
+    )
+    return n_in.crossJoin(F.broadcast(summary)).select(
+        "n_docs_in",
+        "n_docs_chunked",
+        "n_chunks_raw",
+        "n_chunks_kept",
+        "n_boilerplate_hashes",
+        "chunk_content_sum",
+    )
+
+
+def _rag_oracle() -> str:
+    from ..operators.dedup import _hex8_sql
+    from ..operators.textops import CHUNK_STRIDE, CHUNK_TOKS
+
+    h = _hex8_sql("chunk_hash", 1)
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+kept AS (SELECT * FROM tk WHERE len(toks) >= {RAG_MIN_TOKS}),
+st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE}),
+                     s -> s < len(toks)) AS starts
+  FROM kept),
+ex AS (
+  SELECT doc_id, u.s AS tok_start,
+         md5(array_to_string(toks[u.s + 1 : u.s + {CHUNK_TOKS}], ' ')) AS chunk_hash
+  FROM st, unnest(starts) u(s)),
+marked AS (
+  SELECT *,
+         min(doc_id * 100000 + tok_start) OVER (PARTITION BY chunk_hash) AS min_site,
+         count(*) OVER (PARTITION BY chunk_hash) AS n_sites
+  FROM ex),
+deduped AS (
+  SELECT * FROM marked WHERE doc_id * 100000 + tok_start = min_site)
+SELECT (SELECT count(*) FROM documents) AS n_docs_in,
+       count(DISTINCT doc_id) AS n_docs_chunked,
+       CAST(sum(n_sites) AS BIGINT) AS n_chunks_raw,
+       count(*) AS n_chunks_kept,
+       CAST(sum(CASE WHEN n_sites > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_hashes,
+       CAST(sum({h}) AS BIGINT) AS chunk_content_sum
+FROM deduped
+"""
+
+
+RAG_CORPUS_ORACLE = _rag_oracle()
+
+
 QUERIES = {
     "training_shard_roundtrip": training_shard_roundtrip,
     "llm_corpus_prep": llm_corpus_prep,
+    "rag_corpus_prep": rag_corpus_prep,
 }
 
 ORACLES = {
     "llm_corpus_prep": LLM_CORPUS_ORACLE,
     "training_shard_roundtrip": TRAINING_SHARD_ORACLE,
+    "rag_corpus_prep": RAG_CORPUS_ORACLE,
 }

