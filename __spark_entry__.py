@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_correlation_stats",
         "daily_anomaly_days",
         "rag_corpus_prep",
+        "rfm_segmentation",
+        "source_length_drift",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

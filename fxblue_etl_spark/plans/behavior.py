@@ -270,11 +270,62 @@ GROUP BY 1, 2
 """
 
 
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: quintile scores for
+    recency (latest order date), frequency (order count), monetary
+    (exact e2 total spend), each via ``ntile(5)`` with a custkey
+    tiebreak (total order → engine-independent buckets), aggregated
+    to segment populations.
+
+    Scale: one map-side-combined per-customer aggregate, three
+    window passes over the customer-sized frame (same partitioning,
+    one exchange), then a ≤125-group count."""
+    o = table(tune(spark), sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("spend_e2"),
+    )
+    from pyspark.sql.window import Window
+
+    w_r = Window.orderBy("last_order", "o_custkey")
+    w_f = Window.orderBy("n_orders", "o_custkey")
+    w_m = Window.orderBy("spend_e2", "o_custkey")
+    scored = per_cust.select(
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_e2
+  FROM orders
+  GROUP BY 1),
+scored AS (
+  SELECT CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY spend_e2, o_custkey) AS INT) AS m_score
+  FROM per_cust)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
     "rolling_active_users": rolling_active_users,
     "type_correlation_stats": type_correlation_stats,
+    "rfm_segmentation": rfm_segmentation,
 }
 
 ORACLES = {
@@ -282,4 +333,5 @@ ORACLES = {
     "event_cooccurrence": COOCCURRENCE_ORACLE,
     "rolling_active_users": ROLLING_ACTIVE_ORACLE,
     "type_correlation_stats": TYPE_CORR_ORACLE,
+    "rfm_segmentation": RFM_ORACLE,
 }

@@ -95,10 +95,96 @@ SELECT
 """
 
 
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per source, the exact KS statistic
+    of its document-length distribution against the whole corpus,
+    kept in integers by cross-multiplying the two CDFs
+    (``|cum_s·n_all - cum_all·n_s|`` — the float KS is that divided
+    by ``n_s·n_all``). The sources whose drift ppm tops the list are
+    the ones whose scraping/cleaning changed.
+
+    Scale: the corpus-sized work is two map-side-combined counts;
+    the CDF windows run on the (sources × distinct-lengths) stats
+    grid, which is domain-bounded regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    d = table(tune(spark), sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy("source", "n_chars").agg(F.count("*").alias("n_sl"))
+    lens = d.select("n_chars").distinct()
+    sources = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = d.agg(F.count("*").cast("long").alias("n_all"))
+
+    grid = sources.crossJoin(F.broadcast(lens))
+    w_s = Window.partitionBy("source").orderBy("n_chars")
+    cum_s = (
+        grid.join(counts, ["source", "n_chars"], "left")
+        .withColumn("n_sl", F.coalesce("n_sl", F.lit(0)))
+        .withColumn("cum_s", F.sum("n_sl").over(w_s))
+    )
+    w_g = Window.orderBy("n_chars")
+    cum_all = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").alias("n_l"))
+        .withColumn("cum_all", F.sum("n_l").over(w_g))
+        .select("n_chars", "cum_all")
+    )
+    return (
+        cum_s.join(F.broadcast(cum_all), "n_chars")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar, broadcast by design
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * F.col("n_all")
+                    - F.col("cum_all") * F.col("n_s")
+                )
+            )
+            .cast("long")
+            .alias("ks_num"),
+            F.first("n_s").cast("long").alias("n_docs"),
+            F.first("n_all").cast("long").alias("n_all"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ks_num",
+            F.expr("1000000 * ks_num DIV (n_docs * n_all)").alias("ks_ppm"),
+        )
+    )
+
+
+LENGTH_DRIFT_ORACLE = """
+WITH d AS (SELECT source, n_chars FROM documents),
+counts AS (SELECT source, n_chars, count(*) AS n_sl FROM d GROUP BY 1, 2),
+lens AS (SELECT DISTINCT n_chars FROM d),
+sources AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+grid AS (SELECT s.source, s.n_s, l.n_chars FROM sources s CROSS JOIN lens l),
+cum_s AS (
+  SELECT g.source, g.n_s, g.n_chars,
+         sum(coalesce(c.n_sl, 0)) OVER (PARTITION BY g.source
+                                        ORDER BY g.n_chars) AS cum_s
+  FROM grid g LEFT JOIN counts c
+    ON c.source = g.source AND c.n_chars = g.n_chars),
+cum_all AS (
+  SELECT n_chars, sum(count(*)) OVER (ORDER BY n_chars) AS cum_all
+  FROM d GROUP BY n_chars)
+SELECT s.source,
+       CAST(any_value(s.n_s) AS BIGINT) AS n_docs,
+       CAST(max(abs(s.cum_s * t.n_all - a.cum_all * s.n_s)) AS BIGINT) AS ks_num,
+       CAST((1000000 * max(abs(s.cum_s * t.n_all - a.cum_all * s.n_s)))
+            // (any_value(s.n_s) * any_value(t.n_all)) AS BIGINT) AS ks_ppm
+FROM cum_s s JOIN cum_all a USING (n_chars), tot t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
+    "source_length_drift": source_length_drift,
 }
 
 ORACLES = {
     "dq_audit": DQ_AUDIT_ORACLE,
+    "source_length_drift": LENGTH_DRIFT_ORACLE,
 }

@@ -71,3 +71,30 @@ def test_type_correlation_stats_cauchy_schwarz(spark, sf_dir):
         vy = n * r["sum_yy"] - r["sum_y"] ** 2
         assert vx >= 0 and vy >= 0
         assert cov * cov <= vx * vy  # |corr| <= 1, integer-exact
+
+
+def test_rfm_segment_population_conserved(spark, sf_dir):
+    from fxblue_etl_spark.plans.behavior import rfm_segmentation
+
+    rows = rfm_segmentation(spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 5
+
+
+def test_source_length_drift_bounds(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import source_length_drift
+
+    rows = source_length_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # KS is a probability-scale statistic: ppm within [0, 1e6]
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+        assert 0 <= r["ks_num"] <= r["n_docs"] * 1_000_000_000
