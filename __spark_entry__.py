@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_corpus_prep",
         "rfm_segmentation",
         "source_length_drift",
+        "basket_part_pairs",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

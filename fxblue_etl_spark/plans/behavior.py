@@ -320,12 +320,64 @@ GROUP BY 1, 2, 3
 """
 
 
+#: minimum co-order support for a part pair to be reported
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over lineitem: part pairs
+    co-ordered at least BASKET_MIN_SUPPORT times. Same set-collapse
+    shape as ``event_cooccurrence`` — parts per order are collected
+    into a sorted set (order width is bounded: ≤7 lineitems in this
+    schema, dozens in any real basket) and unordered pairs explode
+    row-locally, so no order-keyed self-join ever materializes
+    |lineitem|²-shaped intermediates."""
+    lp = (
+        table(tune(spark), sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sets = lp.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_col = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_x"), y.alias("part_y")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_col).alias("p"))
+        .select("p.part_x", "p.part_y")
+        .groupBy("part_x", "part_y")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+
+
+BASKET_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y
+  FROM lp a JOIN lp b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey)
+SELECT part_x, part_y, count(*) AS support
+FROM pairs
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
     "rolling_active_users": rolling_active_users,
     "type_correlation_stats": type_correlation_stats,
     "rfm_segmentation": rfm_segmentation,
+    "basket_part_pairs": basket_part_pairs,
 }
 
 ORACLES = {
@@ -334,4 +386,5 @@ ORACLES = {
     "rolling_active_users": ROLLING_ACTIVE_ORACLE,
     "type_correlation_stats": TYPE_CORR_ORACLE,
     "rfm_segmentation": RFM_ORACLE,
+    "basket_part_pairs": BASKET_ORACLE,
 }
