@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segmentation",
         "source_length_drift",
         "basket_part_pairs",
+        "sampled_histogram",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -109,12 +109,68 @@ WHERE r.rank <= {MCV_K}
 """
 
 
+#: deterministic sample percentage for the sampled ANALYZE path
+SAMPLE_PCT = 20
+
+
+def sampled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of ``equidepth_histogram`` made concrete: the
+    global sort that ntile needs runs over a DETERMINISTIC
+    hash-threshold sample (md5 bucket < SAMPLE_PCT) instead of the
+    full table — exactly how a warehouse ANALYZE bounds its sort
+    input. Hash sampling (not ``TABLESAMPLE``) keeps the sample — and
+    therefore the histogram — bit-identical across engines, runs,
+    and partitionings."""
+    from ..operators.corpusops import _hash_bucket
+
+    o = (
+        table(tune(spark), sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(_hash_bucket(F.col("o_orderkey"), "analyze|", 100) < SAMPLE_PCT)
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.floor(F.min("o_totalprice") * 100).cast("long").alias("lo_e2"),
+            F.floor(F.max("o_totalprice") * 100).cast("long").alias("hi_e2"),
+        )
+    )
+
+
+def _sampled_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    pred = _hash_bucket_sql("CAST(o_orderkey AS VARCHAR)", "analyze|", 100)
+    return f"""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE {pred} < {SAMPLE_PCT}),
+b AS (
+  SELECT o_totalprice,
+         ntile({N_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM s)
+SELECT CAST(bucket AS INT) AS bucket,
+       count(*) AS n_rows,
+       CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS lo_e2,
+       CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_e2
+FROM b GROUP BY 1
+"""
+
+
+SAMPLED_HISTOGRAM_ORACLE = _sampled_oracle()
+
+
 QUERIES = {
     "equidepth_histogram": equidepth_histogram,
     "mcv_stats": mcv_stats,
+    "sampled_histogram": sampled_histogram,
 }
 
 ORACLES = {
     "equidepth_histogram": EQUIDEPTH_ORACLE,
     "mcv_stats": MCV_ORACLE,
+    "sampled_histogram": SAMPLED_HISTOGRAM_ORACLE,
 }
