@@ -577,9 +577,15 @@ _OHLC_OUT = (
     "hour string, event_type string, n_events long, open_e4 long, "
     "high_e4 long, low_e4 long, close_e4 long, volume_e4 long"
 )
+#: state carries the EVENT-TIME keys of the open/close candidates
+#: ((ts, event_id) as epoch-us + id), not just their values: batches
+#: are not guaranteed to arrive in event-time order, so "first/last
+#: seen" is wrong — "earliest/latest keyed" is the merge that is
+#: correct under any arrival order.
 _OHLC_STATE = (
-    "n long, open_e4 long, high_e4 long, low_e4 long, close_e4 long, "
-    "volume_e4 long"
+    "n long, open_ts long, open_id long, open_e4 long, "
+    "close_ts long, close_id long, close_e4 long, "
+    "high_e4 long, low_e4 long, volume_e4 long"
 )
 
 
@@ -587,10 +593,11 @@ def streaming_ohlc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars as a custom stateful streaming operator
     (applyInPandasWithState), keyed by (hour, event_type).
 
-    State is the bar's running (n, open, high, low, close, volume) —
-    open survives from the first batch that touched the bar, close
-    tracks the latest, high/low/volume merge monotonically, so the
-    operator is correct across any micro-batch slicing. Driven with
+    State is the bar's running (n, open, high, low, close, volume)
+    with open/close keyed by EVENT TIME (ts, event_id) — so the merge
+    is correct under any micro-batch slicing including out-of-order
+    arrival, not just time-ordered batches (high/low/volume merge
+    monotonically either way). Driven with
     Trigger.AvailableNow the fixture arrives as one batch and the
     emitted bars equal the batch ``ohlc_bars_hourly`` exactly (same
     oracle); a production deployment would add an event-time timeout
@@ -598,11 +605,21 @@ def streaming_ohlc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is six longs per (hour, type) bar — bounded by the
     calendar, not the event volume."""
+    tune(spark)
+    return ohlc_bars_from_stream(events_stream(spark, sf_dir))
+
+
+def ohlc_bars_from_stream(stream_df: DataFrame) -> DataFrame:
+    """Run the stateful OHLC operator over any events-shaped stream
+    (ts, event_id, event_type, value) and materialize the append-mode
+    output. Split out so tests can drive it with a multi-file staged
+    source (maxFilesPerTrigger=1) and exercise the cross-batch state
+    merge that a single-batch AvailableNow run never touches."""
     import math
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    s = events_stream(spark, sf_dir).select(
+    s = stream_df.select(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "hour"
         ),
@@ -615,24 +632,31 @@ def streaming_ohlc_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ohlc_fn(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         e4 = rows["value"].map(lambda v: math.floor(v * 1e4)).astype("int64")
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → us epoch
+        ids = rows["event_id"].astype("int64")
         n = len(rows)
-        o, c = int(e4.iloc[0]), int(e4.iloc[-1])
+        o_key = (int(ts_us.iloc[0]), int(ids.iloc[0]), int(e4.iloc[0]))
+        c_key = (int(ts_us.iloc[-1]), int(ids.iloc[-1]), int(e4.iloc[-1]))
         hi, lo, vol = int(e4.max()), int(e4.min()), int(e4.sum())
         if state.exists:
-            pn, po, ph, pl, _pc, pv = state.get
-            n, o = n + pn, po
-            hi, lo, vol = max(hi, ph), min(lo, pl), vol + pv
-        state.update((n, o, hi, lo, c, vol))
+            pn, pot, poi, pov, pct, pci, pcv, ph, pl, pvol = state.get
+            n += pn
+            if (pot, poi) < o_key[:2]:
+                o_key = (pot, poi, pov)
+            if (pct, pci) > c_key[:2]:
+                c_key = (pct, pci, pcv)
+            hi, lo, vol = max(hi, ph), min(lo, pl), vol + pvol
+        state.update((n, *o_key, *c_key, hi, lo, vol))
         yield pd.DataFrame(
             [
                 {
                     "hour": key[0],
                     "event_type": key[1],
                     "n_events": n,
-                    "open_e4": o,
+                    "open_e4": o_key[2],
                     "high_e4": hi,
                     "low_e4": lo,
-                    "close_e4": c,
+                    "close_e4": c_key[2],
                     "volume_e4": vol,
                 }
             ]

@@ -186,3 +186,36 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir):
     )
     want = sorted(map(tuple, ohlc_bars_hourly(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_streaming_ohlc_state_merges_across_batches(spark, sf_dir, tmp_path):
+    """Drive the stateful OHLC through 4 micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging of the fixture); the
+    FINAL emission per bar — append mode re-emits a bar's running
+    state each batch that touches it — must equal the batch resample,
+    proving open/close/high/low/volume merge correctly across
+    batches."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+    from fxblue_etl_spark.streaming.pipelines import ohlc_bars_from_stream
+
+    staged = str(tmp_path / "events4")
+    table(spark, sf_dir, "events").repartition(4).write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out = ohlc_bars_from_stream(stream).collect()
+    assert len(out) > len(
+        {(r["hour"], r["event_type"]) for r in out}
+    ), "multi-batch run must re-emit at least one bar"
+    final = {}
+    for r in out:
+        key = (r["hour"], r["event_type"])
+        if key not in final or r["n_events"] > final[key]["n_events"]:
+            final[key] = r
+    got = sorted(tuple(r) for r in final.values())
+    want = sorted(map(tuple, ohlc_bars_hourly(spark, sf_dir).collect()))
+    assert got == want
