@@ -10,6 +10,7 @@ For each query it reports:
   row-at-a-time ``BatchEvalPython`` in the plan.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
+       python tools/plan_audit.py [sf_dir] --all     # every queries() entry
 (defaults: sf0.01, the bench headline set)
 """
 
@@ -47,6 +48,8 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
+    if names == ["--all"]:
+        names = list(qs)
     flagged: dict[str, list[str]] = {}
     for name in names:
         if name not in qs:
