@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_drift",
         "basket_part_pairs",
         "sampled_histogram",
+        "hierarchical_mixture",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -409,6 +409,93 @@ FROM ranked
 """
 
 
+def hierarchical_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level largest-remainder apportionment: the language quotas
+    of ``mixture_allocation`` subdivided across each language's
+    sources proportionally to availability — the full manifest a
+    mixture-weighted training run samples from. Per-source quotas sum
+    exactly to their language quota (which sum exactly to the
+    budget); every step is integer arithmetic.
+
+    Scale: the apportionment runs on the (lang × source) config-sized
+    grid; only the availability counts touch the corpus."""
+    lang_q = mixture_allocation(spark, sf_dir).select("lang", "final_quota")
+    d = table(tune(spark), sf_dir, "documents")
+    avail = d.groupBy("lang", "source").agg(F.count("*").alias("n_avail"))
+    tot_l = avail.groupBy("lang").agg(F.sum("n_avail").cast("long").alias("n_lang"))
+    j = (
+        avail.join(F.broadcast(tot_l), "lang")
+        .join(F.broadcast(lang_q), "lang")
+        .select(
+            "lang",
+            "source",
+            "n_avail",
+            F.col("final_quota").alias("lang_quota"),
+            F.expr("final_quota * n_avail DIV n_lang").alias("base_quota"),
+            F.expr("(final_quota * n_avail) % n_lang").alias("rem"),
+        )
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("rem"), F.asc("source"))
+    w_lang = Window.partitionBy("lang")
+    return (
+        j.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover", F.col("lang_quota") - F.sum("base_quota").over(w_lang)
+        )
+        .select(
+            "lang",
+            "source",
+            "n_avail",
+            "lang_quota",
+            (
+                F.col("base_quota")
+                + (F.col("rank") <= F.col("leftover")).cast("long")
+            ).alias("src_quota"),
+        )
+    )
+
+
+HIERARCHICAL_MIXTURE_ORACLE = f"""
+WITH avail AS (
+  SELECT lang, source, count(*) AS n_avail FROM documents GROUP BY 1, 2),
+weighted AS (
+  SELECT lang,
+         CAST(CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())}
+              ELSE 0 END AS BIGINT) AS weight
+  FROM (SELECT DISTINCT lang FROM documents)),
+lscored AS (
+  SELECT lang, weight,
+         ({MIX_BUDGET} * weight) // {sum(MIX_WEIGHTS.values())} AS base_quota,
+         ({MIX_BUDGET} * weight) % {sum(MIX_WEIGHTS.values())} AS rem
+  FROM weighted),
+lranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rank,
+         {MIX_BUDGET} - sum(base_quota) OVER () AS leftover
+  FROM lscored),
+lang_q AS (
+  SELECT lang,
+         CAST(base_quota + CAST(rank <= leftover AS INT) AS BIGINT) AS lang_quota
+  FROM lranked),
+tot_l AS (
+  SELECT lang, CAST(sum(n_avail) AS BIGINT) AS n_lang FROM avail GROUP BY 1),
+j AS (
+  SELECT a.lang, a.source, a.n_avail, q.lang_quota,
+         (q.lang_quota * a.n_avail) // t.n_lang AS base_quota,
+         (q.lang_quota * a.n_avail) % t.n_lang AS rem
+  FROM avail a JOIN tot_l t USING (lang) JOIN lang_q q USING (lang)),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY rem DESC, source ASC)
+           AS rank,
+         lang_quota - sum(base_quota) OVER (PARTITION BY lang) AS leftover
+  FROM j)
+SELECT lang, source, n_avail, lang_quota,
+       CAST(base_quota + CAST(rank <= leftover AS INT) AS BIGINT) AS src_quota
+FROM ranked
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -416,6 +503,7 @@ QUERIES = {
     "df_prune": df_prune,
     "temperature_resample": temperature_resample,
     "mixture_allocation": mixture_allocation,
+    "hierarchical_mixture": hierarchical_mixture,
 }
 
 ORACLES = {
@@ -425,4 +513,5 @@ ORACLES = {
     "df_prune": DF_PRUNE_ORACLE,
     "temperature_resample": TEMPERATURE_ORACLE,
     "mixture_allocation": MIXTURE_ORACLE,
+    "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
 }

@@ -128,3 +128,21 @@ def test_mixture_allocation_sums_to_budget(spark, sf_dir):
     for r in rows:
         assert r["extra"] in (0, 1)
         assert r["final_quota"] in (r["base_quota"], r["base_quota"] + 1)
+
+
+def test_hierarchical_mixture_conserves_quotas(spark, sf_dir):
+    from collections import defaultdict
+
+    from fxblue_etl_spark.operators.corpusops import MIX_BUDGET, hierarchical_mixture
+
+    rows = hierarchical_mixture(spark, sf_dir).collect()
+    per_lang = defaultdict(int)
+    lang_quota = {}
+    for r in rows:
+        per_lang[r["lang"]] += r["src_quota"]
+        lang_quota[r["lang"]] = r["lang_quota"]
+    # per-source quotas sum exactly to their language quota...
+    for lang, total in per_lang.items():
+        assert total == lang_quota[lang], lang
+    # ...and language quotas sum exactly to the budget
+    assert sum(lang_quota.values()) == MIX_BUDGET
