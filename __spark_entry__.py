@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_part_pairs",
         "sampled_histogram",
         "hierarchical_mixture",
+        "revenue_wow_delta",
+        "per_group_sample",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

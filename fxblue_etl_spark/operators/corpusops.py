@@ -496,6 +496,49 @@ FROM ranked
 """
 
 
+#: docs kept per language by the balanced sampler
+PER_GROUP_M = 20
+
+
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sampling: the PER_GROUP_M documents per
+    language with the smallest ``md5('sample|' || doc_id)`` — a
+    uniform, seed-stable per-group sample (the eval-set construction
+    primitive: same corpus in, same sample out, on any engine or
+    cluster shape).
+
+    Scale: one window per language ordered by the hash — at real
+    scale this runs as the same two-level tournament as the posting
+    heads; the fixture keeps the single window."""
+    d = table(tune(spark), sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PER_GROUP_M)
+        .select("lang", "rank", "doc_id")
+    )
+
+
+PER_GROUP_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         md5('sample|' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rank
+  FROM keyed)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id
+FROM ranked WHERE rank <= {PER_GROUP_M}
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -504,6 +547,7 @@ QUERIES = {
     "temperature_resample": temperature_resample,
     "mixture_allocation": mixture_allocation,
     "hierarchical_mixture": hierarchical_mixture,
+    "per_group_sample": per_group_sample,
 }
 
 ORACLES = {
@@ -514,4 +558,5 @@ ORACLES = {
     "temperature_resample": TEMPERATURE_ORACLE,
     "mixture_allocation": MIXTURE_ORACLE,
     "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
+    "per_group_sample": PER_GROUP_SAMPLE_ORACLE,
 }

@@ -371,6 +371,56 @@ HAVING count(*) >= {BASKET_MIN_SUPPORT}
 """
 
 
+def revenue_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas per order priority: weekly e2
+    totals with the previous week's total and the signed delta ppm
+    (integer cross-quotient — ``1e6·(cur-prev) DIV prev``). The
+    period-over-period readout every BI layer derives; one
+    map-side-combined weekly aggregate plus a lag window over the
+    calendar-bounded weekly series."""
+    from pyspark.sql.window import Window
+
+    o = table(tune(spark), sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        "o_orderpriority",
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("rev_e2")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("week")
+    return (
+        weekly.withColumn("prev_e2", F.lag("rev_e2").over(w))
+        .filter(F.col("prev_e2").isNotNull())
+        .select(
+            "week",
+            "o_orderpriority",
+            "rev_e2",
+            "prev_e2",
+            F.expr("1000000 * (rev_e2 - prev_e2) DIV prev_e2").alias("delta_ppm"),
+        )
+    )
+
+
+WOW_DELTA_ORACLE = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+         o_orderpriority,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+  FROM orders
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT *,
+         lag(rev_e2) OVER (PARTITION BY o_orderpriority ORDER BY week) AS prev_e2
+  FROM weekly)
+SELECT week, o_orderpriority, rev_e2, prev_e2,
+       CAST((1000000 * (rev_e2 - prev_e2)) // prev_e2 AS BIGINT) AS delta_ppm
+FROM lagged
+WHERE prev_e2 IS NOT NULL
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
@@ -378,6 +428,7 @@ QUERIES = {
     "type_correlation_stats": type_correlation_stats,
     "rfm_segmentation": rfm_segmentation,
     "basket_part_pairs": basket_part_pairs,
+    "revenue_wow_delta": revenue_wow_delta,
 }
 
 ORACLES = {
@@ -387,4 +438,5 @@ ORACLES = {
     "type_correlation_stats": TYPE_CORR_ORACLE,
     "rfm_segmentation": RFM_ORACLE,
     "basket_part_pairs": BASKET_ORACLE,
+    "revenue_wow_delta": WOW_DELTA_ORACLE,
 }
