@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_mixture",
         "revenue_wow_delta",
         "per_group_sample",
+        "text_normalize",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

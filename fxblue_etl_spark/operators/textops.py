@@ -378,6 +378,46 @@ HAVING count(*) > 1
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (the pass upstream of every dedup /
+    tokenize step): strip control characters, collapse whitespace
+    runs, trim, lowercase. Emits the normalized text's length, its
+    md5, and whether the document changed — all row-local codegen,
+    fused into the scan; the oracle reproduces each rewrite with the
+    same RE2-safe patterns."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", r"[\x00-\x1f\x7f]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_ORACLE = r"""
+SELECT doc_id,
+       length(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+           '\s+', ' ', 'g')))) AS n_chars_norm,
+       md5(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+           '\s+', ' ', 'g')))) AS norm_md5,
+       CAST(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+           '\s+', ' ', 'g'))) != text AS INT) AS changed
+FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -386,6 +426,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "doc_chunking": doc_chunking,
     "chunk_boilerplate": chunk_boilerplate,
+    "text_normalize": text_normalize,
 }
 
 ORACLES = {
@@ -396,4 +437,5 @@ ORACLES = {
     "pii_scrub": PII_SCRUB_ORACLE,
     "doc_chunking": CHUNKING_ORACLE,
     "chunk_boilerplate": CHUNK_BOILERPLATE_ORACLE,
+    "text_normalize": TEXT_NORMALIZE_ORACLE,
 }
