@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_wow_delta",
         "per_group_sample",
         "text_normalize",
+        "token_bigram_lm",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

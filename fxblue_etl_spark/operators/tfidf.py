@@ -157,12 +157,102 @@ GROUP BY 1
 """
 
 
+#: continuations kept per head token
+BIGRAM_TOPK = 3
+#: heads rarer than this outgoing mass are pruned
+BIGRAM_MIN_HEAD = 5
+#: level-1 tournament ways for the per-head top-k
+BIGRAM_BUCKETS = 8
+
+
+def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM table: for each head token with ≥ BIGRAM_MIN_HEAD
+    outgoing bigrams, the top-k continuations with exact counts and
+    integer continuation-probability ppm — the n-gram-LM sufficient
+    statistics a quality/decontamination pass consumes.
+
+    Scale shape: adjacent pairs are generated row-locally (no
+    self-join); the per-head top-k runs as the same two-level
+    tournament as the posting heads (level 1 per (head, hash-bucket
+    of continuation)), so a stop-word head never serializes one
+    window task."""
+    from .corpusops import _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("head"),
+            F.element_at("toks", i + 1).alias("nxt"),
+        ),
+    )
+    pairs = (
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    heads = pairs.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
+    w1 = Window.partitionBy("head", "tb").orderBy(F.desc("n"), F.asc("nxt"))
+    w2 = Window.partitionBy("head").orderBy(F.desc("n"), F.asc("nxt"))
+    topk = (
+        pairs.withColumn("tb", _hash_bucket(F.col("nxt"), "bigram|", BIGRAM_BUCKETS))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= BIGRAM_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BIGRAM_TOPK)
+    )
+    return (
+        topk.join(heads, "head")
+        .filter(F.col("n_head") >= BIGRAM_MIN_HEAD)
+        .select(
+            "head",
+            "nxt",
+            "n",
+            "rank",
+            "n_head",
+            F.expr("1000000 * n DIV n_head").alias("cont_ppm"),
+        )
+    )
+
+
+def _bigram_oracle() -> str:
+    # no tournament in the oracle: a single window is exact (and
+    # DuckDB-side efficiency is irrelevant), the tournament is purely
+    # the Spark-side skew mitigation
+    return f"""
+WITH tk AS ({_TOKS_SQL}),
+pairs AS (
+  SELECT toks[i] AS head, toks[i + 1] AS nxt, count(*) AS n
+  FROM tk, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2),
+heads AS (
+  SELECT head, CAST(sum(n) AS BIGINT) AS n_head FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY head
+                               ORDER BY n DESC, nxt ASC) AS rank
+  FROM pairs)
+SELECT r.head, r.nxt, r.n, CAST(r.rank AS INT) AS rank, h.n_head,
+       CAST((1000000 * r.n) // h.n_head AS BIGINT) AS cont_ppm
+FROM ranked r JOIN heads h USING (head)
+WHERE r.rank <= {BIGRAM_TOPK} AND h.n_head >= {BIGRAM_MIN_HEAD}
+"""
+
+
+BIGRAM_LM_ORACLE = _bigram_oracle()
+
+
 QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
+    "token_bigram_lm": token_bigram_lm,
 }
 
 ORACLES = {
     "term_salience_topk": TERM_SALIENCE_ORACLE,
     "rare_token_quality": RARE_TOKEN_ORACLE,
+    "token_bigram_lm": BIGRAM_LM_ORACLE,
 }

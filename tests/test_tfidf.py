@@ -40,3 +40,31 @@ def test_rare_token_quality_bounds(spark, sf_dir):
         assert r["rare_ppm"] == (1_000_000 * r["n_rare"]) // r["n_toks"]
         # every token contributes at least its own occurrence
         assert r["corpus_freq_sum"] >= r["n_toks"]
+
+
+def test_bigram_lm_ranks_and_mass(spark, sf_dir):
+    from collections import defaultdict
+
+    from fxblue_etl_spark.operators.tfidf import (
+        BIGRAM_MIN_HEAD,
+        BIGRAM_TOPK,
+        token_bigram_lm,
+    )
+
+    rows = token_bigram_lm(spark, sf_dir).collect()
+    assert rows
+    by_head = defaultdict(list)
+    for r in rows:
+        by_head[r["head"]].append(r)
+        assert r["n_head"] >= BIGRAM_MIN_HEAD
+        assert 0 < r["cont_ppm"] <= 1_000_000
+        assert r["cont_ppm"] == (1_000_000 * r["n"]) // r["n_head"]
+    for head, hr in by_head.items():
+        hr.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in hr] == list(range(1, len(hr) + 1))
+        assert len(hr) <= BIGRAM_TOPK
+        # ranked by count desc with nxt tiebreak
+        keys = [(-r["n"], r["nxt"]) for r in hr]
+        assert keys == sorted(keys)
+        # top-k mass never exceeds the head's outgoing mass
+        assert sum(r["n"] for r in hr) <= hr[0]["n_head"]
