@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_group_sample",
         "text_normalize",
         "token_bigram_lm",
+        "dedup_triangles",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

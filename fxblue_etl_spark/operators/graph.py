@@ -242,14 +242,69 @@ FROM sizes GROUP BY 1
 """
 
 
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph — the clustering-
+    coefficient numerator that distinguishes tight duplicate cliques
+    (template families) from chainy false-positive paths.
+
+    Plan: the oriented-edge join — edges stored (u<v), joined
+    (u,v)⋈(v,w) then closed against (u,w) — the standard distributed
+    triangle count: two equi-joins on the edges-sized pair graph,
+    never touching the corpus. Orientation by node id bounds each
+    join's fan-out by the max out-degree."""
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    e = embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    ab = e.alias("ab")
+    bc = e.alias("bc")
+    ac = e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(
+            ac,
+            (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
+        )
+        .select(
+            F.col("ab.u").alias("a"),
+            F.col("ab.v").alias("b"),
+            F.col("bc.v").alias("c"),
+        )
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.countDistinct("a", "b", "c").alias("n_distinct"),
+        F.min(F.col("a") * 1000000 + F.col("b")).alias("first_edge_key"),
+    )
+
+
+TRIANGLES_ORACLE = f"""
+WITH pairs AS ({_near_dup_pairs_sql()}),
+e AS (SELECT vec_a AS u, vec_b AS v FROM pairs),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM e ab
+  JOIN e bc ON ab.v = bc.u
+  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+SELECT count(*) AS n_triangles,
+       count(DISTINCT (a, b, c)) AS n_distinct,
+       CAST(min(a * 1000000 + b) AS BIGINT) AS first_edge_key
+FROM tri
+"""
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_degree_hist": dedup_degree_hist,
     "dedup_component_size_hist": dedup_component_size_hist,
+    "dedup_triangles": dedup_triangles,
 }
 
 ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "dedup_degree_hist": DEGREE_HIST_ORACLE,
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,
+    "dedup_triangles": TRIANGLES_ORACLE,
 }

@@ -72,3 +72,20 @@ def test_degree_and_component_histograms_consistent(spark, sf_dir):
     assert sum(r["component_size"] * r["n_components"] for r in sizes) == sum(
         r["n_vecs"] for r in deg
     )
+
+
+def test_triangle_count_bounds(spark, sf_dir):
+    from math import comb
+
+    from fxblue_etl_spark.operators.graph import (
+        dedup_component_size_hist,
+        dedup_triangles,
+    )
+
+    r = dedup_triangles(spark, sf_dir).collect()[0]
+    # each (a,b,c) emitted once under the a<b<c orientation
+    assert r["n_triangles"] == r["n_distinct"]
+    # triangles are bounded by the sum of per-component C(size, 3)
+    sizes = dedup_component_size_hist(spark, sf_dir).collect()
+    cap = sum(comb(s["component_size"], 3) * s["n_components"] for s in sizes)
+    assert 0 <= r["n_triangles"] <= cap
