@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize",
         "token_bigram_lm",
         "dedup_triangles",
+        "interarrival_gaps",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

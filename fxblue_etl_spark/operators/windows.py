@@ -163,14 +163,69 @@ GROUP BY user_id, session_seq
 """
 
 
+def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: the statistic
+    that justifies a sessionization gap threshold. Per-user
+    consecutive gaps in exact epoch-micros (long subtraction — no
+    float time anywhere), summarized with discrete percentiles
+    (actual data values, identical in both engines).
+
+    Plan: one lag window per user (bounded state), then a
+    vocab-group aggregate."""
+    from ..io import table
+    from ..session import tune
+
+    e = table(tune(spark), sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        e.withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select("event_type", (F.col("ts_us") - F.col("prev_us")).alias("gap_us"))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p50_gap_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+       CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM seq
+WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "w1_locf_snapshots": w1_locf_snapshots,
     "w2_keep_one_per_key": w2_keep_one_per_key,
     "sessionize_events": sessionize_events,
+    "interarrival_gaps": interarrival_gaps,
 }
 
 ORACLES = {
     "w1_locf_snapshots": W1_ORACLE,
     "w2_keep_one_per_key": W2_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
+    "interarrival_gaps": INTERARRIVAL_ORACLE,
 }
