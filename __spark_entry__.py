@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigram_lm",
         "dedup_triangles",
         "interarrival_gaps",
+        "order_totals_reconciliation",
+        "supplier_concentration",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

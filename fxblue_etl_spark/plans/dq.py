@@ -179,12 +179,146 @@ GROUP BY 1
 """
 
 
+def order_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: per order, the header total versus
+    the recomputed line total ``Σ extendedprice·(1-discount)·(1+tax)``,
+    bucketed by signed mismatch magnitude. Both sides floor-scale to
+    e2 ints before differencing (floor of identical IEEE products is
+    bit-exact cross-engine), so the bucket counts are exact — the
+    audit a warehouse runs before trusting a denormalized header.
+
+    Scale: one map-side-combined per-order aggregate, one
+    co-partitioned key join, a handful of output groups."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            )
+        )
+        .cast("long")
+        .alias("lines_e2")
+    )
+    j = o.join(
+        line_tot, o["o_orderkey"] == line_tot["l_orderkey"], "left"
+    ).select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("header_e2"),
+        F.coalesce("lines_e2", F.lit(0)).alias("lines_e2"),
+    )
+    diff = F.col("header_e2") - F.col("lines_e2")
+    bucket = (
+        F.when(diff == 0, "exact")
+        .when(F.abs(diff) <= 100, "within_1_unit")
+        .when(diff > 0, "header_higher")
+        .otherwise("lines_higher")
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.abs(diff)).cast("long").alias("abs_diff_e2_total"),
+    )
+
+
+RECONCILIATION_ORACLE = """
+WITH line_tot AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 100) AS BIGINT)) AS BIGINT) AS lines_e2
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT) AS header_e2,
+         coalesce(t.lines_e2, 0) AS lines_e2
+  FROM orders o LEFT JOIN line_tot t ON t.l_orderkey = o.o_orderkey)
+SELECT CASE WHEN header_e2 - lines_e2 = 0 THEN 'exact'
+            WHEN abs(header_e2 - lines_e2) <= 100 THEN 'within_1_unit'
+            WHEN header_e2 - lines_e2 > 0 THEN 'header_higher'
+            ELSE 'lines_higher' END AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(abs(header_e2 - lines_e2)) AS BIGINT) AS abs_diff_e2_total
+FROM j
+GROUP BY 1
+"""
+
+
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-structure analytics: per nation, the Herfindahl index
+    of supplier revenue concentration. Shares are integer ppm of the
+    nation's exact e2 revenue (DIV — deterministic), HHI is the sum
+    of squared ppm shares (≤1e12, no overflow) — the readout that
+    flags a nation one supplier failure away from supply risk."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.floor(F.col("l_extendedprice") * 100).cast("long").alias("rev_e2")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("rev_e2").cast("long").alias("rev_e2"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", "s_suppkey", "rev_e2")
+    )
+    nation_tot = per_supp.groupBy("n_name").agg(
+        F.sum("rev_e2").cast("long").alias("nation_rev_e2"),
+        F.count("*").alias("n_suppliers"),
+    )
+    shared = per_supp.join(F.broadcast(nation_tot), "n_name").select(
+        "n_name",
+        "n_suppliers",
+        "nation_rev_e2",
+        F.expr("1000000 * rev_e2 DIV nation_rev_e2").alias("share_ppm"),
+    )
+    return shared.groupBy("n_name").agg(
+        F.first("n_suppliers").alias("n_suppliers"),
+        F.first("nation_rev_e2").alias("nation_rev_e2"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm")).cast("long").alias("hhi_e12"),
+        F.max("share_ppm").alias("top_share_ppm"),
+    )
+
+
+CONCENTRATION_ORACLE = """
+WITH per_supp AS (
+  SELECT n.n_name,
+         l.l_suppkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+nation_tot AS (
+  SELECT n_name, CAST(sum(rev_e2) AS BIGINT) AS nation_rev_e2,
+         count(*) AS n_suppliers
+  FROM per_supp GROUP BY 1),
+shared AS (
+  SELECT p.n_name, t.n_suppliers, t.nation_rev_e2,
+         (1000000 * p.rev_e2) // t.nation_rev_e2 AS share_ppm
+  FROM per_supp p JOIN nation_tot t USING (n_name))
+SELECT n_name,
+       any_value(n_suppliers) AS n_suppliers,
+       any_value(nation_rev_e2) AS nation_rev_e2,
+       CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_e12,
+       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+FROM shared
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
+    "order_totals_reconciliation": order_totals_reconciliation,
+    "supplier_concentration": supplier_concentration,
 }
 
 ORACLES = {
     "dq_audit": DQ_AUDIT_ORACLE,
     "source_length_drift": LENGTH_DRIFT_ORACLE,
+    "order_totals_reconciliation": RECONCILIATION_ORACLE,
+    "supplier_concentration": CONCENTRATION_ORACLE,
 }

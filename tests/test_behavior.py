@@ -98,3 +98,27 @@ def test_source_length_drift_bounds(spark, sf_dir):
         # KS is a probability-scale statistic: ppm within [0, 1e6]
         assert 0 <= r["ks_ppm"] <= 1_000_000
         assert 0 <= r["ks_num"] <= r["n_docs"] * 1_000_000_000
+
+
+def test_reconciliation_covers_all_orders(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import order_totals_reconciliation
+
+    rows = order_totals_reconciliation(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert {r["bucket"] for r in rows} <= {
+        "exact", "within_1_unit", "header_higher", "lines_higher"
+    }
+
+
+def test_supplier_hhi_bounds(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import supplier_concentration
+
+    rows = supplier_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI of ppm shares: between ~1e12/n (uniform) and 1e12 (monopoly)
+        assert 0 < r["hhi_e12"] <= 1_000_000_000_000
+        assert r["top_share_ppm"] * r["top_share_ppm"] <= r["hhi_e12"]
+        if r["n_suppliers"] == 1:
+            assert r["top_share_ppm"] == 1_000_000
