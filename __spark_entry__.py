@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_gaps",
         "order_totals_reconciliation",
         "supplier_concentration",
+        "session_paths",
+        "traffic_seasonality",
     ]
     out = {k: merged[k] for k in head if k in merged}
     out.update(

@@ -216,11 +216,112 @@ GROUP BY 1
 """
 
 
+#: most-common session paths reported
+PATHS_TOPK = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session type-paths: the ordered event-type sequence of each
+    session (as a '>'-joined string), counted and ranked — the
+    behavioral-pattern readout a recommender or UX team reads first.
+    Reuses the exact sessionization assignment of
+    ``sessionize_events``; path strings are bounded by session length
+    (gap-bounded), and the top-k rank runs over the path-vocabulary
+    aggregate, not the event stream."""
+    e = table(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = (gap.isNull() | (gap > 1800)).cast("int")
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    paths = (
+        e.withColumn("session_seq", sess_id)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= PATHS_TOPK)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+SESSION_PATHS_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess
+  GROUP BY user_id, session_seq),
+counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counted)
+SELECT CAST(rank AS INT) AS rank, path, n_sessions
+FROM ranked WHERE rank <= {PATHS_TOPK}
+"""
+
+
+def traffic_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic matrix: counts, distinct users, and
+    exact e4 value totals per (day-of-week, hour) cell — the
+    seasonality heatmap behind capacity planning. Day names via the
+    locale-stable short pattern, identical in both engines; one
+    map-side-combined aggregate, 168 output cells max."""
+    e = table(tune(spark), sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "E").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("value_e4"),
+        )
+    )
+
+
+TRAFFIC_SEASONALITY_ORACLE = """
+SELECT strftime(ts, '%a') AS dow,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "w1_locf_snapshots": w1_locf_snapshots,
     "w2_keep_one_per_key": w2_keep_one_per_key,
     "sessionize_events": sessionize_events,
     "interarrival_gaps": interarrival_gaps,
+    "session_paths": session_paths,
+    "traffic_seasonality": traffic_seasonality,
 }
 
 ORACLES = {
@@ -228,4 +329,6 @@ ORACLES = {
     "w2_keep_one_per_key": W2_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "interarrival_gaps": INTERARRIVAL_ORACLE,
+    "session_paths": SESSION_PATHS_ORACLE,
+    "traffic_seasonality": TRAFFIC_SEASONALITY_ORACLE,
 }
