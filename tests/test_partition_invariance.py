@@ -10,13 +10,29 @@ import pytest
 
 from fxblue_etl_spark.operators.ml import label_cohesion_stats
 from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
-from fxblue_etl_spark.operators.windows import sessionize_events
-from fxblue_etl_spark.plans.behavior import type_correlation_stats
+from fxblue_etl_spark.operators.tfidf import token_bigram_lm
+from fxblue_etl_spark.operators.windows import sessionize_events, session_paths
+from fxblue_etl_spark.plans.behavior import (
+    basket_part_pairs,
+    rfm_segmentation,
+    type_correlation_stats,
+)
+from fxblue_etl_spark.plans.stats import equidepth_histogram
 
 
 @pytest.mark.parametrize(
     "query",
-    [sessionize_events, ohlc_bars_hourly, label_cohesion_stats, type_correlation_stats],
+    [
+        sessionize_events,
+        ohlc_bars_hourly,
+        label_cohesion_stats,
+        type_correlation_stats,
+        rfm_segmentation,
+        basket_part_pairs,
+        token_bigram_lm,
+        session_paths,
+        equidepth_histogram,
+    ],
     ids=lambda q: q.__name__,
 )
 def test_result_independent_of_shuffle_partitions(spark, sf_dir, query):
