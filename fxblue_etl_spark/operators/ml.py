@@ -227,6 +227,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable projection of :func:`embedding_quantize`: the
+    raw ``array<int>`` column crashes a pandas-based canonicalizer
+    (list cells are unhashable), so the registered query emits the
+    codes as a comma-joined string instead.  The array-returning
+    function above stays the internal building block for
+    ``quantized_topk`` / ``quantized_ivf_topk``."""
+    q = embedding_quantize(spark, sf_dir)
+    return q.select(
+        "vec_id",
+        "max_abs_e9",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
+
+
 QUANTIZE_ORACLE = """
 WITH x AS (
   SELECT vec_id,
@@ -236,9 +251,9 @@ m AS (
   SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x)
 SELECT vec_id,
        CAST(floor(mx * 1e9) AS BIGINT) AS max_abs_e9,
-       CASE WHEN mx > 0
+       array_to_string(CASE WHEN mx > 0
             THEN list_transform(xd, v -> CAST(floor(v * 127.0 / mx) AS INT))
-            ELSE list_transform(xd, v -> 0) END AS q
+            ELSE list_transform(xd, v -> 0) END, ',') AS q_csv
 FROM m
 """
 
@@ -429,10 +444,13 @@ def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one posexplode (linear in rows×dim, map-side
     combined on (label, pos)) + one row-local HOF aggregate — no
-    join, no window, no all-pairs. Headroom: |x|<1 → q<1e5; a label
-    needs ~1e9 aligned members before |S|² nears int64 — far beyond
-    any per-label population; the e5 scale is chosen exactly for
-    that bound."""
+    join, no window, no all-pairs. Headroom: |x|<1 → q<1e5, so the
+    raw sufficient statistics stay inside int64 for labels up to
+    ~1e9/√dim members, but the 1e6-premultiplied cohesion quotient
+    does NOT (Cauchy-Schwarz: centroid_sq_sum ≤ n·self_dot_sum, so
+    the numerator reaches ~4.7e20 already for cohesive ~200-member
+    labels) — that division therefore runs in DECIMAL(38,0) in both
+    engines and only the ≤1e6 quotient is cast back to BIGINT."""
     emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
     qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1e5).cast("long"))
     q = emb.select("vec_id", "label", qv.alias("q"))
@@ -457,8 +475,16 @@ def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "self_dot_sum",
             "centroid_sq_sum",
+            # quotient in DECIMAL(38,0): 1e6·centroid_sq_sum can pass
+            # int64 (Cauchy-Schwarz bounds centroid_sq_sum by
+            # n·self_dot_sum ≈ 4.7e14 on ~200-member labels, so the
+            # premultiplied numerator reaches ~4.7e20); the fixture is
+            # already within 4× of wrapping.  DECIMAL keeps the exact
+            # integer quotient; the result itself is ≤ 1e6 → BIGINT.
             F.expr(
-                "1000000 * centroid_sq_sum DIV (n_members * self_dot_sum)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * centroid_sq_sum"
+                " DIV (CAST(n_members AS DECIMAL(38,0)) * self_dot_sum)"
+                " AS BIGINT)"
             ).alias("cohesion_ppm"),
         )
     )
@@ -486,7 +512,12 @@ cent AS (
   SELECT label, CAST(sum(s * s) AS BIGINT) AS centroid_sq_sum
   FROM dims GROUP BY 1)
 SELECT p.label, p.n_members, p.self_dot_sum, c.centroid_sq_sum,
-       CAST((1000000 * c.centroid_sq_sum) // (p.n_members * p.self_dot_sum)
+       -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands
+       -- ROUNDS the quotient (17341.46 -> 17342) where integer //
+       -- floors; Spark's DIV on DECIMAL floors, so DECIMAL here
+       -- diverges by one ulp on every .5+ fraction
+       CAST(CAST(1000000 AS HUGEINT) * c.centroid_sq_sum
+            // (CAST(p.n_members AS HUGEINT) * p.self_dot_sum)
             AS BIGINT) AS cohesion_ppm
 FROM per_label p JOIN cent c USING (label)
 """
@@ -496,7 +527,7 @@ QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_iterate": kmeans_iterate,
-    "embedding_quantize": embedding_quantize,
+    "embedding_quantize": embedding_quantize_query,
     "quantized_topk": quantized_topk,
     "quantized_ivf_topk": quantized_ivf_topk,
     "label_cohesion_stats": label_cohesion_stats,

@@ -341,16 +341,25 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row-local chunking; at scale this is the cheap first pass
     that removes repeated passages before any near-dup machinery."""
     c = doc_chunking(spark, sf_dir)
+    # first occurrence as the lexicographic min of the REAL
+    # (doc_id, tok_start) pair — struct min, one aggregate.  The
+    # former `doc_id*100000 + tok_start` packing collided across
+    # doc_ids for documents with ≥ 100000 tokens.
     return (
         c.groupBy("chunk_hash")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.min(F.col("doc_id") * 100000 + F.col("tok_start")).alias(
-                "first_site"
-            ),
+            F.min(F.struct("doc_id", "tok_start")).alias("fs"),
         )
         .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            "n_docs",
+            F.col("fs.doc_id").alias("first_doc"),
+            F.col("fs.tok_start").alias("first_tok"),
+        )
     )
 
 
@@ -367,12 +376,17 @@ st AS (
 ex AS (
   SELECT doc_id, u.s AS tok_start,
          md5(array_to_string(toks[u.s + 1 : u.s + {CHUNK_TOKS}], ' ')) AS chunk_hash
-  FROM st, unnest(starts) u(s))
+  FROM st, unnest(starts) u(s)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_hash
+                               ORDER BY doc_id, tok_start) AS rn
+  FROM ex)
 SELECT chunk_hash,
        count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs,
-       CAST(min(doc_id * 100000 + tok_start) AS BIGINT) AS first_site
-FROM ex
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(max(CASE WHEN rn = 1 THEN tok_start END) AS INT) AS first_tok
+FROM ranked
 GROUP BY 1
 HAVING count(*) > 1
 """

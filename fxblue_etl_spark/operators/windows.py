@@ -154,7 +154,11 @@ sess AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked)
-SELECT user_id, session_seq,
+SELECT user_id,
+       -- DuckDB windowed sum() is HUGEINT; the driver fetches through
+       -- pandas where HUGEINT renders float64 ("5.0" vs Spark's "5").
+       -- BIGINT-cast so both engines canonicalize identically.
+       CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS session_value_e4,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
@@ -250,9 +254,24 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count("*").alias("n_sessions"))
     )
+    # two-level tournament top-k: distinct paths grow ~linearly with
+    # session count (high-cardinality strings, not a bounded vocab),
+    # so a partitionless Window over them is a single-task global
+    # sort at scale.  Level 1 ranks within 32 hash buckets of the
+    # path (parallel); only the ≤ 32·K bucket winners reach the
+    # global rank, whose input is now constant-bounded.  Bucket
+    # pruning is lossless: every global top-K row is a top-K row of
+    # its own bucket.  The hash is engine-internal (never compared
+    # to the oracle), so the cheap JVM xxhash64 is fine.
+    w1 = Window.partitionBy("pb").orderBy(F.desc("n_sessions"), F.asc("path"))
+    survivors = (
+        paths.withColumn("pb", F.pmod(F.xxhash64("path"), F.lit(32)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= PATHS_TOPK)
+    )
     wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (
-        paths.withColumn("rank", F.row_number().over(wr))
+        survivors.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= PATHS_TOPK)
         .select("rank", "path", "n_sessions")
     )

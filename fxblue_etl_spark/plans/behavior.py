@@ -148,7 +148,16 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_users",
-            F.expr("1000000 * n_both * n_users DIV (n_a * n_b)").alias("lift_ppm"),
+            # DECIMAL(38,0) intermediates: 1e6·n_both·n_users passes
+            # int64 once n_both·n_users > 9.2e12 (~3M users sharing a
+            # common pair) — real at large populations.  Spark would
+            # wrap silently (ansi off) while DuckDB errors; the
+            # decimal quotient is exact and the result (≤ 1e6·lift)
+            # casts back to BIGINT.
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_both * n_users"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -165,7 +174,10 @@ pairs AS (
 SELECT p.type_a, p.type_b, p.n_both,
        sa.n_single AS n_a, sb.n_single AS n_b,
        CAST(nu.n_users AS BIGINT) AS n_users,
-       CAST((1000000 * p.n_both * nu.n_users) // (sa.n_single * sb.n_single)
+       -- HUGEINT (128-bit, exact floor //): DuckDB's DECIMAL //
+       -- rounds rather than floors, diverging from Spark's DIV
+       CAST(CAST(1000000 AS HUGEINT) * p.n_both * nu.n_users
+            // (CAST(sa.n_single AS HUGEINT) * sb.n_single)
             AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN singles sa ON sa.event_type = p.type_a
@@ -176,21 +188,25 @@ JOIN singles sb ON sb.event_type = p.type_b, nu
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling 7-day distinct active users per day (DAU/WAU
     denominator). Sliding distinct counts don't decompose into window
-    partials, so the exact formulation joins the distinct (user, day)
-    set to the day grid with a 7-day band and re-counts — the grid is
-    calendar-sized (tiny, broadcast); work is O(days_in_window ×
-    active-pairs), linear in users at any corpus scale."""
+    partials, so the exact formulation replicates each distinct
+    (user, day) pair to the 7 window days it contributes to —
+    ``explode(sequence(0, 6))`` day offsets — and re-counts per
+    target day.  O(7·rows) with plain hash equi-joins/shuffles; no
+    BroadcastNestedLoopJoin (the round-3 band-join formulation
+    compared every pair against every grid day, O(rows × grid)).
+    The semi-join back to the observed-day grid (calendar-sized,
+    broadcast) keeps only days that actually appear, matching the
+    oracle's grid semantics."""
     e = table(tune(spark), sf_dir, "events").select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     )
     ud = e.distinct()
     grid = ud.select(F.col("day").alias("grid_day")).distinct()
+    exploded = ud.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("user_id", F.date_add("day", F.col("off")).alias("grid_day"))
     return (
-        ud.join(
-            F.broadcast(grid),
-            (F.col("day") <= F.col("grid_day"))
-            & (F.col("day") >= F.date_sub("grid_day", 6)),
-        )
+        exploded.join(F.broadcast(grid), "grid_day", "left_semi")
         .groupBy("grid_day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(

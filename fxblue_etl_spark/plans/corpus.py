@@ -330,12 +330,17 @@ def rag_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_in = d.select(F.count("*").alias("n_docs_in"))
     kept = d.filter(F.size(ws_tokens("text")) >= RAG_MIN_TOKS)
     chunks = chunk_frame(kept)
+    # keep-first tiebreak on the REAL columns: row_number ordered by
+    # (doc_id, tok_start).  The former `doc_id*100000 + tok_start`
+    # packing collides across doc_ids once a document has ≥ 100000
+    # tokens (a ~1500-chunk book), silently keeping the wrong chunk.
+    # Both windows share the chunk_hash partition key → one shuffle.
     w = Window.partitionBy("chunk_hash")
-    site = F.col("doc_id") * 100000 + F.col("tok_start")
+    wo = w.orderBy("doc_id", "tok_start")
     deduped = (
-        chunks.withColumn("min_site", F.min(site).over(w))
+        chunks.withColumn("site_rn", F.row_number().over(wo))
         .withColumn("n_sites", F.count("*").over(w))
-        .filter(site == F.col("min_site"))
+        .filter(F.col("site_rn") == 1)
     )
     summary = deduped.agg(
         F.count("*").alias("n_chunks_kept"),
@@ -380,11 +385,12 @@ ex AS (
   FROM st, unnest(starts) u(s)),
 marked AS (
   SELECT *,
-         min(doc_id * 100000 + tok_start) OVER (PARTITION BY chunk_hash) AS min_site,
+         row_number() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, tok_start) AS site_rn,
          count(*) OVER (PARTITION BY chunk_hash) AS n_sites
   FROM ex),
 deduped AS (
-  SELECT * FROM marked WHERE doc_id * 100000 + tok_start = min_site)
+  SELECT * FROM marked WHERE site_rn = 1)
 SELECT (SELECT count(*) FROM documents) AS n_docs_in,
        count(DISTINCT doc_id) AS n_docs_chunked,
        CAST(sum(n_sites) AS BIGINT) AS n_chunks_raw,
