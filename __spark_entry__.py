@@ -138,87 +138,45 @@ _R01_DRIVER_GREEN = {
 }
 
 
+#: queries added in round 4, appended to the gate head as they land
+_R4_NEW: list[str] = []
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Priority for the driver's ~50-entry gate window (the round-2
+    # Priority for the driver's ~50-entry gate window (round-3
     # verdict's ask, in its order):
     # 1. the flagship (always certified),
-    # 2. the two round-2 red rows, re-fixed this round,
-    # 3. queries whose code or output schema changed this round
-    #    (incl. quantized_ivf_topk, verdict item 7),
-    # 4. the 37 queries no driver round has ever hash-checked —
-    #    completing "every oracle-backed query has a driver row
-    #    across r1-r3" (verdict item 3),
-    # 5. operators newly added in round 3 (locally oracle-verified;
-    #    whatever misses the ~50 window is certified in round 4),
+    # 2. the two round-3 red rows, fixed this round (HUGEINT-cast
+    #    session_seq; driver-hashable q_csv projection),
+    # 3. previously-green queries whose code changed this round
+    #    (overflow-proof ppm quotients, explode-offset rolling
+    #    window, tournament top-k, real-column chunk tiebreaks,
+    #    NULL-explicit roundtrip checksum),
+    # 4. the 37 round-3 queries no driver round has ever checked —
+    #    after these, EVERY oracle-backed query in the repo has a
+    #    driver row (round-3 verdict item 4),
+    # 5. operators newly added in round 4 (locally oracle-verified),
     # 6. the prior-round-green remainder (standing rows).
     head = [
         "flagship_account_pnl",
-        # round-2 red rows, fixed (typed ppm quotient / integer sum)
-        "gopher_repetition",
+        # round-3 red rows, fixed
         "sessionize_events",
-        # changed this round (integer-scaled event sums, disc median,
-        # bucketed packing, invariant-hashed compaction, persist swap)
-        "exact_distinct_and_quantiles",
-        "hourly_event_load",
-        "gapfill_daily_locf",
-        "sequence_pack",
-        "compact_small_files",
-        "llm_corpus_prep",
-        # verdict item 7: IVF-composed quantized ANN
-        "quantized_ivf_topk",
-        # never driver-checked: streaming block (append oracles now
-        # model the ms-truncated watermark)
-        "streaming_tumbling_windows",
-        "streaming_sliding_windows",
-        "streaming_session_windows",
-        "streaming_tumbling_append",
-        "streaming_sliding_append",
-        "streaming_session_append",
-        "streaming_dedup_watermark",
-        "streaming_locf_stateful",
-        "streaming_csv_merge",
-        "streaming_interval_join",
-        # never driver-checked: source chains (certify S1-S5/F1/F5)
-        "s2_csv_ingest",
-        "s5_rss_trades_pipeline",
-        "s4_account_metadata",
-        "rss_datasource_scan",
-        "rss_datasource_stream",
-        # never driver-checked: UDF surface
-        "pandas_udf_log_return",
-        "grouped_map_share",
-        "udtf_token_explode",
-        "arrow_udf_order_tier",
-        # never driver-checked: TPC-H remainder
-        "q2_min_cost_supplier",
-        "q9_profit_by_nation_year",
-        "q11_value_concentration",
-        "q13_order_count_distribution",
-        "q16_supplier_part_variety",
-        # never driver-checked: corpus / k-means / sink ops
-        "corpus_split",
-        "stratified_sample",
-        "df_prune",
-        "kmeans_assign_stats",
-        "kmeans_update_centroids",
         "embedding_quantize",
-        "partitioned_sink_roundtrip",
-        "dedup_components",
-        # new in round 3, locally oracle-verified; ordered so the
-        # highest-leverage operators catch any remaining gate slots
-        "pii_scrub",
-        "domain_quality_gate",
-        "span_dedup_stats",
-        "retention_cohorts",
+        # driver-green in r3 but changed this round — re-certify
         "event_cooccurrence",
-        "mixture_allocation",
         "rolling_active_users",
-        "value_percentile_bands",
+        # the 37 never-driver-checked round-3 queries (all changed
+        # ones among them lead the block)
+        "label_cohesion_stats",
+        "session_paths",
+        "chunk_boilerplate",
+        "rag_corpus_prep",
+        "pyds_jsonl_sink_roundtrip",
         "ohlc_bars_hourly",
         "event_transition_matrix",
         "term_salience_topk",
@@ -226,7 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_postings",
         "vocab_coverage",
         "training_order_shuffle",
-        "label_cohesion_stats",
         "dedup_degree_hist",
         "dedup_component_size_hist",
         "equidepth_histogram",
@@ -235,12 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs",
         "source_overlap_matrix",
         "doc_chunking",
-        "chunk_boilerplate",
-        "pyds_jsonl_sink_roundtrip",
         "dynamic_partition_backfill",
         "type_correlation_stats",
         "daily_anomaly_days",
-        "rag_corpus_prep",
         "rfm_segmentation",
         "source_length_drift",
         "basket_part_pairs",
@@ -254,9 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_gaps",
         "order_totals_reconciliation",
         "supplier_concentration",
-        "session_paths",
         "traffic_seasonality",
+        # new in round 4 (locally oracle-verified, first driver look)
     ]
+    head += _R4_NEW
     out = {k: merged[k] for k in head if k in merged}
     out.update(
         {

@@ -40,7 +40,15 @@ HEADLINE = (
     # LLM-pipeline surface
     "minhash_lsh_pairs",
     "llm_corpus_prep",
+    # round-4 additions (APPENDED — the 15 above stay frozen so
+    # round-over-round totals remain comparable on their subset)
+    "ohlc_bars_hourly",
+    "containment_pairs",
+    "rag_corpus_prep",
 )
+
+#: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
+FROZEN_N = 15
 
 
 #: timed executions per query; the median filters out one-off JVM /
@@ -75,6 +83,9 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     total = round(sum(timings.values()), 3)
+    frozen_total = round(
+        sum(timings.get(n, 0.0) for n in HEADLINE[:FROZEN_N]), 3
+    )
     print(
         json.dumps(
             {
@@ -83,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "frozen15_total": frozen_total,
             }
         )
     )

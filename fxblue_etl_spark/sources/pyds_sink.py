@@ -139,7 +139,29 @@ def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars_total"),
-        F.sum(F.conv(F.substring(F.md5(F.concat_ws("|", "doc_id", "lang", "text")), 1, 8), 16, 10).cast("long"))
+        # coalesce each field to an explicit sentinel: concat_ws
+        # SKIPS nulls while the oracle's || PROPAGATES them (dropping
+        # the row from the sum) — identical NULL handling by
+        # construction instead of silent divergence on a future
+        # fixture with NULL lang/text
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+                            F.coalesce("lang", F.lit("<null>")),
+                            F.coalesce("text", F.lit("<null>")),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
         .cast("long")
         .alias("content_sum"),
     )
@@ -148,7 +170,11 @@ def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _roundtrip_oracle() -> str:
     from ..operators.dedup import _hex8_sql
 
-    h = _hex8_sql("md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' || text)", 1)
+    h = _hex8_sql(
+        "md5(coalesce(CAST(doc_id AS VARCHAR), '<null>') || '|' "
+        "|| coalesce(lang, '<null>') || '|' || coalesce(text, '<null>'))",
+        1,
+    )
     return f"""
 SELECT count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_docs,
