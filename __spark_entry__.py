@@ -139,7 +139,14 @@ _R01_DRIVER_GREEN = {
 
 
 #: queries added in round 4, appended to the gate head as they land
-_R4_NEW: list[str] = []
+_R4_NEW: list[str] = [
+    "dsir_importance_stats",
+    "lm_doc_perplexity",
+    "split_decontaminate",
+    "canonical_doc_selection",
+    "ivf_multiprobe_topk",
+    "embedding_moment_stats",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

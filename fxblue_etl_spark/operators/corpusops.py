@@ -539,6 +539,137 @@ FROM ranked WHERE rank <= {PER_GROUP_M}
 """
 
 
+#: DSIR hashed-feature buckets (the n-gram hash table size); small
+#: enough to broadcast, large enough that collisions stay rare on
+#: the fixture vocabulary
+DSIR_BUCKETS = 512
+#: the target domain: importance weights up-weight docs whose hashed
+#: bigram profile looks like this slice of the corpus
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling sufficient statistics
+    (Data Selection with Importance Resampling, Xie et al. 2023):
+    hash each document's bigrams into ``DSIR_BUCKETS`` features,
+    estimate a target distribution (docs with ``lang = en``) and the
+    source distribution (whole corpus) over those buckets, and emit
+    per-doc integer mass sums under each — the importance weight
+    ``Π p_tgt(f)/p_src(f)`` is a driver-side float step away, while
+    the engine output stays exact: per-doc bigram count, summed
+    target-ppm, summed source-ppm, and their integer ratio.
+
+    Scale shape: one row-local bigram explode (map-side combined
+    into the two bucket tables), bucket tables are
+    ``DSIR_BUCKETS``-row → broadcast back; the per-doc aggregate is
+    the only corpus-sized shuffle.  No window, no self-join."""
+    d = (
+        fan_out(table(tune(spark), sf_dir, "documents"))
+        .select("doc_id", "lang", ws_tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    db = d.select("doc_id", "lang", F.explode(bg_col).alias("bg")).withColumn(
+        "fb", _hash_bucket(F.col("bg"), "dsir|", DSIR_BUCKETS)
+    )
+    src = db.groupBy("fb").agg(F.count("*").alias("n_src"))
+    tgt = (
+        db.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("fb")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    tot = src.agg(
+        F.sum("n_src").cast("long").alias("tot_src")
+    ).crossJoin(
+        F.broadcast(tgt.agg(F.sum("n_tgt").cast("long").alias("tot_tgt")))
+    )
+    bucket_tbl = (
+        src.join(tgt, "fb", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar totals, by design
+        .select(
+            "fb",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * coalesce(n_tgt, 0)"
+                " DIV tot_tgt AS BIGINT)"
+            ).alias("t_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_src"
+                " DIV tot_src AS BIGINT)"
+            ).alias("s_ppm"),
+        )
+    )
+    return (
+        db.join(F.broadcast(bucket_tbl), "fb")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("t_ppm").cast("long").alias("tgt_mass_ppm"),
+            F.sum("s_ppm").cast("long").alias("src_mass_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "tgt_mass_ppm",
+            "src_mass_ppm",
+            # src_mass_ppm can be 0 despite every bigram being in the
+            # source counts: integer ppm floors to 0 for buckets rarer
+            # than 1-per-million.  NULL ratio in that case (both
+            # engines agree on NULL semantics here).
+            F.expr(
+                "CASE WHEN src_mass_ppm > 0 THEN"
+                " CAST(CAST(1000000 AS DECIMAL(38,0)) * tgt_mass_ppm"
+                " DIV src_mass_ppm AS BIGINT) END"
+            ).alias("dsir_ratio_ppm"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    fb = _hash_bucket_sql("bg", "dsir|", DSIR_BUCKETS)
+    return rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+db AS (
+  SELECT doc_id, lang, {fb} AS fb
+  FROM (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS bg
+        FROM tk, unnest(range(1, len(toks))) t(i)
+        WHERE len(toks) >= 2)),
+src AS (SELECT fb, count(*) AS n_src FROM db GROUP BY 1),
+tgt AS (SELECT fb, count(*) AS n_tgt FROM db WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(n_src) AS BIGINT) FROM src) AS tot_src,
+         (SELECT CAST(sum(n_tgt) AS BIGINT) FROM tgt) AS tot_tgt),
+bucket_tbl AS (
+  SELECT s.fb,
+         CAST(CAST(1000000 AS HUGEINT) * coalesce(t.n_tgt, 0) // tot.tot_tgt
+              AS BIGINT) AS t_ppm,
+         CAST(CAST(1000000 AS HUGEINT) * s.n_src // tot.tot_src
+              AS BIGINT) AS s_ppm
+  FROM src s LEFT JOIN tgt t USING (fb), tot),
+per_doc AS (
+  SELECT db.doc_id, count(*) AS n_bigrams,
+         CAST(sum(b.t_ppm) AS BIGINT) AS tgt_mass_ppm,
+         CAST(sum(b.s_ppm) AS BIGINT) AS src_mass_ppm
+  FROM db JOIN bucket_tbl b USING (fb)
+  GROUP BY 1)
+SELECT doc_id, n_bigrams, tgt_mass_ppm, src_mass_ppm,
+       CASE WHEN src_mass_ppm > 0 THEN
+         CAST(CAST(1000000 AS HUGEINT) * tgt_mass_ppm // src_mass_ppm AS BIGINT)
+       END AS dsir_ratio_ppm
+FROM per_doc
+"""
+
+
+DSIR_ORACLE = _dsir_oracle()
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -548,6 +679,7 @@ QUERIES = {
     "mixture_allocation": mixture_allocation,
     "hierarchical_mixture": hierarchical_mixture,
     "per_group_sample": per_group_sample,
+    "dsir_importance_stats": dsir_importance_stats,
 }
 
 ORACLES = {
@@ -559,4 +691,5 @@ ORACLES = {
     "mixture_allocation": MIXTURE_ORACLE,
     "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
     "per_group_sample": PER_GROUP_SAMPLE_ORACLE,
+    "dsir_importance_stats": DSIR_ORACLE,
 }

@@ -295,11 +295,217 @@ FROM tri
 """
 
 
+#: Jaccard threshold above which two documents belong to one
+#: dedup/decontamination group
+DECON_J = 0.8
+
+#: split fractions for the leak-free split (mirrors corpusops)
+_TRAIN_PCT = 80
+_VAL_PCT = 90
+
+
+def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grp) for every document: near-dup component id when
+    the doc is in a Jaccard ≥ DECON_J MinHash/LSH cluster, else the
+    doc's own id.  The shared spine of ``split_decontaminate`` and
+    ``canonical_doc_selection``."""
+    from ..io import fan_out, table
+    from .dedup import lsh_jaccard_pairs
+
+    docs = fan_out(table(tune(spark), sf_dir, "documents"))
+    pairs = (
+        lsh_jaccard_pairs(docs)
+        .filter(F.round("jaccard", 6) >= DECON_J)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    return docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", F.col("doc_id").cast("long")).alias("grp"),
+    )
+
+
+def split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split: hash-bucket by near-dup
+    GROUP, not by document.  A naive per-doc split puts two ≥ 0.8-
+    Jaccard near-duplicates on opposite sides of the train/test
+    fence — the classic eval-contamination path that survives even
+    `contamination_check` because neither doc is verbatim in the
+    other split.  Splitting on the component id makes straddling
+    impossible by construction; ``n_straddling_groups`` is computed
+    genuinely (not assumed) and certifies it is zero.
+
+    Scale shape: pair graph ≪ corpus (banded LSH, no all-pairs);
+    components run on the pair graph; the split itself is a pure
+    hash of the group key — stateless, re-run-stable, no shuffle
+    beyond the summary aggregates."""
+    from .corpusops import _hash_bucket
+
+    assigned = _doc_dup_groups(spark, sf_dir)
+    b = _hash_bucket(F.col("grp"), "dsplit|", 100)
+    sp = assigned.select(
+        "doc_id",
+        "n_chars",
+        "grp",
+        F.when(b < _TRAIN_PCT, F.lit("train"))
+        .when(b < _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    straddle = (
+        sp.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum((F.col("ns") > 1).cast("long"))
+            .cast("long")
+            .alias("n_straddling_groups")
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .crossJoin(F.broadcast(straddle))  # 1-row scalar, by design
+        .select("split", "n_docs", "n_groups", "n_chars_total", "n_straddling_groups")
+    )
+
+
+def canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a real dedup pipeline: for every multi-doc
+    near-dup cluster pick ONE canonical document — highest quality
+    score, ties to the smallest doc_id — and count what gets
+    dropped.  Composes the LSH component spine with the certified
+    `quality_score` signal; selection is a struct-max aggregate
+    (no window, no sort): ``max(struct(q10, -doc_id))``.
+
+    Output is one row per multi-doc component.  Quality enters as
+    ``q10 = round(score·10)`` (scores are exact multiples of 0.1),
+    keeping the comparison integer-exact cross-engine."""
+    from .textops import quality_score
+
+    base = _doc_dup_groups(spark, sf_dir)
+    multi = (
+        base.groupBy("grp")
+        .agg(F.count("*").alias("n_in_grp"))
+        .filter(F.col("n_in_grp") > 1)
+        .select("grp")
+    )
+    members = base.join(multi, "grp", "left_semi")
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10).cast("int").alias("q10"),
+    )
+    return (
+        members.join(q, "doc_id")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(F.col("q10"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best"),
+        )
+        .select(
+            F.col("grp").alias("component"),
+            "n_members",
+            (-F.col("best.neg_id")).cast("long").alias("canonical_doc"),
+            F.col("best.q10").alias("canonical_q10"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def _doc_groups_sql() -> str:
+    """Recursive-CTE twin of ``_doc_dup_groups``: nests the full
+    MinHash/LSH pair oracle, closes it transitively, and falls back
+    to the doc's own id for unclustered docs."""
+    from .dedup import MINHASH_ORACLE
+
+    return f"""
+pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) WHERE jaccard >= {DECON_J}),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges),
+comp AS (
+  SELECT s AS doc_id, min(d) AS component FROM closure GROUP BY s),
+assigned AS (
+  SELECT dd.doc_id, dd.n_chars,
+         CAST(coalesce(c.component, dd.doc_id) AS BIGINT) AS grp
+  FROM documents dd LEFT JOIN comp c USING (doc_id))"""
+
+
+def _split_decon_oracle() -> str:
+    from .corpusops import _hash_bucket_sql
+
+    b = _hash_bucket_sql("CAST(grp AS VARCHAR)", "dsplit|", 100)
+    return f"""
+WITH RECURSIVE {_doc_groups_sql()},
+sp AS (
+  SELECT doc_id, n_chars, grp,
+         CASE WHEN {b} < {_TRAIN_PCT} THEN 'train'
+              WHEN {b} < {_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned),
+straddle AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_straddling_groups
+  FROM (SELECT grp, count(DISTINCT split) AS ns FROM sp GROUP BY 1))
+SELECT sp.split, count(*) AS n_docs, count(DISTINCT sp.grp) AS n_groups,
+       CAST(sum(sp.n_chars) AS BIGINT) AS n_chars_total,
+       st.n_straddling_groups
+FROM sp, straddle st
+GROUP BY sp.split, st.n_straddling_groups
+"""
+
+
+SPLIT_DECON_ORACLE = _split_decon_oracle()
+
+
+def _canonical_oracle() -> str:
+    from .textops import QUALITY_ORACLE
+
+    return f"""
+WITH RECURSIVE {_doc_groups_sql()},
+q AS (
+  SELECT doc_id, CAST(round(quality_score * 10) AS INT) AS q10
+  FROM ({QUALITY_ORACLE})),
+members AS (
+  SELECT a.doc_id, a.grp, q.q10
+  FROM assigned a JOIN q USING (doc_id)
+  WHERE a.grp IN (SELECT grp FROM assigned WHERE grp != doc_id))
+SELECT grp AS component,
+       count(*) AS n_members,
+       CAST(-(max({{'q10': q10, 'nid': -doc_id}})).nid AS BIGINT) AS canonical_doc,
+       CAST((max({{'q10': q10, 'nid': -doc_id}})).q10 AS INT) AS canonical_q10,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM members
+GROUP BY grp
+"""
+
+
+CANONICAL_ORACLE = _canonical_oracle()
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_degree_hist": dedup_degree_hist,
     "dedup_component_size_hist": dedup_component_size_hist,
     "dedup_triangles": dedup_triangles,
+    "split_decontaminate": split_decontaminate,
+    "canonical_doc_selection": canonical_doc_selection,
 }
 
 ORACLES = {
@@ -307,4 +513,6 @@ ORACLES = {
     "dedup_degree_hist": DEGREE_HIST_ORACLE,
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,
     "dedup_triangles": TRIANGLES_ORACLE,
+    "split_decontaminate": SPLIT_DECON_ORACLE,
+    "canonical_doc_selection": CANONICAL_ORACLE,
 }

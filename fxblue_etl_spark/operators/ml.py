@@ -332,11 +332,12 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("qcluster"),
         F.col("q").alias("qq"),
     )
+    # equi-join on the cluster key (BroadcastHashJoin), self-pair
+    # exclusion as a post-filter — a != inside the join condition
+    # would demote the plan to BroadcastNestedLoopJoin
     cand = aq.join(
-        F.broadcast(queries),
-        (F.col("cluster") == F.col("qcluster"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
+        F.broadcast(queries.withColumnRenamed("qcluster", "cluster")), "cluster"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     qdot = F.aggregate(
         F.zip_with("q", "qq", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -523,6 +524,195 @@ FROM per_label p JOIN cent c USING (label)
 """
 
 
+#: clusters probed per query in the multi-probe IVF variant
+N_PROBE = 3
+
+
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each query probes its ``N_PROBE`` nearest
+    centroids (not just its own cluster) and re-ranks the union of
+    those clusters' members by the exact integer dot product of int8
+    codes.  Single-probe IVF (``quantized_ivf_topk``) misses true
+    neighbors that fall just across a Voronoi boundary; multi-probe
+    is the standard recall knob (FAISS ``nprobe``) and the shape a
+    100 TB serving index actually runs: probe cost is
+    ``N_PROBE/C`` of the data per query, still never a full scan.
+
+    Plan: centroid ranking is a broadcast of the (tiny) centroid
+    set against queries only; candidate gathering is one equi-join
+    on cluster id; ranking one bounded per-query window."""
+    from .similarity import _dvec, cosine
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", cosine(F.col("v"), F.col("cv")).alias("csim"), "cent_id"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
+    aq = assigned.join(codes, "vec_id")
+    # queries rank ALL centroids and keep the N_PROBE nearest
+    probes = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            cosine(F.col("v"), F.col("cv")).alias("csim"),
+            F.col("cent_id").alias("pcluster"),
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("csim"), F.asc("pcluster")
+                )
+            ),
+        )
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "pcluster")
+    )
+    qcodes = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    probe_set = probes.join(qcodes, "query_id").withColumnRenamed(
+        "pcluster", "cluster"
+    )
+    # pure equi-join on the cluster key (BroadcastHashJoin); the
+    # self-pair exclusion is a post-filter — folding it into the join
+    # condition demotes the plan to BroadcastNestedLoopJoin
+    cand = aq.join(F.broadcast(probe_set), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), qdot.alias("qdot")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+IVF_MULTIPROBE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % 100 = 0),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS_IVF.format(a='b.v', b='c.cv')} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM base b CROSS JOIN cents c)
+  WHERE rn = 1),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM base),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM m),
+aq AS (
+  SELECT a.vec_id, a.cluster, c.q
+  FROM assigned a JOIN codes c USING (vec_id)),
+probes AS (
+  SELECT query_id, pcluster FROM (
+    SELECT b.vec_id AS query_id, c.cent_id AS pcluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS_IVF.format(a='b.v', b='c.cv')} DESC,
+                                       c.cent_id ASC) AS prn
+    FROM base b CROSS JOIN cents c
+    WHERE b.vec_id % 50 = 0)
+  WHERE prn <= {{nprobe}}),
+qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.q, qs.qq) AS BIGINT) AS qdot
+  FROM probes p
+  JOIN qs ON qs.query_id = p.query_id
+  JOIN aq a ON a.cluster = p.pcluster AND a.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 5
+""".replace("{nprobe}", str(N_PROBE))
+
+
+def embedding_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment statistics of the embedding corpus — the
+    normalization/whitening table (mean, variance, extrema per dim)
+    every feature pipeline computes before indexing.  Embeddings are
+    e5-quantized (exact cross-engine), one posexplode then one
+    groupBy(pos): n, Σq, Σq² (emitted in units of 1e3 via an exact
+    HUGEINT/DECIMAL floor-divide — Σq² alone would pass int64 at
+    ~9e8 rows/dim), min, max.  64 output rows.
+
+    Scale shape: linear in rows×dim, fully map-side combined; no
+    join, no window."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e5).cast("long")
+    )
+    return (
+        emb.select(F.posexplode(qv).alias("pos", "qd"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qd").cast("long").alias("q_sum"),
+            F.expr(
+                "CAST(sum(CAST(qd AS DECIMAL(38,0)) * qd) DIV 1000 AS BIGINT)"
+            ).alias("q_sq_sum_e3"),
+            F.min("qd").alias("q_min"),
+            F.max("qd").alias("q_max"),
+        )
+    )
+
+
+MOMENT_STATS_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e5) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (
+  -- indexed lambda stands in for WITH ORDINALITY (not in this DuckDB)
+  SELECT CAST(u.i - 1 AS INT) AS pos, u.v AS qd
+  FROM (SELECT unnest(list_transform(qv, (x, i) -> {'v': x, 'i': i})) AS u
+        FROM q))
+SELECT pos, count(*) AS n,
+       CAST(sum(qd) AS BIGINT) AS q_sum,
+       CAST(sum(CAST(qd AS HUGEINT) * qd) // 1000 AS BIGINT) AS q_sq_sum_e3,
+       CAST(min(qd) AS BIGINT) AS q_min,
+       CAST(max(qd) AS BIGINT) AS q_max
+FROM dims
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -531,6 +721,8 @@ QUERIES = {
     "quantized_topk": quantized_topk,
     "quantized_ivf_topk": quantized_ivf_topk,
     "label_cohesion_stats": label_cohesion_stats,
+    "ivf_multiprobe_topk": ivf_multiprobe_topk,
+    "embedding_moment_stats": embedding_moment_stats,
 }
 
 ORACLES = {
@@ -541,4 +733,6 @@ ORACLES = {
     "quantized_topk": QUANTIZED_TOPK_ORACLE,
     "quantized_ivf_topk": QUANTIZED_IVF_ORACLE,
     "label_cohesion_stats": COHESION_ORACLE,
+    "ivf_multiprobe_topk": IVF_MULTIPROBE_ORACLE,
+    "embedding_moment_stats": MOMENT_STATS_ORACLE,
 }

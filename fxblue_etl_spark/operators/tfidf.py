@@ -213,9 +213,109 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "rank",
             "n_head",
-            F.expr("1000000 * n DIV n_head").alias("cont_ppm"),
+            # DECIMAL(38,0) premultiply: 1e6·n wraps int64 once a
+            # stop-word bigram passes 9.2e12 occurrences — real at
+            # full corpus scale
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_head AS BIGINT)"
+            ).alias("cont_ppm"),
         )
     )
+
+
+def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram-LM fluency score (the CCNet-style quality
+    signal): every adjacent token pair in a document is scored by its
+    corpus-wide continuation probability (integer ppm, the same
+    statistic `token_bigram_lm` tabulates, here unpruned), and the
+    document aggregates to exact integer sufficient statistics —
+    pair count, summed continuation ppm, their quotient, and a
+    coarse fluency band.  Low avg ppm ≈ high perplexity ≈ disfluent/
+    boilerplate-ish text; the float `exp(-mean log p)` is one
+    driver-side step away and deliberately NOT emitted (floats don't
+    hash cross-engine).
+
+    Scale shape: pair generation is row-local (no self-join); the
+    bigram probability table is a map-side-combined count aggregate;
+    scoring is one shuffle equi-join on (head, nxt) — the bigram
+    table at full scale is large but uniformly hash-partitioned, and
+    AQE handles stop-word-pair skew.  No window, no broadcast of
+    corpus-sized state.
+
+    Reference parity: the reference has no LM scoring; this extends
+    its quality gates (`RSS PARSER/gcp_rss.py:94-95` field filters)
+    with the corpus-statistics pass a training pipeline needs."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("head"),
+            F.element_at("toks", i + 1).alias("nxt"),
+        ),
+    )
+    doc_pairs = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(pair_col).alias("p"))
+        .select("doc_id", "p.head", "p.nxt")
+    )
+    counts = doc_pairs.groupBy("head", "nxt").agg(F.count("*").alias("n"))
+    heads = counts.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
+    probs = counts.join(heads, "head").select(
+        "head",
+        "nxt",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_head AS BIGINT)"
+        ).alias("cont_ppm"),
+    )
+    return (
+        doc_pairs.join(probs, ["head", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("cont_ppm").cast("long").alias("cont_ppm_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "cont_ppm_sum",
+            F.expr(
+                "CAST(CAST(cont_ppm_sum AS DECIMAL(38,0)) DIV n_pairs AS BIGINT)"
+            ).alias("avg_cont_ppm"),
+            F.expr(
+                "CAST(CAST(cont_ppm_sum AS DECIMAL(38,0)) DIV n_pairs"
+                " DIV 100000 AS BIGINT)"
+            ).alias("fluency_band"),
+        )
+    )
+
+
+LM_PERPLEXITY_ORACLE = f"""
+WITH tk AS ({_TOKS_SQL}),
+doc_pairs AS (
+  SELECT doc_id, toks[i] AS head, toks[i + 1] AS nxt
+  FROM tk, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2),
+counts AS (
+  SELECT head, nxt, count(*) AS n FROM doc_pairs GROUP BY 1, 2),
+heads AS (
+  SELECT head, CAST(sum(n) AS BIGINT) AS n_head FROM counts GROUP BY 1),
+probs AS (
+  SELECT c.head, c.nxt,
+         CAST(CAST(1000000 AS HUGEINT) * c.n // h.n_head AS BIGINT) AS cont_ppm
+  FROM counts c JOIN heads h USING (head)),
+per_doc AS (
+  SELECT dp.doc_id, count(*) AS n_pairs,
+         CAST(sum(p.cont_ppm) AS BIGINT) AS cont_ppm_sum
+  FROM doc_pairs dp JOIN probs p USING (head, nxt)
+  GROUP BY 1)
+SELECT doc_id, n_pairs, cont_ppm_sum,
+       CAST(CAST(cont_ppm_sum AS HUGEINT) // n_pairs AS BIGINT) AS avg_cont_ppm,
+       CAST(CAST(cont_ppm_sum AS HUGEINT) // n_pairs // 100000 AS BIGINT)
+         AS fluency_band
+FROM per_doc
+"""
 
 
 def _bigram_oracle() -> str:
@@ -236,7 +336,7 @@ ranked AS (
                                ORDER BY n DESC, nxt ASC) AS rank
   FROM pairs)
 SELECT r.head, r.nxt, r.n, CAST(r.rank AS INT) AS rank, h.n_head,
-       CAST((1000000 * r.n) // h.n_head AS BIGINT) AS cont_ppm
+       CAST(CAST(1000000 AS HUGEINT) * r.n // h.n_head AS BIGINT) AS cont_ppm
 FROM ranked r JOIN heads h USING (head)
 WHERE r.rank <= {BIGRAM_TOPK} AND h.n_head >= {BIGRAM_MIN_HEAD}
 """
@@ -249,10 +349,12 @@ QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
+    "lm_doc_perplexity": lm_doc_perplexity,
 }
 
 ORACLES = {
     "term_salience_topk": TERM_SALIENCE_ORACLE,
     "rare_token_quality": RARE_TOKEN_ORACLE,
     "token_bigram_lm": BIGRAM_LM_ORACLE,
+    "lm_doc_perplexity": LM_PERPLEXITY_ORACLE,
 }
