@@ -146,6 +146,8 @@ _R4_NEW: list[str] = [
     "canonical_doc_selection",
     "ivf_multiprobe_topk",
     "embedding_moment_stats",
+    "pyds_manifest_reader_roundtrip",
+    "token_frequency_spectrum",
 ]
 
 

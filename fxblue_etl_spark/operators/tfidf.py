@@ -318,6 +318,78 @@ FROM per_doc
 """
 
 
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency spectrum (the Zipf-health readout): how many
+    token types fall in each decimal-magnitude count band (1-9,
+    10-99, 100-999, …) and how much token mass they carry.  A healthy
+    natural-language corpus has a fat hapax band and a thin head; a
+    template-dominated crawl inverts that.  The band is the token
+    count's decimal digit length minus one — integer-exact in both
+    engines, no float ``log10`` whose ulps could straddle a power of
+    ten.
+
+    Scale shape: one explode → vocab-sized count aggregate (map-side
+    combined) → ~10-row band aggregate; type/mass shares are
+    DECIMAL-exact ppm against broadcast scalar totals.  No global
+    sort — the spectrum needs no ranks, unlike a top-k Zipf plot."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    cnt = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnt.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    return (
+        cnt.withColumn("band", (F.length(F.col("cnt").cast("string")) - 1).cast("int"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("cnt").cast("long").alias("mass"),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row scalar totals, by design
+        .select(
+            "band",
+            "n_types",
+            "mass",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_types"
+                " DIV n_vocab AS BIGINT)"
+            ).alias("types_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * mass"
+                " DIV n_total AS BIGINT)"
+            ).alias("mass_ppm"),
+        )
+    )
+
+
+FREQ_SPECTRUM_ORACLE = f"""
+WITH tk AS ({_TOKS_SQL}),
+cnt AS (
+  SELECT t.tok, count(*) AS cnt
+  FROM tk, unnest(toks) t(tok)
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(cnt) AS BIGINT) AS n_total
+  FROM cnt)
+SELECT CAST(length(CAST(cnt AS VARCHAR)) - 1 AS INT) AS band,
+       count(*) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS mass,
+       CAST(CAST(1000000 AS HUGEINT) * count(*) // any_value(t.n_vocab)
+            AS BIGINT) AS types_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * sum(cnt) // any_value(t.n_total)
+            AS BIGINT) AS mass_ppm
+FROM cnt, tot t
+GROUP BY 1
+"""
+
+
 def _bigram_oracle() -> str:
     # no tournament in the oracle: a single window is exact (and
     # DuckDB-side efficiency is irrelevant), the tournament is purely
@@ -350,6 +422,7 @@ QUERIES = {
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
     "lm_doc_perplexity": lm_doc_perplexity,
+    "token_frequency_spectrum": token_frequency_spectrum,
 }
 
 ORACLES = {
@@ -357,4 +430,5 @@ ORACLES = {
     "rare_token_quality": RARE_TOKEN_ORACLE,
     "token_bigram_lm": BIGRAM_LM_ORACLE,
     "lm_doc_perplexity": LM_PERPLEXITY_ORACLE,
+    "token_frequency_spectrum": FREQ_SPECTRUM_ORACLE,
 }

@@ -29,7 +29,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 #: shards the round-trip query writes (the upstream repartition)
@@ -88,6 +94,37 @@ class JsonlShardWriter(DataSourceWriter):
                 pass
 
 
+class ShardPartition(InputPartition):
+    def __init__(self, shard_path: str):
+        self.shard_path = shard_path
+
+
+class JsonlManifestReader(DataSourceReader):
+    """Manifest-committed reader: plans ONE partition per shard named
+    in ``_MANIFEST.json`` and reads nothing else.  Orphan shard files
+    (a crashed task's leftovers, a concurrent uncommitted write) are
+    invisible — the reader honors the sink's commit protocol, which a
+    plain directory-glob ``spark.read.json`` cannot."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards reader requires a 'path' option")
+
+    def partitions(self) -> list[InputPartition]:
+        with open(
+            os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8"
+        ) as fh:
+            manifest = json.load(fh)
+        return [ShardPartition(s["path"]) for s in manifest["shards"]]
+
+    def read(self, partition: ShardPartition):
+        with open(partition.shard_path, encoding="utf-8") as fh:
+            for line in fh:
+                d = json.loads(line)
+                yield (d.get("doc_id"), d.get("lang"), d.get("text"))
+
+
 class JsonlShardDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -98,6 +135,9 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(self.options)
+
+    def reader(self, schema: StructType) -> JsonlManifestReader:
+        return JsonlManifestReader(self.options)
 
 
 def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,10 +227,74 @@ FROM documents
 PYDS_ROUNDTRIP_ORACLE = _roundtrip_oracle()
 
 
+def pyds_manifest_reader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents through the custom sink, plant an ORPHAN shard
+    file the manifest does not name, then read back through the
+    custom manifest reader.  The checksum equals the source table's
+    only if the reader honors the commit protocol — a glob read
+    would ingest the orphan and fail the hash."""
+    import shutil
+
+    from ..io import table
+    from ..session import tune
+
+    tune(spark)
+    spark.dataSource.register(JsonlShardDataSource)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/pyds_manifest_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    (
+        d.repartition(N_SHARDS)
+        .write.format("jsonl_shards")
+        .option("path", out_dir)
+        .option("columns_json", json.dumps(["doc_id", "lang", "text"]))
+        .mode("append")
+        .save()
+    )
+    # the orphan: a well-formed shard a crashed/uncommitted task left
+    # behind — present on disk, absent from the manifest
+    with open(os.path.join(out_dir, "shard-99999.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 999999999, "lang": "xx", "text": "orphan row"}\n')
+
+    back = (
+        spark.read.format("jsonl_shards").option("path", out_dir).load()
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_total"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+                            F.coalesce("lang", F.lit("<null>")),
+                            F.coalesce("text", F.lit("<null>")),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("content_sum"),
+    )
+
+
 QUERIES = {
     "pyds_jsonl_sink_roundtrip": pyds_jsonl_sink_roundtrip,
+    "pyds_manifest_reader_roundtrip": pyds_manifest_reader_roundtrip,
 }
 
 ORACLES = {
     "pyds_jsonl_sink_roundtrip": PYDS_ROUNDTRIP_ORACLE,
+    "pyds_manifest_reader_roundtrip": PYDS_ROUNDTRIP_ORACLE,
 }

@@ -119,6 +119,49 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     assert N_PROBE > 1
 
 
+def test_manifest_reader_ignores_orphan_shards(spark, sf_dir):
+    """The custom reader must read exactly the manifest-listed
+    shards: the planted orphan shard (present on disk, absent from
+    _MANIFEST.json) contributes nothing, while a naive glob read of
+    the same directory sees it."""
+    import os
+
+    from fxblue_etl_spark.sources.pyds_sink import pyds_manifest_reader_roundtrip
+
+    out = pyds_manifest_reader_roundtrip(spark, sf_dir).first()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert out["n_rows"] == n_docs
+    assert out["n_docs"] == n_docs
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/pyds_manifest_{tag}"
+    assert os.path.exists(os.path.join(out_dir, "shard-99999.jsonl"))
+    naive = (
+        spark.read.schema("doc_id long, lang string, text string")
+        .option("pathGlobFilter", "shard-*.jsonl")
+        .json(out_dir)
+        .count()
+    )
+    assert naive == n_docs + 1  # the glob read ingests the orphan
+
+
+def test_frequency_spectrum_accounts_for_whole_vocab(spark, sf_dir):
+    from fxblue_etl_spark.operators.tfidf import token_frequency_spectrum
+    from fxblue_etl_spark.operators.textops import ws_tokens as wt
+
+    out = token_frequency_spectrum(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.select(F.explode(wt("text")).alias("t")).count()
+    n_vocab = docs.select(F.explode(wt("text")).alias("t")).distinct().count()
+    assert sum(r["n_types"] for r in out) == n_vocab
+    assert sum(r["mass"] for r in out) == n_total
+    for r in out:
+        # band k holds counts with k+1 decimal digits
+        lo, hi = 10 ** r["band"], 10 ** (r["band"] + 1) - 1
+        assert r["n_types"] * lo <= r["mass"] <= r["n_types"] * hi
+        assert 0 <= r["types_ppm"] <= 1_000_000
+        assert 0 <= r["mass_ppm"] <= 1_000_000
+
+
 def test_moment_stats_consistency(spark, sf_dir):
     out = embedding_moment_stats(spark, sf_dir).collect()
     n_rows = table(spark, sf_dir, "embeddings").count()
