@@ -148,6 +148,8 @@ _R4_NEW: list[str] = [
     "embedding_moment_stats",
     "pyds_manifest_reader_roundtrip",
     "token_frequency_spectrum",
+    "gdpr_delete_propagation",
+    "schema_evolution_roundtrip",
 ]
 
 

@@ -309,11 +309,110 @@ GROUP BY 1
 """
 
 
+#: every doc_id divisible by this is "requested for deletion" — the
+#: deterministic stand-in for a GDPR/right-to-be-forgotten request table
+GDPR_MOD = 97
+
+
+def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given a (small)
+    deletion-request set, remove those documents from the corpus AND
+    from the derived chunk table, then certify per table that (a)
+    exactly the requested rows left, and (b) zero rows referencing a
+    deleted doc survive anywhere downstream.  The orphan count is
+    computed genuinely (anti-join the surviving chunks against the
+    surviving documents), not assumed.
+
+    Scale shape: the request set is tiny → broadcast anti-joins
+    against each table; the derived-table rebuild is the row-local
+    chunker fused into the scan.  One summary row per table."""
+    from ..operators.textops import chunk_frame
+
+    d = table(tune(spark), sf_dir, "documents")
+    dele = d.filter(F.col("doc_id") % GDPR_MOD == 0).select("doc_id")
+    docs_after = d.join(F.broadcast(dele), "doc_id", "left_anti")
+    chunks = chunk_frame(d)
+    chunks_after = chunks.join(F.broadcast(dele), "doc_id", "left_anti")
+    # genuine orphan probe: surviving chunks whose doc no longer exists
+    orphans = chunks_after.join(
+        docs_after.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    def audit(name, before, deleted, after, n_orphans):
+        return before.crossJoin(F.broadcast(deleted)).crossJoin(
+            F.broadcast(after)
+        ).crossJoin(F.broadcast(n_orphans)).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            "n_after",
+            "n_orphans",
+        )
+
+    doc_row = audit(
+        "documents",
+        d.agg(F.count("*").alias("n_before")),
+        d.join(F.broadcast(dele), "doc_id", "left_semi").agg(
+            F.count("*").alias("n_deleted")
+        ),
+        docs_after.agg(F.count("*").alias("n_after")),
+        docs_after.agg(F.lit(0).cast("long").alias("n_orphans")).limit(1),
+    )
+    chunk_row = audit(
+        "chunks",
+        chunks.agg(F.count("*").alias("n_before")),
+        chunks.join(F.broadcast(dele), "doc_id", "left_semi").agg(
+            F.count("*").alias("n_deleted")
+        ),
+        chunks_after.agg(F.count("*").alias("n_after")),
+        orphans.agg(F.count("*").cast("long").alias("n_orphans")),
+    )
+    return doc_row.unionByName(chunk_row)
+
+
+def _gdpr_oracle() -> str:
+    from ..operators.textops import CHUNK_STRIDE, CHUNK_TOKS
+
+    return rf"""
+WITH dele AS (SELECT doc_id FROM documents WHERE doc_id % {GDPR_MOD} = 0),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+chunks AS (
+  SELECT doc_id
+  FROM (SELECT doc_id,
+               list_filter(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE}),
+                           s -> s < len(toks)) AS starts
+        FROM tk), unnest(starts) u(s)),
+doc_stats AS (
+  SELECT 'documents' AS table_name,
+         (SELECT count(*) FROM documents) AS n_before,
+         (SELECT count(*) FROM documents WHERE doc_id % {GDPR_MOD} = 0) AS n_deleted,
+         (SELECT count(*) FROM documents WHERE doc_id % {GDPR_MOD} != 0) AS n_after,
+         CAST(0 AS BIGINT) AS n_orphans),
+chunk_stats AS (
+  SELECT 'chunks' AS table_name,
+         (SELECT count(*) FROM chunks) AS n_before,
+         (SELECT count(*) FROM chunks WHERE doc_id % {GDPR_MOD} = 0) AS n_deleted,
+         (SELECT count(*) FROM chunks WHERE doc_id % {GDPR_MOD} != 0) AS n_after,
+         (SELECT CAST(count(*) AS BIGINT) FROM chunks c
+          WHERE c.doc_id % {GDPR_MOD} != 0
+            AND c.doc_id NOT IN (SELECT doc_id FROM documents
+                                 WHERE doc_id % {GDPR_MOD} != 0)) AS n_orphans)
+SELECT * FROM doc_stats UNION ALL SELECT * FROM chunk_stats
+"""
+
+
+GDPR_ORACLE = _gdpr_oracle()
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
     "order_totals_reconciliation": order_totals_reconciliation,
     "supplier_concentration": supplier_concentration,
+    "gdpr_delete_propagation": gdpr_delete_propagation,
 }
 
 ORACLES = {
@@ -321,4 +420,5 @@ ORACLES = {
     "source_length_drift": LENGTH_DRIFT_ORACLE,
     "order_totals_reconciliation": RECONCILIATION_ORACLE,
     "supplier_concentration": CONCENTRATION_ORACLE,
+    "gdpr_delete_propagation": GDPR_ORACLE,
 }

@@ -345,6 +345,61 @@ FROM adj
 """
 
 
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches of the orders table
+    written with DIFFERENT schemas (batch 1 before the ``o_totalprice``
+    column existed, batch 2 after) are read back as one table with
+    ``mergeSchema`` — the late-added column is NULL for the old batch.
+    The audit certifies row conservation, that exactly the batch-1
+    rows carry NULL, and that the surviving values sum to the source's
+    batch-2 sum — i.e. evolution dropped and invented nothing.
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time —
+    at a 100 TB layout you pay one footer read per file, which is why
+    the batch layout (few large files per schema vintage) matters more
+    than the option itself; the certified semantics are identical."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_evo")
+    done = os.path.join(base, "_fxblue_done")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        old.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+        new.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("n_null_evolved"),
+        F.sum((F.col("o_orderkey") % 2 == 0).cast("long")).alias("n_old_batch"),
+        # floor-scale per row BEFORE summing: a float sum is partial-
+        # aggregation-order-dependent in ulps (repo rounding rule)
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("evolved_sum_e2"),
+    )
+
+
+SCHEMA_EVO_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_evolved,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_old_batch,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(floor(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS evolved_sum_e2
+FROM orders
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
@@ -352,6 +407,7 @@ QUERIES = {
     "compact_small_files": compact_small_files,
     "csv_sink_roundtrip": csv_sink_roundtrip,
     "dynamic_partition_backfill": dynamic_partition_backfill,
+    "schema_evolution_roundtrip": schema_evolution_roundtrip,
 }
 
 ORACLES = {
@@ -361,4 +417,5 @@ ORACLES = {
     "compact_small_files": COMPACT_ORACLE,
     "csv_sink_roundtrip": CSV_ROUNDTRIP_ORACLE,
     "dynamic_partition_backfill": DPO_BACKFILL_ORACLE,
+    "schema_evolution_roundtrip": SCHEMA_EVO_ORACLE,
 }

@@ -162,6 +162,33 @@ def test_frequency_spectrum_accounts_for_whole_vocab(spark, sf_dir):
         assert 0 <= r["mass_ppm"] <= 1_000_000
 
 
+def test_gdpr_propagation_accounting(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import GDPR_MOD, gdpr_delete_propagation
+
+    rows = {r["table_name"]: r for r in gdpr_delete_propagation(spark, sf_dir).collect()}
+    assert set(rows) == {"documents", "chunks"}
+    for r in rows.values():
+        assert r["n_before"] == r["n_deleted"] + r["n_after"]
+        assert r["n_orphans"] == 0
+    n_req = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % GDPR_MOD == 0)
+        .count()
+    )
+    assert rows["documents"]["n_deleted"] == n_req
+
+
+def test_schema_evolution_nulls_match_old_batch(spark, sf_dir):
+    from fxblue_etl_spark.plans.sinks import schema_evolution_roundtrip
+
+    r = schema_evolution_roundtrip(spark, sf_dir).first()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert r["n_rows"] == n_orders
+    # exactly the pre-evolution batch carries NULL in the new column
+    assert r["n_null_evolved"] == r["n_old_batch"]
+    assert 0 < r["n_old_batch"] < n_orders
+
+
 def test_moment_stats_consistency(spark, sf_dir):
     out = embedding_moment_stats(spark, sf_dir).collect()
     n_rows = table(spark, sf_dir, "embeddings").count()
