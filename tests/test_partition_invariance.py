@@ -8,13 +8,24 @@ from __future__ import annotations
 
 import pytest
 
-from fxblue_etl_spark.operators.ml import label_cohesion_stats
+from fxblue_etl_spark.operators.corpusops import dsir_importance_stats
+from fxblue_etl_spark.operators.graph import split_decontaminate
+from fxblue_etl_spark.operators.ml import (
+    embedding_moment_stats,
+    ivf_multiprobe_topk,
+    label_cohesion_stats,
+)
 from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
-from fxblue_etl_spark.operators.tfidf import token_bigram_lm
+from fxblue_etl_spark.operators.tfidf import (
+    lm_doc_perplexity,
+    token_bigram_lm,
+    token_frequency_spectrum,
+)
 from fxblue_etl_spark.operators.windows import sessionize_events, session_paths
 from fxblue_etl_spark.plans.behavior import (
     basket_part_pairs,
     rfm_segmentation,
+    rolling_active_users,
     type_correlation_stats,
 )
 from fxblue_etl_spark.plans.stats import equidepth_histogram
@@ -32,6 +43,14 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         token_bigram_lm,
         session_paths,
         equidepth_histogram,
+        # round-4 operators: the same invariance discipline
+        dsir_importance_stats,
+        lm_doc_perplexity,
+        token_frequency_spectrum,
+        embedding_moment_stats,
+        ivf_multiprobe_topk,
+        split_decontaminate,
+        rolling_active_users,
     ],
     ids=lambda q: q.__name__,
 )
