@@ -150,6 +150,7 @@ _R4_NEW: list[str] = [
     "token_frequency_spectrum",
     "gdpr_delete_propagation",
     "schema_evolution_roundtrip",
+    "streaming_dlq_split",
 ]
 
 

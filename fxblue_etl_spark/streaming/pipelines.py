@@ -573,6 +573,76 @@ FROM events
 """
 
 
+def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch side-output routing (dead-letter queue): every
+    micro-batch splits into a main table and a quarantine table
+    (`event_type = 'error'` rows, tagged with a reject reason) — the
+    ingest pattern that keeps bad records observable instead of
+    dropped.  Certifies conservation: main + DLQ row counts and
+    exact e4 value masses jointly equal the source's, so no record
+    is lost or double-routed across batch boundaries.
+
+    Scale shape: the split predicate is row-local inside each
+    micro-batch (two filters over one batch scan); state is only the
+    two accumulating sinks.  At production scale the same function
+    writes two parquet/Delta sinks; here the tables accumulate
+    in-memory with per-batch lineage cuts."""
+    s = events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+    acc: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        main = batch_df.filter(F.col("event_type") != "error")
+        dlq = batch_df.filter(F.col("event_type") == "error").withColumn(
+            "reject_reason", F.lit("error_event")
+        )
+        acc["main"] = (
+            acc["main"].unionByName(main) if "main" in acc else main
+        ).localCheckpoint()
+        acc["dlq"] = (
+            acc["dlq"].unionByName(dlq) if "dlq" in acc else dlq
+        ).localCheckpoint()
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    main_row = acc["main"].agg(
+        F.count("*").alias("n_main"),
+        F.sum("v_e4").cast("long").alias("main_value_e4"),
+    )
+    dlq_row = acc["dlq"].agg(
+        F.count("*").alias("n_dlq"),
+        F.sum("v_e4").cast("long").alias("dlq_value_e4"),
+        F.countDistinct("reject_reason").alias("n_reject_reasons"),
+    )
+    return main_row.crossJoin(F.broadcast(dlq_row)).select(
+        "n_main", "n_dlq", "main_value_e4", "dlq_value_e4", "n_reject_reasons"
+    )
+
+
+DLQ_SPLIT_ORACLE = """
+SELECT CAST(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_main,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dlq,
+       CAST(sum(CASE WHEN event_type != 'error'
+                THEN CAST(floor(value * 10000) AS BIGINT) END) AS BIGINT)
+         AS main_value_e4,
+       CAST(sum(CASE WHEN event_type = 'error'
+                THEN CAST(floor(value * 10000) AS BIGINT) END) AS BIGINT)
+         AS dlq_value_e4,
+       CAST(1 AS BIGINT) AS n_reject_reasons
+FROM events
+"""
+
+
 _OHLC_OUT = (
     "hour string, event_type string, n_events long, open_e4 long, "
     "high_e4 long, low_e4 long, close_e4 long, volume_e4 long"
@@ -684,6 +754,7 @@ QUERIES = {
     "streaming_csv_merge": streaming_csv_merge,
     "streaming_interval_join": streaming_interval_join,
     "streaming_ohlc_stateful": streaming_ohlc_stateful,
+    "streaming_dlq_split": streaming_dlq_split,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -693,6 +764,7 @@ ORACLES = {
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,
+    "streaming_dlq_split": DLQ_SPLIT_ORACLE,
     "streaming_tumbling_append": TUMBLING_APPEND_ORACLE,
     "streaming_sliding_append": SLIDING_APPEND_ORACLE,
     "streaming_session_append": SESSION_APPEND_ORACLE,

@@ -189,6 +189,22 @@ def test_schema_evolution_nulls_match_old_batch(spark, sf_dir):
     assert 0 < r["n_old_batch"] < n_orders
 
 
+def test_streaming_dlq_conserves_rows_and_mass(spark, sf_dir):
+    from fxblue_etl_spark.streaming.pipelines import streaming_dlq_split
+
+    r = streaming_dlq_split(spark, sf_dir).first()
+    ev = table(spark, sf_dir, "events")
+    n_total = ev.count()
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    assert r["n_main"] + r["n_dlq"] == n_total
+    assert r["n_dlq"] == n_err
+    assert r["n_reject_reasons"] == 1
+    total_e4 = ev.agg(
+        F.sum(F.floor(F.col("value") * 1e4)).cast("long")
+    ).first()[0]
+    assert r["main_value_e4"] + r["dlq_value_e4"] == total_e4
+
+
 def test_moment_stats_consistency(spark, sf_dir):
     out = embedding_moment_stats(spark, sf_dir).collect()
     n_rows = table(spark, sf_dir, "embeddings").count()
