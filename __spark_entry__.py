@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events",
         "embedding_quantize",
         # driver-green in r3 but changed this round — re-certify
+        # (compact/jsonl: global money sums converted to e2 ints
+        # after an sf0.1 sweep caught cross-engine 4th-decimal drift)
+        "compact_small_files",
+        "jsonl_tolerant_roundtrip",
         "event_cooccurrence",
         "rolling_active_users",
         # the 37 never-driver-checked round-3 queries (all changed

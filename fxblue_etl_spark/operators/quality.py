@@ -167,7 +167,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "contamination_ppm",
-            F.expr("1000000 * n_contaminated DIV n_train"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_contaminated"
+                " DIV n_train AS BIGINT)"
+            ),
         )
     )
 
@@ -196,7 +199,7 @@ contaminated AS (
 SELECT t.lang,
        count(*) AS n_train,
        CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
-       (1000000 * count(c.doc_id)) // count(*) AS contamination_ppm
+       CAST(CAST(1000000 AS HUGEINT) * count(c.doc_id) // count(*) AS BIGINT) AS contamination_ppm
 FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
 GROUP BY 1
 """

@@ -537,7 +537,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_type",
             "n",
             "n_from",
-            F.expr("1000000 * n DIV n_from").alias("prob_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_from AS BIGINT)"
+            ).alias("prob_ppm"),
         )
     )
 
@@ -556,7 +558,7 @@ pairs AS (
 outgoing AS (
   SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
 SELECT p.from_type, p.to_type, p.n, o.n_from,
-       CAST((1000000 * p.n) // o.n_from AS BIGINT) AS prob_ppm
+       CAST(CAST(1000000 AS HUGEINT) * p.n // o.n_from AS BIGINT) AS prob_ppm
 FROM pairs p JOIN outgoing o USING (from_type)
 """
 

@@ -490,7 +490,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_all.join(n_conv, "click_hour", "left")
         .withColumn("n_converted", F.coalesce(F.col("n_converted"), F.lit(0)))
-        .withColumn("conv_ppm", F.expr("1000000 * n_converted DIV n_clicks"))
+        .withColumn(
+            "conv_ppm",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_converted"
+                " DIV n_clicks AS BIGINT)"
+            ),
+        )
     )
 
 
@@ -510,7 +516,7 @@ n_conv AS (
   SELECT hour(ts) AS click_hour, count(*) AS n_converted FROM conv GROUP BY 1)
 SELECT a.click_hour, a.n_clicks,
        coalesce(v.n_converted, 0) AS n_converted,
-       (1000000 * coalesce(v.n_converted, 0)) // a.n_clicks AS conv_ppm
+       CAST(CAST(1000000 AS HUGEINT) * coalesce(v.n_converted, 0) // a.n_clicks AS BIGINT) AS conv_ppm
 FROM n_all a LEFT JOIN n_conv v USING (click_hour)
 """
 

@@ -63,7 +63,10 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_offset",
             "n_active",
             "cohort_size",
-            F.expr("1000000 * n_active DIV cohort_size").alias("retained_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_active"
+                " DIV cohort_size AS BIGINT)"
+            ).alias("retained_ppm"),
         )
     )
 
@@ -86,7 +89,7 @@ SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
        CAST(m.day_offset AS INT) AS day_offset,
        m.n_active,
        s.cohort_size,
-       CAST((1000000 * m.n_active) // s.cohort_size AS BIGINT) AS retained_ppm
+       CAST(CAST(1000000 AS HUGEINT) * m.n_active // s.cohort_size AS BIGINT) AS retained_ppm
 FROM mat m JOIN sized s USING (cohort_day)
 """
 
@@ -414,7 +417,10 @@ def revenue_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "rev_e2",
             "prev_e2",
-            F.expr("1000000 * (rev_e2 - prev_e2) DIV prev_e2").alias("delta_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * (rev_e2 - prev_e2)"
+                " DIV prev_e2 AS BIGINT)"
+            ).alias("delta_ppm"),
         )
     )
 
@@ -431,7 +437,7 @@ lagged AS (
          lag(rev_e2) OVER (PARTITION BY o_orderpriority ORDER BY week) AS prev_e2
   FROM weekly)
 SELECT week, o_orderpriority, rev_e2, prev_e2,
-       CAST((1000000 * (rev_e2 - prev_e2)) // prev_e2 AS BIGINT) AS delta_ppm
+       CAST(CAST(1000000 AS HUGEINT) * (rev_e2 - prev_e2) // prev_e2 AS BIGINT) AS delta_ppm
 FROM lagged
 WHERE prev_e2 IS NOT NULL
 """

@@ -148,7 +148,10 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "ks_num",
-            F.expr("1000000 * ks_num DIV (n_docs * n_all)").alias("ks_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * ks_num"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * n_all) AS BIGINT)"
+            ).alias("ks_ppm"),
         )
     )
 
@@ -172,8 +175,8 @@ cum_all AS (
 SELECT s.source,
        CAST(any_value(s.n_s) AS BIGINT) AS n_docs,
        CAST(max(abs(s.cum_s * t.n_all - a.cum_all * s.n_s)) AS BIGINT) AS ks_num,
-       CAST((1000000 * max(abs(s.cum_s * t.n_all - a.cum_all * s.n_s)))
-            // (any_value(s.n_s) * any_value(t.n_all)) AS BIGINT) AS ks_ppm
+       CAST(CAST(1000000 AS HUGEINT) * max(abs(s.cum_s * t.n_all - a.cum_all * s.n_s))
+            // (CAST(any_value(s.n_s) AS HUGEINT) * any_value(t.n_all)) AS BIGINT) AS ks_ppm
 FROM cum_s s JOIN cum_all a USING (n_chars), tot t
 GROUP BY 1
 """
@@ -271,7 +274,10 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "n_suppliers",
         "nation_rev_e2",
-        F.expr("1000000 * rev_e2 DIV nation_rev_e2").alias("share_ppm"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * rev_e2"
+            " DIV nation_rev_e2 AS BIGINT)"
+        ).alias("share_ppm"),
     )
     return shared.groupBy("n_name").agg(
         F.first("n_suppliers").alias("n_suppliers"),
@@ -297,7 +303,7 @@ nation_tot AS (
   FROM per_supp GROUP BY 1),
 shared AS (
   SELECT p.n_name, t.n_suppliers, t.nation_rev_e2,
-         (1000000 * p.rev_e2) // t.nation_rev_e2 AS share_ppm
+         CAST(CAST(1000000 AS HUGEINT) * p.rev_e2 // t.nation_rev_e2 AS BIGINT) AS share_ppm
   FROM per_supp p JOIN nation_tot t USING (n_name))
 SELECT n_name,
        any_value(n_suppliers) AS n_suppliers,

@@ -216,7 +216,13 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(compacted_ok)).alias("compaction_ok"),
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        # e2-int sum, NOT round(sum(double),4): at sf0.1 the global
+        # 3.75e10 float sum diverges cross-engine in the 4th decimal
+        # (partial-aggregation order) — per-row floor then integer sum
+        # is order-independent at any scale
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_price_e2"),
     )
 
 
@@ -224,7 +230,7 @@ COMPACT_ORACLE = """
 SELECT TRUE AS compaction_ok,
        count(*) AS n_rows,
        CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
-       round(sum(o_totalprice), 4) AS total_price
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_e2
 FROM orders
 """
 

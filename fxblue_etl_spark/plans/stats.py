@@ -83,7 +83,9 @@ def mcv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "n_total",
             "n_distinct",
-            F.expr("1000000 * n DIV n_total").alias("freq_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_total AS BIGINT)"
+            ).alias("freq_ppm"),
         )
     )
 
@@ -103,7 +105,7 @@ SELECT CAST(floor(r.l_quantity * 100) AS BIGINT) AS value_e2,
        CAST(r.rank AS INT) AS rank,
        t.n_total,
        t.n_distinct,
-       CAST((1000000 * r.n) // t.n_total AS BIGINT) AS freq_ppm
+       CAST(CAST(1000000 AS HUGEINT) * r.n // t.n_total AS BIGINT) AS freq_ppm
 FROM ranked r, tot t
 WHERE r.rank <= {MCV_K}
 """

@@ -89,7 +89,11 @@ def jsonl_tolerant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.when(~bad, 1)).alias("n_good"),
         F.count(F.when(bad, 1)).alias("n_corrupt"),
-        F.round(F.sum(F.when(~bad, F.col("o_totalprice"))), 4).alias("total_price"),
+        # e2-int sum: the global float sum diverges cross-engine in
+        # the 4th decimal at sf0.1 (partial-aggregation order)
+        F.sum(F.when(~bad, F.floor(F.col("o_totalprice") * 100).cast("long")))
+        .cast("long")
+        .alias("total_price_e2"),
         F.sum(F.when(~bad, F.col("o_orderkey"))).cast("long").alias("orderkey_sum"),
         F.min("o_orderdate").cast("string").alias("first_date"),
         F.max("o_orderdate").cast("string").alias("last_date"),
@@ -99,7 +103,7 @@ def jsonl_tolerant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSONL_ROUNDTRIP_ORACLE = f"""
 SELECT count(*) AS n_good,
        CAST({len(CORRUPT_LINES)} AS BIGINT) AS n_corrupt,
-       round(sum(o_totalprice), 4) AS total_price,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_e2,
        CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
        CAST(min(o_orderdate) AS VARCHAR) AS first_date,
        CAST(max(o_orderdate) AS VARCHAR) AS last_date
