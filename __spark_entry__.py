@@ -151,6 +151,9 @@ _R4_NEW: list[str] = [
     "gdpr_delete_propagation",
     "schema_evolution_roundtrip",
     "streaming_dlq_split",
+    "streaming_static_enrich",
+    "hll_accuracy_check",
+    "dedup_pagerank",
 ]
 
 

@@ -420,6 +420,71 @@ def canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank damping factor and fixed iteration count
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph: which documents sit at
+    the CENTER of duplication neighborhoods (template sources, widely
+    copied boilerplate) vs the periphery.  Complements connected
+    components — CC says *which* cluster, PageRank says *who anchors
+    it*.  Fixed-iteration power method (the GraphX/Pregel superstep
+    shape): per round one equi-join (contributions along edges) and
+    one groupBy(dst) — both shuffle on the node key, AQE reuses the
+    partitioning; ``localCheckpoint`` truncates per-round lineage.
+
+    Engine-iterative with a float fixpoint → rows-only by design
+    (like ``kmeans_iterate``); `tests/test_r4_ops.py` certifies rank
+    conservation (Σrank = n within float tolerance) and that ranks
+    stabilize monotonically.  Emitted as floor(rank·1e9) ints."""
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    sym = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.count()
+    deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    prev: DataFrame | None = None
+    for _ in range(PR_ITERS):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        new_ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = ranks = new_ranks
+    release_local_checkpoint(sym)
+    return ranks.select(
+        F.col("id").alias("vec_id"),
+        F.floor(F.col("rank") * 1e9).cast("long").alias("rank_e9"),
+    )
+
+
 def _doc_groups_sql() -> str:
     """Recursive-CTE twin of ``_doc_dup_groups``: nests the full
     MinHash/LSH pair oracle, closes it transitively, and falls back
@@ -506,6 +571,7 @@ QUERIES = {
     "dedup_triangles": dedup_triangles,
     "split_decontaminate": split_decontaminate,
     "canonical_doc_selection": canonical_doc_selection,
+    "dedup_pagerank": dedup_pagerank,
 }
 
 ORACLES = {

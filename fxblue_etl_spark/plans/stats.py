@@ -165,13 +165,71 @@ FROM b GROUP BY 1
 SAMPLED_HISTOGRAM_ORACLE = _sampled_oracle()
 
 
+#: HLL relative standard deviation requested from approx_count_distinct
+HLL_RSD = 0.02
+#: certified accuracy bound, percent (generous vs 2% rsd: >2 sigma)
+HLL_BOUND_PCT = 5
+
+
+def hll_accuracy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy certification: HyperLogLog distinct counts
+    (``approx_count_distinct``, rsd 2%) against the exact distinct,
+    per column family — emits the exact count and whether the sketch
+    landed within ±5%.  This turns the rows-only "approx sketches
+    exist" demo into a hash-certified accuracy CONTRACT: the oracle
+    asserts the exact counts and ``TRUE`` bounds, so a sketch
+    regression (or an rsd misconfiguration) flips the driver row red.
+
+    Scale shape: both sides are single-pass map-side-combined
+    aggregates; HLL is the one that still works when the exact
+    distinct's shuffle won't."""
+    e = table(tune(spark), sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    ev = e.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("n_approx"),
+    ).select(
+        F.lit("events.user_id").alias("column_name"),
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) * 100
+            <= F.col("n_exact") * HLL_BOUND_PCT
+        ).alias("within_bound"),
+    )
+    lo = li.agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", HLL_RSD).alias("n_approx"),
+    ).select(
+        F.lit("lineitem.l_orderkey").alias("column_name"),
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) * 100
+            <= F.col("n_exact") * HLL_BOUND_PCT
+        ).alias("within_bound"),
+    )
+    return ev.unionByName(lo)
+
+
+HLL_ACCURACY_ORACLE = """
+SELECT 'events.user_id' AS column_name,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+       TRUE AS within_bound
+UNION ALL
+SELECT 'lineitem.l_orderkey' AS column_name,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+       TRUE AS within_bound
+"""
+
+
 QUERIES = {
+    "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
     "mcv_stats": mcv_stats,
     "sampled_histogram": sampled_histogram,
 }
 
 ORACLES = {
+    "hll_accuracy_check": HLL_ACCURACY_ORACLE,
     "equidepth_histogram": EQUIDEPTH_ORACLE,
     "mcv_stats": MCV_ORACLE,
     "sampled_histogram": SAMPLED_HISTOGRAM_ORACLE,

@@ -573,6 +573,59 @@ FROM events
 """
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension snapshot (customer → nation) micro-batch by micro-batch
+    — the standard pattern for enriching a stream with slowly-
+    changing reference data.  The static side re-plans per batch (so
+    a dim refresh is picked up at the next batch) and broadcasts
+    under AQE; no watermark is needed because the static side never
+    grows state.
+
+    Certifies the join semantics end to end: per nation, event count
+    and exact e4 value mass, identical to the batch join the oracle
+    runs.  Events map to customers by ``user_id % n_customers`` —
+    row-local, deterministic."""
+    from ..io import table
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+        "cust_id", "n_name"
+    )
+    n_cust = dim.count()
+    s = events_stream(spark, sf_dir).select(
+        (F.col("user_id") % n_cust + 1).alias("cust_id"),
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+    enriched = s.join(dim, "cust_id")
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v_e4").cast("long").alias("value_e4"),
+    )
+    return run_to_table(agg, "complete")
+
+
+STATIC_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT c.c_custkey AS cust_id, n.n_name
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+ev AS (
+  SELECT user_id % (SELECT count(*) FROM dim) + 1 AS cust_id,
+         CAST(floor(value * 10000) AS BIGINT) AS v_e4
+  FROM events)
+SELECT d.n_name,
+       count(*) AS n_events,
+       CAST(sum(e.v_e4) AS BIGINT) AS value_e4
+FROM ev e JOIN dim d USING (cust_id)
+GROUP BY 1
+"""
+
+
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch side-output routing (dead-letter queue): every
     micro-batch splits into a main table and a quarantine table
@@ -755,6 +808,7 @@ QUERIES = {
     "streaming_interval_join": streaming_interval_join,
     "streaming_ohlc_stateful": streaming_ohlc_stateful,
     "streaming_dlq_split": streaming_dlq_split,
+    "streaming_static_enrich": streaming_static_enrich,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -765,6 +819,7 @@ ORACLES = {
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,
     "streaming_dlq_split": DLQ_SPLIT_ORACLE,
+    "streaming_static_enrich": STATIC_ENRICH_ORACLE,
     "streaming_tumbling_append": TUMBLING_APPEND_ORACLE,
     "streaming_sliding_append": SLIDING_APPEND_ORACLE,
     "streaming_session_append": SESSION_APPEND_ORACLE,
