@@ -54,6 +54,7 @@ from fxblue_etl_spark.plans import (
     bucketing,
     corpus,
     dq,
+    profiling,
     relational,
     runtime_filters,
     sinks,
@@ -114,6 +115,7 @@ _MODULES = [
     indexing,
     stats,
     pyds_sink,
+    profiling,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -154,6 +156,9 @@ _R4_NEW: list[str] = [
     "streaming_static_enrich",
     "hll_accuracy_check",
     "dedup_pagerank",
+    "benford_first_digit",
+    "approx_quantile_contract",
+    "pareto_frontier_parts",
 ]
 
 

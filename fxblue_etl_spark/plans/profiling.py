@@ -1,0 +1,270 @@
+"""Statistical profiling of fact columns: Benford conformance, a
+quantile-sketch accuracy contract, and a Pareto (skyline) frontier.
+
+The reference trusts its sink and computes no profile statistics at
+all (`CSV PARSER/gcp_csv.py` validates column presence only,
+SURVEY F1); at lakehouse scale the profile pass is how a pipeline
+notices fabricated data (Benford), a mis-tuned sketch (the quantile
+contract), or the efficient frontier of a dimension trade-off
+(skyline). All three emit exact-integer columns only, per the repo's
+oracle-determinism rules (README).
+
+Scale shapes:
+- Benford: one map-side-combined count aggregate over a row-local
+  first-digit expression — a single scan, 9 output rows.
+- Quantile contract: one pass building the KLL-style sketch
+  (``percentile_approx``) plus one conditional-count pass against the
+  sketch's output; the certification compares *rank* error (the
+  sketch's actual guarantee), not value error.
+- Skyline: the 2-D frontier via per-price aggregation and a bounded
+  two-level prefix-max (per-bucket window + a cumulative max over the
+  bucket aggregate), never the O(n²) dominance self-join the oracle
+  uses. Buckets are value-range-bounded, so the partitionless window
+  runs over at most a few hundred rows at any corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..session import tune
+
+#: floor(1e6·log10(1 + 1/d)) for d = 1..9 — computed ONCE here and
+#: injected as literals into BOTH engines' queries, so no runtime
+#: log10 ulp can diverge between them.
+BENFORD_PPM = {d: math.floor(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation, in exact ppm.
+
+    A natural multi-magnitude money column tracks Benford closely;
+    a synthesized or truncated one does not — the |observed −
+    expected| column is the anomaly signal a DQ gate thresholds.
+    ``o_totalprice`` ≥ 1 in every TPC-H-like vintage, so the first
+    digit of ``floor(x)`` is the first significant digit."""
+    o = table(tune(spark), sf_dir, "orders")
+    digit = (
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d in range(1, 10) for x in (d, BENFORD_PPM[d])]
+        ),
+        F.col("digit"),
+    )
+    counts = o.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_total AS BIGINT)"
+            ).alias("observed_ppm"),
+            expected.cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "abs_delta_ppm", F.abs(F.col("observed_ppm") - F.col("benford_ppm"))
+        )
+    )
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, n,
+       CAST(CAST(1000000 AS HUGEINT) * n // n_total AS BIGINT) AS observed_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS benford_ppm,
+       abs(CAST(CAST(1000000 AS HUGEINT) * n // n_total AS BIGINT)
+           - CAST(CASE digit {case} END AS BIGINT)) AS abs_delta_ppm
+FROM counts, tot
+"""
+
+
+BENFORD_ORACLE = _benford_oracle()
+
+
+#: percentile_approx accuracy knob: rank error guaranteed ≤ n / ACCURACY
+QUANTILE_ACCURACY = 10000
+#: certified quantiles, in tenths (5 → 0.5, 9 → 0.9)
+QUANTILE_TENTHS = (5, 9)
+
+
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy certification for ``percentile_approx`` — the
+    quantile sibling of ``hll_accuracy_check`` (`plans/stats.py`).
+
+    The sketch's published guarantee is on RANK, not value: the
+    returned datum's rank r must satisfy |r − q·n| ≤ n/ACCURACY.  We
+    re-derive the rank of the sketch's answer with an exact
+    conditional count and assert the inequality in pure int64
+    (|10·r − q_tenths·n| · ACCURACY ≤ 10·n + 10·ACCURACY, the +1-row
+    slack covering duplicate-value rank ambiguity).  The oracle
+    asserts the exact row count and TRUE bounds, so a sketch
+    regression flips the driver row red.
+
+    Scale: two single-pass aggregates; the sketch is mergeable
+    (map-side partials), the rank check is a conditional count."""
+    o = table(tune(spark), sf_dir, "orders")
+    sk = o.agg(
+        *[
+            F.percentile_approx(
+                "o_totalprice", t / 10.0, QUANTILE_ACCURACY
+            ).alias(f"apx_{t}")
+            for t in QUANTILE_TENTHS
+        ],
+        F.count("*").alias("n_rows"),
+    )
+    ranks = o.crossJoin(F.broadcast(sk)).agg(
+        F.first("n_rows").alias("n_rows"),
+        *[
+            F.count(
+                F.when(F.col("o_totalprice") <= F.col(f"apx_{t}"), 1)
+            ).alias(f"r_{t}")
+            for t in QUANTILE_TENTHS
+        ],
+    )
+    per_q = [
+        ranks.select(
+            F.lit(t).alias("quantile_tenths"),
+            F.col("n_rows"),
+            (
+                F.abs(F.lit(10) * F.col(f"r_{t}") - F.lit(t) * F.col("n_rows"))
+                * QUANTILE_ACCURACY
+                <= F.lit(10) * F.col("n_rows") + F.lit(10 * QUANTILE_ACCURACY)
+            ).alias("within_bound"),
+        )
+        for t in QUANTILE_TENTHS
+    ]
+    out = per_q[0]
+    for df in per_q[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+QUANTILE_CONTRACT_ORACLE = """
+SELECT 5 AS quantile_tenths, (SELECT count(*) FROM orders) AS n_rows,
+       TRUE AS within_bound
+UNION ALL
+SELECT 9, (SELECT count(*) FROM orders), TRUE
+"""
+
+
+#: skyline price-bucket width in e2 units ($10) — buckets are bounded
+#: by the column's value range (~10⁴ for any money column), never by
+#: row count, so the bucket-level window stays tiny at every scale
+SKYLINE_BUCKET_E2 = 1000
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of the part table: parts for
+    which no other part is ≤ in price and ≥ in size with at least one
+    strict improvement — "the biggest part money can buy at every
+    price point".
+
+    Plan (O(n) + bounded windows, vs the oracle's O(n²) NOT EXISTS):
+
+    1. per-price aggregate: ``max_size`` per distinct ``price_e2``
+       (one map-side-combined shuffle);
+    2. per-bucket prefix: within each $10 price bucket, the running
+       max of ``max_size`` over strictly-cheaper prices (window
+       partitioned BY BUCKET — thousands of independent tasks);
+    3. cross-bucket prefix: cumulative max over the bucket aggregate
+       (partitionless window over ≤ value-range/width rows — ~100
+       here and bounded at any corpus size);
+    4. verdict join: a part is dominated iff the best size at any
+       strictly-cheaper price ≥ its size, or a same-price part is
+       strictly bigger. Equi-join on ``price_e2``, broadcastable.
+
+    Exactness: all comparisons run on ``floor(price·100)`` int64, so
+    the Spark plan and the brute-force oracle agree bit-for-bit."""
+    p = table(tune(spark), sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_e2"),
+        "p_size",
+    )
+    per_price = p.groupBy("price_e2").agg(
+        F.max("p_size").alias("same_price_max")
+    )
+    per_price = per_price.withColumn(
+        "bucket", (F.col("price_e2") / SKYLINE_BUCKET_E2).cast("long")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("price_e2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_price = per_price.withColumn(
+        "prefix_in_bucket", F.max("same_price_max").over(in_bucket)
+    )
+    bucket_agg = per_price.groupBy("bucket").agg(
+        F.max("same_price_max").alias("bucket_max")
+    )
+    prev_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_agg.withColumn(
+        "prefix_prev_buckets", F.max("bucket_max").over(prev_buckets)
+    ).select("bucket", "prefix_prev_buckets")
+    level = (
+        per_price.join(F.broadcast(bucket_prefix), "bucket")
+        .select(
+            "price_e2",
+            "same_price_max",
+            F.greatest(
+                F.coalesce("prefix_in_bucket", F.lit(-1)),
+                F.coalesce("prefix_prev_buckets", F.lit(-1)),
+            ).alias("cheaper_max"),
+        )
+    )
+    return (
+        p.join(F.broadcast(level), "price_e2")
+        .filter(
+            (F.col("cheaper_max") < F.col("p_size"))
+            & (F.col("same_price_max") <= F.col("p_size"))
+        )
+        .select("p_partkey", "price_e2", "p_size")
+    )
+
+
+PARETO_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS price_e2,
+         p_size
+  FROM part)
+SELECT p_partkey, price_e2, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_e2 <= a.price_e2 AND b.p_size >= a.p_size
+    AND (b.price_e2 < a.price_e2 OR b.p_size > a.p_size))
+"""
+
+
+QUERIES = {
+    "benford_first_digit": benford_first_digit,
+    "approx_quantile_contract": approx_quantile_contract,
+    "pareto_frontier_parts": pareto_frontier_parts,
+}
+
+ORACLES = {
+    "benford_first_digit": BENFORD_ORACLE,
+    "approx_quantile_contract": QUANTILE_CONTRACT_ORACLE,
+    "pareto_frontier_parts": PARETO_ORACLE,
+}
