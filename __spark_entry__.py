@@ -159,6 +159,10 @@ _R4_NEW: list[str] = [
     "benford_first_digit",
     "approx_quantile_contract",
     "pareto_frontier_parts",
+    "embedding_gram_matrix",
+    "perplexity_bucket_cutoffs",
+    "tokenizer_fertility",
+    "weighted_priority_sample",
 ]
 
 

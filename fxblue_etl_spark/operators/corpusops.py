@@ -670,6 +670,136 @@ FROM per_doc
 DSIR_ORACLE = _dsir_oracle()
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per (lang, source): document count,
+    whitespace-token mass, character mass, and the exact integer
+    chars-per-token ppm quotient — the statistic that prices a corpus
+    in tokens before a training run and flags segments (e.g. CJK vs
+    Latin) where a byte-level budget misestimates the token budget.
+
+    Scale shape: row-local token/char counts fused into the scan, one
+    map-side-combined groupBy over a (lang, source) key space bounded
+    by the catalog, not the corpus."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(ws_tokens("text")).cast("long").alias("n_toks"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tok_sum"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "tok_sum",
+            "char_sum",
+            # DECIMAL premultiply: 1e6·char_sum wraps int64 at ~9e12
+            # corpus characters — i.e. before 100 TB
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * char_sum"
+                " DIV greatest(tok_sum, 1) AS BIGINT)"
+            ).alias("chars_per_tok_ppm"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = r"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t != '')) AS BIGINT) AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       CAST(CAST(1000000 AS HUGEINT) * sum(n_chars)
+            // greatest(sum(n_toks), 1) AS BIGINT) AS chars_per_tok_ppm
+FROM per_doc
+GROUP BY 1, 2
+"""
+
+
+#: docs kept per language by the weighted sampler
+WEIGHTED_SAMPLE_K = 20
+#: tournament sub-buckets per language (parallelism floor of stage 1)
+WEIGHTED_SAMPLE_BUCKETS = 8
+
+
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, K docs per
+    language, inclusion odds ∝ document length — the integer-exact
+    analogue of the exponential-race (Efraimidis–Spirakis) reservoir:
+    each doc draws a salted-md5 uniform u ∈ [0, 2³²) and competes on
+    ``priority = u DIV weight`` (smaller wins; heavier docs shrink
+    their key, exactly like ``-ln(u)/w``).  Integer division keeps the
+    race bit-identical cross-engine — no ``ln`` ulps at the selection
+    boundary.
+
+    Selection is a two-level tournament (the `token_bigram_lm`
+    pattern): top-K inside each (lang, hash-bucket) — many small
+    window tasks — then top-K of the ≤ B·K survivors per language.
+    No language ever sorts on a single task."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    weighted = d.select(
+        "lang",
+        "doc_id",
+        F.greatest(F.length("text").cast("long"), F.lit(1)).alias("weight"),
+        u.alias("u"),
+    ).withColumn("priority", F.expr("u div weight"))
+    wb = Window.partitionBy("lang", "sb").orderBy("priority", "doc_id")
+    wl = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        weighted.withColumn(
+            "sb",
+            _hash_bucket(F.col("doc_id"), "wsbucket|", WEIGHTED_SAMPLE_BUCKETS),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= WEIGHTED_SAMPLE_K)
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("lang", "rank", "doc_id", "weight", "priority")
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    u_sql = _hex8_sql("md5('wsample|' || CAST(doc_id AS VARCHAR))", 1)
+    return f"""
+WITH weighted AS (
+  SELECT lang, doc_id,
+         greatest(CAST(length(text) AS BIGINT), 1) AS weight,
+         CAST({u_sql} AS BIGINT) AS u
+  FROM documents),
+ranked AS (
+  SELECT lang, doc_id, weight, u // weight AS priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY u // weight, doc_id) AS rank
+  FROM weighted)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, weight,
+       CAST(priority AS BIGINT) AS priority
+FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -680,6 +810,8 @@ QUERIES = {
     "hierarchical_mixture": hierarchical_mixture,
     "per_group_sample": per_group_sample,
     "dsir_importance_stats": dsir_importance_stats,
+    "tokenizer_fertility": tokenizer_fertility,
+    "weighted_priority_sample": weighted_priority_sample,
 }
 
 ORACLES = {
@@ -692,4 +824,6 @@ ORACLES = {
     "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
     "per_group_sample": PER_GROUP_SAMPLE_ORACLE,
     "dsir_importance_stats": DSIR_ORACLE,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE,
+    "weighted_priority_sample": WEIGHTED_SAMPLE_ORACLE,
 }

@@ -713,6 +713,73 @@ GROUP BY 1
 """
 
 
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer cross-moment (Gram) matrix of the embedding
+    corpus — the Σ xᵢxⱼ sufficient statistic behind PCA/whitening and
+    OPQ rotation fitting; together with ``embedding_moment_stats``
+    (per-dim Σq, Σq²) it determines the full covariance.
+
+    Plan: embeddings are e3-quantized to int64 (exact cross-engine),
+    then each Arrow batch collapses to a d×d partial Gram via one
+    numpy ``QᵀQ`` inside ``mapInPandas`` — the canonical "big data,
+    small state" shape: the only shuffle moves ≤ d(d+1)/2 rows PER
+    PARTITION (2 080 for d=64), never the corpus.  A naive
+    posexplode² alternative would shuffle n·d² rows.
+
+    Overflow headroom: |q| ≤ ~2·10³ for unit-scale embeddings, so each
+    product ≤ 4·10⁶ and int64 holds the corpus sum to ~2·10¹² vectors
+    (≫ any 100 TB embedding table at d=64); the partial-sum matmul
+    itself is int64 numpy.
+
+    Output: upper triangle (i ≤ j): i, j, cross_sum = Σ qᵢ·qⱼ."""
+    import numpy as np
+    import pandas as pd
+
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = emb.select(
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+        ).alias("qv")
+    )
+
+    def partial_gram(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"),
+             "s": acc[iu, ju]}
+        )
+
+    partials = qv.mapInPandas(partial_gram, "i int, j int, s long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("s").cast("long").alias("cross_sum")
+    )
+
+
+GRAM_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+  FROM embeddings)
+SELECT CAST(ti.iv AS INT) AS i, CAST(tj.jv AS INT) AS j,
+       CAST(sum(qv[ti.iv + 1] * qv[tj.jv + 1]) AS BIGINT) AS cross_sum
+FROM q,
+     unnest(range(0, len(qv))) ti(iv),
+     unnest(range(0, len(qv))) tj(jv)
+WHERE ti.iv <= tj.jv
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -723,6 +790,7 @@ QUERIES = {
     "label_cohesion_stats": label_cohesion_stats,
     "ivf_multiprobe_topk": ivf_multiprobe_topk,
     "embedding_moment_stats": embedding_moment_stats,
+    "embedding_gram_matrix": embedding_gram_matrix,
 }
 
 ORACLES = {
@@ -735,4 +803,5 @@ ORACLES = {
     "label_cohesion_stats": COHESION_ORACLE,
     "ivf_multiprobe_topk": IVF_MULTIPROBE_ORACLE,
     "embedding_moment_stats": MOMENT_STATS_ORACLE,
+    "embedding_gram_matrix": GRAM_ORACLE,
 }

@@ -417,12 +417,113 @@ WHERE r.rank <= {BIGRAM_TOPK} AND h.n_head >= {BIGRAM_MIN_HEAD}
 BIGRAM_LM_ORACLE = _bigram_oracle()
 
 
+#: CCNet-style fluency buckets per language
+N_PPX_BUCKETS = 3
+
+
+def perplexity_bucket_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fluency-tercile cutoffs — the CCNet bucketing
+    artifact (head/middle/tail by LM perplexity) that decides which
+    slice of a crawl trains the model.
+
+    The naive formulation is ``ntile(3) OVER (PARTITION BY lang ORDER
+    BY score)`` — a full per-language sort whose biggest language is
+    one task.  This plan never ranks documents: ``avg_cont_ppm`` lives
+    on the integer grid [0, 10⁶], so the per-(lang, score) histogram
+    is VOCABULARY-bounded (≤ 10⁶ + 1 rows per language at any corpus
+    size); exact bucket boundaries fall out of the histogram's
+    cumulative counts and pure rank arithmetic:
+
+        hi_k  = k·(N div 3) + least(k, N mod 3)      (ntile hi rank)
+        cutoff_k = min score whose cumulative count ≥ hi_k
+
+    Emits (lang, bucket, n_docs, cutoff_ppm): n_docs is the exact
+    ntile bucket size; cutoff_ppm is the score at the bucket's upper
+    rank boundary — the published "percentile threshold" a later
+    streaming gate compares against row-locally."""
+    sc = lm_doc_perplexity(spark, sf_dir).select("doc_id", "avg_cont_ppm")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hist = (
+        sc.join(d, "doc_id")
+        .groupBy("lang", "avg_cont_ppm")
+        .agg(F.count("*").alias("n"))
+    )
+    # single lineage: the LM pipeline runs ONCE — both the cumulative
+    # count and the language total come off the same bounded histogram
+    # via two window frames, then each histogram row fans out to the
+    # three candidate buckets row-locally (no self-join back)
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_cont_ppm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    enriched = hist.select(
+        "lang",
+        "avg_cont_ppm",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n").over(w_all).cast("long").alias("n_total"),
+    )
+    return (
+        enriched.withColumn(
+            "bucket", F.explode(F.sequence(F.lit(1), F.lit(N_PPX_BUCKETS)))
+        )
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .withColumn(
+            "hi_k",
+            F.expr(
+                "CAST(bucket * (n_total div 3) + least(bucket, n_total % 3)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "n_docs",
+            F.expr(
+                "CAST((n_total div 3) + CASE WHEN bucket <= n_total % 3"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .filter((F.col("n_docs") > 0) & (F.col("cum_n") >= F.col("hi_k")))
+        .groupBy("lang", "bucket", "n_docs")
+        .agg(F.min("avg_cont_ppm").cast("long").alias("cutoff_ppm"))
+    )
+
+
+PPX_CUTOFFS_ORACLE = f"""
+WITH perdoc AS ({LM_PERPLEXITY_ORACLE}),
+scored AS (
+  SELECT p.doc_id, p.avg_cont_ppm, d.lang
+  FROM perdoc p JOIN documents d USING (doc_id)),
+hist AS (
+  SELECT lang, avg_cont_ppm, count(*) AS n FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, avg_cont_ppm,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY avg_cont_ppm
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n
+  FROM hist),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM scored GROUP BY 1),
+grid AS (
+  SELECT lang, CAST(t.k AS INT) AS bucket,
+         CAST(t.k * (n_total // 3) + least(t.k, n_total % 3) AS BIGINT) AS hi_k,
+         CAST((n_total // 3) + CASE WHEN t.k <= n_total % 3 THEN 1 ELSE 0 END
+              AS BIGINT) AS n_docs
+  FROM tot, unnest(range(1, {N_PPX_BUCKETS} + 1)) t(k))
+SELECT g.lang, g.bucket, g.n_docs,
+       CAST(min(c.avg_cont_ppm) AS BIGINT) AS cutoff_ppm
+FROM grid g JOIN cum c ON c.lang = g.lang AND c.cum_n >= g.hi_k
+WHERE g.n_docs > 0
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
     "lm_doc_perplexity": lm_doc_perplexity,
     "token_frequency_spectrum": token_frequency_spectrum,
+    "perplexity_bucket_cutoffs": perplexity_bucket_cutoffs,
 }
 
 ORACLES = {
@@ -431,4 +532,5 @@ ORACLES = {
     "token_bigram_lm": BIGRAM_LM_ORACLE,
     "lm_doc_perplexity": LM_PERPLEXITY_ORACLE,
     "token_frequency_spectrum": FREQ_SPECTRUM_ORACLE,
+    "perplexity_bucket_cutoffs": PPX_CUTOFFS_ORACLE,
 }

@@ -1,0 +1,99 @@
+"""Round-4 second-wave operators: Gram matrix, perplexity cutoffs,
+tokenizer fertility, weighted priority sampling. Value parity with
+DuckDB is the oracle gate's job; these pin the algebraic invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+from fxblue_etl_spark.operators.corpusops import (
+    WEIGHTED_SAMPLE_K,
+    tokenizer_fertility,
+    weighted_priority_sample,
+)
+from fxblue_etl_spark.operators.ml import embedding_gram_matrix
+from fxblue_etl_spark.operators.tfidf import (
+    N_PPX_BUCKETS,
+    perplexity_bucket_cutoffs,
+)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    q = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e3)
+            for r in emb
+        ]
+    ).astype(np.int64)
+    expect = q.T @ q
+    rows = embedding_gram_matrix(spark, sf_dir).collect()
+    d = q.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert r["cross_sum"] == expect[r["i"], r["j"]]
+
+
+def test_perplexity_cutoffs_ntile_arithmetic(spark, sf_dir):
+    rows = perplexity_bucket_cutoffs(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= N_PPX_BUCKETS
+        # ntile balance: sizes differ by at most one, larger first
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        # cutoffs are non-decreasing with bucket rank
+        cuts = [r["cutoff_ppm"] for r in rs]
+        assert cuts == sorted(cuts)
+    # bucket sizes tile each language's scored-doc population exactly:
+    # only docs with >= 2 tokens receive an LM score
+    n_scored = (
+        docs.selectExpr(
+            "size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS n"
+        )
+        .filter("n >= 2")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_scored
+
+
+def test_tokenizer_fertility_quotient_identity(spark, sf_dir):
+    rows = tokenizer_fertility(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs_n
+    for r in rows:
+        assert r["chars_per_tok_ppm"] == (
+            1_000_000 * r["char_sum"] // max(r["tok_sum"], 1)
+        )
+        # whitespace-separated text: at least one more char than
+        # tokens unless empty
+        assert r["char_sum"] >= r["tok_sum"] - r["n_docs"]
+
+
+def test_weighted_sample_race_is_deterministic_md5(spark, sf_dir):
+    rows = weighted_priority_sample(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= WEIGHTED_SAMPLE_K
+        pri = [(r["priority"], r["doc_id"]) for r in rs]
+        assert pri == sorted(pri)
+    # the race key re-derives from md5 exactly
+    for r in rows[:25]:
+        u = int(
+            hashlib.md5(f"wsample|{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        assert r["priority"] == u // r["weight"]
