@@ -163,6 +163,8 @@ _R4_NEW: list[str] = [
     "perplexity_bucket_cutoffs",
     "tokenizer_fertility",
     "weighted_priority_sample",
+    "streaming_cdc_scd2",
+    "streaming_windowed_topk",
 ]
 
 

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..session import tune
 
@@ -795,6 +796,197 @@ def ohlc_bars_from_stream(stream_df: DataFrame) -> DataFrame:
 from ..operators.temporal import OHLC_ORACLE as STREAMING_OHLC_ORACLE  # noqa: E402
 
 
+def _collapse_runs(df: DataFrame) -> DataFrame:
+    """Collapse an events slice to its per-user attribute runs:
+    consecutive (ts, event_id)-ordered rows with equal event_type
+    become one row keyed by the run's first event. Pure
+    gaps-and-islands — two windows, no join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_run = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("run_marker", F.sum(new_run).over(wrun))
+        .groupBy("user_id", "run_marker")
+        .agg(
+            # event_type is constant within a run by construction
+            F.min("event_type").alias("event_type"),
+            F.min("ts").alias("from_ts"),
+            F.min("event_id").alias("from_id"),
+        )
+        .drop("run_marker")
+    )
+
+
+def scd2_from_stream(stream_df: DataFrame) -> DataFrame:
+    """CDC → SCD2 dimension build as a streaming foreachBatch merge:
+    each micro-batch's change events collapse to attribute runs, and
+    the only cross-batch decision is the BOUNDARY rule — a batch's
+    first run per user is dropped when it just continues the user's
+    current (open) run.  Validity ranges and version numbers are
+    derivative (lead/row_number at emission), so state is exactly
+    "the run-start set" plus a per-user current-run head: the merge
+    never rewrites history rows, which is what makes it a MERGE and
+    not a recompute.
+
+    Ordering contract: micro-batches are per-key chronological (the
+    CDC source guarantee — Debezium/kafka key partitioning); events
+    WITHIN a batch may arrive in any order (the collapse sorts).  The
+    out-of-order-across-batches merge is `streaming_ohlc_stateful`'s
+    demonstration; CDC feeds don't need it.
+
+    Scale: per-batch windows partition by user_id (small partitions);
+    the boundary join is per-user against a current-head table the
+    size of the user population; emission windows partition by
+    user_id over runs, never globally."""
+    ev = stream_df.select("user_id", "ts", "event_id", "event_type")
+    acc: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b_runs = _collapse_runs(batch_df)
+        if "runs" in acc:
+            cur = acc["cur"].select(
+                "user_id", F.col("event_type").alias("cur_type")
+            )
+            wf = Window.partitionBy("user_id").orderBy("from_ts", "from_id")
+            first_flag = F.row_number().over(wf) == 1
+            b_new = (
+                b_runs.withColumn("is_first", first_flag)
+                .join(cur, "user_id", "left")
+                .filter(
+                    ~(
+                        F.col("is_first")
+                        & (F.col("cur_type") == F.col("event_type"))
+                    )
+                )
+                .select("user_id", "event_type", "from_ts", "from_id")
+            )
+            acc["runs"] = acc["runs"].unionByName(b_new).localCheckpoint()
+        else:
+            acc["runs"] = b_runs.localCheckpoint()
+        wl = Window.partitionBy("user_id").orderBy(
+            F.desc("from_ts"), F.desc("from_id")
+        )
+        acc["cur"] = (
+            acc["runs"]
+            .withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    we = Window.partitionBy("user_id").orderBy("from_ts", "from_id")
+    return acc["runs"].select(
+        "user_id",
+        F.row_number().over(we).cast("int").alias("run_seq"),
+        "event_type",
+        F.date_format("from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(
+                F.lead("from_ts").over(we), "yyyy-MM-dd HH:mm:ss"
+            ),
+            F.lit("<open>"),
+        ).alias("valid_to"),
+        F.lead("from_ts").over(we).isNull().alias("is_current"),
+    )
+
+
+def streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension built from the events CDC feed (see
+    `scd2_from_stream`); the batch gaps-and-islands oracle certifies
+    the merged history exactly."""
+    tune(spark)
+    return scd2_from_stream(events_stream(spark, sf_dir))
+
+
+STREAMING_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_marker
+  FROM ordered),
+agg AS (
+  SELECT user_id, run_marker,
+         min(event_type) AS event_type,
+         min(ts) AS from_ts
+  FROM runs GROUP BY 1, 2)
+SELECT user_id,
+       CAST(row_number() OVER w2 AS INT) AS run_seq,
+       event_type,
+       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(from_ts) OVER w2, '%Y-%m-%d %H:%M:%S'),
+                '<open>') AS valid_to,
+       lead(from_ts) OVER w2 IS NULL AS is_current
+FROM agg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY from_ts)
+"""
+
+
+#: top event types kept per 6-hour window
+STREAM_TOPK = 2
+
+
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-K leaderboard: 6-hour event-time tumbling
+    windows aggregate per (window, type) on the stream (mergeable
+    counts, watermark-bounded state); the K-ranking runs on the
+    MATERIALIZED aggregate — ranking is not a streamable operation in
+    append mode, and the aggregate table (windows × types) is
+    calendar-bounded, so the finishing window partitions by win_start
+    over a handful of rows at any event volume."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
+    )
+    out = run_to_table(agg, "complete").select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
+        "n",
+        "total_e4",
+    )
+    wr = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= STREAM_TOPK)
+    )
+
+
+STREAMING_TOPK_ORACLE = f"""
+WITH agg AS (
+  SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                  '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n,
+         {_VALUE_SUM_E4_SQL} AS total_e4
+  FROM events GROUP BY 1, 2)
+SELECT win_start, event_type, n, total_e4, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                   ORDER BY n DESC, event_type ASC) AS rank
+      FROM agg)
+WHERE rank <= {STREAM_TOPK}
+"""
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -809,6 +1001,8 @@ QUERIES = {
     "streaming_ohlc_stateful": streaming_ohlc_stateful,
     "streaming_dlq_split": streaming_dlq_split,
     "streaming_static_enrich": streaming_static_enrich,
+    "streaming_cdc_scd2": streaming_cdc_scd2,
+    "streaming_windowed_topk": streaming_windowed_topk,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -828,6 +1022,8 @@ ORACLES = {
     "streaming_csv_merge": STREAMING_MERGE_ORACLE,
     "streaming_interval_join": INTERVAL_JOIN_ORACLE,
     "streaming_ohlc_stateful": STREAMING_OHLC_ORACLE,
+    "streaming_cdc_scd2": STREAMING_SCD2_ORACLE,
+    "streaming_windowed_topk": STREAMING_TOPK_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:

@@ -219,3 +219,64 @@ def test_streaming_ohlc_state_merges_across_batches(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in final.values())
     want = sorted(map(tuple, ohlc_bars_hourly(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_scd2_merge_across_chronological_batches(spark, sf_dir, tmp_path):
+    """Drive the CDC→SCD2 merge through 4 per-key-chronological
+    micro-batches (the CDC source contract) and require the merged
+    history to equal the one-batch build bit-for-bit — the boundary
+    rule (continue vs open) is only exercised by a multi-batch run."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from fxblue_etl_spark.streaming.pipelines import (
+        scd2_from_stream,
+        streaming_cdc_scd2,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.orderBy("ts", "event_id")
+    sliced = ev.withColumn(
+        "slice", ((F.row_number().over(w) - 1) * 4 / ev.count()).cast("int")
+    )
+    staged = tmp_path / "cdc_batches"
+    staged.mkdir()
+    for i in range(4):
+        part_dir = tmp_path / f"slice_{i}"
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.parquet(str(part_dir))
+        (src,) = part_dir.glob("part-*.parquet")
+        dst = staged / f"{i:02d}.parquet"
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(str(staged)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staged))
+    )
+    got = sorted(map(tuple, scd2_from_stream(stream).collect()))
+    want = sorted(map(tuple, streaming_cdc_scd2(spark, sf_dir).collect()))
+    assert got == want
+    # and the merge genuinely collapsed cross-batch continuations:
+    # run count is below event count
+    assert len(got) < ev.count()
+
+
+def test_windowed_topk_ranks_are_dense_per_window(spark, sf_dir):
+    rows = pipelines.streaming_windowed_topk(spark, sf_dir).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r["win_start"], []).append(r)
+    for win, rs in by_win.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= pipelines.STREAM_TOPK
+        ns = [r["n"] for r in rs]
+        assert ns == sorted(ns, reverse=True)
