@@ -165,6 +165,8 @@ _R4_NEW: list[str] = [
     "weighted_priority_sample",
     "streaming_cdc_scd2",
     "streaming_windowed_topk",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 

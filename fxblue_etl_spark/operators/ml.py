@@ -780,6 +780,191 @@ GROUP BY 1, 2
 """
 
 
+#: product-quantization geometry: M_PQ subspaces × (dim / M_PQ) dims,
+#: K_PQ codes per subspace (codebook = the K_PQ lowest vec_ids'
+#: subvectors, the same deterministic-init rule as `_init_centroids`)
+M_PQ = 8
+SUB_D = 8
+K_PQ = 16
+
+
+def _pq_subspaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each embedding e3-quantized to int64 and cut
+    into M_PQ contiguous subvectors — the integer grid makes every
+    later distance exact in both engines."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+    )
+    return (
+        emb.select("vec_id", qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+                    lambda m: F.slice("qv", m * SUB_D + 1, SUB_D),
+                )
+            ).alias("m", "sv"),
+        )
+    )
+
+
+def _pq_sqdist(a, b) -> Column:
+    """Σ (a_i − b_i)² over int64 subvectors — exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every vector compresses to M_PQ
+    4-bit codes (nearest codebook entry per subspace) — the layout
+    that stores a 100 TB float corpus in ~1/64 the bytes and feeds
+    the ADC scan below.
+
+    Argmin determinism: candidate distances pack as ``dist·K_PQ + c``
+    (dist ≤ sub_d·Δ² ≪ 2⁶³/K_PQ), so ``min`` alone yields nearest
+    code with lowest-id tiebreak — no struct-min, which the DuckDB
+    oracle can't express.
+
+    Scale shape: the codebook is M_PQ×K_PQ rows — broadcast; encoding
+    is one equi-join on the subspace id plus a map-side-combined
+    argmin groupBy. Rows shuffled: n·M_PQ code assignments, nothing
+    pairwise."""
+    subs = _pq_subspaces(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < K_PQ).select(
+        F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
+    )
+    packed = (_pq_sqdist(F.col("sv"), F.col("cv")) * K_PQ + F.col("c")).alias(
+        "packed"
+    )
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", packed)
+        .groupBy("vec_id", "m")
+        .agg(F.min("packed").alias("p"))
+        .select(
+            "vec_id",
+            "m",
+            (F.col("p") % K_PQ).cast("int").alias("code"),
+            F.expr(f"CAST(p div {K_PQ} AS BIGINT)").alias("code_sqdist"),
+        )
+    )
+
+
+PQ_ENCODE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(t.m AS INT) AS m,
+         qv[t.m * {SUB_D} + 1 : t.m * {SUB_D} + {SUB_D}] AS sv
+  FROM q, unnest(range(0, {M_PQ})) t(m)),
+cb AS (
+  SELECT CAST(vec_id AS INT) AS c, m, sv AS cv
+  FROM subs WHERE vec_id < {K_PQ}),
+packed AS (
+  SELECT s.vec_id, s.m,
+         min(list_sum(list_transform(range(1, {SUB_D} + 1),
+               i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])))
+             * {K_PQ} + cb.c) AS p
+  FROM subs s JOIN cb USING (m)
+  GROUP BY 1, 2)
+SELECT vec_id, m, CAST(p % {K_PQ} AS INT) AS code,
+       CAST(p // {K_PQ} AS BIGINT) AS code_sqdist
+FROM packed
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) ANN scan over the PQ codes: each
+    query precomputes its M_PQ×K_PQ distance table to every codebook
+    entry (tiny, broadcast), and every candidate scores as the SUM of
+    M_PQ table lookups keyed by its stored codes — the FAISS serving
+    loop expressed as one equi-join + groupBy.  The float corpus is
+    never touched at scan time; at scale this composes with IVF
+    cluster pruning exactly like `quantized_ivf_topk` (probe 1/C of
+    the codes, each at 4 bits/subspace of bandwidth).
+
+    All distances are exact int64 on the e3 grid, so ranking (asc
+    dist, asc neighbor_id) is bit-identical cross-engine; recall vs
+    the exact float baseline is certified in `tests/test_ml.py`."""
+    subs = _pq_subspaces(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < K_PQ).select(
+        F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
+    )
+    adc = (
+        subs.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "c", _pq_sqdist(F.col("sv"), F.col("cv")).alias("dmc")
+        )
+    )
+    codes = pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (codes["m"] == adc["m"]) & (codes["code"] == adc["c"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmc").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank"
+        )
+    )
+
+
+PQ_ADC_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(t.m AS INT) AS m,
+         qv[t.m * {SUB_D} + 1 : t.m * {SUB_D} + {SUB_D}] AS sv
+  FROM q, unnest(range(0, {M_PQ})) t(m)),
+cb AS (
+  SELECT CAST(vec_id AS INT) AS c, m, sv AS cv
+  FROM subs WHERE vec_id < {K_PQ}),
+codes AS (
+  SELECT vec_id, m, CAST(p % {K_PQ} AS INT) AS code
+  FROM (SELECT s.vec_id, s.m,
+               min(list_sum(list_transform(range(1, {SUB_D} + 1),
+                     i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])))
+                   * {K_PQ} + cb.c) AS p
+        FROM subs s JOIN cb USING (m) GROUP BY 1, 2)),
+adc AS (
+  SELECT s.vec_id AS query_id, s.m, cb.c,
+         list_sum(list_transform(range(1, {SUB_D} + 1),
+             i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))) AS dmc
+  FROM subs s JOIN cb USING (m)
+  WHERE s.vec_id % 50 = 0),
+scored AS (
+  SELECT a.query_id, k.vec_id, CAST(sum(a.dmc) AS BIGINT) AS adc_dist
+  FROM codes k JOIN adc a ON k.m = a.m AND k.code = a.c
+  WHERE k.vec_id != a.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id AS neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -791,6 +976,8 @@ QUERIES = {
     "ivf_multiprobe_topk": ivf_multiprobe_topk,
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "pq_encode": pq_encode,
+    "pq_adc_topk": pq_adc_topk,
 }
 
 ORACLES = {
@@ -804,4 +991,6 @@ ORACLES = {
     "ivf_multiprobe_topk": IVF_MULTIPROBE_ORACLE,
     "embedding_moment_stats": MOMENT_STATS_ORACLE,
     "embedding_gram_matrix": GRAM_ORACLE,
+    "pq_encode": PQ_ENCODE_ORACLE,
+    "pq_adc_topk": PQ_ADC_ORACLE,
 }
