@@ -167,6 +167,8 @@ _R4_NEW: list[str] = [
     "streaming_windowed_topk",
     "pq_encode",
     "pq_adc_topk",
+    "lateral_topk_per_nation",
+    "recursive_dup_reachability",
 ]
 
 

@@ -547,6 +547,111 @@ GROUP BY 1
 """
 
 
+# ── LATERAL correlated subquery (Spark 4 / DuckDB parity) ────────────────
+
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation, written as a
+    correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-2016
+    lateral-join surface Catalyst rewrites to a ranked window under
+    the hood (`RewriteLateralSubquery`). Exact integer balances; ties
+    broken on custkey so both engines rank identically.
+
+    Scale: decorrelates to one shuffle on nationkey; the per-nation
+    rank partitions are population-bounded."""
+    _view(spark, sf_dir, "nation")
+    _view(spark, sf_dir, "customer")
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
+#: identical text runs on both engines — the whole point
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_custkey, t.bal_e2
+FROM nation n,
+LATERAL (SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+         FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey ASC
+         LIMIT 2) t
+"""
+
+LATERAL_TOPK_ORACLE = LATERAL_TOPK_SQL
+
+
+# ── WITH RECURSIVE transitive closure on the near-dup pair graph ─────────
+
+#: hop cap for the recursive closure (strictly-increasing hops ⇒ the
+#: recursion terminates regardless of cycles)
+RCTE_MAX_HOPS = 3
+
+
+def recursive_dup_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure of the MinHash/LSH near-dup graph
+    via WITH RECURSIVE (Spark 4's recursive-CTE surface): which
+    document pairs are ≤ 3 near-dup hops apart, and at what minimum
+    distance — the "how contagious is a duplicate" readout that
+    `dedup_components` collapses to a single component id.
+
+    Scale: recursion runs on the PAIR GRAPH (LSH survivors), never
+    the corpus — the same posture as every graph op here; the hop cap
+    bounds both the iteration count and path multiplicity.
+
+    Cross-certification: every reachable pair must share a connected
+    component (`tests/test_r4b_ops.py`)."""
+    from ..operators.dedup import lsh_jaccard_pairs
+
+    d = table(tune(spark), sf_dir, "documents")
+    # materialize the (tiny) pair graph ONCE: the recursion references
+    # its edge relation every superstep, and re-deriving the whole
+    # LSH pipeline per step would dominate the closure by orders of
+    # magnitude
+    # pair graph ≪ corpus: one partition keeps every superstep's
+    # join/shuffle a single tiny task instead of 32 empty ones
+    edges = (
+        lsh_jaccard_pairs(d).select("doc_a", "doc_b").coalesce(1).localCheckpoint()
+    )
+    edges.createOrReplaceTempView("dup_edges_rcte")
+    return spark.sql(_RCTE_SQL("dup_edges_rcte"))
+
+
+def _RCTE_SQL(edges: str) -> str:
+    """The recursive-closure SQL over an (doc_a, doc_b) edge relation
+    — same text both engines modulo the edge-relation name."""
+    return f"""
+WITH RECURSIVE reach(root, node, hops) AS (
+  SELECT doc_a AS root, doc_a AS node, 0 AS hops FROM {edges}
+  UNION
+  SELECT doc_b, doc_b, 0 FROM {edges}
+  UNION ALL
+  SELECT r.root, e.dst, r.hops + 1
+  FROM reach r JOIN (SELECT doc_a AS src, doc_b AS dst FROM {edges}
+                     UNION ALL SELECT doc_b, doc_a FROM {edges}) e
+    ON e.src = r.node
+  WHERE r.hops < {RCTE_MAX_HOPS}
+)
+SELECT root, node AS reached, CAST(min(hops) AS INT) AS min_hops
+FROM reach WHERE root < node GROUP BY 1, 2
+"""
+
+
+def _rcte_oracle() -> str:
+    from ..operators.dedup import CAND_PAIRS_SQL
+
+    # DuckDB: hoist the LSH candidate chain into the same WITH
+    # RECURSIVE block, then close over `cand` as the edge relation
+    lsh_with = CAND_PAIRS_SQL.replace("WITH norm", "WITH RECURSIVE norm", 1)
+    # MATERIALIZED: the recursion references `cand` every iteration;
+    # without it DuckDB re-runs the whole minhash chain per superstep
+    lsh_with = lsh_with.replace("cand AS (", "cand AS MATERIALIZED (", 1)
+    body = _RCTE_SQL("cand")
+    # strip the inner "WITH RECURSIVE" header and splice its CTE into
+    # the existing chain
+    body = body.replace("WITH RECURSIVE reach", ", reach", 1)
+    return lsh_with + body
+
+
+RECURSIVE_DUP_ORACLE = _rcte_oracle()
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -562,6 +667,8 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "hourly_event_load": hourly_event_load,
     "value_percentile_bands": value_percentile_bands,
+    "lateral_topk_per_nation": lateral_topk_per_nation,
+    "recursive_dup_reachability": recursive_dup_reachability,
 }
 
 ORACLES = {
@@ -579,4 +686,6 @@ ORACLES = {
     "embedding_norm_stats": EMB_NORM_ORACLE,
     "hourly_event_load": HOURLY_ORACLE,
     "value_percentile_bands": PERCENTILE_BANDS_ORACLE,
+    "lateral_topk_per_nation": LATERAL_TOPK_ORACLE,
+    "recursive_dup_reachability": RECURSIVE_DUP_ORACLE,
 }

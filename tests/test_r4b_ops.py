@@ -192,3 +192,64 @@ def test_pq_adc_containment_floor(spark, sf_dir):
         hits += len(got & exact25)
         total += len(got)
     assert hits / total >= 0.15
+
+
+def test_recursive_reachability_consistent_with_components(spark, sf_dir):
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.dedup import lsh_jaccard_pairs
+    from fxblue_etl_spark.plans.advanced import recursive_dup_reachability
+
+    reach = recursive_dup_reachability(spark, sf_dir).collect()
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_jaccard_pairs(table(spark, sf_dir, "documents"))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # hop-1 closure rows are exactly the edge set
+    assert {(r["root"], r["reached"]) for r in reach if r["min_hops"] == 1} == edges
+    # union-find over the edges: every reachable pair shares a root
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for r in reach:
+        assert find(r["root"]) == find(r["reached"])
+        assert 1 <= r["min_hops"] <= 3
+
+
+def test_lateral_topk_matches_window_rank(spark, sf_dir):
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.advanced import lateral_topk_per_nation
+
+    got = {
+        (r["n_name"], r["c_custkey"], r["bal_e2"])
+        for r in lateral_topk_per_nation(spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    want = {
+        (r["n_name"], r["c_custkey"], r["bal_e2"])
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .selectExpr(
+            "n_name", "c_custkey",
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2",
+        )
+        .collect()
+    }
+    assert got == want
