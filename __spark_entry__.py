@@ -169,6 +169,8 @@ _R4_NEW: list[str] = [
     "pq_adc_topk",
     "lateral_topk_per_nation",
     "recursive_dup_reachability",
+    "asof_tolerance_view",
+    "corpus_snapshot_diff",
 ]
 
 

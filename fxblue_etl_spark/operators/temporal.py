@@ -633,8 +633,66 @@ FROM dev v JOIN mad a USING (event_type)
 """
 
 
+#: as-of match tolerance, seconds (pandas merge_asof `tolerance=`)
+ASOF_TOLERANCE_S = 1800
+
+
+def asof_tolerance_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`asof_purchase_view` with a staleness bound: a purchase only
+    takes the prevailing view if it is at most 30 minutes old —
+    pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics.  The
+    match itself is the same single-shuffle union+window as
+    `asof_join`; the tolerance is a row-local post-filter that nulls
+    the WHOLE matched struct (never mixing fields of different
+    quotes).  Too-stale matches also flip a ``stale_dropped`` flag so
+    the output distinguishes "no prior view" from "view too old"."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, views, key="user_id", quote_cols=("value",))
+    fresh = (
+        F.col("asof_ts").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("asof_ts")
+            <= ASOF_TOLERANCE_S * 1_000_000
+        )
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("trade_ts_us"),
+        F.when(fresh, F.unix_micros("asof_ts")).alias("view_ts_us"),
+        F.when(fresh, F.round("asof_value", 4)).alias("view_value"),
+        (F.col("asof_ts").isNotNull() & ~fresh).alias("stale_dropped"),
+    )
+
+
+ASOF_TOLERANCE_ORACLE = f"""
+SELECT t.event_id,
+       t.user_id,
+       epoch_us(t.ts) AS trade_ts_us,
+       CASE WHEN q.ts IS NOT NULL
+              AND epoch_us(t.ts) - epoch_us(q.ts) <= {ASOF_TOLERANCE_S} * 1000000
+            THEN epoch_us(q.ts) END AS view_ts_us,
+       CASE WHEN q.ts IS NOT NULL
+              AND epoch_us(t.ts) - epoch_us(q.ts) <= {ASOF_TOLERANCE_S} * 1000000
+            THEN round(q.value, 4) END AS view_value,
+       q.ts IS NOT NULL
+         AND epoch_us(t.ts) - epoch_us(q.ts) > {ASOF_TOLERANCE_S} * 1000000
+         AS stale_dropped
+FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+  ON t.user_id = q.user_id AND t.ts >= q.ts
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
+    "asof_tolerance_view": asof_tolerance_view,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
     "heavy_hitters_exact": heavy_hitters_exact,
@@ -647,6 +705,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_purchase_view": ASOF_ORACLE,
+    "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,
     "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,

@@ -413,12 +413,83 @@ SELECT * FROM doc_stats UNION ALL SELECT * FROM chunk_stats
 GDPR_ORACLE = _gdpr_oracle()
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta audit: classify every doc as
+    added / removed / changed / unchanged between two dataset
+    versions and account for the row and character mass of each class
+    — the release-gate report a training-data pipeline publishes with
+    every corpus vintage.
+
+    Snapshots derive deterministically from the one fixture so both
+    engines diff identical inputs: A drops doc_id % 13 == 0 (those
+    are B's "adds"), B drops doc_id % 7 == 0 (A's "removes") and
+    uppercases text where doc_id % 11 == 0 (the "changes").
+
+    Scale shape: one full-outer equi-join on the id (AQE-handled),
+    comparison by content hash, then a 4-row map-side-combined
+    rollup; no windows, nothing pairwise."""
+    tune(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    a = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.md5("text").alias("h_a"), F.col("n_chars").alias("ch_a")
+    )
+    b = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h_b"),
+        F.col("n_chars").alias("ch_b"),
+    )
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("delta_class"),
+        F.coalesce("ch_b", "ch_a").alias("n_chars"),
+    )
+    return diff.groupBy("delta_class").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("char_mass"),
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+a AS (
+  SELECT doc_id, md5(text) AS h_a, n_chars AS ch_a
+  FROM docs WHERE doc_id % 13 != 0),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h_b,
+         n_chars AS ch_b
+  FROM docs WHERE doc_id % 7 != 0),
+diff AS (
+  SELECT CASE WHEN h_a IS NULL THEN 'added'
+              WHEN h_b IS NULL THEN 'removed'
+              WHEN h_a != h_b THEN 'changed'
+              ELSE 'unchanged' END AS delta_class,
+         coalesce(ch_b, ch_a) AS n_chars
+  FROM a FULL OUTER JOIN b USING (doc_id))
+SELECT delta_class, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS char_mass
+FROM diff GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
     "order_totals_reconciliation": order_totals_reconciliation,
     "supplier_concentration": supplier_concentration,
     "gdpr_delete_propagation": gdpr_delete_propagation,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 ORACLES = {
@@ -427,4 +498,5 @@ ORACLES = {
     "order_totals_reconciliation": RECONCILIATION_ORACLE,
     "supplier_concentration": CONCENTRATION_ORACLE,
     "gdpr_delete_propagation": GDPR_ORACLE,
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
 }

@@ -253,3 +253,52 @@ def test_lateral_topk_matches_window_rank(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_asof_tolerance_never_mixes_quotes(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import (
+        ASOF_TOLERANCE_S,
+        asof_purchase_view,
+        asof_tolerance_view,
+    )
+
+    tol = {r["event_id"]: r for r in asof_tolerance_view(spark, sf_dir).collect()}
+    base = {r["event_id"]: r for r in asof_purchase_view(spark, sf_dir).collect()}
+    assert set(tol) == set(base)
+    n_stale = 0
+    for eid, t in tol.items():
+        b = base[eid]
+        if t["view_ts_us"] is not None:
+            # fresh match: identical to the unbounded as-of, within bound
+            assert (t["view_ts_us"], t["view_value"]) == (
+                b["view_ts_us"], b["view_value"],
+            )
+            assert t["trade_ts_us"] - t["view_ts_us"] <= ASOF_TOLERANCE_S * 1_000_000
+            assert not t["stale_dropped"]
+        elif t["stale_dropped"]:
+            # dropped: the unbounded as-of DID match, but too old
+            assert b["view_ts_us"] is not None
+            assert b["trade_ts_us"] - b["view_ts_us"] > ASOF_TOLERANCE_S * 1_000_000
+            n_stale += 1
+        else:
+            assert b["view_ts_us"] is None
+    assert n_stale > 0, "fixture must exercise the staleness branch"
+
+
+def test_snapshot_diff_tiles_the_union(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import corpus_snapshot_diff
+
+    rows = {r["delta_class"]: r for r in corpus_snapshot_diff(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ids = [r["doc_id"] for r in docs]
+    a = {i for i in ids if i % 13 != 0}
+    b = {i for i in ids if i % 7 != 0}
+    want = {
+        "added": len(b - a),
+        "removed": len(a - b),
+        "changed": len({i for i in a & b if i % 11 == 0}),
+        "unchanged": len({i for i in a & b if i % 11 != 0}),
+    }
+    got = {k: rows[k]["n_docs"] if k in rows else 0 for k in want}
+    assert got == want
+    assert sum(got.values()) == len(a | b)
