@@ -171,6 +171,10 @@ _R4_NEW: list[str] = [
     "recursive_dup_reachability",
     "asof_tolerance_view",
     "corpus_snapshot_diff",
+    "bpe_merge_topk",
+    "freq_items_contract",
+    "setop_multiset_priorities",
+    "attribution_first_last",
 ]
 
 

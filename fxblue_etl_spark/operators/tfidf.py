@@ -517,6 +517,79 @@ GROUP BY 1, 2, 3
 """
 
 
+#: merges reported by the BPE induction step
+BPE_MERGE_TOPK = 20
+#: tournament sub-buckets for the merge ranking
+BPE_MERGE_BUCKETS = 8
+
+
+def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step over the corpus: count every
+    adjacent character pair inside every word occurrence (the
+    pair-frequency table tokenizer training recomputes after each
+    merge) and rank the top candidate merges.  This is the map-reduce
+    half of BPE training — the half that must scale to the corpus;
+    the greedy merge loop itself is vocabulary-sized driver work.
+
+    Plan: token explode → vocabulary-sized word-count aggregate (pair
+    counting is weighted by word frequency, NOT re-scanned per
+    occurrence — the standard trick that makes corpus-scale BPE
+    cheap) → row-local pair fan-out (≤ word length) → one
+    map-side-combined pair aggregate → two-level tournament top-K, no
+    global sort."""
+    from .corpusops import _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    words = (
+        d.select(F.explode(ws_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "n_w",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n_w").cast("long").alias("n_total"))
+    w1 = Window.partitionBy("pb").orderBy(F.desc("n_total"), F.asc("pair"))
+    w2 = Window.orderBy(F.desc("n_total"), F.asc("pair"))
+    return (
+        agg.withColumn(
+            "pb", _hash_bucket(F.col("pair"), "bpe|", BPE_MERGE_BUCKETS)
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= BPE_MERGE_TOPK)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= BPE_MERGE_TOPK)
+        .select("rank", "pair", "n_total")
+    )
+
+
+def _bpe_oracle() -> str:
+    return f"""
+WITH tk AS ({_TOKS_SQL}),
+words AS (
+  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS n_w
+  FROM tk, unnest(toks) t(tok)
+  GROUP BY 1),
+pairs AS (
+  SELECT substr(w, CAST(t.i AS INT), 2) AS pair, n_w
+  FROM words, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2),
+agg AS (
+  SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_total FROM pairs GROUP BY 1)
+SELECT CAST(rank AS INT) AS rank, pair, n_total
+FROM (SELECT *, row_number() OVER (ORDER BY n_total DESC, pair ASC) AS rank
+      FROM agg)
+WHERE rank <= {BPE_MERGE_TOPK}
+"""
+
+
+BPE_MERGE_ORACLE = _bpe_oracle()
+
+
 QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
@@ -524,6 +597,7 @@ QUERIES = {
     "lm_doc_perplexity": lm_doc_perplexity,
     "token_frequency_spectrum": token_frequency_spectrum,
     "perplexity_bucket_cutoffs": perplexity_bucket_cutoffs,
+    "bpe_merge_topk": bpe_merge_topk,
 }
 
 ORACLES = {
@@ -533,4 +607,5 @@ ORACLES = {
     "lm_doc_perplexity": LM_PERPLEXITY_ORACLE,
     "token_frequency_spectrum": FREQ_SPECTRUM_ORACLE,
     "perplexity_bucket_cutoffs": PPX_CUTOFFS_ORACLE,
+    "bpe_merge_topk": BPE_MERGE_ORACLE,
 }

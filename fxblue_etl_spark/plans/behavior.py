@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import table
 from ..session import tune
@@ -443,6 +444,81 @@ WHERE prev_e2 IS NOT NULL
 """
 
 
+#: attribution lookback, seconds
+ATTRIB_WINDOW_S = 1800
+
+
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution per purchase: the FIRST and LAST view
+    within the user's trailing 30-minute lookback — both touch models
+    from ONE range-frame window pass (``rangeBetween`` over epoch
+    micros, views contributing via a conditional min/max), never a
+    per-purchase range join.  The value column is the purchase's
+    floor-e4 amount so a revenue-by-touch rollup is one groupBy away.
+
+    Scale: single shuffle on user_id; the range frame is
+    time-bounded, so window state per row is the 30-minute slice, not
+    the user's history."""
+    e = table(tune(spark), sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTRIB_WINDOW_S * 1_000_000, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    out = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "v_e4",
+        F.min(view_ts).over(w).alias("first_touch_us"),
+        F.max(view_ts).over(w).alias("last_touch_us"),
+    )
+    return (
+        out.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "v_e4",
+            "first_touch_us",
+            "last_touch_us",
+            F.col("first_touch_us").isNotNull().alias("attributed"),
+        )
+    )
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 10000) AS BIGINT) AS v_e4
+  FROM events),
+win AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {ATTRIB_WINDOW_S} * 1000000 PRECEDING
+                       AND CURRENT ROW) AS first_touch_us,
+         max(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {ATTRIB_WINDOW_S} * 1000000 PRECEDING
+                       AND CURRENT ROW) AS last_touch_us
+  FROM base)
+SELECT event_id, user_id, ts_us AS purchase_ts_us, v_e4,
+       first_touch_us, last_touch_us,
+       first_touch_us IS NOT NULL AS attributed
+FROM win WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_cooccurrence": event_cooccurrence,
@@ -451,6 +527,7 @@ QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "basket_part_pairs": basket_part_pairs,
     "revenue_wow_delta": revenue_wow_delta,
+    "attribution_first_last": attribution_first_last,
 }
 
 ORACLES = {
@@ -461,4 +538,5 @@ ORACLES = {
     "rfm_segmentation": RFM_ORACLE,
     "basket_part_pairs": BASKET_ORACLE,
     "revenue_wow_delta": WOW_DELTA_ORACLE,
+    "attribution_first_last": ATTRIBUTION_ORACLE,
 }

@@ -348,6 +348,41 @@ SELECT 'except' AS op, nationkey FROM (SELECT DISTINCT nationkey FROM c EXCEPT S
 """
 
 
+def setop_multiset_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL, the
+    multiplicity-preserving variants `setop_active_nations` doesn't
+    touch: order-priority multisets of open ('O') vs finished ('F')
+    orders, aggregated per value so the result stays catalog-bounded.
+    EXCEPT ALL keeps max(n_a − n_b, 0) copies and INTERSECT ALL keeps
+    min(n_a, n_b) — multiplicity arithmetic both engines implement
+    natively; the aggregate certifies it exactly."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    ex = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    ix = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return (
+        ex.unionByName(ix)
+        .groupBy("op", "v")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SETOP_MULTISET_ORACLE = """
+WITH a AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'F'),
+ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+ix AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+SELECT 'except_all' AS op, v, count(*) AS n FROM ex GROUP BY 1, 2
+UNION ALL
+SELECT 'intersect_all' AS op, v, count(*) AS n FROM ix GROUP BY 1, 2
+"""
+
+
 # ── Rollup / cube / grouping sets ────────────────────────────────────────
 
 def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +648,7 @@ QUERIES = {
     "semi_customers_with_urgent": semi_customers_with_urgent,
     "anti_customers_no_orders": anti_customers_no_orders,
     "setop_active_nations": setop_active_nations,
+    "setop_multiset_priorities": setop_multiset_priorities,
     "rollup_returns": rollup_returns,
     "cube_order_status": cube_order_status,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -633,6 +669,7 @@ ORACLES = {
     "semi_customers_with_urgent": SEMI_ORACLE,
     "anti_customers_no_orders": ANTI_ORACLE,
     "setop_active_nations": SETOP_ORACLE,
+    "setop_multiset_priorities": SETOP_MULTISET_ORACLE,
     "rollup_returns": ROLLUP_ORACLE,
     "cube_order_status": CUBE_ORACLE,
     "topk_orders_per_customer": TOPK_ORACLE,

@@ -221,11 +221,53 @@ SELECT 'lineitem.l_orderkey' AS column_name,
 """
 
 
+#: freqItems support threshold (items with freq > support are
+#: GUARANTEED present in the sketch result; false positives allowed)
+FREQ_ITEMS_SUPPORT = 0.1
+
+
+def freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items certification — the heavy-hitter
+    sibling of `hll_accuracy_check`: ``df.stat.freqItems`` promises
+    every value with true frequency > support appears in its result
+    (false positives allowed, false negatives not).  We compute the
+    EXACT heavy types and flag each one's presence in the sketch
+    output; the oracle asserts the exact counts and TRUE containment,
+    so a sketch regression flips the row red.
+
+    Scale: the sketch is one merge-combinable pass with k=1/support
+    counters per partition; the exact side is a catalog-bounded count
+    aggregate."""
+    e = table(tune(spark), sf_dir, "events")
+    sketch_items = set(
+        e.stat.freqItems(["event_type"], FREQ_ITEMS_SUPPORT).collect()[0][0]
+    )
+    total = e.count()
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") * 10 > F.lit(total))  # freq > 0.1 exactly
+    )
+    in_sketch = F.col("event_type").isin(*sketch_items) if sketch_items else F.lit(False)
+    return exact.select("event_type", "n", in_sketch.alias("in_sketch"))
+
+
+FREQ_ITEMS_ORACLE = """
+WITH counts AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM events)
+SELECT event_type, n, TRUE AS in_sketch
+FROM counts, tot
+WHERE n * 10 > n_total
+"""
+
+
 QUERIES = {
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
     "mcv_stats": mcv_stats,
     "sampled_histogram": sampled_histogram,
+    "freq_items_contract": freq_items_contract,
 }
 
 ORACLES = {
@@ -233,4 +275,5 @@ ORACLES = {
     "equidepth_histogram": EQUIDEPTH_ORACLE,
     "mcv_stats": MCV_ORACLE,
     "sampled_histogram": SAMPLED_HISTOGRAM_ORACLE,
+    "freq_items_contract": FREQ_ITEMS_ORACLE,
 }

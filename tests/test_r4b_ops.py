@@ -302,3 +302,63 @@ def test_snapshot_diff_tiles_the_union(spark, sf_dir):
     got = {k: rows[k]["n_docs"] if k in rows else 0 for k in want}
     assert got == want
     assert sum(got.values()) == len(a | b)
+
+
+def test_bpe_merge_topk_matches_python_recount(spark, sf_dir):
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.tfidf import BPE_MERGE_TOPK, bpe_merge_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    words = Counter()
+    for r in docs:
+        words.update(t for t in r["text"].split() if t)
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    want = sorted(((-n, p) for p, n in pairs.items()))[:BPE_MERGE_TOPK]
+    rows = sorted(bpe_merge_topk(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [(-r["n_total"], r["pair"]) for r in rows] == want
+
+
+def test_freq_items_contract_all_heavy_present(spark, sf_dir):
+    from fxblue_etl_spark.plans.stats import freq_items_contract
+
+    rows = freq_items_contract(spark, sf_dir).collect()
+    assert rows and all(r["in_sketch"] for r in rows)
+
+
+def test_setop_multiset_multiplicity_arithmetic(spark, sf_dir):
+    from collections import Counter
+
+    from fxblue_etl_spark.plans.relational import setop_multiset_priorities
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    a = Counter(r["o_orderpriority"] for r in orders if r["o_orderstatus"] == "O")
+    b = Counter(r["o_orderpriority"] for r in orders if r["o_orderstatus"] == "F")
+    rows = setop_multiset_priorities(spark, sf_dir).collect()
+    got = {(r["op"], r["v"]): r["n"] for r in rows}
+    for v in set(a) | set(b):
+        ex = max(a[v] - b[v], 0)
+        ix = min(a[v], b[v])
+        assert got.get(("except_all", v), 0) == ex
+        assert got.get(("intersect_all", v), 0) == ix
+
+
+def test_attribution_touches_ordered_and_bounded(spark, sf_dir):
+    from fxblue_etl_spark.plans.behavior import (
+        ATTRIB_WINDOW_S,
+        attribution_first_last,
+    )
+
+    rows = attribution_first_last(spark, sf_dir).collect()
+    n_attr = 0
+    for r in rows:
+        if r["attributed"]:
+            n_attr += 1
+            assert r["first_touch_us"] <= r["last_touch_us"] <= r["purchase_ts_us"]
+            assert r["purchase_ts_us"] - r["first_touch_us"] <= ATTRIB_WINDOW_S * 1_000_000
+        else:
+            assert r["first_touch_us"] is None and r["last_touch_us"] is None
+    assert 0 < n_attr < len(rows), "fixture must exercise both branches"
