@@ -175,6 +175,7 @@ _R4_NEW: list[str] = [
     "freq_items_contract",
     "setop_multiset_priorities",
     "attribution_first_last",
+    "arrow_grouped_value_stats",
 ]
 
 

@@ -187,11 +187,59 @@ GROUP BY 1
 """
 
 
+def arrow_grouped_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped aggregation — the zero-pandas member
+    of the §2.12 surface: each event_type group arrives as ONE Arrow
+    table and reduces via ``pyarrow.compute`` kernels (no
+    pandas object boxing at all; columnar in, columnar out).  Values
+    floor-scale to e4 ints BEFORE the UDF so the sum is exact and
+    engine-portable.
+
+    Scale note: a grouped-map UDF materializes each group on one
+    task — fine for a catalog-bounded key like event_type; a
+    high-cardinality key would use the two-level pattern instead."""
+    from ..io import table
+    from ..session import tune
+
+    e = table(tune(spark), sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1e4).cast("long").alias("v_e4")
+    )
+
+    def stats(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = tbl.column("v_e4")
+        return pa.Table.from_pydict(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "v_sum_e4": [pc.sum(col).as_py()],
+                "v_min_e4": [pc.min(col).as_py()],
+                "v_max_e4": [pc.max(col).as_py()],
+            }
+        )
+
+    return e.groupBy("event_type").applyInArrow(
+        stats, "event_type string, n long, v_sum_e4 long, v_min_e4 long, v_max_e4 long"
+    )
+
+
+ARROW_GROUPED_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4,
+       CAST(min(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v_min_e4,
+       CAST(max(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v_max_e4
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
     "udtf_token_explode": udtf_token_explode,
     "arrow_udf_order_tier": arrow_udf_order_tier,
+    "arrow_grouped_value_stats": arrow_grouped_value_stats,
 }
 
 ORACLES = {
@@ -199,4 +247,5 @@ ORACLES = {
     "grouped_map_share": GROUPED_MAP_ORACLE,
     "udtf_token_explode": UDTF_ORACLE,
     "arrow_udf_order_tier": ARROW_UDF_ORACLE,
+    "arrow_grouped_value_stats": ARROW_GROUPED_ORACLE,
 }

@@ -304,11 +304,34 @@ _TRAIN_PCT = 80
 _VAL_PCT = 90
 
 
+#: releasable persist slot for `_doc_dup_groups` (the `_swap_cache`
+#: pattern from plans/corpus.py: each invocation frees the previous
+#: one's blocks before pinning its own)
+_GRP_CACHE: list[DataFrame] = []
+
+
+def _swap_grp_cache(df: DataFrame) -> DataFrame:
+    while _GRP_CACHE:
+        try:
+            _GRP_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
+    df = df.persist()
+    _GRP_CACHE.append(df)
+    return df
+
+
 def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, grp) for every document: near-dup component id when
     the doc is in a Jaccard ≥ DECON_J MinHash/LSH cluster, else the
     doc's own id.  The shared spine of ``split_decontaminate`` and
-    ``canonical_doc_selection``."""
+    ``canonical_doc_selection``.
+
+    Persisted (releasably): both consumers aggregate it more than
+    once, and without the pin each consumption re-derives the whole
+    LSH + components pipeline. The frame is 3 narrow columns —
+    spill-safe even at corpus scale, and a fraction of the shuffle
+    the LSH re-run would cost."""
     from ..io import fan_out, table
     from .dedup import lsh_jaccard_pairs
 
@@ -321,10 +344,14 @@ def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "component"
     )
-    return docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
-        "doc_id",
-        "n_chars",
-        F.coalesce("component", F.col("doc_id").cast("long")).alias("grp"),
+    return _swap_grp_cache(
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id").cast("long")).alias("grp"),
+        )
     )
 
 

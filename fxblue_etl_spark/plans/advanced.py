@@ -597,17 +597,25 @@ def recursive_dup_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-certification: every reachable pair must share a connected
     component (`tests/test_r4b_ops.py`)."""
+    from ..io import fan_out
     from ..operators.dedup import lsh_jaccard_pairs
 
-    d = table(tune(spark), sf_dir, "documents")
+    # fan_out: the minhash HOFs are per-row-heavy and a small scan is
+    # one split — without it the whole LSH pass serializes on one task
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
     # materialize the (tiny) pair graph ONCE: the recursion references
     # its edge relation every superstep, and re-deriving the whole
     # LSH pipeline per step would dominate the closure by orders of
     # magnitude
-    # pair graph ≪ corpus: one partition keeps every superstep's
-    # join/shuffle a single tiny task instead of 32 empty ones
+    # pair graph ≪ corpus: collapse to one partition so every
+    # superstep's join is a single tiny task instead of 32 empty
+    # ones. repartition (a shuffle boundary), NOT coalesce — coalesce
+    # would pull the whole upstream LSH pipeline into that one task
     edges = (
-        lsh_jaccard_pairs(d).select("doc_a", "doc_b").coalesce(1).localCheckpoint()
+        lsh_jaccard_pairs(d)
+        .select("doc_a", "doc_b")
+        .repartition(1)
+        .localCheckpoint()
     )
     edges.createOrReplaceTempView("dup_edges_rcte")
     return spark.sql(_RCTE_SQL("dup_edges_rcte"))
