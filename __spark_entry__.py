@@ -176,6 +176,10 @@ _R4_NEW: list[str] = [
     "setop_multiset_priorities",
     "attribution_first_last",
     "arrow_grouped_value_stats",
+    "langid_confusion",
+    "quality_lm_calibration",
+    "hll_per_group_contract",
+    "cross_split_lm_eval",
 ]
 
 

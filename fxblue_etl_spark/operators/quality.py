@@ -335,11 +335,60 @@ FROM per_src, tot
 """
 
 
+def quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration of the heuristic quality score against
+    the LM fluency signal: for every discrete quality-score level,
+    the keep rate and the average LM continuation ppm of the docs at
+    that level.  If the heuristic is calibrated, avg fluency rises
+    with score — the agreement curve a pipeline inspects before
+    trusting one cheap signal as a proxy for an expensive one.
+
+    Scale: both scorers are certified single-pass operators; the
+    calibration adds one equi-join on doc_id and a groupBy over the
+    score's ≤ 8 discrete levels."""
+    from ..operators.textops import quality_score
+    from ..operators.tfidf import lm_doc_perplexity
+
+    qs = quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score", "keep"
+    )
+    lm = lm_doc_perplexity(spark, sf_dir).select("doc_id", "avg_cont_ppm")
+    j = qs.join(lm, "doc_id")  # inner: only LM-scorable docs calibrate
+    return j.groupBy("quality_score").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.expr(
+            "CAST(CAST(sum(avg_cont_ppm) AS DECIMAL(38,0))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("mean_fluency_ppm"),
+    )
+
+
+def _calibration_oracle() -> str:
+    from ..operators.textops import QUALITY_ORACLE
+    from ..operators.tfidf import LM_PERPLEXITY_ORACLE
+
+    return f"""
+WITH qs AS ({QUALITY_ORACLE}),
+lm AS ({LM_PERPLEXITY_ORACLE})
+SELECT q.quality_score, count(*) AS n_docs,
+       CAST(sum(q.keep) AS BIGINT) AS n_keep,
+       CAST(CAST(sum(l.avg_cont_ppm) AS HUGEINT) // count(*) AS BIGINT)
+         AS mean_fluency_ppm
+FROM qs q JOIN lm l USING (doc_id)
+GROUP BY 1
+"""
+
+
+QUALITY_LM_CALIBRATION_ORACLE = _calibration_oracle()
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "contamination_check": contamination_check,
     "domain_quality_gate": domain_quality_gate,
     "span_dedup_stats": span_dedup_stats,
+    "quality_lm_calibration": quality_lm_calibration,
 }
 
 ORACLES = {
@@ -347,4 +396,5 @@ ORACLES = {
     "contamination_check": CONTAMINATION_ORACLE,
     "domain_quality_gate": DOMAIN_GATE_ORACLE,
     "span_dedup_stats": SPAN_DEDUP_ORACLE,
+    "quality_lm_calibration": QUALITY_LM_CALIBRATION_ORACLE,
 }

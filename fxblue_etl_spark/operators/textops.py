@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import fan_out, table
 from ..session import tune
@@ -432,6 +433,47 @@ FROM documents
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation harness over the lang-ID operator: the
+    full confusion matrix of predicted vs labeled language, each cell
+    carrying its share of the label's row (recall decomposition) in
+    exact ppm — the eval report any model-assisted pipeline stage
+    (lang-ID, quality classifier, PII tagger) publishes before its
+    predictions gate data.
+
+    Scale: reuses the row-local scorer, then one catalog-bounded
+    groupBy; label totals come off the matrix itself via a bounded
+    window, so the corpus is scanned once."""
+    preds = lang_id(spark, sf_dir).select("label_lang", "pred_lang")
+    cells = preds.groupBy("label_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("label_lang")
+    return cells.select(
+        "label_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).cast("long").alias("label_total"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n"
+            " DIV sum(n) OVER (PARTITION BY label_lang) AS BIGINT)"
+        ).alias("cell_ppm"),
+    )
+
+
+LANGID_CONFUSION_ORACLE = rf"""
+WITH preds AS ({LANG_ID_ORACLE}),
+cells AS (
+  SELECT label_lang, pred_lang, count(*) AS n
+  FROM preds GROUP BY 1, 2)
+SELECT label_lang, pred_lang, n,
+       CAST(sum(n) OVER (PARTITION BY label_lang) AS BIGINT) AS label_total,
+       CAST(CAST(1000000 AS HUGEINT) * n
+            // sum(n) OVER (PARTITION BY label_lang) AS BIGINT) AS cell_ppm
+FROM cells
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -441,6 +483,7 @@ QUERIES = {
     "doc_chunking": doc_chunking,
     "chunk_boilerplate": chunk_boilerplate,
     "text_normalize": text_normalize,
+    "langid_confusion": langid_confusion,
 }
 
 ORACLES = {
@@ -452,4 +495,5 @@ ORACLES = {
     "doc_chunking": CHUNKING_ORACLE,
     "chunk_boilerplate": CHUNK_BOILERPLATE_ORACLE,
     "text_normalize": TEXT_NORMALIZE_ORACLE,
+    "langid_confusion": LANGID_CONFUSION_ORACLE,
 }

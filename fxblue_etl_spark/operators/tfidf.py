@@ -590,6 +590,105 @@ WHERE rank <= {BPE_MERGE_TOPK}
 BPE_MERGE_ORACLE = _bpe_oracle()
 
 
+def cross_split_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation with honest train/eval separation: the
+    bigram continuation table is fit ONLY on the train split (the
+    same `corpus_split` hash) and the val split is scored against it
+    — per language: pair counts, out-of-vocabulary pair rate, and
+    mean continuation ppm over covered pairs.  This is the
+    train-on-train/eval-on-val discipline `split_decontaminate`
+    protects, measured: leakage would inflate coverage and fluency.
+
+    Scale shape: identical to `lm_doc_perplexity` (explode → two
+    count aggregates → one equi-join on the bigram key) with a
+    row-local split predicate fused into each scan."""
+    from .corpusops import TRAIN_PCT, VAL_PCT, _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", "lang", ws_tokens("text").alias("toks")
+    )
+    b = _hash_bucket(F.col("doc_id"), "split|", 100)
+    d = d.withColumn("bucket", b).filter(F.size("toks") >= 2)
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("head"),
+            F.element_at("toks", i + 1).alias("nxt"),
+        ),
+    )
+    pairs = d.select(
+        "lang", "bucket", F.explode(pair_col).alias("p")
+    ).select("lang", "bucket", "p.head", "p.nxt")
+
+    train_pairs = pairs.filter(F.col("bucket") < TRAIN_PCT)
+    counts = train_pairs.groupBy("head", "nxt").agg(F.count("*").alias("n"))
+    heads = counts.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
+    probs = counts.join(heads, "head").select(
+        "head",
+        "nxt",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_head AS BIGINT)"
+        ).alias("cont_ppm"),
+    )
+    val_pairs = pairs.filter(
+        (F.col("bucket") >= TRAIN_PCT) & (F.col("bucket") < VAL_PCT)
+    )
+    scored = val_pairs.join(probs, ["head", "nxt"], "left")
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.count("cont_ppm").cast("long").alias("n_covered"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (count(*) - count(cont_ppm))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.expr(
+            "CAST(CAST(coalesce(sum(cont_ppm), 0) AS DECIMAL(38,0))"
+            " DIV greatest(count(cont_ppm), 1) AS BIGINT)"
+        ).alias("mean_cont_ppm"),
+    )
+
+
+def _cross_split_oracle() -> str:
+    from .corpusops import TRAIN_PCT, VAL_PCT, _hash_bucket_sql
+
+    bucket = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", "split|", 100)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, ({bucket}) AS bucket,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+pairs AS (
+  SELECT lang, bucket, toks[i] AS head, toks[i + 1] AS nxt
+  FROM tk, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2),
+counts AS (
+  SELECT head, nxt, count(*) AS n FROM pairs
+  WHERE bucket < {TRAIN_PCT} GROUP BY 1, 2),
+heads AS (
+  SELECT head, CAST(sum(n) AS BIGINT) AS n_head FROM counts GROUP BY 1),
+probs AS (
+  SELECT c.head, c.nxt,
+         CAST(CAST(1000000 AS HUGEINT) * c.n // h.n_head AS BIGINT) AS cont_ppm
+  FROM counts c JOIN heads h USING (head)),
+scored AS (
+  SELECT v.lang, p.cont_ppm
+  FROM (SELECT * FROM pairs
+        WHERE bucket >= {TRAIN_PCT} AND bucket < {VAL_PCT}) v
+  LEFT JOIN probs p ON v.head = p.head AND v.nxt = p.nxt)
+SELECT lang, count(*) AS n_pairs,
+       CAST(count(cont_ppm) AS BIGINT) AS n_covered,
+       CAST(CAST(1000000 AS HUGEINT) * (count(*) - count(cont_ppm))
+            // count(*) AS BIGINT) AS oov_ppm,
+       CAST(CAST(coalesce(sum(cont_ppm), 0) AS HUGEINT)
+            // greatest(count(cont_ppm), 1) AS BIGINT) AS mean_cont_ppm
+FROM scored GROUP BY 1
+"""
+
+
+CROSS_SPLIT_LM_ORACLE = _cross_split_oracle()
+
+
 QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
@@ -598,6 +697,7 @@ QUERIES = {
     "token_frequency_spectrum": token_frequency_spectrum,
     "perplexity_bucket_cutoffs": perplexity_bucket_cutoffs,
     "bpe_merge_topk": bpe_merge_topk,
+    "cross_split_lm_eval": cross_split_lm_eval,
 }
 
 ORACLES = {
@@ -608,4 +708,5 @@ ORACLES = {
     "token_frequency_spectrum": FREQ_SPECTRUM_ORACLE,
     "perplexity_bucket_cutoffs": PPX_CUTOFFS_ORACLE,
     "bpe_merge_topk": BPE_MERGE_ORACLE,
+    "cross_split_lm_eval": CROSS_SPLIT_LM_ORACLE,
 }

@@ -262,12 +262,44 @@ WHERE n * 10 > n_total
 """
 
 
+def hll_per_group_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL certification: per event_type, the EXACT distinct
+    user count plus whether the per-group ``approx_count_distinct``
+    landed within ±5% — `hll_accuracy_check` generalized from one
+    global sketch to a sketch per group, which is how dashboards
+    actually consume HLL (one counter per dimension value, merged
+    across partitions)."""
+    e = table(tune(spark), sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", HLL_RSD).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact")) * 100
+                <= F.col("n_exact") * HLL_BOUND_PCT
+            ).alias("within_bound"),
+        )
+    )
+
+
+HLL_PER_GROUP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
     "mcv_stats": mcv_stats,
     "sampled_histogram": sampled_histogram,
     "freq_items_contract": freq_items_contract,
+    "hll_per_group_contract": hll_per_group_contract,
 }
 
 ORACLES = {
@@ -276,4 +308,5 @@ ORACLES = {
     "mcv_stats": MCV_ORACLE,
     "sampled_histogram": SAMPLED_HISTOGRAM_ORACLE,
     "freq_items_contract": FREQ_ITEMS_ORACLE,
+    "hll_per_group_contract": HLL_PER_GROUP_ORACLE,
 }

@@ -362,3 +362,48 @@ def test_attribution_touches_ordered_and_bounded(spark, sf_dir):
         else:
             assert r["first_touch_us"] is None and r["last_touch_us"] is None
     assert 0 < n_attr < len(rows), "fixture must exercise both branches"
+
+
+def test_langid_confusion_rows_sum_to_label_totals(spark, sf_dir):
+    from fxblue_etl_spark.operators.textops import langid_confusion
+
+    rows = langid_confusion(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label_lang"], []).append(r)
+    for label, rs in by_label.items():
+        total = rs[0]["label_total"]
+        assert all(r["label_total"] == total for r in rs)
+        assert sum(r["n"] for r in rs) == total
+        for r in rs:
+            assert r["cell_ppm"] == 1_000_000 * r["n"] // total
+
+
+def test_quality_lm_calibration_covers_lm_population(spark, sf_dir):
+    from fxblue_etl_spark.operators.quality import quality_lm_calibration
+    from fxblue_etl_spark.operators.tfidf import lm_doc_perplexity
+
+    rows = quality_lm_calibration(spark, sf_dir).collect()
+    n_lm = lm_doc_perplexity(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_lm
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert 0 <= r["mean_fluency_ppm"] <= 1_000_000
+
+
+def test_hll_per_group_within_bound(spark, sf_dir):
+    from fxblue_etl_spark.plans.stats import hll_per_group_contract
+
+    rows = hll_per_group_contract(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+
+
+def test_cross_split_lm_eval_accounting(spark, sf_dir):
+    from fxblue_etl_spark.operators.tfidf import cross_split_lm_eval
+
+    rows = cross_split_lm_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_covered"] <= r["n_pairs"]
+        assert r["oov_ppm"] == 1_000_000 * (r["n_pairs"] - r["n_covered"]) // r["n_pairs"]
+        assert 0 <= r["mean_cont_ppm"] <= 1_000_000
