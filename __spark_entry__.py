@@ -180,6 +180,8 @@ _R4_NEW: list[str] = [
     "quality_lm_calibration",
     "hll_per_group_contract",
     "cross_split_lm_eval",
+    "media_frame_schedule",
+    "media_dedup_exact",
 ]
 
 

@@ -160,12 +160,135 @@ FROM documents
 """
 
 
+#: synthetic video geometry: one "frame" per FRAME_BYTES of payload
+FRAME_BYTES = 100
+#: uniform samples taken per video (stride sampling)
+N_STRIDE_SAMPLES = 8
+
+
+def media_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling SCHEDULE for video-shaped payloads: each
+    payload is n_frames = ⌈bytes / FRAME_BYTES⌉ frames; the plan
+    emits one row per sampled frame — uniform stride samples plus one
+    content-keyed "keyframe" (hash-positioned, the deterministic
+    stand-in for a scene-cut detector).  Downstream, each row is an
+    independent decode task: exploding the schedule BEFORE decode is
+    what lets a 1000-executor cluster parallelize inside single large
+    videos instead of per-file.  The decode itself stays behind the
+    `decode_image` environment stub; the schedule, schema, and
+    explode shape are the real, tested plumbing.
+
+    All row-local arithmetic — fuses into the scan, no shuffle."""
+    d = table(tune(spark), sf_dir, "documents")
+    n_frames = F.expr(
+        f"CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT)"
+    )
+    stride = F.expr(
+        f"greatest(CAST(n_frames div {N_STRIDE_SAMPLES} AS BIGINT), 1L)"
+    )
+    base = d.select(
+        "doc_id", n_frames.alias("n_frames")
+    ).withColumn("stride", stride)
+    strided = base.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.expr("sequence(0, n_frames - 1, stride)")
+        ).alias("frame_idx"),
+    ).withColumn("sample_kind", F.lit("stride"))
+    key = base.select(
+        "doc_id",
+        "n_frames",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % n_frames"
+        ).alias("frame_idx"),
+    ).withColumn("sample_kind", F.lit("keyframe"))
+    return strided.unionByName(key)
+
+
+MEDIA_FRAME_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+  FROM documents),
+geo AS (
+  SELECT doc_id, n_frames,
+         greatest(n_frames // {N_STRIDE_SAMPLES}, 1) AS stride
+  FROM base)
+SELECT doc_id, n_frames, CAST(t.f AS BIGINT) AS frame_idx,
+       'stride' AS sample_kind
+FROM geo, unnest(range(0, n_frames, stride)) t(f)
+UNION ALL
+SELECT doc_id, n_frames,
+       CAST(({{HEX8}}) % n_frames AS BIGINT) AS frame_idx,
+       'keyframe' AS sample_kind
+FROM base
+"""
+
+
+def _frame_oracle() -> str:
+    from .dedup import _hex8_sql
+
+    return MEDIA_FRAME_ORACLE.replace(
+        "{HEX8}", _hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)
+    )
+
+
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup by content digest, per origin: payload
+    count, distinct-payload count, and the byte mass a dedup'd store
+    saves — the first pass every image/audio corpus runs (identical
+    bytes re-crawled under different ids).  One map-side-combined
+    aggregate over (origin, sha); payloads never shuffle — only
+    digests move."""
+    d = table(tune(spark), sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    per_sha = (
+        d.select(
+            F.col("source").alias("origin"),
+            F.sha2(payload, 256).alias("sha"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        )
+        .groupBy("origin", "sha")
+        .agg(
+            F.count("*").alias("copies"),
+            F.first("n_bytes").alias("n_bytes"),
+        )
+    )
+    return per_sha.groupBy("origin").agg(
+        F.sum("copies").cast("long").alias("n_payloads"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("copies") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("dup_bytes_saved"),
+    )
+
+
+MEDIA_DEDUP_ORACLE = """
+WITH per_sha AS (
+  SELECT source AS origin, sha256(text) AS sha,
+         count(*) AS copies,
+         CAST(min(length(text)) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY 1, 2)
+SELECT origin,
+       CAST(sum(copies) AS BIGINT) AS n_payloads,
+       count(*) AS n_distinct,
+       CAST(sum((copies - 1) * n_bytes) AS BIGINT) AS dup_bytes_saved
+FROM per_sha GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "media_metadata": media_metadata,
+    "media_frame_schedule": media_frame_schedule,
+    "media_dedup_exact": media_dedup_exact,
 }
 
 ORACLES = {
     "multimodal_features": MULTIMODAL_ORACLE,
     "media_metadata": MEDIA_META_ORACLE,
+    "media_frame_schedule": _frame_oracle(),
+    "media_dedup_exact": MEDIA_DEDUP_ORACLE,
 }

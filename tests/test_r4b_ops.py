@@ -407,3 +407,43 @@ def test_cross_split_lm_eval_accounting(spark, sf_dir):
         assert 0 <= r["n_covered"] <= r["n_pairs"]
         assert r["oov_ppm"] == 1_000_000 * (r["n_pairs"] - r["n_covered"]) // r["n_pairs"]
         assert 0 <= r["mean_cont_ppm"] <= 1_000_000
+
+
+def test_frame_schedule_geometry(spark, sf_dir):
+    from fxblue_etl_spark.operators.multimodal import (
+        FRAME_BYTES,
+        N_STRIDE_SAMPLES,
+        media_frame_schedule,
+    )
+
+    rows = media_frame_schedule(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: len(r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        n_frames = -(-docs[doc_id] // FRAME_BYTES)
+        assert all(r["n_frames"] == n_frames for r in rs)
+        assert all(0 <= r["frame_idx"] < n_frames for r in rs)
+        kinds = [r["sample_kind"] for r in rs]
+        assert kinds.count("keyframe") == 1
+        stride = max(n_frames // N_STRIDE_SAMPLES, 1)
+        strided = sorted(r["frame_idx"] for r in rs if r["sample_kind"] == "stride")
+        assert strided == list(range(0, n_frames, stride))
+
+
+def test_media_dedup_accounting(spark, sf_dir):
+    from fxblue_etl_spark.operators.multimodal import media_dedup_exact
+
+    rows = media_dedup_exact(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_payloads"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_payloads"]
+        assert r["dup_bytes_saved"] >= 0
+        if r["n_distinct"] == r["n_payloads"]:
+            assert r["dup_bytes_saved"] == 0
