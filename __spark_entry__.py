@@ -182,6 +182,7 @@ _R4_NEW: list[str] = [
     "cross_split_lm_eval",
     "media_frame_schedule",
     "media_dedup_exact",
+    "temperature_sweep",
 ]
 
 

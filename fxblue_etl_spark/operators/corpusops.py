@@ -800,6 +800,93 @@ FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
 WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
 
 
+#: temperature sweep: alpha values in percent (n^-alpha sampling)
+SWEEP_ALPHAS = (25, 50, 75)
+
+
+def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-sensitivity sweep: `temperature_resample`'s n^-alpha
+    rebalancing evaluated at three alphas IN ONE PASS — the report a
+    data-mixture owner reads before picking the temperature.  All
+    three samples share the hash salt, so they are NESTED (a doc kept
+    at the aggressive alpha is kept at every gentler one) — sweeps
+    stay comparable row-for-row, not just in aggregate.
+
+    Determinism: n^alpha is composed from sqrt only (n^.25 =
+    sqrt(sqrt n), n^.75 = sqrt·sqrt∘sqrt) — sqrt is correctly rounded
+    in IEEE while pow is not, so both engines compute identical bits.
+
+    Scale: per-lang count agg (tiny) × 3 alphas broadcast back onto
+    one corpus scan; row-local threshold filter; one groupBy."""
+    d = table(tune(spark), sf_dir, "documents").select("doc_id", "lang")
+    pow_expr = (
+        "CASE WHEN alpha_pct = 25 THEN sqrt(sqrt(CAST(n_in AS DOUBLE)))"
+        " WHEN alpha_pct = 50 THEN sqrt(CAST(n_in AS DOUBLE))"
+        " ELSE sqrt(CAST(n_in AS DOUBLE)) * sqrt(sqrt(CAST(n_in AS DOUBLE)))"
+        " END"
+    )
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_in"))
+        .withColumn(
+            "alpha_pct",
+            F.explode(F.array(*[F.lit(a) for a in SWEEP_ALPHAS])),
+        )
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                f"CAST(least(1000000, floor(1000000.0 * {TEMP_K}"
+                f" / ({pow_expr}))) AS BIGINT)"
+            ),
+        )
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        _hash_bucket(F.col("doc_id"), "temp|", 1_000_000) < F.col("p_ppm")
+    )
+    sampled = kept.groupBy("alpha_pct", "lang").agg(
+        F.count("*").alias("n_sampled")
+    )
+    return rates.join(sampled, ["alpha_pct", "lang"], "left").select(
+        "alpha_pct",
+        "lang",
+        "n_in",
+        "p_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+def _sweep_oracle() -> str:
+    pow_sql = (
+        "CASE WHEN t.a = 25 THEN sqrt(sqrt(CAST(n_in AS DOUBLE)))"
+        " WHEN t.a = 50 THEN sqrt(CAST(n_in AS DOUBLE))"
+        " ELSE sqrt(CAST(n_in AS DOUBLE)) * sqrt(sqrt(CAST(n_in AS DOUBLE)))"
+        " END"
+    )
+    alphas = ", ".join(str(a) for a in SWEEP_ALPHAS)
+    return f"""
+WITH rates AS (
+  SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+grid AS (
+  SELECT lang, n_in, CAST(t.a AS INT) AS alpha_pct,
+         CAST(least(1000000, floor(1000000.0 * {TEMP_K} / ({pow_sql})))
+              AS BIGINT) AS p_ppm
+  FROM rates, unnest([{alphas}]) t(a)),
+kept AS (
+  SELECT g.alpha_pct, g.lang
+  FROM documents d JOIN grid g USING (lang)
+  WHERE ({_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "temp|", 1_000_000)})
+        < g.p_ppm),
+s AS (
+  SELECT alpha_pct, lang, count(*) AS n_sampled FROM kept GROUP BY 1, 2)
+SELECT g.alpha_pct, g.lang, g.n_in, g.p_ppm,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM grid g LEFT JOIN s USING (alpha_pct, lang)
+"""
+
+
+TEMPERATURE_SWEEP_ORACLE = _sweep_oracle()
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -812,6 +899,7 @@ QUERIES = {
     "dsir_importance_stats": dsir_importance_stats,
     "tokenizer_fertility": tokenizer_fertility,
     "weighted_priority_sample": weighted_priority_sample,
+    "temperature_sweep": temperature_sweep,
 }
 
 ORACLES = {
@@ -826,4 +914,5 @@ ORACLES = {
     "dsir_importance_stats": DSIR_ORACLE,
     "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE,
     "weighted_priority_sample": WEIGHTED_SAMPLE_ORACLE,
+    "temperature_sweep": TEMPERATURE_SWEEP_ORACLE,
 }

@@ -447,3 +447,18 @@ def test_media_dedup_accounting(spark, sf_dir):
         assert r["dup_bytes_saved"] >= 0
         if r["n_distinct"] == r["n_payloads"]:
             assert r["dup_bytes_saved"] == 0
+
+
+def test_temperature_sweep_samples_are_nested(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import temperature_sweep
+
+    rows = temperature_sweep(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["alpha_pct"]] = r
+    for lang, d in by_lang.items():
+        assert set(d) == {25, 50, 75}
+        # gentler alpha (lower) keeps more: p and n_sampled monotone
+        assert d[25]["p_ppm"] >= d[50]["p_ppm"] >= d[75]["p_ppm"]
+        assert d[25]["n_sampled"] >= d[50]["n_sampled"] >= d[75]["n_sampled"]
+        assert all(r["n_sampled"] <= r["n_in"] for r in d.values())

@@ -280,3 +280,56 @@ def test_windowed_topk_ranks_are_dense_per_window(spark, sf_dir):
         assert len(rs) <= pipelines.STREAM_TOPK
         ns = [r["n"] for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, sf_dir, tmp_path):
+    """Kill-and-restart contract of the file source + checkpoint: a
+    second query started on the SAME checkpoint location must process
+    only files that arrived after the first run — offset tracking, the
+    property that makes foreachBatch merge sinks exactly-once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    staged = tmp_path / "inbox"
+    staged.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i, df):
+        part_dir = tmp_path / f"s{i}"
+        df.coalesce(1).write.parquet(str(part_dir))
+        (src,) = part_dir.glob("part-*.parquet")
+        shutil.copyfile(src, staged / f"{i:02d}.parquet")
+
+    n_total = ev.count()
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    add_file(0, half)
+
+    schema = spark.read.parquet(str(staged)).schema
+
+    def run_once(acc):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+
+        def sink(batch_df, epoch_id):
+            acc.append(batch_df.count())
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    first: list[int] = []
+    run_once(first)
+    assert sum(first) == half.count()
+
+    add_file(1, rest)
+    second: list[int] = []
+    run_once(second)
+    # ONLY the new file's rows — nothing reprocessed
+    assert sum(second) == rest.count()
+    assert sum(first) + sum(second) == n_total
