@@ -45,6 +45,10 @@ HEADLINE = (
     "ohlc_bars_hourly",
     "containment_pairs",
     "rag_corpus_prep",
+    # round-4 in-round widening representatives
+    "pq_adc_topk",
+    "streaming_cdc_scd2",
+    "perplexity_bucket_cutoffs",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

@@ -8,16 +8,26 @@ from __future__ import annotations
 
 import pytest
 
-from fxblue_etl_spark.operators.corpusops import dsir_importance_stats
+from fxblue_etl_spark.operators.corpusops import (
+    dsir_importance_stats,
+    temperature_sweep,
+    tokenizer_fertility,
+    weighted_priority_sample,
+)
 from fxblue_etl_spark.operators.graph import split_decontaminate
 from fxblue_etl_spark.operators.ml import (
+    embedding_gram_matrix,
     embedding_moment_stats,
     ivf_multiprobe_topk,
     label_cohesion_stats,
+    pq_adc_topk,
 )
 from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
 from fxblue_etl_spark.operators.tfidf import (
+    bpe_merge_topk,
+    cross_split_lm_eval,
     lm_doc_perplexity,
+    perplexity_bucket_cutoffs,
     token_bigram_lm,
     token_frequency_spectrum,
 )
@@ -27,6 +37,11 @@ from fxblue_etl_spark.plans.behavior import (
     rfm_segmentation,
     rolling_active_users,
     type_correlation_stats,
+)
+from fxblue_etl_spark.plans.behavior import attribution_first_last
+from fxblue_etl_spark.plans.profiling import (
+    benford_first_digit,
+    pareto_frontier_parts,
 )
 from fxblue_etl_spark.plans.stats import equidepth_histogram
 
@@ -51,6 +66,18 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         ivf_multiprobe_topk,
         split_decontaminate,
         rolling_active_users,
+        # round-4 in-round widening: same discipline
+        embedding_gram_matrix,
+        pq_adc_topk,
+        perplexity_bucket_cutoffs,
+        bpe_merge_topk,
+        cross_split_lm_eval,
+        tokenizer_fertility,
+        weighted_priority_sample,
+        temperature_sweep,
+        benford_first_digit,
+        pareto_frontier_parts,
+        attribution_first_last,
     ],
     ids=lambda q: q.__name__,
 )
