@@ -183,6 +183,7 @@ _R4_NEW: list[str] = [
     "media_frame_schedule",
     "media_dedup_exact",
     "temperature_sweep",
+    "pyds_stream_sink_roundtrip",
 ]
 
 

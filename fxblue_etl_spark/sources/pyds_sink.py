@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -138,6 +139,9 @@ class JsonlShardDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlManifestReader:
         return JsonlManifestReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlStreamShardWriter(self.options)
 
 
 def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,12 +293,182 @@ def pyds_manifest_reader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+class JsonlStreamShardWriter(DataSourceStreamWriter):
+    """Streaming half of the sink (Spark 4 ``DataSourceStreamWriter``):
+    per micro-batch, each partition task writes one uniquely-named
+    shard and returns its commit message; the driver's
+    ``commit(messages, batchId)`` publishes ``_BATCH-<id>.json``
+    naming that epoch's shards — readers take the union of batch
+    manifests, so partially-written epochs (abort path deletes their
+    shards) are never visible.  Exactly-once composes from this
+    manifest protocol + the file source's checkpointed offsets."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards stream sink requires 'path'")
+        self.columns = json.loads(options.get("columns_json", "[]"))
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(
+            self.path, f"epoch-shard-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(shard, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                if self.columns:
+                    d = {c: d[c] for c in self.columns}
+                fh.write(json.dumps(d, ensure_ascii=False, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return ShardCommit(shard, n)
+
+    def commit(self, messages, batchId):
+        shards = sorted(
+            (
+                {"path": m.shard_path, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ),
+            key=lambda s: s["path"],
+        )
+        manifest = {
+            "batch_id": batchId,
+            "n_shards": len(shards),
+            "n_rows": sum(s["n_rows"] for s in shards),
+            "shards": shards,
+        }
+        tmp = os.path.join(self.path, f"._BATCH-{batchId}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, f"_BATCH-{batchId}.json"))
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and os.path.exists(m.shard_path):
+                os.remove(m.shard_path)
+
+
+def committed_stream_shards(out_dir: str) -> list[str]:
+    """Union of every batch manifest's shard paths — the reader-side
+    half of the streaming commit protocol (orphans invisible)."""
+    import glob as _glob
+
+    shards: list[str] = []
+    for mf in sorted(_glob.glob(os.path.join(out_dir, "_BATCH-*.json"))):
+        with open(mf, encoding="utf-8") as fh:
+            shards.extend(s["path"] for s in json.load(fh)["shards"])
+    return shards
+
+
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the events stream into the custom STREAMING sink, plant
+    an orphan shard (a crashed epoch's leftover), read back only the
+    batch-manifest-committed shards, and certify conservation against
+    the source table — the streaming writer quadrant of the Python
+    DataSource surface (reader/writer × batch/streaming)."""
+    import shutil
+
+    from ..session import tune
+    from ..streaming.pipelines import events_stream
+
+    tune(spark)
+    spark.dataSource.register(JsonlShardDataSource)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/pyds_stream_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    s = events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("text"),
+    )
+    import uuid
+
+    q = (
+        s.writeStream.format("jsonl_shards")
+        .option("path", out_dir)
+        .option("columns_json", json.dumps(["doc_id", "lang", "text"]))
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(
+        os.path.join(out_dir, "epoch-shard-99999-orphan.jsonl"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        fh.write('{"doc_id": 999999999, "lang": "xx", "text": "orphan"}\n')
+
+    shards = committed_stream_shards(out_dir)
+    assert shards, "stream sink committed no shards"
+    back = spark.read.schema("doc_id long, lang string, text string").json(
+        shards
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_total"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+                            F.coalesce("lang", F.lit("<null>")),
+                            F.coalesce("text", F.lit("<null>")),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("content_sum"),
+    )
+
+
+def _stream_roundtrip_oracle() -> str:
+    from ..operators.dedup import _hex8_sql
+
+    h = _hex8_sql(
+        "md5(coalesce(CAST(event_id AS VARCHAR), '<null>') || '|' "
+        "|| coalesce(event_type, '<null>') || '|' || coalesce(props, '<null>'))",
+        1,
+    )
+    return f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT event_id) AS n_docs,
+       CAST(sum(len(props)) AS BIGINT) AS n_chars_total,
+       CAST(sum({h}) AS BIGINT) AS content_sum
+FROM events
+"""
+
+
+PYDS_STREAM_ROUNDTRIP_ORACLE = _stream_roundtrip_oracle()
+
+
 QUERIES = {
     "pyds_jsonl_sink_roundtrip": pyds_jsonl_sink_roundtrip,
     "pyds_manifest_reader_roundtrip": pyds_manifest_reader_roundtrip,
+    "pyds_stream_sink_roundtrip": pyds_stream_sink_roundtrip,
 }
 
 ORACLES = {
     "pyds_jsonl_sink_roundtrip": PYDS_ROUNDTRIP_ORACLE,
     "pyds_manifest_reader_roundtrip": PYDS_ROUNDTRIP_ORACLE,
+    "pyds_stream_sink_roundtrip": PYDS_STREAM_ROUNDTRIP_ORACLE,
 }

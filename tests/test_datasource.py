@@ -124,3 +124,66 @@ def test_pyds_sink_manifest_and_shards(spark, sf_dir):
     assert sum(s["n_rows"] for s in manifest["shards"]) == n_docs
     for s in manifest["shards"]:
         assert os.path.exists(s["path"])
+
+
+def test_stream_sink_per_batch_manifests_and_orphan_invisible(spark, sf_dir, tmp_path):
+    """4 micro-batches through the custom streaming sink must publish
+    one batch manifest each; the manifest-union read equals the full
+    table even with an orphan shard on disk."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.sources.pyds_sink import (
+        JsonlShardDataSource,
+        committed_stream_shards,
+    )
+
+    spark.dataSource.register(JsonlShardDataSource)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("text"),
+    )
+    staged = tmp_path / "in4"
+    staged.mkdir()
+    for i in range(4):
+        part = tmp_path / f"s{i}"
+        ev.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(str(part))
+        (src,) = part.glob("part-*.parquet")
+        shutil.copyfile(src, staged / f"{i:02d}.parquet")
+
+    out_dir = str(tmp_path / "sink")
+    schema = spark.read.parquet(str(staged)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staged))
+        .writeStream.format("jsonl_shards")
+        .option("path", out_dir)
+        .option("columns_json", json.dumps(["doc_id", "lang", "text"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import glob as _glob
+    import os
+
+    manifests = sorted(_glob.glob(os.path.join(out_dir, "_BATCH-*.json")))
+    assert len(manifests) == 4, manifests
+    with open(os.path.join(out_dir, "epoch-shard-zz-orphan.jsonl"), "w") as fh:
+        fh.write('{"doc_id": -1, "lang": "xx", "text": "orphan"}\n')
+
+    shards = committed_stream_shards(out_dir)
+    back = spark.read.schema("doc_id long, lang string, text string").json(shards)
+    assert back.count() == ev.count()
+    assert back.filter(F.col("doc_id") == -1).count() == 0
+    n_manifest_rows = 0
+    for mf in manifests:
+        with open(mf) as fh:
+            n_manifest_rows += json.load(fh)["n_rows"]
+    assert n_manifest_rows == ev.count()
