@@ -184,6 +184,8 @@ _R4_NEW: list[str] = [
     "media_dedup_exact",
     "temperature_sweep",
     "pyds_stream_sink_roundtrip",
+    "corrupt_file_tolerant_read",
+    "pandas_api_lang_stats",
 ]
 
 

@@ -234,12 +234,51 @@ FROM events GROUP BY 1
 """
 
 
+def pandas_api_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API-on-Spark (`pyspark.pandas`) surface demonstration:
+    the per-language corpus profile written as a pandas groupby-agg —
+    same Catalyst plan underneath (`to_spark()` exposes it), so a
+    pandas-fluent user gets distributed execution without learning
+    the DataFrame API.  Emitted columns re-derive integer-exact stats
+    so the DuckDB oracle binds; the distributed default index keeps
+    the conversion shuffle-free."""
+    import pyspark.pandas as ps
+
+    tune(spark)
+    ps.set_option("compute.default_index_type", "distributed")
+    pdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        pdf.groupby("lang")
+        .agg(n_docs=("doc_id", "count"), chars_sum=("n_chars", "sum"))
+        .reset_index()
+    )
+    out = g.to_spark()
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chars_sum").cast("long").alias("chars_sum"),
+        F.expr(
+            "CAST(CAST(chars_sum AS DECIMAL(38,0)) DIV n_docs AS BIGINT)"
+        ).alias("mean_chars_floor"),
+    )
+
+
+PANDAS_API_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(CAST(sum(n_chars) AS HUGEINT) // count(*) AS BIGINT)
+         AS mean_chars_floor
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
     "udtf_token_explode": udtf_token_explode,
     "arrow_udf_order_tier": arrow_udf_order_tier,
     "arrow_grouped_value_stats": arrow_grouped_value_stats,
+    "pandas_api_lang_stats": pandas_api_lang_stats,
 }
 
 ORACLES = {
@@ -248,4 +287,5 @@ ORACLES = {
     "udtf_token_explode": UDTF_ORACLE,
     "arrow_udf_order_tier": ARROW_UDF_ORACLE,
     "arrow_grouped_value_stats": ARROW_GROUPED_ORACLE,
+    "pandas_api_lang_stats": PANDAS_API_ORACLE,
 }

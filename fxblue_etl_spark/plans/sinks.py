@@ -406,6 +406,65 @@ FROM orders
 """
 
 
+def corrupt_file_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE error tolerance at the parquet layer — the columnar
+    analogue of the reference's per-file CSV tolerance (SURVEY F5,
+    `CSV PARSER/gcp_csv.py:86-88`) and of the JSONL corrupt-record
+    quarantine: a landing directory holds three good shards and one
+    truncated/garbage file (a crashed writer's leftover); with
+    ``spark.sql.files.ignoreCorruptFiles`` the scan survives and
+    yields exactly the good shards' rows, certified by checksum
+    against the source table.
+
+    Scale: corruption tolerance is per-split, so one bad file never
+    fails the 100 TB scan; the skipped-file count surfaces via the
+    row-count delta a DQ gate would alarm on."""
+    import os
+    import shutil
+
+    from ..io import table
+
+    tune(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/corrupt_read_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for i in range(3):
+        part = f"{out_dir}/stage_{i}"
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(part)
+        (src,) = [
+            f for f in os.listdir(part) if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        shutil.copyfile(os.path.join(part, src), f"{out_dir}/good-{i}.parquet")
+        shutil.rmtree(part)
+    with open(f"{out_dir}/bad-trunc.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+
+    # per-read OPTION, not a session conf: the returned frame is lazy,
+    # so a conf set-then-restore here would be unwound before the
+    # driver ever runs the scan
+    back = (
+        spark.read.schema("doc_id long, n_chars long")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(out_dir)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+CORRUPT_TOLERANT_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+"""
+
+
 QUERIES = {
     "partitioned_sink_roundtrip": partitioned_sink_roundtrip,
     "dpp_monthly_join": dpp_monthly_join,
@@ -414,6 +473,7 @@ QUERIES = {
     "csv_sink_roundtrip": csv_sink_roundtrip,
     "dynamic_partition_backfill": dynamic_partition_backfill,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
+    "corrupt_file_tolerant_read": corrupt_file_tolerant_read,
 }
 
 ORACLES = {
@@ -424,4 +484,5 @@ ORACLES = {
     "csv_sink_roundtrip": CSV_ROUNDTRIP_ORACLE,
     "dynamic_partition_backfill": DPO_BACKFILL_ORACLE,
     "schema_evolution_roundtrip": SCHEMA_EVO_ORACLE,
+    "corrupt_file_tolerant_read": CORRUPT_TOLERANT_ORACLE,
 }

@@ -462,3 +462,31 @@ def test_temperature_sweep_samples_are_nested(spark, sf_dir):
         assert d[25]["p_ppm"] >= d[50]["p_ppm"] >= d[75]["p_ppm"]
         assert d[25]["n_sampled"] >= d[50]["n_sampled"] >= d[75]["n_sampled"]
         assert all(r["n_sampled"] <= r["n_in"] for r in d.values())
+
+
+def test_corrupt_tolerant_read_skips_only_the_bad_file(spark, sf_dir):
+    from fxblue_etl_spark.plans.sinks import corrupt_file_tolerant_read
+
+    (row,) = corrupt_file_tolerant_read(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert row["n_rows"] == docs.count()
+    assert row["id_sum"] == docs.selectExpr("sum(doc_id)").collect()[0][0]
+
+
+def test_pandas_api_matches_dataframe_groupby(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.functions.udfs import pandas_api_lang_stats
+
+    got = {r["lang"]: r for r in pandas_api_lang_stats(spark, sf_dir).collect()}
+    want = {
+        r["lang"]: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for lang, r in got.items():
+        assert (r["n_docs"], r["chars_sum"]) == (want[lang]["n"], want[lang]["s"])
+        assert r["mean_chars_floor"] == r["chars_sum"] // r["n_docs"]
