@@ -186,6 +186,7 @@ _R4_NEW: list[str] = [
     "pyds_stream_sink_roundtrip",
     "corrupt_file_tolerant_read",
     "pandas_api_lang_stats",
+    "corpus_release_manifest",
 ]
 
 

@@ -405,14 +405,94 @@ FROM deduped
 RAG_CORPUS_ORACLE = _rag_oracle()
 
 
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-gate manifest a pretraining-data drop ships with:
+    ONE row assembling the certified pipeline stages — raw corpus
+    mass, the cleaned/deduped survivor stats (`llm_corpus_prep`),
+    leak-free split accounting with its zero-straddle certificate
+    (`split_decontaminate`), the mixture budget actually apportioned
+    (`mixture_allocation`), and the corpus-wide tokenizer fertility.
+    Every number is the aggregate of an independently oracle-checked
+    operator, so the manifest is end-to-end certified by
+    construction; a regression in ANY stage flips this single row.
+
+    Scale: each component keeps its own plan; the manifest adds four
+    1-row aggregates crossJoin-broadcast together."""
+    from ..io import table
+    from ..operators.corpusops import mixture_allocation, tokenizer_fertility
+    from ..operators.graph import split_decontaminate
+
+    tune(spark)
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.agg(
+        F.count("*").alias("raw_docs"),
+        F.sum("n_chars").cast("long").alias("raw_chars"),
+    )
+    prep = llm_corpus_prep(spark, sf_dir).agg(
+        F.sum("n_docs").cast("long").alias("kept_docs"),
+        F.sum("n_tokens_total").cast("long").alias("kept_tokens"),
+        F.count("*").alias("kept_langs"),
+    )
+    split = split_decontaminate(spark, sf_dir).agg(
+        F.count("*").alias("n_splits"),
+        F.sum("n_docs").cast("long").alias("split_docs"),
+        F.sum("n_straddling_groups").cast("long").alias("straddling_groups"),
+    )
+    mix = mixture_allocation(spark, sf_dir).agg(
+        F.count("*").alias("budget_langs"),
+        F.sum("final_quota").cast("long").alias("budget_allocated"),
+    )
+    fert = tokenizer_fertility(spark, sf_dir).agg(
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(char_sum)"
+            " DIV greatest(sum(tok_sum), 1) AS BIGINT)"
+        ).alias("corpus_chars_per_tok_ppm")
+    )
+    out = raw
+    for piece in (prep, split, mix, fert):
+        out = out.crossJoin(F.broadcast(piece))
+    return out
+
+
+def _release_manifest_oracle() -> str:
+    from ..operators.corpusops import MIXTURE_ORACLE, TOKENIZER_FERTILITY_ORACLE
+    from ..operators.graph import SPLIT_DECON_ORACLE
+
+    return f"""
+SELECT *
+FROM (SELECT count(*) AS raw_docs, CAST(sum(n_chars) AS BIGINT) AS raw_chars
+      FROM documents),
+     (SELECT CAST(sum(n_docs) AS BIGINT) AS kept_docs,
+             CAST(sum(n_tokens_total) AS BIGINT) AS kept_tokens,
+             count(*) AS kept_langs
+      FROM ({LLM_CORPUS_ORACLE})),
+     (SELECT count(*) AS n_splits,
+             CAST(sum(n_docs) AS BIGINT) AS split_docs,
+             CAST(sum(n_straddling_groups) AS BIGINT) AS straddling_groups
+      FROM ({SPLIT_DECON_ORACLE})),
+     (SELECT count(*) AS budget_langs,
+             CAST(sum(final_quota) AS BIGINT) AS budget_allocated
+      FROM ({MIXTURE_ORACLE})),
+     (SELECT CAST(CAST(1000000 AS HUGEINT) * sum(char_sum)
+                  // greatest(sum(tok_sum), 1) AS BIGINT)
+               AS corpus_chars_per_tok_ppm
+      FROM ({TOKENIZER_FERTILITY_ORACLE}))
+"""
+
+
+RELEASE_MANIFEST_ORACLE = _release_manifest_oracle()
+
+
 QUERIES = {
     "training_shard_roundtrip": training_shard_roundtrip,
     "llm_corpus_prep": llm_corpus_prep,
     "rag_corpus_prep": rag_corpus_prep,
+    "corpus_release_manifest": corpus_release_manifest,
 }
 
 ORACLES = {
     "llm_corpus_prep": LLM_CORPUS_ORACLE,
     "training_shard_roundtrip": TRAINING_SHARD_ORACLE,
     "rag_corpus_prep": RAG_CORPUS_ORACLE,
+    "corpus_release_manifest": RELEASE_MANIFEST_ORACLE,
 }

@@ -490,3 +490,27 @@ def test_pandas_api_matches_dataframe_groupby(spark, sf_dir):
     for lang, r in got.items():
         assert (r["n_docs"], r["chars_sum"]) == (want[lang]["n"], want[lang]["s"])
         assert r["mean_chars_floor"] == r["chars_sum"] // r["n_docs"]
+
+
+def test_release_manifest_assembles_component_truth(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.operators.corpusops import mixture_allocation
+    from fxblue_etl_spark.operators.graph import split_decontaminate
+    from fxblue_etl_spark.plans.corpus import (
+        corpus_release_manifest,
+        llm_corpus_prep,
+    )
+
+    (row,) = corpus_release_manifest(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert row["raw_docs"] == docs.count()
+    assert row["straddling_groups"] == 0  # the leak-free certificate
+    assert row["n_splits"] == 3
+    assert row["split_docs"] == row["raw_docs"]  # every doc lands in a split
+    assert 0 < row["kept_docs"] <= row["raw_docs"]
+    prep = llm_corpus_prep(spark, sf_dir).agg(F.sum("n_docs")).collect()[0][0]
+    assert row["kept_docs"] == prep
+    mix = mixture_allocation(spark, sf_dir).agg(F.sum("final_quota")).collect()[0][0]
+    assert row["budget_allocated"] == mix
+    assert 1_000_000 < row["corpus_chars_per_tok_ppm"] < 100_000_000
