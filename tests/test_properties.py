@@ -231,3 +231,51 @@ def test_pii_scrub_is_idempotent(spark, texts):
     ).select("doc_id", "once", scrub(F.col("once")).alias("twice")).collect()
     for r in rows:
         assert r["once"] == r["twice"], r
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user_id (collisions)
+        st.integers(min_value=0, max_value=50),  # ts offset seconds
+        st.sampled_from(["view", "click", "buy"]),
+    ),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+
+@given(rows=events_strategy, seed=st.randoms())
+@settings(**SETTINGS)
+def test_collapse_runs_is_arrival_order_insensitive(spark, rows, seed):
+    """`_collapse_runs` (the CDC→SCD2 batch kernel) must produce the
+    same run set no matter how the batch's rows arrive: the collapse
+    sorts on (ts, event_id), so any shuffle of the input is
+    equivalent."""
+    from fxblue_etl_spark.streaming.pipelines import _collapse_runs
+
+    def build(order):
+        data = [
+            (u, datetime(2024, 1, 1, 0, 0, t), i, et)
+            for i, (u, t, et) in enumerate(order)
+        ]
+        df = spark.createDataFrame(
+            data, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        return sorted(map(tuple, _collapse_runs(df).collect()))
+
+    base = build(rows)
+    shuffled = rows[:]
+    seed.shuffle(shuffled)
+    # event_id must stay attached to the same logical event
+    ids = {r: i for i, r in enumerate(rows)}
+    data = [
+        (u, datetime(2024, 1, 1, 0, 0, t), ids[(u, t, et)], et)
+        for (u, t, et) in shuffled
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    from fxblue_etl_spark.streaming.pipelines import _collapse_runs as cr
+
+    assert sorted(map(tuple, cr(df).collect())) == base
