@@ -187,6 +187,8 @@ _R4_NEW: list[str] = [
     "corrupt_file_tolerant_read",
     "pandas_api_lang_stats",
     "corpus_release_manifest",
+    "session_window_native",
+    "shuffle_hash_segment_revenue",
 ]
 
 

@@ -167,6 +167,64 @@ GROUP BY user_id, session_seq
 """
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN batch ``session_window`` aggregation over the same
+    30-minute inactivity gap as the hand-rolled `sessionize_events` —
+    the two formulations certify each other: identical event→session
+    assignment, with the native form emitting the engine-computed
+    session bounds instead of a running sequence number.
+
+    Scale: single shuffle on (user_id, session merge) — Spark merges
+    adjacent session fragments in the aggregation itself, no window
+    pass at all."""
+    e = table(tune(spark), sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e4))
+            .cast("long")
+            .alias("session_value_e4"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value_e4",
+        )
+    )
+
+
+#: the oracle re-derives the same sessions via gaps-and-islands —
+#: DuckDB has no session_window, which is exactly why both
+#: formulations exist
+SESSION_WINDOW_NATIVE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+         AS session_value_e4
+FROM sess
+GROUP BY user_id, seq
+"""
+
+
 def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap distribution per event type: the statistic
     that justifies a sessionization gap threshold. Per-user
@@ -338,6 +396,7 @@ QUERIES = {
     "w1_locf_snapshots": w1_locf_snapshots,
     "w2_keep_one_per_key": w2_keep_one_per_key,
     "sessionize_events": sessionize_events,
+    "session_window_native": session_window_native,
     "interarrival_gaps": interarrival_gaps,
     "session_paths": session_paths,
     "traffic_seasonality": traffic_seasonality,
@@ -347,6 +406,7 @@ ORACLES = {
     "w1_locf_snapshots": W1_ORACLE,
     "w2_keep_one_per_key": W2_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
+    "session_window_native": SESSION_WINDOW_NATIVE_ORACLE,
     "interarrival_gaps": INTERARRIVAL_ORACLE,
     "session_paths": SESSION_PATHS_ORACLE,
     "traffic_seasonality": TRAFFIC_SEASONALITY_ORACLE,

@@ -383,6 +383,39 @@ SELECT 'intersect_all' AS op, v, count(*) AS n FROM ix GROUP BY 1, 2
 """
 
 
+def shuffle_hash_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy CONTROL demonstration: the same orders⋈customer
+    aggregate forced onto ``SHUFFLE_HASH`` — the strategy that wins
+    when the build side is too big to broadcast but small enough to
+    hash per-task, avoiding sort-merge's two sorts.  Result is
+    strategy-independent (the oracle certifies values); the physical
+    plan is pinned by `tests/test_r4b_ops.py`, which asserts a
+    ``ShuffledHashJoin`` node and value-equality with the unhinted
+    plan.  At 100 TB, picking this per-join is the difference between
+    a sort-spill and a straight hash probe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("SHUFFLE_HASH"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("revenue_e2"),
+        )
+    )
+
+
+SHUFFLE_HASH_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e2
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 # ── Rollup / cube / grouping sets ────────────────────────────────────────
 
 def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +682,7 @@ QUERIES = {
     "anti_customers_no_orders": anti_customers_no_orders,
     "setop_active_nations": setop_active_nations,
     "setop_multiset_priorities": setop_multiset_priorities,
+    "shuffle_hash_segment_revenue": shuffle_hash_segment_revenue,
     "rollup_returns": rollup_returns,
     "cube_order_status": cube_order_status,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -670,6 +704,7 @@ ORACLES = {
     "anti_customers_no_orders": ANTI_ORACLE,
     "setop_active_nations": SETOP_ORACLE,
     "setop_multiset_priorities": SETOP_MULTISET_ORACLE,
+    "shuffle_hash_segment_revenue": SHUFFLE_HASH_ORACLE,
     "rollup_returns": ROLLUP_ORACLE,
     "cube_order_status": CUBE_ORACLE,
     "topk_orders_per_customer": TOPK_ORACLE,

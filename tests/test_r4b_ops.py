@@ -514,3 +514,43 @@ def test_release_manifest_assembles_component_truth(spark, sf_dir):
     mix = mixture_allocation(spark, sf_dir).agg(F.sum("final_quota")).collect()[0][0]
     assert row["budget_allocated"] == mix
     assert 1_000_000 < row["corpus_chars_per_tok_ppm"] < 100_000_000
+
+
+def test_session_window_native_matches_handrolled(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.operators.windows import (
+        session_window_native,
+        sessionize_events,
+    )
+
+    native = session_window_native(spark, sf_dir).collect()
+    hand = sessionize_events(spark, sf_dir).collect()
+    # same partitioning of events into sessions: identical multiset of
+    # (user, n_events, value) session signatures and session starts
+    key = lambda rows: sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value_e4"])
+        for r in rows
+    )
+    assert key(native) == key(hand)
+
+
+def test_shuffle_hash_hint_changes_plan_not_values(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.relational import shuffle_hash_segment_revenue
+
+    hinted = shuffle_hash_segment_revenue(spark, sf_dir)
+    assert "ShuffledHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("revenue_e2"),
+        )
+    )
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, plain.collect()))
