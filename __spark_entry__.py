@@ -189,6 +189,7 @@ _R4_NEW: list[str] = [
     "corpus_release_manifest",
     "session_window_native",
     "shuffle_hash_segment_revenue",
+    "knn_label_eval",
 ]
 
 

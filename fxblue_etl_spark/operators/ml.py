@@ -965,6 +965,116 @@ WHERE rank <= 5
 """
 
 
+#: neighbors consulted by the k-NN label probe
+KNN_K = 5
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label probe — the standard representation-quality eval:
+    every probe vector (vec_id % 25 == 0) is classified by the
+    majority label of its K=5 exact nearest neighbors (e3-grid
+    integer distance, self excluded) and compared with its own label;
+    the report is per-true-label accuracy in exact ppm.  High probe
+    accuracy ⇒ the embedding space clusters by label ⇒ it is safe to
+    use for dedup/retrieval.
+
+    Determinism: distances are exact int64; majority + tiebreak packs
+    as ``votes·1024 + (1023 − label)`` so ``max`` alone is argmax with
+    lowest-label ties — no struct-max the oracle can't express.
+
+    Scale: probe set broadcast against the corpus scan (the honest
+    full-scan eval; IVF/PQ composition prunes it exactly as in
+    `quantized_ivf_topk`); everything after top-K is probe-sized."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+    )
+    base = emb.select("vec_id", "label", qv.alias("q"))
+    probes = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("q").alias("pq"),
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "pq", lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = base.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id", "true_label", "label", dist.alias("d"), "vec_id"
+    )
+    w = Window.partitionBy("probe_id").orderBy("d", "vec_id")
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("probe_id", "true_label", "label").agg(
+        F.count("*").alias("votes")
+    )
+    pred = (
+        votes.withColumn(
+            "key", F.col("votes") * 1024 + (1023 - F.col("label"))
+        )
+        .groupBy("probe_id", "true_label")
+        .agg(F.max("key").alias("k"))
+        .select(
+            "probe_id",
+            "true_label",
+            (1023 - F.col("k") % 1024).cast("int").alias("pred_label"),
+        )
+    )
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n_probes"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        ).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
+
+
+KNN_LABEL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, label AS true_label, q AS pq
+  FROM base WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT p.probe_id, p.true_label, b.label, b.vec_id,
+         list_sum(list_transform(range(1, len(b.q) + 1),
+             i -> (b.q[i] - p.pq[i]) * (b.q[i] - p.pq[i]))) AS d
+  FROM base b JOIN probes p ON b.vec_id != p.probe_id),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY d, vec_id) AS rn
+    FROM pairs)
+  WHERE rn <= {KNN_K}),
+votes AS (
+  SELECT probe_id, true_label, label, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3),
+pred AS (
+  SELECT probe_id, true_label,
+         CAST(1023 - max(votes * 1024 + (1023 - label)) % 1024 AS INT)
+           AS pred_label
+  FROM votes GROUP BY 1, 2)
+SELECT true_label, count(*) AS n_probes,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(CAST(1000000 AS HUGEINT)
+            * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS acc_ppm
+FROM pred GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -978,6 +1088,7 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
+    "knn_label_eval": knn_label_eval,
 }
 
 ORACLES = {
@@ -993,4 +1104,5 @@ ORACLES = {
     "embedding_gram_matrix": GRAM_ORACLE,
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
+    "knn_label_eval": KNN_LABEL_ORACLE,
 }

@@ -554,3 +554,38 @@ def test_shuffle_hash_hint_changes_plan_not_values(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_knn_label_eval_matches_numpy(spark, sf_dir):
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.ml import KNN_K, knn_label_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r["vec_id"]: (
+            np.floor(np.asarray(r["embedding"], np.float64) * 1e3).astype(np.int64),
+            r["label"],
+        )
+        for r in emb
+    }
+    per_label = Counter()
+    correct = Counter()
+    for pid, (pq, true) in vecs.items():
+        if pid % 25 != 0:
+            continue
+        d = sorted(
+            (int(np.sum((q - pq) ** 2)), vid)
+            for vid, (q, _) in vecs.items()
+            if vid != pid
+        )
+        votes = Counter(vecs[vid][1] for _, vid in d[:KNN_K])
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        per_label[true] += 1
+        if best == true:
+            correct[true] += 1
+    rows = {r["true_label"]: r for r in knn_label_eval(spark, sf_dir).collect()}
+    assert {k: v["n_probes"] for k, v in rows.items()} == dict(per_label)
+    for label, r in rows.items():
+        assert r["n_correct"] == correct[label]
+        assert r["acc_ppm"] == 1_000_000 * r["n_correct"] // r["n_probes"]
