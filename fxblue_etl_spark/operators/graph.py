@@ -519,7 +519,10 @@ def _doc_groups_sql() -> str:
     from .dedup import MINHASH_ORACLE
 
     return f"""
-pairs AS (
+pairs AS MATERIALIZED (
+  -- MATERIALIZED: the recursive closure references edges→pairs every
+  -- superstep; without the pin DuckDB re-runs the whole minhash
+  -- chain per iteration (90s → ~15s at sf0.1)
   SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) WHERE jaccard >= {DECON_J}),
 edges(s, d) AS (
   SELECT doc_a, doc_b FROM pairs
