@@ -190,6 +190,7 @@ _R4_NEW: list[str] = [
     "session_window_native",
     "shuffle_hash_segment_revenue",
     "knn_label_eval",
+    "udtf_null_profile",
 ]
 
 

@@ -234,6 +234,69 @@ FROM events GROUP BY 1
 """
 
 
+def udtf_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with TABLE() input and ``terminate()`` partials —
+    the §2.12 piece the row-wise `udtf_token_explode` doesn't touch:
+    each partition's UDTF instance accumulates per-column null/row
+    counts in ``eval`` and emits ONE summary row per column from
+    ``terminate``; an ordinary outer GROUP BY merges the partials.
+    That is the map-side-combine shape expressed through the UDTF
+    API — partition-local state, mergeable output, no per-row rows.
+
+    Certified against plain per-column count aggregates."""
+    from pyspark.sql.functions import udtf
+
+    from ..io import table
+    from ..session import tune
+
+    @udtf(returnType="col_name string, n_rows long, n_nulls long")
+    class NullProfile:
+        def __init__(self):
+            self.n = 0
+            self.nulls: dict[str, int] = {}
+
+        def eval(self, row):
+            self.n += 1
+            for c in row.__fields__:
+                if row[c] is None:
+                    self.nulls[c] = self.nulls.get(c, 0) + 1
+                else:
+                    self.nulls.setdefault(c, 0)
+
+        def terminate(self):
+            for c, n_null in self.nulls.items():
+                yield c, self.n, n_null
+
+    tune(spark)
+    spark.udtf.register("null_profile", NullProfile)
+    table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    ).createOrReplaceTempView("events_np")
+    return spark.sql(
+        """
+        SELECT col_name,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_nulls) AS BIGINT) AS n_nulls
+        FROM null_profile(TABLE(events_np))
+        GROUP BY col_name
+        """
+    )
+
+
+UDTF_NULL_PROFILE_ORACLE = """
+SELECT 'event_id' AS col_name, count(*) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls FROM events
+UNION ALL
+SELECT 'user_id', count(*), CAST(count(*) - count(user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', count(*), CAST(count(*) - count(event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', count(*), CAST(count(*) - count(value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', count(*), CAST(count(*) - count(props) AS BIGINT) FROM events
+"""
+
+
 def pandas_api_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas-API-on-Spark (`pyspark.pandas`) surface demonstration:
     the per-language corpus profile written as a pandas groupby-agg —
@@ -279,6 +342,7 @@ QUERIES = {
     "arrow_udf_order_tier": arrow_udf_order_tier,
     "arrow_grouped_value_stats": arrow_grouped_value_stats,
     "pandas_api_lang_stats": pandas_api_lang_stats,
+    "udtf_null_profile": udtf_null_profile,
 }
 
 ORACLES = {
@@ -288,4 +352,5 @@ ORACLES = {
     "arrow_udf_order_tier": ARROW_UDF_ORACLE,
     "arrow_grouped_value_stats": ARROW_GROUPED_ORACLE,
     "pandas_api_lang_stats": PANDAS_API_ORACLE,
+    "udtf_null_profile": UDTF_NULL_PROFILE_ORACLE,
 }

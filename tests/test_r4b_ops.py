@@ -589,3 +589,29 @@ def test_knn_label_eval_matches_numpy(spark, sf_dir):
     for label, r in rows.items():
         assert r["n_correct"] == correct[label]
         assert r["acc_ppm"] == 1_000_000 * r["n_correct"] // r["n_probes"]
+
+
+def test_observation_metrics_match_collected_aggregates(spark, sf_dir):
+    """Spark's Observation API: metrics piggyback on a real action
+    with NO extra job — the cheap per-batch row/mass counters a
+    production pipeline exports. Certified against a direct agg."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from fxblue_etl_spark.io import table
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("rev_e2"),
+    )
+    n_collected = observed.count()
+    got = obs.get
+    want = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("s"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n"] == n_collected
+    assert got["rev_e2"] == want["s"]
