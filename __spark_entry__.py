@@ -191,6 +191,7 @@ _R4_NEW: list[str] = [
     "shuffle_hash_segment_revenue",
     "knn_label_eval",
     "udtf_null_profile",
+    "streaming_interval_join_outer",
 ]
 
 

@@ -534,6 +534,90 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: purchases that saw NO
+    view in the preceding 6 hours still emit — null-padded — but only
+    once the view-side watermark has passed their event time (no
+    future view can match).  That timing rule is the semantic
+    difference vs the batch LEFT JOIN, and the oracle models it
+    explicitly: unmatched purchases emit iff ``p_ts ≤ final
+    watermark`` (ms-truncated, 1 h delay), exactly Spark's state-
+    expiry rule; matched pairs emit regardless.
+
+    State bound: identical to the inner variant — watermark + 6 h of
+    both streams."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
+        "left_outer",
+    )
+    out = run_to_table(joined, "append")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.col("view_id").isNull().alias("unmatched"),
+    )
+
+
+INTERVAL_JOIN_OUTER_ORACLE = """
+WITH wm AS (
+  -- the GLOBAL watermark is the min of the two sides' watermarks:
+  -- each side only sees its own filtered events
+  SELECT least(
+           (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+            WHERE event_type = 'purchase'),
+           (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+            WHERE event_type = 'view')) - 3600000000 AS wm_us),
+matched AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS purchase_ts_us,
+         v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 6 HOUR
+   AND v.event_type = 'view'
+  WHERE p.event_type = 'purchase')
+SELECT purchase_id, user_id, purchase_ts_us, view_id, view_ts_us,
+       FALSE AS unmatched
+FROM matched
+UNION ALL
+SELECT p.event_id, p.user_id, epoch_us(p.ts),
+       NULL, NULL, TRUE
+FROM events p, wm
+WHERE p.event_type = 'purchase'
+  AND epoch_us(p.ts) <= wm.wm_us
+  AND NOT EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 6 HOUR)
+"""
+
+
 def streaming_csv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed merge: stream micro-batches are upserted
     into a target with merge_upsert (K2) — the streaming sink analogue
@@ -1003,6 +1087,7 @@ QUERIES = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_cdc_scd2": streaming_cdc_scd2,
     "streaming_windowed_topk": streaming_windowed_topk,
+    "streaming_interval_join_outer": streaming_interval_join_outer,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1024,6 +1109,7 @@ ORACLES = {
     "streaming_ohlc_stateful": STREAMING_OHLC_ORACLE,
     "streaming_cdc_scd2": STREAMING_SCD2_ORACLE,
     "streaming_windowed_topk": STREAMING_TOPK_ORACLE,
+    "streaming_interval_join_outer": INTERVAL_JOIN_OUTER_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:
