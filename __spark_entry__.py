@@ -192,6 +192,7 @@ _R4_NEW: list[str] = [
     "knn_label_eval",
     "udtf_null_profile",
     "streaming_interval_join_outer",
+    "ann_recall_report",
 ]
 
 

@@ -1075,6 +1075,84 @@ FROM pred GROUP BY 1
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deploy decision table for the ANN surface: recall@5 of
+    every serving configuration — int8 full scan, single-probe IVF,
+    multi-probe IVF, PQ/ADC — against the exact float top-5, one row
+    per method in exact ppm.  This is the artifact that justifies a
+    cluster-pruned index at 100 TB: it quantifies exactly what each
+    pruning level costs in recall.
+
+    Each method is its own certified operator; this report only
+    intersects their outputs with the truth set (probe-sized joins).
+    Macro recall = hits / (5 · n_queries), integer-exact."""
+    from .similarity import ann_ivf_topk, cosine_topk_bruteforce
+
+    truth = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    nq = truth.select("query_id").distinct().count()
+    methods = {
+        "int8_full_scan": quantized_topk,
+        "ivf_single_probe": ann_ivf_topk,
+        "ivf_quantized": quantized_ivf_topk,
+        "ivf_multiprobe": ivf_multiprobe_topk,
+        "pq_adc": pq_adc_topk,
+    }
+    rows = []
+    for name, fn in methods.items():
+        m = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = m.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append((name, nq, hits))
+    out = spark.createDataFrame(
+        rows, "method string, n_queries long, hits long"
+    )
+    return out.select(
+        "method",
+        "n_queries",
+        "hits",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * hits"
+            " DIV (5 * n_queries) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from .similarity import ANN_IVF_ORACLE, COSINE_TOPK_ORACLE
+
+    def leg(name: str, method_sql: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       (SELECT count(DISTINCT query_id) FROM truth) AS n_queries,
+       (SELECT count(*) FROM ({method_sql}) m
+        JOIN truth t ON m.query_id = t.query_id
+                    AND m.neighbor_id = t.neighbor_id) AS hits"""
+
+    legs = " UNION ALL ".join(
+        leg(n, s)
+        for n, s in [
+            ("int8_full_scan", QUANTIZED_TOPK_ORACLE),
+            ("ivf_single_probe", ANN_IVF_ORACLE),
+            ("ivf_quantized", QUANTIZED_IVF_ORACLE),
+            ("ivf_multiprobe", IVF_MULTIPROBE_ORACLE),
+            ("pq_adc", PQ_ADC_ORACLE),
+        ]
+    )
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_ORACLE}))
+SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(CAST(1000000 AS HUGEINT) * hits // (5 * n_queries) AS BIGINT)
+         AS recall_ppm
+FROM ({legs})
+"""
+
+
+ANN_RECALL_ORACLE = _ann_recall_oracle()
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -1089,6 +1167,7 @@ QUERIES = {
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES = {
@@ -1105,4 +1184,5 @@ ORACLES = {
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,
+    "ann_recall_report": ANN_RECALL_ORACLE,
 }

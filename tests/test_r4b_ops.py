@@ -615,3 +615,23 @@ def test_observation_metrics_match_collected_aggregates(spark, sf_dir):
     ).collect()[0]
     assert got["n_rows"] == want["n"] == n_collected
     assert got["rev_e2"] == want["s"]
+
+
+def test_ann_recall_report_orders_methods_sanely(spark, sf_dir):
+    from fxblue_etl_spark.operators.ml import ann_recall_report
+
+    rows = {r["method"]: r for r in ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "int8_full_scan", "ivf_single_probe", "ivf_quantized",
+        "ivf_multiprobe", "pq_adc",
+    }
+    for r in rows.values():
+        assert 0 <= r["hits"] <= 5 * r["n_queries"]
+        assert r["recall_ppm"] == 1_000_000 * r["hits"] // (5 * r["n_queries"])
+    # the full int8 scan dominates every pruned configuration
+    full = rows["int8_full_scan"]["hits"]
+    for m in ("ivf_single_probe", "ivf_quantized", "pq_adc"):
+        assert rows[m]["hits"] <= full
+    # multi-probe never does worse than single-probe (same codes,
+    # strictly more clusters searched)
+    assert rows["ivf_multiprobe"]["hits"] >= rows["ivf_quantized"]["hits"]
