@@ -193,6 +193,7 @@ _R4_NEW: list[str] = [
     "udtf_null_profile",
     "streaming_interval_join_outer",
     "ann_recall_report",
+    "jl_sign_projection",
 ]
 
 

@@ -1153,6 +1153,125 @@ FROM ({legs})
 ANN_RECALL_ORACLE = _ann_recall_oracle()
 
 
+#: JL sketch output dimensionality (input is the fixture's 64 dims)
+JL_DIM = 16
+#: input embedding dimensionality (fixture contract, FIXTURES.md)
+JL_IN_DIM = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 sign matrix S[i][j] for the deterministic JL sketch, derived
+    from the parity of the first hex digit of ``md5("jl|i|j")`` — the
+    oracle rederives the identical matrix in SQL (DuckDB ``md5``), so
+    neither engine ships the other's literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(JL_DIM)
+        ]
+        for i in range(JL_IN_DIM)
+    ]
+
+
+def jl_sign_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson–Lindenstrauss sketch: project the 64-dim
+    embeddings onto JL_DIM ±1 sign vectors (Achlioptas' database-
+    friendly random projection), entirely in exact integer arithmetic
+    — the cheap dimensionality-reduction step in front of an ANN index
+    or a pairwise-distance sweep.
+
+    Each component is e6-quantized to int64 (floor of bit-identical
+    doubles, the repo's cross-engine rule), so every projection
+    ``y_j = Σ_i q_i·S[i][j]`` is an order-independent integer sum —
+    no IEEE summation-order hazard anywhere.  The JL guarantee shows
+    up as a certifiable statistic: for ±1 signs,
+    ``E[Σ_j y_j²] = JL_DIM · Σ_i q_i²``, so the emitted
+    ``norm_ratio_ppm`` concentrates around 1e6 (the property test
+    asserts the corpus mean lands within ±25%).
+
+    Scale shape: row-local map over the scan — no shuffle, no join,
+    no state; the sign matrix is a plan literal (64×16 ints), never a
+    broadcast.  Overflow headroom: |y_j| ≤ 64·|q|max ≈ 1.3e8 →
+    Σ y_j² ≤ 16·1.6e16 ≈ 2.6e17 < 2⁶³; the 1e6 premultiply runs in
+    DECIMAL(38,0) per the house rule.
+
+    Reference parity: beyond-reference LLM-pipeline surface
+    (BASELINE.json "similarity search"); complements ``pq_encode`` /
+    ``embedding_quantize`` as the third compression primitive."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    signs = _jl_signs()
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+    )
+    # explode-of-1-array materializes qv as an attribute: CollapseProject
+    # would otherwise re-inline the quantize tree into all 17 consumers
+    q = emb.select("vec_id", F.explode(F.array(qv)).alias("qv"))
+    ys = []
+    for j in range(JL_DIM):
+        sj = F.array(*[F.lit(signs[i][j]).cast("long") for i in range(JL_IN_DIM)])
+        ys.append(
+            F.aggregate(
+                F.zip_with(F.col("qv"), sj, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias(f"y{j}")
+        )
+    xsq = F.aggregate(
+        F.transform(F.col("qv"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("xsq")
+    p = q.select("vec_id", xsq, *ys)
+    ysq_sql = " + ".join(
+        f"CAST(y{j} AS DECIMAL(38,0)) * y{j}" for j in range(JL_DIM)
+    )
+    return p.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"y{j}").cast("string") for j in range(JL_DIM)]
+        ).alias("proj_csv"),
+        F.expr(
+            f"CAST(CAST(1000000 AS DECIMAL(38,0)) * ({ysq_sql})"
+            f" DIV greatest({JL_DIM} * CAST(xsq AS DECIMAL(38,0)), 1) AS BIGINT)"
+        ).alias("norm_ratio_ppm"),
+    )
+
+
+JL_PROJECTION_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+  FROM embeddings),
+u AS (
+  SELECT vec_id, uu.i - 1 AS i, uu.v AS qi
+  FROM (SELECT vec_id,
+               unnest(list_transform(qv, (e, i) -> {{'v': e, 'i': i}})) AS uu
+        FROM ex) t),
+s AS (
+  SELECT a.range AS i, b.range AS j,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('jl|' || a.range || '|' || b.range), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range({JL_IN_DIM}) a, range({JL_DIM}) b),
+y AS (
+  SELECT u.vec_id, s.j, CAST(sum(u.qi * s.s) AS BIGINT) AS y
+  FROM u JOIN s USING (i) GROUP BY 1, 2),
+n AS (
+  SELECT vec_id, sum(CAST(qi AS HUGEINT) * qi) AS xsq FROM u GROUP BY 1)
+SELECT y.vec_id,
+       string_agg(CAST(y.y AS VARCHAR), ',' ORDER BY y.j) AS proj_csv,
+       CAST(CAST(1000000 AS HUGEINT) * sum(CAST(y.y AS HUGEINT) * y.y)
+            // greatest({JL_DIM} * max(n.xsq), 1) AS BIGINT) AS norm_ratio_ppm
+FROM y JOIN n ON y.vec_id = n.vec_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -1168,6 +1287,7 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
     "ann_recall_report": ann_recall_report,
+    "jl_sign_projection": jl_sign_projection,
 }
 
 ORACLES = {
@@ -1185,4 +1305,5 @@ ORACLES = {
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,
     "ann_recall_report": ANN_RECALL_ORACLE,
+    "jl_sign_projection": JL_PROJECTION_ORACLE,
 }

@@ -232,3 +232,21 @@ def test_label_cohesion_bounds(spark, sf_dir):
         assert r["cohesion_ppm"] == (1_000_000 * r["centroid_sq_sum"]) // (
             r["n_members"] * r["self_dot_sum"]
         )
+
+
+def test_jl_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """JL with ±1 signs: E[Σ_j y_j²] = k·Σ_i q_i², so the per-vector
+    norm_ratio_ppm concentrates around 1e6 and its corpus mean must
+    land well inside ±25%."""
+    from fxblue_etl_spark.operators.ml import JL_DIM, jl_sign_projection
+
+    rows = jl_sign_projection(spark, sf_dir).collect()
+    assert len(rows) == table(spark, sf_dir, "embeddings").count()
+    ratios = [r["norm_ratio_ppm"] for r in rows]
+    assert all(r >= 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 750_000 < mean < 1_250_000, mean
+    # projections are JL_DIM comma-separated integers, not all zero
+    parts = rows[0]["proj_csv"].split(",")
+    assert len(parts) == JL_DIM
+    assert any(int(p) != 0 for p in parts)
