@@ -194,6 +194,7 @@ _R4_NEW: list[str] = [
     "streaming_interval_join_outer",
     "ann_recall_report",
     "jl_sign_projection",
+    "token_pmi_topk",
 ]
 
 

@@ -417,6 +417,140 @@ WHERE r.rank <= {BIGRAM_TOPK} AND h.n_head >= {BIGRAM_MIN_HEAD}
 BIGRAM_LM_ORACLE = _bigram_oracle()
 
 
+#: collocations kept by the corpus-wide PMI ranking
+PMI_TOPK = 20
+#: minimum adjacent-pair support (PMI of singletons is noise)
+PMI_MIN_PAIR = 5
+#: level-1 tournament ways for the global top-k
+PMI_BUCKETS = 16
+
+
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: the PMI-strongest adjacent
+    token pairs — the statistic behind multi-word-expression
+    detection (word2vec's phrase pass, "new_york"-style merges)
+    that a tokenizer-prep pipeline runs before vocabulary induction.
+
+    PMI's ``log`` is monotone, so ranking by the integer lift ratio
+    ``p(xy) / (p(x)·p(y)) = n_xy·N² / (M·n_x·n_y)`` (N = corpus
+    tokens, M = corpus adjacent pairs) orders pairs identically to
+    PMI with no transcendental whose ulps could differ cross-engine.
+    The ratio is emitted as a parts-per-million via a two-step
+    DECIMAL(38,0) floor-divide written identically in both engines:
+    ``((1e6·n_xy·N) DIV (M·n_x)) · N DIV n_y`` — single-expression
+    premultiply would need ~1e39 at trillion-token scale and pass
+    DECIMAL(38); the nested form peaks at 1e6·n_xy·N ≤ ~1e32 and its
+    intermediate floor costs ≤ 1/q1 relative error on a quotient
+    that is ≥ 1e4 for any pair clearing PMI_MIN_PAIR.
+
+    Scale shape: pair generation is row-local (the bigram-LM shape);
+    unigram and pair tables are map-side-combined count aggregates;
+    the two frequency lookups are equi-joins on the token key.  The
+    global top-k never sorts the pair vocabulary in one task: level 1
+    ranks within PMI_BUCKETS md5 buckets of the pair, level 2 ranks
+    only the ≤ PMI_BUCKETS·PMI_TOPK bucket winners.
+
+    Reference parity: beyond-reference text-analysis surface
+    (BASELINE.json); the support/tournament machinery is shared with
+    ``token_bigram_lm`` (`tfidf.py`)."""
+    from .corpusops import _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    # materialize toks once; unigrams and pairs both branch off it
+    uni = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("head"),
+            F.element_at("toks", i + 1).alias("nxt"),
+        ),
+    )
+    pairs = (
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    # corpus totals: two scalar rows, broadcast by construction.
+    # M = Σ max(len-1, 0) — the UNFILTERED adjacent-pair count, so
+    # p(xy) is a true probability (summing the support-filtered pair
+    # table instead would inflate every surviving pair's PMI)
+    n_total = uni.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    m_total = d.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("long")
+        .alias("m_total")
+    )
+    scored = (
+        pairs.join(uni.withColumnsRenamed({"tok": "head", "n_tok": "n_head"}), "head")
+        .join(uni.withColumnsRenamed({"tok": "nxt", "n_tok": "n_nxt"}), "nxt")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(m_total))
+        .withColumn(
+            "pmi_ratio_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pair * n_total"
+                " DIV (CAST(m_total AS DECIMAL(38,0)) * n_head))"
+                " * n_total DIV n_nxt AS BIGINT)"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("b").orderBy(
+        F.desc("pmi_ratio_ppm"), F.asc("head"), F.asc("nxt")
+    )
+    w2 = Window.orderBy(F.desc("pmi_ratio_ppm"), F.asc("head"), F.asc("nxt"))
+    return (
+        scored.withColumn(
+            "b",
+            _hash_bucket(F.concat_ws("|", "head", "nxt"), "pmi|", PMI_BUCKETS),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PMI_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= PMI_TOPK)
+        .select("head", "nxt", "n_pair", "pmi_ratio_ppm", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TOKEN_PMI_ORACLE = f"""
+WITH tk AS ({_TOKS_SQL}),
+uni AS (
+  SELECT tok, count(*) AS n_tok
+  FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+pairs AS (
+  SELECT toks[i] AS head, toks[i + 1] AS nxt, count(*) AS n_pair
+  FROM tk, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_PAIR}),
+tot AS (
+  SELECT (SELECT sum(n_tok) FROM uni) AS n_total,
+         (SELECT sum(greatest(len(toks) - 1, 0)) FROM tk) AS m_total),
+scored AS (
+  SELECT p.head, p.nxt, p.n_pair,
+         CAST((CAST(1000000 AS HUGEINT) * p.n_pair * t.n_total
+               // (CAST(t.m_total AS HUGEINT) * hu.n_tok))
+              * t.n_total // nu.n_tok AS BIGINT) AS pmi_ratio_ppm
+  FROM pairs p
+  JOIN uni hu ON hu.tok = p.head
+  JOIN uni nu ON nu.tok = p.nxt
+  CROSS JOIN tot t),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_ratio_ppm DESC,
+                               head ASC, nxt ASC) AS rank
+  FROM scored)
+SELECT head, nxt, n_pair, pmi_ratio_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {PMI_TOPK}
+"""
+
+
 #: CCNet-style fluency buckets per language
 N_PPX_BUCKETS = 3
 
@@ -698,6 +832,7 @@ QUERIES = {
     "perplexity_bucket_cutoffs": perplexity_bucket_cutoffs,
     "bpe_merge_topk": bpe_merge_topk,
     "cross_split_lm_eval": cross_split_lm_eval,
+    "token_pmi_topk": token_pmi_topk,
 }
 
 ORACLES = {
@@ -709,4 +844,5 @@ ORACLES = {
     "perplexity_bucket_cutoffs": PPX_CUTOFFS_ORACLE,
     "bpe_merge_topk": BPE_MERGE_ORACLE,
     "cross_split_lm_eval": CROSS_SPLIT_LM_ORACLE,
+    "token_pmi_topk": TOKEN_PMI_ORACLE,
 }

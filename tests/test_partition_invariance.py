@@ -19,6 +19,7 @@ from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
     embedding_moment_stats,
     ivf_multiprobe_topk,
+    jl_sign_projection,
     label_cohesion_stats,
     pq_adc_topk,
 )
@@ -30,6 +31,7 @@ from fxblue_etl_spark.operators.tfidf import (
     perplexity_bucket_cutoffs,
     token_bigram_lm,
     token_frequency_spectrum,
+    token_pmi_topk,
 )
 from fxblue_etl_spark.operators.windows import sessionize_events, session_paths
 from fxblue_etl_spark.plans.behavior import (
@@ -78,6 +80,8 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         benford_first_digit,
         pareto_frontier_parts,
         attribution_first_last,
+        token_pmi_topk,
+        jl_sign_projection,
     ],
     ids=lambda q: q.__name__,
 )

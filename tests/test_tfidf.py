@@ -68,3 +68,54 @@ def test_bigram_lm_ranks_and_mass(spark, sf_dir):
         assert keys == sorted(keys)
         # top-k mass never exceeds the head's outgoing mass
         assert sum(r["n"] for r in hr) <= hr[0]["n_head"]
+
+
+def test_token_pmi_ranks_lift_consistently(spark, sf_dir):
+    """PMI top-k: ranks are dense over the lift ordering, every pair
+    clears the support floor, and the emitted ppm matches the nested
+    integer-divide recomputed from corpus totals."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.textops import ws_tokens
+    from fxblue_etl_spark.operators.tfidf import (
+        PMI_MIN_PAIR,
+        PMI_TOPK,
+        token_pmi_topk,
+    )
+
+    rows = token_pmi_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOPK
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    keys = [(-r["pmi_ratio_ppm"], r["head"], r["nxt"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert keys == sorted(keys)
+
+    # recompute totals + frequencies independently with plain Spark SQL
+    d = table(spark, sf_dir, "documents").select(ws_tokens("text").alias("toks"))
+    toks = d.select(F.explode("toks").alias("tok"))
+    n_total = toks.count()
+    uni = {r["tok"]: r["n"] for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    pair_rows = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS head,"
+                    "             element_at(toks, i + 1) AS nxt))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.head", "p.nxt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pair = {(r["head"], r["nxt"]): r["n"] for r in pair_rows}
+    m_total = sum(pair.values())
+    for r in rows:
+        n_xy = pair[(r["head"], r["nxt"])]
+        assert n_xy == r["n_pair"] >= PMI_MIN_PAIR
+        q1 = (1_000_000 * n_xy * n_total) // (m_total * uni[r["head"]])
+        assert r["pmi_ratio_ppm"] == (q1 * n_total) // uni[r["nxt"]]
