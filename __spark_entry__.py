@@ -195,6 +195,8 @@ _R4_NEW: list[str] = [
     "ann_recall_report",
     "jl_sign_projection",
     "token_pmi_topk",
+    "decimal_money_totals",
+    "parquet_agg_pushdown_stats",
 ]
 
 

@@ -293,6 +293,138 @@ FROM events GROUP BY 1
 """
 
 
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money aggregation — TPC-H Q1's sums restated on
+    Spark's ``DecimalType`` path instead of rounded doubles: prices
+    cast to DECIMAL(12,2) at the scan, the discount factor to
+    DECIMAL(3,2), so the discounted extension is an EXACT DECIMAL(16,4)
+    product (scale grows, nothing rounds) and every sum is exact
+    decimal arithmetic ending in integer cents / e4 units.
+
+    This certifies the engine's decimal pipeline end-to-end (cast,
+    multiply, sum, downcast) — the arithmetic a financial ledger
+    requires where the double path's ulp drift is disqualifying.
+
+    Overflow headroom: the e4 discounted sum is computed in the sum's
+    own DECIMAL(26,4) accumulator and emitted via DECIMAL(38,0) — at
+    ~1e12 rows × ~1e5 max price the total is ≤ 1e21 e4-units, inside
+    DECIMAL(38) but past int64, so the emitted BIGINT is the e2
+    (cents) quotient with ~1e16 headroom at 100 TB.
+
+    Scale shape: identical to Q1 — one map-side-combined aggregate on
+    (returnflag, linestatus), no join, no window.
+
+    Reference parity: the reference stores money as Postgres floats
+    (`CSV PARSER/gcp_csv.py:40-42`); this is the exact-ledger upgrade
+    of the same totals."""
+    li = table(tune(spark), sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            price.alias("price_dec"),
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+            (price * disc_f).alias("disc_price_dec"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "CAST(CAST(sum(price_dec) * 100 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("price_cents"),
+            F.expr(
+                "CAST(CAST(sum(qty_dec) * 100 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("qty_e2"),
+            F.expr(
+                "CAST(CAST(sum(disc_price_dec) * 100 AS DECIMAL(38,0)) DIV 1 AS BIGINT)"
+            ).alias("disc_price_cents"),
+        )
+    )
+
+
+DECIMAL_MONEY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS price_cents,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS qty_e2,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            * 100 AS DECIMAL(38,4)) // 1 AS BIGINT) AS disc_price_cents
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table stats: COUNT/MIN/MAX answered from parquet
+    footer statistics with ``spark.sql.parquet.aggregatePushdown`` —
+    at 100 TB this is the difference between touching every row group
+    and touching only footers (the scan node shows
+    ``PushedAggregation`` and reads zero data pages; the companion
+    test asserts the plan carries it).
+
+    Aggregate pushdown exists only on the DataSource V2 read path, so
+    the scan is built AND executed inside a scoped conf window (V2
+    parquet + aggregatePushdown), then both confs are restored — the
+    rest of the engine keeps its default V1 scans.  The eager collect
+    is 1 result row by construction (the aggregate), re-wrapped as a
+    DataFrame; this is the same execute-then-wrap shape as the sink
+    roundtrip queries.  Only integer keys are aggregated — float
+    MIN/MAX pushdown is left off the surface on purpose (NaN/-0.0
+    ordering in footer stats is a known engine-trap).
+
+    Reference parity: the reference's only table stat is a row-count
+    print after load (`CSV PARSER/gcp_csv.py:195`); this is the same
+    audit made O(footers)."""
+    import os as _os
+
+    tune(spark)
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    prev_v1 = spark.conf.get(v1_key, None)
+    prev_push = spark.conf.get(push_key, None)
+    spark.conf.set(push_key, "true")
+    spark.conf.set(v1_key, (prev_v1 or "").replace("parquet", ""))
+    try:
+        li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+        agg = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: [" not in plan:
+            raise AssertionError(
+                "parquet aggregate pushdown did not engage; scan plan:\n" + plan
+            )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset(v1_key)
+        else:
+            spark.conf.set(v1_key, prev_v1)
+        if prev_push is None:
+            spark.conf.unset(push_key)
+        else:
+            spark.conf.set(push_key, prev_push)
+    return spark.createDataFrame(rows, schema)
+
+
+AGG_PUSHDOWN_ORACLE = """
+SELECT count(*) AS n_rows,
+       min(l_orderkey) AS min_orderkey,
+       max(l_orderkey) AS max_orderkey,
+       min(l_suppkey) AS min_suppkey,
+       max(l_suppkey) AS max_suppkey
+FROM lineitem
+"""
+
+
 QUERIES = {
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
@@ -300,6 +432,8 @@ QUERIES = {
     "sampled_histogram": sampled_histogram,
     "freq_items_contract": freq_items_contract,
     "hll_per_group_contract": hll_per_group_contract,
+    "decimal_money_totals": decimal_money_totals,
+    "parquet_agg_pushdown_stats": parquet_agg_pushdown_stats,
 }
 
 ORACLES = {
@@ -309,4 +443,6 @@ ORACLES = {
     "sampled_histogram": SAMPLED_HISTOGRAM_ORACLE,
     "freq_items_contract": FREQ_ITEMS_ORACLE,
     "hll_per_group_contract": HLL_PER_GROUP_ORACLE,
+    "decimal_money_totals": DECIMAL_MONEY_ORACLE,
+    "parquet_agg_pushdown_stats": AGG_PUSHDOWN_ORACLE,
 }

@@ -3,6 +3,9 @@ these pin the histogram/MCV invariants."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.io import table
 from fxblue_etl_spark.plans.stats import (
     MCV_K,
     N_BUCKETS,
@@ -31,3 +34,59 @@ def test_mcv_ranked_and_bounded(spark, sf_dir):
     for r in rows:
         assert r["freq_ppm"] == (1_000_000 * r["n"]) // r["n_total"]
         assert r["n_distinct"] >= len(rows)
+
+
+def test_decimal_money_totals_matches_double_path_to_the_cent(spark, sf_dir):
+    """The exact-decimal sums must agree with the double path after
+    cent rounding (TPC-H prices are exact multiples of 0.01, so the
+    double sum is within ulps of the decimal truth at fixture scale)."""
+    from fxblue_etl_spark.plans.stats import decimal_money_totals
+
+    rows = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in decimal_money_totals(spark, sf_dir).collect()
+    }
+    dbl = {
+        (r["rf"], r["ls"]): r
+        for r in (
+            table(spark, sf_dir, "lineitem")
+            .groupBy(
+                F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc"),
+            )
+            .collect()
+        )
+    }
+    assert set(rows) == set(dbl)
+    for k, r in rows.items():
+        assert r["n_rows"] == dbl[k]["n"]
+        assert abs(r["price_cents"] - round(dbl[k]["price"] * 100)) <= 1
+        # the decimal discounted product rounds at scale 4 then floors
+        # at cents: within a cent of the double path per group
+        assert abs(r["disc_price_cents"] - dbl[k]["disc"] * 100) <= len(rows) + 2
+
+
+def test_parquet_agg_pushdown_engages_and_restores_confs(spark, sf_dir):
+    """The query must (a) hard-fail unless the scan plan carries
+    PushedAggregation — asserted inside the operator — and (b) leave
+    the session's source-list confs exactly as found."""
+    from fxblue_etl_spark.plans.stats import parquet_agg_pushdown_stats
+
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    out = parquet_agg_pushdown_stats(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before_v1
+    li = table(spark, sf_dir, "lineitem")
+    assert out[0]["n_rows"] == li.count()
+    mm = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    assert (
+        out[0]["min_orderkey"],
+        out[0]["max_orderkey"],
+        out[0]["min_suppkey"],
+        out[0]["max_suppkey"],
+    ) == tuple(mm)
