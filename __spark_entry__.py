@@ -197,6 +197,7 @@ _R4_NEW: list[str] = [
     "token_pmi_topk",
     "decimal_money_totals",
     "parquet_agg_pushdown_stats",
+    "tz_local_day_rollup",
 ]
 
 

@@ -690,6 +690,66 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
 """
 
 
+#: reporting timezone for the local-calendar rollup
+LOCAL_TZ = "America/New_York"
+
+
+def tz_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event rollup by LOCAL calendar day in a reporting timezone
+    (America/New_York): day boundaries sit at 05:00/04:00 UTC, so the
+    buckets differ from every UTC-day rollup the repo already has —
+    the correctness trap every multi-region pipeline hits.
+
+    Cross-engine contract: Spark converts via ``from_utc_timestamp``
+    (JVM tzdb); the oracle re-derives the same local wall clock with
+    DuckDB's ICU ``timezone('UTC', ts)`` → ``timezone(tz, tstz)``
+    double hop.  Both consult the IANA database, so DST transitions
+    agree; the synthetic-DST unit test pins the spring-forward day to
+    23 distinct local hours against hand-computed truth (the fixture
+    itself is January-only).
+
+    Scale shape: the tz conversion is a row-local expression fused
+    into the scan; one map-side-combined groupBy(local_day) shuffle.
+
+    Reference parity: the reference localizes RSS timestamps to UTC
+    and never back (`RSS PARSER/gcp_rss.py:31-37`); this adds the
+    reporting-side local-calendar view."""
+    return local_day_rollup(_t(spark, sf_dir, "events"))
+
+
+def local_day_rollup(e: DataFrame, tz: str = LOCAL_TZ) -> DataFrame:
+    """Core of :func:`tz_local_day_rollup` over any (ts, value) frame
+    — split out so the DST unit test can drive it on a synthetic
+    spring-forward day."""
+    ny = F.from_utc_timestamp("ts", tz)
+    return (
+        e.select(
+            F.date_format(ny, "yyyy-MM-dd").alias("local_day"),
+            F.hour(ny).alias("local_hour"),
+            "value",
+        )
+        .groupBy("local_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("local_hour").alias("n_local_hours"),
+            F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("value_sum_e4"),
+        )
+    )
+
+
+TZ_LOCAL_DAY_ORACLE = f"""
+WITH loc AS (
+  SELECT timezone('{LOCAL_TZ}', timezone('UTC', ts)) AS nyts, value
+  FROM events)
+SELECT strftime(nyts, '%Y-%m-%d') AS local_day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT extract(hour FROM nyts)) AS BIGINT) AS n_local_hours,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_sum_e4
+FROM loc
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -701,6 +761,7 @@ QUERIES = {
     "ohlc_bars_hourly": ohlc_bars_hourly,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
+    "tz_local_day_rollup": tz_local_day_rollup,
 }
 
 ORACLES = {
@@ -715,4 +776,5 @@ ORACLES = {
     "ohlc_bars_hourly": OHLC_ORACLE,
     "event_transition_matrix": TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
+    "tz_local_day_rollup": TZ_LOCAL_DAY_ORACLE,
 }

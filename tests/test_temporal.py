@@ -220,3 +220,33 @@ def test_daily_anomaly_days_mad_semantics(spark, sf_dir):
     # (definition of MAD), so anomalies are a strict minority
     n_anom = sum(r["is_anomaly"] for r in rows)
     assert n_anom < len(rows) / 2
+
+
+def test_local_day_rollup_dst_spring_forward(spark):
+    """2024-03-10 America/New_York jumps 02:00→03:00: one hourly event
+    per UTC hour covering the whole local day must land on 23 distinct
+    local hours (hour 2 does not exist), and hour 2 never appears."""
+    from datetime import datetime, timedelta
+
+    from fxblue_etl_spark.operators.temporal import local_day_rollup
+
+    # local Mar-10 00:00 EST == 05:00 UTC; local Mar-10 23:00 EDT == Mar-11 03:00 UTC
+    start = datetime(2024, 3, 10, 5, 0, 0)
+    rows = [(start + timedelta(hours=h), 1.0) for h in range(23)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["local_day"]: r for r in local_day_rollup(df).collect()}
+    assert set(out) == {"2024-03-10"}
+    r = out["2024-03-10"]
+    assert r["n_events"] == 23
+    assert r["n_local_hours"] == 23
+    assert r["value_sum_e4"] == 23 * 10_000
+    # and the skipped hour is really absent
+    from pyspark.sql import functions as F
+
+    hours = {
+        x["h"]
+        for x in df.select(
+            F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("h")
+        ).collect()
+    }
+    assert 2 not in hours and len(hours) == 23
