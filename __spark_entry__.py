@@ -198,6 +198,7 @@ _R4_NEW: list[str] = [
     "decimal_money_totals",
     "parquet_agg_pushdown_stats",
     "tz_local_day_rollup",
+    "quality_feature_matrix",
 ]
 
 

@@ -383,12 +383,97 @@ GROUP BY 1
 QUALITY_LM_CALIBRATION_ORACLE = _calibration_oracle()
 
 
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality FEATURE MATRIX: the wide table a quality-
+    classifier trainer (FineWeb-style) actually consumes — every
+    certified per-doc signal joined on doc_id with a combined
+    keep-all verdict:
+
+    - surface shape (``text_stats``): token count, punctuation ratio
+    - stopword heuristic (``quality_score``): score + keep
+    - Gopher repetition (``gopher_repetition``): top-token /
+      duplicate-bigram ppm + keep
+    - corpus rarity (``rare_token_quality``): rare-token ppm
+    - LM fluency (``lm_doc_perplexity``): mean continuation ppm + band
+
+    Each constituent is already oracle-certified on its own; this
+    composite certifies the JOIN SPINE — left joins on the full
+    text_stats spine so a doc too short for the LM pass (<2 tokens)
+    still appears with NULL fluency rather than vanishing.
+
+    Scale shape: five doc_id equi-joins between identically
+    partitioned per-doc aggregates — AQE coalesces them onto one
+    exchange footprint.  At 100 TB you'd persist the tokenized scan
+    once and fork the five signals from it (the `llm_corpus_prep`
+    `_swap_cache` pattern); at certification scale the five scans
+    keep the lineage independent of cache state."""
+    from .textops import quality_score, text_stats
+    from .tfidf import lm_doc_perplexity, rare_token_quality
+
+    ts = text_stats(spark, sf_dir).select("doc_id", "n_ws_tokens", "punct_ratio")
+    qs = quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score", F.col("keep").alias("stopword_keep")
+    )
+    gr = gopher_repetition(spark, sf_dir).select(
+        "doc_id",
+        "top_tok_ppm",
+        "dup_bigram_ppm",
+        F.col("keep").cast("int").alias("gopher_keep"),
+    )
+    rt = rare_token_quality(spark, sf_dir).select("doc_id", "rare_ppm")
+    lm = lm_doc_perplexity(spark, sf_dir).select(
+        "doc_id", "avg_cont_ppm", "fluency_band"
+    )
+    return (
+        ts.join(qs, "doc_id", "left")
+        .join(gr, "doc_id", "left")
+        .join(rt, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .withColumn(
+            "keep_all",
+            (
+                (F.coalesce(F.col("stopword_keep"), F.lit(0)) == 1)
+                & (F.coalesce(F.col("gopher_keep"), F.lit(0)) == 1)
+            ).cast("int"),
+        )
+    )
+
+
+def _feature_matrix_oracle() -> str:
+    from .textops import QUALITY_ORACLE, TEXT_STATS_ORACLE
+    from .tfidf import LM_PERPLEXITY_ORACLE, RARE_TOKEN_ORACLE
+
+    return f"""
+WITH ts AS ({TEXT_STATS_ORACLE}),
+qs AS ({QUALITY_ORACLE}),
+gr AS ({GOPHER_ORACLE}),
+rt AS ({RARE_TOKEN_ORACLE}),
+lm AS ({LM_PERPLEXITY_ORACLE})
+SELECT ts.doc_id, ts.n_ws_tokens, ts.punct_ratio,
+       qs.quality_score, qs.keep AS stopword_keep,
+       gr.top_tok_ppm, gr.dup_bigram_ppm,
+       CAST(gr.keep AS INT) AS gopher_keep,
+       rt.rare_ppm, lm.avg_cont_ppm, lm.fluency_band,
+       CAST(coalesce(qs.keep, 0) = 1 AND coalesce(CAST(gr.keep AS INT), 0) = 1
+            AS INT) AS keep_all
+FROM ts
+LEFT JOIN qs USING (doc_id)
+LEFT JOIN gr USING (doc_id)
+LEFT JOIN rt USING (doc_id)
+LEFT JOIN lm USING (doc_id)
+"""
+
+
+FEATURE_MATRIX_ORACLE = _feature_matrix_oracle()
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "contamination_check": contamination_check,
     "domain_quality_gate": domain_quality_gate,
     "span_dedup_stats": span_dedup_stats,
     "quality_lm_calibration": quality_lm_calibration,
+    "quality_feature_matrix": quality_feature_matrix,
 }
 
 ORACLES = {
@@ -397,4 +482,5 @@ ORACLES = {
     "domain_quality_gate": DOMAIN_GATE_ORACLE,
     "span_dedup_stats": SPAN_DEDUP_ORACLE,
     "quality_lm_calibration": QUALITY_LM_CALIBRATION_ORACLE,
+    "quality_feature_matrix": FEATURE_MATRIX_ORACLE,
 }

@@ -164,3 +164,19 @@ def test_span_dedup_counts_shared_spans_only(spark, sf_dir):
             )
         )
         assert len(mine & others) == probe["n_dup_spans"]
+
+
+def test_feature_matrix_spine_covers_every_document(spark, sf_dir):
+    """Left spine: every document appears exactly once; keep_all is
+    the AND of the two keep gates; LM-uncovered docs surface as NULL
+    fluency rather than vanishing."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.quality import quality_feature_matrix
+
+    rows = quality_feature_matrix(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    for r in rows:
+        expected = int((r["stopword_keep"] or 0) == 1 and (r["gopher_keep"] or 0) == 1)
+        assert r["keep_all"] == expected
