@@ -199,6 +199,7 @@ _R4_NEW: list[str] = [
     "parquet_agg_pushdown_stats",
     "tz_local_day_rollup",
     "quality_feature_matrix",
+    "csv_multiline_roundtrip",
 ]
 
 

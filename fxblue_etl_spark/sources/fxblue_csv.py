@@ -195,5 +195,80 @@ FROM orders
 """
 
 
-QUERIES = {"s2_csv_ingest": s2_csv_ingest}
-ORACLES = {"s2_csv_ingest": S2_ORACLE}
+def csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-embedded-newline CSV roundtrip: documents get literal
+    newlines injected into their text, go through Spark's CSV writer
+    (which quotes the field), and come back through
+    ``multiLine=true`` + RFC-4180 quote-escape — certifying the
+    parser reassembles records across physical lines.  The oracle
+    computes the identical per-language aggregate from the ORIGINAL
+    table, so any mis-split (a row broken at an embedded newline, a
+    quote swallowed) diverges in n_docs or the md5 checksum.
+
+    Scale note (the reason this is on the surface): ``multiLine``
+    CSV files are UNSPLITTABLE — one task per file regardless of
+    size.  At 100 TB the layout answer is many bounded files (the
+    writer here shards by the session's write parallelism); the
+    single-line fast path (`s2_csv_ingest`) stays the default.
+
+    ``escape='"'`` on BOTH writer and reader: Spark's CSV default
+    escape is backslash (non-RFC); pinning quote-doubling makes the
+    file readable by any RFC-4180 parser, including DuckDB's.
+
+    Reference parity: the reference parses CSV via pandas
+    (`CSV PARSER/gcp_csv.py:76`), which handles quoted newlines —
+    this keeps that capability in the Spark restatement."""
+    import hashlib
+    import tempfile
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    txt = F.expr("replace(text, ' line ', concat(chr(10), 'line', chr(10)))")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_mlcsv_{tag}")
+    (
+        d.select("doc_id", "lang", txt.alias("txt"))
+        .write.mode("overwrite")
+        .options(header=True, escape='"')
+        .csv(path)
+    )
+    back = spark.read.options(header=True, multiLine=True, escape='"').csv(path)
+    h8 = F.conv(F.substring(F.md5("txt"), 1, 8), 16, 10).cast("long")
+    nl = F.length("txt") - F.length(F.regexp_replace("txt", "\n", ""))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("txt")).cast("long").alias("chars_total"),
+        F.sum(nl).cast("long").alias("newlines_total"),
+        F.sum(h8).cast("long").alias("text_md5_sum"),
+    )
+
+
+_ML_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(txt), {1 + k}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+CSV_MULTILINE_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         replace(text, ' line ', chr(10) || 'line' || chr(10)) AS txt
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(txt)) AS BIGINT) AS chars_total,
+       CAST(sum(length(txt) - length(replace(txt, chr(10), ''))) AS BIGINT)
+         AS newlines_total,
+       CAST(sum({_ML_HEX8}) AS BIGINT) AS text_md5_sum
+FROM t
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "s2_csv_ingest": s2_csv_ingest,
+    "csv_multiline_roundtrip": csv_multiline_roundtrip,
+}
+ORACLES = {
+    "s2_csv_ingest": S2_ORACLE,
+    "csv_multiline_roundtrip": CSV_MULTILINE_ORACLE,
+}

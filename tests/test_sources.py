@@ -106,3 +106,32 @@ def test_rss_trades_locf_and_sentinels(spark):
     assert out[1].magic_number is None and out[2].magic_number == 77
     assert out[1].trade_win == 0.6  # J1 join + T4
     assert out[1].total_return is None  # '-' → NULL
+
+
+def test_csv_multiline_roundtrip_really_splits_lines(spark, sf_dir):
+    """The staged CSV must physically contain quoted embedded
+    newlines (more raw lines than records) and the multiLine reader
+    must reassemble exactly one record per document."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.sources.fxblue_csv import csv_multiline_roundtrip
+
+    out = csv_multiline_roundtrip(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert all(r["newlines_total"] > 0 for r in out)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fxblue_mlcsv_{tag}")
+    raw_lines = 0
+    n_files = 0
+    for f in glob.glob(os.path.join(path, "*.csv")):
+        n_files += 1
+        with open(f, encoding="utf-8") as fh:
+            raw_lines += sum(1 for _ in fh)
+    # every embedded newline adds a physical line beyond record+header
+    assert raw_lines > n_docs + n_files
