@@ -200,6 +200,7 @@ _R4_NEW: list[str] = [
     "tz_local_day_rollup",
     "quality_feature_matrix",
     "csv_multiline_roundtrip",
+    "streaming_lsh_dedup",
 ]
 
 

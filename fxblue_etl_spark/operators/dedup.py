@@ -136,27 +136,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hs_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
-    ``text``): ``(doc_a, doc_b, sh_a, sh_b)`` with each side's
-    distinct shingle set, ready for exact verification (Jaccard,
-    containment, …).
-
-    Bands of BAND_ROWS minhashes are hashed to a band signature;
-    pairs sharing any (band_idx, band_sig) bucket are candidates;
-    each candidate pair is verified with exact shingle Jaccard.
-    Shuffle cost is O(docs × bands) on the band-bucket equi-join —
-    never the all-pairs product.
-
-    Documents with fewer than 3 tokens cannot form a 3-word shingle
-    and are excluded up front (otherwise partial shingles pair every
-    short doc with every other — and NULL-handling of the partial
-    concat differs between engines).
-    """
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """The banded-LSH index rows of ``docs`` (needs ``doc_id``,
+    ``text``): one ``(doc_id, shingles, band_idx, band_sig)`` row per
+    band — the shared primitive behind batch candidate pairing
+    (:func:`lsh_candidate_pairs`) and the streaming near-dup gate
+    (``streaming.pipelines.streaming_lsh_dedup``).  Everything here
+    is row-local expression work, so the same code path runs
+    unchanged on a streaming frame."""
     d = docs.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
     sig_df = minhash_signatures(d)
-
-    bands = sig_df.select(
+    return sig_df.select(
         "doc_id",
         "shingles",
         F.explode(
@@ -179,6 +169,26 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_idx", "band.band_sig")
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
+    ``text``): ``(doc_a, doc_b, sh_a, sh_b)`` with each side's
+    distinct shingle set, ready for exact verification (Jaccard,
+    containment, …).
+
+    Bands of BAND_ROWS minhashes are hashed to a band signature;
+    pairs sharing any (band_idx, band_sig) bucket are candidates;
+    each candidate pair is verified with exact shingle Jaccard.
+    Shuffle cost is O(docs × bands) on the band-bucket equi-join —
+    never the all-pairs product.
+
+    Documents with fewer than 3 tokens cannot form a 3-word shingle
+    and are excluded up front (otherwise partial shingles pair every
+    short doc with every other — and NULL-handling of the partial
+    concat differs between engines).
+    """
+    bands = minhash_band_rows(docs)
 
     a = bands.alias("a")
     b = bands.alias("b")

@@ -1071,6 +1071,85 @@ WHERE rank <= {STREAM_TOPK}
 """
 
 
+def _stage_docs_dir(sf_dir: str) -> str:
+    """Stage documents.parquet into a stream-source directory (same
+    freshness contract as :func:`_stage_dir` for events)."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/stream_docs_{tag}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(d, "documents.parquet")
+    s = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != s.st_size
+        or os.stat(dst).st_mtime < s.st_mtime
+    ):
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(src, dst)
+    return d
+
+
+def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate gate: incoming documents are banded
+    with the SAME MinHash-LSH machinery as the batch path
+    (``dedup.minhash_band_rows`` — pure row-local expressions, so the
+    one implementation serves both) and probed against a static band
+    index of the already-ingested corpus via a stream-static
+    left-outer join.  A document is flagged ``is_dup`` when any of
+    its bands hits an EARLIER document's bucket (doc_id order stands
+    in for arrival order, keeping the verdict deterministic).
+
+    This is candidate-level (recall-oriented) by design: the
+    streaming gate only decides "route to the dedup queue or not";
+    exact Jaccard verification stays a batch concern
+    (``containment_pairs``).  At 100 TB the static index is the
+    banded corpus index — uniformly hash-partitioned on
+    (band_idx, band_sig), far smaller than the corpus (16 rows per
+    doc, two md5s wide), and the stream side adds no state beyond
+    the complete-mode per-doc flag; no watermark is needed because
+    the static side never grows.
+
+    Reference parity: extends the reference's key-based cross-run
+    dedup (`CSV PARSER/gcp_csv.py:148-157`) to content similarity in
+    the incremental path."""
+    from ..io import table
+    from ..operators.dedup import minhash_band_rows
+
+    tune(spark)
+    corpus_bands = minhash_band_rows(
+        table(spark, sf_dir, "documents")
+    ).select(F.col("doc_id").alias("prior_id"), "band_idx", "band_sig")
+
+    d = _stage_docs_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream_docs = spark.readStream.schema(schema).parquet(d)
+    sbands = minhash_band_rows(stream_docs).select("doc_id", "band_idx", "band_sig")
+
+    hits = sbands.join(corpus_bands, ["band_idx", "band_sig"], "left_outer")
+    agg = hits.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("prior_id") < F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("is_dup")
+    )
+    return run_to_table(agg, "complete")
+
+
+from ..operators.dedup import CAND_PAIRS_SQL as _CAND_PAIRS_SQL_REF  # noqa: E402
+
+STREAM_LSH_ORACLE = rf"""{_CAND_PAIRS_SQL_REF}
+SELECT s.doc_id,
+       CAST(max(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS is_dup
+FROM bands s LEFT JOIN bands c
+  ON c.band_idx = s.band_idx AND c.band_sig = s.band_sig
+ AND c.doc_id < s.doc_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -1088,6 +1167,7 @@ QUERIES = {
     "streaming_cdc_scd2": streaming_cdc_scd2,
     "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_interval_join_outer": streaming_interval_join_outer,
+    "streaming_lsh_dedup": streaming_lsh_dedup,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1110,6 +1190,7 @@ ORACLES = {
     "streaming_cdc_scd2": STREAMING_SCD2_ORACLE,
     "streaming_windowed_topk": STREAMING_TOPK_ORACLE,
     "streaming_interval_join_outer": INTERVAL_JOIN_OUTER_ORACLE,
+    "streaming_lsh_dedup": STREAM_LSH_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:

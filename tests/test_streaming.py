@@ -333,3 +333,36 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, sf_dir, tmp_pat
     # ONLY the new file's rows — nothing reprocessed
     assert sum(second) == rest.count()
     assert sum(first) + sum(second) == n_total
+
+
+def test_streaming_lsh_dedup_agrees_with_batch_candidates(spark, sf_dir):
+    """A doc is flagged by the streaming gate iff it appears as the
+    LATER side of some batch LSH candidate pair — the two paths share
+    one banding implementation, so the verdicts must coincide."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.dedup import lsh_candidate_pairs
+    from fxblue_etl_spark.streaming.pipelines import streaming_lsh_dedup
+
+    flags = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming_lsh_dedup(spark, sf_dir).collect()
+    }
+    later_side = {
+        r["doc_b"]
+        for r in lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+        .select("doc_b")
+        .distinct()
+        .collect()
+    }
+    assert {d for d, f in flags.items() if f == 1} == later_side
+    # and the gate saw every bandable (≥3-token) document exactly once
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators.textops import ws_tokens
+
+    n_bandable = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(ws_tokens(F.lower("text"))) >= 3)
+        .count()
+    )
+    assert len(flags) == n_bandable
