@@ -201,6 +201,8 @@ _R4_NEW: list[str] = [
     "quality_feature_matrix",
     "csv_multiline_roundtrip",
     "streaming_lsh_dedup",
+    "sql_udf_percent_parse",
+    "collated_group_counts",
 ]
 
 

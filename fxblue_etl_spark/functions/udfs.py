@@ -335,6 +335,71 @@ FROM documents GROUP BY 1
 """
 
 
+def sql_udf_percent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 percent parsing re-expressed as a Spark 4 SQL-defined
+    function (``CREATE TEMPORARY FUNCTION … RETURN <expr>``) — the
+    fourth UDF modality on the surface after pandas/Arrow/UDTF, and
+    the only one that stays ENTIRELY inside Catalyst: the body is
+    inlined into the plan (the companion test asserts no
+    BatchEvalPython / ArrowEvalPython node exists), so it codegens
+    like a built-in while giving users the reusable-function
+    ergonomics the reference's ``convert_percentage`` helper provides
+    (`RSS PARSER/gcp_rss.py:54-59`).
+
+    Input strings are the same integer-derived registry-style
+    fixtures as ``t1``–``t4`` (float-formatted fixtures would diverge
+    at the ulp between JVM and C rounding)."""
+    spark = tune(spark)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fx_pct_to_frac(s STRING)
+        RETURNS DOUBLE
+        RETURN CASE
+          WHEN s IS NULL OR s = '-' THEN NULL
+          WHEN contains(s, '%')
+            THEN try_cast(replace(s, '%', '') AS DOUBLE) / 100.0
+          ELSE try_cast(s AS DOUBLE)
+        END
+        """
+    )
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 4
+    pct_int = (F.col("c_custkey") % 200).cast("string")
+    frac_int = (F.col("c_custkey") % 1000).cast("string")
+    raw = (
+        F.when(k == 0, F.concat(pct_int, F.lit(".5%")))
+        .when(k == 1, F.lit("-"))
+        .when(k == 2, F.concat(F.lit("0."), frac_int))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return c.select("c_custkey", raw.alias("raw_pct")).select(
+        "c_custkey",
+        "raw_pct",
+        F.round(F.expr("fx_pct_to_frac(raw_pct)"), 6).alias("ratio"),
+    )
+
+
+#: identical fixture + semantics to T4 — the SQL UDF must be
+#: indistinguishable from the inline expression
+SQL_UDF_PCT_ORACLE = """
+WITH src AS (
+  SELECT c_custkey,
+         CASE c_custkey % 4
+           WHEN 0 THEN CAST(c_custkey % 200 AS VARCHAR) || '.5%'
+           WHEN 1 THEN '-'
+           WHEN 2 THEN '0.' || CAST(c_custkey % 1000 AS VARCHAR)
+           ELSE NULL END AS raw_pct
+  FROM customer)
+SELECT c_custkey, raw_pct,
+       round(CASE
+         WHEN raw_pct IS NULL OR raw_pct = '-' THEN NULL
+         WHEN raw_pct LIKE '%\\%%' ESCAPE '\\'
+           THEN TRY_CAST(replace(raw_pct, '%', '') AS DOUBLE) / 100.0
+         ELSE TRY_CAST(raw_pct AS DOUBLE) END, 6) AS ratio
+FROM src
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
@@ -343,6 +408,7 @@ QUERIES = {
     "arrow_grouped_value_stats": arrow_grouped_value_stats,
     "pandas_api_lang_stats": pandas_api_lang_stats,
     "udtf_null_profile": udtf_null_profile,
+    "sql_udf_percent_parse": sql_udf_percent_parse,
 }
 
 ORACLES = {
@@ -353,4 +419,5 @@ ORACLES = {
     "arrow_grouped_value_stats": ARROW_GROUPED_ORACLE,
     "pandas_api_lang_stats": PANDAS_API_ORACLE,
     "udtf_null_profile": UDTF_NULL_PROFILE_ORACLE,
+    "sql_udf_percent_parse": SQL_UDF_PCT_ORACLE,
 }

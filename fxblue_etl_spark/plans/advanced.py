@@ -660,6 +660,59 @@ def _rcte_oracle() -> str:
 RECURSIVE_DUP_ORACLE = _rcte_oracle()
 
 
+def collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``COLLATE UTF8_LCASE``):
+    part types get deterministic mixed casing (lowercased for even
+    part keys), then group case-insensitively — the collation engine
+    must merge both case variants into one group without any
+    ``lower()`` rewrite in user code.
+
+    The emitted group key is ``min(raw)`` (binary min over the
+    variants, deterministic in both engines) rather than the collated
+    key itself, whose surfaced representative is
+    partition-order-dependent; ``n_variants`` certifies that ≥2
+    casings really landed in one group.  The oracle has no collation
+    support and groups by ``lower()`` — identical partitioning of the
+    rows by construction.
+
+    Scale shape: one map-side-combined aggregate; collation
+    comparisons stay inside codegen."""
+    p = table(tune(spark), sf_dir, "part")
+    raw = F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type")).otherwise(
+        F.col("p_type")
+    )
+    return (
+        p.select(raw.alias("raw_type"), "p_retailprice")
+        .select(
+            F.expr("raw_type COLLATE UTF8_LCASE").alias("type_ci"),
+            "raw_type",
+            "p_retailprice",
+        )
+        .groupBy("type_ci")
+        .agg(
+            F.min("raw_type").alias("type_variant_min"),
+            F.countDistinct("raw_type").alias("n_variants"),
+            F.count("*").alias("n_parts"),
+            F.sum(F.floor(F.col("p_retailprice") * 100)).cast("long").alias("price_cents"),
+        )
+        .select("type_variant_min", "n_variants", "n_parts", "price_cents")
+    )
+
+
+COLLATED_GROUP_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END AS raw_type,
+         p_retailprice
+  FROM part)
+SELECT min(raw_type) AS type_variant_min,
+       CAST(count(DISTINCT raw_type) AS BIGINT) AS n_variants,
+       count(*) AS n_parts,
+       CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM src
+GROUP BY lower(raw_type)
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -677,6 +730,7 @@ QUERIES = {
     "value_percentile_bands": value_percentile_bands,
     "lateral_topk_per_nation": lateral_topk_per_nation,
     "recursive_dup_reachability": recursive_dup_reachability,
+    "collated_group_counts": collated_group_counts,
 }
 
 ORACLES = {
@@ -696,4 +750,5 @@ ORACLES = {
     "value_percentile_bands": PERCENTILE_BANDS_ORACLE,
     "lateral_topk_per_nation": LATERAL_TOPK_ORACLE,
     "recursive_dup_reachability": RECURSIVE_DUP_ORACLE,
+    "collated_group_counts": COLLATED_GROUP_ORACLE,
 }

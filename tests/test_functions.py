@@ -48,3 +48,18 @@ def test_udtf_token_explode_positions(spark, sf_dir):
     )
     assert [r.token for r in one] == text.split()
     assert [r.pos for r in one] == list(range(len(one)))
+
+
+def test_sql_udf_stays_inside_catalyst(spark, sf_dir):
+    """The SQL-defined function must inline into the plan: zero
+    Python-eval nodes, and semantics identical to the inline T4
+    expression."""
+    from fxblue_etl_spark.functions.udfs import sql_udf_percent_parse
+    from fxblue_etl_spark.operators.cleaning import t4_percent_parse
+
+    df = sql_udf_percent_parse(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = sorted(map(tuple, df.collect()))
+    ref = sorted(map(tuple, t4_percent_parse(spark, sf_dir).collect()))
+    assert got == ref

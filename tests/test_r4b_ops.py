@@ -635,3 +635,21 @@ def test_ann_recall_report_orders_methods_sanely(spark, sf_dir):
     # multi-probe never does worse than single-probe (same codes,
     # strictly more clusters searched)
     assert rows["ivf_multiprobe"]["hits"] >= rows["ivf_quantized"]["hits"]
+
+
+def test_collated_grouping_merges_case_variants(spark, sf_dir):
+    """Every group whose type string got both casings must report
+    n_variants == 2, and totals must reconcile with the part table."""
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.advanced import collated_group_counts
+
+    rows = collated_group_counts(spark, sf_dir).collect()
+    p = table(spark, sf_dir, "part")
+    assert sum(r["n_parts"] for r in rows) == p.count()
+    # fixture has both parities for every type → every group merged 2 casings
+    assert all(r["n_variants"] == 2 for r in rows)
+    # group count equals the case-insensitive distinct type count
+    n_types_ci = p.select(F.lower("p_type")).distinct().count()
+    assert len(rows) == n_types_ci
