@@ -203,6 +203,7 @@ _R4_NEW: list[str] = [
     "streaming_lsh_dedup",
     "sql_udf_percent_parse",
     "collated_group_counts",
+    "parameterized_sql_orders",
 ]
 
 

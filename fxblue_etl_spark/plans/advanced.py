@@ -713,6 +713,47 @@ GROUP BY lower(raw_type)
 """
 
 
+def parameterized_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — ``spark.sql(query, args=...)`` with a
+    named literal parameter AND an ``IDENTIFIER(:tab)`` table
+    reference: the injection-safe query-template surface (SQL
+    literals bind as foldable constants, identifiers resolve through
+    the parser, user input never concatenates into SQL text).
+
+    The parameter is a priority *prefix bound* (`<= '3-MEDIUM'`
+    keeps urgencies 1–3), so constant folding + pushdown still apply:
+    the bound literal lands in the scan's PushedFilters exactly like
+    a hand-written constant.
+
+    Reference parity: the reference interpolates its table names and
+    VALUES directly into SQL strings via psycopg2 placeholders
+    (`CSV PARSER/gcp_csv.py:159-193`); this is the engine-side
+    equivalent contract."""
+    tune(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("fx_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS price_cents
+        FROM IDENTIFIER(:tab)
+        WHERE o_orderpriority <= :max_priority
+        GROUP BY o_orderpriority, o_orderstatus
+        """,
+        args={"tab": "fx_orders_v", "max_priority": "3-MEDIUM"},
+    )
+
+
+PARAMETERIZED_SQL_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderpriority <= '3-MEDIUM'
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -731,6 +772,7 @@ QUERIES = {
     "lateral_topk_per_nation": lateral_topk_per_nation,
     "recursive_dup_reachability": recursive_dup_reachability,
     "collated_group_counts": collated_group_counts,
+    "parameterized_sql_orders": parameterized_sql_orders,
 }
 
 ORACLES = {
@@ -751,4 +793,5 @@ ORACLES = {
     "lateral_topk_per_nation": LATERAL_TOPK_ORACLE,
     "recursive_dup_reachability": RECURSIVE_DUP_ORACLE,
     "collated_group_counts": COLLATED_GROUP_ORACLE,
+    "parameterized_sql_orders": PARAMETERIZED_SQL_ORACLE,
 }

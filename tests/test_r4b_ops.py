@@ -653,3 +653,14 @@ def test_collated_grouping_merges_case_variants(spark, sf_dir):
     # group count equals the case-insensitive distinct type count
     n_types_ci = p.select(F.lower("p_type")).distinct().count()
     assert len(rows) == n_types_ci
+
+
+def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
+    """The named parameter must bind as a foldable literal that
+    reaches the parquet scan's pushed filters."""
+    from fxblue_etl_spark.plans.advanced import parameterized_sql_orders
+
+    df = parameterized_sql_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(o_orderpriority,3-MEDIUM)" in plan
+    assert all(r["o_orderpriority"] <= "3-MEDIUM" for r in df.collect())
