@@ -204,6 +204,7 @@ _R4_NEW: list[str] = [
     "sql_udf_percent_parse",
     "collated_group_counts",
     "parameterized_sql_orders",
+    "file_metadata_lineage",
 ]
 
 

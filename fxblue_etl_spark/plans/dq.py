@@ -483,6 +483,55 @@ FROM diff GROUP BY 1
 """
 
 
+def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file ingest lineage via the ``_metadata`` hidden column
+    (Spark ≥3.4's structured successor to ``input_file_name()``):
+    file name, per-file row span from ``_metadata.row_index``, file
+    and a key checksum — the audit row an ingest ledger records per
+    source file (the reference logs exactly this per blob,
+    `CSV PARSER/gcp_csv.py:195-198`).
+
+    ``row_index`` counts rows WITHIN each file, so ``max+1 == count``
+    certifies the reader saw every row of every file exactly once —
+    the lineage invariant that catches partial/duplicated file reads
+    after a task retry.
+
+    Oracle note: the fixture contract is one parquet file per table
+    (TESTDATA.md), so the oracle states the file-shape expectation
+    literally; a multi-file vintage would re-shape rows (a loud
+    rowcount diff, not a silent pass)."""
+    import os as _os
+
+    tune(spark)
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return (
+        d.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            F.col("_metadata.row_index").alias("row_index"),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("row_index").cast("long").alias("first_row_index"),
+            F.max("row_index").cast("long").alias("last_row_index"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+    )
+
+
+FILE_METADATA_ORACLE = """
+SELECT 'documents.parquet' AS file_name,
+       count(*) AS n_rows,
+       CAST(0 AS BIGINT) AS first_row_index,
+       CAST(count(*) - 1 AS BIGINT) AS last_row_index,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM documents
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
@@ -490,6 +539,7 @@ QUERIES = {
     "supplier_concentration": supplier_concentration,
     "gdpr_delete_propagation": gdpr_delete_propagation,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "file_metadata_lineage": file_metadata_lineage,
 }
 
 ORACLES = {
@@ -499,4 +549,5 @@ ORACLES = {
     "supplier_concentration": CONCENTRATION_ORACLE,
     "gdpr_delete_propagation": GDPR_ORACLE,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+    "file_metadata_lineage": FILE_METADATA_ORACLE,
 }
