@@ -205,6 +205,7 @@ _R4_NEW: list[str] = [
     "collated_group_counts",
     "parameterized_sql_orders",
     "file_metadata_lineage",
+    "argmax_order_per_customer",
 ]
 
 

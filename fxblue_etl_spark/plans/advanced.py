@@ -754,6 +754,67 @@ GROUP BY o_orderpriority, o_orderstatus
 """
 
 
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free per-group argmax: each customer's single largest
+    order via ``max_by`` over a totally ordered struct — ONE
+    aggregate instead of the row_number window
+    (`topk_orders_per_customer`).  For top-1 this is the plan you
+    want at 100 TB: partial aggregation reduces each partition to one
+    candidate per customer BEFORE the exchange (the window must move
+    and rank every row of every group).  The struct comparison key
+    forces SortAggregate (struct buffers aren't hash-aggregable), but
+    that sort is on the grouping key only — never a per-group
+    (price, key) ordering, and no window state.
+
+    Determinism: the comparison key is the struct
+    ``(o_totalprice_e2, o_orderkey)`` — integer cents then key — so
+    ties cannot exist (orderkey is unique) and both engines pick the
+    same row.  A packed single-integer key would re-enable
+    HashAggregate but caps orderkey at the radix — the exact
+    collision family the round-3 advice flagged; the struct is the
+    scale-safe form.  ``min_by`` on the same struct gives the
+    smallest order for a spread metric."""
+    o = table(tune(spark), sf_dir, "orders")
+    price_e2 = F.floor(F.col("o_totalprice") * 100).cast("long")
+    key = F.struct(price_e2.alias("p"), F.col("o_orderkey").alias("k"))
+    return (
+        o.select("o_custkey", "o_orderkey", price_e2.alias("p_e2"), key.alias("kk"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("max_by(o_orderkey, kk)").alias("best_orderkey"),
+            F.max("p_e2").alias("best_price_e2"),
+            F.expr("min_by(o_orderkey, kk)").alias("worst_orderkey"),
+            (F.max("p_e2") - F.min("p_e2")).alias("spread_e2"),
+        )
+    )
+
+
+ARGMAX_ORDER_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p_e2
+  FROM orders),
+r AS (
+  -- this DuckDB's arg_max has no struct-key overload; two windows
+  -- restate the identical (p_e2, o_orderkey) lexicographic choice
+  SELECT *,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY p_e2 DESC, o_orderkey DESC) AS rn_max,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY p_e2 ASC, o_orderkey ASC) AS rn_min
+  FROM o)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS BIGINT) AS best_orderkey,
+       max(p_e2) AS best_price_e2,
+       CAST(max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS BIGINT) AS worst_orderkey,
+       max(p_e2) - min(p_e2) AS spread_e2
+FROM r
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -773,6 +834,7 @@ QUERIES = {
     "recursive_dup_reachability": recursive_dup_reachability,
     "collated_group_counts": collated_group_counts,
     "parameterized_sql_orders": parameterized_sql_orders,
+    "argmax_order_per_customer": argmax_order_per_customer,
 }
 
 ORACLES = {
@@ -794,4 +856,5 @@ ORACLES = {
     "recursive_dup_reachability": RECURSIVE_DUP_ORACLE,
     "collated_group_counts": COLLATED_GROUP_ORACLE,
     "parameterized_sql_orders": PARAMETERIZED_SQL_ORACLE,
+    "argmax_order_per_customer": ARGMAX_ORDER_ORACLE,
 }

@@ -664,3 +664,31 @@ def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(o_orderpriority,3-MEDIUM)" in plan
     assert all(r["o_orderpriority"] <= "3-MEDIUM" for r in df.collect())
+
+
+def test_argmax_agrees_with_window_topk(spark, sf_dir):
+    """max_by over the (price, key) struct must pick exactly the rank-1
+    row of the equivalent window formulation, via partial (map-side)
+    aggregation and with no Window node in the plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.advanced import argmax_order_per_customer
+
+    df = argmax_order_per_customer(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # candidates reduced before the exchange
+    got = {r["o_custkey"]: r["best_orderkey"] for r in df.collect()}
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.floor(F.col("o_totalprice") * 100)), F.desc("o_orderkey")
+    )
+    ref = {
+        r["o_custkey"]: r["o_orderkey"]
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == ref
