@@ -207,6 +207,7 @@ _R4_NEW: list[str] = [
     "file_metadata_lineage",
     "argmax_order_per_customer",
     "incremental_agg_maintenance",
+    "triplet_margin_mining",
 ]
 
 

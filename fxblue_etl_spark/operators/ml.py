@@ -1272,6 +1272,94 @@ GROUP BY 1
 """
 
 
+def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive/metric training: for each
+    query vector (the ``vec_id % 50 == 0`` query-set convention), the
+    hardest POSITIVE (highest-dot vector sharing its label) and the
+    hardest NEGATIVE (highest-dot vector of any other label), plus
+    the margin between them — the (anchor, positive, negative) table
+    a triplet-loss fine-tune consumes, with margin ≤ 0 flagging the
+    anchors whose neighborhood is label-impure.
+
+    Dots run on e3-quantized int64 components (exact cross-engine,
+    order-independent).  Both argmaxes come from ONE scored pass:
+    rank within (query, same-label?) then conditional aggregation —
+    no second scan, no self-join beyond the broadcast query set.
+
+    Scale shape: identical to ``cosine_topk_bruteforce`` — the exact
+    baseline is O(n·|queries|) with the query set broadcast; the
+    production path swaps in the IVF/PQ variants already on the
+    surface and keeps this as the recall-audit truth."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+    )
+    base = emb.select("vec_id", "label", F.explode(F.array(qv)).alias("q"))
+    queries = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        (F.col("label") == F.col("qlabel")).cast("int").alias("same"),
+        dot.alias("dot"),
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("same") == 1, F.col("vec_id"))).alias("pos_id"),
+            F.max(F.when(F.col("same") == 1, F.col("dot"))).alias("pos_dot"),
+            F.max(F.when(F.col("same") == 0, F.col("vec_id"))).alias("neg_id"),
+            F.max(F.when(F.col("same") == 0, F.col("dot"))).alias("neg_dot"),
+        )
+        .withColumn("margin", F.col("pos_dot") - F.col("neg_dot"))
+    )
+
+
+TRIPLET_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+qs AS (
+  SELECT vec_id AS query_id, label AS qlabel, q AS qq
+  FROM base WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qs.query_id, b.vec_id,
+         CAST(b.label = qs.qlabel AS INT) AS same,
+         CAST(list_sum(list_transform(range(1, len(b.q) + 1),
+                       i -> b.q[CAST(i AS INT)] * qs.qq[CAST(i AS INT)]))
+              AS BIGINT) AS dot
+  FROM qs JOIN base b ON b.vec_id != qs.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, same
+                               ORDER BY dot DESC, vec_id ASC) AS rn
+  FROM scored)
+SELECT query_id,
+       CAST(max(CASE WHEN same = 1 THEN vec_id END) AS BIGINT) AS pos_id,
+       CAST(max(CASE WHEN same = 1 THEN dot END) AS BIGINT) AS pos_dot,
+       CAST(max(CASE WHEN same = 0 THEN vec_id END) AS BIGINT) AS neg_id,
+       CAST(max(CASE WHEN same = 0 THEN dot END) AS BIGINT) AS neg_dot,
+       CAST(max(CASE WHEN same = 1 THEN dot END)
+            - max(CASE WHEN same = 0 THEN dot END) AS BIGINT) AS margin
+FROM ranked WHERE rn = 1
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -1288,6 +1376,7 @@ QUERIES = {
     "knn_label_eval": knn_label_eval,
     "ann_recall_report": ann_recall_report,
     "jl_sign_projection": jl_sign_projection,
+    "triplet_margin_mining": triplet_margin_mining,
 }
 
 ORACLES = {
@@ -1306,4 +1395,5 @@ ORACLES = {
     "knn_label_eval": KNN_LABEL_ORACLE,
     "ann_recall_report": ANN_RECALL_ORACLE,
     "jl_sign_projection": JL_PROJECTION_ORACLE,
+    "triplet_margin_mining": TRIPLET_ORACLE,
 }

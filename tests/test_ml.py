@@ -250,3 +250,37 @@ def test_jl_projection_preserves_norms_in_expectation(spark, sf_dir):
     parts = rows[0]["proj_csv"].split(",")
     assert len(parts) == JL_DIM
     assert any(int(p) != 0 for p in parts)
+
+
+def test_triplet_mining_matches_numpy_argmax(spark, sf_dir):
+    """Hardest positive/negative per anchor re-derived with numpy on
+    the e3-quantized integers must agree exactly, including the
+    (dot desc, vec_id asc) tie-break."""
+    import numpy as np
+
+    from fxblue_etl_spark.operators.ml import triplet_margin_mining
+
+    emb = {
+        r["vec_id"]: (
+            r["label"],
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e3).astype(
+                np.int64
+            ),
+        )
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    rows = {r["query_id"]: r for r in triplet_margin_mining(spark, sf_dir).collect()}
+    assert set(rows) == {i for i in emb if i % 50 == 0}
+    for qid, r in rows.items():
+        qlabel, qq = emb[qid]
+        best = {}
+        for vid, (lab, v) in emb.items():
+            if vid == qid:
+                continue
+            same = int(lab == qlabel)
+            cand = (-int(qq @ v), vid)
+            if same not in best or cand < best[same]:
+                best[same] = cand
+        assert (r["pos_dot"], r["pos_id"]) == (-best[1][0], best[1][1])
+        assert (r["neg_dot"], r["neg_id"]) == (-best[0][0], best[0][1])
+        assert r["margin"] == r["pos_dot"] - r["neg_dot"]
