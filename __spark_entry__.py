@@ -208,6 +208,7 @@ _R4_NEW: list[str] = [
     "argmax_order_per_customer",
     "incremental_agg_maintenance",
     "triplet_margin_mining",
+    "map_column_stats",
 ]
 
 

@@ -815,6 +815,58 @@ GROUP BY 1
 """
 
 
+def map_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-customer status→count maps built with
+    ``map_from_entries`` over sorted collect_list entries, then
+    consumed with map lookups (``element_at``), ``map_keys``, and a
+    ``map_filter`` — the engine path a feature-store column of typed
+    key-value pairs exercises.
+
+    The map itself never leaves the engine (map cells are unhashable
+    in any pandas-based canonicalizer — the round-3
+    ``embedding_quantize`` lesson, applied at design time): the query
+    emits only scalar projections of the map, which also makes the
+    oracle a plain conditional aggregation.
+
+    Determinism: entries are assembled from a pre-aggregated
+    (status, count) list sorted by status, so map iteration order is
+    fixed in both the build and the ``map_keys`` projection."""
+    o = table(tune(spark), sf_dir, "orders")
+    per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    entries = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return entries.select(
+        "o_custkey",
+        F.size("m").alias("n_statuses"),
+        F.concat_ws(",", F.map_keys("m")).alias("statuses_csv"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.element_at("m", "P"), F.lit(0)).cast("long").alias("n_p"),
+        F.size(F.map_filter("m", lambda k, v: v >= 2)).alias("n_repeat_statuses"),
+    )
+
+
+MAP_COLUMN_ORACLE = """
+WITH per_status AS (
+  SELECT o_custkey, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_custkey,
+       CAST(count(*) AS INT) AS n_statuses,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses_csv,
+       CAST(coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS BIGINT) AS n_f,
+       CAST(coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS BIGINT) AS n_o,
+       CAST(coalesce(max(CASE WHEN o_orderstatus = 'P' THEN n END), 0) AS BIGINT) AS n_p,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS INT) AS n_repeat_statuses
+FROM per_status
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -835,6 +887,7 @@ QUERIES = {
     "collated_group_counts": collated_group_counts,
     "parameterized_sql_orders": parameterized_sql_orders,
     "argmax_order_per_customer": argmax_order_per_customer,
+    "map_column_stats": map_column_stats,
 }
 
 ORACLES = {
@@ -857,4 +910,5 @@ ORACLES = {
     "collated_group_counts": COLLATED_GROUP_ORACLE,
     "parameterized_sql_orders": PARAMETERIZED_SQL_ORACLE,
     "argmax_order_per_customer": ARGMAX_ORDER_ORACLE,
+    "map_column_stats": MAP_COLUMN_ORACLE,
 }
