@@ -209,6 +209,7 @@ _R4_NEW: list[str] = [
     "incremental_agg_maintenance",
     "triplet_margin_mining",
     "map_column_stats",
+    "map_in_arrow_char_profile",
 ]
 
 

@@ -400,6 +400,47 @@ FROM src
 """
 
 
+def map_in_arrow_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the sixth UDF modality on the surface (after
+    pandas_udf, applyInPandas, mapInPandas, UDTF, applyInArrow):
+    whole Arrow RecordBatches stream through Python with ZERO
+    pandas materialization, and all compute stays in Arrow's
+    vectorized kernels (``utf8_length``, ``count_substring``) — the
+    shape for byte-level featurization where pandas object columns
+    would dominate cost.
+
+    Emits the per-document character/space profile; the oracle
+    restates it with plain SQL string functions, certifying the
+    Arrow kernels agree with engine semantics (a non-trivial
+    contract: e.g. utf8_length is codepoints, like length())."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(tune(spark), sf_dir, "documents").select("doc_id", "text")
+
+    def profile(batches):
+        for b in batches:
+            t = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.count_substring(t, " "), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_spaces"],
+            )
+
+    return d.mapInArrow(profile, "doc_id long, n_chars long, n_spaces long")
+
+
+MAP_IN_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
@@ -409,6 +450,7 @@ QUERIES = {
     "pandas_api_lang_stats": pandas_api_lang_stats,
     "udtf_null_profile": udtf_null_profile,
     "sql_udf_percent_parse": sql_udf_percent_parse,
+    "map_in_arrow_char_profile": map_in_arrow_char_profile,
 }
 
 ORACLES = {
@@ -420,4 +462,5 @@ ORACLES = {
     "pandas_api_lang_stats": PANDAS_API_ORACLE,
     "udtf_null_profile": UDTF_NULL_PROFILE_ORACLE,
     "sql_udf_percent_parse": SQL_UDF_PCT_ORACLE,
+    "map_in_arrow_char_profile": MAP_IN_ARROW_ORACLE,
 }
