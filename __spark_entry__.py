@@ -210,6 +210,7 @@ _R4_NEW: list[str] = [
     "triplet_margin_mining",
     "map_column_stats",
     "map_in_arrow_char_profile",
+    "pandas_grouped_agg_gini",
 ]
 
 

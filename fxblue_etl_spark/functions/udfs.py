@@ -441,6 +441,75 @@ FROM documents
 """
 
 
+def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the seventh UDF modality (a true
+    user-defined AGGREGATE: the whole group's column arrives as one
+    pandas Series, returns one scalar), here computing the exact
+    integer Gini concentration of order value per status.
+
+    Exactness discipline: prices floor to cents; the Gini numerator
+    ``Σ (2i−n−1)·x₍ᵢ₎`` over cents is an integer, and tied values
+    multiply CONSECUTIVE integer weights whose block total is
+    tie-order invariant — so no tiebreak is even needed for the sum
+    to be exact; the ppm quotient runs in Python big-ints (the 1e6
+    premultiply overflows int64 at fixture scale already).  The
+    oracle restates the same rank formula with one window.
+
+    Scale note: a grouped-agg UDF ships each full group through
+    Arrow — fine for group-bounded aggregates like this (statuses
+    are 3); for high-cardinality groups the tournament/histogram
+    formulations elsewhere in the repo are the scale path."""
+    o = table(tune(spark), sf_dir, "orders")
+
+    @pandas_udf("long")
+    def gini_ppm(v: pd.Series) -> int:
+        x = np.sort(v.to_numpy(np.int64))
+        n = len(x)
+        if n == 0 or x.sum() == 0:
+            return 0
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        den = int(n) * int(x.sum())
+        return (1_000_000 * num) // den
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark refuses to mix grouped-agg pandas UDFs with built-in
+        # aggregates in one agg() — the count is a pandas UDF too
+        return len(v)
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderstatus", cents.alias("v"))
+        .groupBy("o_orderstatus")
+        .agg(
+            n_rows("v").alias("n_orders"),
+            gini_ppm("v").alias("gini_ppm"),
+        )
+    )
+
+
+GROUPED_AGG_GINI_ORACLE = """
+WITH x AS (
+  SELECT o_orderstatus AS s,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+r AS (
+  SELECT s, v,
+         row_number() OVER (PARTITION BY s ORDER BY v) AS i,
+         count(*) OVER (PARTITION BY s) AS n,
+         sum(v) OVER (PARTITION BY s) AS t
+  FROM x)
+SELECT s AS o_orderstatus,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(CAST(1000000 AS HUGEINT)
+            * sum((2 * CAST(i AS HUGEINT) - n - 1) * v)
+            // (CAST(max(n) AS HUGEINT) * max(t)) AS BIGINT) AS gini_ppm
+FROM r
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pandas_udf_log_return": pandas_udf_log_return,
     "grouped_map_share": grouped_map_share,
@@ -451,6 +520,7 @@ QUERIES = {
     "udtf_null_profile": udtf_null_profile,
     "sql_udf_percent_parse": sql_udf_percent_parse,
     "map_in_arrow_char_profile": map_in_arrow_char_profile,
+    "pandas_grouped_agg_gini": pandas_grouped_agg_gini,
 }
 
 ORACLES = {
@@ -463,4 +533,5 @@ ORACLES = {
     "udtf_null_profile": UDTF_NULL_PROFILE_ORACLE,
     "sql_udf_percent_parse": SQL_UDF_PCT_ORACLE,
     "map_in_arrow_char_profile": MAP_IN_ARROW_ORACLE,
+    "pandas_grouped_agg_gini": GROUPED_AGG_GINI_ORACLE,
 }

@@ -63,3 +63,28 @@ def test_sql_udf_stays_inside_catalyst(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     ref = sorted(map(tuple, t4_percent_parse(spark, sf_dir).collect()))
     assert got == ref
+
+
+def test_grouped_agg_gini_bounds_and_identity(spark, sf_dir):
+    """Gini must sit in [0, 1e6); a constant series gives exactly 0;
+    the reported ppm equals the big-int rank formula recomputed in
+    Python."""
+    from fxblue_etl_spark.functions.udfs import pandas_grouped_agg_gini
+    from fxblue_etl_spark.io import table
+
+    rows = {r["o_orderstatus"]: r for r in pandas_grouped_agg_gini(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).collect()
+    by_status = {}
+    for r in o:
+        by_status.setdefault(r["o_orderstatus"], []).append(r["v"])
+    assert set(rows) == set(by_status)
+    for s, vals in by_status.items():
+        x = sorted(vals)
+        n = len(x)
+        num = sum((2 * i - n - 1) * xi for i, xi in enumerate(x, start=1))
+        want = (1_000_000 * num) // (n * sum(x))
+        assert rows[s]["n_orders"] == n
+        assert rows[s]["gini_ppm"] == want
+        assert 0 <= want < 1_000_000
