@@ -887,6 +887,144 @@ FROM grid g LEFT JOIN s USING (alpha_pct, lang)
 TEMPERATURE_SWEEP_ORACLE = _sweep_oracle()
 
 
+#: water-fill budget as a fraction (ppm) of total available tokens
+WATERFILL_BUDGET_PPM = 500_000
+
+
+WATERFILL_FILL_SQL = f"""
+        WITH tot AS (
+          SELECT CAST(sum(cap) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST({WATERFILL_BUDGET_PPM} AS DECIMAL(38,0)) * sum(cap)
+                      DIV 1000000 AS BIGINT) AS budget
+          FROM wf_caps),
+        s AS (
+          SELECT source, cap,
+                 row_number() OVER (ORDER BY cap ASC, source ASC) AS rk,
+                 sum(cap) OVER (ORDER BY cap ASC, source ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM wf_caps),
+        -- candidate saturation prefixes: k sources take their cap,
+        -- the remaining n-k share (budget - cum_k) evenly
+        cand AS (
+          SELECT k.k, (t.budget - coalesce(p.cum, 0)) DIV (t.n - k.k) AS level
+          FROM (SELECT rk AS k FROM s UNION ALL SELECT 0) k
+          CROSS JOIN tot t
+          LEFT JOIN s p ON p.rk = k.k
+          WHERE k.k < t.n),
+        valid AS (
+          SELECT c.k, c.level
+          FROM cand c
+          LEFT JOIN s lo ON lo.rk = c.k
+          LEFT JOIN s hi ON hi.rk = c.k + 1
+          WHERE (lo.cap IS NULL OR lo.cap <= c.level)
+            AND (hi.cap IS NULL OR c.level < hi.cap)
+          ORDER BY c.k ASC
+          LIMIT 1),
+        leveled AS (
+          SELECT s.source, s.cap, t.budget, t.total,
+                 CASE WHEN t.budget >= t.total THEN s.cap
+                      WHEN s.rk <= v.k THEN s.cap
+                      ELSE v.level END AS base_alloc,
+                 CASE WHEN t.budget < t.total AND s.rk > v.k THEN 1 ELSE 0 END
+                   AS uncapped
+          FROM s CROSS JOIN tot t LEFT JOIN valid v ON true),
+        rem AS (
+          SELECT *,
+                 budget - sum(base_alloc) OVER () AS leftover,
+                 row_number() OVER (ORDER BY uncapped DESC, cap DESC, source ASC)
+                   AS bonus_rk
+          FROM leveled)
+        SELECT source, cap,
+               CAST(base_alloc + CASE WHEN uncapped = 1 AND bonus_rk <= leftover
+                                      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM rem
+        """
+
+
+def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped water-filling: allocate a token budget across sources
+    so every source gets an EQUAL level except those whose
+    availability caps out — the max-min-fair mixture rule (each
+    source gets ``min(cap, L)`` with the water level L chosen so the
+    allocations sum to the budget exactly).  Hamilton apportionment
+    (`mixture_allocation`) divides by fixed WEIGHTS; water-filling
+    divides by equal SHARES under caps — the rule used when no
+    source may be over-sampled past its natural size.
+
+    Exact-integer construction: caps sorted ascending with cumulative
+    sums; for each candidate saturation prefix k, the trial level is
+    ``(B − cum_k) DIV (n − k)`` and the unique valid k satisfies
+    ``cap_k ≤ L_k < next cap``; the division's remainder goes +1
+    each to the largest-cap unsaturated sources (source-name
+    tiebreak), so Σ alloc == B bit-for-bit in both engines.  If the
+    budget covers every cap, every source just gets its cap.
+
+    Scale shape: the per-source token count is the only corpus-sized
+    pass (map-side combined); the fill itself runs on the
+    config-sized source table (windows over ≤ thousands of rows)."""
+    d = table(tune(spark), sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("cap")
+    )
+    caps.createOrReplaceTempView("wf_caps")
+    return tune(spark).sql(WATERFILL_FILL_SQL)
+
+
+def _waterfill_oracle() -> str:
+    return f"""
+WITH wf_caps AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t != ''))) AS BIGINT) AS cap
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cap) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST({WATERFILL_BUDGET_PPM} AS HUGEINT) * sum(cap)
+              // 1000000 AS BIGINT) AS budget
+  FROM wf_caps),
+s AS (
+  SELECT source, cap,
+         row_number() OVER (ORDER BY cap ASC, source ASC) AS rk,
+         sum(cap) OVER (ORDER BY cap ASC, source ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM wf_caps),
+cand AS (
+  SELECT k.k, (t.budget - coalesce(p.cum, 0)) // (t.n - k.k) AS level
+  FROM (SELECT rk AS k FROM s UNION ALL SELECT 0) k
+  CROSS JOIN tot t
+  LEFT JOIN s p ON p.rk = k.k
+  WHERE k.k < t.n),
+valid AS (
+  SELECT c.k, c.level
+  FROM cand c
+  LEFT JOIN s lo ON lo.rk = c.k
+  LEFT JOIN s hi ON hi.rk = c.k + 1
+  WHERE (lo.cap IS NULL OR lo.cap <= c.level)
+    AND (hi.cap IS NULL OR c.level < hi.cap)
+  ORDER BY c.k ASC
+  LIMIT 1),
+leveled AS (
+  SELECT s.source, s.cap, t.budget, t.total,
+         CASE WHEN t.budget >= t.total THEN s.cap
+              WHEN s.rk <= v.k THEN s.cap
+              ELSE v.level END AS base_alloc,
+         CASE WHEN t.budget < t.total AND s.rk > v.k THEN 1 ELSE 0 END AS uncapped
+  FROM s CROSS JOIN tot t LEFT JOIN valid v ON true),
+rem AS (
+  SELECT *,
+         budget - sum(base_alloc) OVER () AS leftover,
+         row_number() OVER (ORDER BY uncapped DESC, cap DESC, source ASC) AS bonus_rk
+  FROM leveled)
+SELECT source, cap,
+       CAST(base_alloc + CASE WHEN uncapped = 1 AND bonus_rk <= leftover
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rem
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
@@ -900,7 +1038,10 @@ QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "weighted_priority_sample": weighted_priority_sample,
     "temperature_sweep": temperature_sweep,
+    "capped_waterfill_allocation": capped_waterfill_allocation,
 }
+
+WATERFILL_ORACLE = _waterfill_oracle()
 
 ORACLES = {
     "corpus_split": CORPUS_SPLIT_ORACLE,
@@ -915,4 +1056,5 @@ ORACLES = {
     "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE,
     "weighted_priority_sample": WEIGHTED_SAMPLE_ORACLE,
     "temperature_sweep": TEMPERATURE_SWEEP_ORACLE,
+    "capped_waterfill_allocation": WATERFILL_ORACLE,
 }

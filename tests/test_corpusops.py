@@ -146,3 +146,40 @@ def test_hierarchical_mixture_conserves_quotas(spark, sf_dir):
         assert total == lang_quota[lang], lang
     # ...and language quotas sum exactly to the budget
     assert sum(lang_quota.values()) == MIX_BUDGET
+
+
+def test_waterfill_saturates_small_sources_and_sums_to_budget(spark, sf_dir):
+    """Drive the shared fill SQL on synthetic skewed caps: small
+    sources saturate at their cap, the rest share one water level
+    (±1 for the remainder), and Σ alloc == budget exactly.  Then the
+    fixture-backed operator must satisfy the same invariants."""
+    from fxblue_etl_spark.operators.corpusops import (
+        WATERFILL_BUDGET_PPM,
+        WATERFILL_FILL_SQL,
+        capped_waterfill_allocation,
+    )
+
+    caps = [("tiny", 10), ("small", 50), ("mid", 400), ("big", 4000), ("huge", 40000)]
+    spark.createDataFrame(caps, "source string, cap long").createOrReplaceTempView(
+        "wf_caps"
+    )
+    rows = {r["source"]: r for r in spark.sql(WATERFILL_FILL_SQL).collect()}
+    total = sum(c for _, c in caps)
+    budget = (WATERFILL_BUDGET_PPM * total) // 1_000_000
+    assert sum(r["alloc"] for r in rows.values()) == budget
+    for s, cap in caps:
+        assert rows[s]["alloc"] <= cap
+    # water level = (22230 − 4460)/1 = 17770: everything but `huge`
+    # sits below it and saturates at its own cap
+    assert rows["tiny"]["alloc"] == 10
+    assert rows["small"]["alloc"] == 50
+    assert rows["mid"]["alloc"] == 400
+    assert rows["big"]["alloc"] == 4000
+    assert rows["huge"]["alloc"] == budget - 4460
+
+    # fixture-backed operator: same conservation + cap invariants
+    out = capped_waterfill_allocation(spark, sf_dir).collect()
+    t = sum(r["cap"] for r in out)
+    b = (WATERFILL_BUDGET_PPM * t) // 1_000_000
+    assert sum(r["alloc"] for r in out) == b
+    assert all(r["alloc"] <= r["cap"] for r in out)
