@@ -212,6 +212,7 @@ _R4_NEW: list[str] = [
     "map_in_arrow_char_profile",
     "pandas_grouped_agg_gini",
     "capped_waterfill_allocation",
+    "ngram_novelty_scores",
 ]
 
 

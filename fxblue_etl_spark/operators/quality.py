@@ -383,6 +383,76 @@ GROUP BY 1
 QUALITY_LM_CALIBRATION_ORACLE = _calibration_oracle()
 
 
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage novelty scoring: how much of an incoming document's
+    content is NEW relative to the standing corpus — the freshness
+    signal a crawl-selection pipeline uses to prefer documents that
+    add information rather than re-crawl boilerplate.  Standing
+    corpus = ``doc_id % 5 != 0`` (the 80% already ingested), batch =
+    the rest; per batch doc, the fraction of its distinct word
+    trigrams absent from the standing corpus's trigram vocabulary,
+    as exact ppm.
+
+    Scale shape: one distinct-aggregate over the standing corpus's
+    trigrams (map-side combined) and one equi-join on the trigram
+    key — at 100 TB the join's standing side is Bloom-prefilterable
+    (the `runtime_filters` pattern); nothing is all-pairs.
+
+    Reference parity: beyond-reference quality surface; shares the
+    shingle normalization with the dedup family
+    (`operators/dedup.py`)."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    from .dedup import word_shingles
+
+    tri = d.filter(F.size(ws_tokens(F.lower("text"))) >= 3).select(
+        "doc_id", F.explode(word_shingles("text")).alias("tri")
+    )
+    old_tris = tri.filter(F.col("doc_id") % 5 != 0).select("tri").distinct()
+    new_tris = tri.filter(F.col("doc_id") % 5 == 0)
+    joined = new_tris.join(
+        old_tris.withColumn("seen", F.lit(1)), "tri", "left_outer"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("novel_ppm"),
+    )
+
+
+NGRAM_NOVELTY_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                  || ' ' || toks[CAST(i AS INT) + 3]))) AS tri
+  FROM norm
+  WHERE len(toks) >= 3),
+old_tris AS (
+  SELECT DISTINCT tri FROM tri WHERE doc_id % 5 != 0)
+SELECT t.doc_id,
+       count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(CAST(1000000 AS HUGEINT)
+            * sum(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS novel_ppm
+FROM tri t LEFT JOIN old_tris o ON o.tri = t.tri
+WHERE t.doc_id % 5 = 0
+GROUP BY 1
+"""
+
+
 def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality FEATURE MATRIX: the wide table a quality-
     classifier trainer (FineWeb-style) actually consumes — every
@@ -474,6 +544,7 @@ QUERIES = {
     "span_dedup_stats": span_dedup_stats,
     "quality_lm_calibration": quality_lm_calibration,
     "quality_feature_matrix": quality_feature_matrix,
+    "ngram_novelty_scores": ngram_novelty_scores,
 }
 
 ORACLES = {
@@ -483,4 +554,5 @@ ORACLES = {
     "span_dedup_stats": SPAN_DEDUP_ORACLE,
     "quality_lm_calibration": QUALITY_LM_CALIBRATION_ORACLE,
     "quality_feature_matrix": FEATURE_MATRIX_ORACLE,
+    "ngram_novelty_scores": NGRAM_NOVELTY_ORACLE,
 }

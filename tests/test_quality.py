@@ -180,3 +180,16 @@ def test_feature_matrix_spine_covers_every_document(spark, sf_dir):
     for r in rows:
         expected = int((r["stopword_keep"] or 0) == 1 and (r["gopher_keep"] or 0) == 1)
         assert r["keep_all"] == expected
+
+
+def test_ngram_novelty_bounds_and_quotient(spark, sf_dir):
+    """novel_ppm is the exact integer quotient; every batch doc
+    (doc_id % 5 == 0, >= 3 tokens) appears; counts are bounded."""
+    from fxblue_etl_spark.operators.quality import ngram_novelty_scores
+
+    rows = ngram_novelty_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 5 == 0
+        assert 0 <= r["n_novel"] <= r["n_trigrams"]
+        assert r["novel_ppm"] == (1_000_000 * r["n_novel"]) // r["n_trigrams"]
