@@ -213,6 +213,7 @@ _R4_NEW: list[str] = [
     "pandas_grouped_agg_gini",
     "capped_waterfill_allocation",
     "ngram_novelty_scores",
+    "token_weighted_median_quality",
 ]
 
 

@@ -823,6 +823,78 @@ FROM scored GROUP BY 1
 CROSS_SPLIT_LM_ORACLE = _cross_split_oracle()
 
 
+def token_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median of the rarity score per language: the
+    smallest ``rare_ppm`` at which HALF THE TOKENS (not half the
+    documents) sit at or below — the statistic that answers "what
+    does the median training token look like", which doc-weighted
+    percentiles (`perplexity_bucket_cutoffs`) get wrong whenever
+    quality correlates with length (it does: boilerplate is short,
+    books are long).
+
+    Same no-sort discipline as the cutoff op: scores live on the ppm
+    integer grid, so the (lang, score) histogram is grid-bounded at
+    any corpus size; the median is the first histogram row whose
+    doubled cumulative token mass reaches the total (pure integer
+    comparison, no division, no per-doc sort).
+
+    Scale shape: one corpus-sized aggregate (the per-doc score —
+    already map-side combined inside `rare_token_quality`), one
+    grid-bounded histogram aggregate, one window over the grid."""
+    sc = rare_token_quality(spark, sf_dir).select("doc_id", "n_toks", "rare_ppm")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hist = (
+        sc.join(d, "doc_id")
+        .groupBy("lang", "rare_ppm")
+        .agg(F.sum("n_toks").cast("long").alias("toks"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("rare_ppm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.withColumn("cum", F.sum("toks").over(w_cum)).withColumn(
+        "total", F.sum("toks").over(w_tot)
+    )
+    med = cum.filter(2 * F.col("cum") >= F.col("total"))
+    w_first = Window.partitionBy("lang").orderBy("rare_ppm")
+    return (
+        med.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("total").alias("total_tokens"),
+            F.col("rare_ppm").alias("median_cutoff_ppm"),
+            F.col("cum").alias("tokens_at_or_below"),
+        )
+    )
+
+
+TOKEN_WEIGHTED_MEDIAN_ORACLE = f"""
+WITH score AS ({RARE_TOKEN_ORACLE}),
+hist AS (
+  SELECT d.lang, s.rare_ppm, CAST(sum(s.n_toks) AS BIGINT) AS toks
+  FROM score s JOIN documents d USING (doc_id)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT *,
+         sum(toks) OVER (PARTITION BY lang ORDER BY rare_ppm
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(toks) OVER (PARTITION BY lang) AS total
+  FROM hist),
+med AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rare_ppm) AS rn
+  FROM cum WHERE 2 * cum >= total)
+SELECT lang,
+       CAST(total AS BIGINT) AS total_tokens,
+       median_cutoff_ppm,
+       CAST(cum AS BIGINT) AS tokens_at_or_below
+FROM (SELECT lang, total, rare_ppm AS median_cutoff_ppm, cum, rn FROM med)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
@@ -833,6 +905,7 @@ QUERIES = {
     "bpe_merge_topk": bpe_merge_topk,
     "cross_split_lm_eval": cross_split_lm_eval,
     "token_pmi_topk": token_pmi_topk,
+    "token_weighted_median_quality": token_weighted_median_quality,
 }
 
 ORACLES = {
@@ -845,4 +918,5 @@ ORACLES = {
     "bpe_merge_topk": BPE_MERGE_ORACLE,
     "cross_split_lm_eval": CROSS_SPLIT_LM_ORACLE,
     "token_pmi_topk": TOKEN_PMI_ORACLE,
+    "token_weighted_median_quality": TOKEN_WEIGHTED_MEDIAN_ORACLE,
 }

@@ -119,3 +119,33 @@ def test_token_pmi_ranks_lift_consistently(spark, sf_dir):
         assert n_xy == r["n_pair"] >= PMI_MIN_PAIR
         q1 = (1_000_000 * n_xy * n_total) // (m_total * uni[r["head"]])
         assert r["pmi_ratio_ppm"] == (q1 * n_total) // uni[r["nxt"]]
+
+
+def test_token_weighted_median_is_true_weighted_median(spark, sf_dir):
+    """Re-derive the weighted median per language from the raw
+    per-doc scores in Python: smallest score whose cumulative token
+    mass doubles past the total."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.tfidf import (
+        rare_token_quality,
+        token_weighted_median_quality,
+    )
+
+    got = {r["lang"]: r for r in token_weighted_median_quality(spark, sf_dir).collect()}
+    sc = {r["doc_id"]: r for r in rare_token_quality(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    by_lang = {}
+    for d in docs:
+        if d["doc_id"] in sc:
+            r = sc[d["doc_id"]]
+            by_lang.setdefault(d["lang"], []).append((r["rare_ppm"], r["n_toks"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        total = sum(t for _, t in pairs)
+        cum = 0
+        for ppm, t in pairs:
+            cum += t
+            if 2 * cum >= total:
+                break
+        assert got[lang]["median_cutoff_ppm"] == ppm
+        assert got[lang]["total_tokens"] == total
