@@ -17,6 +17,7 @@ from fxblue_etl_spark.operators.corpusops import (
 from fxblue_etl_spark.operators.graph import split_decontaminate
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
+    triplet_margin_mining,
     embedding_moment_stats,
     ivf_multiprobe_topk,
     jl_sign_projection,
@@ -24,6 +25,20 @@ from fxblue_etl_spark.operators.ml import (
     pq_adc_topk,
 )
 from fxblue_etl_spark.operators.temporal import ohlc_bars_hourly
+from fxblue_etl_spark.functions.udfs import pandas_grouped_agg_gini
+from fxblue_etl_spark.operators.corpusops import capped_waterfill_allocation
+from fxblue_etl_spark.operators.quality import (
+    ngram_novelty_scores,
+    quality_feature_matrix,
+)
+from fxblue_etl_spark.operators.temporal import tz_local_day_rollup
+from fxblue_etl_spark.plans.advanced import (
+    argmax_order_per_customer,
+    collated_group_counts,
+    map_column_stats,
+)
+from fxblue_etl_spark.plans.dq import incremental_agg_maintenance
+from fxblue_etl_spark.plans.stats import decimal_money_totals
 from fxblue_etl_spark.operators.tfidf import (
     bpe_merge_topk,
     cross_split_lm_eval,
@@ -32,6 +47,7 @@ from fxblue_etl_spark.operators.tfidf import (
     token_bigram_lm,
     token_frequency_spectrum,
     token_pmi_topk,
+    token_weighted_median_quality,
 )
 from fxblue_etl_spark.operators.windows import sessionize_events, session_paths
 from fxblue_etl_spark.plans.behavior import (
@@ -82,6 +98,18 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         attribution_first_last,
         token_pmi_topk,
         jl_sign_projection,
+        quality_feature_matrix,
+        ngram_novelty_scores,
+        capped_waterfill_allocation,
+        token_weighted_median_quality,
+        decimal_money_totals,
+        tz_local_day_rollup,
+        argmax_order_per_customer,
+        map_column_stats,
+        collated_group_counts,
+        incremental_agg_maintenance,
+        triplet_margin_mining,
+        pandas_grouped_agg_gini,
     ],
     ids=lambda q: q.__name__,
 )
