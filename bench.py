@@ -49,6 +49,10 @@ HEADLINE = (
     "pq_adc_topk",
     "streaming_cdc_scd2",
     "perplexity_bucket_cutoffs",
+    # continuation-wave representatives (APPENDED)
+    "quality_feature_matrix",
+    "streaming_lsh_dedup",
+    "triplet_margin_mining",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

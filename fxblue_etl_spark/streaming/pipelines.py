@@ -1114,17 +1114,23 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: extends the reference's key-based cross-run
     dedup (`CSV PARSER/gcp_csv.py:148-157`) to content similarity in
     the incremental path."""
-    from ..io import table
+    from ..io import fan_out, table
     from ..operators.dedup import minhash_band_rows
 
     tune(spark)
     corpus_bands = minhash_band_rows(
-        table(spark, sf_dir, "documents")
+        fan_out(table(spark, sf_dir, "documents"))
     ).select(F.col("doc_id").alias("prior_id"), "band_idx", "band_sig")
 
     d = _stage_docs_dir(sf_dir)
     schema = spark.read.parquet(d).schema
-    stream_docs = spark.readStream.schema(schema).parquet(d)
+    # a micro-batch of one staged file arrives as ONE input partition;
+    # the minhash/banding work is the expensive row-local part, so
+    # spread the batch across the session's parallelism first (same
+    # role fan_out plays on the batch path — streams repartition
+    # per micro-batch)
+    n_par = spark.sparkContext.defaultParallelism
+    stream_docs = spark.readStream.schema(schema).parquet(d).repartition(n_par)
     sbands = minhash_band_rows(stream_docs).select("doc_id", "band_idx", "band_sig")
 
     hits = sbands.join(corpus_bands, ["band_idx", "band_sig"], "left_outer")
