@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_tolerant_roundtrip",
         "event_cooccurrence",
         "rolling_active_users",
+        # banding factored into minhash_band_rows for the streaming
+        # gate (pure refactor, locally parity-verified) — re-certify
+        "minhash_lsh_pairs",
         # the 37 never-driver-checked round-3 queries (all changed
         # ones among them lead the block)
         "label_cohesion_stats",
