@@ -214,6 +214,9 @@ _R4_NEW: list[str] = [
     "capped_waterfill_allocation",
     "ngram_novelty_scores",
     "token_weighted_median_quality",
+    "aes_column_roundtrip",
+    "formatted_number_parse",
+    "xml_roundtrip_extract",
 ]
 
 

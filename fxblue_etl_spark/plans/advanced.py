@@ -867,6 +867,51 @@ GROUP BY 1
 """
 
 
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``from_xml``: orders serialized to XML fragments
+    (attribute + nested element), parsed back with a typed schema
+    (attributes surface under the ``_`` prefix), and aggregated —
+    the oracle computes the same totals from the base columns, so a
+    dropped attribute, an entity-escape bug, or a mis-typed nested
+    element diverges in counts or sums.
+
+    The XML path matters for the ingest story: half the world's
+    B2B feeds (and RSS itself — the reference's second source,
+    `RSS PARSER/gcp_rss.py:83`) are XML; this certifies the typed
+    extraction path end to end without a network fetch."""
+    o = table(tune(spark), sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    xml = F.concat(
+        F.lit('<o id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" st="'),
+        F.col("o_orderstatus"),
+        F.lit('"><p>'),
+        cents.cast("string"),
+        F.lit("</p></o>"),
+    )
+    parsed = o.select(xml.alias("x")).select(
+        F.expr("from_xml(x, '_id BIGINT, _st STRING, p BIGINT')").alias("r")
+    )
+    return parsed.groupBy(F.col("r._st").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.p").cast("long").alias("price_cents"),
+        F.min("r._id").alias("min_orderkey"),
+        F.max("r._id").alias("max_orderkey"),
+    )
+
+
+XML_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -888,6 +933,7 @@ QUERIES = {
     "parameterized_sql_orders": parameterized_sql_orders,
     "argmax_order_per_customer": argmax_order_per_customer,
     "map_column_stats": map_column_stats,
+    "xml_roundtrip_extract": xml_roundtrip_extract,
 }
 
 ORACLES = {
@@ -911,4 +957,5 @@ ORACLES = {
     "parameterized_sql_orders": PARAMETERIZED_SQL_ORACLE,
     "argmax_order_per_customer": ARGMAX_ORDER_ORACLE,
     "map_column_stats": MAP_COLUMN_ORACLE,
+    "xml_roundtrip_extract": XML_ROUNDTRIP_ORACLE,
 }

@@ -91,3 +91,24 @@ def test_dedup_keep_first_deterministic(spark):
     out = C.dedup_by_key(df, ["key"], order_by=[F.asc("ord")]).collect()
     got = {r.key: r.val for r in out}
     assert got == {"k": "a", "j": "z"}
+
+
+def test_aes_roundtrip_is_total_and_padded(spark, sf_dir):
+    """Every document must decrypt back byte-identically and the
+    ciphertext length must follow PKCS#7 exactly."""
+    from fxblue_etl_spark.operators.cleaning import aes_column_roundtrip
+
+    rows = aes_column_roundtrip(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_roundtrip_ok"] == r["n_docs"]
+        assert r["cipher_bytes"] % 16 == 0
+        assert r["cipher_bytes"] > 0
+
+
+def test_formatted_number_parse_matches_integer_arithmetic(spark, sf_dir):
+    from fxblue_etl_spark.operators.cleaning import formatted_number_parse
+
+    for r in formatted_number_parse(spark, sf_dir).collect():
+        k = r["c_custkey"]
+        assert r["amount_cents"] == (k % 9 + 1) * 100000 + (k % 1000) * 100 + k % 100
