@@ -217,6 +217,7 @@ _R4_NEW: list[str] = [
     "aes_column_roundtrip",
     "formatted_number_parse",
     "xml_roundtrip_extract",
+    "semantic_topic_slice",
 ]
 
 

@@ -1360,6 +1360,58 @@ GROUP BY 1
 """
 
 
+def semantic_topic_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal semantic curation: slice the TEXT corpus by a
+    cluster of its EMBEDDINGS — the "give me the documents that live
+    in this region of embedding space" selection every
+    topic-filtering / targeted-pretraining pipeline performs.
+    Vectors assign to the fixture centroids (`_assign`, broadcast
+    argmin); cluster 0's members map back to documents through the
+    fixture's doc_id == vec_id alignment (FIXTURES.md); the slice is
+    summarized per language with document, character, and token
+    mass.
+
+    Scale shape: assignment is the row-local broadcast argmin; the
+    doc↔vector link is one equi-join on the shared key (co-partition
+    or bucket both tables on it at 100 TB); summary is map-side
+    combined.  No pairwise anything."""
+    emb = table(tune(spark), sf_dir, "embeddings")
+    sel = (
+        _assign(emb, _init_centroids(emb))
+        .filter(F.col("cluster") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    d = fan_out(table(spark, sf_dir, "documents"))
+    from .textops import ws_tokens
+
+    return (
+        d.join(sel, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.size(ws_tokens("text"))).cast("long").alias("tokens_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+TOPIC_SLICE_ORACLE = rf"""
+WITH {_ASSIGN_SQL.strip()},
+sel AS (SELECT vec_id AS doc_id FROM assigned WHERE dc[2] = 0)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                                t -> t != ''))) AS BIGINT) AS tokens_total,
+       min(d.doc_id) AS first_doc,
+       max(d.doc_id) AS last_doc
+FROM documents d JOIN sel USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
@@ -1377,6 +1429,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "jl_sign_projection": jl_sign_projection,
     "triplet_margin_mining": triplet_margin_mining,
+    "semantic_topic_slice": semantic_topic_slice,
 }
 
 ORACLES = {
@@ -1396,4 +1449,5 @@ ORACLES = {
     "ann_recall_report": ANN_RECALL_ORACLE,
     "jl_sign_projection": JL_PROJECTION_ORACLE,
     "triplet_margin_mining": TRIPLET_ORACLE,
+    "semantic_topic_slice": TOPIC_SLICE_ORACLE,
 }
