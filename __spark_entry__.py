@@ -218,6 +218,7 @@ _R4_NEW: list[str] = [
     "formatted_number_parse",
     "xml_roundtrip_extract",
     "semantic_topic_slice",
+    "seasonal_naive_backtest",
 ]
 
 

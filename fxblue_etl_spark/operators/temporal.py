@@ -750,6 +750,69 @@ GROUP BY 1
 """
 
 
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting inside the engine: the seasonal-naive
+    baseline (predict today's event count with the same weekday last
+    week) scored over the whole fixture month — the sanity baseline
+    every demand/load forecasting pipeline must beat, and the
+    evaluation loop (lag join → absolute error → grouped score) is
+    the engine capability being certified, in exact integers.
+
+    Per weekday: days evaluated, actual/predicted totals, absolute
+    error sum, and MAPE-style error ppm
+    (``1e6·Σ|err| DIV Σ actual``).  The 7-day lag is a LAG window
+    over the calendar-bounded daily series, so the corpus-sized work
+    is one map-side-combined daily aggregate; everything after runs
+    on ≤366 rows/year.
+
+    Reference parity: beyond-reference analytics on the event
+    stream; complements `daily_anomaly_days` (detection) with
+    evaluation."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.withColumn("pred", F.lag("n", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    return (
+        lagged.withColumn("dow", F.dayofweek("day"))
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").cast("long").alias("actual_total"),
+            F.sum("pred").cast("long").alias("pred_total"),
+            F.sum(F.abs(F.col("n") - F.col("pred"))).cast("long").alias("abs_err_sum"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(abs(n - pred))"
+                " DIV sum(n) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+SEASONAL_NAIVE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1),
+lagged AS (
+  SELECT day, n, lag(n, 7) OVER (ORDER BY day) AS pred
+  FROM daily)
+SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+       count(*) AS n_days,
+       CAST(sum(n) AS BIGINT) AS actual_total,
+       CAST(sum(pred) AS BIGINT) AS pred_total,
+       CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_sum,
+       CAST(CAST(1000000 AS HUGEINT) * sum(abs(n - pred))
+            // sum(n) AS BIGINT) AS err_ppm
+FROM lagged
+WHERE pred IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -762,6 +825,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "tz_local_day_rollup": tz_local_day_rollup,
+    "seasonal_naive_backtest": seasonal_naive_backtest,
 }
 
 ORACLES = {
@@ -777,4 +841,5 @@ ORACLES = {
     "event_transition_matrix": TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "tz_local_day_rollup": TZ_LOCAL_DAY_ORACLE,
+    "seasonal_naive_backtest": SEASONAL_NAIVE_ORACLE,
 }
