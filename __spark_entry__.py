@@ -219,6 +219,7 @@ _R4_NEW: list[str] = [
     "xml_roundtrip_extract",
     "semantic_topic_slice",
     "seasonal_naive_backtest",
+    "functional_dependency_audit",
 ]
 
 

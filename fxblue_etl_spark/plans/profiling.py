@@ -257,14 +257,90 @@ WHERE NOT EXISTS (
 """
 
 
+#: candidate functional dependencies audited: (name, table, lhs, rhs)
+FD_CANDIDATES = (
+    ("nation.key->name", "nation", ("n_nationkey",), "n_name"),
+    ("orders.key->custkey", "orders", ("o_orderkey",), "o_custkey"),
+    ("lineitem.(ok,ln)->partkey", "lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("customer.key->nation", "customer", ("c_custkey",), "c_nationkey"),
+    ("lineitem.ok->partkey", "lineitem", ("l_orderkey",), "l_partkey"),
+)
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate FD
+    ``LHS → RHS``, count the LHS keys whose RHS is not unique and the
+    total excess distinct values — the constraint-mining pass a
+    catalog runs to propose primary keys, detect denormalization
+    drift, and validate upsert keys (the reference ASSUMES
+    ``ticket → row`` and ``account_id → row``,
+    `CSV PARSER/gcp_csv.py:51` / `RSS PARSER/gcp_rss.py:72` — this
+    operator is how an engine would CHECK such an assumption before
+    trusting it).
+
+    The last candidate (``l_orderkey → l_partkey``) is known-false
+    (multi-line orders), and the fixture's injected duplicate
+    lineitem rows — the very dirt the D1 dedup operator exists for —
+    make even ``(l_orderkey, l_linenumber) → l_partkey`` fail: the
+    audit demonstrably surfaces real violations instead of
+    rubber-stamping the schema's intent (the companion test pins
+    both the holding and the failing verdicts).
+
+    Per FD: distinct LHS keys, violating keys, excess-value total,
+    and a holds verdict.  Scale shape: one map-side-combined
+    two-level aggregate per FD (groupBy LHS → countDistinct RHS →
+    summarize); candidates are config-sized."""
+    outs = []
+    for name, tbl, lhs, rhs in FD_CANDIDATES:
+        t = table(tune(spark), sf_dir, tbl)
+        per_key = t.groupBy(*lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum((F.col("n_rhs") > 1).cast("int")).cast("long").alias("n_violating_keys"),
+                F.sum(F.col("n_rhs") - 1).cast("long").alias("excess_values"),
+                F.max(F.col("n_rhs") > 1).alias("violated"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "fd", "n_keys", "n_violating_keys", "excess_values",
+        (~F.col("violated")).cast("int").alias("holds"),
+    )
+
+
+def _fd_oracle() -> str:
+    legs = []
+    for name, tbl, lhs, rhs in FD_CANDIDATES:
+        keys = ", ".join(lhs)
+        legs.append(f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+       CAST(sum(n_rhs - 1) AS BIGINT) AS excess_values,
+       CAST(CASE WHEN max(n_rhs) > 1 THEN 0 ELSE 1 END AS INT) AS holds
+FROM (SELECT {keys}, count(DISTINCT {rhs}) AS n_rhs FROM {tbl} GROUP BY {keys}) g""")
+    return "\nUNION ALL\n".join(legs)
+
+
+FD_AUDIT_ORACLE = _fd_oracle()
+
+
 QUERIES = {
     "benford_first_digit": benford_first_digit,
     "approx_quantile_contract": approx_quantile_contract,
     "pareto_frontier_parts": pareto_frontier_parts,
+    "functional_dependency_audit": functional_dependency_audit,
 }
 
 ORACLES = {
     "benford_first_digit": BENFORD_ORACLE,
     "approx_quantile_contract": QUANTILE_CONTRACT_ORACLE,
     "pareto_frontier_parts": PARETO_ORACLE,
+    "functional_dependency_audit": FD_AUDIT_ORACLE,
 }

@@ -55,3 +55,26 @@ def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
     got = {r["p_partkey"] for r in pareto_frontier_parts(spark, sf_dir).collect()}
     assert got == expect
     assert got  # frontier is never empty on a non-empty table
+
+
+def test_fd_audit_distinguishes_true_and_false_dependencies(spark, sf_dir):
+    """The known-true FDs must hold with zero violations; the
+    deliberately false one (l_orderkey → l_partkey on multi-line
+    orders) must be violated."""
+    from fxblue_etl_spark.plans.profiling import functional_dependency_audit
+
+    rows = {r["fd"]: r for r in functional_dependency_audit(spark, sf_dir).collect()}
+    for fd in ("nation.key->name", "orders.key->custkey", "customer.key->nation"):
+        assert rows[fd]["holds"] == 1 and rows[fd]["n_violating_keys"] == 0, fd
+    # the fixture's injected duplicate lineitem rows (the D1 dedup
+    # target) violate even (ok,ln)->partkey — the audit must surface
+    # that real dirt, not rubber-stamp the schema's intent
+    for fd in ("lineitem.(ok,ln)->partkey", "lineitem.ok->partkey"):
+        bad = rows[fd]
+        assert bad["holds"] == 0 and bad["n_violating_keys"] > 0, fd
+        assert bad["excess_values"] >= bad["n_violating_keys"]
+    # the single-column LHS is violated at least as much as the pair
+    assert (
+        rows["lineitem.ok->partkey"]["excess_values"]
+        >= rows["lineitem.(ok,ln)->partkey"]["excess_values"]
+    )
