@@ -220,6 +220,8 @@ _R4_NEW: list[str] = [
     "semantic_topic_slice",
     "seasonal_naive_backtest",
     "functional_dependency_audit",
+    "not_in_null_semantics",
+    "integer_division_semantics",
 ]
 
 

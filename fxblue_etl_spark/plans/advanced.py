@@ -912,6 +912,119 @@ GROUP BY 1
 """
 
 
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS null trap, certified: when the
+    subquery's value set contains a single NULL, ANSI three-valued
+    logic makes every ``x NOT IN (...)`` predicate UNKNOWN — zero
+    rows survive — while the NOT EXISTS anti-join still returns the
+    true complement.  A NULL is injected into the order-customer set
+    deterministically (one order's custkey nulled), and both counts
+    are emitted side by side with the clean-subquery NOT IN count.
+
+    This is the semantics a user migrating hand-written SQL onto the
+    engine trips over first; certifying both engines implement the
+    same standard behavior is the point (any engine 'helpfully'
+    filtering the NULL would diverge)."""
+    tune(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("nn_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("nn_orders")
+    return spark.sql(
+        """
+        WITH probed AS (
+          -- keep only a third of the orders so the customer
+          -- complement is NON-empty (the fixture covers every
+          -- customer with at least one order), and null one value
+          SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM nn_orders
+                                         WHERE o_orderkey % 3 = 0)
+                      THEN NULL ELSE o_custkey END AS ck
+          FROM nn_orders WHERE o_orderkey % 3 = 0)
+        SELECT
+          (SELECT count(*) FROM nn_customer) AS n_customers,
+          (SELECT count(*) FROM nn_customer
+            WHERE c_custkey NOT IN (SELECT ck FROM probed)) AS n_not_in_nullset,
+          (SELECT count(*) FROM nn_customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probed p WHERE p.ck = c.c_custkey))
+            AS n_not_exists,
+          (SELECT count(*) FROM nn_customer
+            WHERE c_custkey NOT IN (SELECT ck FROM probed WHERE ck IS NOT NULL))
+            AS n_not_in_clean
+        """
+    )
+
+
+NOT_IN_NULL_ORACLE = """
+WITH probed AS (
+  SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders
+                                 WHERE o_orderkey % 3 = 0)
+              THEN NULL ELSE o_custkey END AS ck
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT
+  (SELECT count(*) FROM customer) AS n_customers,
+  (SELECT count(*) FROM customer
+    WHERE c_custkey NOT IN (SELECT ck FROM probed)) AS n_not_in_nullset,
+  (SELECT count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probed p WHERE p.ck = c.c_custkey))
+    AS n_not_exists,
+  (SELECT count(*) FROM customer
+    WHERE c_custkey NOT IN (SELECT ck FROM probed WHERE ck IS NOT NULL))
+    AS n_not_in_clean
+"""
+
+
+def integer_division_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-operand integer arithmetic, certified cross-engine:
+    ``%`` follows the dividend's sign and ``div`` truncates toward
+    zero in BOTH Spark and DuckDB (while ``floor(a/b)`` rounds toward
+    −∞ — differing once operands go negative).  Every exact-integer
+    quotient in this repo leans on these rules; this operator pins
+    them on a signed value grid derived from customer keys instead of
+    leaving them as an implicit assumption.
+
+    Emits per signed probe value a: a mod 7, pmod(a,7) (the
+    always-non-negative variant — rederived in the oracle as
+    ``((a%7)+7)%7``), truncating div, and flooring div, aggregated to
+    one row per (sign, congruence-class) bucket."""
+    c = table(tune(spark), sf_dir, "customer")
+    a = (F.col("c_custkey") % 100 - 50).cast("long")
+    return (
+        c.select(a.alias("a"))
+        .select(
+            "a",
+            (F.col("a") % 7).alias("m"),
+            F.pmod(F.col("a"), F.lit(7)).alias("pm"),
+            F.expr("a div 7").alias("d_trunc"),
+            F.floor(F.col("a") / 7).cast("long").alias("d_floor"),
+        )
+        .groupBy((F.col("a") < 0).cast("int").alias("negative"), "m")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pm").alias("pm_min"),
+            F.max("pm").alias("pm_max"),
+            F.sum("d_trunc").cast("long").alias("d_trunc_sum"),
+            F.sum("d_floor").cast("long").alias("d_floor_sum"),
+        )
+    )
+
+
+INT_DIV_ORACLE = """
+WITH probe AS (
+  SELECT CAST(c_custkey % 100 - 50 AS BIGINT) AS a FROM customer),
+x AS (
+  SELECT a, a % 7 AS m, ((a % 7) + 7) % 7 AS pm,
+         a // 7 AS d_trunc,
+         CAST(floor(CAST(a AS DOUBLE) / 7) AS BIGINT) AS d_floor
+  FROM probe)
+SELECT CAST(CASE WHEN a < 0 THEN 1 ELSE 0 END AS INT) AS negative, m,
+       count(*) AS n,
+       CAST(min(pm) AS BIGINT) AS pm_min,
+       CAST(max(pm) AS BIGINT) AS pm_max,
+       CAST(sum(d_trunc) AS BIGINT) AS d_trunc_sum,
+       CAST(sum(d_floor) AS BIGINT) AS d_floor_sum
+FROM x
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -934,6 +1047,8 @@ QUERIES = {
     "argmax_order_per_customer": argmax_order_per_customer,
     "map_column_stats": map_column_stats,
     "xml_roundtrip_extract": xml_roundtrip_extract,
+    "not_in_null_semantics": not_in_null_semantics,
+    "integer_division_semantics": integer_division_semantics,
 }
 
 ORACLES = {
@@ -958,4 +1073,6 @@ ORACLES = {
     "argmax_order_per_customer": ARGMAX_ORDER_ORACLE,
     "map_column_stats": MAP_COLUMN_ORACLE,
     "xml_roundtrip_extract": XML_ROUNDTRIP_ORACLE,
+    "not_in_null_semantics": NOT_IN_NULL_ORACLE,
+    "integer_division_semantics": INT_DIV_ORACLE,
 }

@@ -692,3 +692,17 @@ def test_argmax_agrees_with_window_topk(spark, sf_dir):
         .collect()
     }
     assert got == ref
+
+
+def test_not_in_null_semantics_is_ansi(spark, sf_dir):
+    """NOT IN over a null-containing set must return ZERO rows; the
+    NOT EXISTS anti-join must return the true complement."""
+    from fxblue_etl_spark.plans.advanced import not_in_null_semantics
+
+    r = not_in_null_semantics(spark, sf_dir).collect()[0]
+    assert r["n_not_in_nullset"] == 0
+    assert r["n_not_exists"] > 0
+    # the cleaned subquery differs from NOT EXISTS only by the nulled
+    # customer (whose key was removed from the set): super-set of it
+    assert r["n_not_in_clean"] >= r["n_not_exists"]
+    assert r["n_not_exists"] < r["n_customers"]
