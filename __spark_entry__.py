@@ -222,6 +222,7 @@ _R4_NEW: list[str] = [
     "functional_dependency_audit",
     "not_in_null_semantics",
     "integer_division_semantics",
+    "fx_ingest_end_to_end",
 ]
 
 

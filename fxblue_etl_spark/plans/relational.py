@@ -673,8 +673,121 @@ GROUP BY o_orderpriority
 """
 
 
+def fx_ingest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference, one certified result: both ingest
+    pipelines (CSV trade histories → `historical_trades`, RSS feeds →
+    `rss_trades`) plus the Excel registry (`account_metadata`) run
+    end to end and reconcile into one per-account ledger — the query
+    a reference user runs to confirm this engine ingests exactly
+    what their two cron jobs ingest today.
+
+    The conforming step is real reference behavior: CSV accounts are
+    keyed by FILENAME (``acct_N``, `CSV PARSER/gcp_csv.py:79-80`)
+    while RSS/registry accounts use the numeric registry id
+    (`RSS PARSER/gcp_rss.py:24-28`) — the numeric suffix harmonizes
+    the keyspace, and the FULL OUTER join preserves accounts present
+    on only one side (flags, not silent drops).
+
+    Scale shape: each source aggregates to per-account partials
+    before the three-way join (accounts ≪ trades), so the join
+    moves config-sized data; all heavy lifting stays in the
+    already-certified stage pipelines."""
+    from ..sources.fxblue_csv import s2_csv_ingest
+    from ..sources.rss_feed import s4_account_metadata, s5_rss_trades_pipeline
+
+    csv_agg = (
+        s2_csv_ingest(spark, sf_dir)
+        .select(
+            F.regexp_extract("account_id", r"(\d+)$", 1).cast("long").alias("acct"),
+            F.floor(F.col("pnl") * 1e4).cast("long").alias("pnl_e4"),
+        )
+        .groupBy("acct")
+        .agg(
+            F.count("*").alias("n_csv_trades"),
+            F.sum("pnl_e4").cast("long").alias("csv_pnl_e4"),
+        )
+    )
+    rss_agg = (
+        s5_rss_trades_pipeline(spark, sf_dir)
+        .select(
+            F.col("account_id").cast("long").alias("acct"),
+            F.floor(F.col("total_profit") * 1e4).cast("long").alias("profit_e4"),
+        )
+        .groupBy("acct")
+        .agg(
+            F.count("*").alias("n_rss_trades"),
+            F.sum("profit_e4").cast("long").alias("rss_profit_e4"),
+        )
+    )
+    meta = s4_account_metadata(spark, sf_dir).select(
+        F.col("account_id").cast("long").alias("acct"),
+        # presence flag must come from the ROW, not from a nullable
+        # metric (a registry account with NULL trade_win is still in
+        # the registry)
+        F.lit(1).alias("reg_row"),
+        F.floor(F.col("trade_win") * 1e6).cast("long").alias("trade_win_e6"),
+    )
+    j = (
+        csv_agg.join(rss_agg, "acct", "full_outer")
+        .join(meta, "acct", "full_outer")
+    )
+    return j.select(
+        "acct",
+        F.col("n_csv_trades").isNotNull().cast("int").alias("in_csv"),
+        F.coalesce("n_csv_trades", F.lit(0)).cast("long").alias("n_csv_trades"),
+        F.coalesce("csv_pnl_e4", F.lit(0)).cast("long").alias("csv_pnl_e4"),
+        F.col("n_rss_trades").isNotNull().cast("int").alias("in_rss"),
+        F.coalesce("n_rss_trades", F.lit(0)).cast("long").alias("n_rss_trades"),
+        F.coalesce("rss_profit_e4", F.lit(0)).cast("long").alias("rss_profit_e4"),
+        F.col("reg_row").isNotNull().cast("int").alias("in_registry"),
+        F.coalesce("trade_win_e6", F.lit(0)).cast("long").alias("trade_win_e6"),
+    )
+
+
+def _fx_end_to_end_oracle() -> str:
+    from ..sources.fxblue_csv import S2_ORACLE
+    from ..sources.rss_feed import S4_ORACLE, S5_ORACLE
+
+    return rf"""
+WITH csv_src AS ({S2_ORACLE}),
+rss_src AS ({S5_ORACLE}),
+meta_src AS ({S4_ORACLE}),
+csv_agg AS (
+  SELECT CAST(regexp_extract(account_id, '(\d+)$', 1) AS BIGINT) AS acct,
+         count(*) AS n_csv_trades,
+         CAST(sum(CAST(floor(pnl * 10000) AS BIGINT)) AS BIGINT) AS csv_pnl_e4
+  FROM csv_src GROUP BY 1),
+rss_agg AS (
+  SELECT CAST(account_id AS BIGINT) AS acct,
+         count(*) AS n_rss_trades,
+         CAST(sum(CAST(floor(total_profit * 10000) AS BIGINT)) AS BIGINT)
+           AS rss_profit_e4
+  FROM rss_src GROUP BY 1),
+meta AS (
+  SELECT CAST(account_id AS BIGINT) AS acct,
+         CAST(floor(trade_win * 1000000) AS BIGINT) AS trade_win_e6
+  FROM meta_src)
+SELECT coalesce(c.acct, r.acct, m.acct) AS acct,
+       CAST(c.acct IS NOT NULL AS INT) AS in_csv,
+       coalesce(c.n_csv_trades, 0) AS n_csv_trades,
+       coalesce(c.csv_pnl_e4, 0) AS csv_pnl_e4,
+       CAST(r.acct IS NOT NULL AS INT) AS in_rss,
+       coalesce(r.n_rss_trades, 0) AS n_rss_trades,
+       coalesce(r.rss_profit_e4, 0) AS rss_profit_e4,
+       CAST(m.acct IS NOT NULL AS INT) AS in_registry,
+       coalesce(m.trade_win_e6, 0) AS trade_win_e6
+FROM csv_agg c
+FULL OUTER JOIN rss_agg r ON r.acct = c.acct
+FULL OUTER JOIN meta m ON m.acct = coalesce(c.acct, r.acct)
+"""
+
+
+FX_END_TO_END_ORACLE = _fx_end_to_end_oracle()
+
+
 QUERIES = {
     "flagship_account_pnl": flagship_account_pnl,
+    "fx_ingest_end_to_end": fx_ingest_end_to_end,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -697,6 +810,7 @@ QUERIES = {
 
 ORACLES = {
     "flagship_account_pnl": FLAGSHIP_ORACLE,
+    "fx_ingest_end_to_end": FX_END_TO_END_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,

@@ -54,3 +54,29 @@ def test_broadcast_join_in_flagship_plan(spark, sf_dir):
     df = relational.flagship_account_pnl(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fx_end_to_end_reconciles_sources(spark, sf_dir):
+    """The composite must conserve each stage's totals: per-source
+    trade counts and pnl sums equal the standalone stage pipelines'."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.plans.relational import fx_ingest_end_to_end
+    from fxblue_etl_spark.sources.fxblue_csv import s2_csv_ingest
+    from fxblue_etl_spark.sources.rss_feed import s5_rss_trades_pipeline
+
+    rows = fx_ingest_end_to_end(spark, sf_dir).collect()
+    assert len({r["acct"] for r in rows}) == len(rows)
+    csv = s2_csv_ingest(spark, sf_dir)
+    assert sum(r["n_csv_trades"] for r in rows) == csv.count()
+    want_pnl = csv.select(
+        F.sum(F.floor(F.col("pnl") * 1e4)).cast("long")
+    ).collect()[0][0]
+    assert sum(r["csv_pnl_e4"] for r in rows) == want_pnl
+    assert sum(r["n_rss_trades"] for r in rows) == s5_rss_trades_pipeline(
+        spark, sf_dir
+    ).count()
+    # every CSV account also exists in the registry keyspace (acct_N ⊂ ids)
+    for r in rows:
+        if r["in_csv"]:
+            assert r["in_registry"] == 1
