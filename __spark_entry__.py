@@ -223,6 +223,7 @@ _R4_NEW: list[str] = [
     "not_in_null_semantics",
     "integer_division_semantics",
     "fx_ingest_end_to_end",
+    "ndv_catalog_sweep",
 ]
 
 

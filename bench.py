@@ -53,6 +53,7 @@ HEADLINE = (
     "quality_feature_matrix",
     "streaming_lsh_dedup",
     "triplet_margin_mining",
+    "fx_ingest_end_to_end",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

@@ -425,6 +425,115 @@ FROM lineitem
 """
 
 
+#: integer dtypes that get exact min/max in the catalog sweep
+_INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def ndv_catalog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog ANALYZE: exact NDV, null count, and (for integer
+    columns) min/max for EVERY column of EVERY fixture table — the
+    statistics payload a cost-based optimizer loads, collected in ONE
+    aggregate pass per table (all columns' stats in a single agg; the
+    multiple exact count-distincts plan through one Expand — at 100 TB
+    you'd swap exact NDV for HLL per the repo's
+    ``hll_accuracy_check`` error contract, same single-pass shape).
+
+    The wide per-table stats row is exploded back to one row per
+    column so the output is a catalog table, not 10 ad-hoc schemas.
+
+    Reference parity: the reference has no stats at all; this is the
+    ANALYZE surface its tables need the moment a planner queries
+    them."""
+    from ..io import TABLES, table
+
+    tune(spark)
+    outs = []
+    for tbl in TABLES:
+        df = table(spark, sf_dir, tbl)
+        dtypes = df.dtypes
+        aggs = [F.count("*").alias("n_rows")]
+        for c, t in dtypes:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nn__{c}")
+            )
+            aggs.append(F.countDistinct(c).alias(f"nd__{c}"))
+            if t in _INT_TYPES:
+                aggs.append(F.min(c).cast("long").alias(f"mn__{c}"))
+                aggs.append(F.max(c).cast("long").alias(f"mx__{c}"))
+        row = df.agg(*aggs)
+        entries = []
+        for c, t in dtypes:
+            entries.append(
+                F.struct(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"nn__{c}").alias("n_nulls"),
+                    F.col(f"nd__{c}").alias("ndv"),
+                    (
+                        F.col(f"mn__{c}")
+                        if t in _INT_TYPES
+                        else F.lit(None).cast("long")
+                    ).alias("int_min"),
+                    (
+                        F.col(f"mx__{c}")
+                        if t in _INT_TYPES
+                        else F.lit(None).cast("long")
+                    ).alias("int_max"),
+                )
+            )
+        outs.append(row.select(F.explode(F.array(*entries)).alias("s")).select("s.*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _ndv_oracle() -> str:
+    # mirror of the fixture schema (checked against DESCRIBE); the
+    # INT-typed min/max legs match _INT_TYPES
+    catalog = {
+        "region": [("r_regionkey", True), ("r_name", False)],
+        "nation": [("n_nationkey", True), ("n_name", False), ("n_regionkey", True)],
+        "customer": [("c_custkey", True), ("c_name", False), ("c_nationkey", True),
+                     ("c_acctbal", False), ("c_mktsegment", False)],
+        "supplier": [("s_suppkey", True), ("s_name", False), ("s_nationkey", True),
+                     ("s_acctbal", False)],
+        "part": [("p_partkey", True), ("p_name", False), ("p_brand", False),
+                 ("p_type", False), ("p_size", True), ("p_retailprice", False)],
+        "orders": [("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+                   ("o_totalprice", False), ("o_orderdate", False),
+                   ("o_orderpriority", False)],
+        "lineitem": [("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+                     ("l_linenumber", True), ("l_quantity", False),
+                     ("l_extendedprice", False), ("l_discount", False),
+                     ("l_tax", False), ("l_returnflag", False),
+                     ("l_linestatus", False), ("l_shipdate", False)],
+        "events": [("event_id", True), ("ts", False), ("user_id", True),
+                   ("event_type", False), ("value", False), ("props", False)],
+        "documents": [("doc_id", True), ("text", False), ("lang", False),
+                      ("source", False), ("n_chars", True)],
+        "embeddings": [("vec_id", True), ("embedding", False), ("label", True)],
+    }
+    legs = []
+    for tbl, cols in catalog.items():
+        for c, is_int in cols:
+            mn = f"CAST(min({c}) AS BIGINT)" if is_int else "CAST(NULL AS BIGINT)"
+            mx = f"CAST(max({c}) AS BIGINT)" if is_int else "CAST(NULL AS BIGINT)"
+            legs.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column_name,"
+                f" count(*) AS n_rows,"
+                f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+                f" count(DISTINCT {c}) AS ndv,"
+                f" {mn} AS int_min, {mx} AS int_max"
+                f" FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(legs)
+
+
+NDV_CATALOG_ORACLE = _ndv_oracle()
+
+
 QUERIES = {
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
@@ -434,6 +543,7 @@ QUERIES = {
     "hll_per_group_contract": hll_per_group_contract,
     "decimal_money_totals": decimal_money_totals,
     "parquet_agg_pushdown_stats": parquet_agg_pushdown_stats,
+    "ndv_catalog_sweep": ndv_catalog_sweep,
 }
 
 ORACLES = {
@@ -445,4 +555,5 @@ ORACLES = {
     "hll_per_group_contract": HLL_PER_GROUP_ORACLE,
     "decimal_money_totals": DECIMAL_MONEY_ORACLE,
     "parquet_agg_pushdown_stats": AGG_PUSHDOWN_ORACLE,
+    "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
 }
