@@ -441,6 +441,25 @@ FROM documents
 """
 
 
+def make_gini_ppm_udf():
+    """GROUPED_AGG pandas UDF: exact integer Gini ppm of a long
+    series (big-int quotient; see pandas_grouped_agg_gini).  Factory
+    form so property tests can apply it to generated frames."""
+
+    @pandas_udf("long")
+    def gini_ppm(v: pd.Series) -> int:
+        x = np.sort(v.to_numpy(np.int64))
+        n = len(x)
+        if n == 0 or x.sum() == 0:
+            return 0
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        den = int(n) * int(x.sum())
+        return (1_000_000 * num) // den
+
+    return gini_ppm
+
+
 def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDF — the seventh UDF modality (a true
     user-defined AGGREGATE: the whole group's column arrives as one
@@ -460,17 +479,7 @@ def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 3); for high-cardinality groups the tournament/histogram
     formulations elsewhere in the repo are the scale path."""
     o = table(tune(spark), sf_dir, "orders")
-
-    @pandas_udf("long")
-    def gini_ppm(v: pd.Series) -> int:
-        x = np.sort(v.to_numpy(np.int64))
-        n = len(x)
-        if n == 0 or x.sum() == 0:
-            return 0
-        i = np.arange(1, n + 1, dtype=np.int64)
-        num = int(((2 * i - n - 1) * x).sum())
-        den = int(n) * int(x.sum())
-        return (1_000_000 * num) // den
+    gini_ppm = make_gini_ppm_udf()
 
     @pandas_udf("long")
     def n_rows(v: pd.Series) -> int:

@@ -279,3 +279,77 @@ def test_collapse_runs_is_arrival_order_insensitive(spark, rows, seed):
     from fxblue_etl_spark.streaming.pipelines import _collapse_runs as cr
 
     assert sorted(map(tuple, cr(df).collect())) == base
+
+
+caps_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),   # source suffix
+        st.integers(min_value=1, max_value=10_000),  # cap
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(caps=caps_strategy)
+def test_waterfill_conserves_budget_and_caps(spark, caps):
+    """For ANY cap distribution: Σ alloc equals the ppm budget
+    exactly, no source exceeds its cap, and all unsaturated sources
+    sit within 1 of each other (max-min fairness)."""
+    from fxblue_etl_spark.operators.corpusops import (
+        WATERFILL_BUDGET_PPM,
+        WATERFILL_FILL_SQL,
+    )
+
+    rows = [(f"s{i}", c) for i, c in caps]
+    spark.createDataFrame(rows, "source string, cap long").createOrReplaceTempView(
+        "wf_caps"
+    )
+    out = spark.sql(WATERFILL_FILL_SQL).collect()
+    total = sum(c for _, c in rows)
+    budget = (WATERFILL_BUDGET_PPM * total) // 1_000_000
+    assert sum(r["alloc"] for r in out) == min(budget, total)
+    for r in out:
+        assert 0 <= r["alloc"] <= r["cap"]
+    unsat = [r["alloc"] for r in out if r["alloc"] < r["cap"]]
+    if unsat:
+        assert max(unsat) - min(unsat) <= 1
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=40),
+    scale=st.integers(min_value=2, max_value=9),
+)
+def test_gini_bounds_and_exact_scale_invariance(spark, vals, scale):
+    """Gini ppm lies in [0, 1e6) and is EXACTLY invariant under
+    integer scaling (the c factor cancels in the integer quotient)."""
+    from fxblue_etl_spark.functions.udfs import pandas_grouped_agg_gini  # noqa: F401
+
+    def gini_ppm(xs):
+        x = sorted(xs)
+        n = len(x)
+        num = sum((2 * i - n - 1) * xi for i, xi in enumerate(x, start=1))
+        return (1_000_000 * num) // (n * sum(x))
+
+    g = gini_ppm(vals)
+    assert 0 <= g < 1_000_000
+    assert g == gini_ppm([v * scale for v in vals])
+    # and the Spark grouped-agg UDF agrees on the same series
+    from fxblue_etl_spark.functions.udfs import make_gini_ppm_udf
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "s string, o_totalprice double"
+    )
+    got = (
+        df.groupBy("s")
+        .agg(
+            make_gini_ppm_udf()(
+                F.floor(F.col("o_totalprice")).cast("long")
+            ).alias("g")
+        )
+        .collect()[0]["g"]
+    )
+    assert got == g
