@@ -17,6 +17,7 @@ from fxblue_etl_spark.operators.corpusops import (
 from fxblue_etl_spark.operators.graph import split_decontaminate
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
+    semantic_topic_slice,
     triplet_margin_mining,
     embedding_moment_stats,
     ivf_multiprobe_topk,
@@ -31,13 +32,27 @@ from fxblue_etl_spark.operators.quality import (
     ngram_novelty_scores,
     quality_feature_matrix,
 )
-from fxblue_etl_spark.operators.temporal import tz_local_day_rollup
+from fxblue_etl_spark.operators.temporal import (
+    seasonal_naive_backtest,
+    tz_local_day_rollup,
+)
 from fxblue_etl_spark.plans.advanced import (
     argmax_order_per_customer,
     collated_group_counts,
     map_column_stats,
 )
+from fxblue_etl_spark.operators.cleaning import (
+    aes_column_roundtrip,
+    formatted_number_parse,
+)
+from fxblue_etl_spark.plans.advanced import (
+    integer_division_semantics,
+    xml_roundtrip_extract,
+)
 from fxblue_etl_spark.plans.dq import incremental_agg_maintenance
+from fxblue_etl_spark.plans.profiling import functional_dependency_audit
+from fxblue_etl_spark.plans.relational import fx_ingest_end_to_end
+from fxblue_etl_spark.plans.stats import ndv_catalog_sweep
 from fxblue_etl_spark.plans.stats import decimal_money_totals
 from fxblue_etl_spark.operators.tfidf import (
     bpe_merge_topk,
@@ -110,6 +125,15 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         incremental_agg_maintenance,
         triplet_margin_mining,
         pandas_grouped_agg_gini,
+        functional_dependency_audit,
+        seasonal_naive_backtest,
+        fx_ingest_end_to_end,
+        ndv_catalog_sweep,
+        semantic_topic_slice,
+        xml_roundtrip_extract,
+        formatted_number_parse,
+        aes_column_roundtrip,
+        integer_division_semantics,
     ],
     ids=lambda q: q.__name__,
 )
