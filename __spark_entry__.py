@@ -224,6 +224,7 @@ _R4_NEW: list[str] = [
     "integer_division_semantics",
     "fx_ingest_end_to_end",
     "ndv_catalog_sweep",
+    "try_function_semantics",
 ]
 
 

@@ -637,6 +637,71 @@ FROM src
 """
 
 
+def try_function_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-safe ``try_*`` family certified against first
+    principles: division by zero, unparseable timestamps,
+    out-of-bounds array access, int64 overflow on add/multiply, and
+    bad casts must all yield NULL — never an exception, never a
+    silent wrap.  Each probe is driven by real orders rows (so the
+    legs exercise both the NULL and the non-NULL paths), aggregated
+    to per-leg null/ok counts the oracle recomputes from the same
+    predicates.
+
+    This is the error-tolerance contract (F4, per-row) at the
+    EXPRESSION level: the reference wraps every row in try/except
+    (`CSV PARSER/gcp_csv.py:163-191`); a declarative engine needs the
+    same totality inside codegen, which is exactly what ``try_*``
+    provides."""
+    o = table(tune(spark), sf_dir, "orders")
+    k = F.col("o_orderkey")
+    probes = o.select(
+        k.alias("k"),
+        F.expr("try_divide(o_orderkey, o_orderkey % 3)").alias("div3"),
+        F.expr(
+            "try_to_timestamp(CASE WHEN o_orderkey % 2 = 0"
+            " THEN date_format(o_orderdate, 'yyyy-MM-dd')"
+            " ELSE 'not-a-date' END, 'yyyy-MM-dd')"
+        ).alias("ts"),
+        # index 0 is an ILLEGAL-ARGUMENT even under try_ (SQL arrays
+        # are 1-based; only failed lookups are softened) — a finding
+        # this certification encodes: nullif the 0 away explicitly
+        F.expr(
+            "try_element_at(array(1, 2, 3),"
+            " nullif(CAST(o_orderkey % 5 AS INT), 0))"
+        ).alias("elem"),
+        F.expr(
+            "try_add(CASE WHEN o_orderkey % 7 = 0 THEN 9223372036854775807"
+            " ELSE o_orderkey END, 1)"
+        ).alias("add1"),
+    )
+    return probes.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("div3").isNull().cast("int")).cast("long").alias("div_nulls"),
+        F.sum(F.col("ts").isNull().cast("int")).cast("long").alias("ts_nulls"),
+        F.sum(F.col("elem").isNull().cast("int")).cast("long").alias("elem_nulls"),
+        F.sum(F.col("add1").isNull().cast("int")).cast("long").alias("overflow_nulls"),
+        F.sum(F.coalesce("elem", F.lit(0))).cast("long").alias("elem_sum"),
+    )
+
+
+#: the oracle states the SAME totality from first principles — which
+#: rows must null out per leg — rather than calling any try_* function
+TRY_SEMANTICS_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS div_nulls,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS ts_nulls,
+       CAST(sum(CASE WHEN o_orderkey % 5 BETWEEN 1 AND 3 THEN 0 ELSE 1 END)
+            AS BIGINT) AS elem_nulls,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_nulls,
+       CAST(sum(CASE WHEN o_orderkey % 5 BETWEEN 1 AND 3
+                     THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS elem_sum
+FROM orders
+"""
+
+
 QUERIES = {
     "t1_numeric_coercion": t1_numeric_coercion,
     "t2_timestamp_iso": t2_timestamp_iso,
@@ -651,6 +716,7 @@ QUERIES = {
     "csv_normalize_pipeline": csv_normalize_pipeline,
     "aes_column_roundtrip": aes_column_roundtrip,
     "formatted_number_parse": formatted_number_parse,
+    "try_function_semantics": try_function_semantics,
 }
 
 ORACLES = {
@@ -667,4 +733,5 @@ ORACLES = {
     "csv_normalize_pipeline": PIPELINE_ORACLE,
     "aes_column_roundtrip": AES_ROUNDTRIP_ORACLE,
     "formatted_number_parse": FORMATTED_NUMBER_ORACLE,
+    "try_function_semantics": TRY_SEMANTICS_ORACLE,
 }
