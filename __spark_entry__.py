@@ -225,6 +225,7 @@ _R4_NEW: list[str] = [
     "fx_ingest_end_to_end",
     "ndv_catalog_sweep",
     "try_function_semantics",
+    "portable_bloom_contract",
 ]
 
 

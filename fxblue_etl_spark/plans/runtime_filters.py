@@ -80,10 +80,142 @@ GROUP BY 1
 """
 
 
+#: portable-bloom geometry: m bits, k hashes, 32-bit words
+BLOOM_M = 16384
+BLOOM_K = 3
+BLOOM_WORD = 32
+
+
+def portable_bloom_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built, serialized, and probed ENTIRELY in
+    relational operators — the engine-portable sketch (md5-derived
+    hash family, 32-bit words OR-aggregated) whose exact bit pattern
+    the DuckDB oracle reproduces, unlike Spark's built-in
+    ``bloom_filter_agg`` whose layout is engine-private.
+
+    Members are the even order keys; probes are ALL order keys, so
+    the odd keys measure the false-positive rate while the contract
+    asserts what a Bloom filter must guarantee: ZERO false negatives.
+    The FP count is emitted too — with md5 hashing it is a
+    deterministic number both engines agree on, and the test checks
+    it against the ~(1−e^{−kn/m})^k expectation band.
+
+    Plan shape: build = explode k bit positions per member →
+    groupBy(word) BIT_OR — the filter IS a 512-row table, mergeable
+    and shuffle-friendly (this is how a distributed build works at
+    100 TB: per-partition partial OR, then word-wise OR).  Probe =
+    k-way equi-join against those 512 rows (broadcast), then an
+    all-bits-set aggregate per probe key."""
+    o = table(tune(spark), sf_dir, "orders").select("o_orderkey").distinct()
+    members = o.filter(F.col("o_orderkey") % 2 == 0)
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"bloom{i}|"),
+                                    F.col("o_orderkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % BLOOM_M
+                )
+                for i in range(BLOOM_K)
+            ]
+        )
+        return df.select("o_orderkey", F.explode(pos).alias("bit"))
+
+    words = (
+        positions(members)
+        .select(
+            (F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    probes = positions(o).select(
+        "o_orderkey",
+        (F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))").alias("mask"),
+    )
+    checked = probes.join(F.broadcast(words), "word_idx", "left_outer").select(
+        "o_orderkey",
+        (
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+        ).cast("int").alias("bit_set"),
+    )
+    verdict = checked.groupBy("o_orderkey").agg(
+        F.min("bit_set").alias("maybe_member")
+    )
+    return verdict.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((F.col("o_orderkey") % 2 == 0).cast("int")).cast("long").alias("n_members"),
+        F.sum(
+            F.when((F.col("o_orderkey") % 2 == 0) & (F.col("maybe_member") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("false_negatives"),
+        F.sum(
+            F.when((F.col("o_orderkey") % 2 != 0) & (F.col("maybe_member") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("false_positives"),
+    )
+
+
+def _bloom_oracle() -> str:
+    from ..operators.dedup import _hex8_sql
+
+    legs = []
+    for i in range(BLOOM_K):
+        md5_sql = f"md5('bloom{i}|' || CAST(o_orderkey AS VARCHAR))"
+        legs.append(
+            f"SELECT o_orderkey, ({_hex8_sql(md5_sql, 1)}) % {BLOOM_M} AS bit"
+            " FROM keys"
+        )
+    pos_legs = " UNION ALL ".join(legs)
+    return f"""
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+pos AS ({pos_legs}),
+words AS (
+  SELECT bit // {BLOOM_WORD} AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD} AS INT)) AS word
+  FROM pos WHERE o_orderkey % 2 = 0
+  GROUP BY 1),
+checked AS (
+  SELECT p.o_orderkey,
+         CASE WHEN coalesce(w.word, 0) & (CAST(1 AS BIGINT) << CAST(p.bit % {BLOOM_WORD} AS INT)) != 0
+              THEN 1 ELSE 0 END AS bit_set
+  FROM pos p LEFT JOIN words w ON w.word_idx = p.bit // {BLOOM_WORD}),
+verdict AS (
+  SELECT o_orderkey, min(bit_set) AS maybe_member FROM checked GROUP BY 1)
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND maybe_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives,
+       CAST(sum(CASE WHEN o_orderkey % 2 != 0 AND maybe_member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives
+FROM verdict
+"""
+
+
+PORTABLE_BLOOM_ORACLE = _bloom_oracle()
+
+
 QUERIES = {
     "bloom_filter_join": bloom_filter_join,
+    "portable_bloom_contract": portable_bloom_contract,
 }
 
 ORACLES = {
     "bloom_filter_join": BLOOM_JOIN_ORACLE,
+    "portable_bloom_contract": PORTABLE_BLOOM_ORACLE,
 }
