@@ -226,6 +226,7 @@ _R4_NEW: list[str] = [
     "ndv_catalog_sweep",
     "try_function_semantics",
     "portable_bloom_contract",
+    "portable_hll_registers",
 ]
 
 

@@ -534,6 +534,109 @@ def _ndv_oracle() -> str:
 NDV_CATALOG_ORACLE = _ndv_oracle()
 
 
+#: portable-HLL geometry: 2^8 registers over a 60-bit md5-derived hash
+HLL_B = 8
+HLL_M = 1 << HLL_B
+#: width of the rho field (60-bit hash minus the 8 bucket bits → 52,
+#: scanned in a 52-char zero-padded binary string)
+HLL_W = 52
+#: floor(1e6 · α_256 · m²) with α_256 = 0.7213/(1 + 1.079/256)
+HLL_ALPHA_M2_E6 = 47072712671
+
+
+def portable_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A HyperLogLog built ENTIRELY from relational operators with a
+    bit-identical layout in both engines — the mergeable-sketch
+    companion to ``portable_bloom_contract`` (Spark's own
+    ``approx_count_distinct`` state is engine-private; this one
+    serializes to a 256-row register table any engine can OR-merge).
+
+    Per event_id: a 60-bit md5-derived hash splits into an 8-bit
+    register index and a 52-bit rho field whose leading-zero count is
+    taken EXACTLY via string scan (``instr(lpad(bin(r), 52, '0'),
+    '1')`` — no float log anywhere).  Registers aggregate with MAX —
+    associative/commutative, so the distributed build is map-side
+    combined and vintage-mergeable.  The harmonic mean is kept
+    integer-exact by scaling each register's 2^{-rho} contribution by
+    2^53 (empty register → 2^53), and the cardinality estimate comes
+    out of one DECIMAL(38,0) quotient with the α constant
+    pre-multiplied to e6 — the companion test checks it against the
+    true distinct count within HLL's 3σ error (3·1.04/√256 ≈ 20%).
+
+    Output: register-table digest (registers used, Σrho, max rho),
+    the exact scaled harmonic sum, and the integer estimate."""
+    e = table(tune(spark), sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    x = e.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    )
+    rho = F.when(F.col("r") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.expr("bin(r)"), HLL_W, "0"), "1")
+    )
+    regs = x.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    # all m registers: empty ones contribute rho = 0 (2^53 scaled)
+    contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 1} - rho AS INT))")
+    return regs.agg(
+        F.count("*").alias("registers_used"),
+        F.sum("rho").cast("long").alias("rho_sum"),
+        F.max("rho").alias("rho_max"),
+        (
+            F.sum(contrib)
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << (HLL_W + 1)).cast("long")
+        ).alias("harmonic_scaled"),
+    ).select(
+        "registers_used",
+        "rho_sum",
+        "rho_max",
+        "harmonic_scaled",
+        F.expr(
+            f"CAST(CAST({HLL_ALPHA_M2_E6} AS DECIMAL(38,0))"
+            f" * {1 << (HLL_W + 1)} DIV harmonic_scaled DIV 1000000 AS BIGINT)"
+        ).alias("estimate"),
+    )
+
+
+def _hex15_sql(var: str) -> str:
+    """Big-endian int of the first 15 hex chars of ``var`` (60 bits —
+    the DuckDB mirror of ``conv(substring(x, 1, 15), 16, 10)``)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({var}, {1 + k}, 1)) - 1) * {16 ** (14 - k)}"
+        for k in range(15)
+    )
+
+
+PORTABLE_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT ({_hex15_sql("md5(CAST(event_id AS VARCHAR))")}) AS h
+  FROM events),
+x AS (
+  SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS r FROM h),
+rr AS (
+  SELECT bucket,
+         CASE WHEN r = 0 THEN {HLL_W + 1}
+              ELSE strpos(lpad(bin(r), {HLL_W}, '0'), '1') END AS rho
+  FROM x),
+regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1)
+SELECT count(*) AS registers_used,
+       CAST(sum(rho) AS BIGINT) AS rho_sum,
+       CAST(max(rho) AS BIGINT) AS rho_max,
+       CAST(sum(CAST(1 AS BIGINT) << CAST({HLL_W + 1} - rho AS INT))
+            + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {HLL_W + 1})
+            AS BIGINT) AS harmonic_scaled,
+       CAST(CAST({HLL_ALPHA_M2_E6} AS HUGEINT)
+            * (CAST(1 AS BIGINT) << {HLL_W + 1})
+            // (sum(CAST(1 AS BIGINT) << CAST({HLL_W + 1} - rho AS INT))
+                + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {HLL_W + 1}))
+            // 1000000 AS BIGINT) AS estimate
+FROM regs
+"""
+
+
 QUERIES = {
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
@@ -544,6 +647,7 @@ QUERIES = {
     "decimal_money_totals": decimal_money_totals,
     "parquet_agg_pushdown_stats": parquet_agg_pushdown_stats,
     "ndv_catalog_sweep": ndv_catalog_sweep,
+    "portable_hll_registers": portable_hll_registers,
 }
 
 ORACLES = {
@@ -556,4 +660,5 @@ ORACLES = {
     "decimal_money_totals": DECIMAL_MONEY_ORACLE,
     "parquet_agg_pushdown_stats": AGG_PUSHDOWN_ORACLE,
     "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
+    "portable_hll_registers": PORTABLE_HLL_ORACLE,
 }

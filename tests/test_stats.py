@@ -90,3 +90,17 @@ def test_parquet_agg_pushdown_engages_and_restores_confs(spark, sf_dir):
         out[0]["min_suppkey"],
         out[0]["max_suppkey"],
     ) == tuple(mm)
+
+
+def test_portable_hll_estimate_within_3sigma(spark, sf_dir):
+    """The integer HLL estimate must land within 3·1.04/√m of the
+    true distinct event-id count (the fixture's user_id has only ~15 distinct values — linear-counting regime, where raw HLL is biased by design) (and the register digest must be
+    internally consistent)."""
+    from fxblue_etl_spark.plans.stats import HLL_M, portable_hll_registers
+
+    r = portable_hll_registers(spark, sf_dir).collect()[0]
+    true = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    rel_err = abs(r["estimate"] - true) / true
+    assert rel_err <= 3 * 1.04 / (HLL_M ** 0.5), (r["estimate"], true, rel_err)
+    assert 0 < r["registers_used"] <= HLL_M
+    assert r["rho_max"] * r["registers_used"] >= r["rho_sum"]
