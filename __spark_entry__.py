@@ -227,6 +227,7 @@ _R4_NEW: list[str] = [
     "try_function_semantics",
     "portable_bloom_contract",
     "portable_hll_registers",
+    "portable_countmin_topk",
 ]
 
 

@@ -362,6 +362,95 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def portable_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min with an ENGINE-NEUTRAL hash family (md5-derived, like
+    ``portable_bloom_contract`` / ``portable_hll_registers``): the
+    exact counter table and therefore the exact estimates reproduce
+    in any engine, so the sketch gains a full value-level oracle —
+    unlike ``countmin_heavy_hitters``, whose xxhash64 rows are
+    Spark-private and can only be checked rows-only.  Same plan
+    shape: build = explode d buckets → one groupBy (counter table
+    ≤ d·w rows, broadcastable); probe = top-20 exact keys joined to
+    their d counters, min per key.  The CMS one-sided guarantee
+    (estimate ≥ exact) is re-assertable cross-engine here because
+    both engines agree on every collision."""
+    l = _t(spark, sf_dir, "lineitem")
+
+    def md5_buckets(key):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{i}|"), key.cast("string"))),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _CMS_WIDTH
+                    ).alias("b"),
+                )
+                for i in range(_CMS_DEPTH)
+            ]
+        )
+
+    counters = (
+        l.select(F.explode(md5_buckets(F.col("l_partkey"))).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    candidates = (
+        heavy_hitters_exact(spark, sf_dir)
+        .select(F.col("l_partkey"), F.col("n_items").alias("exact_count"))
+        .withColumn("db", F.explode(md5_buckets(F.col("l_partkey"))))
+        .select(
+            "l_partkey", "exact_count", F.col("db.d").alias("d"), F.col("db.b").alias("b")
+        )
+    )
+    return (
+        counters.join(F.broadcast(candidates), ["d", "b"])
+        .groupBy("l_partkey", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+
+
+def _portable_cms_oracle() -> str:
+    from .dedup import _hex8_sql
+
+    def bucket(i: int) -> str:
+        md5_sql = f"md5('cms{i}|' || CAST(l_partkey AS VARCHAR))"
+        return f"({_hex8_sql(md5_sql, 1)}) % {_CMS_WIDTH}"
+
+    build_legs = " UNION ALL ".join(
+        f"SELECT {i} AS d, {bucket(i)} AS b FROM lineitem"
+        for i in range(_CMS_DEPTH)
+    )
+    cand_legs = " UNION ALL ".join(
+        f"SELECT l_partkey, exact_count, {i} AS d, {bucket(i)} AS b FROM top"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH counters AS (
+  SELECT d, b, count(*) AS cnt FROM ({build_legs}) GROUP BY 1, 2),
+top AS (
+  SELECT l_partkey, count(*) AS exact_count
+  FROM lineitem GROUP BY 1
+  ORDER BY exact_count DESC, l_partkey ASC LIMIT 20),
+cand AS ({cand_legs})
+SELECT c.l_partkey, c.exact_count,
+       CAST(min(k.cnt) AS BIGINT) AS cms_estimate
+FROM cand c JOIN counters k USING (d, b)
+GROUP BY 1, 2
+"""
+
+
+PORTABLE_CMS_ORACLE = _portable_cms_oracle()
+
+
 def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap-fill: per user, a dense daily series
     between that user's first and last event day; days with no events
@@ -826,6 +915,7 @@ QUERIES = {
     "daily_anomaly_days": daily_anomaly_days,
     "tz_local_day_rollup": tz_local_day_rollup,
     "seasonal_naive_backtest": seasonal_naive_backtest,
+    "portable_countmin_topk": portable_countmin_topk,
 }
 
 ORACLES = {
@@ -842,4 +932,5 @@ ORACLES = {
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "tz_local_day_rollup": TZ_LOCAL_DAY_ORACLE,
     "seasonal_naive_backtest": SEASONAL_NAIVE_ORACLE,
+    "portable_countmin_topk": PORTABLE_CMS_ORACLE,
 }

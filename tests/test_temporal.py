@@ -250,3 +250,23 @@ def test_local_day_rollup_dst_spring_forward(spark):
         ).collect()
     }
     assert 2 not in hours and len(hours) == 23
+
+
+def test_portable_cms_one_sided_error(spark, sf_dir):
+    """The portable Count-Min must over-estimate only (estimate ≥
+    exact) and stay within the e·N/w additive bound."""
+    import math
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.temporal import (
+        _CMS_WIDTH,
+        portable_countmin_topk,
+    )
+
+    rows = portable_countmin_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_total = table(spark, sf_dir, "lineitem").count()
+    bound = math.e * n_total / _CMS_WIDTH
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["cms_estimate"] - r["exact_count"] <= 4 * bound
