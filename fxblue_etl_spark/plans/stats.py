@@ -544,6 +544,29 @@ HLL_W = 52
 HLL_ALPHA_M2_E6 = 47072712671
 
 
+def hll_register_table(df: DataFrame, key_col: str) -> DataFrame:
+    """The (bucket, rho) HLL register table of one key column —
+    factored so the mergeability test can certify
+    ``registers(A ∪ B) == max-merge(registers(A), registers(B))``
+    exactly (register tables are deterministic, so mergeability is
+    an equality, not an approximation)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    x = df.select(h.alias("h")).select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    )
+    rho = F.when(F.col("r") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.expr("bin(r)"), HLL_W, "0"), "1")
+    )
+    return (
+        x.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def portable_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A HyperLogLog built ENTIRELY from relational operators with a
     bit-identical layout in both engines — the mergeable-sketch
@@ -566,19 +589,7 @@ def portable_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: register-table digest (registers used, Σrho, max rho),
     the exact scaled harmonic sum, and the integer estimate."""
     e = table(tune(spark), sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    x = e.select(h.alias("h")).select(
-        (F.col("h") % HLL_M).alias("bucket"),
-        F.expr(f"h div {HLL_M}").alias("r"),
-    )
-    rho = F.when(F.col("r") == 0, F.lit(HLL_W + 1)).otherwise(
-        F.instr(F.lpad(F.expr("bin(r)"), HLL_W, "0"), "1")
-    )
-    regs = x.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("rho")
-    )
+    regs = hll_register_table(e, "event_id")
     # all m registers: empty ones contribute rho = 0 (2^53 scaled)
     contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 1} - rho AS INT))")
     return regs.agg(

@@ -104,3 +104,27 @@ def test_portable_hll_estimate_within_3sigma(spark, sf_dir):
     assert rel_err <= 3 * 1.04 / (HLL_M ** 0.5), (r["estimate"], true, rel_err)
     assert 0 < r["registers_used"] <= HLL_M
     assert r["rho_max"] * r["registers_used"] >= r["rho_sum"]
+
+
+def test_portable_hll_is_exactly_mergeable(spark, sf_dir):
+    """registers(A ∪ B) == register-wise MAX of registers(A) and
+    registers(B) — EXACT equality, the property that makes the
+    portable sketch vintage-mergeable without re-scanning A."""
+    from fxblue_etl_spark.plans.stats import hll_register_table
+
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        (r["bucket"], r["rho"])
+        for r in hll_register_table(a, "event_id")
+        .unionByName(hll_register_table(b, "event_id"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    full = {
+        (r["bucket"], r["rho"])
+        for r in hll_register_table(e, "event_id").collect()
+    }
+    assert merged == full
