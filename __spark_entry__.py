@@ -41,6 +41,7 @@ from fxblue_etl_spark.operators import (
     ml,
     multimodal,
     quality,
+    retrieval,
     similarity,
     skew,
     temporal,
@@ -116,6 +117,7 @@ _MODULES = [
     stats,
     pyds_sink,
     profiling,
+    retrieval,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -228,6 +230,8 @@ _R4_NEW: list[str] = [
     "portable_bloom_contract",
     "portable_hll_registers",
     "portable_countmin_topk",
+    "bm25_rational_topk",
+    "rrf_hybrid_fusion",
 ]
 
 
