@@ -232,6 +232,7 @@ _R4_NEW: list[str] = [
     "portable_countmin_topk",
     "bm25_rational_topk",
     "rrf_hybrid_fusion",
+    "chi2_contingency_cells",
 ]
 
 

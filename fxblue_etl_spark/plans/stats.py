@@ -648,7 +648,85 @@ FROM regs
 """
 
 
+def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for orders.o_orderpriority ×
+    o_orderstatus, emitted per contingency cell in exact integer
+    arithmetic: observed count, expected count (×1e6), and the cell's
+    chi-square contribution in parts-per-million.
+
+    ``(obs-E)²/E`` clears to integers with ``E_e6 = (1e6·row·col) DIV
+    T``: the cell contribution is ``(1e6·obs - E_e6)² DIV E_e6`` ppm —
+    both divisions floored identically by Spark's DECIMAL DIV and
+    DuckDB's HUGEINT ``//``, so the statistic is bit-identical across
+    engines (the sum of floor-scaled cells is the *defined* statistic
+    here, documented rather than an approximation hazard).
+
+    Scale shape (100 TB): one map-side-combined groupBy over the fact
+    table produces the r×c cell table (≤ dozens of rows); margins and
+    the total are broadcast re-aggregations OF THE CELLS, so nothing
+    after the first aggregate ever touches the corpus again. Overflow
+    headroom: (1e6·obs)² caps the numerator at (1e6·T)² — inside
+    DECIMAL(38,0) up to T ≈ 3e12 rows, i.e. a ~100 TB orders table at
+    ~100 B/row with 3× headroom; past that, drop the ppm
+    premultiplier or emit the raw sufficient statistics."""
+    o = table(tune(spark), sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("long").alias("n_obs"))
+    rowm = cells.groupBy("priority").agg(F.sum("n_obs").cast("long").alias("row_n"))
+    colm = cells.groupBy("status").agg(F.sum("n_obs").cast("long").alias("col_n"))
+    tot = cells.agg(F.sum("n_obs").cast("long").alias("t_n"))
+    return (
+        cells.join(F.broadcast(rowm), "priority")
+        .join(F.broadcast(colm), "status")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar total, by design
+        .withColumn(
+            "e_e6",
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * row_n * col_n"
+                " DIV CAST(t_n AS DECIMAL(38,0))"
+            ),
+        )
+        .select(
+            "priority",
+            "status",
+            "n_obs",
+            F.expr("CAST(e_e6 AS BIGINT)").alias("expected_e6"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_obs - e_e6)"
+                "     * (CAST(1000000 AS DECIMAL(38,0)) * n_obs - e_e6)"
+                " DIV e_e6 AS BIGINT)"
+            ).alias("chi2_cell_ppm"),
+        )
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2),
+rowm AS (SELECT priority, CAST(sum(n_obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+colm AS (SELECT status, CAST(sum(n_obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t_n FROM cells),
+e AS (
+  SELECT c.priority, c.status, c.n_obs,
+         CAST(CAST(1000000 AS HUGEINT) * r.row_n * m.col_n
+              // CAST(t.t_n AS HUGEINT) AS HUGEINT) AS e_e6
+  FROM cells c JOIN rowm r USING (priority) JOIN colm m USING (status)
+  CROSS JOIN tot t)
+SELECT priority, status, n_obs,
+       CAST(e_e6 AS BIGINT) AS expected_e6,
+       CAST((CAST(1000000 AS HUGEINT) * n_obs - e_e6)
+            * (CAST(1000000 AS HUGEINT) * n_obs - e_e6)
+            // e_e6 AS BIGINT) AS chi2_cell_ppm
+FROM e
+"""
+
+
 QUERIES = {
+    "chi2_contingency_cells": chi2_contingency_cells,
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
     "mcv_stats": mcv_stats,
@@ -662,6 +740,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,
     "equidepth_histogram": EQUIDEPTH_ORACLE,
     "mcv_stats": MCV_ORACLE,

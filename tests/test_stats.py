@@ -128,3 +128,35 @@ def test_portable_hll_is_exactly_mergeable(spark, sf_dir):
         for r in hll_register_table(e, "event_id").collect()
     }
     assert merged == full
+
+
+def test_chi2_contingency_matches_python(spark, sf_dir):
+    """Exact-integer chi-square cells equal a pure-Python recompute
+    (arbitrary-precision ints — no overflow to hide in), and the
+    floor-scaled statistic approximates the float chi2 to < 1 unit
+    per cell."""
+    from collections import Counter
+
+    from fxblue_etl_spark.plans.stats import chi2_contingency_cells
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    obs = Counter((r[0], r[1]) for r in orders)
+    rown = Counter(p for p, _ in obs.elements())
+    coln = Counter(s for _, s in obs.elements())
+    t_n = sum(obs.values())
+    rows = chi2_contingency_cells(spark, sf_dir).collect()
+    assert len(rows) == len(obs)
+    float_chi2 = 0.0
+    int_chi2_ppm = 0
+    for r in rows:
+        n = obs[(r["priority"], r["status"])]
+        assert r["n_obs"] == n
+        e_e6 = (10**6 * rown[r["priority"]] * coln[r["status"]]) // t_n
+        assert r["expected_e6"] == e_e6
+        assert r["chi2_cell_ppm"] == (10**6 * n - e_e6) ** 2 // e_e6
+        e = rown[r["priority"]] * coln[r["status"]] / t_n
+        float_chi2 += (n - e) ** 2 / e
+        int_chi2_ppm += r["chi2_cell_ppm"]
+    assert abs(int_chi2_ppm / 1e6 - float_chi2) < len(rows)
