@@ -55,6 +55,7 @@ from fxblue_etl_spark.plans import (
     bucketing,
     corpus,
     dq,
+    observability,
     profiling,
     relational,
     runtime_filters,
@@ -114,6 +115,7 @@ _MODULES = [
     dq,
     behavior,
     indexing,
+    observability,
     stats,
     pyds_sink,
     profiling,
@@ -233,6 +235,9 @@ _R4_NEW: list[str] = [
     "bm25_rational_topk",
     "rrf_hybrid_fusion",
     "chi2_contingency_cells",
+    "observed_ingest_metrics",
+    "listagg_top_customers",
+    "order_status_transpose",
 ]
 
 
