@@ -238,6 +238,9 @@ _R4_NEW: list[str] = [
     "observed_ingest_metrics",
     "listagg_top_customers",
     "order_status_transpose",
+    "boolean_retrieval_census",
+    "split_centroid_drift",
+    "join_skew_report",
 ]
 
 

@@ -1412,7 +1412,118 @@ GROUP BY 1
 """
 
 
+def split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution QA across corpus splits: per label, the
+    squared distance between the train-split and test-split centroids
+    in exact integer arithmetic — the "did my hash split shear the
+    embedding space?" check a training-data release runs before
+    shipping (a large drift on some label means the split is not
+    exchangeable for that slice).
+
+    Split assignment reuses ``corpus_split``'s hash (same ``split|``
+    salt over the shared doc_id == vec_id key, FIXTURES.md), so the
+    drift certifies the ACTUAL release splits, not a lookalike.
+    Per (label, split): member count and per-dimension sums of
+    ``floor(x·1e5)`` codes; each centroid mean is then scaled to e6
+    (``(1e6·s) DIV n`` — integral DIV truncates toward zero
+    identically in both engines; dim sums can be negative, where
+    floor and truncate differ) and the drift is
+    ``Σ_d (m_train_e6 - m_test_e6)²``, summed in DECIMAL(38,0)
+    (per-dim diff ≤ 2e11 → diff² ≤ 4e22 > int64; 64 dims ≈ 2.6e24,
+    far inside DECIMAL(38,0)).
+
+    Scale shape: one posexplode groupBy (map-side combined on
+    (label, split, pos)) over the embeddings table; the drift join
+    runs on labels×dims rows — vocabulary-bounded, nothing
+    corpus-sized after the first aggregate."""
+    from .corpusops import TRAIN_PCT, VAL_PCT, _hash_bucket
+
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    b = _hash_bucket(F.col("vec_id"), "split|", 100)
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e5).cast("long")
+    )
+    q = emb.select("label", split.alias("split"), qv.alias("q")).filter(
+        F.col("split") != "val"
+    )
+    dims = (
+        q.select("label", "split", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "split", "pos")
+        .agg(F.sum("v").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "m_e6",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * s"
+                " DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+    )
+    tr = dims.filter(F.col("split") == "train").select(
+        "label", "pos", F.col("m_e6").alias("mt"), F.col("n").alias("n_train")
+    )
+    te = dims.filter(F.col("split") == "test").select(
+        "label", "pos", F.col("m_e6").alias("me"), F.col("n").alias("n_test")
+    )
+    return (
+        tr.join(te, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.max("n_test").cast("long").alias("n_test"),
+            F.expr(
+                "CAST(sum(CAST(mt - me AS DECIMAL(38,0)) * (mt - me))"
+                " AS DECIMAL(38,0))"
+            )
+            .cast("string")
+            .alias("drift_sq_e12"),
+        )
+    )
+
+
+from .corpusops import TRAIN_PCT as _TRAIN_PCT
+from .corpusops import VAL_PCT as _VAL_PCT
+from .corpusops import _hash_bucket_sql
+
+DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT label,
+         CASE WHEN {_hash_bucket_sql("CAST(vec_id AS VARCHAR)", "split|", 100)} < {_TRAIN_PCT}
+              THEN 'train'
+              WHEN {_hash_bucket_sql("CAST(vec_id AS VARCHAR)", "split|", 100)} < {_VAL_PCT}
+              THEN 'val' ELSE 'test' END AS split,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e5) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (
+  SELECT label, split, u.i AS pos,
+         CAST(sum(u.v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT label, split,
+               unnest(list_transform(qv, (x, i) -> {{'v': x, 'i': i}})) AS u
+        FROM q WHERE split != 'val')
+  GROUP BY 1, 2, 3),
+m AS (
+  SELECT label, split, pos, n,
+         CAST(CAST(1000000 AS HUGEINT) * s // CAST(n AS HUGEINT) AS BIGINT)
+           AS m_e6
+  FROM dims)
+SELECT t.label,
+       CAST(max(t.n) AS BIGINT) AS n_train,
+       CAST(max(e.n) AS BIGINT) AS n_test,
+       CAST(sum(CAST(t.m_e6 - e.m_e6 AS HUGEINT) * (t.m_e6 - e.m_e6))
+            AS VARCHAR) AS drift_sq_e12
+FROM m t JOIN m e ON t.label = e.label AND t.pos = e.pos
+WHERE t.split = 'train' AND e.split = 'test'
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "split_centroid_drift": split_centroid_drift,
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_iterate": kmeans_iterate,
@@ -1433,6 +1544,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "split_centroid_drift": DRIFT_ORACLE,
     "kmeans_assign_stats": KMEANS_ASSIGN_ORACLE,
     "kmeans_update_centroids": KMEANS_UPDATE_ORACLE,
     # kmeans_iterate: engine-iterative, rows-only by design

@@ -310,12 +310,104 @@ QUALIFY fused_rank <= {RRF_K}
 """
 
 
+#: boolean retrieval expressions certified (name → doc-flag predicate)
+BOOL_TERMS = ("spark", "vector", "merge")
+
+
+def boolean_retrieval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval over term presence — the bitmap-index
+    complement to the BM25 ranker: for AND / OR / AND-NOT
+    combinations of BOOL_TERMS, the matching document count, the
+    doc_id range, and an order-independent membership checksum
+    (sum of doc_ids).
+
+    Scale shape: presence flags are row-local ``array_contains`` over
+    the token array (no explode, no join — at index-serving scale
+    these are bitmap intersections over the postings built by
+    ``inverted_index_postings``); the census is ONE map-side-combined
+    aggregate emitting all expressions at once, unpivoted to a row
+    per expression."""
+    t0, t1, t2 = BOOL_TERMS
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    flags = d.select(
+        "doc_id",
+        *[
+            F.array_contains("toks", t).alias(f"has_{i}")
+            for i, t in enumerate(BOOL_TERMS)
+        ],
+    )
+    exprs = {
+        f"{t0}_and_{t1}": F.col("has_0") & F.col("has_1"),
+        f"{t0}_or_{t1}": F.col("has_0") | F.col("has_1"),
+        f"{t0}_and_not_{t2}": F.col("has_0") & ~F.col("has_2"),
+        f"all_three": F.col("has_0") & F.col("has_1") & F.col("has_2"),
+    }
+    agg = flags.agg(
+        *[
+            f
+            for name, cond in exprs.items()
+            for f in (
+                F.sum(cond.cast("long")).alias(f"n__{name}"),
+                F.min(F.when(cond, F.col("doc_id"))).alias(f"lo__{name}"),
+                F.max(F.when(cond, F.col("doc_id"))).alias(f"hi__{name}"),
+                F.sum(F.when(cond, F.col("doc_id")).otherwise(0))
+                .cast("long")
+                .alias(f"ck__{name}"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{name}', n__{name}, lo__{name}, hi__{name}, ck__{name}"
+        for name in exprs
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(exprs)}, {stack})"
+            " AS (expr, n_docs, min_doc, max_doc, doc_id_checksum)"
+        )
+    )
+
+
+BOOLEAN_ORACLE = rf"""
+WITH flags AS (
+  SELECT doc_id,
+         list_contains(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t != ''), '{BOOL_TERMS[0]}') AS h0,
+         list_contains(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t != ''), '{BOOL_TERMS[1]}') AS h1,
+         list_contains(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t != ''), '{BOOL_TERMS[2]}') AS h2
+  FROM documents),
+e AS (
+  SELECT '{BOOL_TERMS[0]}_and_{BOOL_TERMS[1]}' AS expr, doc_id,
+         (h0 AND h1) AS hit FROM flags
+  UNION ALL
+  SELECT '{BOOL_TERMS[0]}_or_{BOOL_TERMS[1]}', doc_id, (h0 OR h1) FROM flags
+  UNION ALL
+  SELECT '{BOOL_TERMS[0]}_and_not_{BOOL_TERMS[2]}', doc_id,
+         (h0 AND NOT h2) FROM flags
+  UNION ALL
+  SELECT 'all_three', doc_id, (h0 AND h1 AND h2) FROM flags)
+SELECT expr,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       min(CASE WHEN hit THEN doc_id END) AS min_doc,
+       max(CASE WHEN hit THEN doc_id END) AS max_doc,
+       CAST(sum(CASE WHEN hit THEN doc_id ELSE 0 END) AS BIGINT)
+         AS doc_id_checksum
+FROM e GROUP BY 1
+"""
+
+
 QUERIES = {
     "bm25_rational_topk": bm25_rational_topk,
     "rrf_hybrid_fusion": rrf_hybrid_fusion,
+    "boolean_retrieval_census": boolean_retrieval_census,
 }
 
 ORACLES = {
     "bm25_rational_topk": BM25_ORACLE,
     "rrf_hybrid_fusion": RRF_ORACLE,
+    "boolean_retrieval_census": BOOLEAN_ORACLE,
 }

@@ -110,12 +110,101 @@ SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """
 
 
+#: lineitem join-key columns profiled by the skew report
+SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis — the report that decides WHETHER the
+    salting in this module (or AQE skew splitting) is needed for a
+    given join key, before burning a 100 TB shuffle to find out. Per
+    candidate key column of lineitem: distinct key count, max and p99
+    per-key row count (``percentile_disc`` order statistics — exact),
+    mean rows/key in ppm, and the max/mean skew ratio in ppm
+    (1e6 ≈ perfectly uniform; ≫1e6 = hot key).
+
+    All ratios are integer cross-multiplications
+    (``(1e6·max·n_keys) DIV n_rows``), DECIMAL(38,0)/HUGEINT per the
+    overflow discipline (max·n_keys can reach ~1e24 on a trillion-row
+    fact with a billion keys).
+
+    Scale shape: ONE unpivot (row-local stack, 3× the scan) feeding
+    one map-side-combined groupBy on (key_col, key) then a
+    key_col-partitioned re-aggregate — the per-key count table is the
+    same size a real join shuffle would build, which is the honest
+    cost of measuring it; sample first if even that is too dear."""
+    spark = tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack({n}, {args}) AS (key_col, key)".format(
+                n=len(SKEW_KEYS),
+                args=", ".join(f"'{k}', {k}" for k in SKEW_KEYS),
+            )
+        )
+    )
+    per_key = stacked.groupBy("key_col", "key").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        per_key.groupBy("key_col")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.expr(
+                "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n)"
+                " AS BIGINT)"
+            ).alias("p99_rows"),
+        )
+        .select(
+            "key_col",
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "p99_rows",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_rows"
+                " DIV CAST(n_keys AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("mean_rows_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * max_rows * n_keys"
+                " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+        )
+    )
+
+
+SKEW_REPORT_ORACLE = f"""
+WITH stacked AS (
+  {" UNION ALL ".join(f"SELECT '{k}' AS key_col, {k} AS key FROM lineitem" for k in SKEW_KEYS)}),
+per_key AS (
+  SELECT key_col, key, CAST(count(*) AS BIGINT) AS n
+  FROM stacked GROUP BY 1, 2),
+agg AS (
+  SELECT key_col,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_rows,
+         CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows
+  FROM per_key GROUP BY 1)
+SELECT key_col, n_keys, n_rows, max_rows, p99_rows,
+       CAST(CAST(1000000 AS HUGEINT) * n_rows // CAST(n_keys AS HUGEINT)
+            AS BIGINT) AS mean_rows_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * max_rows * n_keys
+            // CAST(n_rows AS HUGEINT) AS BIGINT) AS skew_ratio_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "salted_join_supplier_revenue": salted_join_supplier_revenue,
     "salted_count_events": salted_count_events,
+    "join_skew_report": join_skew_report,
 }
 
 ORACLES = {
     "salted_join_supplier_revenue": SALTED_JOIN_ORACLE,
     "salted_count_events": SALTED_COUNT_ORACLE,
+    "join_skew_report": SKEW_REPORT_ORACLE,
 }
