@@ -241,6 +241,7 @@ _R4_NEW: list[str] = [
     "boolean_retrieval_census",
     "split_centroid_drift",
     "join_skew_report",
+    "incremental_join_maintenance",
 ]
 
 

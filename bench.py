@@ -54,6 +54,9 @@ HEADLINE = (
     "streaming_lsh_dedup",
     "triplet_margin_mining",
     "fx_ingest_end_to_end",
+    # fourth-wave representatives (APPENDED)
+    "bm25_rational_topk",
+    "join_skew_report",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

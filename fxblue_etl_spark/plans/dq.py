@@ -598,6 +598,76 @@ GROUP BY 1
 """
 
 
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance — the denormalized-view sibling of
+    ``incremental_agg_maintenance``: when a delta batch of orders
+    arrives, only the DELTA is joined against the customer dimension;
+    the standing view's partial aggregates are merged with the
+    delta's, never recomputed.  At 100 TB this is the difference
+    between an O(delta)·broadcast job and re-shuffling the whole
+    fact; it is sound because an inner equi-join distributes over
+    union (orders = base ∪ delta ⇒ orders ⋈ dim =
+    (base ⋈ dim) ∪ (delta ⋈ dim)) and the per-nation summary is an
+    algebraic aggregate (count ⊕, sum ⊕, min/max ⊕).
+
+    The split replays ingest order (orderkey below/above the
+    INCR_CUT_FRACTION quantile, as in the agg sibling); both legs
+    broadcast the dim; the merge aggregates a 2×nations-row union.
+    The oracle recomputes the full join from scratch — maintenance
+    must be indistinguishable from recompute."""
+    spark = tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cut = o.agg(
+        F.expr(
+            f"percentile_disc({INCR_CUT_FRACTION}) WITHIN GROUP (ORDER BY o_orderkey)"
+        )
+    ).collect()[0][0]
+
+    def joined_partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(c), df.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100))
+                .cast("long")
+                .alias("cents"),
+                F.sum("o_orderkey").cast("long").alias("key_ck"),
+            )
+        )
+
+    base = joined_partial(o.filter(F.col("o_orderkey") <= cut))
+    delta = joined_partial(o.filter(F.col("o_orderkey") > cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("price_cents"),
+            F.sum("key_ck").cast("long").alias("orderkey_checksum"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "n_orders",
+            "price_cents",
+            "orderkey_checksum",
+        )
+    )
+
+
+#: recompute-from-scratch truth for the maintained join
+INCREMENTAL_JOIN_ORACLE = """
+SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS orderkey_checksum
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
     "source_length_drift": source_length_drift,
@@ -607,6 +677,7 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "file_metadata_lineage": file_metadata_lineage,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "incremental_join_maintenance": incremental_join_maintenance,
 }
 
 ORACLES = {
@@ -618,4 +689,5 @@ ORACLES = {
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "file_metadata_lineage": FILE_METADATA_ORACLE,
     "incremental_agg_maintenance": INCREMENTAL_AGG_ORACLE,
+    "incremental_join_maintenance": INCREMENTAL_JOIN_ORACLE,
 }

@@ -96,3 +96,31 @@ def test_join_skew_report_matches_python(spark, sf_dir):
             r["skew_ratio_ppm"]
             == (10**6 * r["max_rows"] * r["n_keys"]) // r["n_rows"]
         )
+
+
+def test_incremental_join_equals_recompute(spark, sf_dir):
+    """Maintenance must be indistinguishable from recompute."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.plans.dq import incremental_join_maintenance
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    direct = {
+        r["c_nationkey"]: r
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("price_cents"),
+            F.sum("o_orderkey").alias("orderkey_checksum"),
+        )
+        .collect()
+    }
+    rows = incremental_join_maintenance(spark, sf_dir).collect()
+    assert len(rows) == len(direct)
+    for r in rows:
+        d = direct[r["c_nationkey"]]
+        assert (r["n_orders"], r["price_cents"], r["orderkey_checksum"]) == (
+            d["n_orders"], d["price_cents"], d["orderkey_checksum"]
+        )
