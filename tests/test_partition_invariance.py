@@ -77,6 +77,16 @@ from fxblue_etl_spark.plans.profiling import (
     pareto_frontier_parts,
 )
 from fxblue_etl_spark.plans.stats import equidepth_histogram
+from fxblue_etl_spark.operators.ml import split_centroid_drift
+from fxblue_etl_spark.operators.retrieval import (
+    bm25_rational_topk,
+    boolean_retrieval_census,
+    rrf_hybrid_fusion,
+)
+from fxblue_etl_spark.operators.skew import join_skew_report
+from fxblue_etl_spark.plans.dq import incremental_join_maintenance
+from fxblue_etl_spark.plans.observability import listagg_top_customers
+from fxblue_etl_spark.plans.stats import chi2_contingency_cells
 
 
 @pytest.mark.parametrize(
@@ -134,6 +144,15 @@ from fxblue_etl_spark.plans.stats import equidepth_histogram
         formatted_number_parse,
         aes_column_roundtrip,
         integer_division_semantics,
+        # fourth wave: same discipline
+        bm25_rational_topk,
+        rrf_hybrid_fusion,
+        boolean_retrieval_census,
+        chi2_contingency_cells,
+        split_centroid_drift,
+        join_skew_report,
+        listagg_top_customers,
+        incremental_join_maintenance,
     ],
     ids=lambda q: q.__name__,
 )
