@@ -242,6 +242,7 @@ _R4_NEW: list[str] = [
     "split_centroid_drift",
     "join_skew_report",
     "incremental_join_maintenance",
+    "knn_graph_build",
 ]
 
 

@@ -401,6 +401,152 @@ SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 3
 """
 
 
+#: neighbors per node in the kNN graph build
+KNN_GRAPH_K = 3
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction — the build step of graph-based ANN
+    indexes (HNSW/NSG base layer): every vector gets its KNN_GRAPH_K
+    nearest neighbors by integer quantized dot product, candidates
+    blocked to the vector's own IVF cluster (same assignment as
+    `quantized_ivf_topk`, so the two serving paths share one
+    partition layout). Emitted per cluster: node count, edge count,
+    MUTUAL edge count (both endpoints pick each other — the
+    degree-of-symmetry statistic that predicts graph-search recall),
+    and exact integer score sums.
+
+    Scale shape: the all-pairs step is an equi-join on the cluster
+    key — O(Σ|cluster|²), the honest blocked build cost every
+    graph-ANN library pays, co-partitioned by cluster so each task
+    builds one cluster's subgraph; never corpus-wide pairs. Top-K per
+    node is a per-node window (millions of 1-row-ish partitions — the
+    good kind); the mutuality join runs on the K·N edge list, not the
+    candidate pairs."""
+    from .similarity import _dvec, cosine
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", cosine(F.col("v"), F.col("cv")).alias("csim"), "cent_id"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
+    aq = assigned.join(codes, "vec_id")
+    other = aq.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("dst"),
+        F.col("q").alias("dq"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("q", "dq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # co-partitioned equi-join on cluster; self-pair excluded post-join
+    pairs = (
+        aq.withColumnRenamed("vec_id", "src")
+        .join(other, "cluster")
+        .filter(F.col("src") != F.col("dst"))
+        .select("cluster", "src", "dst", qdot.alias("qdot"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
+    edges = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KNN_GRAPH_K
+    )
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mutual = edges.join(rev, ["src", "dst"], "left_semi")
+    per_cluster = edges.groupBy("cluster").agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("qdot").cast("long").alias("qdot_sum"),
+        F.max("qdot").cast("long").alias("qdot_max"),
+    )
+    mut = mutual.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_mutual")
+    )
+    return (
+        per_cluster.join(mut, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            "qdot_sum",
+            "qdot_max",
+        )
+    )
+
+
+KNN_GRAPH_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % 100 = 0),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS_IVF.format(a='b.v', b='c.cv')} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM base b CROSS JOIN cents c)
+  WHERE rn = 1),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM base),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM m),
+aq AS (
+  SELECT a.vec_id, a.cluster, c.q
+  FROM assigned a JOIN codes c USING (vec_id)),
+pairs AS (
+  SELECT s.cluster, s.vec_id AS src, d.vec_id AS dst,
+         CAST(list_dot_product(s.q, d.q) AS BIGINT) AS qdot
+  FROM aq s JOIN aq d ON s.cluster = d.cluster AND s.vec_id != d.vec_id),
+edges AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY qdot DESC, dst ASC) AS rn
+    FROM pairs)
+  WHERE rn <= {KNN_GRAPH_K}),
+mutual AS (
+  SELECT e.cluster, e.src, e.dst
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src = e.dst AND r.dst = e.src)),
+per_cluster AS (
+  SELECT cluster,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(qdot) AS BIGINT) AS qdot_sum,
+         CAST(max(qdot) AS BIGINT) AS qdot_max
+  FROM edges GROUP BY 1),
+mut AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_mutual FROM mutual GROUP BY 1)
+SELECT CAST(p.cluster AS INT) AS cluster, p.n_nodes, p.n_edges,
+       CAST(coalesce(m2.n_mutual, 0) AS BIGINT) AS n_mutual,
+       p.qdot_sum, p.qdot_max
+FROM per_cluster p LEFT JOIN mut m2 USING (cluster)
+"""
+
+
 QUANTIZED_TOPK_ORACLE = """
 WITH x AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
@@ -1524,6 +1670,7 @@ GROUP BY 1
 
 QUERIES = {
     "split_centroid_drift": split_centroid_drift,
+    "knn_graph_build": knn_graph_build,
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_iterate": kmeans_iterate,
@@ -1545,6 +1692,7 @@ QUERIES = {
 
 ORACLES = {
     "split_centroid_drift": DRIFT_ORACLE,
+    "knn_graph_build": KNN_GRAPH_ORACLE,
     "kmeans_assign_stats": KMEANS_ASSIGN_ORACLE,
     "kmeans_update_centroids": KMEANS_UPDATE_ORACLE,
     # kmeans_iterate: engine-iterative, rows-only by design

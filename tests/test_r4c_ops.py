@@ -124,3 +124,22 @@ def test_incremental_join_equals_recompute(spark, sf_dir):
         assert (r["n_orders"], r["price_cents"], r["orderkey_checksum"]) == (
             d["n_orders"], d["price_cents"], d["orderkey_checksum"]
         )
+
+
+def test_knn_graph_structure(spark, sf_dir):
+    """Structural contracts of the blocked kNN-graph build."""
+    from fxblue_etl_spark.operators.ml import KNN_GRAPH_K, knn_graph_build
+
+    rows = knn_graph_build(spark, sf_dir).collect()
+    assert rows, "graph must be non-empty"
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    total_nodes = sum(r["n_nodes"] for r in rows)
+    # every vector in a cluster of size >= 2 gets edges; singleton
+    # clusters contribute none
+    assert total_nodes <= n_vecs
+    for r in rows:
+        assert 1 <= r["n_edges"] <= KNN_GRAPH_K * r["n_nodes"]
+        # mutual edges are directed counts of symmetric pairs -> even
+        assert r["n_mutual"] % 2 == 0
+        assert 0 <= r["n_mutual"] <= r["n_edges"]
+        assert r["qdot_max"] <= 127 * 127 * 64
