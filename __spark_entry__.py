@@ -243,6 +243,8 @@ _R4_NEW: list[str] = [
     "join_skew_report",
     "incremental_join_maintenance",
     "knn_graph_build",
+    "catalog_snapshot_manifest",
+    "join_cardinality_estimate",
 ]
 
 

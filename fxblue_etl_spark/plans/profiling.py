@@ -331,7 +331,166 @@ FROM (SELECT {keys}, count(DISTINCT {rhs}) AS n_rhs FROM {tbl} GROUP BY {keys}) 
 FD_AUDIT_ORACLE = _fd_oracle()
 
 
+#: primary-ish key per catalog table for the snapshot manifest
+CATALOG_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def catalog_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog release manifest: one row per table with its
+    row count and exact key fingerprint (min / max / sum of the
+    table's primary-ish key) — the integrity record a data release
+    pins so a consumer can verify every table arrived whole, without
+    hashing any content (key sums are order-independent exact
+    integers, so the manifest is engine- and partitioning-neutral).
+
+    Scale shape: one map-side-combined aggregate per table (count +
+    three key reductions fuse into a single scan each); the manifest
+    union is 10 one-row frames. The reference has no cross-table
+    integrity story at all (each pipeline trusts its own sink);
+    this is the missing release gate."""
+    spark = tune(spark)
+    parts = []
+    for name, key in CATALOG_KEYS.items():
+        t = table(spark, sf_dir, name)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.min(F.col(key).cast("long")).alias("key_min"),
+                F.max(F.col(key).cast("long")).alias("key_max"),
+                F.sum(F.col(key).cast("long")).cast("long").alias("key_sum"),
+            ).select("table_name", "n_rows", "key_min", "key_max", "key_sum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+CATALOG_MANIFEST_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min({key}) AS BIGINT) AS key_min,
+       CAST(max({key}) AS BIGINT) AS key_max,
+       CAST(sum({key}) AS BIGINT) AS key_sum
+FROM {name}"""
+    for name, key in CATALOG_KEYS.items()
+)
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-grade join cardinality estimation, certified against
+    ground truth: the System-R equi-join estimate
+    ``|A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k))`` computed from
+    exact column statistics, next to the ACTUAL join count, with the
+    signed error in ppm — the number a cost-based optimizer would
+    plan with versus the number reality delivers. Two join pairs are
+    scored (orders⋈customer on custkey: FK with unmatched dim rows;
+    lineitem⋈orders on orderkey: every probe matches) so the estimate
+    is exercised where the uniformity assumption both holds and
+    leaks.
+
+    All arithmetic is integer cross-multiplication in
+    DECIMAL(38,0)/HUGEINT (``|A|·|B|`` reaches 1e24 at trillion-row
+    scale); the estimate uses truncating DIV identically in both
+    engines. Stats passes are map-side-combined count(+distinct)
+    aggregates; the actual counts are the joins a calibration run
+    pays once."""
+    spark = tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def pair(name, left, lk, right, rk):
+        ls = left.agg(
+            F.count("*").cast("long").alias("n_l"),
+            F.countDistinct(lk).cast("long").alias("ndv_l"),
+        )
+        rs = right.agg(
+            F.count("*").cast("long").alias("n_r"),
+            F.countDistinct(rk).cast("long").alias("ndv_r"),
+        )
+        actual = (
+            left.join(right, left[lk] == right[rk])
+            .agg(F.count("*").cast("long").alias("actual_rows"))
+        )
+        return (
+            ls.crossJoin(F.broadcast(rs))  # 1-row stats, by design
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_pair"),
+                "n_l",
+                "n_r",
+                F.greatest("ndv_l", "ndv_r").alias("ndv_max"),
+                F.expr(
+                    "CAST(CAST(n_l AS DECIMAL(38,0)) * n_r"
+                    " DIV CAST(greatest(ndv_l, ndv_r) AS DECIMAL(38,0))"
+                    " AS BIGINT)"
+                ).alias("est_rows"),
+                "actual_rows",
+            )
+            .withColumn(
+                "err_ppm",
+                F.expr(
+                    "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                    " * (est_rows - actual_rows)"
+                    " DIV CAST(actual_rows AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            )
+        )
+
+    return pair("orders_customer", o, "o_custkey", c, "c_custkey").unionByName(
+        pair("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+    )
+
+
+JOIN_CARD_ORACLE = """
+WITH oc AS (
+  SELECT 'orders_customer' AS join_pair,
+         (SELECT count(*) FROM orders) AS n_l,
+         (SELECT count(*) FROM customer) AS n_r,
+         greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+                  (SELECT count(DISTINCT c_custkey) FROM customer)) AS ndv_max,
+         (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey) AS actual_rows),
+lo AS (
+  SELECT 'lineitem_orders' AS join_pair,
+         (SELECT count(*) FROM lineitem) AS n_l,
+         (SELECT count(*) FROM orders) AS n_r,
+         greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                  (SELECT count(DISTINCT o_orderkey) FROM orders)) AS ndv_max,
+         (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey) AS actual_rows),
+u AS (SELECT * FROM oc UNION ALL SELECT * FROM lo)
+SELECT join_pair,
+       CAST(n_l AS BIGINT) AS n_l,
+       CAST(n_r AS BIGINT) AS n_r,
+       CAST(ndv_max AS BIGINT) AS ndv_max,
+       CAST(CAST(n_l AS HUGEINT) * n_r // CAST(ndv_max AS HUGEINT) AS BIGINT)
+         AS est_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       CAST(CAST(1000000 AS HUGEINT)
+            * (CAST(n_l AS HUGEINT) * n_r // CAST(ndv_max AS HUGEINT)
+               - actual_rows)
+            // CAST(actual_rows AS HUGEINT) AS BIGINT) AS err_ppm
+FROM u
+"""
+
+
 QUERIES = {
+    "catalog_snapshot_manifest": catalog_snapshot_manifest,
+    "join_cardinality_estimate": join_cardinality_estimate,
     "benford_first_digit": benford_first_digit,
     "approx_quantile_contract": approx_quantile_contract,
     "pareto_frontier_parts": pareto_frontier_parts,
@@ -339,6 +498,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "catalog_snapshot_manifest": CATALOG_MANIFEST_ORACLE,
+    "join_cardinality_estimate": JOIN_CARD_ORACLE,
     "benford_first_digit": BENFORD_ORACLE,
     "approx_quantile_contract": QUANTILE_CONTRACT_ORACLE,
     "pareto_frontier_parts": PARETO_ORACLE,

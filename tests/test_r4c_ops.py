@@ -143,3 +143,36 @@ def test_knn_graph_structure(spark, sf_dir):
         assert r["n_mutual"] % 2 == 0
         assert 0 <= r["n_mutual"] <= r["n_edges"]
         assert r["qdot_max"] <= 127 * 127 * 64
+
+
+def test_catalog_manifest_covers_every_table(spark, sf_dir):
+    from fxblue_etl_spark.plans.profiling import (
+        CATALOG_KEYS,
+        catalog_snapshot_manifest,
+    )
+
+    rows = {r["table_name"]: r for r in catalog_snapshot_manifest(spark, sf_dir).collect()}
+    assert set(rows) == set(CATALOG_KEYS)
+    for name, key in CATALOG_KEYS.items():
+        t = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        r = rows[name]
+        assert r["n_rows"] == t.count()
+        keys = [x[0] for x in t.select(key).collect()]
+        assert (r["key_min"], r["key_max"], r["key_sum"]) == (
+            min(keys), max(keys), sum(keys)
+        )
+
+
+def test_join_cardinality_estimate_contract(spark, sf_dir):
+    from fxblue_etl_spark.plans.profiling import join_cardinality_estimate
+
+    rows = {r["join_pair"]: r for r in join_cardinality_estimate(spark, sf_dir).collect()}
+    assert set(rows) == {"orders_customer", "lineitem_orders"}
+    for r in rows.values():
+        assert r["est_rows"] == (r["n_l"] * r["n_r"]) // r["ndv_max"]
+        assert r["actual_rows"] > 0
+    # PK-FK joins where every fact row matches: estimate is exact
+    # whenever ndv of the FK side equals the dim key count; at worst
+    # the System-R estimate cannot exceed the fact side here
+    lo = rows["lineitem_orders"]
+    assert lo["actual_rows"] == lo["n_l"]
