@@ -245,6 +245,7 @@ _R4_NEW: list[str] = [
     "knn_graph_build",
     "catalog_snapshot_manifest",
     "join_cardinality_estimate",
+    "bitmap_distinct_contract",
 ]
 
 

@@ -725,7 +725,66 @@ FROM e
 """
 
 
+def bitmap_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's bitmap aggregate family (``bitmap_bit_position`` →
+    ``bitmap_construct_agg`` → ``bitmap_count``) certified exact: per
+    nation, the bitmap-derived distinct customer count AND the
+    bitmap-of-unions identity (bitmap_or_agg over per-mktsegment
+    bitmaps == the nation-wide bitmap) against plain count(DISTINCT).
+
+    Bitmaps are Spark's exact-distinct accelerator for dense integer
+    key domains — O(domain/8) bytes of state instead of a hash set,
+    mergeable map-side, the same trick a warehouse uses for segment
+    membership at 100 TB. The emitted columns are plain BIGINTs, so
+    the DuckDB oracle is the definitionally-equivalent
+    count(DISTINCT): any bitmap regression (position math, merge,
+    popcount) flips the row."""
+    c = table(tune(spark), sf_dir, "customer")
+    per_seg = c.groupBy(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"), "c_mktsegment"
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(c_custkey))"
+        ).alias("seg_bitmap")
+    )
+    return (
+        per_seg.groupBy("c_nationkey")
+        .agg(
+            F.expr("bitmap_count(bitmap_or_agg(seg_bitmap))")
+            .cast("long")
+            .alias("distinct_via_bitmap"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .join(
+            c.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
+                F.countDistinct("c_custkey").cast("long").alias("distinct_exact")
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "c_nationkey",
+            "n_segments",
+            "distinct_via_bitmap",
+            "distinct_exact",
+            (F.col("distinct_via_bitmap") == F.col("distinct_exact")).alias(
+                "bitmap_exact"
+            ),
+        )
+    )
+
+
+BITMAP_ORACLE = """
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_via_bitmap,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_exact,
+       TRUE AS bitmap_exact
+FROM customer GROUP BY 1
+"""
+
+
 QUERIES = {
+    "bitmap_distinct_contract": bitmap_distinct_contract,
     "chi2_contingency_cells": chi2_contingency_cells,
     "hll_accuracy_check": hll_accuracy_check,
     "equidepth_histogram": equidepth_histogram,
@@ -740,6 +799,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bitmap_distinct_contract": BITMAP_ORACLE,
     "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,
     "equidepth_histogram": EQUIDEPTH_ORACLE,

@@ -160,3 +160,14 @@ def test_chi2_contingency_matches_python(spark, sf_dir):
         float_chi2 += (n - e) ** 2 / e
         int_chi2_ppm += r["chi2_cell_ppm"]
     assert abs(int_chi2_ppm / 1e6 - float_chi2) < len(rows)
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
+
+    rows = bitmap_distinct_contract(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bitmap_exact"] is True
+        assert r["distinct_via_bitmap"] == r["distinct_exact"]
+        assert 1 <= r["n_segments"] <= 5
