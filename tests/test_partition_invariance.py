@@ -87,6 +87,12 @@ from fxblue_etl_spark.operators.skew import join_skew_report
 from fxblue_etl_spark.plans.dq import incremental_join_maintenance
 from fxblue_etl_spark.plans.observability import listagg_top_customers
 from fxblue_etl_spark.plans.stats import chi2_contingency_cells
+from fxblue_etl_spark.operators.ml import knn_graph_build
+from fxblue_etl_spark.plans.profiling import (
+    catalog_snapshot_manifest,
+    join_cardinality_estimate,
+)
+from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
 
 
 @pytest.mark.parametrize(
@@ -153,6 +159,10 @@ from fxblue_etl_spark.plans.stats import chi2_contingency_cells
         join_skew_report,
         listagg_top_customers,
         incremental_join_maintenance,
+        knn_graph_build,
+        catalog_snapshot_manifest,
+        join_cardinality_estimate,
+        bitmap_distinct_contract,
     ],
     ids=lambda q: q.__name__,
 )
