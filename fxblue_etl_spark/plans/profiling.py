@@ -353,6 +353,9 @@ def catalog_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins so a consumer can verify every table arrived whole, without
     hashing any content (key sums are order-independent exact
     integers, so the manifest is engine- and partitioning-neutral).
+    The key sum runs in DECIMAL(38,0)/HUGEINT and is emitted as a
+    string: a dense ~n-sized key column sums to ~n²/2, which wraps
+    int64 past ~4e9 rows — a 100 TB fact is far beyond that.
 
     Scale shape: one map-side-combined aggregate per table (count +
     three key reductions fuse into a single scan each); the manifest
@@ -369,7 +372,10 @@ def catalog_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_rows"),
                 F.min(F.col(key).cast("long")).alias("key_min"),
                 F.max(F.col(key).cast("long")).alias("key_max"),
-                F.sum(F.col(key).cast("long")).cast("long").alias("key_sum"),
+                F.sum(F.col(key).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("key_sum"),
             ).select("table_name", "n_rows", "key_min", "key_max", "key_sum")
         )
     out = parts[0]
@@ -383,7 +389,7 @@ CATALOG_MANIFEST_ORACLE = "\nUNION ALL\n".join(
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min({key}) AS BIGINT) AS key_min,
        CAST(max({key}) AS BIGINT) AS key_max,
-       CAST(sum({key}) AS BIGINT) AS key_sum
+       CAST(CAST(sum(CAST({key} AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS key_sum
 FROM {name}"""
     for name, key in CATALOG_KEYS.items()
 )

@@ -158,7 +158,7 @@ def test_catalog_manifest_covers_every_table(spark, sf_dir):
         r = rows[name]
         assert r["n_rows"] == t.count()
         keys = [x[0] for x in t.select(key).collect()]
-        assert (r["key_min"], r["key_max"], r["key_sum"]) == (
+        assert (r["key_min"], r["key_max"], int(r["key_sum"])) == (
             min(keys), max(keys), sum(keys)
         )
 
