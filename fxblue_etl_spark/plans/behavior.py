@@ -293,32 +293,135 @@ GROUP BY 1, 2
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over orders: quintile scores for
     recency (latest order date), frequency (order count), monetary
-    (exact e2 total spend), each via ``ntile(5)`` with a custkey
-    tiebreak (total order → engine-independent buckets), aggregated
-    to segment populations.
+    (exact e2 total spend), each with NTILE(5)-exact semantics under
+    a custkey tiebreak (total order → engine-independent buckets),
+    aggregated to segment populations.
 
-    Scale: one map-side-combined per-customer aggregate, three
-    window passes over the customer-sized frame (same partitioning,
-    one exchange), then a ≤125-group count."""
-    o = table(tune(spark), sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("spend_e2"),
-    )
+    NO global window: a full-frame ``ntile`` is a single-partition
+    sort of the whole customer frame — the one plan shape that dies
+    at 100 TB.  Instead, NTILE is reconstructed from its definition
+    (first ``n mod 5`` tiles hold ``ceil(n/5)`` rows): the four tile
+    boundary VALUES per metric come from one ``percentile_disc``
+    aggregate (state is the value histogram, map-side combined — no
+    row ever sorts globally), rows strictly between boundary values
+    get their tile by range comparison (row-local), and only rows
+    sitting exactly ON a boundary value are disambiguated by their
+    (value, custkey) rank *within that one value* — a window
+    partitioned by the tied value itself, i.e. tie-run-sized
+    partitions, never the full frame.  The three driver-side fetches
+    (n; 12 boundary values; ≤12 below-boundary counts) are 1-row
+    scalar aggregates, the bounded pattern used across the repo.
+
+    Scale: one map-side-combined per-customer aggregate (persisted
+    across the four passes, releasably), three bounded-partition
+    windows, then a ≤125-group count."""
     from pyspark.sql.window import Window
 
-    w_r = Window.orderBy("last_order", "o_custkey")
-    w_f = Window.orderBy("n_orders", "o_custkey")
-    w_m = Window.orderBy("spend_e2", "o_custkey")
-    scored = per_cust.select(
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+    o = table(tune(spark), sf_dir, "orders")
+    # epoch-long recency, not the raw timestamp: an order-isomorphic
+    # injection (session tz pinned UTC), so every rank (and hence
+    # every NTILE bucket) is identical, and percentile_disc accepts
+    # it.  Nanos-vintage files surface o_orderdate as epoch-nanos
+    # bigint under legacy.parquet.nanosAsLong (io.table's events
+    # handling) — already a monotonic long, use as-is.
+    if dict(o.dtypes).get("o_orderdate") == "bigint":
+        recency = F.max("o_orderdate")
+    else:
+        recency = F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+    per_cust = _swap_rfm_cache(
+        o.groupBy("o_custkey").agg(
+            recency.alias("last_order"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("spend_e2"),
+        )
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    metrics = [("r_score", "last_order"), ("f_score", "n_orders"), ("m_score", "spend_e2")]
+    n = per_cust.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "r_score int, f_score int, m_score int, n_customers long"
+        )
+    q, r = divmod(n, 5)
+    # bpos[t] = #rows in tiles 1..t+1 (NTILE puts the ceil-sized
+    # tiles first); row at 0-indexed global position p is in tile
+    # 1 + #{b in bpos : p >= b}
+    bpos = [t * q + min(t, r) for t in (1, 2, 3, 4)]
+    # pass 2 — boundary values: the metric value at global position
+    # b-1 is percentile_disc((b-0.5)/n) (smallest v with
+    # count(<=v) >= b; the -0.5 absorbs float jitter in f*n)
+    vals = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({(b - 0.5) / n!r}) WITHIN GROUP (ORDER BY {col})"
+            ).alias(f"{name}_b{i}")
+            for name, col in metrics
+            for i, b in enumerate(bpos)
+        ]
+    ).first()
+    bvals = {name: [vals[f"{name}_b{i}"] for i in range(4)] for name, _ in metrics}
+    # pass 3 — lo(v) = #rows strictly below each distinct boundary
+    # value (global position of a boundary-tied row = lo(v) + its
+    # rank within the value)
+    lo_exprs = []
+    for name, col in metrics:
+        for i, v in enumerate(sorted(set(bvals[name]))):
+            lo_exprs.append(
+                F.sum((F.col(col) < F.lit(v)).cast("long")).alias(f"{name}_lo{i}")
+            )
+    los = per_cust.agg(*lo_exprs).first()
+    df = per_cust
+    for name, col in metrics:
+        uniq = sorted(set(bvals[name]))
+        lo_map = {v: los[f"{name}_lo{i}"] for i, v in enumerate(uniq)}
+        is_boundary = F.col(col).isin(uniq)
+        # tie-run-sized partitions: boundary rows group by their own
+        # value; every other row is its own singleton partition
+        pkey = F.when(is_boundary, F.col(col).cast("string")).otherwise(
+            F.concat(F.lit("u#"), F.col("o_custkey").cast("string"))
+        )
+        j = (
+            F.row_number().over(Window.partitionBy(pkey).orderBy("o_custkey")) - 1
+        )
+        lo = F.lit(None).cast("long")
+        for v in uniq:
+            lo = F.when(F.col(col) == F.lit(v), F.lit(int(lo_map[v]))).otherwise(lo)
+        p = lo + j
+        tile_on_boundary = F.lit(1)
+        tile_off_boundary = F.lit(1)
+        for i, b in enumerate(bpos):
+            tile_on_boundary = tile_on_boundary + (p >= F.lit(b)).cast("int")
+            tile_off_boundary = tile_off_boundary + (
+                F.col(col) > F.lit(bvals[name][i])
+            ).cast("int")
+        df = df.withColumn(
+            name,
+            F.when(is_boundary, tile_on_boundary)
+            .otherwise(tile_off_boundary)
+            .cast("int"),
+        )
+    return df.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
+
+
+#: releasable persist slot for rfm's per-customer frame (the
+#: `_swap_cache` pattern from plans/corpus.py): the frame is consumed
+#: by four passes (count, boundary values, below-boundary counts,
+#: final scoring), so each invocation frees the previous pin first
+_RFM_CACHE: list[DataFrame] = []
+
+
+def _swap_rfm_cache(df: DataFrame) -> DataFrame:
+    while _RFM_CACHE:
+        try:
+            _RFM_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
+    df = df.persist()
+    _RFM_CACHE.append(df)
+    return df
 
 
 RFM_ORACLE = """

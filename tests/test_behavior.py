@@ -122,3 +122,68 @@ def test_supplier_hhi_bounds(spark, sf_dir):
         assert r["top_share_ppm"] * r["top_share_ppm"] <= r["hhi_e12"]
         if r["n_suppliers"] == 1:
             assert r["top_share_ppm"] == 1_000_000
+
+
+def test_rfm_ntile_exact_on_tie_heavy_frame(spark, tmp_path):
+    """Adversarial NTILE parity: heavy ties straddling every quintile
+    boundary (all frequencies equal; spend from a 3-value domain),
+    n % 5 != 0, against DuckDB's NTILE(5) on the same frame — the
+    boundary-allocation path (within-value custkey rank) must
+    reproduce ntile's ceil-sized-tiles-first split exactly."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.behavior import RFM_ORACLE, rfm_segmentation
+
+    rows = []
+    for ck in range(1, 24):  # 23 customers: 23 % 5 = 3
+        rows.append(
+            {
+                "o_custkey": ck,
+                # recency: only 2 distinct days -> ties straddle
+                "o_orderdate": datetime.datetime(2024, 1, 1 + ck % 2),
+                # monetary: 3-value domain -> every boundary tied
+                "o_totalprice": float(10 * (ck % 3)) + 5.0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/orders.parquet")
+    got = sorted(tuple(r) for r in rfm_segmentation(spark, d).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = sorted(map(tuple, con.sql(RFM_ORACLE).fetchall()))
+    assert got == exp
+    assert sum(r[3] for r in got) == 23
+
+
+def test_rfm_ntile_exact_tiny_n(spark, tmp_path):
+    """n < 5: NTILE(5) degenerates to one row per tile; the
+    boundary-position formula must survive q=0 / repeated
+    boundaries."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.behavior import RFM_ORACLE, rfm_segmentation
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "o_custkey": ck,
+                "o_orderdate": datetime.datetime(2024, 2, 1),
+                "o_totalprice": 42.0,
+            }
+            for ck in (7, 8, 9)
+        ]
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/orders.parquet")
+    got = sorted(tuple(r) for r in rfm_segmentation(spark, d).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = sorted(map(tuple, con.sql(RFM_ORACLE).fetchall()))
+    assert got == exp
