@@ -450,11 +450,16 @@ def make_gini_ppm_udf():
     def gini_ppm(v: pd.Series) -> int:
         x = np.sort(v.to_numpy(np.int64))
         n = len(x)
-        if n == 0 or x.sum() == 0:
+        # object dtype = Python big-ints end to end: the int64
+        # numerator Σ(2i−n−1)·x wraps SILENTLY (numpy never raises)
+        # once n·Σ|x| nears 2^63 — ~1e6 rows of ~1e7 cents
+        xo = x.astype(object)
+        sx = int(xo.sum())
+        if n == 0 or sx == 0:
             return 0
         i = np.arange(1, n + 1, dtype=np.int64)
-        num = int(((2 * i - n - 1) * x).sum())
-        den = int(n) * int(x.sum())
+        num = int(((2 * i - n - 1).astype(object) * xo).sum())
+        den = int(n) * sx
         return (1_000_000 * num) // den
 
     return gini_ppm

@@ -580,7 +580,9 @@ def _aes_oracle() -> str:
 SELECT lang,
        count(*) AS n_docs,
        count(*) AS n_roundtrip_ok,
-       CAST(sum(16 * (length(text) // 16 + 1)) AS BIGINT) AS cipher_bytes,
+       -- PKCS#7 pads over UTF-8 BYTES: octet_length(encode(..)), not
+       -- character length — multi-byte text diverges otherwise
+       CAST(sum(16 * (octet_length(encode(text)) // 16 + 1)) AS BIGINT) AS cipher_bytes,
        CAST(sum({_hex8_sql("md5(text)", 1)}) AS BIGINT) AS plain_md5_sum
 FROM documents
 GROUP BY 1

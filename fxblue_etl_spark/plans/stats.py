@@ -738,26 +738,36 @@ def bitmap_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership at 100 TB. The emitted columns are plain BIGINTs, so
     the DuckDB oracle is the definitionally-equivalent
     count(DISTINCT): any bitmap regression (position math, merge,
-    popcount) flips the row."""
+    popcount) flips the row.
+
+    A ``bitmap_bit_position`` bitmap covers ONE 32768-key bucket, so
+    keys must first group by ``bitmap_bucket_number`` — one bitmap
+    per (nation, segment, bucket), OR-merged across segments within
+    the bucket, popcounts summed over buckets.  Without the bucket
+    key, custkeys alias modulo 32768 and every domain past the first
+    bucket silently undercounts (round-4 advice)."""
     c = table(tune(spark), sf_dir, "customer")
-    per_seg = c.groupBy(
-        F.col("c_nationkey").cast("int").alias("c_nationkey"), "c_mktsegment"
+    per_seg_bucket = c.groupBy(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_mktsegment",
+        F.expr("bitmap_bucket_number(c_custkey)").alias("bkt"),
     ).agg(
         F.expr(
             "bitmap_construct_agg(bitmap_bit_position(c_custkey))"
         ).alias("seg_bitmap")
     )
+    per_bucket = per_seg_bucket.groupBy("c_nationkey", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(seg_bitmap))")
+        .cast("long")
+        .alias("bucket_distinct")
+    )
     return (
-        per_seg.groupBy("c_nationkey")
-        .agg(
-            F.expr("bitmap_count(bitmap_or_agg(seg_bitmap))")
-            .cast("long")
-            .alias("distinct_via_bitmap"),
-            F.count("*").cast("long").alias("n_segments"),
-        )
+        per_bucket.groupBy("c_nationkey")
+        .agg(F.sum("bucket_distinct").cast("long").alias("distinct_via_bitmap"))
         .join(
             c.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
-                F.countDistinct("c_custkey").cast("long").alias("distinct_exact")
+                F.countDistinct("c_custkey").cast("long").alias("distinct_exact"),
+                F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
             ),
             "c_nationkey",
         )

@@ -112,3 +112,41 @@ def test_formatted_number_parse_matches_integer_arithmetic(spark, sf_dir):
     for r in formatted_number_parse(spark, sf_dir).collect():
         k = r["c_custkey"]
         assert r["amount_cents"] == (k % 9 + 1) * 100000 + (k % 1000) * 100 + k % 100
+
+
+def test_aes_oracle_pads_over_utf8_bytes(spark, tmp_path):
+    """Multi-byte text: ciphertext pads over UTF-8 BYTE length, and
+    the DuckDB oracle must agree (octet_length, not char length —
+    round-4 advice).  'é' is 2 bytes, '漢' is 3: char-length padding
+    would predict a shorter ciphertext and diverge."""
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.operators.cleaning import (
+        AES_ROUNDTRIP_ORACLE,
+        aes_column_roundtrip,
+    )
+
+    docs = [
+        {"doc_id": 1, "lang": "fr", "text": "héllo café crème brûlée"},
+        {"doc_id": 2, "lang": "zh", "text": "漢字テスト" * 7},
+        {"doc_id": 3, "lang": "en", "text": "plain ascii control row"},
+        # 15 ascii chars + one 3-byte char: crosses a block boundary
+        # only under byte-padding
+        {"doc_id": 4, "lang": "mx", "text": "a" * 15 + "漢"},
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(docs).to_parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in aes_column_roundtrip(spark, d).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = sorted(map(tuple, con.sql(AES_ROUNDTRIP_ORACLE).fetchall()))
+    assert got == exp
+    by_lang = {r[0]: r for r in got}
+    # 16 ascii + utf8 bytes 18 -> two blocks (32); char padding would say 16+16=32 too..
+    # mx: 15 ascii + 3 bytes = 18 bytes -> pad to 32; 16 CHARS would pad to 32 as well,
+    # but fr: 23 chars -> char-pad 32; 26 bytes -> byte-pad 32 (equal); zh: 35 chars
+    # -> char-pad 48; 105 bytes -> byte-pad 112.  The zh row is the discriminating one.
+    assert by_lang["zh"][3] == 112

@@ -88,3 +88,37 @@ def test_grouped_agg_gini_bounds_and_identity(spark, sf_dir):
         assert rows[s]["n_orders"] == n
         assert rows[s]["gini_ppm"] == want
         assert 0 <= want < 1_000_000
+
+
+def test_gini_numerator_exact_past_int64(spark):
+    """A group sized so the old int64 numerator Σ(2i−n−1)·x wraps
+    (~2.2e25 at the partial sums): the big-int path must match the
+    closed-form Python-int reference exactly (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.functions.udfs import make_gini_ppm_udf
+
+    n = 2_500_000
+    lo, hi = 10_000_000, 20_000_000  # cents
+    df = spark.range(n).select(
+        F.lit("g").alias("s"),
+        F.when(F.col("id") % 2 == 0, F.lit(lo))
+        .otherwise(F.lit(hi))
+        .cast("long")
+        .alias("v"),
+    )
+    got = (
+        df.groupBy("s").agg(make_gini_ppm_udf()("v").alias("g")).collect()[0]["g"]
+    )
+    # sorted series: lo at ranks 1..m, hi at ranks m+1..n (m = ceil(n/2))
+    m = (n + 1) // 2
+
+    def wsum(a, cnt):  # Σ_{i=a+1..a+cnt} (2i − n − 1), exact ints
+        return cnt * (2 * a + cnt + 1) - cnt * (n + 1)
+
+    num = wsum(0, m) * lo + wsum(m, n - m) * hi
+    den = n * (m * lo + (n - m) * hi)
+    assert got == (1_000_000 * num) // den
+    # the RUNNING total over the negative-weight half is what wraps
+    # int64 in the unfixed code (the final value may still fit)
+    assert abs(wsum(0, m) * lo) > 2**63

@@ -171,3 +171,39 @@ def test_bitmap_distinct_equals_exact(spark, sf_dir):
         assert r["bitmap_exact"] is True
         assert r["distinct_via_bitmap"] == r["distinct_exact"]
         assert 1 <= r["n_segments"] <= 5
+
+
+def test_bitmap_distinct_beyond_bucket_domain(spark, tmp_path):
+    """Key domain spanning several 32768-key bitmap buckets: without
+    the bitmap_bucket_number group key, positions alias mod 32768 and
+    the count silently undercounts (round-4 advice)."""
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.stats import BITMAP_ORACLE, bitmap_distinct_contract
+
+    rows = [
+        {
+            "c_custkey": k,
+            "c_nationkey": k % 3,
+            "c_mktsegment": f"SEG{k % 4}",
+        }
+        # 1..150000 step 7: ~21k keys across 5 buckets; aliasing
+        # would collapse whole buckets onto each other
+        for k in range(1, 150_000, 7)
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{d}/customer.parquet")
+    got = {r["c_nationkey"]: r for r in bitmap_distinct_contract(spark, d).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet')")
+    exp = {r[0]: r for r in con.sql(BITMAP_ORACLE).fetchall()}
+    assert set(got) == set(exp) == {0, 1, 2}
+    for nk, r in got.items():
+        assert r["bitmap_exact"] is True
+        assert r["distinct_via_bitmap"] == r["distinct_exact"] == exp[nk][3]
+        # exact per-nation count, and the domain really spans buckets
+        assert r["distinct_exact"] == len(
+            {k for k in range(1, 150_000, 7) if k % 3 == nk}
+        )
+        assert len({k // 32768 for k in range(1, 150_000, 7) if k % 3 == nk}) >= 4
