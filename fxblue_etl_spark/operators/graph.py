@@ -512,6 +512,137 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canned 10-node graph for the exact-PageRank certification: a
+#: 6-node "template cluster" (hub node 1) plus a 4-node chain, chosen
+#: so out-degrees ∈ {1,2,3} (LCM 6 keeps the exact denominators small)
+PR_EXACT_EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6),
+    (7, 8), (8, 9), (9, 10),
+]
+
+#: iterations for the exact variant: scale grows as (20·L)^k with
+#: L = lcm(out-degrees) = 6, so 6 iterations keep every scaled rank
+#: (and its 1e6·ppm premultiply) inside int64
+PR_EXACT_ITERS = 6
+
+_PR_EXACT_L = 6  # lcm of the symmetrized out-degrees of PR_EXACT_EDGES
+
+
+def _pr_exact_reference() -> tuple[dict[int, int], int]:
+    """Independent pure-Python big-int PageRank on PR_EXACT_EDGES —
+    the oracle's source of truth, structurally nothing like the
+    Spark superstep (dict loop vs join+groupBy).
+
+    Exact recurrence in scaled integers, S_k = (20·L)^k:
+    ``R_{k+1}(v) = 3·L·S_k + 17·Σ_{u→v} R_k(u)·(L/deg(u))``
+    (damping 0.85 = 17/20; L/deg is integral by construction).
+    Returns ({node: R_final}, S_final)."""
+    adj: dict[int, list[int]] = {}
+    for a, b in PR_EXACT_EDGES:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {v: len(us) for v, us in adj.items()}
+    r = {v: 1 for v in adj}
+    s = 1
+    for _ in range(PR_EXACT_ITERS):
+        nxt = {}
+        for v in adj:
+            in_sum = sum(r[u] * (_PR_EXACT_L // deg[u]) for u in adj[v])
+            nxt[v] = 3 * _PR_EXACT_L * s + 17 * in_sum
+        r = nxt
+        s *= 20 * _PR_EXACT_L
+    return r, s
+
+
+def dedup_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable sibling of ``dedup_pagerank`` (round-4
+    verdict item 7): the SAME distributed superstep — per iteration
+    one contribution equi-join and one groupBy(dst), localCheckpoint
+    lineage truncation — but in exact scaled-integer arithmetic
+    (damping 17/20, common degree multiple L) over the canned
+    PR_EXACT_EDGES graph, so the fixpoint is a bit-stable integer on
+    any engine.  The DuckDB oracle carries the independently
+    computed big-int reference as literals.
+
+    This certifies the superstep MACHINERY (contribution routing,
+    degree normalization, teleport term, iteration count) that the
+    float production path shares; ``sf_dir`` is deliberately unused —
+    the graph must be canned for the ranks to be closed-form.
+
+    Scale posture is inherited from the production path: per round
+    both wide ops shuffle on the node key; nothing here is
+    corpus-sized."""
+    tune(spark)
+    edges = spark.createDataFrame(PR_EXACT_EDGES, "a int, b int")
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    ranks = nodes.withColumn("rank_scaled", F.lit(1).cast("long"))
+    scale = 1
+    prev: DataFrame | None = None
+    for _ in range(PR_EXACT_ITERS):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                # integer div — L/deg is integral by construction, and
+                # float `/` would smuggle a double into the exact path
+                (
+                    F.col("rank_scaled")
+                    * F.expr(f"{_PR_EXACT_L} div out_deg")
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("in_sum"))
+        )
+        new_ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(3 * _PR_EXACT_L * scale).cast("long")
+                    + F.lit(17).cast("long") * F.coalesce("in_sum", F.lit(0))
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = ranks = new_ranks
+        scale *= 20 * _PR_EXACT_L
+    release_local_checkpoint(sym)
+    return ranks.select(
+        F.col("id").cast("int").alias("node_id"),
+        F.col("rank_scaled").cast("long"),
+        # integer div: the 1e6 premultiply sits near 2^62 — float
+        # division would round the low digits away
+        F.expr(f"(1000000 * rank_scaled) div cast({scale} as bigint)")
+        .cast("long")
+        .alias("rank_ppm"),
+    )
+
+
+def _pr_exact_oracle() -> str:
+    r, s = _pr_exact_reference()
+    rows = ",\n  ".join(
+        f"({v}, CAST({r[v]} AS BIGINT), CAST({10**6 * r[v] // s} AS BIGINT))"
+        for v in sorted(r)
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {rows}) AS t(node_id, rank_scaled, rank_ppm)
+"""
+
+
+PR_EXACT_ORACLE = _pr_exact_oracle()
+
+
 def _doc_groups_sql() -> str:
     """Recursive-CTE twin of ``_doc_dup_groups``: nests the full
     MinHash/LSH pair oracle, closes it transitively, and falls back
@@ -602,9 +733,11 @@ QUERIES = {
     "split_decontaminate": split_decontaminate,
     "canonical_doc_selection": canonical_doc_selection,
     "dedup_pagerank": dedup_pagerank,
+    "dedup_pagerank_exact": dedup_pagerank_exact,
 }
 
 ORACLES = {
+    "dedup_pagerank_exact": PR_EXACT_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "dedup_degree_hist": DEGREE_HIST_ORACLE,
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,

@@ -89,3 +89,28 @@ def test_triangle_count_bounds(spark, sf_dir):
     sizes = dedup_component_size_hist(spark, sf_dir).collect()
     cap = sum(comb(s["component_size"], 3) * s["n_components"] for s in sizes)
     assert 0 <= r["n_triangles"] <= cap
+
+
+def test_pagerank_exact_conservation_and_structure(spark):
+    """Exact-integer PageRank invariants: Σ scaled ranks == n·S
+    (teleport conservation holds exactly on a dangling-free
+    symmetric graph), hub node 1 anchors its cluster, and the chain
+    endpoints rank lowest in theirs."""
+    from fxblue_etl_spark.operators.graph import (
+        _PR_EXACT_L,
+        PR_EXACT_ITERS,
+        dedup_pagerank_exact,
+    )
+
+    rows = {r["node_id"]: r for r in dedup_pagerank_exact(spark, "unused").collect()}
+    assert set(rows) == set(range(1, 11))
+    scale = (20 * _PR_EXACT_L) ** PR_EXACT_ITERS
+    assert sum(r["rank_scaled"] for r in rows.values()) == 10 * scale
+    for r in rows.values():
+        assert r["rank_scaled"] > 0
+        assert r["rank_ppm"] == 10**6 * r["rank_scaled"] // scale
+    # hub 1 (degree 3) anchors the template cluster {1..6}
+    assert rows[1]["rank_scaled"] == max(rows[v]["rank_scaled"] for v in range(1, 7))
+    # chain endpoints 7 and 10 are the periphery of {7..10}
+    chain_min = min(rows[v]["rank_scaled"] for v in range(7, 11))
+    assert chain_min in (rows[7]["rank_scaled"], rows[10]["rank_scaled"])
