@@ -41,7 +41,10 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "llm_corpus_prep",
     # round-4 additions (APPENDED — the 15 above stay frozen so
-    # round-over-round totals remain comparable on their subset)
+    # round-over-round totals remain comparable on their subset).
+    # As of round 5 the FULL 27-query set below is frozen too
+    # (round-4 verdict item 5): BENCH_rN reports the same 27 keys
+    # plus frozen15_total and frozen27_total from here on.
     "ohlc_bars_hourly",
     "containment_pairs",
     "rag_corpus_prep",
@@ -61,6 +64,9 @@ HEADLINE = (
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
 FROZEN_N = 15
+
+#: the round-4 extended set, frozen as of round 5 (all 27 entries)
+FROZEN27_N = 27
 
 
 #: timed executions per query; the median filters out one-off JVM /
@@ -107,6 +113,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "frozen15_total": frozen_total,
+                "frozen27_total": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:FROZEN27_N]), 3
+                ),
             }
         )
     )

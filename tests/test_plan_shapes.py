@@ -84,3 +84,51 @@ def test_incremental_merge_indistinguishable_from_recompute(spark, sf_dir):
     for k in full:
         assert merged[k]["n_orders"] == full[k]["n_orders"]
         assert merged[k]["price_cents"] == full[k]["price_cents"]
+
+
+def test_partitionless_window_detector():
+    """The plan_audit global-window parser: partitioned specs pass,
+    order-only specs flag, comma-bearing partition expressions
+    (round(x, 2)) don't fool the balanced-paren walk."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import _partitionless_windows
+
+    partitioned = (
+        "windowspecdefinition(_w0#21, k#3L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _partitionless_windows(partitioned) == []
+    global_win = (
+        "windowspecdefinition(spend#8L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert len(_partitionless_windows(global_win)) == 1
+    tricky_partition = (
+        "windowspecdefinition(round(x#3, 2), ord#5 DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _partitionless_windows(tricky_partition) == []
+    assert len(_partitionless_windows(partitioned + " " + global_win)) == 1
+
+
+def test_rfm_plan_has_no_global_window(spark, sf_dir):
+    """Regression guard for the round-4 scale-killer: the rewritten
+    rfm_segmentation must never reintroduce a partitionless window
+    (the old triple global ntile)."""
+    import contextlib
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import _partitionless_windows
+
+    from fxblue_etl_spark.plans.behavior import rfm_segmentation
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rfm_segmentation(spark, sf_dir).explain("formatted")
+    assert _partitionless_windows(buf.getvalue()) == []
