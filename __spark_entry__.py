@@ -12,16 +12,19 @@ swallowed ImportError would make coverage regressions invisible to
 the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
-(which checks entries in dict order, ~50 per round) certifies the
-queries that don't yet have a driver-side CORRECTNESS row. Rounds 1-2
-hash-checked 97 distinct queries (CORRECTNESS_r01/r02); round 3 leads
-with the two re-fixed round-2 red rows, every query whose code/schema
-changed this round, and the full set the driver has never reached
-(streaming, source chains, UDFs, q2/q9/q11/q13/q16, corpus/k-means
-ops). The ~25 operators newly added in round 3 follow — all pass the
-identical oracle locally; whatever misses this round's window is
-certified in round 4. Prior-round-green queries keep their standing
-rows after that.
+(which checks entries in dict order, exactly 50 per round across
+rounds 1-4) certifies the queries that don't yet have a driver-side
+CORRECTNESS row.  Round 5 executes the round-4 verdict's rotation
+plan: the surface is FROZEN (the one sanctioned addition is
+``dedup_pagerank_exact``, verdict item 7), the head is the flagship
+plus 49 of the 94 never-driver-checked round-4 queries (_R5_CERT),
+and the remaining 45 (_R6_PENDING) are queued in a stable, documented
+order so round 6's rotation is mechanical: its head should be the
+flagship + rfm_segmentation (re-cert: implementation changed in
+round 5, standing green row retained, oracle unchanged) +
+dedup_pagerank_exact (new in round 5) + all of _R6_PENDING — 48
+entries, clearing the debt entirely.  Prior-round-green queries keep
+their standing rows.
 """
 
 from __future__ import annotations
@@ -144,6 +147,122 @@ _R01_DRIVER_GREEN = {
 }
 
 
+#: ROUND-5 GATE HEAD (after the flagship): the 49 never-driver-checked
+#: round-4 queries certified this round, in the round-4 verdict's
+#: priority order — first the queries consumed by other certified rows
+#: (pq_encode, embedding_moment_stats, the portable-sketch trio, the
+#: incremental-maintenance pair, streaming_cdc_scd2, the retrieval
+#: block), then the three whose code changed this round (bitmap
+#: bucket grouping / byte-based AES oracle / big-int Gini — all
+#: round-4 advice), then the 7 frozen-bench representatives, then
+#: _R4_NEW order.
+_R5_CERT: list[str] = [
+    "pq_encode",
+    "embedding_moment_stats",
+    "portable_bloom_contract",
+    "portable_hll_registers",
+    "portable_countmin_topk",
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    "streaming_cdc_scd2",
+    "bm25_rational_topk",
+    "rrf_hybrid_fusion",
+    "boolean_retrieval_census",
+    "bitmap_distinct_contract",
+    "aes_column_roundtrip",
+    "pandas_grouped_agg_gini",
+    "perplexity_bucket_cutoffs",
+    "pq_adc_topk",
+    "quality_feature_matrix",
+    "streaming_lsh_dedup",
+    "triplet_margin_mining",
+    "fx_ingest_end_to_end",
+    "join_skew_report",
+    "pyds_manifest_reader_roundtrip",
+    "token_frequency_spectrum",
+    "gdpr_delete_propagation",
+    "schema_evolution_roundtrip",
+    "streaming_dlq_split",
+    "streaming_static_enrich",
+    "hll_accuracy_check",
+    "benford_first_digit",
+    "approx_quantile_contract",
+    "pareto_frontier_parts",
+    "embedding_gram_matrix",
+    "tokenizer_fertility",
+    "weighted_priority_sample",
+    "streaming_windowed_topk",
+    "lateral_topk_per_nation",
+    "recursive_dup_reachability",
+    "asof_tolerance_view",
+    "corpus_snapshot_diff",
+    "bpe_merge_topk",
+    "freq_items_contract",
+    "setop_multiset_priorities",
+    "attribution_first_last",
+    "arrow_grouped_value_stats",
+    "langid_confusion",
+    "quality_lm_calibration",
+    "hll_per_group_contract",
+    "cross_split_lm_eval",
+    "media_frame_schedule",
+]
+
+#: CERTIFICATION DEBT LEDGER — queries still lacking any driver
+#: CORRECTNESS row after round 5's window (kept in sync with the
+#: CORRECTNESS_r0N files; all pass the identical oracle in
+#: tools/verify_local.py).  Round 6's head = flagship +
+#: rfm_segmentation + dedup_pagerank_exact + this list (48 entries).
+_R6_PENDING: list[str] = [
+    "rfm_segmentation",  # standing r4 row; re-cert after round-5 rewrite
+    "dedup_pagerank_exact",  # added round 5 (verdict item 7)
+    "media_dedup_exact",
+    "temperature_sweep",
+    "pyds_stream_sink_roundtrip",
+    "corrupt_file_tolerant_read",
+    "pandas_api_lang_stats",
+    "corpus_release_manifest",
+    "session_window_native",
+    "shuffle_hash_segment_revenue",
+    "knn_label_eval",
+    "udtf_null_profile",
+    "streaming_interval_join_outer",
+    "ann_recall_report",
+    "jl_sign_projection",
+    "token_pmi_topk",
+    "decimal_money_totals",
+    "parquet_agg_pushdown_stats",
+    "tz_local_day_rollup",
+    "csv_multiline_roundtrip",
+    "sql_udf_percent_parse",
+    "collated_group_counts",
+    "parameterized_sql_orders",
+    "file_metadata_lineage",
+    "argmax_order_per_customer",
+    "map_column_stats",
+    "map_in_arrow_char_profile",
+    "capped_waterfill_allocation",
+    "ngram_novelty_scores",
+    "token_weighted_median_quality",
+    "formatted_number_parse",
+    "xml_roundtrip_extract",
+    "semantic_topic_slice",
+    "seasonal_naive_backtest",
+    "functional_dependency_audit",
+    "not_in_null_semantics",
+    "integer_division_semantics",
+    "ndv_catalog_sweep",
+    "try_function_semantics",
+    "chi2_contingency_cells",
+    "observed_ingest_metrics",
+    "listagg_top_customers",
+    "order_status_transpose",
+    "split_centroid_drift",
+    "knn_graph_build",
+    "catalog_snapshot_manifest",
+    "join_cardinality_estimate",
+]
+
 #: queries added in round 4, appended to the gate head as they land
 _R4_NEW: list[str] = [
     "dsir_importance_stats",
@@ -255,77 +374,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Priority for the driver's ~50-entry gate window (round-3
-    # verdict's ask, in its order):
+    # Round-5 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-4):
     # 1. the flagship (always certified),
-    # 2. the two round-3 red rows, fixed this round (HUGEINT-cast
-    #    session_seq; driver-hashable q_csv projection),
-    # 3. previously-green queries whose code changed this round
-    #    (overflow-proof ppm quotients, explode-offset rolling
-    #    window, tournament top-k, real-column chunk tiebreaks,
-    #    NULL-explicit roundtrip checksum),
-    # 4. the 37 round-3 queries no driver round has ever checked —
-    #    after these, EVERY oracle-backed query in the repo has a
-    #    driver row (round-3 verdict item 4),
-    # 5. operators newly added in round 4 (locally oracle-verified),
-    # 6. the prior-round-green remainder (standing rows).
-    head = [
-        "flagship_account_pnl",
-        # round-3 red rows, fixed
-        "sessionize_events",
-        "embedding_quantize",
-        # driver-green in r3 but changed this round — re-certify
-        # (compact/jsonl: global money sums converted to e2 ints
-        # after an sf0.1 sweep caught cross-engine 4th-decimal drift)
-        "compact_small_files",
-        "jsonl_tolerant_roundtrip",
-        "event_cooccurrence",
-        "rolling_active_users",
-        # banding factored into minhash_band_rows for the streaming
-        # gate (pure refactor, locally parity-verified) — re-certify
-        "minhash_lsh_pairs",
-        # the 37 never-driver-checked round-3 queries (all changed
-        # ones among them lead the block)
-        "label_cohesion_stats",
-        "session_paths",
-        "chunk_boilerplate",
-        "rag_corpus_prep",
-        "pyds_jsonl_sink_roundtrip",
-        "ohlc_bars_hourly",
-        "event_transition_matrix",
-        "term_salience_topk",
-        "rare_token_quality",
-        "inverted_index_postings",
-        "vocab_coverage",
-        "training_order_shuffle",
-        "dedup_degree_hist",
-        "dedup_component_size_hist",
-        "equidepth_histogram",
-        "mcv_stats",
-        "streaming_ohlc_stateful",
-        "containment_pairs",
-        "source_overlap_matrix",
-        "doc_chunking",
-        "dynamic_partition_backfill",
-        "type_correlation_stats",
-        "daily_anomaly_days",
-        "rfm_segmentation",
-        "source_length_drift",
-        "basket_part_pairs",
-        "sampled_histogram",
-        "hierarchical_mixture",
-        "revenue_wow_delta",
-        "per_group_sample",
-        "text_normalize",
-        "token_bigram_lm",
-        "dedup_triangles",
-        "interarrival_gaps",
-        "order_totals_reconciliation",
-        "supplier_concentration",
-        "traffic_seasonality",
-        # new in round 4 (locally oracle-verified, first driver look)
-    ]
-    head += _R4_NEW
+    # 2. the 49 never-driver-checked round-4 queries of _R5_CERT
+    #    (round-4 verdict item 1: rotate 49 of the 94, freeze the
+    #    surface) — never-checked count drops 94 → 45.
+    # Beyond the window, in round 6's planned order: the re-certs and
+    # the _R6_PENDING remainder (see the ledger above), then the
+    # prior-round-green standing rows.
+    head = ["flagship_account_pnl"]
+    head += _R5_CERT
+    head += _R6_PENDING
     out = {k: merged[k] for k in head if k in merged}
     out.update(
         {
