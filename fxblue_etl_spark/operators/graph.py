@@ -319,6 +319,17 @@ _GRP_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
 _GRP_MEMO_CAP = 8
 
 
+def clear_spine_memo() -> None:
+    """Release every memoized spine frame (tests use this so
+    re-execution properties — partition invariance — exercise the
+    real pipeline, not the checkpoint)."""
+    from ..io import release_local_checkpoint
+
+    while _GRP_MEMO:
+        _, df = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))
+        release_local_checkpoint(df)
+
+
 def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, grp) for every document: near-dup component id when
     the doc is in a Jaccard ≥ DECON_J MinHash/LSH cluster, else the

@@ -14,7 +14,10 @@ from fxblue_etl_spark.operators.corpusops import (
     tokenizer_fertility,
     weighted_priority_sample,
 )
-from fxblue_etl_spark.operators.graph import split_decontaminate
+from fxblue_etl_spark.operators.graph import (
+    dedup_pagerank_exact,
+    split_decontaminate,
+)
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
     semantic_topic_slice,
@@ -163,14 +166,20 @@ from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
         catalog_snapshot_manifest,
         join_cardinality_estimate,
         bitmap_distinct_contract,
+        # round-5: exact-integer PageRank superstep
+        dedup_pagerank_exact,
     ],
     ids=lambda q: q.__name__,
 )
 def test_result_independent_of_shuffle_partitions(spark, sf_dir, query):
+    from fxblue_etl_spark.operators.graph import clear_spine_memo
+
+    clear_spine_memo()  # memoized spine would short-circuit the re-run
     base = sorted(map(tuple, query(spark, sf_dir).collect()))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        clear_spine_memo()
         odd = sorted(map(tuple, query(spark, sf_dir).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
