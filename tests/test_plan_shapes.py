@@ -132,3 +132,19 @@ def test_rfm_plan_has_no_global_window(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         rfm_segmentation(spark, sf_dir).explain("formatted")
     assert _partitionless_windows(buf.getvalue()) == []
+
+
+def test_global_window_whitelist_names_registered_queries():
+    """Every GLOBAL_WINDOW_OK key must be a live queries() entry —
+    a rename or removal would otherwise leave a stale whitelist slot
+    that could mask a future unbounded window under the old name."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import __spark_entry__ as entrymod
+    from plan_audit import GLOBAL_WINDOW_OK
+
+    registered = set(entrymod.queries())
+    stale = [k for k in GLOBAL_WINDOW_OK if k not in registered]
+    assert stale == []
