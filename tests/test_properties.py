@@ -353,3 +353,44 @@ def test_gini_bounds_and_exact_scale_invariance(spark, vals, scale):
         .collect()[0]["g"]
     )
     assert got == g
+
+
+@settings(**SETTINGS)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # custkey pool -> freq ties
+            st.integers(min_value=0, max_value=2),   # day offset -> recency ties
+            st.sampled_from([5.0, 15.0, 25.0]),      # 3-value spend domain
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rfm_ntile_reconstruction_matches_duckdb(spark, tmp_path_factory, orders):
+    """The boundary-based NTILE(5) reconstruction must equal DuckDB's
+    ntile on ARBITRARY tie structure — duplicate customers (frequency
+    ties), a 3-day recency domain, a 3-value spend domain, n not
+    divisible by 5, n possibly < 5."""
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.behavior import RFM_ORACLE, rfm_segmentation
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "o_custkey": ck,
+                "o_orderdate": datetime(2024, 3, 1 + day),
+                "o_totalprice": price,
+            }
+            for ck, day, price in orders
+        ]
+    )
+    d = str(tmp_path_factory.mktemp("rfm"))
+    pdf.to_parquet(f"{d}/orders.parquet")
+    got = sorted(tuple(r) for r in rfm_segmentation(spark, d).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = sorted(map(tuple, con.sql(RFM_ORACLE).fetchall()))
+    assert got == exp
