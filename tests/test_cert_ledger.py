@@ -1,0 +1,63 @@
+"""Certification-debt ledger consistency (round-4 verdict item 4):
+every oracle-backed queries() entry must either hold a driver
+CORRECTNESS row from some past round or be queued in the documented
+rotation lists (_R5_CERT / _R6_PENDING) — so the ledger in
+__spark_entry__.py can never silently drift from the actual debt."""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _driver_checked() -> set[str]:
+    out: set[str] = set()
+    for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        out |= set(json.load(open(f)).keys())
+    return out
+
+
+def test_every_oracle_query_is_certified_or_queued():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    checked = _driver_checked()
+    queued = set(e._R5_CERT) | set(e._R6_PENDING)
+    orphans = [
+        k for k in qs if k in oracles and k not in checked and k not in queued
+    ]
+    assert orphans == [], f"oracle-backed queries with no row and no queue slot: {orphans}"
+
+
+def test_rotation_lists_are_disjoint_and_registered():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert not set(e._R5_CERT) & set(e._R6_PENDING)
+    missing = [k for k in e._R5_CERT + e._R6_PENDING if k not in qs]
+    assert missing == []
+    # the driver's window is exactly 50: flagship + _R5_CERT
+    assert list(qs)[:50] == ["flagship_account_pnl"] + e._R5_CERT
+
+
+def test_rows_only_queries_are_the_documented_set():
+    """Queries without an oracle are rows-only BY DESIGN — the set
+    must stay the documented five float-fixpoint/engine-specific ops
+    (plus nothing new slipping in unnoticed)."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    rows_only = sorted(k for k in qs if k not in oracles)
+    assert rows_only == sorted(
+        [
+            "approx_sketches",
+            "countmin_heavy_hitters",
+            "kmeans_iterate",
+            "minhash_lsh_ml",
+            "brp_lsh_ml",
+            "dedup_pagerank",
+        ]
+    )
