@@ -148,3 +148,24 @@ def test_global_window_whitelist_names_registered_queries():
     registered = set(entrymod.queries())
     stale = [k for k in GLOBAL_WINDOW_OK if k not in registered]
     assert stale == []
+
+
+def test_detector_fires_on_real_global_window_plan(spark, sf_dir):
+    """End-to-end: the detector must find the (whitelisted) global
+    ntile in equidepth_histogram's REAL physical plan — proving the
+    audit would flag an unlisted query with the same shape."""
+    import contextlib
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import GLOBAL_WINDOW_OK, _partitionless_windows
+
+    from fxblue_etl_spark.plans.stats import equidepth_histogram
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        equidepth_histogram(spark, sf_dir).explain("formatted")
+    assert len(_partitionless_windows(buf.getvalue())) >= 1
+    assert "equidepth_histogram" in GLOBAL_WINDOW_OK
