@@ -62,6 +62,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif t == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif name in ("orders", "lineitem"):
+        # The same TIMESTAMP(NANOS) vintage rescue for the other two
+        # timestamp columns, should the driver ever regenerate these
+        # tables the way events.parquet once shipped.  bigint branch
+        # ONLY: the current micros-NTZ vintage passes through
+        # untouched, so every standing certified row keeps its exact
+        # input type.
+        from pyspark.sql import functions as F
+
+        for c in ("o_orderdate", "l_shipdate"):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 

@@ -135,3 +135,50 @@ def test_csv_multiline_roundtrip_really_splits_lines(spark, sf_dir):
             raw_lines += sum(1 for _ in fh)
     # every embedded newline adds a physical line beyond record+header
     assert raw_lines > n_docs + n_files
+
+
+def test_nanos_vintage_orders_lineitem_rescued(spark, tmp_path):
+    """If the driver ever regenerates orders/lineitem with
+    TIMESTAMP(NANOS) (as events.parquet once shipped), io.table must
+    rescue the epoch-nanos bigint back to a timestamp so every date
+    query keeps working — certified here by running a date-grouped
+    aggregate against DuckDB on the same nanos files."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from fxblue_etl_spark.io import table
+
+    orders = pd.DataFrame(
+        [
+            {
+                "o_orderkey": k,
+                "o_custkey": k % 5,
+                "o_orderdate": datetime.datetime(2024, 4, 1 + k % 3, 12, 30),
+                "o_totalprice": 100.0 + k,
+            }
+            for k in range(1, 31)
+        ]
+    )
+    d = str(tmp_path)
+    orders.to_parquet(f"{d}/orders.parquet")  # pandas default: nanos
+    import pyarrow.parquet as pq
+
+    assert "timestamp[ns]" in str(pq.read_schema(f"{d}/orders.parquet").field("o_orderdate").type)
+    o = table(spark, d, "orders")
+    assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        tuple(r)
+        for r in o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = sorted(
+        map(tuple, con.sql("SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1").fetchall())
+    )
+    assert got == exp
