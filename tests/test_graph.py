@@ -114,3 +114,26 @@ def test_pagerank_exact_conservation_and_structure(spark):
     # chain endpoints 7 and 10 are the periphery of {7..10}
     chain_min = min(rows[v]["rank_scaled"] for v in range(7, 11))
     assert chain_min in (rows[7]["rank_scaled"], rows[10]["rank_scaled"])
+
+
+def test_pr_exact_graph_contract():
+    """PR_EXACT_EDGES must keep every symmetrized degree a divisor of
+    _PR_EXACT_L and the scaled ranks inside int64 headroom — the two
+    preconditions the exact recurrence silently depends on. Guards
+    future edits to the canned graph."""
+    from fxblue_etl_spark.operators.graph import (
+        _PR_EXACT_L,
+        PR_EXACT_EDGES,
+        PR_EXACT_ITERS,
+        _pr_exact_reference,
+    )
+
+    deg: dict[int, int] = {}
+    for a, b in PR_EXACT_EDGES:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert all(_PR_EXACT_L % d == 0 for d in deg.values()), deg
+    r, s = _pr_exact_reference()
+    assert sum(r.values()) == len(r) * s  # exact conservation
+    # 1e6 ppm premultiply must stay inside int64
+    assert max(r.values()) * 10**6 < 2**63

@@ -207,3 +207,27 @@ def test_bitmap_distinct_beyond_bucket_domain(spark, tmp_path):
             {k for k in range(1, 150_000, 7) if k % 3 == nk}
         )
         assert len({k // 32768 for k in range(1, 150_000, 7) if k % 3 == nk}) >= 4
+
+
+def test_bitmap_bucketing_property_random_domains(spark, tmp_path_factory):
+    """Hypothesis-style sweep without hypothesis overhead: several
+    deterministic pseudo-random key domains (sparse, dense, exactly
+    on the 32768 boundary, far past it) — bucketed bitmap distinct
+    must equal count(DISTINCT) on every one."""
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
+
+    domains = [
+        [32767, 32768, 32769],                      # straddles bucket 0/1
+        list(range(0, 98304, 3)),                    # 3 buckets, dense-ish
+        [(k * k * 2654435761) % 500_000 for k in range(1, 4000)],  # scattered
+        [1, 2, 65536, 131072, 131073],               # bucket gaps
+    ]
+    for i, keys in enumerate(domains):
+        d = str(tmp_path_factory.mktemp(f"bm{i}"))
+        pd.DataFrame(
+            {"c_custkey": keys, "c_nationkey": 0, "c_mktsegment": "S"}
+        ).to_parquet(f"{d}/customer.parquet")
+        row = bitmap_distinct_contract(spark, d).collect()[0]
+        assert row["distinct_via_bitmap"] == row["distinct_exact"] == len(set(keys))
