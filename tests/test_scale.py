@@ -139,3 +139,26 @@ def test_no_cross_product_in_relational_headliners(spark, sf_dir):
         plan = _executed_plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_rfm_windows_are_partitioned_and_scan_prunes(spark, sf_dir):
+    """The rewritten rfm_segmentation: every Window node in the
+    EXECUTED plan carries partition keys (tie-run-sized frames, never
+    a global sort), and the orders scan reads only the three consumed
+    columns."""
+    from fxblue_etl_spark.plans.behavior import rfm_segmentation
+
+    plan = _executed_plan(rfm_segmentation(spark, sf_dir))
+    # every windowspecdefinition's first top-level arg is a partition
+    # key (no ASC/DESC marker), per the plan_audit detector
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import _partitionless_windows
+
+    assert _partitionless_windows(plan) == []
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    for line in read_schemas:
+        assert "o_orderstatus" not in line and "o_orderpriority" not in line
