@@ -162,3 +162,24 @@ def test_rfm_windows_are_partitioned_and_scan_prunes(spark, sf_dir):
     assert read_schemas
     for line in read_schemas:
         assert "o_orderstatus" not in line and "o_orderpriority" not in line
+
+
+def test_lsh_pair_generation_single_signature_pass(spark, sf_dir):
+    """Bucket-grouped LSH pair generation computes the tokenize →
+    minhash → band lineage ONCE: the plan has exactly one documents
+    scan and no join between two band-table lineages (the old
+    self-join shape doubled the signature work — Spark does not
+    reuse the exchange across a join's sides)."""
+    from fxblue_etl_spark.io import fan_out, table
+    from fxblue_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    import re
+
+    plan = _executed_plan(
+        lsh_candidate_pairs(fan_out(table(spark, sf_dir, "documents")))
+    )
+    # node-detail headers like "(1) Scan parquet" — one per scan node
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
