@@ -239,8 +239,13 @@ def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram probability table is a map-side-combined count aggregate;
     scoring is one shuffle equi-join on (head, nxt) — the bigram
     table at full scale is large but uniformly hash-partitioned, and
-    AQE handles stop-word-pair skew.  No window, no broadcast of
-    corpus-sized state.
+    AQE handles stop-word-pair skew.  The per-head mass comes from a
+    window over the COUNTS table (partition = head, bounded by that
+    head's continuation vocabulary), not a groupBy+join back — the
+    join formulation re-executes the corpus tokenize lineage a third
+    time (Spark shares no exchange between a join's sides), and a
+    full corpus pass dwarfs a vocabulary-bounded window sort.  No
+    broadcast of corpus-sized state.
 
     Reference parity: the reference has no LM scoring; this extends
     its quality gates (`RSS PARSER/gcp_rss.py:94-95` field filters)
@@ -261,8 +266,9 @@ def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.head", "p.nxt")
     )
     counts = doc_pairs.groupBy("head", "nxt").agg(F.count("*").alias("n"))
-    heads = counts.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
-    probs = counts.join(heads, "head").select(
+    probs = counts.withColumn(
+        "n_head", F.sum("n").over(Window.partitionBy("head")).cast("long")
+    ).select(
         "head",
         "nxt",
         F.expr(
