@@ -117,6 +117,37 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass  # cleanup must never fail the query
 
 
+def swap_cache(slot: list, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
+    """Persist ``dfs`` for reuse within ONE query invocation,
+    releasing whatever the previous invocation left in ``slot`` (a
+    module-level list) — the pattern `plans/corpus._swap_cache`
+    proved: a shared bench/driver session must never accumulate more
+    than one invocation's worth of cached blocks.
+
+    Release FIRST, persist SECOND: CacheManager dedups by logical
+    plan, so persisting the new (identical) plan before dropping the
+    old entry would no-op, and the old entry's unpersist would then
+    evict the cache the new invocation is counting on.
+
+    Use at the natural materialization points of a multi-consumer
+    plan (an index build's assignment table, a pair graph's edge
+    list): Spark shares NO lineage between a DataFrame's consumers,
+    so k consumers of an un-persisted frame re-execute its whole
+    subtree k times — the scan-count sweep found an 18× corpus-scan
+    plan built exactly that way."""
+    while slot:
+        try:
+            slot.pop().unpersist(False)
+        except Exception:
+            pass
+    out = []
+    for df in dfs:
+        df = df.persist()
+        slot.append(df)
+        out.append(df)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

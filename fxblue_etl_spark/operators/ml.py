@@ -404,6 +404,10 @@ SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 3
 #: neighbors per node in the kNN graph build
 KNN_GRAPH_K = 3
 
+#: live cache of the previous knn_graph_build invocation (see
+#: io.swap_cache — released on the next call)
+_KNN_CACHE: list[DataFrame] = []
+
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction — the build step of graph-based ANN
@@ -422,7 +426,18 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds one cluster's subgraph; never corpus-wide pairs. Top-K per
     node is a per-node window (millions of 1-row-ish partitions — the
     good kind); the mutuality join runs on the K·N edge list, not the
-    candidate pairs."""
+    candidate pairs.
+
+    The assignment table (``aq``) and edge list are persisted for the
+    invocation (released on the next call via ``io.swap_cache``):
+    ``aq`` feeds both sides of the cluster join and ``edges`` has
+    four consumers (top-k, reverse side, per-cluster stats,
+    mutuality), and Spark shares no lineage between consumers — the
+    un-persisted formulation re-ran the centroid assignment eighteen
+    scans deep.  Both frames are the standard index-build
+    materializations: ``aq`` is the quantized corpus + cluster id,
+    ``edges`` is K·N rows."""
+    from ..io import swap_cache
     from .similarity import _dvec, cosine
 
     e = table(tune(spark), sf_dir, "embeddings")
@@ -467,6 +482,10 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= KNN_GRAPH_K
     )
+    # one call, both frames: cache substitution matches aq's logical
+    # subtree inside edges' plan, so edges' first execution reads the
+    # cached aq rather than re-deriving the assignment
+    aq, edges = swap_cache(_KNN_CACHE, aq, edges)
     rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     mutual = edges.join(rev, ["src", "dst"], "left_semi")
     per_cluster = edges.groupBy("cluster").agg(
