@@ -174,18 +174,25 @@ def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass — a fat tail here means one template document glued
     half the corpus into a single cluster.
 
-    Plan: pair edges symmetrized (row-count doubling union, no
-    shuffle), one groupBy per node, one vocab-small groupBy per
-    degree — scale-linear in edges."""
+    Plan: pair edges symmetrized ROW-LOCALLY (each edge explodes to
+    its two directions — a self-union would execute the pair-finder
+    lineage twice, since Spark shares nothing between a union's
+    branches), one groupBy per node, one vocab-small groupBy per
+    degree — scale-linear in edges, pair-finder runs once."""
     from .similarity import embedding_near_dup
 
     tune(spark)
     pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
-        )
-    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a"), F.col("vec_b")),
+                F.struct(
+                    F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.vec_a", "e.vec_b")
     return (
         sym.groupBy("vec_a")
         .agg(F.count("*").alias("degree"))
@@ -242,6 +249,11 @@ FROM sizes GROUP BY 1
 """
 
 
+#: live cache of the previous dedup_triangles invocation (see
+#: io.swap_cache — released on the next call)
+_TRI_CACHE: list[DataFrame] = []
+
+
 def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup pair graph — the clustering-
     coefficient numerator that distinguishes tight duplicate cliques
@@ -251,12 +263,19 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u,v)⋈(v,w) then closed against (u,w) — the standard distributed
     triangle count: two equi-joins on the edges-sized pair graph,
     never touching the corpus. Orientation by node id bounds each
-    join's fan-out by the max out-degree."""
+    join's fan-out by the max out-degree.  The edge list is persisted
+    for the invocation (``io.swap_cache``): it appears on three join
+    sides, and un-persisted each side re-derives the whole pair
+    graph from the corpus."""
+    from ..io import swap_cache
     from .similarity import embedding_near_dup
 
     tune(spark)
-    e = embedding_near_dup(spark, sf_dir).select(
-        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    e = swap_cache(
+        _TRI_CACHE,
+        embedding_near_dup(spark, sf_dir).select(
+            F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+        ),
     )
     ab = e.alias("ab")
     bc = e.alias("bc")
