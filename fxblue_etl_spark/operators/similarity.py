@@ -170,7 +170,18 @@ FROM ranked WHERE rank <= 3
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup: bucket on the sign pattern of the
-    first 8 dimensions, verify candidates with exact cosine ≥ 0.15."""
+    first 8 dimensions, verify candidates with exact cosine ≥ 0.15.
+
+    Pair generation is bucket-grouped (one hash shuffle on the sign
+    bucket, within-bucket pairs explode locally) rather than a
+    self-join — the join shape executes the scan+bucket lineage on
+    both sides and moves the vector payload through the wire twice
+    (same finding as the text-LSH pair generator, `dedup.
+    lsh_candidate_pairs`).  Scale note: 8 sign bits give a FIXED 256
+    blocks, so block size grows linearly with the corpus either way —
+    at real scale you widen the sign pattern (more bits ⇒
+    finer blocks), which changes recall and therefore the published
+    contract; the fixture keeps 8 for oracle parity."""
     e = table(tune(spark), sf_dir, "embeddings")
     v = _dvec("embedding")
     bucket = F.concat_ws(
@@ -178,11 +189,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.element_at(v, i + 1) >= 0).cast("int").cast("string") for i in range(8)],
     )
     base = e.select("vec_id", v.alias("v"), bucket.alias("bucket"))
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    buckets = base.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("members")
+    )
+    m = buckets.filter(F.size("members") >= 2).select(
+        F.explode("members").alias("a"), "members"
+    )
+    pairs = m.select("a", F.explode("members").alias("b")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
     sim = cosine(F.col("a.v"), F.col("b.v"))
     return (
