@@ -943,6 +943,11 @@ WATERFILL_FILL_SQL = f"""
         """
 
 
+#: live cache of the previous capped_waterfill_allocation invocation
+#: (see io.swap_cache — released on the next call)
+_WF_CACHE: list[DataFrame] = []
+
+
 def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped water-filling: allocate a token budget across sources
     so every source gets an EQUAL level except those whose
@@ -963,11 +968,18 @@ def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-source token count is the only corpus-sized
     pass (map-side combined); the fill itself runs on the
-    config-sized source table (windows over ≤ thousands of rows)."""
+    config-sized source table (windows over ≤ thousands of rows).
+    The caps table is persisted for the invocation (``io.swap_cache``)
+    because the fill SQL references the ``wf_caps`` view from six
+    CTEs — temp views are un-materialized lineage, so each reference
+    would re-run the corpus tokenize pass."""
+    from ..io import swap_cache
+
     d = table(tune(spark), sf_dir, "documents")
     caps = d.groupBy("source").agg(
         F.sum(F.size(ws_tokens("text"))).cast("long").alias("cap")
     )
+    caps = swap_cache(_WF_CACHE, caps)
     caps.createOrReplaceTempView("wf_caps")
     return tune(spark).sql(WATERFILL_FILL_SQL)
 
