@@ -319,6 +319,10 @@ GROUP BY 1
 #: deterministic stand-in for a GDPR/right-to-be-forgotten request table
 GDPR_MOD = 97
 
+#: live cache of the previous gdpr_delete_propagation invocation
+#: (see io.swap_cache — released on the next call)
+_GDPR_CACHE: list = []
+
 
 def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation audit: given a (small)
@@ -329,49 +333,73 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed genuinely (anti-join the surviving chunks against the
     surviving documents), not assumed.
 
-    Scale shape: the request set is tiny → broadcast anti-joins
-    against each table; the derived-table rebuild is the row-local
-    chunker fused into the scan.  One summary row per table."""
+    Scale shape: ONE corpus tokenize pass — the chunk table audits
+    run off a per-doc chunk-count frame (doc-count-sized, persisted
+    for the invocation via ``io.swap_cache`` because both the
+    conditional aggregate and the orphan probe consume it); the
+    document-table audit is one conditional aggregate over a
+    doc_id-pruned scan.  The orphan count stays a genuine anti-join
+    (surviving chunk docs probed against surviving documents), not an
+    assumed zero.  The previous formulation audited each number with
+    its own semi/anti-join branch — sixteen scans, four of them full
+    tokenize passes.  One summary row per table."""
+    from ..io import swap_cache
     from ..operators.textops import chunk_frame
 
     d = table(tune(spark), sf_dir, "documents")
-    dele = d.filter(F.col("doc_id") % GDPR_MOD == 0).select("doc_id")
-    docs_after = d.join(F.broadcast(dele), "doc_id", "left_anti")
-    chunks = chunk_frame(d)
-    chunks_after = chunks.join(F.broadcast(dele), "doc_id", "left_anti")
-    # genuine orphan probe: surviving chunks whose doc no longer exists
-    orphans = chunks_after.join(
-        docs_after.select("doc_id"), "doc_id", "left_anti"
+    is_del = F.col("doc_id") % GDPR_MOD == 0
+    per_doc = swap_cache(
+        _GDPR_CACHE,
+        chunk_frame(d)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"))
+        .withColumn("is_del", is_del.cast("int")),
     )
-
-    def audit(name, before, deleted, after, n_orphans):
-        return before.crossJoin(F.broadcast(deleted)).crossJoin(
-            F.broadcast(after)
-        ).crossJoin(F.broadcast(n_orphans)).select(
-            F.lit(name).alias("table_name"),
+    doc_row = (
+        d.select("doc_id")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum(is_del.cast("long")).cast("long").alias("n_deleted"),
+            F.sum((~is_del).cast("long")).cast("long").alias("n_after"),
+        )
+        .select(
+            F.lit("documents").alias("table_name"),
+            "n_before",
+            "n_deleted",
+            "n_after",
+            F.lit(0).cast("long").alias("n_orphans"),
+        )
+    )
+    # genuine orphan probe: surviving chunk docs whose doc no longer
+    # exists (counts chunk rows via the per-doc chunk counts)
+    docs_after = d.filter(~is_del).select("doc_id")
+    orphans = (
+        per_doc.filter(F.col("is_del") == 0)
+        .join(docs_after, "doc_id", "left_anti")
+        .agg(
+            F.coalesce(F.sum("n_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_orphans")
+        )
+    )
+    chunk_row = (
+        per_doc.agg(
+            F.sum("n_chunks").cast("long").alias("n_before"),
+            F.sum(F.when(F.col("is_del") == 1, F.col("n_chunks")).otherwise(0))
+            .cast("long")
+            .alias("n_deleted"),
+            F.sum(F.when(F.col("is_del") == 0, F.col("n_chunks")).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit("chunks").alias("table_name"),
             "n_before",
             "n_deleted",
             "n_after",
             "n_orphans",
         )
-
-    doc_row = audit(
-        "documents",
-        d.agg(F.count("*").alias("n_before")),
-        d.join(F.broadcast(dele), "doc_id", "left_semi").agg(
-            F.count("*").alias("n_deleted")
-        ),
-        docs_after.agg(F.count("*").alias("n_after")),
-        docs_after.agg(F.lit(0).cast("long").alias("n_orphans")).limit(1),
-    )
-    chunk_row = audit(
-        "chunks",
-        chunks.agg(F.count("*").alias("n_before")),
-        chunks.join(F.broadcast(dele), "doc_id", "left_semi").agg(
-            F.count("*").alias("n_deleted")
-        ),
-        chunks_after.agg(F.count("*").alias("n_after")),
-        orphans.agg(F.count("*").cast("long").alias("n_orphans")),
     )
     return doc_row.unionByName(chunk_row)
 
