@@ -652,6 +652,11 @@ FROM pairs p JOIN outgoing o USING (from_type)
 """
 
 
+#: live cache of the previous daily_anomaly_days invocation (see
+#: io.swap_cache — released on the next call)
+_ANOM_CACHE: list = []
+
+
 def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust time-series anomaly detection: per event type, flag the
     days whose total value deviates from the type's median daily
@@ -663,13 +668,20 @@ def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the daily rollup is the only corpus-sized pass (map-side
     combined); medians run over calendar-bounded daily series and the
     per-type stats broadcast back."""
+    from ..io import swap_cache
+
     e = table(tune(spark), sf_dir, "events").select(
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
         "event_type",
         F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
     )
-    daily = e.groupBy("day", "event_type").agg(
-        F.sum("v_e4").cast("long").alias("total_e4")
+    # calendar-bounded (days × types) frame with three consumers —
+    # persist for the invocation so the corpus rollup runs once
+    daily = swap_cache(
+        _ANOM_CACHE,
+        e.groupBy("day", "event_type").agg(
+            F.sum("v_e4").cast("long").alias("total_e4")
+        ),
     )
     med = daily.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY total_e4)")

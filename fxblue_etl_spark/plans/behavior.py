@@ -95,6 +95,11 @@ FROM mat m JOIN sized s USING (cohort_day)
 """
 
 
+#: live cache of the previous event_cooccurrence invocation (see
+#: io.swap_cache — released on the next call)
+_COOC_CACHE: list = []
+
+
 def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type association matrix: for each unordered type pair,
     how many users did both, with the integer sufficient statistics
@@ -107,12 +112,15 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-bounded), so there is NO self-join and the events table is
     # scanned once — singles, the user count, and the pair counts all
     # derive from the same grouped frame.
-    sets = (
+    from ..io import swap_cache
+
+    sets = swap_cache(
+        _COOC_CACHE,
         table(tune(spark), sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types")),
     )
     singles = (
         sets.select(F.explode("types").alias("event_type"))

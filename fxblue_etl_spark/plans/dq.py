@@ -30,19 +30,29 @@ DATE_LO, DATE_HI = "1990-01-01", "2005-01-01"
 
 
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row of violation counts; all-zero = contract holds."""
+    """One row of violation counts; all-zero = contract holds.
+
+    The per-table checks fuse into ONE conditional aggregate per
+    table (a separate aggregate branch per check re-scans the fact
+    each time — the scan_sweep finding); only the two referential
+    checks pay joins, which no aggregate can express."""
     tune(spark)
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     li = table(spark, sf_dir, "lineitem")
 
-    dup_orderkeys = o.agg(
+    o_stats = o.agg(
         (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias(
             "dup_orderkeys"
-        )
-    )
-    null_keys = o.agg(
-        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys")
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit(DATE_LO).cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit(DATE_HI).cast("timestamp")),
+                1,
+            )
+        ).alias("bad_dates"),
     )
     orphan_orders = (
         o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
@@ -62,19 +72,17 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bad_prices")
     )
-    bad_dates = o.agg(
-        F.count(
-            F.when(
-                (F.col("o_orderdate") < F.lit(DATE_LO).cast("timestamp"))
-                | (F.col("o_orderdate") >= F.lit(DATE_HI).cast("timestamp")),
-                1,
-            )
-        ).alias("bad_dates")
-    )
-    out = dup_orderkeys
-    for piece in (null_keys, orphan_orders, orphan_lineitems, bad_prices, bad_dates):
+    out = o_stats
+    for piece in (orphan_orders, orphan_lineitems, bad_prices):
         out = out.crossJoin(piece)
-    return out
+    return out.select(
+        "dup_orderkeys",
+        "null_custkeys",
+        "orphan_orders",
+        "orphan_lineitems",
+        "bad_prices",
+        "bad_dates",
+    )
 
 
 DQ_AUDIT_ORACLE = f"""

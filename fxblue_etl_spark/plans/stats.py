@@ -648,6 +648,11 @@ FROM regs
 """
 
 
+#: live cache of the previous chi2_contingency_cells invocation
+#: (see io.swap_cache — released on the next call)
+_CHI2_CACHE: list = []
+
+
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
     o_orderstatus, emitted per contingency cell in exact integer
@@ -663,17 +668,24 @@ def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): one map-side-combined groupBy over the fact
     table produces the r×c cell table (≤ dozens of rows); margins and
-    the total are broadcast re-aggregations OF THE CELLS, so nothing
+    the total are broadcast re-aggregations OF THE CELLS — persisted
+    for the invocation (``io.swap_cache``), because un-persisted each
+    margin branch re-executes the corpus groupBy — so nothing
     after the first aggregate ever touches the corpus again. Overflow
     headroom: (1e6·obs)² caps the numerator at (1e6·T)² — inside
     DECIMAL(38,0) up to T ≈ 3e12 rows, i.e. a ~100 TB orders table at
     ~100 B/row with 3× headroom; past that, drop the ppm
     premultiplier or emit the raw sufficient statistics."""
+    from ..io import swap_cache
+
     o = table(tune(spark), sf_dir, "orders")
-    cells = o.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderstatus").alias("status"),
-    ).agg(F.count("*").cast("long").alias("n_obs"))
+    cells = swap_cache(
+        _CHI2_CACHE,
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count("*").cast("long").alias("n_obs")),
+    )
     rowm = cells.groupBy("priority").agg(F.sum("n_obs").cast("long").alias("row_n"))
     colm = cells.groupBy("status").agg(F.sum("n_obs").cast("long").alias("col_n"))
     tot = cells.agg(F.sum("n_obs").cast("long").alias("t_n"))
