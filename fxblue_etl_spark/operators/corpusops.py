@@ -548,6 +548,11 @@ DSIR_BUCKETS = 512
 DSIR_TARGET_LANG = "en"
 
 
+#: live cache of the previous dsir_importance_stats invocation (see
+#: io.swap_cache — released on the next call)
+_DSIR_CACHE: list = []
+
+
 def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-resampling sufficient statistics
     (Data Selection with Importance Resampling, Xie et al. 2023):
@@ -559,10 +564,13 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine output stays exact: per-doc bigram count, summed
     target-ppm, summed source-ppm, and their integer ratio.
 
-    Scale shape: one row-local bigram explode (map-side combined
-    into the two bucket tables), bucket tables are
-    ``DSIR_BUCKETS``-row → broadcast back; the per-doc aggregate is
-    the only corpus-sized shuffle.  No window, no self-join."""
+    Scale shape: one row-local bigram explode; source and target
+    bucket masses come out of ONE conditional aggregate (a separate
+    filtered branch per distribution re-runs the explode), the
+    DSIR_BUCKETS-row bucket table persists for the invocation and
+    broadcasts back; the per-doc aggregate is the only other
+    corpus-sized pass — two total, the minimum for
+    profile-then-score.  No window, no self-join."""
     d = (
         fan_out(table(tune(spark), sf_dir, "documents"))
         .select("doc_id", "lang", ws_tokens("text").alias("toks"))
@@ -577,19 +585,23 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = d.select("doc_id", "lang", F.explode(bg_col).alias("bg")).withColumn(
         "fb", _hash_bucket(F.col("bg"), "dsir|", DSIR_BUCKETS)
     )
-    src = db.groupBy("fb").agg(F.count("*").alias("n_src"))
-    tgt = (
-        db.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("fb")
-        .agg(F.count("*").alias("n_tgt"))
+    from ..io import swap_cache
+
+    margins = swap_cache(
+        _DSIR_CACHE,
+        db.groupBy("fb").agg(
+            F.count("*").alias("n_src"),
+            F.count(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+            ).alias("n_tgt"),
+        ),
     )
-    tot = src.agg(
-        F.sum("n_src").cast("long").alias("tot_src")
-    ).crossJoin(
-        F.broadcast(tgt.agg(F.sum("n_tgt").cast("long").alias("tot_tgt")))
+    tot = margins.agg(
+        F.sum("n_src").cast("long").alias("tot_src"),
+        F.sum("n_tgt").cast("long").alias("tot_tgt"),
     )
     bucket_tbl = (
-        src.join(tgt, "fb", "left")
+        margins
         .crossJoin(F.broadcast(tot))  # 1-row scalar totals, by design
         .select(
             "fb",

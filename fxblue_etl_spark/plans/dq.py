@@ -103,6 +103,11 @@ SELECT
 """
 
 
+#: live cache of the previous source_length_drift invocation (see
+#: io.swap_cache — released on the next call)
+_DRIFT_CACHE: list = []
+
+
 def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: per source, the exact KS statistic
     of its document-length distribution against the whole corpus,
@@ -111,16 +116,26 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``n_s·n_all``). The sources whose drift ppm tops the list are
     the ones whose scraping/cleaning changed.
 
-    Scale: the corpus-sized work is two map-side-combined counts;
-    the CDF windows run on the (sources × distinct-lengths) stats
-    grid, which is domain-bounded regardless of corpus size."""
+    Scale: ONE corpus-sized map-side-combined count produces the
+    (source, n_chars) stats grid — domain-bounded regardless of
+    corpus size, persisted for the invocation (``io.swap_cache``)
+    because the length set, source totals, corpus total, and both
+    CDFs all derive from it (each as its own branch would re-run the
+    corpus count); the CDF windows run on the grid."""
     from pyspark.sql.window import Window
 
+    from ..io import swap_cache
+
     d = table(tune(spark), sf_dir, "documents").select("source", "n_chars")
-    counts = d.groupBy("source", "n_chars").agg(F.count("*").alias("n_sl"))
-    lens = d.select("n_chars").distinct()
-    sources = d.groupBy("source").agg(F.count("*").alias("n_s"))
-    tot = d.agg(F.count("*").cast("long").alias("n_all"))
+    counts = swap_cache(
+        _DRIFT_CACHE,
+        d.groupBy("source", "n_chars").agg(F.count("*").alias("n_sl")),
+    )
+    lens = counts.select("n_chars").distinct()
+    sources = counts.groupBy("source").agg(
+        F.sum("n_sl").cast("long").alias("n_s")
+    )
+    tot = counts.agg(F.sum("n_sl").cast("long").alias("n_all"))
 
     grid = sources.crossJoin(F.broadcast(lens))
     w_s = Window.partitionBy("source").orderBy("n_chars")
@@ -131,8 +146,8 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_g = Window.orderBy("n_chars")
     cum_all = (
-        d.groupBy("n_chars")
-        .agg(F.count("*").alias("n_l"))
+        counts.groupBy("n_chars")
+        .agg(F.sum("n_sl").alias("n_l"))
         .withColumn("cum_all", F.sum("n_l").over(w_g))
         .select("n_chars", "cum_all")
     )
