@@ -52,9 +52,12 @@ def term_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k terms per doc by integer tf/df salience.
 
     Plan: explode → (doc, tok) counts (one shuffle, map-side
-    combined) → token document-frequency off the same table (second
-    small shuffle, vocabulary-sized) → equi-join back → per-doc
-    window top-k. The window partitions by doc_id — millions of tiny
+    combined) → document frequency as a COUNT WINDOW over the same
+    table partitioned by term (a separate df aggregate joined back
+    re-executes the corpus explode — Spark shares no lineage between
+    a join's sides; the window is the same hash partitioning the
+    equi-join would pay, minus the second pass) → per-doc window
+    top-k. The top-k window partitions by doc_id — millions of tiny
     partitions, never one big one.
     """
     d = fan_out(table(tune(spark), sf_dir, "documents")).select(
@@ -66,8 +69,9 @@ def term_salience_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     # tf already has one row per (doc, term): df = rows per term
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_tbl, "term").select(
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
         "doc_id",
         "term",
         "tf",
@@ -105,6 +109,11 @@ FROM ranked WHERE rank <= {TOPK_TERMS}
 """
 
 
+#: live cache of the previous rare_token_quality invocation (see
+#: io.swap_cache — released on the next call)
+_RARE_CACHE: list = []
+
+
 def rare_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rarity profile vs the corpus unigram distribution.
 
@@ -119,8 +128,15 @@ def rare_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(table(tune(spark), sf_dir, "documents")).select(
         "doc_id", ws_tokens("text").alias("toks")
     )
+    from ..io import swap_cache
+
     px = d.select("doc_id", F.explode("toks").alias("tok"))
-    cnt = px.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab-bounded count table with two consumers (the totals and
+    # the scoring join) — persist so the corpus explode behind it
+    # runs once; the profile + score passes are then the minimum two
+    cnt = swap_cache(
+        _RARE_CACHE, px.groupBy("tok").agg(F.count("*").alias("cnt"))
+    )
     tot = cnt.agg(
         F.sum("cnt").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_vocab"),
@@ -431,6 +447,11 @@ PMI_MIN_PAIR = 5
 PMI_BUCKETS = 16
 
 
+#: live cache of the previous token_pmi_topk invocation (see
+#: io.swap_cache — released on the next call)
+_PMI_CACHE: list = []
+
+
 def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide collocation mining: the PMI-strongest adjacent
     token pairs — the statistic behind multi-word-expression
@@ -464,7 +485,12 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(table(tune(spark), sf_dir, "documents")).select(
         "doc_id", ws_tokens("text").alias("toks")
     )
-    # materialize toks once; unigrams and pairs both branch off it
+    from ..io import swap_cache
+
+    # the unigram and bigram count tables are vocab-bounded with
+    # three consumers each (their own totals + the scoring joins), so
+    # both persist for the invocation: the two token explodes are the
+    # ONLY corpus passes — un-persisted, each consumer re-ran one
     uni = (
         d.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -477,23 +503,22 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("toks", i + 1).alias("nxt"),
         ),
     )
-    pairs = (
+    pairs_all = (
         d.filter(F.size("toks") >= 2)
         .select(F.explode(pair_col).alias("p"))
         .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
         .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
     )
+    uni, pairs_all = swap_cache(_PMI_CACHE, uni, pairs_all)
+    pairs = pairs_all.filter(F.col("n_pair") >= PMI_MIN_PAIR)
     # corpus totals: two scalar rows, broadcast by construction.
     # M = Σ max(len-1, 0) — the UNFILTERED adjacent-pair count, so
     # p(xy) is a true probability (summing the support-filtered pair
-    # table instead would inflate every surviving pair's PMI)
+    # table instead would inflate every surviving pair's PMI);
+    # summing the unfiltered bigram table gives exactly that count
+    # without another corpus pass
     n_total = uni.agg(F.sum("n_tok").cast("long").alias("n_total"))
-    m_total = d.agg(
-        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
-        .cast("long")
-        .alias("m_total")
-    )
+    m_total = pairs_all.agg(F.sum("n_pair").cast("long").alias("m_total"))
     scored = (
         pairs.join(uni.withColumnsRenamed({"tok": "head", "n_tok": "n_head"}), "head")
         .join(uni.withColumnsRenamed({"tok": "nxt", "n_tok": "n_nxt"}), "nxt")
