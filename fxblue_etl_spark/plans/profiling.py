@@ -142,22 +142,31 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in QUANTILE_TENTHS
         ],
     )
-    per_q = [
-        ranks.select(
-            F.lit(t).alias("quantile_tenths"),
-            F.col("n_rows"),
-            (
-                F.abs(F.lit(10) * F.col(f"r_{t}") - F.lit(t) * F.col("n_rows"))
-                * QUANTILE_ACCURACY
-                <= F.lit(10) * F.col("n_rows") + F.lit(10 * QUANTILE_ACCURACY)
-            ).alias("within_bound"),
-        )
-        for t in QUANTILE_TENTHS
-    ]
-    out = per_q[0]
-    for df in per_q[1:]:
-        out = out.unionByName(df)
-    return out
+    # one row-local explode unpivots the per-quantile columns — a
+    # union of per-quantile selects re-executes the two-scan sketch +
+    # rank lineage once per quantile (the scan_sweep finding)
+    return ranks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("quantile_tenths"),
+                        F.col("n_rows").alias("n_rows"),
+                        (
+                            F.abs(
+                                F.lit(10) * F.col(f"r_{t}")
+                                - F.lit(t) * F.col("n_rows")
+                            )
+                            * QUANTILE_ACCURACY
+                            <= F.lit(10) * F.col("n_rows")
+                            + F.lit(10 * QUANTILE_ACCURACY)
+                        ).alias("within_bound"),
+                    )
+                    for t in QUANTILE_TENTHS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 QUANTILE_CONTRACT_ORACLE = """
