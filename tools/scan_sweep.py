@@ -25,8 +25,16 @@ it prints every query whose plan scans one table ``--min`` times or
 more (default 3), worst first, so a new scan-multiplying shape is
 visible the round it appears.
 
+``--gate`` turns the sweep into a pass/fail check against the
+whitelist below (the same mechanism as plan_audit's bounded-window
+whitelist): a query may scan a corpus-sized table at most its listed
+number of times (unlisted queries: at most 3).  A new
+scan-multiplying shape — or a regression of a fixed one — fails the
+gate the round it appears instead of surviving as a silent 100 TB
+cost.
+
 Usage:
-    python tools/scan_sweep.py [sf_dir] [--min N]
+    python tools/scan_sweep.py [sf_dir] [--min N] [--gate]
 """
 
 from __future__ import annotations
@@ -42,14 +50,57 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 #: of one of these is a repeated full pass, not a config lookup
 BIG_TABLES = {"documents", "embeddings", "lineitem", "orders", "events"}
 
+#: --gate whitelist: maximum corpus-table scan count per query.  Each
+#: entry is a REVIEWED, by-design shape; anything else is capped at
+#: DEFAULT_MAX.  Reviewed round 5:
+GATE_WHITELIST = {
+    # five independently certified per-doc signals joined on doc_id —
+    # the matrix certifies the join spine; the 100 TB path persists
+    # the tokenized scan once (documented in the docstring)
+    "quality_feature_matrix": 8,
+    # five certified pipeline stages assembled into one release row —
+    # each keeps its own plan so the manifest is certified end-to-end
+    "corpus_release_manifest": 6,
+    # IVF serving: the extra scans are the query-set and centroid
+    # sides (modulo-filtered, column-pruned — not full corpus passes)
+    "ivf_multiprobe_topk": 6,
+    "ann_ivf_topk": 4,
+    "pq_adc_topk": 4,
+    # three-branch NOT IN / NOT EXISTS / anti-join semantics demo —
+    # the branches ARE the point
+    "not_in_null_semantics": 6,
+    # System-R estimate calibration: per-pair stats + the actual join
+    # (ground truth) are separate passes by definition
+    "join_cardinality_estimate": 4,
+    # MAD needs median → deviations → flagging: near the pass minimum
+    # for a two-level order statistic
+    "mad_outliers": 4,
+    # UNION of three priority-class branches — multiset semantics
+    "setop_multiset_priorities": 4,
+}
+
+#: unlisted queries may scan a corpus-sized table at most this often
+DEFAULT_MAX = 3
+
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    min_scans = 3
-    for a in sys.argv[1:]:
+    min_scans, positional, gate = 3, [], False
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--min"):
-            min_scans = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                min_scans = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                min_scans = int(argv[i])
+        elif a == "--gate":
+            gate = True
+        else:
+            positional.append(a)
+        i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entrymod
     from fxblue_etl_spark.session import get_spark
@@ -79,12 +130,27 @@ def main() -> int:
 
     rows.sort(key=lambda r: (-r[1], r[0]))
     print(f"# queries scanning one table >= {min_scans}x ({sf_dir}):")
+    violations = []
     for name, worst, dup, big in rows:
         flag = " [corpus-sized]" if big else ""
         print(f"{worst:3d}x  {name}  {dup}{flag}")
+        if gate and big:
+            worst_big = max(c for t, c in dup.items() if t in BIG_TABLES)
+            allowed = GATE_WHITELIST.get(name, DEFAULT_MAX)
+            if worst_big > allowed:
+                violations.append((name, worst_big, allowed))
     for name, err in errs:
         print(f"ERR   {name}  {err}")
     print(f"# total: {len(rows)} flagged, {len(errs)} errors")
+    if gate:
+        for name, got, allowed in violations:
+            print(
+                f"GATE FAIL  {name}: {got} corpus-table scans"
+                f" (allowed {allowed}) — persist the multi-consumer"
+                f" frame (io.swap_cache) or whitelist with a review note"
+            )
+        print(f"# gate: {'FAIL' if violations else 'PASS'}")
+        return 1 if (violations or errs) else 0
     return 1 if errs else 0
 
 
