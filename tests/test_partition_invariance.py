@@ -96,6 +96,15 @@ from fxblue_etl_spark.plans.profiling import (
     join_cardinality_estimate,
 )
 from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
+from fxblue_etl_spark.operators.dedup import minhash_lsh_pairs
+from fxblue_etl_spark.operators.similarity import embedding_near_dup
+from fxblue_etl_spark.operators.graph import dedup_degree_hist, dedup_triangles
+from fxblue_etl_spark.plans.behavior import event_cooccurrence
+from fxblue_etl_spark.operators.temporal import daily_anomaly_days
+from fxblue_etl_spark.plans.dq import dq_audit, gdpr_delete_propagation
+from fxblue_etl_spark.plans.dq import source_length_drift
+from fxblue_etl_spark.operators.tfidf import rare_token_quality, term_salience_topk
+from fxblue_etl_spark.plans.profiling import approx_quantile_contract
 
 
 @pytest.mark.parametrize(
@@ -168,6 +177,21 @@ from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
         bitmap_distinct_contract,
         # round-5: exact-integer PageRank superstep
         dedup_pagerank_exact,
+        # round-5 continuation: bucket-grouped pair generation and the
+        # redundant-pass rewrites (collect_list order is partition-
+        # dependent — these prove the derived RESULTS are not)
+        minhash_lsh_pairs,
+        embedding_near_dup,
+        dedup_triangles,
+        dedup_degree_hist,
+        event_cooccurrence,
+        daily_anomaly_days,
+        gdpr_delete_propagation,
+        dq_audit,
+        source_length_drift,
+        term_salience_topk,
+        rare_token_quality,
+        approx_quantile_contract,
     ],
     ids=lambda q: q.__name__,
 )
