@@ -44,9 +44,16 @@ def bpeish_tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
 
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counts + quality signals per document."""
-    d = fan_out(table(tune(spark), sf_dir, "documents"))
+def text_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Token counts + quality signals per document.
+
+    ``docs`` lets a composite (quality_feature_matrix) feed all its
+    signals from ONE persisted scan instead of five."""
+    d = docs if docs is not None else fan_out(
+        table(tune(spark), sf_dir, "documents")
+    )
     toks = ws_tokens("text")
     bpe = bpeish_tokens("text")
     n_chars = F.length("text")
@@ -87,10 +94,14 @@ FROM toks
 """
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Composite quality score: length band + stopword presence -
     punctuation noise (a Gopher-rules-flavored heuristic)."""
-    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    d = docs if docs is not None else fan_out(
+        table(tune(spark), sf_dir, "documents")
+    )
     toks = ws_tokens("text")
     n_tok = F.size(toks)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])

@@ -114,7 +114,9 @@ FROM ranked WHERE rank <= {TOPK_TERMS}
 _RARE_CACHE: list = []
 
 
-def rare_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rare_token_quality(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-doc rarity profile vs the corpus unigram distribution.
 
     A token is "rare" iff its total corpus count is below the mean
@@ -239,7 +241,9 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_doc_perplexity(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document n-gram-LM fluency score (the CCNet-style quality
     signal): every adjacent token pair in a document is scored by its
     corpus-wide continuation probability (integer ppm, the same
@@ -266,9 +270,10 @@ def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no LM scoring; this extends
     its quality gates (`RSS PARSER/gcp_rss.py:94-95` field filters)
     with the corpus-statistics pass a training pipeline needs."""
-    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
+    d = (
+        docs if docs is not None
+        else fan_out(table(tune(spark), sf_dir, "documents"))
+    ).select("doc_id", ws_tokens("text").alias("toks"))
     pair_col = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.struct(
