@@ -54,10 +54,6 @@ BIG_TABLES = {"documents", "embeddings", "lineitem", "orders", "events"}
 #: entry is a REVIEWED, by-design shape; anything else is capped at
 #: DEFAULT_MAX.  Reviewed round 5:
 GATE_WHITELIST = {
-    # five independently certified per-doc signals joined on doc_id —
-    # the matrix certifies the join spine; the 100 TB path persists
-    # the tokenized scan once (documented in the docstring)
-    "quality_feature_matrix": 8,
     # five certified pipeline stages assembled into one release row —
     # each keeps its own plan so the manifest is certified end-to-end
     "corpus_release_manifest": 6,
