@@ -71,8 +71,11 @@ FROZEN27_N = 27
 
 #: timed executions per query; the median filters out one-off JVM /
 #: GC / session-state noise (round 2 showed >50% swings on
-#: byte-identical queries when a single execution was timed)
-N_RUNS = 3
+#: byte-identical queries when a single execution was timed; round 5
+#: measured ±30% swings from HOST load — other containers — so the
+#: median takes five draws and the emitted JSON records the load
+#: average for cross-round context)
+N_RUNS = 5
 
 
 def main() -> None:
@@ -81,6 +84,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fxblue_etl_spark.session import get_spark
 
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -116,6 +120,11 @@ def main() -> None:
                 "frozen27_total": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:FROZEN27_N]), 3
                 ),
+                # 1-minute host load at start/end: bench numbers on a
+                # shared host swing ±30% with co-tenant load — readers
+                # should weigh deltas against these
+                "load_avg_start": round(load_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
