@@ -134,7 +134,15 @@ def swap_cache(slot: list, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]
     list): Spark shares NO lineage between a DataFrame's consumers,
     so k consumers of an un-persisted frame re-execute its whole
     subtree k times — the scan-count sweep found an 18× corpus-scan
-    plan built exactly that way."""
+    plan built exactly that way.
+
+    NOT thread-safe: slots are module-level, sized to the sequential
+    driver/bench/gate contract (one invocation at a time per
+    process).  Two threads invoking the same query concurrently could
+    release each other's blocks mid-action — the action still
+    completes correctly (Spark recomputes evicted blocks from
+    lineage), but the cache benefit is lost; don't share a session's
+    swap_cache-backed queries across threads."""
     while slot:
         try:
             slot.pop().unpersist(False)
