@@ -338,6 +338,11 @@ FROM per_src, tot
 """
 
 
+#: live cache of the previous quality_lm_calibration invocation (see
+#: io.swap_cache — released on the next call)
+_CAL_CACHE: list = []
+
+
 def quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-signal calibration of the heuristic quality score against
     the LM fluency signal: for every discrete quality-score level,
@@ -346,16 +351,27 @@ def quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with score — the agreement curve a pipeline inspects before
     trusting one cheap signal as a proxy for an expensive one.
 
-    Scale: both scorers are certified single-pass operators; the
+    Scale: both scorers fork from ONE persisted scan (the same
+    ``docs=`` fork quality_feature_matrix uses — un-shared, the two
+    scorers would read the corpus three times between them); the
     calibration adds one equi-join on doc_id and a groupBy over the
     score's ≤ 8 discrete levels."""
+    from ..io import swap_cache
     from ..operators.textops import quality_score
     from ..operators.tfidf import lm_doc_perplexity
 
-    qs = quality_score(spark, sf_dir).select(
+    base = swap_cache(
+        _CAL_CACHE,
+        fan_out(table(tune(spark), sf_dir, "documents")).select(
+            "doc_id", "text"
+        ),
+    )
+    qs = quality_score(spark, sf_dir, docs=base).select(
         "doc_id", "quality_score", "keep"
     )
-    lm = lm_doc_perplexity(spark, sf_dir).select("doc_id", "avg_cont_ppm")
+    lm = lm_doc_perplexity(spark, sf_dir, docs=base).select(
+        "doc_id", "avg_cont_ppm"
+    )
     j = qs.join(lm, "doc_id")  # inner: only LM-scorable docs calibrate
     return j.groupBy("quality_score").agg(
         F.count("*").alias("n_docs"),
