@@ -792,8 +792,12 @@ def cross_split_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train_pairs = pairs.filter(F.col("bucket") < TRAIN_PCT)
     counts = train_pairs.groupBy("head", "nxt").agg(F.count("*").alias("n"))
-    heads = counts.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
-    probs = counts.join(heads, "head").select(
+    # per-head mass via a window over the vocab-bounded counts table —
+    # a heads aggregate joined back re-executes the corpus pair
+    # explode a third time (same fix as lm_doc_perplexity)
+    probs = counts.withColumn(
+        "n_head", F.sum("n").over(Window.partitionBy("head")).cast("long")
+    ).select(
         "head",
         "nxt",
         F.expr(
