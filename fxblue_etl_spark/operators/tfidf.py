@@ -212,18 +212,25 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
         .agg(F.count("*").alias("n"))
     )
-    heads = pairs.groupBy("head").agg(F.sum("n").cast("long").alias("n_head"))
+    # per-head outgoing mass as one more window over the SAME
+    # vocab-bounded pairs table (a heads aggregate joined back
+    # re-executes the corpus pair explode — the lm_doc_perplexity
+    # finding); computed before any rn filter so the mass is exact
     w1 = Window.partitionBy("head", "tb").orderBy(F.desc("n"), F.asc("nxt"))
     w2 = Window.partitionBy("head").orderBy(F.desc("n"), F.asc("nxt"))
     topk = (
-        pairs.withColumn("tb", _hash_bucket(F.col("nxt"), "bigram|", BIGRAM_BUCKETS))
+        pairs.withColumn(
+            "n_head",
+            F.sum("n").over(Window.partitionBy("head")).cast("long"),
+        )
+        .withColumn("tb", _hash_bucket(F.col("nxt"), "bigram|", BIGRAM_BUCKETS))
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= BIGRAM_TOPK)
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= BIGRAM_TOPK)
     )
     return (
-        topk.join(heads, "head")
+        topk
         .filter(F.col("n_head") >= BIGRAM_MIN_HEAD)
         .select(
             "head",
