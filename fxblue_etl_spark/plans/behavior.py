@@ -42,15 +42,21 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits one row per (cohort_day, day_offset) with the exact active
     count, the cohort size, and retained ppm (integer quotient).
+
+    The cohort size is NOT a separate aggregate joined back (that
+    branch re-scans the events table a third time): every user is by
+    construction active on their own first day, so ``n_active`` at
+    ``day_offset = 0`` IS the cohort size — lifted across the
+    cohort's rows with one window over the (cohorts × offsets)
+    result grid, which is calendar-bounded at any corpus size.
     """
+    from pyspark.sql.window import Window
+
     e = table(tune(spark), sf_dir, "events").select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     )
     first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     active = e.distinct()
-    sized = first.groupBy("cohort_day").agg(
-        F.count("*").alias("cohort_size")
-    )
     return (
         active.join(first, "user_id")
         .groupBy(
@@ -58,7 +64,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", "cohort_day").alias("day_offset"),
         )
         .agg(F.count("*").alias("n_active"))
-        .join(sized, "cohort_day")
+        .withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("day_offset") == 0, F.col("n_active"))
+            ).over(Window.partitionBy("cohort_day")),
+        )
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             "day_offset",
