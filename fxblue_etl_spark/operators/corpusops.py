@@ -267,6 +267,11 @@ FROM cleaned
 TEMP_K = 10
 
 
+#: live caches (io.swap_cache — released on each next call)
+_TEMP_CACHE: list = []
+_SWEEP_CACHE: list = []
+
+
 def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (the n^alpha rule,
     alpha=0.5): per-language keep probability ∝ 1/sqrt(n_lang), capped
@@ -278,8 +283,13 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed samplers). The ppm threshold is floor(1e6*K/sqrt(n)):
     sqrt and division are correctly-rounded IEEE ops in both engines,
     so the floor is cross-engine exact — no round-half hazard."""
+    from ..io import swap_cache
+
     d = table(tune(spark), sf_dir, "documents").select("doc_id", "lang")
-    rates = (
+    # lang-bounded rate table with two consumers (the keep filter and
+    # the final report join) — persisted so the corpus count runs once
+    rates = swap_cache(
+        _TEMP_CACHE,
         d.groupBy("lang")
         .agg(F.count("*").alias("n_in"))
         .withColumn(
@@ -288,7 +298,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1_000_000),
                 F.floor(F.lit(1_000_000.0 * TEMP_K) / F.sqrt(F.col("n_in"))),
             ).cast("long"),
-        )
+        ),
     )
     kept = d.join(F.broadcast(rates), "lang").filter(
         _hash_bucket(F.col("doc_id"), "temp|", 1_000_000) < F.col("p_ppm")
@@ -422,9 +432,13 @@ def hierarchical_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_q = mixture_allocation(spark, sf_dir).select("lang", "final_quota")
     d = table(tune(spark), sf_dir, "documents")
     avail = d.groupBy("lang", "source").agg(F.count("*").alias("n_avail"))
-    tot_l = avail.groupBy("lang").agg(F.sum("n_avail").cast("long").alias("n_lang"))
+    # language totals as a window over the config-sized grid — a
+    # re-aggregate joined back re-scans the corpus (scan_sweep)
     j = (
-        avail.join(F.broadcast(tot_l), "lang")
+        avail.withColumn(
+            "n_lang",
+            F.sum("n_avail").over(Window.partitionBy("lang")).cast("long"),
+        )
         .join(F.broadcast(lang_q), "lang")
         .select(
             "lang",
@@ -837,7 +851,12 @@ def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE sqrt(CAST(n_in AS DOUBLE)) * sqrt(sqrt(CAST(n_in AS DOUBLE)))"
         " END"
     )
-    rates = (
+    from ..io import swap_cache
+
+    # (lang × alpha)-bounded rate table with two consumers — persisted
+    # so the corpus count runs once (scan_sweep finding)
+    rates = swap_cache(
+        _SWEEP_CACHE,
         d.groupBy("lang")
         .agg(F.count("*").alias("n_in"))
         .withColumn(
@@ -850,7 +869,7 @@ def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(least(1000000, floor(1000000.0 * {TEMP_K}"
                 f" / ({pow_expr}))) AS BIGINT)"
             ),
-        )
+        ),
     )
     kept = d.join(F.broadcast(rates), "lang").filter(
         _hash_bucket(F.col("doc_id"), "temp|", 1_000_000) < F.col("p_ppm")
