@@ -149,7 +149,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("cnt"))
     )
+    # ranks, cumulative mass, AND language totals all come off the
+    # same vocab-bounded count table as windows — a totals aggregate
+    # joined back (twice) re-ran the corpus explode per reference
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    w_lang = Window.partitionBy("lang")
     ranked = cnt.select(
         "lang",
         "cnt",
@@ -157,22 +161,20 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("cum"),
-    )
-    totals = cnt.groupBy("lang").agg(
-        F.sum("cnt").cast("long").alias("total_toks"),
-        F.count("*").cast("long").alias("total_types"),
+        F.sum("cnt").over(w_lang).cast("long").alias("total_toks"),
+        F.count("*").over(w_lang).cast("long").alias("total_types"),
     )
     pcts = F.array(*[F.lit(p) for p in COVERAGE_PCTS])
     return (
-        ranked.join(F.broadcast(totals), "lang")
-        .select("*", F.explode(pcts).alias("pct"))
+        ranked.select("*", F.explode(pcts).alias("pct"))
         .filter(F.lit(100) * F.col("cum") >= F.col("pct") * F.col("total_toks"))
         .groupBy("lang", "pct")
         .agg(
             F.min("rank").alias("n_types"),
             F.min_by("cum", "rank").cast("long").alias("covered_toks"),
+            F.first("total_types").alias("total_types"),
+            F.first("total_toks").alias("total_toks"),
         )
-        .join(F.broadcast(totals), "lang")
         .select("lang", "pct", "n_types", "covered_toks", "total_types", "total_toks")
     )
 

@@ -234,16 +234,25 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         px.groupBy("span")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > 1)
-        .select("span")
+        .select("span", F.lit(1).alias("hit"))
     )
-    hit = px.join(shared, "span").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans")
-    )
-    base = d.select("doc_id", F.size("spans").alias("n_spans"))
-    out = base.join(hit, "doc_id", "left").select(
+    # explode_outer carries zero-span docs through the scoring pass,
+    # so per-doc span counts ride the SAME explode as the dup probe —
+    # a separate base branch was a third full tokenize pass
+    px_outer = d.select(
         "doc_id",
-        "n_spans",
-        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.size("spans").alias("n_spans"),
+        F.explode_outer("spans").alias("span"),
+    )
+    out = (
+        px_outer.join(shared, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
     )
     ppm = F.when(
         F.col("n_spans") > 0,
