@@ -183,3 +183,42 @@ def test_lsh_pair_generation_single_signature_pass(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scan_counts_stay_at_sweep_fixed_levels(spark, sf_dir):
+    """The round-5 redundant-pass sweep fixed these queries' plans to
+    a known scan-node count; a regression back to the join-back /
+    self-join / per-branch shapes shows up here as extra scans."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    caps = {
+        "minhash_lsh_pairs": 1,
+        "embedding_near_dup": 1,
+        "capped_waterfill_allocation": 1,
+        "vocab_coverage": 1,
+        "term_salience_topk": 1,
+        "knn_graph_build": 3,
+        "gdpr_delete_propagation": 3,
+        "dedup_triangles": 2,
+        "dedup_degree_hist": 2,
+        "lm_doc_perplexity": 2,
+        "rare_token_quality": 2,
+        "token_pmi_topk": 2,
+        "span_dedup_stats": 2,
+        "retention_cohorts": 2,
+        "temperature_resample": 2,
+        "temperature_sweep": 2,
+        "quality_feature_matrix": 3,
+        "quality_lm_calibration": 2,
+        "approx_quantile_contract": 2,
+        # total across all three tables: one fused orders aggregate,
+        # two referential joins (2 sides each), one lineitem aggregate
+        "dq_audit": 6,
+    }
+    qs = entrymod.queries()
+    for name, cap in caps.items():
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        n = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        assert n <= cap, f"{name}: {n} scan nodes (cap {cap})"
