@@ -56,6 +56,14 @@ def build_10x() -> None:
           FROM read_parquet('{BASE}/documents.parquet'), range(0, 10) t(k)
         ) TO '{TENX}/documents.parquet' (FORMAT PARQUET)
         """)
+    if not os.path.exists(f"{TENX}/events.parquet"):
+        con.execute(f"""
+        COPY (
+          SELECT event_id + k * 1000000000 AS event_id, ts, user_id,
+                 event_type, value, props
+          FROM read_parquet('{BASE}/events.parquet'), range(0, 10) t(k)
+        ) TO '{TENX}/events.parquet' (FORMAT PARQUET)
+        """)
     if not os.path.exists(f"{TENX}/orders.parquet"):
         con.execute(f"""
         COPY (
@@ -88,12 +96,43 @@ def main() -> int:
         t(f"{tag} dedup_exact", lambda sf=sf: dedup_exact(spark, sf).count())
         t(f"{tag} quality_feature_matrix", lambda sf=sf: quality_feature_matrix(spark, sf).count())
         t(f"{tag} llm_corpus_prep", lambda sf=sf: sorted(map(tuple, llm_corpus_prep(spark, sf).collect()))[:1])
-    # the invariant that makes duplication a CORRECTNESS stress, not
-    # just a load test: the composite must reproduce the 1x answer
+    # the invariants that make duplication a CORRECTNESS stress, not
+    # just a load test:
+    # 1. the composite must collapse the copies and reproduce 1x
     one = sorted(map(tuple, llm_corpus_prep(spark, BASE).collect()))
     ten = sorted(map(tuple, llm_corpus_prep(spark, TENX).collect()))
     ok = one == ten
     print(f"# llm_corpus_prep 10x == 1x: {ok}")
+    # 2. distinct-based behavioral ops are duplication-INVARIANT
+    #    (user-day / user-type sets unchanged by copies) ...
+    from fxblue_etl_spark.plans.behavior import (
+        event_cooccurrence,
+        retention_cohorts,
+    )
+
+    t("1x  retention_cohorts", lambda: retention_cohorts(spark, BASE).count())
+    t("10x retention_cohorts", lambda: retention_cohorts(spark, TENX).count())
+    r1 = sorted(map(tuple, retention_cohorts(spark, BASE).collect()))
+    r10 = sorted(map(tuple, retention_cohorts(spark, TENX).collect()))
+    c1 = sorted(map(tuple, event_cooccurrence(spark, BASE).collect()))
+    c10 = sorted(map(tuple, event_cooccurrence(spark, TENX).collect()))
+    ok = ok and r1 == r10 and c1 == c10
+    print(f"# retention/cooccurrence 10x == 1x: {r1 == r10} {c1 == c10}")
+    # 3. ... while count-based rollups scale EXACTLY 10x per cell
+    #    (row counts and integer value sums x10; distinct users
+    #    unchanged — all three in one query's output)
+    from fxblue_etl_spark.plans.advanced import hourly_event_load
+
+    h1 = {(r.hour, r.event_type): r for r in hourly_event_load(spark, BASE).collect()}
+    h10 = {(r.hour, r.event_type): r for r in hourly_event_load(spark, TENX).collect()}
+    exact10 = set(h1) == set(h10) and all(
+        h10[k].n == 10 * v.n
+        and h10[k].n_users == v.n_users
+        and h10[k].total_value_e4 == 10 * v.total_value_e4
+        for k, v in h1.items()
+    )
+    ok = ok and exact10
+    print(f"# hourly_event_load: n,sum x10 exact; n_users invariant: {exact10}")
     print(f"# load_avg at end: {os.getloadavg()[0]:.2f}")
     return 0 if ok else 1
 
