@@ -27,6 +27,13 @@ Measured 2026-08-14 (local[32], idle start, load noted inline):
     10x quality_feature_matrix  1.7s  50,000 rows (single persisted
                                        scan; fixed overheads dominate)
 
+A one-off 100× probe (500k docs, 100-member identical families —
+every family bucket explodes to C(100,2)=4950 pairs) measured
+**27,390,000 verified pairs in 93s** through the same grouped plan,
+and ``llm_corpus_prep`` at 100× still returned the bit-identical 1×
+rows in 23s — the exact-dedup stage collapses the families before
+the pair graph ever sees them.
+
 Usage:
     python tools/scale_stress.py            # builds /tmp/sf10x, runs all
 """
