@@ -79,6 +79,22 @@ GATE_WHITELIST = {
 DEFAULT_MAX = 3
 
 
+def gate_violations(rows) -> list[tuple[str, int, int]]:
+    """Pure gate rule over sweep rows ((name, worst, dup, big)):
+    a query may scan a corpus-sized table at most its whitelisted
+    count (unlisted: DEFAULT_MAX). Split out so the rule is testable
+    without building 282 Spark plans."""
+    out = []
+    for name, _worst, dup, big in rows:
+        if not big:
+            continue
+        worst_big = max(c for t, c in dup.items() if t in BIG_TABLES)
+        allowed = GATE_WHITELIST.get(name, DEFAULT_MAX)
+        if worst_big > allowed:
+            out.append((name, worst_big, allowed))
+    return out
+
+
 def main() -> int:
     min_scans, positional, gate = 3, [], False
     argv = sys.argv[1:]
@@ -126,15 +142,10 @@ def main() -> int:
 
     rows.sort(key=lambda r: (-r[1], r[0]))
     print(f"# queries scanning one table >= {min_scans}x ({sf_dir}):")
-    violations = []
     for name, worst, dup, big in rows:
         flag = " [corpus-sized]" if big else ""
         print(f"{worst:3d}x  {name}  {dup}{flag}")
-        if gate and big:
-            worst_big = max(c for t, c in dup.items() if t in BIG_TABLES)
-            allowed = GATE_WHITELIST.get(name, DEFAULT_MAX)
-            if worst_big > allowed:
-                violations.append((name, worst_big, allowed))
+    violations = gate_violations(rows) if gate else []
     for name, err in errs:
         print(f"ERR   {name}  {err}")
     print(f"# total: {len(rows)} flagged, {len(errs)} errors")
