@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import fan_out, table
+from ..io import fan_out, swap_cache, table
 from ..session import tune
 
 #: number of clusters (init = the K lowest vec_ids)
@@ -291,6 +291,9 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QIVF_CACHE: list = []
+
+
 def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual 100 TB serving-time ANN shape: IVF clustering picks
     WHICH vectors to scan, int8 codes decide HOW each one is scored.
@@ -326,7 +329,9 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cent_id").alias("cluster"))
     )
     codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
-    aq = assigned.join(codes, "vec_id")
+    # the quantized assignment table IS the serving index — persisted
+    # (io.swap_cache): probed by the query side and the candidate side
+    aq = swap_cache(_QIVF_CACHE, assigned.join(codes, "vec_id"))
     queries = aq.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("cluster").alias("qcluster"),
@@ -693,6 +698,9 @@ FROM per_label p JOIN cent c USING (label)
 N_PROBE = 3
 
 
+_MPROBE_CACHE: list = []
+
+
 def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN: each query probes its ``N_PROBE`` nearest
     centroids (not just its own cluster) and re-ranks the union of
@@ -728,7 +736,7 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cent_id").alias("cluster"))
     )
     codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
-    aq = assigned.join(codes, "vec_id")
+    aq = swap_cache(_MPROBE_CACHE, assigned.join(codes, "vec_id"))
     # queries rank ALL centroids and keep the N_PROBE nearest
     probes = (
         base.filter(F.col("vec_id") % 50 == 0)

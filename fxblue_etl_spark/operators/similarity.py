@@ -94,6 +94,10 @@ FROM ranked WHERE rank <= 5
 """
 
 
+#: live cache of the previous ann_ivf_topk invocation (io.swap_cache)
+_IVF_CACHE: list = []
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest fixed
     centroid (vec_id % 100 == 0), then answer each query (vec_id %
@@ -117,6 +121,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("cent_id").alias("cluster"))
     )
+    # the assignment table IS the IVF index — persist it for the
+    # invocation (io.swap_cache); probed twice (query side + candidate
+    # side), un-persisted each probe re-ran the centroid argmin pass
+    from ..io import swap_cache
+
+    assigned = swap_cache(_IVF_CACHE, assigned)
     q = assigned.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -200,6 +200,8 @@ def test_scan_counts_stay_at_sweep_fixed_levels(spark, sf_dir):
         "vocab_coverage": 1,
         "term_salience_topk": 1,
         "knn_graph_build": 3,
+        "ann_ivf_topk": 2,
+        "quantized_ivf_topk": 3,
         "gdpr_delete_propagation": 3,
         "dedup_triangles": 2,
         "dedup_degree_hist": 2,
