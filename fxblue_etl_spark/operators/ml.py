@@ -992,7 +992,9 @@ def _pq_sqdist(a, b) -> Column:
     )
 
 
-def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_encode(
+    spark: SparkSession, sf_dir: str, subs: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization encoding: every vector compresses to M_PQ
     4-bit codes (nearest codebook entry per subspace) — the layout
     that stores a 100 TB float corpus in ~1/64 the bytes and feeds
@@ -1006,8 +1008,10 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the codebook is M_PQ×K_PQ rows — broadcast; encoding
     is one equi-join on the subspace id plus a map-side-combined
     argmin groupBy. Rows shuffled: n·M_PQ code assignments, nothing
-    pairwise."""
-    subs = _pq_subspaces(spark, sf_dir)
+    pairwise.  ``subs`` lets `pq_adc_topk` feed the encoder from its
+    persisted subspace frame instead of a second corpus pass."""
+    if subs is None:
+        subs = _pq_subspaces(spark, sf_dir)
     cb = subs.filter(F.col("vec_id") < K_PQ).select(
         F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
     )
@@ -1053,6 +1057,9 @@ FROM packed
 """
 
 
+_ADC_CACHE: list = []
+
+
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance (ADC) ANN scan over the PQ codes: each
     query precomputes its M_PQ×K_PQ distance table to every codebook
@@ -1065,8 +1072,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All distances are exact int64 on the e3 grid, so ranking (asc
     dist, asc neighbor_id) is bit-identical cross-engine; recall vs
-    the exact float baseline is certified in `tests/test_ml.py`."""
-    subs = _pq_subspaces(spark, sf_dir)
+    the exact float baseline is certified in `tests/test_ml.py`.
+
+    The subspace frame persists for the invocation (io.swap_cache)
+    and feeds the codebook, the query ADC tables, AND the encoder —
+    un-shared, each branch re-ran the e3-quantize corpus pass (four
+    scans; now one)."""
+    subs = swap_cache(_ADC_CACHE, _pq_subspaces(spark, sf_dir))
     cb = subs.filter(F.col("vec_id") < K_PQ).select(
         F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
     )
@@ -1078,7 +1090,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "m", "c", _pq_sqdist(F.col("sv"), F.col("cv")).alias("dmc")
         )
     )
-    codes = pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    codes = pq_encode(spark, sf_dir, subs=subs).select("vec_id", "m", "code")
     scored = (
         codes.join(
             F.broadcast(adc),

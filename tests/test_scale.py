@@ -202,6 +202,7 @@ def test_scan_counts_stay_at_sweep_fixed_levels(spark, sf_dir):
         "knn_graph_build": 3,
         "ann_ivf_topk": 2,
         "quantized_ivf_topk": 3,
+        "pq_adc_topk": 1,
         "gdpr_delete_propagation": 3,
         "dedup_triangles": 2,
         "dedup_degree_hist": 2,

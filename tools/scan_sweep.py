@@ -60,7 +60,6 @@ GATE_WHITELIST = {
     # IVF serving: the extra scans are the query-set and centroid
     # sides (modulo-filtered, column-pruned — not full corpus passes)
     "ivf_multiprobe_topk": 6,
-    "pq_adc_topk": 4,
     # three-branch NOT IN / NOT EXISTS / anti-join semantics demo —
     # the branches ARE the point
     "not_in_null_semantics": 6,
