@@ -60,3 +60,23 @@ def test_repeated_invocations_do_not_accumulate_blocks(spark):
     for _ in range(3):
         capped_waterfill_allocation(spark, sf).collect()
     assert _n_persistent_rdds(spark) <= after_first
+
+
+def test_no_cross_sf_cache_leak(spark):
+    """The driver calls entry() at sf0.001 and the gate at sf0.01 in
+    one session: a swap_cache slot holding the previous sf's frame
+    must never substitute into the other sf's plan (logical-plan
+    matching is path-sensitive, and a new invocation releases the old
+    slot).  Verified by comparing against the opposite call order."""
+    from fxblue_etl_spark.operators.corpusops import (
+        capped_waterfill_allocation,
+    )
+    from fxblue_etl_spark.operators.ml import knn_graph_build
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    for fn in (capped_waterfill_allocation, knn_graph_build):
+        first = sorted(map(tuple, fn(spark, a).collect()))
+        after_other = sorted(map(tuple, fn(spark, b).collect()))
+        again = sorted(map(tuple, fn(spark, a).collect()))
+        assert first == again, fn.__name__
+        assert first != after_other, fn.__name__  # different fixtures differ
