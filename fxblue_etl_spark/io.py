@@ -10,6 +10,8 @@ scale the same call fans out one task per row-group/split.
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -117,12 +119,36 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass  # cleanup must never fail the query
 
 
-def swap_cache(slot: list, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
+#: Central swap_cache registry: SparkSession → {slot name → live
+#: frames}.  Weak-keyed so a dropped session releases its Python-side
+#: bookkeeping (the JVM blocks die with the session's SharedState).
+_SWAP_SLOTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_SWAP_LOCK = threading.Lock()
+
+
+def _release(frames: list[DataFrame]) -> None:
+    for df in frames:
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # cleanup must never fail the query
+
+
+def swap_cache(slot: str, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
     """Persist ``dfs`` for reuse within ONE query invocation,
-    releasing whatever the previous invocation left in ``slot`` (a
-    module-level list) — the pattern `plans/corpus._swap_cache`
-    proved: a shared bench/driver session must never accumulate more
-    than one invocation's worth of cached blocks.
+    releasing whatever the previous invocation of the same query left
+    under ``slot`` *in the same SparkSession* — a shared bench/driver
+    session must never accumulate more than one invocation's worth of
+    cached blocks per query.
+
+    Slots are keyed by (session, name) in a central registry, so two
+    sessions running the same query concurrently cannot release each
+    other's blocks, and a harness can drop every live slot between
+    query sections with :func:`drain_all`.  The session is taken from
+    ``dfs[0]``; a bare ``swap_cache(name)`` call drains that slot in
+    every session.
 
     Release FIRST, persist SECOND: CacheManager dedups by logical
     plan, so persisting the new (identical) plan before dropping the
@@ -136,24 +162,50 @@ def swap_cache(slot: list, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]
     subtree k times — the scan-count sweep found an 18× corpus-scan
     plan built exactly that way.
 
-    NOT thread-safe: slots are module-level, sized to the sequential
-    driver/bench/gate contract (one invocation at a time per
-    process).  Two threads invoking the same query concurrently could
-    release each other's blocks mid-action — the action still
-    completes correctly (Spark recomputes evicted blocks from
-    lineage), but the cache benefit is lost; don't share a session's
-    swap_cache-backed queries across threads."""
-    while slot:
-        try:
-            slot.pop().unpersist(False)
-        except Exception:
-            pass
-    out = []
-    for df in dfs:
-        df = df.persist()
-        slot.append(df)
-        out.append(df)
+    Same-session concurrency note: two threads invoking the SAME
+    query on the SAME session still share a slot — the registry swap
+    itself is lock-protected, but the loser's blocks are released
+    mid-action.  The action still completes correctly (Spark
+    recomputes evicted blocks from lineage); only the cache benefit
+    is lost."""
+    if not dfs:
+        with _SWAP_LOCK:
+            drained = [
+                slots.pop(slot) for slots in _SWAP_SLOTS.values() if slot in slots
+            ]
+        for frames in drained:
+            _release(frames)
+        return None
+    sess = dfs[0].sparkSession
+    with _SWAP_LOCK:
+        prev = _SWAP_SLOTS.setdefault(sess, {}).pop(slot, [])
+    _release(prev)
+    out = [df.persist() for df in dfs]
+    with _SWAP_LOCK:
+        _SWAP_SLOTS.setdefault(sess, {})[slot] = list(out)
     return out[0] if len(out) == 1 else tuple(out)
+
+
+def drain_all(spark: SparkSession | None = None) -> int:
+    """Release every live swap_cache slot (of ``spark``, or of all
+    sessions).  For a driver/bench harness to call between query
+    sections so a full-surface run never holds more than the current
+    query's blocks.  Returns the number of slots drained."""
+    with _SWAP_LOCK:
+        sessions = (
+            [spark]
+            if spark is not None
+            else list(_SWAP_SLOTS.keys())
+        )
+        drained: list[list[DataFrame]] = []
+        for sess in sessions:
+            slots = _SWAP_SLOTS.get(sess)
+            if slots:
+                drained.extend(slots.values())
+                slots.clear()
+    for frames in drained:
+        _release(frames)
+    return len(drained)
 
 
 def write_partitioned(

@@ -267,10 +267,6 @@ FROM cleaned
 TEMP_K = 10
 
 
-#: live caches (io.swap_cache — released on each next call)
-_TEMP_CACHE: list = []
-_SWEEP_CACHE: list = []
-
 
 def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (the n^alpha rule,
@@ -289,7 +285,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang-bounded rate table with two consumers (the keep filter and
     # the final report join) — persisted so the corpus count runs once
     rates = swap_cache(
-        _TEMP_CACHE,
+        "corpusops.temperature",
         d.groupBy("lang")
         .agg(F.count("*").alias("n_in"))
         .withColumn(
@@ -562,10 +558,6 @@ DSIR_BUCKETS = 512
 DSIR_TARGET_LANG = "en"
 
 
-#: live cache of the previous dsir_importance_stats invocation (see
-#: io.swap_cache — released on the next call)
-_DSIR_CACHE: list = []
-
 
 def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-resampling sufficient statistics
@@ -602,7 +594,7 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import swap_cache
 
     margins = swap_cache(
-        _DSIR_CACHE,
+        "corpusops.dsir",
         db.groupBy("fb").agg(
             F.count("*").alias("n_src"),
             F.count(
@@ -856,7 +848,7 @@ def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lang × alpha)-bounded rate table with two consumers — persisted
     # so the corpus count runs once (scan_sweep finding)
     rates = swap_cache(
-        _SWEEP_CACHE,
+        "corpusops.sweep",
         d.groupBy("lang")
         .agg(F.count("*").alias("n_in"))
         .withColumn(
@@ -974,10 +966,6 @@ WATERFILL_FILL_SQL = f"""
         """
 
 
-#: live cache of the previous capped_waterfill_allocation invocation
-#: (see io.swap_cache — released on the next call)
-_WF_CACHE: list[DataFrame] = []
-
 
 def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped water-filling: allocate a token budget across sources
@@ -1010,7 +998,7 @@ def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = d.groupBy("source").agg(
         F.sum(F.size(ws_tokens("text"))).cast("long").alias("cap")
     )
-    caps = swap_cache(_WF_CACHE, caps)
+    caps = swap_cache("corpusops.waterfill", caps)
     caps.createOrReplaceTempView("wf_caps")
     return tune(spark).sql(WATERFILL_FILL_SQL)
 

@@ -249,10 +249,6 @@ FROM sizes GROUP BY 1
 """
 
 
-#: live cache of the previous dedup_triangles invocation (see
-#: io.swap_cache — released on the next call)
-_TRI_CACHE: list[DataFrame] = []
-
 
 def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup pair graph — the clustering-
@@ -272,7 +268,7 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = swap_cache(
-        _TRI_CACHE,
+        "graph.triangles",
         embedding_near_dup(spark, sf_dir).select(
             F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
         ),
@@ -330,12 +326,23 @@ _VAL_PCT = 90
 #: the memo every consumer re-derives the whole pipeline (round-4
 #: verdict item 6).  Entries are localCheckpoint'ed (truncated
 #: lineage, blocks pinned for the process) and keyed by session too,
-#: since checkpoint blocks die with their SparkContext.  Assumes the
-#: fixture under sf_dir is immutable for the process lifetime — true
-#: for the driver gate, verify_local and tests (tmp fixtures get
-#: fresh paths).  Bounded: oldest entries released past _GRP_MEMO_CAP.
-_GRP_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+#: since checkpoint blocks die with their SparkContext.  The key also
+#: carries a fixture fingerprint (documents.parquet mtime+size), so a
+#: fixture regenerated at the same path mid-process invalidates the
+#: entry instead of silently serving stale groups.  Bounded: oldest
+#: entries released past _GRP_MEMO_CAP.
+_GRP_MEMO: dict[str, tuple[SparkSession, tuple, DataFrame]] = {}
 _GRP_MEMO_CAP = 8
+
+
+def _fixture_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def clear_spine_memo() -> None:
@@ -345,7 +352,7 @@ def clear_spine_memo() -> None:
     from ..io import release_local_checkpoint
 
     while _GRP_MEMO:
-        _, df = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))
+        *_, df = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))
         release_local_checkpoint(df)
 
 
@@ -360,9 +367,10 @@ def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import fan_out, release_local_checkpoint, table
     from .dedup import lsh_jaccard_pairs
 
+    fp = _fixture_fingerprint(sf_dir)
     hit = _GRP_MEMO.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    if hit is not None and hit[0] is spark and hit[1] == fp:
+        return hit[2]
     docs = fan_out(table(tune(spark), sf_dir, "documents"))
     pairs = (
         lsh_jaccard_pairs(docs)
@@ -383,9 +391,9 @@ def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     while len(_GRP_MEMO) >= _GRP_MEMO_CAP:
-        _, old = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))  # oldest first
+        *_, old = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))  # oldest first
         release_local_checkpoint(old)
-    _GRP_MEMO[sf_dir] = (spark, out)
+    _GRP_MEMO[sf_dir] = (spark, fp, out)
     return out
 
 

@@ -291,7 +291,6 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QIVF_CACHE: list = []
 
 
 def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +330,7 @@ def quantized_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
     # the quantized assignment table IS the serving index — persisted
     # (io.swap_cache): probed by the query side and the candidate side
-    aq = swap_cache(_QIVF_CACHE, assigned.join(codes, "vec_id"))
+    aq = swap_cache("ml.qivf", assigned.join(codes, "vec_id"))
     queries = aq.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("cluster").alias("qcluster"),
@@ -408,10 +407,6 @@ SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 3
 
 #: neighbors per node in the kNN graph build
 KNN_GRAPH_K = 3
-
-#: live cache of the previous knn_graph_build invocation (see
-#: io.swap_cache — released on the next call)
-_KNN_CACHE: list[DataFrame] = []
 
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +485,7 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one call, both frames: cache substitution matches aq's logical
     # subtree inside edges' plan, so edges' first execution reads the
     # cached aq rather than re-deriving the assignment
-    aq, edges = swap_cache(_KNN_CACHE, aq, edges)
+    aq, edges = swap_cache("ml.knn", aq, edges)
     rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     mutual = edges.join(rev, ["src", "dst"], "left_semi")
     per_cluster = edges.groupBy("cluster").agg(
@@ -698,7 +693,6 @@ FROM per_label p JOIN cent c USING (label)
 N_PROBE = 3
 
 
-_MPROBE_CACHE: list = []
 
 
 def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,7 +730,7 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cent_id").alias("cluster"))
     )
     codes = embedding_quantize(spark, sf_dir).select("vec_id", "q")
-    aq = swap_cache(_MPROBE_CACHE, assigned.join(codes, "vec_id"))
+    aq = swap_cache("ml.mprobe", assigned.join(codes, "vec_id"))
     # queries rank ALL centroids and keep the N_PROBE nearest
     probes = (
         base.filter(F.col("vec_id") % 50 == 0)
@@ -1057,7 +1051,6 @@ FROM packed
 """
 
 
-_ADC_CACHE: list = []
 
 
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,7 +1071,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and feeds the codebook, the query ADC tables, AND the encoder —
     un-shared, each branch re-ran the e3-quantize corpus pass (four
     scans; now one)."""
-    subs = swap_cache(_ADC_CACHE, _pq_subspaces(spark, sf_dir))
+    subs = swap_cache("ml.adc", _pq_subspaces(spark, sf_dir))
     cb = subs.filter(F.col("vec_id") < K_PQ).select(
         F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
     )

@@ -347,10 +347,6 @@ FROM per_src, tot
 """
 
 
-#: live cache of the previous quality_lm_calibration invocation (see
-#: io.swap_cache — released on the next call)
-_CAL_CACHE: list = []
-
 
 def quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-signal calibration of the heuristic quality score against
@@ -370,7 +366,7 @@ def quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tfidf import lm_doc_perplexity
 
     base = swap_cache(
-        _CAL_CACHE,
+        "quality.calibration",
         fan_out(table(tune(spark), sf_dir, "documents")).select(
             "doc_id", "text"
         ),
@@ -481,10 +477,6 @@ GROUP BY 1
 """
 
 
-#: live cache of the previous quality_feature_matrix invocation (see
-#: io.swap_cache — released on the next call)
-_QFM_CACHE: list = []
-
 
 def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality FEATURE MATRIX: the wide table a quality-
@@ -520,7 +512,7 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tfidf import lm_doc_perplexity, rare_token_quality
 
     base = swap_cache(
-        _QFM_CACHE,
+        "quality.feature_matrix",
         fan_out(table(tune(spark), sf_dir, "documents")).select(
             "doc_id", "lang", "text"
         ),

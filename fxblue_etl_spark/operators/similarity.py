@@ -94,9 +94,6 @@ FROM ranked WHERE rank <= 5
 """
 
 
-#: live cache of the previous ann_ivf_topk invocation (io.swap_cache)
-_IVF_CACHE: list = []
-
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest fixed
@@ -126,7 +123,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side), un-persisted each probe re-ran the centroid argmin pass
     from ..io import swap_cache
 
-    assigned = swap_cache(_IVF_CACHE, assigned)
+    assigned = swap_cache("similarity.ivf", assigned)
     q = assigned.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -652,10 +652,6 @@ FROM pairs p JOIN outgoing o USING (from_type)
 """
 
 
-#: live cache of the previous daily_anomaly_days invocation (see
-#: io.swap_cache — released on the next call)
-_ANOM_CACHE: list = []
-
 
 def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust time-series anomaly detection: per event type, flag the
@@ -678,7 +674,7 @@ def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calendar-bounded (days × types) frame with three consumers —
     # persist for the invocation so the corpus rollup runs once
     daily = swap_cache(
-        _ANOM_CACHE,
+        "temporal.anomaly",
         e.groupBy("day", "event_type").agg(
             F.sum("v_e4").cast("long").alias("total_e4")
         ),

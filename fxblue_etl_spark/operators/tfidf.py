@@ -109,10 +109,6 @@ FROM ranked WHERE rank <= {TOPK_TERMS}
 """
 
 
-#: live cache of the previous rare_token_quality invocation (see
-#: io.swap_cache — released on the next call)
-_RARE_CACHE: list = []
-
 
 def rare_token_quality(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
@@ -126,10 +122,15 @@ def rare_token_quality(
     rare ppm, and the exact corpus-frequency mass of its tokens
     (``sum over tokens of corpus_count(tok)`` — the integer sufficient
     statistic a unigram-LM score is the log of).
+
+    ``docs`` lets a composite (quality_feature_matrix) feed all its
+    signals from ONE persisted scan instead of re-reading the table.
     """
-    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
+    d = (
+        docs
+        if docs is not None
+        else fan_out(table(tune(spark), sf_dir, "documents"))
+    ).select("doc_id", ws_tokens("text").alias("toks"))
     from ..io import swap_cache
 
     px = d.select("doc_id", F.explode("toks").alias("tok"))
@@ -137,7 +138,7 @@ def rare_token_quality(
     # the scoring join) — persist so the corpus explode behind it
     # runs once; the profile + score passes are then the minimum two
     cnt = swap_cache(
-        _RARE_CACHE, px.groupBy("tok").agg(F.count("*").alias("cnt"))
+        "tfidf.rare", px.groupBy("tok").agg(F.count("*").alias("cnt"))
     )
     tot = cnt.agg(
         F.sum("cnt").cast("long").alias("n_total"),
@@ -459,10 +460,6 @@ PMI_MIN_PAIR = 5
 PMI_BUCKETS = 16
 
 
-#: live cache of the previous token_pmi_topk invocation (see
-#: io.swap_cache — released on the next call)
-_PMI_CACHE: list = []
-
 
 def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide collocation mining: the PMI-strongest adjacent
@@ -521,7 +518,7 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
         .agg(F.count("*").alias("n_pair"))
     )
-    uni, pairs_all = swap_cache(_PMI_CACHE, uni, pairs_all)
+    uni, pairs_all = swap_cache("tfidf.pmi", uni, pairs_all)
     pairs = pairs_all.filter(F.col("n_pair") >= PMI_MIN_PAIR)
     # corpus totals: two scalar rows, broadcast by construction.
     # M = Σ max(len-1, 0) — the UNFILTERED adjacent-pair count, so

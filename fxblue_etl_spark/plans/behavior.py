@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import swap_cache, table
 from ..session import tune
 
 
@@ -106,10 +106,6 @@ FROM mat m JOIN sized s USING (cohort_day)
 """
 
 
-#: live cache of the previous event_cooccurrence invocation (see
-#: io.swap_cache — released on the next call)
-_COOC_CACHE: list = []
-
 
 def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type association matrix: for each unordered type pair,
@@ -126,7 +122,7 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import swap_cache
 
     sets = swap_cache(
-        _COOC_CACHE,
+        "behavior.cooc",
         table(tune(spark), sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
@@ -347,7 +343,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         recency = F.max("o_orderdate")
     else:
         recency = F.unix_micros(F.max("o_orderdate").cast("timestamp"))
-    per_cust = _swap_rfm_cache(
+    per_cust = swap_cache(
+        "behavior.rfm",
         o.groupBy("o_custkey").agg(
             recency.alias("last_order"),
             F.count("*").alias("n_orders"),
@@ -423,24 +420,6 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
-
-
-#: releasable persist slot for rfm's per-customer frame (the
-#: `_swap_cache` pattern from plans/corpus.py): the frame is consumed
-#: by four passes (count, boundary values, below-boundary counts,
-#: final scoring), so each invocation frees the previous pin first
-_RFM_CACHE: list[DataFrame] = []
-
-
-def _swap_rfm_cache(df: DataFrame) -> DataFrame:
-    while _RFM_CACHE:
-        try:
-            _RFM_CACHE.pop().unpersist(False)
-        except Exception:
-            pass
-    df = df.persist()
-    _RFM_CACHE.append(df)
-    return df
 
 
 RFM_ORACLE = """

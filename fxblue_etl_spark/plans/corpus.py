@@ -39,31 +39,9 @@ from ..session import tune
 #: exact-Jaccard threshold for a candidate pair to count as near-dup
 NEAR_DUP_JACCARD = 0.5
 
-#: the live cache from the previous llm_corpus_prep invocation —
-#: released on the next call so a shared-session bench/driver run
-#: never accumulates more than one invocation's worth of blocks
-#: (round 2's unreleased localCheckpoint was the leading suspect for
-#: unrelated-query bench regressions in the shared session)
-_LIVE_CACHE: list[DataFrame] = []
-
-
-def _swap_cache(df: DataFrame) -> DataFrame:
-    # release FIRST, persist SECOND: CacheManager dedups by logical
-    # plan, so persisting the new (identical) plan before dropping the
-    # old entry would no-op, and the old entry's unpersist would then
-    # evict the cache the new invocation is counting on
-    while _LIVE_CACHE:
-        try:
-            _LIVE_CACHE.pop().unpersist(False)
-        except Exception:
-            pass
-    df = df.persist()
-    _LIVE_CACHE.append(df)
-    return df
-
 
 def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import table
+    from ..io import swap_cache, table
     from ..operators.dedup import lsh_jaccard_pairs
     from ..operators.graph import connected_components
     from ..operators.textops import lang_id, quality_score
@@ -95,8 +73,8 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti join; persist so the quality/lang/md5 lineage runs once
     # instead of twice (it is tiny: post-gate survivors only).
     # persist — not localCheckpoint — so the blocks are releasable
-    # via unpersist; _swap_cache frees the previous invocation's.
-    exact_kept = _swap_cache(exact_kept)
+    # via unpersist; swap_cache frees the previous invocation's.
+    exact_kept = swap_cache("corpus.llm_prep", exact_kept)
 
     # Near-dup trim over the exact-dedup survivors: banded-LSH pair
     # graph (verified Jaccard >= 0.5) → connected components → keep

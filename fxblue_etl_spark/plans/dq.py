@@ -103,10 +103,6 @@ SELECT
 """
 
 
-#: live cache of the previous source_length_drift invocation (see
-#: io.swap_cache — released on the next call)
-_DRIFT_CACHE: list = []
-
 
 def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: per source, the exact KS statistic
@@ -128,7 +124,7 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(tune(spark), sf_dir, "documents").select("source", "n_chars")
     counts = swap_cache(
-        _DRIFT_CACHE,
+        "dq.drift",
         d.groupBy("source", "n_chars").agg(F.count("*").alias("n_sl")),
     )
     lens = counts.select("n_chars").distinct()
@@ -342,10 +338,6 @@ GROUP BY 1
 #: deterministic stand-in for a GDPR/right-to-be-forgotten request table
 GDPR_MOD = 97
 
-#: live cache of the previous gdpr_delete_propagation invocation
-#: (see io.swap_cache — released on the next call)
-_GDPR_CACHE: list = []
-
 
 def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation audit: given a (small)
@@ -372,7 +364,7 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(tune(spark), sf_dir, "documents")
     is_del = F.col("doc_id") % GDPR_MOD == 0
     per_doc = swap_cache(
-        _GDPR_CACHE,
+        "dq.gdpr",
         chunk_frame(d)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_chunks"))

@@ -648,10 +648,6 @@ FROM regs
 """
 
 
-#: live cache of the previous chi2_contingency_cells invocation
-#: (see io.swap_cache — released on the next call)
-_CHI2_CACHE: list = []
-
 
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
@@ -680,7 +676,7 @@ def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(tune(spark), sf_dir, "orders")
     cells = swap_cache(
-        _CHI2_CACHE,
+        "stats.chi2",
         o.groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderstatus").alias("status"),

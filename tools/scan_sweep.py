@@ -129,10 +129,13 @@ def main() -> int:
         tables = re.findall(
             r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet", plan
         )
+        # the gate must see every multi-scan regardless of the --min
+        # display filter, or `--gate --min 5` silently masks 4-scan
+        # violations of the default cap; --min shapes only the report
         dup = {
             t: c
             for t, c in Counter(tables).items()
-            if c >= min_scans
+            if c >= (2 if gate else min_scans)
         }
         if dup:
             big = {t: c for t, c in dup.items() if t in BIG_TABLES}
@@ -141,12 +144,16 @@ def main() -> int:
     rows.sort(key=lambda r: (-r[1], r[0]))
     print(f"# queries scanning one table >= {min_scans}x ({sf_dir}):")
     for name, worst, dup, big in rows:
+        if worst < min_scans:
+            continue
+        shown = {t: c for t, c in dup.items() if c >= min_scans}
         flag = " [corpus-sized]" if big else ""
-        print(f"{worst:3d}x  {name}  {dup}{flag}")
+        print(f"{worst:3d}x  {name}  {shown}{flag}")
     violations = gate_violations(rows) if gate else []
     for name, err in errs:
         print(f"ERR   {name}  {err}")
-    print(f"# total: {len(rows)} flagged, {len(errs)} errors")
+    n_shown = sum(1 for r in rows if r[1] >= min_scans)
+    print(f"# total: {n_shown} flagged, {len(errs)} errors")
     if gate:
         for name, got, allowed in violations:
             print(
