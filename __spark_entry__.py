@@ -277,7 +277,11 @@ _R6_RECERT: list[str] = [
 #: Queries ADDED in round 6 (exact siblings of rows-only entries,
 #: round-5 verdict item 3) — placed immediately after the 50-window
 #: so they head round 7's rotation without displacing round 6's.
-_R7_QUEUE: list[str] = []
+_R7_QUEUE: list[str] = [
+    "kmeans_iterate_exact",  # integer-µ Lloyd, 3 rounds unrolled in SQL
+    "minhash_lsh_containment",  # certified pairs ⊆ MinHashLSH candidates
+    "brp_lsh_containment",  # certified pairs ⊆ BRP-LSH candidates
+]
 
 #: queries added in round 4, appended to the gate head as they land
 _R4_NEW: list[str] = [

@@ -209,6 +209,189 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point scale for the exact Lloyd sibling (µ-units)
+_KM_SCALE = 1_000_000
+
+#: exact floor division a/b for b > 0 in pure integer arithmetic —
+#: identical in Spark (`DIV`, truncating) and DuckDB (`//`, flooring)
+#: because the numerator is made exactly divisible first.  Both
+#: engines' `%` truncates toward zero, so `((a % b) + b) % b` is the
+#: non-negative remainder in both.
+_FLOORDIV = "({a} - (({a} % {b} + {b}) % {b})) DIV {b}"
+_FLOORDIV_DUCK = "({a} - (({a} % {b} + {b}) % {b})) // {b}"
+
+
+def kmeans_iterate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable sibling of ``kmeans_iterate`` (round-5 verdict
+    item 3): the same N_ITER Lloyd rounds over embeddings quantized to
+    integer µ-units (``floor(x·1e6)`` per component), with centroid
+    updates as exact integer floor division — every intermediate is a
+    BIGINT, so the final memberships, inertia, and centroid checksums
+    are bit-identical cross-engine and the DuckDB oracle (the same
+    three rounds unrolled as CTEs) hash-certifies the whole iteration,
+    not just one step.
+
+    Quantization changes the geometry by < 1µ per component, so this
+    is a *sibling* (same algorithm, certifiable arithmetic), not a
+    replacement: the float production path stays ``kmeans_iterate``.
+    Scale shape is identical — broadcast K centroids, one map-side-
+    combined groupBy per round, K×dim-bounded state."""
+    emb = table(tune(spark), sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    cent = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("qv").alias("centroid"),
+    )
+
+    def isqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(c):
+        cand = emb.join(F.broadcast(c)).select(
+            "vec_id",
+            "qv",
+            F.struct(
+                isqd(F.col("qv"), F.col("centroid")).alias("dist"),
+                F.col("cluster"),
+            ).alias("dc"),
+        )
+        return cand.groupBy("vec_id").agg(
+            F.min("dc").alias("dc"), F.first("qv").alias("qv")
+        )
+
+    for _ in range(N_ITER):
+        a = assign(cent)
+        cent = (
+            a.select(
+                F.col("dc.cluster").alias("cluster"),
+                F.posexplode("qv").alias("dim", "x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.expr(
+                    _FLOORDIV.format(a="sum(x)", b="count(*)")
+                ).alias("c")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    final = assign(cent)
+    chk = cent.select(
+        "cluster",
+        F.aggregate(
+            F.zip_with(
+                F.col("centroid"),
+                F.sequence(F.lit(1).cast("long"), F.size("centroid").cast("long")),
+                lambda x, i: x * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("centroid_checksum"),
+    )
+    return (
+        final.select(
+            "vec_id",
+            F.col("dc.cluster").alias("cluster"),
+            F.col("dc.dist").alias("d"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("inertia_q"),
+            F.min("vec_id").alias("first_vec"),
+            F.max("vec_id").alias("last_vec"),
+        )
+        .join(F.broadcast(chk), "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "inertia_q",
+            "first_vec",
+            "last_vec",
+            "centroid_checksum",
+        )
+    )
+
+
+def _km_exact_oracle() -> str:
+    idist = (
+        "list_reduce(list_transform(range(1, len(p.qv) + 1), "
+        "i -> (p.qv[CAST(i AS INT)] - c.centroid[CAST(i AS INT)])"
+        " * (p.qv[CAST(i AS INT)] - c.centroid[CAST(i AS INT)])), "
+        "(a, b) -> a + b)"
+    )
+    fd = _FLOORDIV_DUCK.format(a="sum(x)", b="count(*)")
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, qv AS centroid
+  FROM pts WHERE vec_id < {K})"""
+    ]
+    for i in range(1, N_ITER + 1):
+        parts.append(
+            f"""asg{i} AS (
+  SELECT vec_id, (min(ROW(dist, cluster)))[2] AS cluster
+  FROM (SELECT p.vec_id, c.cluster, {idist} AS dist
+        FROM pts p, cent{i - 1} c) s
+  GROUP BY 1),
+cent{i}_c AS (
+  SELECT cluster, dim, {fd} AS c
+  FROM (SELECT a.cluster,
+               CAST(unnest(range(0, len(p.qv))) AS INT) AS dim,
+               unnest(p.qv) AS x
+        FROM asg{i} a JOIN pts p USING (vec_id)) e
+  GROUP BY cluster, dim),
+cent{i} AS (
+  SELECT cluster, list(c ORDER BY dim) AS centroid
+  FROM cent{i}_c GROUP BY cluster)"""
+        )
+    parts.append(
+        f"""final AS (
+  SELECT vec_id, min(ROW(dist, cluster)) AS dc
+  FROM (SELECT p.vec_id, c.cluster, {idist} AS dist
+        FROM pts p, cent{N_ITER} c) s
+  GROUP BY 1),
+chk AS (
+  SELECT cluster, CAST(sum((dim + 1) * x) AS BIGINT) AS centroid_checksum
+  FROM (SELECT cluster,
+               CAST(unnest(range(0, len(centroid))) AS INT) AS dim,
+               unnest(centroid) AS x
+        FROM cent{N_ITER}) e
+  GROUP BY 1)
+SELECT f.dc[2] AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(f.dc[1]) AS BIGINT) AS inertia_q,
+       min(f.vec_id) AS first_vec,
+       max(f.vec_id) AS last_vec,
+       k.centroid_checksum
+FROM final f JOIN chk k ON k.cluster = f.dc[2]
+GROUP BY 1, 6"""
+    )
+    return ",\n".join(parts)
+
+
+KMEANS_ITERATE_EXACT_ORACLE = _km_exact_oracle()
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|/127,
     q_i = floor(x_i·127 / max|x|). Row-local, fuses into the scan."""
@@ -1706,6 +1889,7 @@ QUERIES = {
     "kmeans_assign_stats": kmeans_assign_stats,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_iterate": kmeans_iterate,
+    "kmeans_iterate_exact": kmeans_iterate_exact,
     "embedding_quantize": embedding_quantize_query,
     "quantized_topk": quantized_topk,
     "quantized_ivf_topk": quantized_ivf_topk,
@@ -1727,7 +1911,10 @@ ORACLES = {
     "knn_graph_build": KNN_GRAPH_ORACLE,
     "kmeans_assign_stats": KMEANS_ASSIGN_ORACLE,
     "kmeans_update_centroids": KMEANS_UPDATE_ORACLE,
-    # kmeans_iterate: engine-iterative, rows-only by design
+    # kmeans_iterate: float fixpoint, rows-only by design; its
+    # hash-certified sibling is kmeans_iterate_exact (same Lloyd
+    # rounds in integer µ-units)
+    "kmeans_iterate_exact": KMEANS_ITERATE_EXACT_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
     "quantized_topk": QUANTIZED_TOPK_ORACLE,
     "quantized_ivf_topk": QUANTIZED_IVF_ORACLE,

@@ -264,15 +264,132 @@ def brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: squared-euclidean cutoff of the BRP containment contract — kept a
+#: safe margin below the ML join's distance cutoff (1.2² = 1.44 vs
+#: 1.35) so no certified pair sits on a double-rounding boundary of
+#: the ML side's sqrt.  The fixture's closest same-bucket pairs start
+#: at sq ≈ 1.14, so 1.44 certifies a real (non-vacuous) set at every
+#: SF while staying in the near-neighbor regime.
+_BRP_CONTAIN_SQ = 1.44
+_BRP_ML_CUTOFF = 1.35
+
+
+def brp_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable contract over ``brp_lsh_ml`` (round-5 verdict
+    item 3): every certified near pair — same 8-bit sign bucket (the
+    ``embedding_near_dup`` blocking) with exact squared euclidean
+    distance ≤ 0.81 — must appear in the BucketedRandomProjectionLSH
+    candidate set.  One summary row (n_certified, n_missing,
+    all_contained); the oracle pins n_missing = 0, turning the
+    built-in path's recall into a hash-compared contract instead of a
+    rows-only check.
+
+    The exact side folds (a_i−b_i)² left-to-right in float64 —
+    bit-identical between Spark's ``aggregate`` and DuckDB's
+    ``list_reduce`` (the NEAR_DUP_ORACLE precedent) — so the certified
+    set needs no rounding tolerance.  The ML side runs stronger than
+    ``brp_lsh_ml`` (12 hash tables vs 3, cutoff 1.35 vs 1.0):
+    containment needs a superset, and at d/L = 0.6 a single table
+    misses ~43% of true pairs — 12 tables push the per-pair miss to
+    ~4e-5."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..io import swap_cache
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    v = _dvec("embedding")
+    bucket = F.concat_ws(
+        "",
+        *[(F.element_at(v, i + 1) >= 0).cast("int").cast("string") for i in range(8)],
+    )
+    base = swap_cache(
+        "similarity.brp_containment",
+        e.select("vec_id", v.alias("v"), bucket.alias("bucket")),
+    )
+    buckets = base.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("members")
+    )
+    m = buckets.filter(F.size("members") >= 2).select(
+        F.explode("members").alias("a"), "members"
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cert = (
+        m.select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sqd <= _BRP_CONTAIN_SQ)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+    cert = swap_cache("similarity.brp_containment_cert", cert)
+    feats = base.select("vec_id", array_to_vector("v").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=12,
+        seed=42,
+    )
+    joined = lsh.fit(feats).approxSimilarityJoin(
+        feats, feats, _BRP_ML_CUTOFF, distCol="dist"
+    )
+    ml = joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("vec_a"),
+        F.col("datasetB.vec_id").alias("vec_b"),
+    )
+    n_cert = cert.agg(F.count("*").cast("long").alias("n_certified"))
+    n_miss = cert.join(ml, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count("*").cast("long").alias("n_missing")
+    )
+    return n_cert.crossJoin(n_miss).select(
+        "n_certified",
+        "n_missing",
+        (F.col("n_missing") == 0).cast("int").alias("all_contained"),
+    )
+
+
+_DUCK_SQD = (
+    "list_reduce(list_transform(range(1, len(a.v) + 1), "
+    "i -> (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])"
+    " * (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])), "
+    "(acc, x) -> acc + x)"
+)
+
+BRP_CONTAINMENT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_DUCK_DVEC.format(c='embedding')} AS v,
+         list_reduce(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                     (a, x) -> a || x) AS bucket
+  FROM embeddings),
+cert AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_DUCK_SQD} <= {_BRP_CONTAIN_SQ})
+SELECT CAST(count(*) AS BIGINT) AS n_certified,
+       CAST(0 AS BIGINT) AS n_missing,
+       1 AS all_contained
+FROM cert
+"""
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "brp_lsh_ml": brp_lsh_ml,
+    "brp_lsh_containment": brp_lsh_containment,
 }
 
 ORACLES = {
     "cosine_topk_bruteforce": COSINE_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "embedding_near_dup": NEAR_DUP_ORACLE,
+    # brp_lsh_ml: JVM-seeded projections, rows-only by design; its
+    # hash-certified sibling is brp_lsh_containment
+    "brp_lsh_containment": BRP_CONTAINMENT_ORACLE,
 }

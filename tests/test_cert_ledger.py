@@ -1,7 +1,8 @@
 """Certification-debt ledger consistency (round-4 verdict item 4):
 every oracle-backed queries() entry must either hold a driver
 CORRECTNESS row from some past round or be queued in the documented
-rotation lists (_R5_CERT / _R6_PENDING) — so the ledger in
+rotation lists (_R5_CERT / _R6_PENDING / _R6_RECERT / _R7_QUEUE)
+— so the ledger in
 __spark_entry__.py can never silently drift from the actual debt."""
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def test_every_oracle_query_is_certified_or_queued():
 
     qs, oracles = e.queries(), e.oracle_sql()
     checked = _driver_checked()
-    queued = set(e._R5_CERT) | set(e._R6_PENDING)
+    queued = set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT) | set(e._R7_QUEUE)
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
     ]
@@ -37,10 +38,20 @@ def test_rotation_lists_are_disjoint_and_registered():
 
     qs = e.queries()
     assert not set(e._R5_CERT) & set(e._R6_PENDING)
-    missing = [k for k in e._R5_CERT + e._R6_PENDING if k not in qs]
+    assert not set(e._R6_PENDING) & set(e._R7_QUEUE)
+    missing = [
+        k
+        for k in e._R5_CERT + e._R6_PENDING + e._R6_RECERT + e._R7_QUEUE
+        if k not in qs
+    ]
     assert missing == []
-    # the driver's window is exactly 50: flagship + _R5_CERT
-    assert list(qs)[:50] == ["flagship_account_pnl"] + e._R5_CERT
+    # the driver's window is exactly 50: flagship + the round-6
+    # rotation (47 pending + 2 lineage-changed re-certs); round-6
+    # additions come immediately after, heading round 7's window
+    assert list(qs)[:50] == (
+        ["flagship_account_pnl"] + e._R6_PENDING + e._R6_RECERT
+    )
+    assert list(qs)[50 : 50 + len(e._R7_QUEUE)] == e._R7_QUEUE
 
 
 def test_rows_only_queries_are_the_documented_set():
@@ -51,13 +62,15 @@ def test_rows_only_queries_are_the_documented_set():
 
     qs, oracles = e.queries(), e.oracle_sql()
     rows_only = sorted(k for k in qs if k not in oracles)
+    # each rows-only production path (except the approx-aggregate
+    # demo) names a hash-certified sibling — see COVERAGE.md round 6
     assert rows_only == sorted(
         [
             "approx_sketches",
-            "countmin_heavy_hitters",
-            "kmeans_iterate",
-            "minhash_lsh_ml",
-            "brp_lsh_ml",
-            "dedup_pagerank",
+            "countmin_heavy_hitters",  # sibling: portable_countmin_topk
+            "kmeans_iterate",  # sibling: kmeans_iterate_exact
+            "minhash_lsh_ml",  # sibling: minhash_lsh_containment
+            "brp_lsh_ml",  # sibling: brp_lsh_containment
+            "dedup_pagerank",  # sibling: dedup_pagerank_exact
         ]
     )
