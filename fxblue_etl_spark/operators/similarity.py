@@ -295,9 +295,12 @@ def brp_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    from ..io import swap_cache
+    from ..io import fan_out, swap_cache
 
-    e = table(tune(spark), sf_dir, "embeddings")
+    # fan_out: the per-pair distance work downstream is CPU-bound and
+    # a small fixture scans as 1-2 splits — without the spread the ML
+    # join's heavy stages inherit that width
+    e = fan_out(table(tune(spark), sf_dir, "embeddings"))
     v = _dvec("embedding")
     bucket = F.concat_ws(
         "",
