@@ -118,8 +118,15 @@ def main() -> None:
     for name in names:
         qs[name](spark, SF_DIR).limit(1).collect()
 
+    from fxblue_etl_spark.io import drain_all
+
     timings: dict[str, float] = {}
     for name in names:
+        # between QUERIES, not between runs: each timed run must pay
+        # its own swap_cache build exactly like a cold driver call,
+        # but blocks from other queries' slots shouldn't pressure the
+        # store while this one is measured
+        drain_all(spark)
         runs = []
         for _ in range(N_RUNS):
             t0 = time.time()

@@ -121,9 +121,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     results = {}
     n_fail = 0
+    from fxblue_etl_spark.io import drain_all
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # a full-surface run touches every swap_cache slot; draining
+        # between queries keeps the session at one query's worth of
+        # cached blocks (io.drain_all contract)
+        drain_all(spark)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
