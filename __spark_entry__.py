@@ -277,6 +277,13 @@ _R6_RECERT: list[str] = [
 #: Queries ADDED in round 6 (exact siblings of rows-only entries,
 #: round-5 verdict item 3) — placed immediately after the 50-window
 #: so they head round 7's rotation without displacing round 6's.
+#:
+#: ROUND-7 PLAN: once CORRECTNESS_r06 lands green, the only
+#: never-driver-checked oracle-backed queries are these three.  Round
+#: 7's head should be: flagship + _R7_QUEUE + any query whose code
+#: changes in round 7, then fill the 50-window with re-certs of the
+#: STALEST standing rows (the r1 head — q1_pricing_summary and the
+#: T1-T8/P/F/D/K families — will be 6 rounds old; oldest first).
 _R7_QUEUE: list[str] = [
     "kmeans_iterate_exact",  # integer-µ Lloyd, 3 rounds unrolled in SQL
     "minhash_lsh_containment",  # certified pairs ⊆ MinHashLSH candidates

@@ -18,6 +18,9 @@ from fxblue_etl_spark.operators.graph import (
     dedup_pagerank_exact,
     split_decontaminate,
 )
+from fxblue_etl_spark.operators.dedup import minhash_lsh_containment
+from fxblue_etl_spark.operators.ml import kmeans_iterate_exact
+from fxblue_etl_spark.operators.similarity import brp_lsh_containment
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
     semantic_topic_slice,
@@ -192,6 +195,11 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         term_salience_topk,
         rare_token_quality,
         approx_quantile_contract,
+        # round-6: hash-certified siblings — the integer Lloyd's sums
+        # and the containment counts must not depend on parallelism
+        kmeans_iterate_exact,
+        minhash_lsh_containment,
+        brp_lsh_containment,
     ],
     ids=lambda q: q.__name__,
 )
