@@ -36,6 +36,18 @@ the pair graph ever sees them.  ``rfm_segmentation`` at 100× orders
 (15M rows) ran in 3.3s — the boundary-based quintile rewrite (the
 round-4 verdict's one flagged scale-killer) is flat in data size.
 
+Embedding family, measured 2026-08-14: ``kmeans_iterate_exact`` at
+10× duplicated vectors (50k × 64d) = 7.0s and at a one-off 100× probe
+(500k vectors) = 39.8s, in BOTH cases with members and inertia exactly
+×k and centroid checksums IDENTICAL — uniform duplication is
+mean-preserving, and the integer arithmetic makes that a bit-strict
+assertion, not a tolerance.  ``brp_lsh_containment`` at 10× holds
+(129,200 certified pairs, 0 missing) but costs 398s through the
+built-in approxSimilarityJoin (candidate pairs grow ×100 per family
+in every one of its 12 hash tables before the distinct) — opt-in via
+``--full``; the hand-rolled bucket-grouped LSH absorbs the same
+duplication in ~9s (see minhash_lsh_pairs above).
+
 Streaming family (round-5 verdict item 5), measured 2026-08-14 at
 10× duplication with state-store introspection (see
 ``stream_stress``):
