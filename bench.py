@@ -85,7 +85,9 @@ N_RUNS = 5
 #: reader knows the numbers are load-contaminated.  Tune or disable
 #: with SPARK_GRAFT_MAX_LOAD (<=0 disables).
 MAX_START_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
-LOAD_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX_S", "600"))
+#: bounded so a driver-invoked bench can never stall indefinitely
+#: behind a busy co-tenant — past this it runs and stamps the waiver
+LOAD_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX_S", "300"))
 _LOAD_POLL_S = 10.0
 
 
