@@ -212,11 +212,14 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed-point scale for the exact Lloyd sibling (µ-units)
 _KM_SCALE = 1_000_000
 
-#: exact floor division a/b for b > 0 in pure integer arithmetic —
-#: identical in Spark (`DIV`, truncating) and DuckDB (`//`, flooring)
-#: because the numerator is made exactly divisible first.  Both
-#: engines' `%` truncates toward zero, so `((a % b) + b) % b` is the
-#: non-negative remainder in both.
+#: exact floor division a/b for b > 0 in pure integer arithmetic.
+#: BOTH engines' integer division truncates toward zero (Spark `DIV`
+#: and DuckDB `//`: -7/2 = -3), while the mathematical centroid floor
+#: — and Python's `//`, which tests and reference values use — gives
+#: -4.  Subtracting the non-negative remainder (`((a % b) + b) % b`;
+#: both engines' `%` truncates) makes the numerator exactly divisible,
+#: where truncation equals floor — so both engines emit true
+#: floor(a/b).  Property-tested in tests/test_floor_div_portable.py.
 _FLOORDIV = "({a} - (({a} % {b} + {b}) % {b})) DIV {b}"
 _FLOORDIV_DUCK = "({a} - (({a} % {b} + {b}) % {b})) // {b}"
 
