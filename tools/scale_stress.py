@@ -36,6 +36,14 @@ the pair graph ever sees them.  ``rfm_segmentation`` at 100× orders
 (15M rows) ran in 3.3s — the boundary-based quintile rewrite (the
 round-4 verdict's one flagged scale-killer) is flat in data size.
 
+Reference-parity ingest path, measured 2026-08-14: ``s2_csv_ingest``
+(scan→gate→rename→coerce→dedup over real CSV files) = 8.8s at 150k
+trades, **10.2s at 1.5M trades** — near-flat, the chain is
+scan-bound — with rows and per-account pnl mass exactly ×10 (distinct
+tickets must NOT collapse in the composite-key dedup);
+``fx_ingest_end_to_end`` reconciles the ×10 ledger in 4.6s with its
+1500-account set invariant.
+
 Embedding family, measured 2026-08-14: ``kmeans_iterate_exact`` at
 10× duplicated vectors (50k × 64d) = 7.0s and at a one-off 100× probe
 (500k vectors) = 39.8s, in BOTH cases with members and inertia exactly
@@ -180,6 +188,7 @@ def main() -> int:
     )
     ok = ok and exact10
     print(f"# hourly_event_load: n,sum x10 exact; n_users invariant: {exact10}")
+    ok = ingest_stress(spark) and ok
     ok = ml_stress(spark) and ok
     ok = stream_stress(spark) and ok
     print(f"# load_avg at end: {os.getloadavg()[0]:.2f}")
@@ -196,6 +205,74 @@ def _state_rows(progress: list) -> int:
         ),
         default=0,
     )
+
+
+def ingest_stress(spark) -> bool:
+    """Reference-parity ingest path at 10× file volume: the CSV
+    fixtures are re-materialized from the duplicated orders (copies
+    land in the SAME per-account file — the key offset is divisible
+    by the 8-account modulus — and keep distinct tickets, so the
+    composite-key dedup must NOT collapse them).  Asserts the full
+    scan→gate→rename→coerce→dedup chain emits exactly ×10 rows and
+    ×10 per-account pnl mass; fx_ingest_end_to_end is timed at both
+    volumes with its account set invariant (accounts come from
+    distinct user_ids / the orderkey modulus, which duplication
+    preserves)."""
+    from fxblue_etl_spark.plans.relational import fx_ingest_end_to_end
+    from fxblue_etl_spark.sources.fxblue_csv import s2_csv_ingest
+    from pyspark.sql import functions as F
+
+    ok = True
+
+    def t(label, fn):
+        t0 = time.time()
+        r = fn()
+        print(f"{label}: {time.time() - t0:.1f}s  ({len(r)} rows)")
+        return r
+
+    def per_acct(sf):
+        return {
+            r.account_id: (r.n, r.pnl_e4)
+            for r in s2_csv_ingest(spark, sf)
+            .groupBy("account_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("pnl") * 1e4)).cast("long").alias("pnl_e4"),
+            )
+            .collect()
+        }
+
+    t0 = time.time()
+    c1 = per_acct(BASE)
+    print(f"1x  s2_csv_ingest per-acct: {time.time() - t0:.1f}s "
+          f"({sum(n for n, _ in c1.values())} trades, {len(c1)} accounts)")
+    t0 = time.time()
+    c10 = per_acct(TENX)
+    print(f"10x s2_csv_ingest per-acct: {time.time() - t0:.1f}s "
+          f"({sum(n for n, _ in c10.values())} trades, {len(c10)} accounts)")
+    csv_ok = set(c1) == set(c10) and all(
+        c10[a] == (10 * n, 10 * p) for a, (n, p) in c1.items()
+    )
+    print(f"# s2_csv_ingest: rows and per-account pnl mass x10 exact, "
+          f"no dedup collapse of distinct tickets: {csv_ok}")
+    ok = ok and csv_ok
+
+    f1 = t("1x  fx_ingest_end_to_end",
+           lambda: fx_ingest_end_to_end(spark, BASE).collect())
+    f10 = t("10x fx_ingest_end_to_end",
+            lambda: fx_ingest_end_to_end(spark, TENX).collect())
+    a1 = {r.acct for r in f1}
+    a10 = {r.acct for r in f10}
+    csv10 = {r.acct: (r.n_csv_trades, r.csv_pnl_e4) for r in f10 if r.n_csv_trades}
+    csvsc = all(
+        csv10.get(r.acct) == (10 * r.n_csv_trades, 10 * r.csv_pnl_e4)
+        for r in f1
+        if r.n_csv_trades
+    )
+    fx_ok = a1 == a10 and csvsc
+    print(f"# fx_ingest: account set invariant ({len(a1)}), CSV ledger "
+          f"columns x10 exact through the 3-way reconcile: {fx_ok}")
+    return ok and fx_ok
 
 
 def ml_stress(spark) -> bool:
