@@ -290,6 +290,62 @@ _R7_QUEUE: list[str] = [
     "brp_lsh_containment",  # certified pairs ⊆ BRP-LSH candidates
 ]
 
+#: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed
+#: driver rows (latest check wins; r1-era rows are 6 rounds stale by
+#: round 7), computed from the CORRECTNESS_r0N files.  Round 7's head
+#: = flagship + _R7_QUEUE + any code-changed queries + this list up
+#: to the 50-window.  Rows-only queries are excluded (a re-cert row
+#: adds nothing without a hash compare).
+_R7_RECERT_CANDIDATES: list[str] = [
+    "anti_customers_no_orders",
+    "csv_normalize_pipeline",
+    "cube_order_status",
+    "d3_last_write_wins",
+    "embedding_norm_stats",
+    "events_json_extract",
+    "exists_suppliers_shipping",
+    "f2_f3_record_filters",
+    "grouping_sets_status",
+    "lag_lead_order_gaps",
+    "merge_k1_preserve",
+    "merge_k2_clobber",
+    "merge_k3_metadata",
+    "p1_p4_rename_project",
+    "p3_null_defaults",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_sole_late_supplier",
+    "q22_dormant_rich_customers",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_revenue",
+    "q6_selective_agg",
+    "q7_nation_volume",
+    "q8_market_share",
+    "ranking_variants",
+    "rolling_week_spend",
+    "rollup_returns",
+    "running_customer_spend",
+    "scalar_subquery_above_avg",
+    "semi_customers_with_urgent",
+    "setop_active_nations",
+    "t1_numeric_coercion",
+    "t2_timestamp_iso",
+    "t3_custom_ts_roundtrip",
+    "t4_percent_parse",
+    "t5_sentinel_null",
+    "t6_string_extract",
+    "t7_hash_dedup",
+    "topk_orders_per_customer",
+    "ann_ivf_topk",
+    "asof_purchase_view",
+]
+
+
 #: queries added in round 4, appended to the gate head as they land
 _R4_NEW: list[str] = [
     "dsir_importance_stats",
