@@ -74,3 +74,39 @@ def test_rows_only_queries_are_the_documented_set():
             "dedup_pagerank",  # sibling: dedup_pagerank_exact
         ]
     )
+
+
+def test_r7_recert_candidates_consistent():
+    """The round-7 re-cert ledger must stay derivable from the
+    CORRECTNESS files: every entry oracle-backed, registered, holding
+    a driver row, ordered oldest-latest-check-first, and excluding
+    rows-only queries and the flagship."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R7_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 46
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    for k in cand:
+        assert k in oracles, f"{k} is rows-only — re-cert adds nothing"
+        assert k in latest, f"{k} has no driver row to re-certify"
+    assert "flagship_account_pnl" not in cand
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    # the ledger holds the globally stalest rows: no excluded query
+    # may be staler than the newest included one
+    newest_included = max(rounds)
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand
+        and k in oracles
+        and k != "flagship_account_pnl"
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
