@@ -13,18 +13,17 @@ the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round across
-rounds 1-5) certifies the queries that don't yet have a driver-side
-CORRECTNESS row.  Round 6 executes the round-5 verdict's rotation
-plan (item 1): the head is the flagship + all 47 _R6_PENDING entries
-(rfm_segmentation re-cert, dedup_pagerank_exact, and the 45 remaining
-never-driver-checked round-4 queries), filled to the 50-window with
-two re-certs whose lineage changed this round
-(``quality_feature_matrix`` — rare_token_quality now feeds from its
-persisted base scan — and ``rare_token_quality`` itself).  A green
-round-6 gate drives the never-driver-certified oracle-backed count to
-ZERO.  Queries added in round 6 (exact siblings of the rows-only
-entries, verdict item 3) are appended AFTER the window in _R7_QUEUE
-so they cannot displace the rotation.
+rounds 1-6) certifies the queries that don't yet have a driver-side
+CORRECTNESS row, then re-certifies the stalest standing rows.  Round
+7 executes the round-6 verdict's rotation plan (item 1): the head is
+the flagship + the _R7_QUEUE trio (the last 3 never-driver-checked
+queries, added in round 6) + any query whose lineage changed in
+round 7 (_R7_CODE_CHANGED) + the stalest standing rows from
+_R7_RECERT_CANDIDATES (r1-era first; the window-fill truncates from
+the least-stale tail).  A green round-7 gate drives the
+never-driver-certified count to ZERO permanently and establishes the
+standing re-cert cadence: every round from here re-certifies the
+oldest rows so no standing row ages past ~5 rounds.
 """
 
 from __future__ import annotations
@@ -290,6 +289,12 @@ _R7_QUEUE: list[str] = [
     "brp_lsh_containment",  # certified pairs ⊆ BRP-LSH candidates
 ]
 
+#: Queries whose CODE/LINEAGE changed in round 7 — must be re-certified
+#: inside the 50-window (displacing the least-stale tail of
+#: _R7_RECERT_CANDIDATES, never the r1-era head).  Append here whenever
+#: a round-7 change alters a certified query's plan.
+_R7_CODE_CHANGED: list[str] = []
+
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed
 #: driver rows (latest check wins; r1-era rows are 6 rounds stale by
 #: round 7), computed from the CORRECTNESS_r0N files.  Round 7's head
@@ -457,18 +462,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-6 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-5):
+    # Round-7 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-6):
     # 1. the flagship (always certified),
-    # 2. the 47 _R6_PENDING entries (round-5 verdict item 1) —
-    #    never-driver-checked count drops 46 → 0,
-    # 3. two re-certs whose lineage changed this round (_R6_RECERT).
-    # Beyond the window: round-6 additions (_R7_QUEUE, next round's
-    # head), then the round-5 head (all green r5), then standing rows.
+    # 2. the _R7_QUEUE trio (last never-driver-checked queries,
+    #    added round 6) — debt drops 3 → 0,
+    # 3. queries whose lineage changed in round 7 (_R7_CODE_CHANGED),
+    # 4. the stalest standing rows (_R7_RECERT_CANDIDATES, r1-era
+    #    head first) truncated from the TAIL (the two r2-era rows) to
+    #    fill the window at exactly 50.
+    # Beyond the window: the round-6 window (all green r6), then the
+    # round-5 head, then standing rows.
     head = ["flagship_account_pnl"]
+    head += _R7_QUEUE
+    head += [q for q in _R7_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R7_RECERT_CANDIDATES if q not in head][:fill]
     head += _R6_PENDING
     head += _R6_RECERT
-    head += _R7_QUEUE
     head += _R5_CERT
     out = {k: merged[k] for k in head if k in merged}
     out.update(

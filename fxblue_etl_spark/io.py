@@ -119,24 +119,32 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass  # cleanup must never fail the query
 
 
-#: Central swap_cache registry: SparkSession → {slot name → live
-#: frames}.  Weak-keyed so a dropped session releases its Python-side
-#: bookkeeping (the JVM blocks die with the session's SharedState).
-_SWAP_SLOTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[DataFrame]]]" = (
+#: Central swap_cache registry: SparkSession → {slot name → live JVM
+#: Dataset handles}.  The values are py4j ``_jdf`` handles, NOT
+#: DataFrames: a DataFrame holds a strong reference back to its
+#: session, which would pin the weak key forever and the documented
+#: weak-key cleanup could never fire.  A ``JavaObject`` references
+#: only the gateway, so a dropped session genuinely releases its
+#: Python-side bookkeeping (the JVM blocks die with the session's
+#: SharedState).
+_SWAP_SLOTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, list]]" = (
     weakref.WeakKeyDictionary()
 )
 _SWAP_LOCK = threading.Lock()
 
 
-def _release(frames: list[DataFrame]) -> None:
-    for df in frames:
+def _release(handles: list) -> None:
+    """Unpersist JVM Dataset handles (``df._jdf``); no-fail."""
+    for jdf in handles:
         try:
-            df.unpersist(False)
+            jdf.unpersist(False)
         except Exception:
             pass  # cleanup must never fail the query
 
 
-def swap_cache(slot: str, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
+def swap_cache(
+    slot: str, *dfs: DataFrame
+) -> DataFrame | tuple[DataFrame, ...] | None:
     """Persist ``dfs`` for reuse within ONE query invocation,
     releasing whatever the previous invocation of the same query left
     under ``slot`` *in the same SparkSession* — a shared bench/driver
@@ -163,26 +171,34 @@ def swap_cache(slot: str, *dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
     plan built exactly that way.
 
     Same-session concurrency note: two threads invoking the SAME
-    query on the SAME session still share a slot — the registry swap
-    itself is lock-protected, but the loser's blocks are released
-    mid-action.  The action still completes correctly (Spark
-    recomputes evicted blocks from lineage); only the cache benefit
-    is lost."""
+    query on the SAME session still share a slot — the whole
+    release-persist-insert sequence runs under one lock (releases
+    and ``persist()`` registration are cheap, no-fail driver-side
+    calls), so the slot always holds exactly the last writer's
+    frames and the earlier writer's blocks are released before the
+    swap, never leaked.  The earlier writer's in-flight action still
+    completes correctly (Spark recomputes evicted blocks from
+    lineage); only its cache benefit is lost.
+
+    A bare ``swap_cache(name)`` (no frames) drains that slot and
+    returns ``None`` — callers use the drain arm for teardown only.
+    """
     if not dfs:
         with _SWAP_LOCK:
             drained = [
                 slots.pop(slot) for slots in _SWAP_SLOTS.values() if slot in slots
             ]
-        for frames in drained:
-            _release(frames)
+        for handles in drained:
+            _release(handles)
         return None
     sess = dfs[0].sparkSession
     with _SWAP_LOCK:
-        prev = _SWAP_SLOTS.setdefault(sess, {}).pop(slot, [])
-    _release(prev)
-    out = [df.persist() for df in dfs]
-    with _SWAP_LOCK:
-        _SWAP_SLOTS.setdefault(sess, {})[slot] = list(out)
+        _release(_SWAP_SLOTS.setdefault(sess, {}).pop(slot, []))
+        out = [df.persist() for df in dfs]
+        # store the JVM handle when the frame has one (classic mode);
+        # fall back to the frame itself (fakes / Connect) — both
+        # expose unpersist(bool)
+        _SWAP_SLOTS[sess][slot] = [getattr(df, "_jdf", df) for df in out]
     return out[0] if len(out) == 1 else tuple(out)
 
 

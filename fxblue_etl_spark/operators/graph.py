@@ -390,7 +390,14 @@ def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    while len(_GRP_MEMO) >= _GRP_MEMO_CAP:
+    if hit is not None:
+        # superseded entry for the same sf_dir (fingerprint changed or
+        # session mismatch): release its pinned checkpoint blocks —
+        # overwriting without release would leak one corpus-sized RDD
+        # per invalidation, invisibly to the cap-eviction loop below
+        # (the dict size doesn't grow on overwrite)
+        release_local_checkpoint(hit[2])
+    while len(_GRP_MEMO) >= _GRP_MEMO_CAP and sf_dir not in _GRP_MEMO:
         *_, old = _GRP_MEMO.pop(next(iter(_GRP_MEMO)))  # oldest first
         release_local_checkpoint(old)
     _GRP_MEMO[sf_dir] = (spark, fp, out)

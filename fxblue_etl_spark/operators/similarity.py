@@ -278,7 +278,9 @@ def brp_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-certifiable contract over ``brp_lsh_ml`` (round-5 verdict
     item 3): every certified near pair — same 8-bit sign bucket (the
     ``embedding_near_dup`` blocking) with exact squared euclidean
-    distance ≤ 0.81 — must appear in the BucketedRandomProjectionLSH
+    distance ≤ 1.44 (``_BRP_CONTAIN_SQ``, i.e. distance ≤ 1.2,
+    safely inside the ML join's 1.35 cutoff) — must appear in the
+    BucketedRandomProjectionLSH
     candidate set.  One summary row (n_certified, n_missing,
     all_contained); the oracle pins n_missing = 0, turning the
     built-in path's recall into a hash-compared contract instead of a

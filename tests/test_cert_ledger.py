@@ -42,16 +42,32 @@ def test_rotation_lists_are_disjoint_and_registered():
     missing = [
         k
         for k in e._R5_CERT + e._R6_PENDING + e._R6_RECERT + e._R7_QUEUE
+        + e._R7_CODE_CHANGED + e._R7_RECERT_CANDIDATES
         if k not in qs
     ]
     assert missing == []
-    # the driver's window is exactly 50: flagship + the round-6
-    # rotation (47 pending + 2 lineage-changed re-certs); round-6
-    # additions come immediately after, heading round 7's window
-    assert list(qs)[:50] == (
-        ["flagship_account_pnl"] + e._R6_PENDING + e._R6_RECERT
-    )
-    assert list(qs)[50 : 50 + len(e._R7_QUEUE)] == e._R7_QUEUE
+    # ROUND-7 WINDOW PIN (round-6 verdict item 6): the driver's
+    # window is exactly 50 = flagship + the _R7_QUEUE trio (last
+    # never-driver-checked queries) + round-7 lineage-changed
+    # re-certs + the stalest standing rows, truncated from the
+    # candidates' least-stale TAIL.  A re-shuffle that displaces
+    # stale rows with fresh ones fails here.
+    expected_head = ["flagship_account_pnl"] + e._R7_QUEUE
+    expected_head += [q for q in e._R7_CODE_CHANGED if q not in expected_head]
+    fill = 50 - len(expected_head)
+    expected_head += [
+        q for q in e._R7_RECERT_CANDIDATES if q not in expected_head
+    ][:fill]
+    assert list(qs)[:50] == expected_head
+    # the truncation must drop only from the tail: every candidate
+    # excluded from the window is no staler than every included one
+    included = set(expected_head) & set(e._R7_RECERT_CANDIDATES)
+    dropped = [q for q in e._R7_RECERT_CANDIDATES if q not in included]
+    if dropped:
+        order = {q: i for i, q in enumerate(e._R7_RECERT_CANDIDATES)}
+        assert min(order[q] for q in dropped) > max(
+            order[q] for q in included
+        ), "window fill must drop the least-stale tail, not the r1-era head"
 
 
 def test_rows_only_queries_are_the_documented_set():
@@ -86,9 +102,14 @@ def test_r7_recert_candidates_consistent():
     qs, oracles = e.queries(), e.oracle_sql()
     cand = e._R7_RECERT_CANDIDATES
     assert len(cand) == len(set(cand)) == 46
+    # the ledger was computed from the round-1..6 CORRECTNESS files;
+    # validate against exactly that snapshot so the round-7 gate
+    # landing its own file does not retroactively invalidate it
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 6:
+            continue
         for k in json.load(open(f)):
             if k in qs:
                 latest[k] = rnd

@@ -51,6 +51,40 @@ def test_regenerated_fixture_invalidates_memo(spark, tmp_path):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_superseded_memo_entry_is_released(spark, tmp_path):
+    """Round-6 advice: the invalidation path must RELEASE the
+    superseded localCheckpoint's blocks when overwriting the memo
+    entry — otherwise one corpus-sized RDD leaks per regeneration,
+    invisible to the cap-eviction loop (dict size doesn't grow on
+    overwrite)."""
+    d = str(tmp_path / "fx3")
+    os.makedirs(d)
+    clear_spine_memo()
+
+    def _rdd_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        return {it.next()._1() for it in [jmap.iterator()] for _ in range(jmap.size())}
+
+    try:
+        _write_fixture(d, 0)
+        df_a = _doc_dup_groups(spark, d)
+        df_a.count()
+        rdd_a = df_a._jdf.queryExecution().analyzed().rdd().id()
+
+        _write_fixture(d, 1000)
+        st = os.stat(f"{d}/documents.parquet")
+        os.utime(f"{d}/documents.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        _doc_dup_groups(spark, d).count()
+
+        live = _rdd_ids()
+        assert rdd_a not in live, (
+            "superseded spine checkpoint still pinned after regeneration"
+        )
+    finally:
+        clear_spine_memo()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_unchanged_fixture_hits_memo(spark, tmp_path):
     d = str(tmp_path / "fx2")
     os.makedirs(d)
