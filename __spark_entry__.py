@@ -293,7 +293,14 @@ _R7_QUEUE: list[str] = [
 #: inside the 50-window (displacing the least-stale tail of
 #: _R7_RECERT_CANDIDATES, never the r1-era head).  Append here whenever
 #: a round-7 change alters a certified query's plan.
-_R7_CODE_CHANGED: list[str] = []
+_R7_CODE_CHANGED: list[str] = [
+    # depth work (round-6 verdict item 2): pre-gate stages fused into
+    # one corpus scan (quality/lang/md5 via shared textops builders)
+    "llm_corpus_prep",
+    # static corpus band index memoized per (session, fixture) —
+    # corpus_band_index replaces the per-invocation rebuild
+    "streaming_lsh_dedup",
+]
 
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed
 #: driver rows (latest check wins; r1-era rows are 6 rounds stale by

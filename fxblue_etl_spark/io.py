@@ -106,6 +106,46 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+def fixture_fingerprint(sf_dir: str, name: str = "documents") -> tuple:
+    """(mtime_ns, size) of a fixture table file — the invalidation key
+    for per-(session, sf_dir) memoized index artifacts.  A driver-
+    regenerated fixture at the same path must never serve a stale
+    memo entry."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
+#: shared cap for checkpoint memos (matches graph._GRP_MEMO_CAP)
+MEMO_CAP = 8
+
+
+def memo_local_checkpoint(memo: dict, key: str, spark, fp, build) -> DataFrame:
+    """Fingerprint-keyed ``localCheckpoint`` memo (the ``_GRP_MEMO``
+    pattern, generalized): return the memoized frame when (session,
+    fingerprint) match, else build + checkpoint, RELEASING the
+    superseded entry's pinned blocks on overwrite and evicting
+    oldest-first past :data:`MEMO_CAP`.
+
+    Use for index-like artifacts a real deployment would persist once
+    and probe many times (a corpus band index, a dedup spine) — not
+    for per-invocation intermediates (those are :func:`swap_cache`'s
+    job)."""
+    hit = memo.get(key)
+    if hit is not None and hit[0] is spark and hit[1] == fp:
+        return hit[2]
+    out = build().localCheckpoint()
+    if hit is not None:
+        release_local_checkpoint(hit[2])
+    while len(memo) >= MEMO_CAP and key not in memo:
+        *_, old = memo.pop(next(iter(memo)))  # oldest first
+        release_local_checkpoint(old)
+    memo[key] = (spark, fp, out)
+    return out
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Best-effort unpersist of the RDD behind a ``localCheckpoint``'d
     DataFrame. Superseded checkpoint blocks otherwise sit in executor

@@ -171,6 +171,49 @@ def minhash_band_rows(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "shingles", "band.band_idx", "band.band_sig")
 
 
+#: (sf_dir → (session, fingerprint, checkpointed index)) — see
+#: ``corpus_band_index``
+_BAND_IDX_MEMO: dict[str, tuple] = {}
+
+
+def clear_band_memo() -> None:
+    """Release every memoized corpus band index (test isolation)."""
+    from ..io import release_local_checkpoint
+
+    while _BAND_IDX_MEMO:
+        *_, df = _BAND_IDX_MEMO.pop(next(iter(_BAND_IDX_MEMO)))
+        release_local_checkpoint(df)
+
+
+def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's banded-LSH index — ``(doc_id, band_idx,
+    band_sig)``, NO shingle payload — memoized per (session, sf_dir,
+    fixture fingerprint).
+
+    In a real deployment this is a *maintained artifact*: the index
+    of the already-ingested corpus is built once (and upserted as
+    documents land), then probed by every streaming micro-batch and
+    every interactive near-dup lookup; recomputing the full
+    tokenize→minhash→band lineage per probe would be a full corpus
+    pass per query.  ``localCheckpoint`` is the local stand-in for
+    that persistence; at cluster scale the same three narrow columns
+    live as a table bucketed on (band_idx, band_sig).  Invalidation
+    mirrors the dedup-spine memo (graph._GRP_MEMO): a regenerated
+    fixture or new session rebuilds, the superseded checkpoint is
+    released."""
+    from ..io import fan_out, fixture_fingerprint, memo_local_checkpoint, table
+
+    return memo_local_checkpoint(
+        _BAND_IDX_MEMO,
+        sf_dir,
+        spark,
+        fixture_fingerprint(sf_dir),
+        lambda: minhash_band_rows(
+            fan_out(table(tune(spark), sf_dir, "documents"))
+        ).select("doc_id", "band_idx", "band_sig"),
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
     ``text``): ``(doc_a, doc_b, sh_a, sh_b)`` with each side's

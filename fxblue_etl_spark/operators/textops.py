@@ -94,6 +94,52 @@ FROM toks
 """
 
 
+def quality_signal_cols(
+    text: Column | str = "text",
+) -> tuple[Column, Column, Column]:
+    """(n_tokens, n_stopwords, raw score) for a text column — the one
+    definition behind ``quality_score`` AND the fused single-scan
+    pipelines (``llm_corpus_prep``), so the gate expression cannot
+    drift from the certified operator."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(text)
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    punct_ratio = F.length(
+        F.regexp_replace(text, r"[\w\s]", "")
+    ).cast("double") / F.length(text)
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return n_tok, n_stop, score
+
+
+def marker_hits(toks: Column) -> dict[str, Column]:
+    """Per-language marker-token hit counts over a lowercased token
+    array (the language-ID signal)."""
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def pred_lang_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax language with the fixed-order tie-break ``lang_id``
+    certifies (earlier LANG_MARKERS entries win ties)."""
+    best = F.greatest(*hits.values())
+    pred = F.lit("unk")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
 def quality_score(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -102,18 +148,7 @@ def quality_score(
     d = docs if docs is not None else fan_out(
         table(tune(spark), sf_dir, "documents")
     )
-    toks = ws_tokens("text")
-    n_tok = F.size(toks)
-    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.array_intersect(toks, stop))
-    punct_ratio = F.length(F.regexp_replace("text", r"[\w\s]", "")).cast(
-        "double"
-    ) / F.length("text")
-    score = (
-        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
-    )
+    n_tok, n_stop, score = quality_signal_cols()
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -156,10 +191,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.lit(w) for w in markers])
         df = df.withColumn(f"hits_{lang}", F.size(F.array_intersect(F.col("toks"), arr)))
         hit_cols.append(f"hits_{lang}")
-    best = F.greatest(*[F.col(c) for c in hit_cols])
-    pred = F.lit("unk")
-    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
-        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    pred = pred_lang_from_hits(
+        {lang: F.col(f"hits_{lang}") for lang in LANG_MARKERS}
+    )
     return df.select("doc_id", F.col("lang").alias("label_lang"), *hit_cols, pred.alias("pred_lang"))
 
 

@@ -41,26 +41,42 @@ NEAR_DUP_JACCARD = 0.5
 
 
 def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import swap_cache, table
+    from ..io import fan_out, swap_cache, table
     from ..operators.dedup import lsh_jaccard_pairs
     from ..operators.graph import connected_components
-    from ..operators.textops import lang_id, quality_score
-
-    tune(spark)
-    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality_score", "keep")
-    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    from ..io import fan_out
-
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    docs = fan_out(table(spark, sf_dir, "documents")).select(
-        "doc_id", "text", F.md5(norm).alias("content_md5")
+    from ..operators.textops import (
+        marker_hits,
+        pred_lang_from_hits,
+        quality_signal_cols,
+        ws_tokens,
     )
 
+    tune(spark)
+    # ONE corpus scan computes every pre-dedup signal: the quality
+    # gate, the marker language-ID, and the content md5 are all
+    # row-local expressions over the same text column (the shared
+    # builders in textops keep them identical to the certified
+    # standalone operators), so joining three derived frames on
+    # doc_id — three corpus scans plus two corpus-sized shuffles —
+    # would pay for co-location the scan already has.  The gate
+    # filters fuse into the scan; the first shuffle of the whole
+    # pipeline is the exact-dedup window on content_md5.
+    n_tok, _n_stop, score = quality_signal_cols()
+    pred = pred_lang_from_hits(marker_hits(ws_tokens(F.lower(F.col("text")))))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     survivors = (
-        q.filter(F.col("keep") == 1)
-        .join(lang, "doc_id")
-        .filter(F.col("pred_lang") != "unk")
-        .join(docs, "doc_id")
+        fan_out(table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "text",
+            n_tok.alias("n_tokens"),
+            F.round(score, 2).alias("quality_score"),
+            (score >= 0.7).alias("__keep"),
+            pred.alias("pred_lang"),
+            F.md5(norm).alias("content_md5"),
+        )
+        .filter(F.col("__keep") & (F.col("pred_lang") != "unk"))
+        .drop("__keep")
     )
     exact_kept = (
         survivors.withColumn(

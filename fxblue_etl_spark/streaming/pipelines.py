@@ -62,18 +62,32 @@ def _stage_dir(sf_dir: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    stage_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events fixture.
 
     ``ts`` has shipped in two physical parquet forms across driver
     rounds (TIMESTAMP(NANOS) → nanos-as-long under the legacy conf,
     and untagged TIMESTAMP(MICROS) → TIMESTAMP_NTZ); the stream
     schema is probed from the staged file itself so both normalize to
-    session-TZ TimestampType, mirroring ``io.table``."""
+    session-TZ TimestampType, mirroring ``io.table``.
+
+    ``stage_dir``/``max_files_per_trigger`` let the state-bound tests
+    feed a pre-split multi-file directory one file per micro-batch;
+    the default single-staged-file path (what the driver certifies)
+    is unchanged."""
     tune(spark)
-    d = _stage_dir(sf_dir)
+    d = stage_dir if stage_dir is not None else _stage_dir(sf_dir)
     schema = spark.read.parquet(d).schema
-    raw = spark.readStream.schema(schema).parquet(d)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(d)
     t = {f.name: f.dataType.simpleString() for f in schema}.get("ts")
     if t == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -917,7 +931,9 @@ def _collapse_runs(df: DataFrame) -> DataFrame:
     )
 
 
-def scd2_from_stream(stream_df: DataFrame) -> DataFrame:
+def scd2_from_stream(
+    stream_df: DataFrame, state_rows_out: list | None = None
+) -> DataFrame:
     """CDC → SCD2 dimension build as a streaming foreachBatch merge:
     each micro-batch's change events collapse to attribute runs, and
     the only cross-batch decision is the BOUNDARY rule — a batch's
@@ -973,6 +989,11 @@ def scd2_from_stream(stream_df: DataFrame) -> DataFrame:
             .drop("rn")
             .localCheckpoint()
         )
+        if state_rows_out is not None:
+            # per-epoch run-set size — the merge's entire cross-batch
+            # state; the state-bound tests assert it tracks distinct
+            # runs, not event volume or batch count
+            state_rows_out.append(acc["runs"].count())
 
     q = (
         ev.writeStream.foreachBatch(sink)
@@ -997,12 +1018,27 @@ def scd2_from_stream(stream_df: DataFrame) -> DataFrame:
     )
 
 
-def streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_cdc_scd2(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    stage_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    state_rows_out: list | None = None,
+) -> DataFrame:
     """SCD2 dimension built from the events CDC feed (see
     `scd2_from_stream`); the batch gaps-and-islands oracle certifies
     the merged history exactly."""
     tune(spark)
-    return scd2_from_stream(events_stream(spark, sf_dir))
+    return scd2_from_stream(
+        events_stream(
+            spark,
+            sf_dir,
+            stage_dir=stage_dir,
+            max_files_per_trigger=max_files_per_trigger,
+        ),
+        state_rows_out=state_rows_out,
+    )
 
 
 STREAMING_SCD2_ORACLE = """
@@ -1105,7 +1141,12 @@ def _stage_docs_dir(sf_dir: str) -> str:
 
 
 def streaming_lsh_dedup(
-    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    stage_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate gate: incoming documents are banded
     with the SAME MinHash-LSH machinery as the batch path
@@ -1129,23 +1170,30 @@ def streaming_lsh_dedup(
     Reference parity: extends the reference's key-based cross-run
     dedup (`CSV PARSER/gcp_csv.py:148-157`) to content similarity in
     the incremental path."""
-    from ..io import fan_out, table
-    from ..operators.dedup import minhash_band_rows
+    from ..operators.dedup import corpus_band_index, minhash_band_rows
 
     tune(spark)
-    corpus_bands = minhash_band_rows(
-        fan_out(table(spark, sf_dir, "documents"))
-    ).select(F.col("doc_id").alias("prior_id"), "band_idx", "band_sig")
+    # the static side is the MAINTAINED corpus index (memoized per
+    # session/fixture, like a deployment's persistent banded index) —
+    # a stream-static join re-executes its static subtree every
+    # micro-batch, so an un-persisted index would re-run the full
+    # corpus tokenize→minhash→band lineage per batch
+    corpus_bands = corpus_band_index(spark, sf_dir).select(
+        F.col("doc_id").alias("prior_id"), "band_idx", "band_sig"
+    )
 
-    d = _stage_docs_dir(sf_dir)
+    d = stage_dir if stage_dir is not None else _stage_docs_dir(sf_dir)
     schema = spark.read.parquet(d).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # a micro-batch of one staged file arrives as ONE input partition;
     # the minhash/banding work is the expensive row-local part, so
     # spread the batch across the session's parallelism first (same
     # role fan_out plays on the batch path — streams repartition
     # per micro-batch)
     n_par = spark.sparkContext.defaultParallelism
-    stream_docs = spark.readStream.schema(schema).parquet(d).repartition(n_par)
+    stream_docs = reader.parquet(d).repartition(n_par)
     sbands = minhash_band_rows(stream_docs).select("doc_id", "band_idx", "band_sig")
 
     hits = sbands.join(corpus_bands, ["band_idx", "band_sig"], "left_outer")

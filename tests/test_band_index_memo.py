@@ -1,0 +1,61 @@
+"""corpus_band_index memo contract (round 7): the static banded-LSH
+index is a maintained artifact — built once per (session, fixture),
+probed by every streaming micro-batch — so the memo must (a) serve
+the identical frame for an unchanged fixture, (b) rebuild when the
+fixture regenerates in place, and (c) RELEASE the superseded
+checkpoint's pinned blocks on invalidation (the graph._GRP_MEMO
+overwrite-leak class)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+
+from fxblue_etl_spark.operators.dedup import (
+    clear_band_memo,
+    corpus_band_index,
+)
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _write_fixture(tmpdir: str, doc_id_offset: int) -> None:
+    duckdb.connect().execute(f"""
+    COPY (SELECT doc_id + {doc_id_offset} AS doc_id, lang, source,
+                 n_chars, text
+          FROM read_parquet('{SRC}') WHERE doc_id < 120)
+    TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+
+def test_band_index_memo_hit_and_invalidate(spark, tmp_path):
+    d = str(tmp_path / "bx")
+    os.makedirs(d)
+    clear_band_memo()
+    try:
+        _write_fixture(d, 0)
+        a1 = corpus_band_index(spark, d)
+        a2 = corpus_band_index(spark, d)
+        assert a1 is a2, "unchanged fixture must hit the memo"
+        assert set(a1.columns) == {"doc_id", "band_idx", "band_sig"}
+        ids_a = {r.doc_id for r in a1.select("doc_id").distinct().collect()}
+        rdd_a = a1._jdf.queryExecution().analyzed().rdd().id()
+
+        _write_fixture(d, 1000)
+        st = os.stat(f"{d}/documents.parquet")
+        os.utime(f"{d}/documents.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        b = corpus_band_index(spark, d)
+        ids_b = {r.doc_id for r in b.select("doc_id").distinct().collect()}
+        assert ids_b == {i + 1000 for i in ids_a}, "stale index served"
+
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.iterator()
+        live = {it.next()._1() for _ in range(jmap.size())}
+        assert rdd_a not in live, (
+            "superseded band-index checkpoint still pinned after rebuild"
+        )
+    finally:
+        clear_band_memo()
+        shutil.rmtree(d, ignore_errors=True)

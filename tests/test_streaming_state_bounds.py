@@ -1,0 +1,144 @@
+"""Streaming state-bound guards (round-6 verdict item 4): the 10M-event
+scale probe (tools/scale_stress.py, commit a62f54b) showed state-store
+volume is event-volume-independent; these tests pin that contract at
+fixture scale so a regression that makes state grow with event volume
+or micro-batch count goes RED in the suite, not just in a tool run.
+
+* ``streaming_lsh_dedup``: complete-mode per-doc aggregate — state is
+  one row per DISTINCT doc.  Re-feeding the same documents across 3
+  micro-batches must keep ``stateOperators[*].numRowsTotal`` flat at
+  the distinct-doc count (arrivals merge into existing keys; a
+  regression that keys state per-arrival or per-batch triples it).
+* ``streaming_cdc_scd2``: the merge's entire cross-batch state is the
+  run-set.  Feeding the same per-key-chronological feed as 1 vs 3
+  micro-batches must produce identical history and a final run-set no
+  larger than the single-batch one (boundary runs merge, never
+  duplicate); duplicating every event 3x in-batch must not grow the
+  run-set at all (consecutive same-type copies collapse).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from fxblue_etl_spark.streaming.pipelines import (
+    streaming_cdc_scd2,
+    streaming_lsh_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _peak_state_rows(progress: list) -> int:
+    return max(
+        (
+            op.get("numRowsTotal", 0)
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        ),
+        default=0,
+    )
+
+
+def _per_batch_state_rows(progress: list) -> list[int]:
+    out = []
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        if ops:
+            out.append(sum(op.get("numRowsTotal", 0) for op in ops))
+    return out
+
+
+def test_lsh_dedup_state_flat_across_batches(spark, tmp_path):
+    con = duckdb.connect()
+    docs_sql = (
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 150"
+    )
+    n_docs = con.execute(f"SELECT count(*) FROM ({docs_sql})").fetchone()[0]
+
+    multi = str(tmp_path / "docs3")
+    os.makedirs(multi)
+    for i in range(3):  # three identical files → three micro-batches
+        con.execute(f"COPY ({docs_sql}) TO '{multi}/f{i}.parquet' (FORMAT PARQUET)")
+
+    progress: list = []
+    res = streaming_lsh_dedup(
+        spark, SF, progress_out=progress,
+        stage_dir=multi, max_files_per_trigger=1,
+    )
+    per_batch = _per_batch_state_rows(progress)
+    assert len(per_batch) >= 3, f"expected >=3 micro-batches, got {per_batch}"
+    assert all(n == n_docs for n in per_batch), (
+        f"state must stay flat at {n_docs} distinct docs across "
+        f"re-arrivals; got {per_batch}"
+    )
+    assert _peak_state_rows(progress) == n_docs
+    assert res.count() == n_docs  # one verdict row per distinct doc
+
+
+@pytest.fixture(scope="module")
+def _events_splits(tmp_path_factory):
+    """events.parquet as (single-file dir, 3-chronological-files dir,
+    3-files-with-3x-duplicated-events dir)."""
+    base = tmp_path_factory.mktemp("cdc_feed")
+    con = duckdb.connect()
+    src = f"read_parquet('{SF}/events.parquet')"
+    one, three, dup3 = (str(base / d) for d in ("one", "three", "dup3"))
+    for d in (one, three, dup3):
+        os.makedirs(d)
+    con.execute(f"COPY (SELECT * FROM {src}) TO '{one}/all.parquet' (FORMAT PARQUET)")
+    # per-key chronological split: global (ts, event_id) thirds keep
+    # every user's events in order across batch files
+    for i in range(3):
+        con.execute(f"""
+        COPY (SELECT * FROM (
+                SELECT *, ntile(3) OVER (ORDER BY ts, event_id) AS b FROM {src})
+              WHERE b = {i + 1} ORDER BY ts, event_id)
+        TO '{three}/f{i}.parquet' (FORMAT PARQUET)
+        """)
+        con.execute(f"""
+        COPY (SELECT e.* EXCLUDE (b) FROM (
+                SELECT *, ntile(3) OVER (ORDER BY ts, event_id) AS b FROM {src}) e
+              CROSS JOIN range(3) WHERE b = {i + 1} ORDER BY ts, event_id)
+        TO '{dup3}/f{i}.parquet' (FORMAT PARQUET)
+        """)
+    return one, three, dup3
+
+
+def test_cdc_scd2_state_tracks_runs_not_batches(spark, _events_splits):
+    one, three, _ = _events_splits
+    s1: list = []
+    h1 = sorted(map(tuple, streaming_cdc_scd2(
+        spark, SF, stage_dir=one, state_rows_out=s1).collect()))
+    s3: list = []
+    h3 = sorted(map(tuple, streaming_cdc_scd2(
+        spark, SF, stage_dir=three, max_files_per_trigger=1,
+        state_rows_out=s3).collect()))
+    assert len(s3) >= 3, f"expected >=3 micro-batches, got {len(s3)}"
+    assert h3 == h1, "batch boundaries changed the SCD2 history"
+    assert s3[-1] == s1[-1] == len(h1), (
+        f"run-set state must end at the distinct-run count {len(h1)} "
+        f"regardless of batching; got single={s1} multi={s3}"
+    )
+    # monotone growth only by genuinely-new runs, no per-batch bloat
+    assert all(a <= b for a, b in zip(s3, s3[1:]))
+
+
+def test_cdc_scd2_state_event_volume_independent(spark, _events_splits):
+    one, _, dup3 = _events_splits
+    s1: list = []
+    h1 = sorted(map(tuple, streaming_cdc_scd2(
+        spark, SF, stage_dir=one, state_rows_out=s1).collect()))
+    sd: list = []
+    hd = sorted(map(tuple, streaming_cdc_scd2(
+        spark, SF, stage_dir=dup3, max_files_per_trigger=1,
+        state_rows_out=sd).collect()))
+    assert len(sd) >= 3
+    assert hd == h1, "3x-duplicated feed changed the SCD2 history"
+    assert sd[-1] == s1[-1] == len(h1), (
+        f"state grew with event volume: single={s1}, 3x-dup={sd}"
+    )
