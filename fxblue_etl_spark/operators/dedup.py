@@ -214,6 +214,26 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsert_band_index(index: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incrementally maintain a banded-LSH index: drop the index rows
+    of re-ingested doc_ids, append the new docs' freshly banded rows.
+
+    This is how :func:`corpus_band_index` stays cheap at 100 TB — new
+    documents band as a delta (row-local work over the batch only,
+    never a corpus re-pass), the anti-join probes the index on its
+    bucket-partitioned layout, and the union preserves the
+    ``(doc_id, band_idx, band_sig)`` schema.  Contract (tested):
+    ``upsert(index(corpus), delta) ≡ index(corpus ∪ delta)`` row-set
+    exact, including doc re-ingestion with changed text."""
+    new_rows = minhash_band_rows(new_docs).select(
+        "doc_id", "band_idx", "band_sig"
+    )
+    keep = index.join(
+        new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    return keep.unionByName(new_rows)
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs of ``docs`` (needs ``doc_id``,
     ``text``): ``(doc_a, doc_b, sh_a, sh_b)`` with each side's

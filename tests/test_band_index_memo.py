@@ -30,6 +30,64 @@ def _write_fixture(tmpdir: str, doc_id_offset: int) -> None:
     """)
 
 
+def test_upsert_band_index_equals_full_rebuild(spark, tmp_path):
+    """upsert(index(corpus), delta) must equal index(corpus ∪ delta)
+    row-set exact — including re-ingestion of an existing doc_id with
+    CHANGED text (its stale band rows must vanish)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import fan_out
+    from fxblue_etl_spark.operators.dedup import (
+        minhash_band_rows,
+        upsert_band_index,
+    )
+
+    docs = fan_out(
+        spark.read.parquet(SRC).filter(F.col("doc_id") < 150)
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    # delta: 20 brand-new docs + one RE-INGESTED doc with changed text
+    delta = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    ).unionByName(
+        corpus.filter(F.col("doc_id") == 7).withColumn(
+            # full replacement, not an appended tail: a short suffix can
+            # leave every band minimum unchanged, which would make the
+            # signature-change assertion below vacuous
+            "text",
+            F.lit(
+                "wholly rewritten replacement document body with a "
+                "disjoint shingle set so every minhash band signature "
+                "is recomputed from scratch for the re-ingested row"
+            ),
+        )
+    )
+    full = docs.filter(
+        ((F.col("doc_id") < 100) & (F.col("doc_id") != 7))
+        | ((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    ).unionByName(delta.filter(F.col("doc_id") == 7))
+
+    base_index = minhash_band_rows(corpus).select(
+        "doc_id", "band_idx", "band_sig"
+    )
+    upserted = sorted(
+        map(tuple, upsert_band_index(base_index, delta).collect())
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            minhash_band_rows(full)
+            .select("doc_id", "band_idx", "band_sig")
+            .collect(),
+        )
+    )
+    assert upserted == rebuilt
+    # the re-ingested doc's band rows reflect the NEW text
+    old7 = {t for t in map(tuple, base_index.collect()) if t[0] == 7}
+    new7 = {t for t in upserted if t[0] == 7}
+    assert new7 and new7 != old7
+
+
 def test_band_index_memo_hit_and_invalidate(spark, tmp_path):
     d = str(tmp_path / "bx")
     os.makedirs(d)
