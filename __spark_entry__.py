@@ -302,6 +302,18 @@ _R7_CODE_CHANGED: list[str] = [
     "streaming_lsh_dedup",
 ]
 
+#: Queries ADDED in round 7 — placed after the 50-window (the round-7
+#: rotation is pinned by tests/test_cert_ledger.py and must not be
+#: displaced); they head round 8's rotation.  Verified against the
+#: DuckDB oracle locally on addition (sf0.001 + sf0.01), and split-
+#: invariance vs the batch gate is pinned in
+#: tests/test_streaming_state_bounds.py.
+_R8_QUEUE: list[str] = [
+    # self-maintaining streaming near-dup gate: empty index,
+    # probe-then-upsert per micro-batch (upsert_band_index)
+    "streaming_lsh_dedup_incremental",
+]
+
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed
 #: driver rows (latest check wins; r1-era rows are 6 rounds stale by
 #: round 7), computed from the CORRECTNESS_r0N files.  Round 7's head

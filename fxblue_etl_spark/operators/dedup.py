@@ -214,7 +214,12 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def upsert_band_index(index: DataFrame, new_docs: DataFrame) -> DataFrame:
+def upsert_band_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    *,
+    new_rows: DataFrame | None = None,
+) -> DataFrame:
     """Incrementally maintain a banded-LSH index: drop the index rows
     of re-ingested doc_ids, append the new docs' freshly banded rows.
 
@@ -224,10 +229,16 @@ def upsert_band_index(index: DataFrame, new_docs: DataFrame) -> DataFrame:
     bucket-partitioned layout, and the union preserves the
     ``(doc_id, band_idx, band_sig)`` schema.  Contract (tested):
     ``upsert(index(corpus), delta) ≡ index(corpus ∪ delta)`` row-set
-    exact, including doc re-ingestion with changed text."""
-    new_rows = minhash_band_rows(new_docs).select(
-        "doc_id", "band_idx", "band_sig"
-    )
+    exact, including doc re-ingestion with changed text.
+
+    ``new_rows``, when given, must be ``minhash_band_rows(new_docs)``
+    projected to the 3 index columns — callers that already banded
+    the delta (e.g. a streaming micro-batch that probes with the same
+    rows) pass it to avoid recomputing the signature stage."""
+    if new_rows is None:
+        new_rows = minhash_band_rows(new_docs).select(
+            "doc_id", "band_idx", "band_sig"
+        )
     keep = index.join(
         new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
     )

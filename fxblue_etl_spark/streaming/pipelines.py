@@ -30,6 +30,7 @@ sink (K1/K2) on any table format.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 import pandas as pd
@@ -1207,6 +1208,148 @@ def streaming_lsh_dedup(
     return run_to_table(agg, "complete", progress_out=progress_out)
 
 
+def _stage_docs_splits(sf_dir: str, n_splits: int) -> str:
+    """Stage documents.parquet as ``n_splits`` contiguous doc_id-range
+    files with ascending mtimes, so the file stream ingests them as
+    doc_id-ordered micro-batches (FileStreamSource picks files oldest
+    mtime first; names ``part_00N`` tie-break).  Same freshness
+    contract as :func:`_stage_docs_dir`."""
+    import duckdb
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/stream_docs_{tag}_x{n_splits}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    probe = os.path.join(d, "part_000.parquet")
+    s = os.stat(src)
+    if (
+        os.path.exists(probe)
+        and os.stat(probe).st_mtime >= s.st_mtime
+        and len(os.listdir(d)) == n_splits
+    ):
+        return d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    con = duckdb.connect()
+    base = time.time()
+    for i in range(n_splits):
+        dst = os.path.join(d, f"part_{i:03d}.parquet")
+        con.execute(f"""
+        COPY (SELECT * FROM (
+                SELECT *, ntile({n_splits}) OVER (ORDER BY doc_id) AS _nt
+                FROM read_parquet('{src}'))
+              WHERE _nt = {i + 1} ORDER BY doc_id)
+        TO '{dst}' (FORMAT PARQUET)
+        """)
+        os.utime(dst, (base + i, base + i))
+    con.close()
+    return d
+
+
+def streaming_lsh_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Self-maintaining streaming near-dup gate: unlike
+    :func:`streaming_lsh_dedup` (which probes a STATIC index of the
+    full corpus), the index here starts EMPTY and each micro-batch
+    both probes it and upserts itself into it
+    (``dedup.upsert_band_index``) — the shape of a real ingest
+    pipeline, where "the corpus" is whatever has already arrived.
+
+    Per batch (foreachBatch — no streaming state store at all):
+    band the batch row-locally, flag ``is_dup`` when any band hits an
+    already-ingested earlier doc's bucket OR an earlier doc in the
+    same batch (the post-upsert index contains both, so one left-outer
+    probe covers both cases), then swap the index to the upserted
+    frame (localCheckpoint per batch truncates cross-batch lineage;
+    the superseded checkpoint is released).  Batches arrive in doc_id
+    order (``_stage_docs_splits``), so every earlier-id doc is already
+    indexed when a doc's verdict is emitted and the final table equals
+    the all-at-once batch result — the oracle is shared with
+    ``streaming_lsh_dedup``.
+
+    100 TB posture: driver/executor state is the 3-column band index
+    only (16 narrow rows per doc — at cluster scale a bucketed table
+    maintained by MERGE, exactly ``upsert_band_index``'s plan); per
+    batch the work is O(batch × bands) banding plus one hash join and
+    one anti-join against the index on its bucket key.  Verdicts are
+    append-only and batch-sized.
+
+    Reference parity: the incremental analogue of the reference's
+    cross-run key dedup (`CSV PARSER/gcp_csv.py:148-157`), upgraded to
+    content similarity with the index itself maintained incrementally.
+    """
+    from ..io import release_local_checkpoint
+    from ..operators.dedup import minhash_band_rows, upsert_band_index
+
+    tune(spark)
+    d = _stage_docs_splits(sf_dir, n_splits)
+    schema = spark.read.parquet(d).schema
+    n_par = spark.sparkContext.defaultParallelism
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(n_par)
+    )
+
+    state: dict[str, DataFrame] = {}
+    verdicts: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = (
+            minhash_band_rows(batch_df)
+            .select("doc_id", "band_idx", "band_sig")
+            .localCheckpoint()
+        )
+        if "index" in state:
+            new_index = upsert_band_index(
+                state["index"], batch_df, new_rows=bands
+            ).localCheckpoint()
+            release_local_checkpoint(state["index"])
+        else:
+            new_index = bands
+        state["index"] = new_index
+        prior = new_index.select(
+            F.col("doc_id").alias("prior_id"), "band_idx", "band_sig"
+        )
+        verdicts.append(
+            bands.join(prior, ["band_idx", "band_sig"], "left_outer")
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("prior_id") < F.col("doc_id"), 1).otherwise(0)
+                )
+                .cast("int")
+                .alias("is_dup")
+            )
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    if "index" in state:
+        # verdicts are themselves checkpointed, so the final index
+        # swap-chain head can be released before returning
+        release_local_checkpoint(state.pop("index"))
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out
+
+
 from ..operators.dedup import CAND_PAIRS_SQL as _CAND_PAIRS_SQL_REF  # noqa: E402
 
 STREAM_LSH_ORACLE = rf"""{_CAND_PAIRS_SQL_REF}
@@ -1237,6 +1380,7 @@ QUERIES = {
     "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_interval_join_outer": streaming_interval_join_outer,
     "streaming_lsh_dedup": streaming_lsh_dedup,
+    "streaming_lsh_dedup_incremental": streaming_lsh_dedup_incremental,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1260,6 +1404,7 @@ ORACLES = {
     "streaming_windowed_topk": STREAMING_TOPK_ORACLE,
     "streaming_interval_join_outer": INTERVAL_JOIN_OUTER_ORACLE,
     "streaming_lsh_dedup": STREAM_LSH_ORACLE,
+    "streaming_lsh_dedup_incremental": STREAM_LSH_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:

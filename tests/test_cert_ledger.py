@@ -26,7 +26,10 @@ def test_every_oracle_query_is_certified_or_queued():
 
     qs, oracles = e.queries(), e.oracle_sql()
     checked = _driver_checked()
-    queued = set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT) | set(e._R7_QUEUE)
+    queued = (
+        set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
+        | set(e._R7_QUEUE) | set(e._R8_QUEUE)
+    )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
     ]

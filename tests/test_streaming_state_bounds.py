@@ -142,3 +142,33 @@ def test_cdc_scd2_state_event_volume_independent(spark, _events_splits):
     assert sd[-1] == s1[-1] == len(h1), (
         f"state grew with event volume: single={s1}, 3x-dup={sd}"
     )
+
+
+def test_lsh_dedup_incremental_matches_batch_and_split_invariant(spark):
+    """The self-maintaining variant (empty index, probe-then-upsert per
+    micro-batch) must produce the batch gate's exact verdict table, no
+    matter how the doc_id-ordered feed is split into batches — and it
+    must use NO streaming state store at all (foreachBatch only; the
+    cross-batch state is the maintained band index, not Spark state)."""
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_lsh_dedup_incremental,
+    )
+
+    batch = sorted(map(tuple, streaming_lsh_dedup(spark, SF).collect()))
+    prog: list = []
+    inc3 = sorted(
+        map(
+            tuple,
+            streaming_lsh_dedup_incremental(spark, SF, prog).collect(),
+        )
+    )
+    assert inc3 == batch
+    assert len(prog) >= 3  # genuinely multi-batch
+    assert _peak_state_rows(prog) == 0  # no state store rows
+    inc1 = sorted(
+        map(
+            tuple,
+            streaming_lsh_dedup_incremental(spark, SF, n_splits=1).collect(),
+        )
+    )
+    assert inc1 == batch
