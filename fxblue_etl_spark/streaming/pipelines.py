@@ -1308,9 +1308,18 @@ def streaming_lsh_dedup_incremental(
             .localCheckpoint()
         )
         if "index" in state:
-            new_index = upsert_band_index(
-                state["index"], batch_df, new_rows=bands
-            ).localCheckpoint()
+            # coalesce before the checkpoint: each upsert unions the
+            # batch's partitions onto the index, so without compaction
+            # the index accretes ~n_par partitions per batch and
+            # per-batch task overhead grows linearly with batch COUNT
+            # (measured: 1.02→1.71s/batch over 10 batches at sf0.1).
+            # coalesce is shuffle-free; at cluster scale this is the
+            # bucketed index table's MERGE compaction.
+            new_index = (
+                upsert_band_index(state["index"], batch_df, new_rows=bands)
+                .coalesce(n_par)
+                .localCheckpoint()
+            )
             release_local_checkpoint(state["index"])
         else:
             new_index = bands
