@@ -95,18 +95,16 @@ FROM ranked WHERE rank <= 5
 
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest fixed
-    centroid (vec_id % 100 == 0), then answer each query (vec_id %
-    50 == 0) from its own cluster only — top-3 by cosine."""
-    e = table(tune(spark), sf_dir, "embeddings")
-    base = e.select("vec_id", _dvec("embedding").alias("v"))
-    cents = base.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    # one broadcast pass: argmin centroid per vector (deterministic
-    # tie-break on centroid id)
-    assigned = (
+def ivf_assignments(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """The IVF index rows of ``base`` (needs ``vec_id``, ``v``) against
+    fixed centroids ``cents`` (``cent_id``, ``cv``): one broadcast
+    pass, argmin-by-cosine per vector with a deterministic tie-break
+    on centroid id → ``(vec_id, v, cluster)``.
+
+    Row-local given the broadcast centroids, so the same code path
+    serves the one-shot build (:func:`ann_ivf_topk`) and incremental
+    maintenance (:func:`upsert_ivf_index`)."""
+    return (
         base.join(F.broadcast(cents))
         .select("vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("csim"))
         .withColumn(
@@ -118,6 +116,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("cent_id").alias("cluster"))
     )
+
+
+def upsert_ivf_index(
+    index: DataFrame, new_vecs: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Incrementally maintain an IVF assignment index: drop the rows
+    of re-ingested vec_ids, append the new vectors' assignments
+    against the SAME fixed centroids.
+
+    The embedding-family mirror of ``dedup.upsert_band_index``: the
+    delta assigns row-locally against the broadcast centroids (never
+    a corpus re-pass), the anti-join probes the index on vec_id, and
+    the union preserves the ``(vec_id, v, cluster)`` schema.  Exact
+    because assignment is per-row given fixed centroids — contract
+    (tested): ``upsert(index(C), Δ) ≡ index(C ∪ Δ)`` row-set exact,
+    including vec re-ingestion with a changed embedding (which may
+    move it to a different cluster).  Centroid refreshes are a
+    separate, rarer event: re-running :func:`ivf_assignments` over
+    the corpus — the same split a production IVF serving layer makes."""
+    keep = index.join(
+        new_vecs.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    return keep.unionByName(ivf_assignments(new_vecs, cents))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest fixed
+    centroid (vec_id % 100 == 0), then answer each query (vec_id %
+    50 == 0) from its own cluster only — top-3 by cosine."""
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = ivf_assignments(base, cents)
     # the assignment table IS the IVF index — persist it for the
     # invocation (io.swap_cache); probed twice (query side + candidate
     # side), un-persisted each probe re-ran the centroid argmin pass

@@ -239,3 +239,42 @@ def test_rag_corpus_prep_accounting(spark, sf_dir):
     # every boilerplate hash dropped at least one duplicate site
     assert r["n_chunks_raw"] - r["n_chunks_kept"] >= r["n_boilerplate_hashes"] * 0
     assert (r["n_boilerplate_hashes"] > 0) == (r["n_chunks_raw"] > r["n_chunks_kept"])
+
+
+def test_upsert_ivf_index_equals_full_rebuild(spark, sf_dir):
+    """upsert(index(corpus), delta) must equal index(corpus ∪ delta)
+    row-set exact — including re-ingestion of an existing vec_id with
+    a CHANGED embedding (which must re-assign, possibly to a new
+    cluster)."""
+    from fxblue_etl_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity._dvec("embedding").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    corpus = e.filter(F.col("vec_id") < 300)
+    # delta: 50 brand-new vectors + one RE-INGESTED vec whose embedding
+    # is replaced by a far-away vector's (guaranteed cluster move when
+    # the donor sits in a different cluster)
+    moved = (
+        e.filter(F.col("vec_id") == 450)
+        .select(F.lit(7).cast(corpus.schema["vec_id"].dataType).alias("vec_id"), "v")
+    )
+    delta = e.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+    ).unionByName(moved)
+    full = corpus.filter(F.col("vec_id") != 7).unionByName(delta)
+
+    base = similarity.ivf_assignments(corpus, cents)
+    key = lambda r: (r["vec_id"], tuple(r["v"]), r["cluster"])
+    upserted = sorted(
+        map(key, similarity.upsert_ivf_index(base, delta, cents).collect())
+    )
+    rebuilt = sorted(map(key, similarity.ivf_assignments(full, cents).collect()))
+    assert upserted == rebuilt
+    # the re-ingested vec's assignment reflects the NEW embedding
+    old7 = [t for t in map(key, base.collect()) if t[0] == 7]
+    new7 = [t for t in upserted if t[0] == 7]
+    assert len(new7) == 1 and new7 != old7
