@@ -416,6 +416,37 @@ def stream_stress(spark) -> bool:
           f"10x {s10} (docs {len(r10)}) — one row per banded doc: {state_ok}")
     ok = ok and slice_ok and copies_all_dup and state_ok
 
+    # --- self-maintaining incremental LSH gate (round 7) ---
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_lsh_dedup_incremental,
+    )
+
+    pi: list = []
+    ri = {
+        r.doc_id: r.is_dup
+        for r in t(
+            "10x streaming_lsh_dedup_incremental(8 batches)",
+            lambda: streaming_lsh_dedup_incremental(
+                spark, TENX, progress_out=pi, n_splits=8
+            ).collect(),
+        )
+    }
+    inc_ok = ri == r10
+    durs = [p["batchDuration"] for p in pi if "batchDuration" in p]
+    # per-batch duration must not grow with corpus-so-far size: the
+    # index probe is a narrow hash join and the index is compacted per
+    # upsert.  3x over the first batches is a generous shared-host
+    # bound — the partition-creep regression this guards against grows
+    # LINEARLY in batch count and blows through it.
+    trend_ok = len(durs) >= 8 and max(durs[2:]) <= 3 * max(durs[:2])
+    si = _state_rows(pi)
+    print(
+        f"# lsh_dedup_incremental: verdicts == static-index gate at "
+        f"10x: {inc_ok}; state rows {si} (foreachBatch only): {si == 0}; "
+        f"per-batch ms {durs} flat-trend: {trend_ok}"
+    )
+    ok = ok and inc_ok and trend_ok and si == 0
+
     # --- CDC → SCD2 ---
     c1 = sorted(map(tuple, t(
         "1x  streaming_cdc_scd2",
