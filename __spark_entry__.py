@@ -312,6 +312,12 @@ _R8_QUEUE: list[str] = [
     # self-maintaining streaming near-dup gate: empty index,
     # probe-then-upsert per micro-batch (upsert_band_index)
     "streaming_lsh_dedup_incremental",
+    # upsert(index(corpus), delta) ≡ rebuild contract for the
+    # term-doc index (upsert_term_doc_index), oracle-pinned counts
+    "postings_upsert_equivalence",
+    # upsert(cc(E1), E2) ≡ cc(E1 ∪ E2) contract for the dedup spine
+    # (upsert_components: contracted-delta CC, O(|ΔE|) per batch)
+    "components_upsert_equivalence",
 ]
 
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed

@@ -128,6 +128,72 @@ def connected_components(
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
+def upsert_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incrementally maintain a min-label components labeling under
+    EDGE ARRIVALS: given ``labels`` = ``connected_components(E)`` and
+    a delta batch ΔE (which may introduce brand-new vertices), return
+    ``connected_components(E ∪ ΔE)`` without re-walking E — the graph
+    mirror of ``dedup.upsert_band_index`` / ``indexing.
+    upsert_term_doc_index`` for the dedup spine.
+
+    How: every existing component CONTRACTS to one node (its label),
+    ΔE endpoints map through ``labels`` (identity for new vertices),
+    and the CC fixpoint runs on the contracted delta graph only —
+    O(|ΔE|) vertices and edges regardless of |E|, so at 100 TB a
+    nightly pair-batch costs the batch, not the corpus.  Composition:
+    a touched component's new label is the min over the labels ∪ new
+    ids its contracted component absorbed — exactly the global min of
+    the merged component, because each label already IS the min of
+    its closed subgraph; untouched rows keep their label via the
+    left-join coalesce.
+
+    Additive-only by design: edge/vertex REMOVAL cannot be serviced
+    from the labeling (decremental connectivity needs the full edge
+    set to re-split a component); near-dup spines only ever gain
+    documents and pairs, and a GDPR-style delete is a full rebuild
+    (``clear_spine_memo`` + recompute) by policy.  Contract (tested +
+    oracle-certified via ``components_upsert_equivalence``):
+    ``upsert(cc(E1), E2) ≡ cc(E1 ∪ E2)`` row-set exact."""
+    e = new_edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
+    )
+    ls = labels.select(F.col("id").alias("s"), F.col("component").alias("cs"))
+    ld = labels.select(F.col("id").alias("d"), F.col("component").alias("cd"))
+    contracted = (
+        e.join(ls, "s", "left")
+        .join(ld, "d", "left")
+        .select(
+            F.coalesce("cs", F.col("s")).alias("cn_src"),
+            F.coalesce("cd", F.col("d")).alias("cn_dst"),
+        )
+    )
+    sub = connected_components(contracted, src="cn_src", dst="cn_dst").select(
+        F.col("id").alias("touched"), F.col("component").alias("new_component")
+    )
+    existing = labels.join(
+        sub, labels["component"] == sub["touched"], "left"
+    ).select(
+        labels["id"],
+        F.coalesce("new_component", labels["component"]).alias("component"),
+    )
+    new_ids = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    newly = new_ids.join(sub, new_ids["id"] == sub["touched"]).select(
+        "id", F.col("new_component").alias("component")
+    )
+    return existing.unionByName(newly)
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters over the embedding near-dup pair graph:
     every clustered vector labeled with its component (min vec_id
@@ -774,8 +840,99 @@ GROUP BY grp
 CANONICAL_ORACLE = _canonical_oracle()
 
 
+def components_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable contract over :func:`upsert_components`:
+    split the certified Jaccard ≥ DECON_J MinHash/LSH pair graph into
+    a base edge set and a delta batch (deterministic ``(doc_a +
+    doc_b) % 5`` rule — the delta carries merges, label-lowering new
+    vertices, and brand-new components), then assert
+    ``upsert(cc(base), delta) ≡ cc(base ∪ delta)`` with symmetric
+    anti-join counts pinned to 0.  One summary row — (n_vertices,
+    n_components, n_mismatch, upsert_equals_full) — whose oracle
+    closes the SAME pair predicate transitively in recursive SQL and
+    computes n_vertices/n_components independently, so both the
+    incremental algebra AND the full fixpoint are cross-engine
+    checked.  Same one-row-contract shape as
+    ``indexing.postings_upsert_equivalence``."""
+    from ..io import fan_out, swap_cache, table
+    from .dedup import lsh_jaccard_pairs
+
+    docs = fan_out(table(tune(spark), sf_dir, "documents"))
+    pairs = (
+        lsh_jaccard_pairs(docs)
+        .filter(F.round("jaccard", 6) >= DECON_J)
+        .select("doc_a", "doc_b")
+    )
+    # pairs feeds four consumers (base CC, delta upsert, full CC, the
+    # new-vertex probe inside upsert) — persist so the LSH machinery
+    # runs once
+    pairs = swap_cache("graph.cc_upsert_pairs", pairs)
+    is_delta = (F.col("doc_a") + F.col("doc_b")) % 5 == 0
+    base = connected_components(
+        pairs.filter(~is_delta), src="doc_a", dst="doc_b"
+    )
+    upserted = upsert_components(
+        base, pairs.filter(is_delta), src="doc_a", dst="doc_b"
+    )
+    full = connected_components(pairs, src="doc_a", dst="doc_b")
+    upserted, full = swap_cache("graph.cc_upsert_cmp", upserted, full)
+    stats = upserted.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    keys = ["id", "component"]
+    n_up = upserted.join(full, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("m_up")
+    )
+    n_fl = full.join(upserted, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("m_fl")
+    )
+    return (
+        stats.crossJoin(n_up)
+        .crossJoin(n_fl)
+        .select(
+            "n_vertices",
+            "n_components",
+            (F.col("m_up") + F.col("m_fl")).alias("n_mismatch"),
+            ((F.col("m_up") + F.col("m_fl")) == 0)
+            .cast("int")
+            .alias("upsert_equals_full"),
+        )
+    )
+
+
+def _cc_upsert_oracle() -> str:
+    from .dedup import MINHASH_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) WHERE jaccard >= {DECON_J}),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges),
+comp AS (
+  SELECT s AS id, min(d) AS component FROM closure GROUP BY s)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       1 AS upsert_equals_full
+FROM comp
+"""
+
+
+CC_UPSERT_ORACLE = _cc_upsert_oracle()
+
+
 QUERIES = {
     "dedup_components": dedup_components,
+    "components_upsert_equivalence": components_upsert_equivalence,
     "dedup_degree_hist": dedup_degree_hist,
     "dedup_component_size_hist": dedup_component_size_hist,
     "dedup_triangles": dedup_triangles,
@@ -788,6 +945,7 @@ QUERIES = {
 ORACLES = {
     "dedup_pagerank_exact": PR_EXACT_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
+    "components_upsert_equivalence": CC_UPSERT_ORACLE,
     "dedup_degree_hist": DEGREE_HIST_ORACLE,
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,
     "dedup_triangles": TRIANGLES_ORACLE,

@@ -66,17 +66,51 @@ _TOKS_SQL = r"""
 """
 
 
+def term_doc_index(docs: DataFrame) -> DataFrame:
+    """Term-document rows of ``docs`` (needs ``doc_id``, ``text``):
+    ``(tok, doc_id, tf)`` — the base segment every retrieval artifact
+    (postings heads, BM25 scores, boolean census) derives from, and
+    the unit of incremental maintenance (:func:`upsert_term_doc_index`).
+    Pure per-document work: tokenize → explode → partial-agg'd count,
+    so a delta batch indexes without touching the corpus."""
+    return (
+        docs.select("doc_id", ws_tokens("text").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def upsert_term_doc_index(index: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incrementally maintain a term-doc index: drop the rows of
+    re-ingested ``doc_id``s, append the delta's freshly tokenized
+    rows — the retrieval-family mirror of ``dedup.upsert_band_index``
+    and ``similarity.upsert_ivf_index``.
+
+    At 100 TB this is the Lucene-segment pattern re-expressed
+    relationally: the delta tokenizes as row-local work over the
+    batch only (never a corpus re-pass), the anti-join probes the
+    index by doc_id, and the union preserves the ``(tok, doc_id,
+    tf)`` schema ready for compaction into the bucketed-by-``tok``
+    serving layout.  Contract (tested + oracle-certified via
+    ``postings_upsert_equivalence``): ``upsert(index(corpus), delta)
+    ≡ index(corpus ∪ delta)`` row-set exact, including doc
+    re-ingestion with changed text."""
+    keep = index.join(
+        new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    # the equi-join hoists doc_id to the front; restore the index's
+    # declared (tok, doc_id, tf) order so upsert output ≡ rebuild
+    # output column-for-column, not just by name
+    return keep.unionByName(term_doc_index(new_docs)).select(*index.columns)
+
+
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the documents fixture: per token (df ≥
     MIN_DF), document frequency, total term frequency, and the first
     POSTINGS_K doc_ids of the sorted posting list (comma-joined)."""
-    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", ws_tokens("text").alias("toks")
-    )
-    td = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("tok", "doc_id")
-        .agg(F.count("*").alias("tf"))
+    td = term_doc_index(
+        fan_out(table(tune(spark), sf_dir, "documents"))
     )
     stats = td.groupBy("tok").agg(
         F.count("*").alias("df"),
@@ -132,6 +166,99 @@ head AS (
 SELECT s.tok, s.df, s.tf_total, h.postings_head
 FROM stats s JOIN head h USING (tok)
 WHERE s.df >= {MIN_DF}
+"""
+
+
+#: upsert-equivalence split: doc_id % _DELTA_MOD == 0 arrive as
+#: brand-new docs; corpus docs with doc_id % _REINGEST_MOD == 1 are
+#: re-ingested with CHANGED text (their stale index rows must vanish)
+_DELTA_MOD = 10
+_REINGEST_MOD = 7
+
+
+def postings_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable contract over :func:`upsert_term_doc_index`:
+    ``upsert(index(corpus), delta) ≡ index(corpus ∪ delta)`` where the
+    delta holds both brand-new docs AND re-ingested docs with changed
+    text.  One summary row — (n_index_rows, n_only_upsert,
+    n_only_rebuild, upsert_equals_rebuild) — whose oracle tokenizes
+    the post-upsert corpus independently and pins both anti-join
+    counts to 0, so an upsert that leaks stale rows or drops delta
+    rows fails the hash compare instead of hiding behind a test
+    fixture.  Same one-row-contract shape as
+    ``dedup.minhash_lsh_containment``."""
+    from ..io import swap_cache
+
+    docs = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    is_new = F.col("doc_id") % _DELTA_MOD == 0
+    is_reingest = (~is_new) & (F.col("doc_id") % _REINGEST_MOD == 1)
+    rewritten = F.concat(
+        F.lit("rewritten corpus document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" with a disjoint replacement body"),
+    )
+    corpus = docs.filter(~is_new)
+    delta = docs.filter(is_new).unionByName(
+        docs.filter(is_reingest).withColumn("text", rewritten)
+    )
+    upserted = upsert_term_doc_index(term_doc_index(corpus), delta)
+    rebuilt = term_doc_index(
+        docs.withColumn(
+            "text", F.when(is_reingest, rewritten).otherwise(F.col("text"))
+        )
+    )
+    # upserted feeds three consumers (count + both anti-join probes),
+    # rebuilt two — persist so the corpus tokenizes once per side
+    upserted, rebuilt = swap_cache(
+        "indexing.upsert_equiv", upserted, rebuilt
+    )
+    keys = ["tok", "doc_id", "tf"]
+    n_rows = upserted.agg(F.count("*").cast("long").alias("n_index_rows"))
+    n_up = upserted.join(rebuilt, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("n_only_upsert")
+    )
+    n_rb = rebuilt.join(upserted, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("n_only_rebuild")
+    )
+    return (
+        n_rows.crossJoin(n_up)
+        .crossJoin(n_rb)
+        .select(
+            "n_index_rows",
+            "n_only_upsert",
+            "n_only_rebuild",
+            (
+                (F.col("n_only_upsert") == 0)
+                & (F.col("n_only_rebuild") == 0)
+            )
+            .cast("int")
+            .alias("upsert_equals_rebuild"),
+        )
+    )
+
+
+POSTINGS_UPSERT_ORACLE = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_DELTA_MOD} != 0 AND doc_id % {_REINGEST_MOD} = 1
+              THEN 'rewritten corpus document ' || CAST(doc_id AS VARCHAR)
+                   || ' with a disjoint replacement body'
+              ELSE text END AS text
+  FROM documents),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM docs),
+td AS (
+  SELECT t.tok, doc_id, count(*) AS tf
+  FROM tk, unnest(toks) t(tok) GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_index_rows,
+       CAST(0 AS BIGINT) AS n_only_upsert,
+       CAST(0 AS BIGINT) AS n_only_rebuild,
+       1 AS upsert_equals_rebuild
+FROM td
 """
 
 
@@ -237,12 +364,14 @@ FROM documents
 
 QUERIES = {
     "inverted_index_postings": inverted_index_postings,
+    "postings_upsert_equivalence": postings_upsert_equivalence,
     "vocab_coverage": vocab_coverage,
     "training_order_shuffle": training_order_shuffle,
 }
 
 ORACLES = {
     "inverted_index_postings": POSTINGS_ORACLE,
+    "postings_upsert_equivalence": POSTINGS_UPSERT_ORACLE,
     "vocab_coverage": VOCAB_COVERAGE_ORACLE,
     "training_order_shuffle": TRAINING_ORDER_ORACLE,
 }

@@ -137,3 +137,55 @@ def test_pr_exact_graph_contract():
     assert sum(r.values()) == len(r) * s  # exact conservation
     # 1e6 ppm premultiply must stay inside int64
     assert max(r.values()) * 10**6 < 2**63
+
+
+def test_upsert_components_matches_full_recompute(spark):
+    """upsert(cc(E1), E2) ≡ cc(E1 ∪ E2) across every interesting
+    delta shape: a merge of two existing components, a new vertex
+    with a SMALLER id that lowers an existing label, an edge inside
+    an existing component (no-op), and a brand-new island."""
+    from fxblue_etl_spark.operators.graph import upsert_components
+
+    base_edges = [(10, 20), (20, 30), (40, 50), (60, 70), (80, 90)]
+    delta_edges = [
+        (30, 40),   # merges {10,20,30} with {40,50} -> label 10
+        (5, 60),    # new vertex 5 LOWERS component {60,70} -> label 5
+        (80, 90),   # duplicate edge inside an existing component
+        (100, 110), # brand-new island
+    ]
+    labels = connected_components(_edges(spark, base_edges))
+    up = {
+        r.id: r.component
+        for r in upsert_components(
+            labels, _edges(spark, delta_edges)
+        ).collect()
+    }
+    full = {
+        r.id: r.component
+        for r in connected_components(
+            _edges(spark, base_edges + delta_edges)
+        ).collect()
+    }
+    assert up == full
+    assert up[50] == 10 and up[70] == 5 and up[110] == 100
+
+
+def test_upsert_components_chained_batches(spark):
+    """Two successive upserts equal one full recompute — the labeling
+    stays a valid input for the next delta (idempotent algebra, the
+    property a nightly ingest loop actually relies on)."""
+    from fxblue_etl_spark.operators.graph import upsert_components
+
+    e1 = [(1, 2), (7, 8)]
+    e2 = [(2, 3), (9, 10)]
+    e3 = [(3, 7), (0, 9)]  # chains both earlier components; 0 lowers
+    lab = connected_components(_edges(spark, e1))
+    lab = upsert_components(lab, _edges(spark, e2))
+    lab = upsert_components(lab, _edges(spark, e3))
+    up = {r.id: r.component for r in lab.collect()}
+    full = {
+        r.id: r.component
+        for r in connected_components(_edges(spark, e1 + e2 + e3)).collect()
+    }
+    assert up == full
+    assert up[8] == 1 and up[10] == 0

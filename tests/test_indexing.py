@@ -6,13 +6,17 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from fxblue_etl_spark.operators.indexing import (
     COVERAGE_PCTS,
     MIN_DF,
     N_SHARDS,
     POSTINGS_K,
     inverted_index_postings,
+    term_doc_index,
     training_order_shuffle,
+    upsert_term_doc_index,
     vocab_coverage,
 )
 
@@ -26,6 +30,51 @@ def test_postings_head_sorted_and_bounded(spark, sf_dir):
         ids = [int(x) for x in r["postings_head"].split(",")]
         assert len(ids) == min(r["df"], POSTINGS_K)
         assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_upsert_term_doc_index_equals_full_rebuild(spark, sf_dir):
+    """upsert(index(corpus), delta) must equal index(corpus ∪ delta)
+    row-set exact — including re-ingestion of an existing doc_id with
+    CHANGED text (its stale (tok, doc_id, tf) rows must vanish)."""
+    from fxblue_etl_spark.io import fan_out, table
+
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    rewritten = F.lit(
+        "a wholly rewritten body with a disjoint token set so every "
+        "stale index row of the re-ingested document must disappear"
+    )
+    delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 11 == 1).withColumn(
+            "text", rewritten
+        )
+    )
+    full = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 11 == 1),
+            rewritten,
+        ).otherwise(F.col("text")),
+    )
+    upserted = sorted(
+        map(
+            tuple,
+            upsert_term_doc_index(term_doc_index(corpus), delta).collect(),
+        )
+    )
+    rebuilt = sorted(map(tuple, term_doc_index(full).collect()))
+    assert upserted == rebuilt
+    # the re-ingested docs' rows reflect the NEW text
+    reingested = {t[1] for t in upserted if t[0] == "wholly"}
+    expected = {
+        r["doc_id"]
+        for r in corpus.filter(F.col("doc_id") % 11 == 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert expected and reingested >= expected
 
 
 def test_vocab_coverage_monotone_in_threshold(spark, sf_dir):
