@@ -194,6 +194,7 @@ def main() -> int:
     print(f"# hourly_event_load: n,sum x10 exact; n_users invariant: {exact10}")
     ok = ingest_stress(spark) and ok
     ok = ml_stress(spark) and ok
+    ok = graph_stress(spark) and ok
     ok = stream_stress(spark) and ok
     print(f"# load_avg at end: {os.getloadavg()[0]:.2f}")
     return 0 if ok else 1
@@ -277,6 +278,67 @@ def ingest_stress(spark) -> bool:
     print(f"# fx_ingest: account set invariant ({len(a1)}), CSV ledger "
           f"columns x10 exact through the 3-way reconcile: {fx_ok}")
     return ok and fx_ok
+
+
+def graph_stress(spark) -> bool:
+    """Dedup-spine incremental maintenance at 10×: upsert_components
+    on the 10× LSH pair graph must (a) equal the full recompute
+    label-for-label, and (b) do delta-sized work — the contracted CC
+    sees only the delta edges (~1/5 of the graph by the %5 split),
+    never re-walking the base.  The pair machinery is persisted
+    up-front so the timing compares the CC stages, not the shared
+    LSH cost."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import fan_out, swap_cache, table
+    from fxblue_etl_spark.operators.dedup import lsh_jaccard_pairs
+    from fxblue_etl_spark.operators.graph import (
+        DECON_J,
+        connected_components,
+        upsert_components,
+    )
+
+    docs = fan_out(table(spark, TENX, "documents"))
+    pairs = (
+        lsh_jaccard_pairs(docs)
+        .filter(F.round("jaccard", 6) >= DECON_J)
+        .select("doc_a", "doc_b")
+    )
+    pairs = swap_cache("stress.cc_pairs", pairs)
+    n_pairs = pairs.count()  # materializes the persisted pair graph
+    is_delta = (F.col("doc_a") + F.col("doc_b")) % 5 == 0
+    n_delta = pairs.filter(is_delta).count()
+
+    t0 = time.time()
+    full = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    t_full = time.time() - t0
+
+    base = connected_components(
+        pairs.filter(~is_delta), src="doc_a", dst="doc_b"
+    )
+    base.collect()  # the standing labeling exists before the delta lands
+    t0 = time.time()
+    up = {
+        r.id: r.component
+        for r in upsert_components(
+            base, pairs.filter(is_delta), src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    t_upsert = time.time() - t0
+
+    eq = up == full
+    print(
+        f"# upsert_components 10x: pairs {n_pairs} (delta {n_delta}), "
+        f"upsert == full recompute over {len(full)} vertices: {eq}; "
+        f"full {t_full:.1f}s vs delta-upsert {t_upsert:.1f}s"
+    )
+    swap_cache("stress.cc_pairs")  # drain the persisted pair graph
+    return eq
 
 
 def ml_stress(spark) -> bool:
