@@ -394,3 +394,42 @@ def test_rfm_ntile_reconstruction_matches_duckdb(spark, tmp_path_factory, orders
     con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
     exp = sorted(map(tuple, con.sql(RFM_ORACLE).fetchall()))
     assert got == exp
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(base=edges_strategy, delta=edges_strategy)
+@settings(**SETTINGS)
+def test_upsert_components_random_graphs(spark, base, delta):
+    """upsert(cc(E1), E2) ≡ cc(E1 ∪ E2) over hypothesis-generated
+    edge sets (self-loops, duplicate edges, overlapping vertex sets —
+    the shapes a literal-graph test never enumerates).  The min-label
+    contraction algebra must hold for EVERY additive delta."""
+    from fxblue_etl_spark.operators.graph import (
+        connected_components,
+        upsert_components,
+    )
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "src long, dst long"
+        )
+
+    labels = connected_components(df(base))
+    up = {
+        r.id: r.component
+        for r in upsert_components(labels, df(delta)).collect()
+    }
+    full = {
+        r.id: r.component
+        for r in connected_components(df(base + delta)).collect()
+    }
+    assert up == full
