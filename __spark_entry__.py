@@ -318,6 +318,10 @@ _R8_QUEUE: list[str] = [
     # upsert(cc(E1), E2) ≡ cc(E1 ∪ E2) contract for the dedup spine
     # (upsert_components: contracted-delta CC, O(|ΔE|) per batch)
     "components_upsert_equivalence",
+    # embedding mirror of the incremental LSH gate: empty sign-LSH
+    # index, probe-then-upsert per micro-batch (upsert_sign_index);
+    # oracle = later side of a NEAR_DUP_ORACLE pair
+    "streaming_embed_dedup_incremental",
 ]
 
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed

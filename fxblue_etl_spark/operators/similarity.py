@@ -208,6 +208,54 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _sign_bucket_col() -> Column:
+    """Sign pattern of the first 8 dimensions as a '01100101' string —
+    the blocking key shared by ``embedding_near_dup`` and the
+    streaming sign-index gate (one definition so the batch oracle and
+    the incremental index can never drift)."""
+    v = _dvec("embedding")
+    return F.concat_ws(
+        "",
+        *[
+            (F.element_at(v, i + 1) >= 0).cast("int").cast("string")
+            for i in range(8)
+        ],
+    )
+
+
+def sign_bucket_rows(vecs: DataFrame) -> DataFrame:
+    """Sign-LSH index rows of ``vecs`` (needs ``vec_id``,
+    ``embedding``): ``(vec_id, bucket, v)`` — bucket is the 8-bit sign
+    pattern, ``v`` the double-cast payload a candidate probe verifies
+    exact cosine against.  A payload-bearing index, like an IVF list:
+    at 100 TB it lives bucketed on ``bucket``, and the probe's hash
+    join moves each batch's payload across the wire once."""
+    return vecs.select(
+        "vec_id",
+        _sign_bucket_col().alias("bucket"),
+        _dvec("embedding").alias("v"),
+    )
+
+
+def upsert_sign_index(
+    index: DataFrame,
+    new_vecs: DataFrame,
+    *,
+    new_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintain the sign-LSH index: drop re-ingested
+    vec_ids, append the delta's freshly bucketed rows — the
+    embedding-payload mirror of ``dedup.upsert_band_index`` (same
+    anti-join + union algebra; ``new_rows`` lets a streaming
+    micro-batch that already bucketed itself skip recomputing)."""
+    if new_rows is None:
+        new_rows = sign_bucket_rows(new_vecs)
+    keep = index.join(
+        new_vecs.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    return keep.unionByName(new_rows).select(*index.columns)
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup: bucket on the sign pattern of the
     first 8 dimensions, verify candidates with exact cosine ≥ 0.15.
@@ -223,12 +271,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finer blocks), which changes recall and therefore the published
     contract; the fixture keeps 8 for oracle parity."""
     e = table(tune(spark), sf_dir, "embeddings")
-    v = _dvec("embedding")
-    bucket = F.concat_ws(
-        "",
-        *[(F.element_at(v, i + 1) >= 0).cast("int").cast("string") for i in range(8)],
+    base = e.select(
+        "vec_id",
+        _dvec("embedding").alias("v"),
+        _sign_bucket_col().alias("bucket"),
     )
-    base = e.select("vec_id", v.alias("v"), bucket.alias("bucket"))
     buckets = base.groupBy("bucket").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("members")
     )

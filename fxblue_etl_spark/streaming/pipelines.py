@@ -1208,17 +1208,19 @@ def streaming_lsh_dedup(
     return run_to_table(agg, "complete", progress_out=progress_out)
 
 
-def _stage_docs_splits(sf_dir: str, n_splits: int) -> str:
-    """Stage documents.parquet as ``n_splits`` contiguous doc_id-range
-    files with ascending mtimes, so the file stream ingests them as
-    doc_id-ordered micro-batches (FileStreamSource picks files oldest
-    mtime first; names ``part_00N`` tie-break).  Same freshness
-    contract as :func:`_stage_docs_dir`."""
+def _stage_table_splits(
+    sf_dir: str, table_name: str, order_col: str, n_splits: int
+) -> str:
+    """Stage ``{table_name}.parquet`` as ``n_splits`` contiguous
+    ``order_col``-range files with ascending mtimes, so the file
+    stream ingests them as ordered micro-batches (FileStreamSource
+    picks files oldest mtime first; names ``part_00N`` tie-break).
+    Same freshness contract as :func:`_stage_docs_dir`."""
     import duckdb
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = f"/tmp/stream_docs_{tag}_x{n_splits}"
-    src = os.path.join(sf_dir, "documents.parquet")
+    d = f"/tmp/stream_{table_name}_{tag}_x{n_splits}"
+    src = os.path.join(sf_dir, f"{table_name}.parquet")
     probe = os.path.join(d, "part_000.parquet")
     s = os.stat(src)
     if (
@@ -1237,14 +1239,19 @@ def _stage_docs_splits(sf_dir: str, n_splits: int) -> str:
         dst = os.path.join(d, f"part_{i:03d}.parquet")
         con.execute(f"""
         COPY (SELECT * FROM (
-                SELECT *, ntile({n_splits}) OVER (ORDER BY doc_id) AS _nt
+                SELECT *, ntile({n_splits}) OVER (ORDER BY {order_col}) AS _nt
                 FROM read_parquet('{src}'))
-              WHERE _nt = {i + 1} ORDER BY doc_id)
+              WHERE _nt = {i + 1} ORDER BY {order_col})
         TO '{dst}' (FORMAT PARQUET)
         """)
         os.utime(dst, (base + i, base + i))
     con.close()
     return d
+
+
+def _stage_docs_splits(sf_dir: str, n_splits: int) -> str:
+    """Doc_id-ordered micro-batch staging of documents.parquet."""
+    return _stage_table_splits(sf_dir, "documents", "doc_id", n_splits)
 
 
 def streaming_lsh_dedup_incremental(
@@ -1359,6 +1366,107 @@ def streaming_lsh_dedup_incremental(
     return out
 
 
+def streaming_embed_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Self-maintaining streaming near-dup gate for EMBEDDINGS — the
+    vector-side mirror of :func:`streaming_lsh_dedup_incremental`:
+    the sign-LSH index starts EMPTY and each micro-batch of vectors
+    probes it and upserts itself (``similarity.upsert_sign_index``).
+    A vector is flagged ``is_dup`` when some earlier-id vector in its
+    sign bucket verifies exact cosine ≥ 0.15 — the same blocked
+    predicate as the batch ``embedding_near_dup``, so the oracle
+    derives from the shared NEAR_DUP_ORACLE pair set (a vec is a dup
+    iff it is the LATER side of a qualifying pair).
+
+    Per batch (foreachBatch — no streaming state store): bucket the
+    batch row-locally, swap the index to the upserted frame
+    (localCheckpoint truncates cross-batch lineage, superseded
+    checkpoint released, coalesce compacts the union-accreted
+    partitions), then one left-outer probe on the bucket key covers
+    both cross-batch and within-batch priors.  Batches arrive in
+    vec_id order (``_stage_table_splits``), so every earlier-id
+    vector is already indexed when a verdict is emitted.
+
+    100 TB posture: unlike the text gate's 3-column band index, this
+    index carries the vector payload (``(vec_id, bucket, v)``) — the
+    IVF-list trade: candidate verification needs the vector, so the
+    index IS the vector store, bucketed on the sign key; per batch
+    the payload crosses the wire once in the probe's hash join, and
+    the exact-cosine verify runs only within candidate buckets (256
+    fixed blocks at 8 bits — at real scale you widen the sign
+    pattern, same note as ``embedding_near_dup``)."""
+    from ..io import release_local_checkpoint
+    from ..operators.similarity import (
+        cosine,
+        sign_bucket_rows,
+        upsert_sign_index,
+    )
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "embeddings", "vec_id", n_splits)
+    schema = spark.read.parquet(d).schema
+    n_par = spark.sparkContext.defaultParallelism
+    stream_vecs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(n_par)
+    )
+
+    state: dict[str, DataFrame] = {}
+    verdicts: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = sign_bucket_rows(batch_df).localCheckpoint()
+        if "index" in state:
+            new_index = (
+                upsert_sign_index(state["index"], batch_df, new_rows=rows)
+                .coalesce(n_par)
+                .localCheckpoint()
+            )
+            release_local_checkpoint(state["index"])
+        else:
+            new_index = rows
+        state["index"] = new_index
+        prior = new_index.select(
+            F.col("vec_id").alias("prior_id"),
+            "bucket",
+            F.col("v").alias("pv"),
+        )
+        hit = F.when(
+            (F.col("prior_id") < F.col("vec_id"))
+            & (F.round(cosine(F.col("v"), F.col("pv")), 6) >= 0.15),
+            1,
+        ).otherwise(0)
+        verdicts.append(
+            rows.join(prior, ["bucket"], "left_outer")
+            .groupBy("vec_id")
+            .agg(F.max(hit).cast("int").alias("is_dup"))
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    if "index" in state:
+        release_local_checkpoint(state.pop("index"))
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out
+
+
 from ..operators.dedup import CAND_PAIRS_SQL as _CAND_PAIRS_SQL_REF  # noqa: E402
 
 STREAM_LSH_ORACLE = rf"""{_CAND_PAIRS_SQL_REF}
@@ -1368,6 +1476,21 @@ FROM bands s LEFT JOIN bands c
   ON c.band_idx = s.band_idx AND c.band_sig = s.band_sig
  AND c.doc_id < s.doc_id
 GROUP BY 1
+"""
+
+from ..operators.similarity import (  # noqa: E402
+    NEAR_DUP_ORACLE as _NEAR_DUP_ORACLE_REF,
+)
+
+#: a vector is a dup iff it is the LATER side of a qualifying
+#: sign-bucket cosine ≥ 0.15 pair — the exact batch predicate of
+#: embedding_near_dup, so the gate and the pair query can never drift
+STREAM_EMBED_ORACLE = f"""
+WITH pairs AS ({_NEAR_DUP_ORACLE_REF}),
+dups AS (SELECT DISTINCT vec_b FROM pairs)
+SELECT e.vec_id,
+       CAST(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_b
 """
 
 
@@ -1390,6 +1513,7 @@ QUERIES = {
     "streaming_interval_join_outer": streaming_interval_join_outer,
     "streaming_lsh_dedup": streaming_lsh_dedup,
     "streaming_lsh_dedup_incremental": streaming_lsh_dedup_incremental,
+    "streaming_embed_dedup_incremental": streaming_embed_dedup_incremental,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1414,6 +1538,7 @@ ORACLES = {
     "streaming_interval_join_outer": INTERVAL_JOIN_OUTER_ORACLE,
     "streaming_lsh_dedup": STREAM_LSH_ORACLE,
     "streaming_lsh_dedup_incremental": STREAM_LSH_ORACLE,
+    "streaming_embed_dedup_incremental": STREAM_EMBED_ORACLE,
 }
 
 if "streaming_locf_tws" in QUERIES:

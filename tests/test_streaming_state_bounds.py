@@ -172,3 +172,36 @@ def test_lsh_dedup_incremental_matches_batch_and_split_invariant(spark):
         )
     )
     assert inc1 == batch
+
+
+def test_embed_dedup_incremental_matches_batch_predicate(spark):
+    """The embedding gate (empty sign-LSH index, probe-then-upsert per
+    micro-batch) must flag exactly the LATER side of every batch
+    ``embedding_near_dup`` pair, invariant across micro-batch splits,
+    with NO streaming state store (foreachBatch only; the cross-batch
+    state is the maintained payload-bearing sign index)."""
+    from fxblue_etl_spark.operators.similarity import embedding_near_dup
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_embed_dedup_incremental,
+    )
+
+    dups = {
+        r.vec_b for r in embedding_near_dup(spark, SF).collect()
+    }
+    prog: list = []
+    inc3 = {
+        r.vec_id: r.is_dup
+        for r in streaming_embed_dedup_incremental(
+            spark, SF, prog
+        ).collect()
+    }
+    assert {v for v, d in inc3.items() if d == 1} == dups
+    assert len(prog) >= 3  # genuinely multi-batch
+    assert _peak_state_rows(prog) == 0  # no state store rows
+    inc1 = {
+        r.vec_id: r.is_dup
+        for r in streaming_embed_dedup_incremental(
+            spark, SF, n_splits=1
+        ).collect()
+    }
+    assert inc1 == inc3
