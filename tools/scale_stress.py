@@ -509,6 +509,41 @@ def stream_stress(spark) -> bool:
     )
     ok = ok and inc_ok and trend_ok and si == 0
 
+    # --- self-maintaining incremental EMBEDDING gate (round 7) ---
+    from fxblue_etl_spark.operators.similarity import embedding_near_dup
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_embed_dedup_incremental,
+    )
+
+    dup10 = {
+        r.vec_b
+        for r in t(
+            "10x embedding_near_dup (batch predicate)",
+            lambda: embedding_near_dup(spark, TENX).collect(),
+        )
+    }
+    pe: list = []
+    re_ = {
+        r.vec_id: r.is_dup
+        for r in t(
+            "10x streaming_embed_dedup_incremental(8 batches)",
+            lambda: streaming_embed_dedup_incremental(
+                spark, TENX, progress_out=pe, n_splits=8
+            ).collect(),
+        )
+    }
+    emb_ok = {v for v, d in re_.items() if d == 1} == dup10
+    edurs = [p["batchDuration"] for p in pe if "batchDuration" in p]
+    etrend_ok = len(edurs) >= 8 and max(edurs[2:]) <= 3 * max(edurs[:2])
+    se = _state_rows(pe)
+    print(
+        f"# embed_dedup_incremental: dup set == 10x batch predicate "
+        f"({len(dup10)} dups over {len(re_)} vecs): {emb_ok}; state rows "
+        f"{se} (foreachBatch only): {se == 0}; per-batch ms {edurs} "
+        f"flat-trend: {etrend_ok}"
+    )
+    ok = ok and emb_ok and etrend_ok and se == 0
+
     # --- CDC → SCD2 ---
     c1 = sorted(map(tuple, t(
         "1x  streaming_cdc_scd2",
