@@ -322,6 +322,10 @@ _R8_QUEUE: list[str] = [
     # index, probe-then-upsert per micro-batch (upsert_sign_index);
     # oracle = later side of a NEAR_DUP_ORACLE pair
     "streaming_embed_dedup_incremental",
+    # SemDeDup-style semantic prune: exact-Lloyd cluster blocking +
+    # within-cluster round(cos,6) pairs, keep the cluster-edge member
+    # (operators/ml.semdedup_prune); oracle shares the Lloyd CTEs
+    "semdedup_prune",
 ]
 
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed

@@ -284,3 +284,55 @@ def test_triplet_mining_matches_numpy_argmax(spark, sf_dir):
         assert (r["pos_dot"], r["pos_id"]) == (-best[1][0], best[1][1])
         assert (r["neg_dot"], r["neg_id"]) == (-best[0][0], best[0][1])
         assert r["margin"] == r["pos_dot"] - r["neg_dot"]
+
+
+def test_semdedup_prune_matches_numpy_reference(spark, sf_dir):
+    """semdedup_prune's per-cluster ledger must equal a NumPy
+    re-derivation from first principles: exact-Lloyd assignments in,
+    every within-cluster pair with round(cos, 6) >= tau prunes its
+    more-central member (tie -> larger vec_id), edge members survive."""
+    import numpy as np
+
+    from fxblue_etl_spark.operators.ml import (
+        _SEMDEDUP_TAU,
+        _exact_lloyd,
+        semdedup_prune,
+    )
+
+    final, _ = _exact_lloyd(spark, sf_dir)
+    asg = {
+        r["vec_id"]: (r["dc"]["cluster"], r["dc"]["dist"])
+        for r in final.collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (c, _) in asg.items():
+        by_cluster.setdefault(c, []).append(vid)
+    pruned: set[int] = set()
+    n_pairs = 0
+    for c, ids in by_cluster.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                sim = round(
+                    float(va @ vb)
+                    / (np.sqrt(va @ va) * np.sqrt(vb @ vb)),
+                    6,
+                )
+                if sim >= _SEMDEDUP_TAU:
+                    n_pairs += 1
+                    da, db = asg[a][1], asg[b][1]
+                    pruned.add(a if da < db else b)
+    assert n_pairs > 0, "fixture must exercise the prune path"
+    rows = {r["cluster"]: r for r in semdedup_prune(spark, sf_dir).collect()}
+    assert sum(r["n_members"] for r in rows.values()) == len(vecs)
+    for c, r in rows.items():
+        members = set(by_cluster.get(c, []))
+        want = pruned & members
+        assert r["n_pruned"] == len(want)
+        assert r["pruned_id_sum"] == sum(want)
+        assert r["n_kept"] == r["n_members"] - r["n_pruned"]
