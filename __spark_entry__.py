@@ -300,6 +300,16 @@ _R7_CODE_CHANGED: list[str] = [
     # static corpus band index memoized per (session, fixture) —
     # corpus_band_index replaces the per-invocation rebuild
     "streaming_lsh_dedup",
+    # Arrow signature stage (dedup.USE_ARROW_SIGNATURES): every query
+    # whose lineage includes minhash_band_rows — outputs bit-identical
+    # (tests/test_arrow_signatures.py), plans changed, so re-certify
+    "minhash_lsh_pairs",
+    "containment_pairs",
+    "source_overlap_matrix",
+    "corpus_release_manifest",
+    "split_decontaminate",
+    "canonical_doc_selection",
+    "recursive_dup_reachability",
 ]
 
 #: Queries ADDED in round 7 — placed after the 50-window (the round-7

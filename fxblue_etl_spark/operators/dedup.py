@@ -136,14 +136,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hs_df.select("doc_id", "shingles", F.explode(F.array(sig)).alias("sig"))
 
 
-def minhash_band_rows(docs: DataFrame) -> DataFrame:
-    """The banded-LSH index rows of ``docs`` (needs ``doc_id``,
-    ``text``): one ``(doc_id, shingles, band_idx, band_sig)`` row per
-    band — the shared primitive behind batch candidate pairing
-    (:func:`lsh_candidate_pairs`) and the streaming near-dup gate
-    (``streaming.pipelines.streaming_lsh_dedup``).  Everything here
-    is row-local expression work, so the same code path runs
-    unchanged on a streaming frame."""
+def minhash_band_rows_hof(docs: DataFrame) -> DataFrame:
+    """The JVM higher-order-function lineage of the banded-LSH index
+    rows — the original implementation, kept as the cross-checked
+    sibling of the Arrow path (``tests/test_dedup.py`` pins the two
+    bit-identical on the fixture AND on an adversarial literal
+    frame).  Everything here is row-local expression work."""
     d = docs.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
     sig_df = minhash_signatures(d)
     return sig_df.select(
@@ -169,6 +167,117 @@ def minhash_band_rows(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_idx", "band.band_sig")
+
+
+#: Java-regex ``\s`` is the ASCII class [ \t\n\x0B\f\r]; the Arrow
+#: path must match Spark's split/regexp_replace exactly (Python's
+#: ``\s`` is Unicode-aware and would tokenize U+00A0 etc. differently)
+_JAVA_WS_RE = "[ \t\n\x0b\f\r]+"
+
+_BAND_ROWS_SCHEMA = (
+    "doc_id bigint, shingles array<string>, band_idx int, band_sig string"
+)
+
+
+def _band_rows_arrow_fn(batches):
+    """``mapInPandas`` worker for :func:`minhash_band_rows`: the
+    normalize → shingle → md5 → universal-hash-min → band-sig chain
+    in numpy/hashlib, bit-identical to the HOF lineage (hashlib md5 ==
+    Spark md5; the universal family is exact int64 arithmetic,
+    products < 2^62).  Defined at module level so cloudpickle ships a
+    module reference, not a closure."""
+    import hashlib
+    import re as _re
+
+    import numpy as _np
+    import pandas as _pd
+
+    ws = _re.compile(_JAVA_WS_RE)
+    a_vec = _np.array(PERM_A, dtype=_np.int64)
+    b_vec = _np.array(PERM_B, dtype=_np.int64)
+    n_bands = N_PERM // BAND_ROWS
+    for pdf in batches:
+        out_doc, out_sh, out_bi, out_bs = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            # no .strip(): Python strips Unicode whitespace, Spark's
+            # trim only 0x20 — the empty-token filter already drops
+            # leading/trailing Java-\s runs identically to ws_tokens
+            toks = [t for t in ws.split(text.lower()) if t]
+            if len(toks) < 3:
+                continue
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3])
+                    for i in range(max(len(toks) - 3, 0) + 1)
+                )
+            )
+            hs = _np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=_np.int64,
+                count=len(sh),
+            )
+            sig = ((hs[:, None] * a_vec[None, :]) + b_vec[None, :]) % MERSENNE_31
+            sig = sig.min(axis=0)
+            for b in range(n_bands):
+                out_doc.append(doc_id)
+                out_sh.append(sh)
+                out_bi.append(b)
+                out_bs.append(
+                    hashlib.md5(
+                        "|".join(
+                            str(sig[b * BAND_ROWS + r])
+                            for r in range(BAND_ROWS)
+                        ).encode()
+                    ).hexdigest()
+                )
+        if out_doc:  # an all-empty pandas frame types shingles as
+            # float64, which Arrow cannot cast to list<string>
+            yield _pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "shingles": out_sh,
+                    "band_idx": out_bi,
+                    "band_sig": out_bs,
+                }
+            )
+
+
+#: Arrow signature stage (round-7 A/B, sf0.1, fan_out both sides,
+#: full-output checksum forced): HOF warm 1.47-1.62s vs Arrow warm
+#: 0.78-0.94s (~45% faster), outputs bit-identical including shingle
+#: order.  The HOF fold is interpreted expression-tree evaluation per
+#: shingle×permutation; hashlib+numpy batch the same math through C.
+#: Flip to False to restore the pure-JVM lineage.
+USE_ARROW_SIGNATURES = True
+
+
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """The banded-LSH index rows of ``docs`` (needs ``doc_id``,
+    ``text``): one ``(doc_id, shingles, band_idx, band_sig)`` row per
+    band — the shared primitive behind batch candidate pairing
+    (:func:`lsh_candidate_pairs`), the corpus composites, and the
+    streaming near-dup gates.  Row-local either way, so the same code
+    path runs unchanged on a streaming frame.
+
+    Two bit-identical lineages: the default is an Arrow-batched
+    ``mapInPandas`` (numpy universal hashes + hashlib md5 — measured
+    ~45% faster than the higher-order-function fold at sf0.1, see
+    ``USE_ARROW_SIGNATURES``); ``minhash_band_rows_hof`` keeps the
+    pure-JVM expression lineage, cross-checked equal in tests.  At
+    100 TB both are embarrassingly parallel scan stages with no
+    exchange before the band-bucket shuffle; the Arrow path adds a
+    Python worker per core, the standard posture for LLM-corpus
+    pipelines."""
+    if not USE_ARROW_SIGNATURES:
+        return minhash_band_rows_hof(docs)
+    return docs.select("doc_id", "text").mapInPandas(
+        _band_rows_arrow_fn, _BAND_ROWS_SCHEMA
+    )
 
 
 #: (sf_dir → (session, fingerprint, checkpointed index)) — see

@@ -1,0 +1,70 @@
+"""The Arrow signature stage must be bit-identical to the JVM HOF
+lineage (round-7 flip: ``dedup.USE_ARROW_SIGNATURES``) — on the
+fixture corpus AND on an adversarial literal frame exercising the
+whitespace/empty/short/duplicate edges where the two runtimes could
+plausibly diverge."""
+
+from __future__ import annotations
+
+from fxblue_etl_spark.io import fan_out, table
+from fxblue_etl_spark.operators.dedup import (
+    _BAND_ROWS_SCHEMA,
+    _band_rows_arrow_fn,
+    minhash_band_rows,
+    minhash_band_rows_hof,
+)
+
+
+def _canon(df):
+    return sorted(
+        (r["doc_id"], tuple(r["shingles"]), r["band_idx"], r["band_sig"])
+        for r in df.collect()
+    )
+
+
+def test_arrow_equals_hof_on_fixture(spark, sf_dir):
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    arrow = docs.mapInPandas(_band_rows_arrow_fn, _BAND_ROWS_SCHEMA)
+    assert _canon(arrow) == _canon(minhash_band_rows_hof(docs))
+
+
+def test_arrow_equals_hof_on_adversarial_frame(spark):
+    rows = [
+        (1, "  leading and trailing   \t\n  whitespace mix here  "),
+        (2, "tabs\tbetween\ttokens\tand\tmore\ttokens"),
+        (3, "exactly three tokens"),
+        (4, "two tokens"),  # < 3 tokens: excluded
+        (5, ""),  # empty: excluded
+        (6, None),  # null: excluded
+        (7, "MiXeD CaSe TOKENS normalize THE same WAY"),
+        (8, "dup dup dup dup dup dup"),  # one distinct shingle
+        (9, "a b c a b c a b c d"),  # repeated shingles
+        (10, "newline\nseparated\ntokens\nwith\x0cformfeed\x0bvertical"),
+        (11, "exactly three tokens"),  # exact dup of doc 3
+        (12, "punct, stays! glued? to:tokens; here's more text now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrow = docs.mapInPandas(_band_rows_arrow_fn, _BAND_ROWS_SCHEMA)
+    got = _canon(arrow)
+    want = _canon(minhash_band_rows_hof(docs))
+    assert got == want
+    ids = {d for d, *_ in got}
+    assert {4, 5, 6}.isdisjoint(ids) and {1, 2, 3, 11, 12} <= ids
+    # exact-dup docs share every band signature
+    by_doc = {}
+    for d, _sh, bi, bs in got:
+        by_doc.setdefault(d, {})[bi] = bs
+    assert by_doc[3] == by_doc[11]
+
+
+def test_default_dispatch_is_arrow(spark):
+    docs = spark.createDataFrame(
+        [(1, "three tokens minimum wanted")], "doc_id bigint, text string"
+    )
+    plan = (
+        minhash_band_rows(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
