@@ -42,6 +42,15 @@ def test_arrow_equals_hof_on_adversarial_frame(spark):
         (10, "newline\nseparated\ntokens\nwith\x0cformfeed\x0bvertical"),
         (11, "exactly three tokens"),  # exact dup of doc 3
         (12, "punct, stays! glued? to:tokens; here's more text now"),
+        # Unicode casing/whitespace parity: Python str.lower() must
+        # match Spark's lower(), and Python must NOT split on \xa0
+        # (Java \s is ASCII-only — the _JAVA_WS_RE contract)
+        (13, "İstanbul CASE test here İİİ okay done"),
+        (14, "straße STRASSE ẞharp esszett test words here"),
+        (15, "ΣΙΣΥΦΟΣ greek sigma ΟΔΥΣΣΕΥΣ test tokens here"),
+        (16, "nbsp\xa0separated\xa0tokens maybe different split here"),
+        (17, "ǅungla titlecase DŽ digraph test tokens here"),
+        (18, "ffi ﬁ ligature ﬀ tokens FFI test here"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     arrow = docs.mapInPandas(_band_rows_arrow_fn, _BAND_ROWS_SCHEMA)
