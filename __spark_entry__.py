@@ -336,6 +336,10 @@ _R8_QUEUE: list[str] = [
     # within-cluster round(cos,6) pairs, keep the cluster-edge member
     # (operators/ml.semdedup_prune); oracle shares the Lloyd CTEs
     "semdedup_prune",
+    # substring-level dedup rewrite ledger (Lee et al. 2021): remove
+    # every position covered by a cross-doc repeated SPAN_K-token
+    # span (operators/quality.span_dedup_rewrite)
+    "span_dedup_rewrite",
 ]
 
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed

@@ -296,6 +296,106 @@ FROM g LEFT JOIN hit h USING (doc_id)
 """
 
 
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup REWRITE ledger (Lee et al. 2021,
+    arXiv:2107.06499 — remove repeated substrings, don't drop whole
+    documents): a token position is removed iff it is covered by at
+    least one occurrence of a cross-document repeated ``SPAN_K``-token
+    span.  Complements :func:`span_dedup_stats` (the detection half —
+    same spans, same cross-doc df > 1 predicate) with the per-doc
+    removal accounting the transform itself needs: n_tokens,
+    n_removed, n_kept, kept_ppm.
+
+    Plan: positioned spans (``posexplode`` — row-local) → one groupBy
+    for cross-doc span df → equi-join back on the span → covered
+    positions explode a constant-length ``sequence(i, i+K-1)`` →
+    distinct (doc, pos) → per-doc count.  O(corpus spans · K) rows
+    through content-keyed hash shuffles, never pairwise over docs —
+    the Spark-joinable restatement of the suffix-array pass, same
+    scale shape as the detection half.  Docs shorter than SPAN_K
+    carry through with zero removals (left join).
+    """
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
+    sp = base.filter(F.col("n_tokens") >= SPAN_K).select(
+        "doc_id",
+        F.posexplode(_tok_ngrams(F.col("toks"), SPAN_K)).alias("i", "span"),
+    )
+    shared = (
+        sp.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("span")
+    )
+    covered = (
+        sp.join(shared, "span")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_removed"))
+    )
+    out = (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        (F.col("n_tokens") - F.col("n_removed")).cast("long").alias("n_kept"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("1000000 * (n_tokens - n_removed) DIV n_tokens"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("kept_ppm"),
+    )
+
+
+SPAN_REWRITE_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS i,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+         || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5] AS span
+  FROM tk, unnest(range(1, CASE WHEN len(toks) >= {SPAN_K}
+                                THEN len(toks) - {SPAN_K - 2} ELSE 1 END)) t(i)),
+sdf AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp) px
+  GROUP BY span HAVING count(*) > 1),
+cov AS (
+  SELECT doc_id, count(DISTINCT s.i + o.o) AS n_removed
+  FROM sp s JOIN sdf USING (span), unnest(range(0, {SPAN_K})) o(o)
+  GROUP BY 1)
+SELECT tk.doc_id,
+       CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(tk.toks) - coalesce(c.n_removed, 0) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN len(tk.toks) > 0
+            THEN (1000000 * (len(tk.toks) - coalesce(c.n_removed, 0))) // len(tk.toks)
+            ELSE 1000000 END AS BIGINT) AS kept_ppm
+FROM tk LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level (per-source) quality gating: keep a source iff its
     mean document length is at least the corpus mean — the aggregate
@@ -581,6 +681,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "domain_quality_gate": domain_quality_gate,
     "span_dedup_stats": span_dedup_stats,
+    "span_dedup_rewrite": span_dedup_rewrite,
     "quality_lm_calibration": quality_lm_calibration,
     "quality_feature_matrix": quality_feature_matrix,
     "ngram_novelty_scores": ngram_novelty_scores,
@@ -591,6 +692,7 @@ ORACLES = {
     "contamination_check": CONTAMINATION_ORACLE,
     "domain_quality_gate": DOMAIN_GATE_ORACLE,
     "span_dedup_stats": SPAN_DEDUP_ORACLE,
+    "span_dedup_rewrite": SPAN_REWRITE_ORACLE,
     "quality_lm_calibration": QUALITY_LM_CALIBRATION_ORACLE,
     "quality_feature_matrix": FEATURE_MATRIX_ORACLE,
     "ngram_novelty_scores": NGRAM_NOVELTY_ORACLE,

@@ -193,3 +193,51 @@ def test_ngram_novelty_bounds_and_quotient(spark, sf_dir):
         assert r["doc_id"] % 5 == 0
         assert 0 <= r["n_novel"] <= r["n_trigrams"]
         assert r["novel_ppm"] == (1_000_000 * r["n_novel"]) // r["n_trigrams"]
+
+
+def test_span_rewrite_matches_python_reference(spark, sf_dir):
+    """span_dedup_rewrite's removal ledger must equal a pure-Python
+    re-derivation: a position is removed iff covered by at least one
+    occurrence of a cross-document repeated SPAN_K-token span; docs
+    shorter than SPAN_K carry through untouched."""
+    import re
+
+    from fxblue_etl_spark.operators.quality import SPAN_K, span_dedup_rewrite
+
+    ws = re.compile("[ \t\n\x0b\x0c\r]+")
+    docs = {
+        r["doc_id"]: [t for t in ws.split(r["text"].strip()) if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r["text"] is not None
+    }
+    span_docs: dict[str, set[int]] = {}
+    positions: dict[int, list[tuple[int, str]]] = {}
+    for d, toks in docs.items():
+        occ = []
+        for i in range(max(len(toks) - SPAN_K, -1) + 1):
+            if len(toks) >= SPAN_K:
+                s = " ".join(toks[i : i + SPAN_K])
+                occ.append((i, s))
+                span_docs.setdefault(s, set()).add(d)
+        positions[d] = occ
+    shared = {s for s, ds in span_docs.items() if len(ds) > 1}
+    rows = {r["doc_id"]: r for r in span_dedup_rewrite(spark, sf_dir).collect()}
+    assert set(rows) == set(docs)
+    n_any_removed = 0
+    for d, toks in docs.items():
+        covered = set()
+        for i, s in positions[d]:
+            if s in shared:
+                covered.update(range(i, i + SPAN_K))
+        r = rows[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_removed"] == len(covered)
+        assert r["n_kept"] == len(toks) - len(covered)
+        want_ppm = (
+            (1_000_000 * (len(toks) - len(covered))) // len(toks)
+            if toks
+            else 1_000_000
+        )
+        assert r["kept_ppm"] == want_ppm
+        n_any_removed += bool(covered)
+    assert n_any_removed > 0, "fixture must exercise the removal path"
