@@ -196,6 +196,7 @@ def main() -> int:
     ok = ml_stress(spark) and ok
     ok = graph_stress(spark) and ok
     ok = stream_stress(spark) and ok
+    ok = dedup_rewrite_stress(spark) and ok
     print(f"# load_avg at end: {os.getloadavg()[0]:.2f}")
     return 0 if ok else 1
 
@@ -589,6 +590,78 @@ def stream_stress(spark) -> bool:
           f"windows: {agg_ok}; state rows 1x {sa1} == 10x {sa10} "
           f"(watermark/window-bounded, volume-independent): {wm_ok}")
     return ok and agg_ok and wm_ok
+
+
+def dedup_rewrite_stress(spark) -> bool:
+    """Round-7 additions at 10× duplication — both have EXACT
+    invariants under uniform copying, not just load numbers.
+
+    ``semdedup_prune``: 10 identical copies of every vector leave the
+    exact-Lloyd centroids unchanged (uniform duplication preserves
+    integer means — the kmeans probe above asserts it), every copy
+    lands in its original's cluster with the SAME centroid distance,
+    and the tie rule (prune the larger vec_id) makes every non-minimal
+    copy pruned by its own family while each ORIGINAL's verdict is
+    untouched (copies only add tied-distance neighbors with larger
+    ids, which can never prune an original).  So per cluster:
+    n_members ×10 exact, n_kept IDENTICAL to 1×, and
+    n_pruned(10×) = 9·n_members(1×) + n_pruned(1×).
+
+    ``span_dedup_rewrite``: duplicating every document makes every
+    SPAN_K-token span cross-document shared, so every doc with
+    n_tokens ≥ SPAN_K must come back FULLY removed (kept_ppm = 0,
+    n_removed = n_tokens) and every shorter doc untouched — full
+    coverage is the transform's worst case, hit exactly."""
+    from fxblue_etl_spark.operators.ml import semdedup_prune
+    from fxblue_etl_spark.operators.quality import SPAN_K, span_dedup_rewrite
+
+    def t(label, fn):
+        t0 = time.time()
+        r = fn()
+        print(f"{label}: {time.time() - t0:.1f}s  ({len(r)} rows)")
+        return r
+
+    if "--full" in sys.argv:
+        s1 = {r.cluster: r for r in t(
+            "1x  semdedup_prune",
+            lambda: semdedup_prune(spark, BASE).collect())}
+        s10 = {r.cluster: r for r in t(
+            "10x semdedup_prune",
+            lambda: semdedup_prune(spark, TENX).collect())}
+        sd_ok = set(s1) == set(s10) and all(
+            s10[c].n_members == 10 * v.n_members
+            and s10[c].n_kept == v.n_kept
+            and s10[c].n_pruned == 9 * v.n_members + v.n_pruned
+            for c, v in s1.items()
+        )
+        print(f"# semdedup_prune: members x10, kept IDENTICAL, pruned = "
+              f"9*members + pruned(1x) per cluster: {sd_ok}")
+    else:
+        # 10× with the fixture's FIXED K=8 is the operator's
+        # documented quadratic case (20k vectors → ~2.5k per cluster
+        # → ~25M within-cluster pairs; >10 min on this host).  The
+        # whole point of SemDeDup is that production scales K with
+        # the corpus to bound cluster sizes — the fixture pins K=8
+        # for oracle parity, so the 10× invariant run opts in via
+        # --full rather than tax every battery run.
+        sd_ok = True
+        print("# semdedup_prune 10x: skipped (pass --full; fixed fixture "
+              "K=8 makes 10x quadratic by design — see docstring)")
+
+    r1 = t("1x  span_dedup_rewrite",
+           lambda: span_dedup_rewrite(spark, BASE).collect())
+    r10 = t("10x span_dedup_rewrite",
+            lambda: span_dedup_rewrite(spark, TENX).collect())
+    full = all(
+        (r.n_tokens < SPAN_K and r.n_removed == 0 and r.kept_ppm == 1_000_000)
+        or (r.n_tokens >= SPAN_K and r.n_removed == r.n_tokens
+            and r.kept_ppm == 0)
+        for r in r10
+    )
+    sr_ok = len(r10) == 10 * len(r1) and full
+    print(f"# span_dedup_rewrite: 10x rows = {len(r10)} (= 10x {len(r1)}); "
+          f"every >=K-token doc fully covered, shorter untouched: {sr_ok}")
+    return sd_ok and sr_ok
 
 
 if __name__ == "__main__":
