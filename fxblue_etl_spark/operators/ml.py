@@ -450,13 +450,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the larger vec_id, so the pruned side of every pair is unique.
 
     Scale shape (100 TB): this is the whole point of SemDeDup — the
-    O(n²) semantic-similarity graph is never built; pairs explode
-    only within a k-means cluster (one hash shuffle on the cluster
-    id), and K grows with the corpus so cluster sizes stay bounded
-    (the paper uses K ≈ n/10⁴ on LAION).  The Lloyd state is
-    K×dim-bounded; the prune verdict joins back to the assignment
-    table on vec_id, co-partitioned by construction.  The fixture
-    pins K=8 for oracle parity.
+    O(n²) semantic-similarity graph is never built; pairs form only
+    within a k-means cluster, and K grows with the corpus so cluster
+    sizes stay bounded (the paper uses K ≈ n/10⁴ on LAION).  Pair
+    generation is a cluster-keyed EQUI-JOIN, deliberately NOT the
+    collect_list + double-explode shape `embedding_near_dup` uses:
+    that shape pins every exploded row to its full member array, fine
+    for the sign-LSH's 256 small buckets but corpus/K-sized here —
+    at 10× duplication it OOMs where the join streams the same pairs
+    in bounded memory (measured; `tools/scale_stress.py --full`).
+    The Lloyd state is K×dim-bounded; the prune verdict joins back to
+    the assignment table on vec_id.  The fixture pins K=8 for oracle
+    parity.
     """
     from .similarity import _dvec, cosine
 
@@ -470,17 +475,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec("embedding").alias("v")
     )
     m = asg.join(vecs, "vec_id")
-    buckets = m.groupBy("cluster").agg(
-        F.collect_list(F.struct("vec_id", "d", "v")).alias("members")
-    )
-    pairs = (
-        buckets.select("cluster", F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= _SEMDEDUP_TAU
-        )
-    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= _SEMDEDUP_TAU)
     pruned = pairs.select(
         F.when(F.col("a.d") < F.col("b.d"), F.col("a.vec_id"))
         .when(F.col("b.d") < F.col("a.d"), F.col("b.vec_id"))
