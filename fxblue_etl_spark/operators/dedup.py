@@ -199,8 +199,9 @@ def _band_rows_arrow_fn(batches):
     for pdf in batches:
         out_doc, out_sh, out_bi, out_bs = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            if text is None:
-                continue
+            if not isinstance(text, str):
+                continue  # null text: None normally, but a fully-null
+                # Arrow batch can surface as float NaN in pandas
             # no .strip(): Python strips Unicode whitespace, Spark's
             # trim only 0x20 — the empty-token filter already drops
             # leading/trailing Java-\s runs identically to ws_tokens

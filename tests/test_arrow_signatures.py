@@ -77,3 +77,13 @@ def test_default_dispatch_is_arrow(spark):
         .toString()
     )
     assert "MapInPandas" in plan
+
+
+def test_arrow_path_survives_all_null_batch(spark):
+    """A fully-null text batch surfaces as float NaN in pandas, not
+    None — the worker must skip it, matching the HOF null filter."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    assert minhash_band_rows(docs).count() == 0
+    assert minhash_band_rows_hof(docs).count() == 0
