@@ -19,7 +19,7 @@ from fxblue_etl_spark.operators.graph import (
     split_decontaminate,
 )
 from fxblue_etl_spark.operators.dedup import minhash_lsh_containment
-from fxblue_etl_spark.operators.ml import kmeans_iterate_exact
+from fxblue_etl_spark.operators.ml import kmeans_iterate_exact, semdedup_prune
 from fxblue_etl_spark.operators.similarity import brp_lsh_containment
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
@@ -37,6 +37,7 @@ from fxblue_etl_spark.operators.corpusops import capped_waterfill_allocation
 from fxblue_etl_spark.operators.quality import (
     ngram_novelty_scores,
     quality_feature_matrix,
+    span_dedup_rewrite,
 )
 from fxblue_etl_spark.operators.temporal import (
     seasonal_naive_backtest,
@@ -200,6 +201,11 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         kmeans_iterate_exact,
         minhash_lsh_containment,
         brp_lsh_containment,
+        # round-7: SemDeDup ledger (integer distances + rounded cosine
+        # verdicts) and the span-removal ledger (distinct position
+        # counts) must not depend on parallelism
+        semdedup_prune,
+        span_dedup_rewrite,
     ],
     ids=lambda q: q.__name__,
 )
