@@ -342,6 +342,67 @@ _R8_QUEUE: list[str] = [
     "span_dedup_rewrite",
 ]
 
+#: ROUND-8 RE-CERT CANDIDATES (pre-planned; NOT wired into the head
+#: until round 8 flips the window logic — the driver's round-7 gate
+#: must certify the round-7 rotation below).  Computed from the
+#: CORRECTNESS files assuming the round-7 window lands green: the 7
+#: r1-era rows the Arrow-flip re-certs displaced from round 7's fill
+#: (6 rounds stale — oldest first), then the r2-era block.  Round 8's
+#: head = flagship + _R8_QUEUE + round-8 code-changed + this list up
+#: to the 50-window, truncated from the tail.
+_R8_RECERT_CANDIDATES: list[str] = [
+    "t2_timestamp_iso",
+    "t3_custom_ts_roundtrip",
+    "t4_percent_parse",
+    "t5_sentinel_null",
+    "t6_string_extract",
+    "t7_hash_dedup",
+    "topk_orders_per_customer",
+    "ann_ivf_topk",
+    "asof_purchase_view",
+    "bloom_filter_join",
+    "bucketed_colocated_join",
+    "contamination_check",
+    "cosine_topk_bruteforce",
+    "csv_sink_roundtrip",
+    "dedup_exact",
+    "doc_fingerprint",
+    "dpp_monthly_join",
+    "dq_audit",
+    "edit_distance_pairs",
+    "embedding_near_dup",
+    "funnel_conversion",
+    "heavy_hitters_exact",
+    "lang_id",
+    "mad_outliers",
+    "media_metadata",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "orc_sink_roundtrip",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q20_part_supp_chain",
+    "quality_score",
+    "quantized_topk",
+    "range_join_price_bands",
+    "regression_analytics",
+    "s4_xlsx_registry",
+    "salted_count_events",
+    "salted_join_supplier_revenue",
+    "scd2_customer_dim",
+    "simhash_docs",
+    "temperature_resample",
+    "text_stats",
+    "time_bucket_rollup",
+    "training_shard_roundtrip",
+    "unpivot_lineitem_metrics",
+    "variant_json_shred",
+    "w1_locf_snapshots",
+    "w2_keep_one_per_key",
+    "winsorized_totalprice",
+    "zorder_clustering_stats",
+]
+
 #: ROUND-7 RE-CERT CANDIDATES — the 46 oldest-standing oracle-backed
 #: driver rows (latest check wins; r1-era rows are 6 rounds stale by
 #: round 7), computed from the CORRECTNESS_r0N files.  Round 7's head
