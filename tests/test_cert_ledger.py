@@ -134,3 +134,28 @@ def test_r7_recert_candidates_consistent():
         and r < newest_included
     ]
     assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r8_recert_candidates_consistent():
+    """The pre-planned round-8 ledger must stay derivable: every entry
+    oracle-backed + registered + already driver-certified (rounds 1-6;
+    the round-7 window re-certs are excluded — they'll be fresh), with
+    the 7 displaced r1-era rows at the head, and no overlap with the
+    round-7 window head or the _R8_QUEUE additions."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R8_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 50
+    checked = _driver_checked()
+    head50 = set(list(qs)[:50])
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in checked, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 7 already"
+        assert k not in e._R8_QUEUE
+    assert cand[:7] == [
+        "t2_timestamp_iso", "t3_custom_ts_roundtrip", "t4_percent_parse",
+        "t5_sentinel_null", "t6_string_extract", "t7_hash_dedup",
+        "topk_orders_per_customer",
+    ]
