@@ -123,6 +123,7 @@ def main() -> None:
     from fxblue_etl_spark.io import drain_all
 
     timings: dict[str, float] = {}
+    query_loads: dict[str, float] = {}
     for name in names:
         # between QUERIES, not between runs: each timed run must pay
         # its own swap_cache build exactly like a cold driver call,
@@ -138,6 +139,11 @@ def main() -> None:
             _ = df.limit(10000).collect()
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # per-query 1-minute load at measurement end: co-tenant load
+        # arrives in waves, so a start/end pair can't say WHICH
+        # entries ran hot — this can (rounds 6-7 adjudicated three
+        # "regressions" that were exactly such waves)
+        query_loads[name] = round(os.getloadavg()[0], 2)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     total = round(sum(timings.values()), 3)
     frozen_total = round(
@@ -160,6 +166,10 @@ def main() -> None:
                 # should weigh deltas against these
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
+                # 1-minute load sampled as each query's median lands —
+                # attributes mid-run co-tenant waves to the entries
+                # they actually contaminated
+                "query_loads": query_loads,
                 # None = started below MAX_START_LOAD; a number = the
                 # host never went quiet within the wait budget and the
                 # run proceeded anyway after waiting this many seconds
