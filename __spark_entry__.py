@@ -340,6 +340,10 @@ _R8_QUEUE: list[str] = [
     # every position covered by a cross-doc repeated SPAN_K-token
     # span (operators/quality.span_dedup_rewrite)
     "span_dedup_rewrite",
+    # prototypicality pruning (Sorscher et al. 2022): drop the most
+    # central quarter of each exact-Lloyd cluster — ranking-based,
+    # no pair graph (operators/ml.prototype_prune)
+    "prototype_prune",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

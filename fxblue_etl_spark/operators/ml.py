@@ -511,6 +511,93 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486): rank each
+    cluster's members by distance to their centroid and DROP the most
+    prototypical quarter — with abundant data, pruning easy/redundant
+    examples beats random selection, and cluster-distance is the
+    paper's self-supervised prototypicality metric.  Complements
+    ``semdedup_prune`` (pairwise semantic duplicates) with the
+    ranking-based flavor: no pair graph at all, so no quadratic term.
+
+    Determinism: clusters and distances come from the shared
+    integer-µ exact Lloyd (``_exact_lloyd``); the rank order is
+    (dist, vec_id) — a total order — and the drop predicate is the
+    exact integer comparison ``4·rank ≤ n_members`` (rank ≤ ⌊n/4⌋).
+
+    Scale shape (100 TB): one window partitioned by cluster id — task
+    parallelism is K, which scales with the corpus exactly as in
+    SemDeDup (bounded cluster sizes); per-member state is one BIGINT
+    distance.  No corpus-sized join, no pair explosion."""
+    final, _ = _exact_lloyd(spark, sf_dir)
+    asg = final.select(
+        "vec_id",
+        F.col("dc.cluster").alias("cluster"),
+        F.col("dc.dist").alias("d"),
+    )
+    w = Window.partitionBy("cluster").orderBy("d", "vec_id")
+    ranked = asg.select(
+        "vec_id",
+        "cluster",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster")).alias("n"),
+    )
+    return (
+        ranked.select(
+            "cluster",
+            "n",
+            (F.col("rn") * 4 <= F.col("n")).alias("is_dropped"),
+            "vec_id",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.first("n").cast("long").alias("n_members"),
+            F.sum(F.col("is_dropped").cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped"), F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dropped_id_sum"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "n_dropped",
+            (F.col("n_members") - F.col("n_dropped"))
+            .cast("long")
+            .alias("n_kept"),
+            "dropped_id_sum",
+        )
+    )
+
+
+def _prototype_prune_oracle() -> str:
+    parts = _km_cte_parts()
+    parts.append(
+        """asg AS (
+  SELECT vec_id, dc[2] AS cluster, dc[1] AS d FROM final),
+ranked AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n
+  FROM asg)
+SELECT cluster,
+       CAST(any_value(n) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN rn * 4 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(any_value(n) - sum(CASE WHEN rn * 4 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn * 4 <= n THEN vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum
+FROM ranked
+GROUP BY 1"""
+    )
+    return ",\n".join(parts)
+
+
+PROTOTYPE_PRUNE_ORACLE = _prototype_prune_oracle()
+
+
 def _semdedup_oracle() -> str:
     from .similarity import _DUCK_COS, _DUCK_DVEC
 
@@ -2045,6 +2132,7 @@ QUERIES = {
     "kmeans_iterate": kmeans_iterate,
     "kmeans_iterate_exact": kmeans_iterate_exact,
     "semdedup_prune": semdedup_prune,
+    "prototype_prune": prototype_prune,
     "embedding_quantize": embedding_quantize_query,
     "quantized_topk": quantized_topk,
     "quantized_ivf_topk": quantized_ivf_topk,
@@ -2071,6 +2159,7 @@ ORACLES = {
     # rounds in integer µ-units)
     "kmeans_iterate_exact": KMEANS_ITERATE_EXACT_ORACLE,
     "semdedup_prune": SEMDEDUP_ORACLE,
+    "prototype_prune": PROTOTYPE_PRUNE_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
     "quantized_topk": QUANTIZED_TOPK_ORACLE,
     "quantized_ivf_topk": QUANTIZED_IVF_ORACLE,

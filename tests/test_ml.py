@@ -336,3 +336,33 @@ def test_semdedup_prune_matches_numpy_reference(spark, sf_dir):
         assert r["n_pruned"] == len(want)
         assert r["pruned_id_sum"] == sum(want)
         assert r["n_kept"] == r["n_members"] - r["n_pruned"]
+
+
+def test_prototype_prune_matches_python_reference(spark, sf_dir):
+    """prototype_prune's ledger must equal a first-principles
+    re-derivation: rank by (dist, vec_id) inside each exact-Lloyd
+    cluster, drop rank <= floor(n/4)."""
+    from fxblue_etl_spark.operators.ml import _exact_lloyd, prototype_prune
+
+    final, _ = _exact_lloyd(spark, sf_dir)
+    asg = [
+        (r["dc"]["cluster"], r["dc"]["dist"], r["vec_id"])
+        for r in final.collect()
+    ]
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for c, d, vid in asg:
+        by_cluster.setdefault(c, []).append((d, vid))
+    rows = {r["cluster"]: r for r in prototype_prune(spark, sf_dir).collect()}
+    assert set(rows) == set(by_cluster)
+    total_dropped = 0
+    for c, members in by_cluster.items():
+        members.sort()
+        n = len(members)
+        dropped = [vid for i, (_d, vid) in enumerate(members) if 4 * (i + 1) <= n]
+        r = rows[c]
+        assert r["n_members"] == n
+        assert r["n_dropped"] == len(dropped) == n // 4
+        assert r["n_kept"] == n - len(dropped)
+        assert r["dropped_id_sum"] == sum(dropped)
+        total_dropped += len(dropped)
+    assert total_dropped > 0

@@ -19,7 +19,11 @@ from fxblue_etl_spark.operators.graph import (
     split_decontaminate,
 )
 from fxblue_etl_spark.operators.dedup import minhash_lsh_containment
-from fxblue_etl_spark.operators.ml import kmeans_iterate_exact, semdedup_prune
+from fxblue_etl_spark.operators.ml import (
+    kmeans_iterate_exact,
+    prototype_prune,
+    semdedup_prune,
+)
 from fxblue_etl_spark.operators.similarity import brp_lsh_containment
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
@@ -206,6 +210,7 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         # counts) must not depend on parallelism
         semdedup_prune,
         span_dedup_rewrite,
+        prototype_prune,
     ],
     ids=lambda q: q.__name__,
 )
