@@ -463,6 +463,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment table on vec_id.  The fixture pins K=8 for oracle
     parity.
     """
+    from ..io import swap_cache
     from .similarity import _dvec, cosine
 
     final, _ = _exact_lloyd(spark, sf_dir)
@@ -474,7 +475,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(tune(spark), sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    m = asg.join(vecs, "vec_id")
+    # m feeds three consumers (both self-join sides + the final
+    # per-cluster ledger): persist so the Lloyd assignment chain and
+    # the payload join run once — at cluster scale this materialized
+    # (cluster, d, v) frame IS the serving assignment table the IVF
+    # family maintains (upsert_ivf_index)
+    m = swap_cache("ml.semdedup", asg.join(vecs, "vec_id"))
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         b,
@@ -488,7 +494,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vec_id")
     ).distinct()
     return (
-        asg.join(pruned.withColumn("pr", F.lit(1)), "vec_id", "left")
+        m.select("vec_id", "cluster")
+        .join(pruned.withColumn("pr", F.lit(1)), "vec_id", "left")
         .groupBy("cluster")
         .agg(
             F.count("*").cast("long").alias("n_members"),
