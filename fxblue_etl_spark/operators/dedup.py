@@ -202,6 +202,14 @@ def _band_rows_arrow_fn(batches):
             if not isinstance(text, str):
                 continue  # null text: None normally, but a fully-null
                 # Arrow batch can surface as float NaN in pandas
+            # null doc_id parity (round-7 advice): the HOF lineage
+            # passes a null-doc_id row through with its bands intact,
+            # so the Arrow path must too — but a nullable bigint batch
+            # surfaces as float64 in pandas, and appending NaN to the
+            # int output column would fail the Arrow bigint cast and
+            # kill the whole task.  Map NaN → None and emit the
+            # column as nullable Int64 below.
+            doc_id = None if _pd.isna(doc_id) else int(doc_id)
             # no .strip(): Python strips Unicode whitespace, Spark's
             # trim only 0x20 — the empty-token filter already drops
             # leading/trailing Java-\s runs identically to ws_tokens
@@ -240,7 +248,9 @@ def _band_rows_arrow_fn(batches):
             # float64, which Arrow cannot cast to list<string>
             yield _pd.DataFrame(
                 {
-                    "doc_id": out_doc,
+                    # nullable Int64, not bare list: a passed-through
+                    # null doc_id must reach Arrow as null, not NaN
+                    "doc_id": _pd.array(out_doc, dtype="Int64"),
                     "shingles": out_sh,
                     "band_idx": out_bi,
                     "band_sig": out_bs,
@@ -254,6 +264,17 @@ def _band_rows_arrow_fn(batches):
 #: order.  The HOF fold is interpreted expression-tree evaluation per
 #: shingle×permutation; hashlib+numpy batch the same math through C.
 #: Flip to False to restore the pure-JVM lineage.
+#:
+#: LOCALE CONTRACT (round-7 advice): bit-identity of the two
+#: lineages' lowercasing assumes the JVM default locale is ROOT-like
+#: for case mapping — Spark's ``lower()`` delegates to
+#: ``UTF8String.toLowerCase`` which on a Turkish-locale JVM maps
+#: I→ı (dotless) while Python's locale-independent ``str.lower()``
+#: yields i.  Deployments MUST pin ``-Duser.language=`` (or run the
+#: HOF lineage) on non-ROOT-default JVMs; the parity test
+#: (tests/test_arrow_signatures.py) asserts the session JVM is not
+#: Turkish/Azerbaijani-locale so the contract is checked, not
+#: assumed, on the test host.
 USE_ARROW_SIGNATURES = True
 
 

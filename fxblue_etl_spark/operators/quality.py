@@ -212,6 +212,14 @@ GROUP BY 1
 SPAN_K = 6
 SPAN_DUP_MAX_PPM = 200_000
 
+#: DuckDB span concatenation GENERATED from SPAN_K (round-7 advice):
+#: a hardcoded 6-term ``toks[i] || ' ' || …`` in the oracles would
+#: silently desynchronize from the Spark queries if SPAN_K changed.
+#: (DuckDB lists are 1-based; the unnest range supplies i ≥ 1.)
+_SPAN_CONCAT_SQL = " || ' ' || ".join(
+    f"toks[i + {k}]" for k in range(SPAN_K)
+)
+
 
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span statistics — the detection half of
@@ -273,8 +281,7 @@ g AS (
          CASE WHEN len(toks) >= {SPAN_K}
               THEN list_distinct(list_transform(
                      range(1, len(toks) - {SPAN_K - 2}),
-                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
-                          || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]))
+                     i -> {_SPAN_CONCAT_SQL}))
               ELSE [] END AS spans
   FROM tk),
 px AS (SELECT doc_id, s.span FROM g, unnest(spans) s(span)),
@@ -305,6 +312,15 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     same spans, same cross-doc df > 1 predicate) with the per-doc
     removal accounting the transform itself needs: n_tokens,
     n_removed, n_kept, kept_ppm.
+
+    DELIBERATE DEVIATION from the cited paper (round-7 advice): Lee
+    et al. keep ONE occurrence of each repeated substring; this
+    ledger removes EVERY covered position, including the canonical
+    first occurrence — i.e. shared boilerplate is stripped from all
+    documents, the common policy for template/chrome removal.  A
+    keeper rule (retain the occurrence in the min doc_id) would be a
+    one-line extra predicate on the covered-position join if paper
+    fidelity is ever wanted.
 
     Plan: positioned spans (``posexplode`` — row-local) → one groupBy
     for cross-doc span df → equi-join back on the span → covered
@@ -374,8 +390,7 @@ WITH tk AS (
   FROM documents),
 sp AS (
   SELECT doc_id, CAST(i AS BIGINT) - 1 AS i,
-         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
-         || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5] AS span
+         {_SPAN_CONCAT_SQL} AS span
   FROM tk, unnest(range(1, CASE WHEN len(toks) >= {SPAN_K}
                                 THEN len(toks) - {SPAN_K - 2} ELSE 1 END)) t(i)),
 sdf AS (

@@ -17,8 +17,13 @@ from fxblue_etl_spark.operators.dedup import (
 
 def _canon(df):
     return sorted(
-        (r["doc_id"], tuple(r["shingles"]), r["band_idx"], r["band_sig"])
-        for r in df.collect()
+        (
+            (r["doc_id"], tuple(r["shingles"]), r["band_idx"], r["band_sig"])
+            for r in df.collect()
+        ),
+        # None-safe: null doc_id rows (passed through by both
+        # lineages) sort after all numeric ids
+        key=lambda t: (t[0] is None, t[0] or 0, t[1], t[2], t[3]),
     )
 
 
@@ -51,6 +56,12 @@ def test_arrow_equals_hof_on_adversarial_frame(spark):
         (16, "nbsp\xa0separated\xa0tokens maybe different split here"),
         (17, "ǅungla titlecase DŽ digraph test tokens here"),
         (18, "ffi ﬁ ligature ﬀ tokens FFI test here"),
+        # null doc_id with valid text: the HOF lineage passes it
+        # through with null doc_id — the Arrow path must too (a
+        # nullable bigint batch surfaces as float64/NaN in pandas;
+        # round-7 advice: NaN in the int output column failed the
+        # Arrow cast and killed the task)
+        (None, "null doc id with enough tokens here"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     arrow = docs.mapInPandas(_band_rows_arrow_fn, _BAND_ROWS_SCHEMA)
@@ -59,11 +70,29 @@ def test_arrow_equals_hof_on_adversarial_frame(spark):
     assert got == want
     ids = {d for d, *_ in got}
     assert {4, 5, 6}.isdisjoint(ids) and {1, 2, 3, 11, 12} <= ids
+    assert None in ids, "null-doc_id row must pass through, as in HOF"
     # exact-dup docs share every band signature
     by_doc = {}
     for d, _sh, bi, bs in got:
         by_doc.setdefault(d, {})[bi] = bs
     assert by_doc[3] == by_doc[11]
+
+
+def test_jvm_locale_is_root_like(spark):
+    """The Arrow/HOF bit-identity contract assumes a ROOT-like JVM
+    default locale for case mapping (see USE_ARROW_SIGNATURES in
+    operators/dedup.py): a Turkish/Azerbaijani-locale JVM maps I→ı
+    in ``lower()`` while Python's str.lower() yields i, so the
+    adversarial parity test would only pin parity for a host it
+    doesn't run on.  Assert the assumption instead of assuming it."""
+    lang = (
+        spark.sparkContext._jvm.java.util.Locale.getDefault().getLanguage()
+    )
+    assert lang not in ("tr", "az"), (
+        f"JVM default locale '{lang}' breaks Arrow/HOF lower() parity "
+        "on dotted/dotless I — pin -Duser.language= or set "
+        "dedup.USE_ARROW_SIGNATURES = False"
+    )
 
 
 def test_default_dispatch_is_arrow(spark):
