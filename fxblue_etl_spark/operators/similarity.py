@@ -208,6 +208,95 @@ FROM ranked WHERE rank <= 3
 """
 
 
+#: ivf-upsert-equivalence split, mirroring
+#: indexing.postings_upsert_equivalence: vec_id % 10 == 0 arrive as
+#: brand-new vectors; corpus vectors with vec_id % 7 == 1 are
+#: re-ingested with a CHANGED embedding (negated — cosine flips sign,
+#: so the vector typically moves cluster and a stale row would be
+#: caught by the anti-joins)
+_IVF_DELTA_MOD = 10
+_IVF_REINGEST_MOD = 7
+
+
+def ivf_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable contract over :func:`upsert_ivf_index`
+    (round-7 verdict item 4 — the one member of the incremental-index
+    family whose ``upsert ≡ rebuild`` contract was pytest-only):
+    ``upsert(index(C), Δ) ≡ index(C ∪ Δ)`` against the SAME fixed
+    centroids, where Δ holds both brand-new vectors and re-ingested
+    vectors with a changed (negated) embedding.  One summary row —
+    (n_index_rows, n_only_upsert, n_only_rebuild,
+    upsert_equals_rebuild) — with the anti-joins keyed on (vec_id,
+    cluster, v), so an upsert that leaks a stale assignment OR a
+    stale payload fails the hash compare.  Payload floats are
+    bit-equal by construction: both sides derive ``v`` through the
+    identical expression over the same parquet values.
+
+    Scale shape: the delta assigns row-locally against the broadcast
+    centroids; the anti-joins are vec_id-hash shuffles over index
+    rows — nothing corpus-pairwise.  Same one-row-contract shape as
+    ``postings_upsert_equivalence``."""
+    from ..io import fan_out, swap_cache
+
+    e = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    # fixed centroid artifact: original (un-mutated) vectors — the
+    # centroid refresh is deliberately a separate, rarer event
+    cents = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    is_new = F.col("vec_id") % _IVF_DELTA_MOD == 0
+    is_reingest = (~is_new) & (F.col("vec_id") % _IVF_REINGEST_MOD == 1)
+    negated = F.transform("v", lambda x: -x)
+    corpus = base.filter(~is_new)
+    delta = base.filter(is_new).unionByName(
+        base.filter(is_reingest).withColumn("v", negated)
+    )
+    upserted = upsert_ivf_index(ivf_assignments(corpus, cents), delta, cents)
+    rebuilt = ivf_assignments(
+        base.withColumn("v", F.when(is_reingest, negated).otherwise(F.col("v"))),
+        cents,
+    )
+    # upserted feeds three consumers, rebuilt two — persist so each
+    # side runs its centroid-argmin pass once
+    upserted, rebuilt = swap_cache("similarity.ivf_upsert", upserted, rebuilt)
+    keys = ["vec_id", "cluster", "v"]
+    n_rows = upserted.agg(F.count("*").cast("long").alias("n_index_rows"))
+    n_up = upserted.join(rebuilt, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("n_only_upsert")
+    )
+    n_rb = rebuilt.join(upserted, keys, "left_anti").agg(
+        F.count("*").cast("long").alias("n_only_rebuild")
+    )
+    return (
+        n_rows.crossJoin(n_up)
+        .crossJoin(n_rb)
+        .select(
+            "n_index_rows",
+            "n_only_upsert",
+            "n_only_rebuild",
+            (
+                (F.col("n_only_upsert") == 0)
+                & (F.col("n_only_rebuild") == 0)
+            )
+            .cast("int")
+            .alias("upsert_equals_rebuild"),
+        )
+    )
+
+
+#: the oracle pins the anti-join counts to zero and derives
+#: n_index_rows independently (one assignment row per vector), so a
+#: leaking/dropping upsert fails the value-hash compare
+IVF_UPSERT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_index_rows,
+       CAST(0 AS BIGINT) AS n_only_upsert,
+       CAST(0 AS BIGINT) AS n_only_rebuild,
+       1 AS upsert_equals_rebuild
+FROM embeddings
+"""
+
+
 def _sign_bucket_col() -> Column:
     """Sign pattern of the first 8 dimensions as a '01100101' string —
     the blocking key shared by ``embedding_near_dup`` and the
@@ -468,6 +557,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "brp_lsh_ml": brp_lsh_ml,
     "brp_lsh_containment": brp_lsh_containment,
+    "ivf_upsert_equivalence": ivf_upsert_equivalence,
 }
 
 ORACLES = {
@@ -477,4 +567,5 @@ ORACLES = {
     # brp_lsh_ml: JVM-seeded projections, rows-only by design; its
     # hash-certified sibling is brp_lsh_containment
     "brp_lsh_containment": BRP_CONTAINMENT_ORACLE,
+    "ivf_upsert_equivalence": IVF_UPSERT_ORACLE,
 }

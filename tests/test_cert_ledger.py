@@ -28,7 +28,7 @@ def test_every_oracle_query_is_certified_or_queued():
     checked = _driver_checked()
     queued = (
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
-        | set(e._R7_QUEUE) | set(e._R8_QUEUE)
+        | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -45,29 +45,33 @@ def test_rotation_lists_are_disjoint_and_registered():
     missing = [
         k
         for k in e._R5_CERT + e._R6_PENDING + e._R6_RECERT + e._R7_QUEUE
-        + e._R7_CODE_CHANGED + e._R7_RECERT_CANDIDATES
+        + e._R7_CODE_CHANGED + e._R7_RECERT_CANDIDATES + e._R8_QUEUE
+        + e._R8_CODE_CHANGED + e._R8_RECERT_CANDIDATES + e._R9_QUEUE
         if k not in qs
     ]
     assert missing == []
-    # ROUND-7 WINDOW PIN (round-6 verdict item 6): the driver's
-    # window is exactly 50 = flagship + the _R7_QUEUE trio (last
-    # never-driver-checked queries) + round-7 lineage-changed
-    # re-certs + the stalest standing rows, truncated from the
-    # candidates' least-stale TAIL.  A re-shuffle that displaces
-    # stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R7_QUEUE
-    expected_head += [q for q in e._R7_CODE_CHANGED if q not in expected_head]
+    # ROUND-8 WINDOW PIN (round-7 verdict item 1): the driver's
+    # window is exactly 50 = flagship + the _R8_QUEUE seven (the
+    # never-driver-checked round-7 additions) + round-8
+    # lineage-changed re-certs + the stalest standing rows, truncated
+    # from the candidates' least-stale TAIL.  A re-shuffle that
+    # displaces stale rows with fresh ones fails here.
+    expected_head = ["flagship_account_pnl"] + e._R8_QUEUE
+    expected_head += [q for q in e._R8_CODE_CHANGED if q not in expected_head]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R7_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R8_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
+    # round-8 additions must head round 9's rotation, right after the
+    # window, so the never-driver-checked debt clears next round
+    assert list(qs)[50 : 50 + len(e._R9_QUEUE)] == e._R9_QUEUE
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one
-    included = set(expected_head) & set(e._R7_RECERT_CANDIDATES)
-    dropped = [q for q in e._R7_RECERT_CANDIDATES if q not in included]
+    included = set(expected_head) & set(e._R8_RECERT_CANDIDATES)
+    dropped = [q for q in e._R8_RECERT_CANDIDATES if q not in included]
     if dropped:
-        order = {q: i for i, q in enumerate(e._R7_RECERT_CANDIDATES)}
+        order = {q: i for i, q in enumerate(e._R8_RECERT_CANDIDATES)}
         assert min(order[q] for q in dropped) > max(
             order[q] for q in included
         ), "window fill must drop the least-stale tail, not the r1-era head"
@@ -137,25 +141,50 @@ def test_r7_recert_candidates_consistent():
 
 
 def test_r8_recert_candidates_consistent():
-    """The pre-planned round-8 ledger must stay derivable: every entry
-    oracle-backed + registered + already driver-certified (rounds 1-6;
-    the round-7 window re-certs are excluded — they'll be fresh), with
-    the 7 displaced r1-era rows at the head, and no overlap with the
-    round-7 window head or the _R8_QUEUE additions."""
+    """The round-8 re-cert ledger must stay derivable from the
+    CORRECTNESS files through round 7: every entry oracle-backed +
+    registered + holding a driver row, ordered oldest-latest-check
+    first, no overlap with the _R8_QUEUE/_R9_QUEUE additions, with
+    the 7 displaced r1-era rows at the head."""
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
     cand = e._R8_RECERT_CANDIDATES
     assert len(cand) == len(set(cand)) == 50
-    checked = _driver_checked()
-    head50 = set(list(qs)[:50])
+    # the ledger was computed from the round-1..7 CORRECTNESS files;
+    # validate against exactly that snapshot so the round-8 gate
+    # landing its own file does not retroactively invalidate it
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 7:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
     for k in cand:
         assert k in oracles and k in qs, k
-        assert k in checked, f"{k} holds no driver row"
-        assert k not in head50, f"{k} is re-certified by round 7 already"
-        assert k not in e._R8_QUEUE
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in e._R8_QUEUE and k not in e._R9_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
     assert cand[:7] == [
         "t2_timestamp_iso", "t3_custom_ts_roundtrip", "t4_percent_parse",
         "t5_sentinel_null", "t6_string_extract", "t7_hash_dedup",
         "topk_orders_per_customer",
     ]
+    # the ledger holds the globally stalest rows: no excluded query
+    # may be staler than the newest included one (code-changed
+    # re-certs are exempt — they re-enter through _R8_CODE_CHANGED)
+    newest_included = max(rounds)
+    exempt = (
+        {"flagship_account_pnl"} | set(e._R8_CODE_CHANGED)
+        | set(e._R8_QUEUE) | set(e._R9_QUEUE)
+    )
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
