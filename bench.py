@@ -90,6 +90,28 @@ MAX_START_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
 LOAD_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX_S", "300"))
 _LOAD_POLL_S = 10.0
 
+#: mid-run taint threshold (round-7 verdict item 2): the start gate
+#: can't see co-tenant load that arrives AFTER timing begins — round
+#: 7's run started at load 1.95 and finished at 12.5, polluting 13
+#: entries whose adjudication took manual forensics.  The bench's own
+#: steady-state contribution on this 32-cpu host is ~4-6 (measured
+#: rounds 5-7), so a per-query 1-minute load at or above this
+#: threshold means a co-tenant wave was riding the measurement: the
+#: entry is stamped load-tainted, and once the full pass finishes the
+#: tainted queries are re-drawn ONCE if the wave has receded —
+#: keeping round-over-round deltas machine-readable instead of
+#: needing manual load forensics.
+TAINT_LOAD = float(os.environ.get("SPARK_GRAFT_TAINT_LOAD", "8.0"))
+
+#: bounded wait before the tainted-entry re-draw pass: a mid-run
+#: wave often outlives the run by a minute or two, so give it a
+#: chance to recede before declaring the re-draw impossible (same
+#: posture as the start gate — never stall a driver-invoked bench
+#: indefinitely)
+REDRAW_WAIT_MAX_S = float(
+    os.environ.get("SPARK_GRAFT_REDRAW_WAIT_MAX_S", "180")
+)
+
 
 def _wait_for_quiet_host() -> tuple[float, float | None]:
     """Block until load_avg_1m < MAX_START_LOAD or the wait budget is
@@ -122,13 +144,12 @@ def main() -> None:
 
     from fxblue_etl_spark.io import drain_all
 
-    timings: dict[str, float] = {}
-    query_loads: dict[str, float] = {}
-    for name in names:
-        # between QUERIES, not between runs: each timed run must pay
-        # its own swap_cache build exactly like a cold driver call,
-        # but blocks from other queries' slots shouldn't pressure the
-        # store while this one is measured
+    def _measure(name: str) -> tuple[float, float]:
+        """One median-of-N_RUNS measurement of a query, with the
+        1-minute load at measurement end.  Drains the swap-cache
+        store first so each timed run pays its own cache build
+        exactly like a cold driver call, and blocks from other
+        queries' slots don't pressure the store mid-measurement."""
         drain_all(spark)
         runs = []
         for _ in range(N_RUNS):
@@ -138,12 +159,66 @@ def main() -> None:
             # (all headline queries are aggregates/bounded outputs)
             _ = df.limit(10000).collect()
             runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        return round(statistics.median(runs), 3), round(os.getloadavg()[0], 2)
+
+    timings: dict[str, float] = {}
+    query_loads: dict[str, float] = {}
+    for name in names:
         # per-query 1-minute load at measurement end: co-tenant load
         # arrives in waves, so a start/end pair can't say WHICH
         # entries ran hot — this can (rounds 6-7 adjudicated three
         # "regressions" that were exactly such waves)
-        query_loads[name] = round(os.getloadavg()[0], 2)
+        timings[name], query_loads[name] = _measure(name)
+
+    # tainted-entry re-draw (round-7 verdict item 2): if a co-tenant
+    # wave rode part of the run, re-measure exactly those entries
+    # once, after the full pass, if the wave has receded — the
+    # re-draw replaces the tainted number only when the re-draw
+    # itself ran below the threshold.  Entries still hot after this
+    # stay stamped in load_tainted so readers (and the round deltas)
+    # see contaminated numbers as contaminated, not as regressions.
+    redraws: dict[str, dict[str, float]] = {}
+    tainted = [n for n in names if query_loads[n] >= TAINT_LOAD]
+    if tainted:
+        t0 = time.time()
+        while (
+            os.getloadavg()[0] >= TAINT_LOAD
+            and time.time() - t0 < REDRAW_WAIT_MAX_S
+        ):
+            time.sleep(_LOAD_POLL_S)
+    if tainted and os.getloadavg()[0] < TAINT_LOAD:
+        for name in tainted:
+            t2, l2 = _measure(name)
+            redraws[name] = {
+                "first_sec": timings[name],
+                "first_load": query_loads[name],
+                "redraw_sec": t2,
+                "redraw_load": l2,
+            }
+            if l2 < TAINT_LOAD:
+                timings[name], query_loads[name] = t2, l2
+    load_tainted = sorted(n for n in names if query_loads[n] >= TAINT_LOAD)
+
+    # Arrow/HOF lineage sidecar (round-7 verdict item 6): the Arrow
+    # signature stage is the default lineage for 11 certified
+    # queries; one forced-HOF draw of the frozen representative per
+    # round makes a numpy/pandas upgrade that silently degrades the
+    # Arrow path visible in the round-over-round record.
+    lineage_ab = None
+    if "minhash_lsh_pairs" in timings:
+        from fxblue_etl_spark.operators import dedup as _dedup
+
+        try:
+            _dedup.USE_ARROW_SIGNATURES = False
+            hof_sec, hof_load = _measure("minhash_lsh_pairs")
+        finally:
+            _dedup.USE_ARROW_SIGNATURES = True
+        lineage_ab = {
+            "query": "minhash_lsh_pairs",
+            "arrow_sec": timings["minhash_lsh_pairs"],
+            "hof_sec": hof_sec,
+            "hof_load": hof_load,
+        }
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     total = round(sum(timings.values()), 3)
     frozen_total = round(
@@ -175,6 +250,16 @@ def main() -> None:
                 # run proceeded anyway after waiting this many seconds
                 "load_waiver_waited_s": load_waiver,
                 "max_start_load": MAX_START_LOAD,
+                # entries whose (post-redraw) measurement load was
+                # >= TAINT_LOAD — treat their deltas as co-tenant
+                # noise, not engine changes
+                "load_tainted": load_tainted,
+                "taint_load": TAINT_LOAD,
+                # first-draw vs re-draw record for every entry that
+                # got a second chance (empty when the run was clean)
+                "redraws": redraws,
+                # forced-HOF sidecar for the Arrow-default lineage
+                "lineage_ab": lineage_ab,
             }
         )
     )
