@@ -371,6 +371,12 @@ _R8_CODE_CHANGED: list[str] = [
     # DuckDB SQL text changed, so the oracle side must re-prove
     # (span_dedup_rewrite rides _R8_QUEUE already)
     "span_dedup_stats",
+    # round-8 depth work (round-7 verdict item 5): the two
+    # corpus-statistics signals now fork from ONE persisted
+    # (doc_id, tok, nxt) stream (tfidf.token_pair_stream) instead of
+    # four tokenize+explode corpus passes — measured ~7% at sf0.1,
+    # scan-count 4 → 1 at scale; standalone signal lineages unchanged
+    "quality_feature_matrix",
 ]
 
 #: Queries ADDED in round 8 — placed after the 50-window (the round-8

@@ -57,7 +57,14 @@ def _tok_ngrams(toks: Column, n: int) -> Column:
 def gopher_repetition(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
-    """Per-doc repetition metrics + keep verdict."""
+    """Per-doc repetition metrics + keep verdict.
+
+    Deliberately NOT fed from the composite's shared token-pair
+    stream (round-8 interleaved A/B at sf0.1): the per-doc bigram
+    distinct count here is row-local ``array_distinct`` work, and
+    restating it as a countDistinct shuffle over the exploded stream
+    cost ~20% on the whole composite.  Bounded per-row statistics
+    belong in array expressions, not exploded aggregates."""
     d = (
         docs if docs is not None
         else fan_out(table(tune(spark), sf_dir, "documents"))
@@ -623,13 +630,28 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearly free locally); at 100 TB the five extra I/O passes are the
     dominant cost and the persisted fork wins outright."""
     from ..io import swap_cache
-    from .textops import quality_score, text_stats
-    from .tfidf import lm_doc_perplexity, rare_token_quality
+    from .textops import quality_score, text_stats, ws_tokens
+    from .tfidf import lm_doc_perplexity, rare_token_quality, token_pair_stream
 
     base = swap_cache(
         "quality.feature_matrix",
         fan_out(table(tune(spark), sf_dir, "documents")).select(
             "doc_id", "lang", "text"
+        ),
+    )
+    # the two corpus-statistics signals (rarity + LM fluency) each
+    # walk the exploded token corpus TWICE (count-table build +
+    # scoring side — Spark shares no exchange between a join's
+    # sides): four corpus tokenize+explode passes.  One persisted
+    # (doc_id, tok, nxt) stream (token_pair_stream) replaces them
+    # with one explode + four scans of the compact exploded frame —
+    # at 100 TB the explode output is larger than the input text but
+    # each re-scan of it is a column-pruned read, not a re-tokenize
+    # (round-7 verdict item 5).
+    stream = swap_cache(
+        "quality.feature_matrix.stream",
+        token_pair_stream(
+            base.select("doc_id", ws_tokens("text").alias("toks"))
         ),
     )
     ts = text_stats(spark, sf_dir, docs=base).select(
@@ -638,16 +660,29 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = quality_score(spark, sf_dir, docs=base).select(
         "doc_id", "quality_score", F.col("keep").alias("stopword_keep")
     )
+    # gopher deliberately NOT stream-fed (measured, round 8): its
+    # per-doc bigram distinct count is row-local array work in the
+    # standalone lineage; replacing that with a countDistinct shuffle
+    # over the exploded stream cost ~20% on the whole composite
+    # (interleaved A/B at sf0.1: old median 4.17s vs stream-fed
+    # 4.98s).  Bounded per-row stats belong in array expressions,
+    # not exploded aggregates.
     gr = gopher_repetition(spark, sf_dir, docs=base).select(
         "doc_id",
         "top_tok_ppm",
         "dup_bigram_ppm",
         F.col("keep").cast("int").alias("gopher_keep"),
     )
-    rt = rare_token_quality(spark, sf_dir, docs=base).select("doc_id", "rare_ppm")
-    lm = lm_doc_perplexity(spark, sf_dir, docs=base).select(
-        "doc_id", "avg_cont_ppm", "fluency_band"
+    rt = rare_token_quality(spark, sf_dir, px=stream).select(
+        "doc_id", "rare_ppm"
     )
+    lm = lm_doc_perplexity(
+        spark,
+        sf_dir,
+        pairs=stream.filter(F.col("nxt").isNotNull()).select(
+            "doc_id", F.col("tok").alias("head"), "nxt"
+        ),
+    ).select("doc_id", "avg_cont_ppm", "fluency_band")
     return (
         ts.join(qs, "doc_id", "left")
         .join(gr, "doc_id", "left")

@@ -110,8 +110,42 @@ FROM ranked WHERE rank <= {TOPK_TERMS}
 
 
 
+def token_pair_stream(d: DataFrame) -> DataFrame:
+    """ONE corpus explode emitting BOTH key streams the two
+    corpus-statistics quality signals need: per token position,
+    ``(doc_id, tok, nxt)`` where ``nxt`` is the following token or
+    NULL at document end.  ``rare_token_quality`` consumes the
+    ``(doc_id, tok)`` projection; ``lm_doc_perplexity`` consumes the
+    ``nxt IS NOT NULL`` rows as its bigram stream — so a composite
+    that persists this frame pays the tokenize+explode once instead
+    of once per signal per consumer (round-7 verdict item 5).
+    ``d`` needs ``doc_id`` and ``toks``; single-token docs emit their
+    one token with NULL ``nxt`` (they have no bigrams), empty docs
+    emit nothing — matching each signal's standalone lineage
+    exactly."""
+    tok_nxt = F.transform(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("tok"),
+            # element_at(toks, size+1) errors under ANSI; the
+            # conditional keeps the last position's nxt NULL
+            F.when(
+                i < F.size("toks"), F.element_at("toks", i + 1)
+            ).alias("nxt"),
+        ),
+    )
+    return (
+        d.filter(F.size("toks") >= 1)
+        .select("doc_id", F.explode(tok_nxt).alias("p"))
+        .select("doc_id", "p.tok", "p.nxt")
+    )
+
+
 def rare_token_quality(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    px: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc rarity profile vs the corpus unigram distribution.
 
@@ -124,16 +158,22 @@ def rare_token_quality(
     statistic a unigram-LM score is the log of).
 
     ``docs`` lets a composite (quality_feature_matrix) feed all its
-    signals from ONE persisted scan instead of re-reading the table.
+    signals from ONE persisted scan instead of re-reading the table;
+    ``px`` goes further and supplies the exploded ``(doc_id, tok)``
+    stream itself (``token_pair_stream``'s projection), so the
+    composite's persisted explode replaces this function's own.
     """
-    d = (
-        docs
-        if docs is not None
-        else fan_out(table(tune(spark), sf_dir, "documents"))
-    ).select("doc_id", ws_tokens("text").alias("toks"))
     from ..io import swap_cache
 
-    px = d.select("doc_id", F.explode("toks").alias("tok"))
+    if px is None:
+        d = (
+            docs
+            if docs is not None
+            else fan_out(table(tune(spark), sf_dir, "documents"))
+        ).select("doc_id", ws_tokens("text").alias("toks"))
+        px = d.select("doc_id", F.explode("toks").alias("tok"))
+    else:
+        px = px.select("doc_id", "tok")
     # vocab-bounded count table with two consumers (the totals and
     # the scoring join) — persist so the corpus explode behind it
     # runs once; the profile + score passes are then the minimum two
@@ -250,7 +290,10 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lm_doc_perplexity(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document n-gram-LM fluency score (the CCNet-style quality
     signal): every adjacent token pair in a document is scored by its
@@ -277,23 +320,30 @@ def lm_doc_perplexity(
 
     Reference parity: the reference has no LM scoring; this extends
     its quality gates (`RSS PARSER/gcp_rss.py:94-95` field filters)
-    with the corpus-statistics pass a training pipeline needs."""
-    d = (
-        docs if docs is not None
-        else fan_out(table(tune(spark), sf_dir, "documents"))
-    ).select("doc_id", ws_tokens("text").alias("toks"))
-    pair_col = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.struct(
-            F.element_at("toks", i).alias("head"),
-            F.element_at("toks", i + 1).alias("nxt"),
-        ),
-    )
-    doc_pairs = (
-        d.filter(F.size("toks") >= 2)
-        .select("doc_id", F.explode(pair_col).alias("p"))
-        .select("doc_id", "p.head", "p.nxt")
-    )
+    with the corpus-statistics pass a training pipeline needs.
+
+    ``pairs`` supplies a pre-built ``(doc_id, head, nxt)`` bigram
+    stream (``token_pair_stream``'s non-NULL-``nxt`` rows), letting a
+    composite share one persisted corpus explode across signals."""
+    if pairs is None:
+        d = (
+            docs if docs is not None
+            else fan_out(table(tune(spark), sf_dir, "documents"))
+        ).select("doc_id", ws_tokens("text").alias("toks"))
+        pair_col = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("head"),
+                F.element_at("toks", i + 1).alias("nxt"),
+            ),
+        )
+        doc_pairs = (
+            d.filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(pair_col).alias("p"))
+            .select("doc_id", "p.head", "p.nxt")
+        )
+    else:
+        doc_pairs = pairs.select("doc_id", "head", "nxt")
     counts = doc_pairs.groupBy("head", "nxt").agg(F.count("*").alias("n"))
     probs = counts.withColumn(
         "n_head", F.sum("n").over(Window.partitionBy("head")).cast("long")
