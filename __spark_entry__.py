@@ -377,6 +377,12 @@ _R8_CODE_CHANGED: list[str] = [
     # four tokenize+explode corpus passes — measured ~7% at sf0.1,
     # scan-count 4 → 1 at scale; standalone signal lineages unchanged
     "quality_feature_matrix",
+    # round-8 gated-regression fix (round-7 verdict item 3): the
+    # aggregate split-join — percentile_disc's TypedImperativeAggregate
+    # was forcing the whole combined agg (countDistinct included)
+    # through ObjectHashAggregate; split + 5-row join is −38% on an
+    # idle host, results bit-identical, oracle unchanged
+    "exact_distinct_and_quantiles",
 ]
 
 #: Queries ADDED in round 8 — placed after the 50-window (the round-8
@@ -388,6 +394,11 @@ _R9_QUEUE: list[str] = [
     # family member whose contract was pytest-only), anti-joins keyed
     # on (vec_id, cluster, payload)
     "ivf_upsert_equivalence",
+    # Matryoshka-style embedding-truncation deploy table (Kusupati et
+    # al. 2022): overlap@5 of prefix-dim cosine top-k vs the full-dim
+    # exact top-k, per truncation dim, in exact ppm — one declarative
+    # plan (broadcast dims table × vectors), no driver loop
+    "truncation_recall_report",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

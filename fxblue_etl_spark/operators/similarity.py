@@ -297,6 +297,126 @@ FROM embeddings
 """
 
 
+#: truncation dims evaluated against the full 64-dim exact top-k
+#: (powers of two, the deploy ladder a Matryoshka-style index offers)
+TRUNC_DIMS = (8, 16, 32)
+#: overlap@k depth — matches cosine_topk_bruteforce's k
+TRUNC_K = 5
+
+
+def truncation_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation deploy table (Matryoshka-style, Kusupati
+    et al. 2022, arXiv:2205.13147): for each prefix dimensionality in
+    ``TRUNC_DIMS``, the overlap@``TRUNC_K`` between the truncated-
+    cosine top-k and the full-dim exact top-k, in exact ppm — the
+    decision artifact for serving shorter vectors (a 16-of-64 prefix
+    cuts index memory 4× and this table says what that costs in
+    recall, the same role ``ann_recall_report`` plays for the
+    cluster-pruned methods).
+
+    One declarative plan, no driver loop: a 3-row broadcast dims
+    table crosses the vector base, prefixes slice row-locally, and
+    ranking windows partition by (trunc_dim, query_id) — identical
+    tie-break (sim DESC, neighbor_id ASC) to the certified brute
+    force so the comparison is apples-to-apples.  Scale shape: the
+    candidate join is the same broadcast-query-set shape as
+    ``cosine_topk_bruteforce``; everything downstream of scoring is
+    probe-sized.  Floats never surface — only intersection counts."""
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("v"))
+    dims = F.broadcast(
+        spark.createDataFrame(
+            [(d,) for d in TRUNC_DIMS], "trunc_dim int"
+        )
+    )
+    tb = base.crossJoin(dims).select(
+        "vec_id",
+        "trunc_dim",
+        F.slice("v", 1, F.col("trunc_dim")).alias("tv"),
+    )
+    q = tb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("trunc_dim").alias("q_dim"),
+        F.col("tv").alias("qv"),
+    )
+    pairs = tb.join(
+        F.broadcast(q),
+        (F.col("trunc_dim") == F.col("q_dim"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        pairs.select(
+            "trunc_dim",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("tv")).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRUNC_K)
+    )
+    truth = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    nq = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    return (
+        topk.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("trunc_dim")
+        .agg(F.count("*").cast("long").alias("hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "trunc_dim",
+            "n_queries",
+            "hits",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * hits"
+                f" DIV ({TRUNC_K} * n_queries) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+def _truncation_oracle() -> str:
+    dims_values = ", ".join(f"({d})" for d in TRUNC_DIMS)
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_DUCK_DVEC.format(c='embedding')} AS v FROM embeddings),
+dims(trunc_dim) AS (VALUES {dims_values}),
+tb AS (
+  SELECT vec_id, trunc_dim, v[1:trunc_dim] AS tv FROM base CROSS JOIN dims),
+q AS (
+  SELECT vec_id AS query_id, trunc_dim AS q_dim, tv AS qv
+  FROM tb WHERE vec_id % 50 = 0),
+topk AS (
+  SELECT * FROM (
+    SELECT t.trunc_dim, q.query_id, t.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY t.trunc_dim, q.query_id
+             ORDER BY {_DUCK_COS.format(a='q.qv', b='t.tv')} DESC,
+                      t.vec_id ASC) AS rank
+    FROM q JOIN tb t
+      ON t.trunc_dim = q.q_dim AND t.vec_id != q.query_id)
+  WHERE rank <= {TRUNC_K}),
+truth AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_ORACLE})),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM truth)
+SELECT k.trunc_dim,
+       nq.n_queries,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(CAST(1000000 AS HUGEINT) * count(*)
+            // ({TRUNC_K} * nq.n_queries) AS BIGINT) AS overlap_ppm
+FROM topk k JOIN truth USING (query_id, neighbor_id), nq
+GROUP BY 1, 2
+"""
+
+
+TRUNCATION_RECALL_ORACLE = _truncation_oracle()
+
+
 def _sign_bucket_col() -> Column:
     """Sign pattern of the first 8 dimensions as a '01100101' string —
     the blocking key shared by ``embedding_near_dup`` and the
@@ -558,6 +678,7 @@ QUERIES = {
     "brp_lsh_ml": brp_lsh_ml,
     "brp_lsh_containment": brp_lsh_containment,
     "ivf_upsert_equivalence": ivf_upsert_equivalence,
+    "truncation_recall_report": truncation_recall_report,
 }
 
 ORACLES = {
@@ -568,4 +689,5 @@ ORACLES = {
     # hash-certified sibling is brp_lsh_containment
     "brp_lsh_containment": BRP_CONTAINMENT_ORACLE,
     "ivf_upsert_equivalence": IVF_UPSERT_ORACLE,
+    "truncation_recall_report": TRUNCATION_RECALL_ORACLE,
 }
