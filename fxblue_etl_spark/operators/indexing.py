@@ -189,8 +189,16 @@ def postings_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup.minhash_lsh_containment``."""
     from ..io import swap_cache
 
-    docs = fan_out(table(tune(spark), sf_dir, "documents")).select(
-        "doc_id", "text"
+    # persist the 2-column projection FIRST: corpus, the two delta
+    # branches, the anti-join probe, and the rebuild side all derive
+    # from it — unpersisted, the plan re-reads documents SIX times
+    # per invocation (caught by the order-independent scan gate,
+    # round 8); persisted, one physical corpus scan feeds everything
+    docs = swap_cache(
+        "indexing.upsert_equiv.docs",
+        fan_out(table(tune(spark), sf_dir, "documents")).select(
+            "doc_id", "text"
+        ),
     )
     is_new = F.col("doc_id") % _DELTA_MOD == 0
     is_reingest = (~is_new) & (F.col("doc_id") % _REINGEST_MOD == 1)

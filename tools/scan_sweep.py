@@ -119,8 +119,23 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    from fxblue_etl_spark.io import drain_all
+
     rows, errs = [], []
     for name, fn in entrymod.queries().items():
+        # ORDER-INDEPENDENCE (round 8): swap_cache registers persists
+        # at plan-construction time, so an earlier query's cached
+        # subtree can replace a later query's file scans with
+        # InMemoryRelation in the analyzed plan — round 7's gate
+        # silently passed two 6- and 9-scan queries that only looked
+        # clean because of where they sat in the dict.  Draining the
+        # slots AND the CacheManager before each analysis makes every
+        # count intrinsic to the query, whatever the rotation order.
+        drain_all(spark)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
         except Exception as e:  # analysis failure is its own finding
