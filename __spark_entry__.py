@@ -399,6 +399,10 @@ _R9_QUEUE: list[str] = [
     # exact top-k, per truncation dim, in exact ppm — one declarative
     # plan (broadcast dims table × vectors), no driver loop
     "truncation_recall_report",
+    # margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    # CCMatrix scoring rule): ratio margin over both endpoints' k-NN
+    # neighborhoods, integer-exact on the 1e-6 cosine grid
+    "margin_bitext_mine",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -443,6 +443,142 @@ GROUP BY 1, 2
 TRUNCATION_RECALL_ORACLE = _truncation_oracle()
 
 
+#: margin-mining knobs: neighborhood size for the margin denominator
+#: and the keep threshold (1.05 — the CCMatrix-style default)
+MARGIN_K = 4
+MARGIN_KEEP_PPM = 1_050_000
+
+
+def margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the scoring rule behind LASER/CCMatrix bitext
+    mining): for each source vector, its best candidate on the other
+    side scored by the RATIO margin — cosine normalized by the mean
+    of both endpoints' k-NN neighborhoods — which suppresses hubs
+    that plain cosine top-1 mis-mates.  Sides are the deterministic
+    vec_id parity halves (mod-4 classes 0 and 1 — a bounded stand-in
+    for the two languages of a real mining run).
+
+    INTEGER-EXACT margin: raw cosines land on the 1e-6 grid first
+    (``floor(sim·1e6)``), so the k-NN sums and the final
+    ``margin_ppm = 1e6 · 2K·s / (Σtop-K(a) + Σtop-K(b))`` are pure
+    BIGINT arithmetic — no float summation-order or half-boundary
+    surface anywhere (the README quotient rule; an ``avg()`` of
+    doubles would be summation-order-dependent cross-engine).
+
+    Scale shape: the scored bipartite frame persists once
+    (``swap_cache``) and feeds all three consumers (source-side k-NN
+    sums, candidate-side k-NN sums, the margin join) — at 100 TB the
+    exact bipartite product is replaced by IVF/LSH blocking exactly
+    as CCMatrix does; the margin algebra downstream is unchanged, so
+    this certified formulation IS the scale path's scoring stage."""
+    from ..io import swap_cache
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = swap_cache(
+        "similarity.margin.base",
+        e.filter(F.col("vec_id") % 4 <= 1).select(
+            "vec_id",
+            (F.col("vec_id") % 4).alias("side"),
+            _dvec("embedding").alias("v"),
+        ),
+    )
+    a = base.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("av")
+    )
+    b = base.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("bv")
+    )
+    scored = swap_cache(
+        "similarity.margin.scored",
+        a.join(F.broadcast(b)).select(
+            "src_id",
+            "cand_id",
+            F.floor(cosine(F.col("av"), F.col("bv")) * 1e6)
+            .cast("long")
+            .alias("s6"),
+        ),
+    )
+    wa = Window.partitionBy("src_id").orderBy(F.desc("s6"), F.asc("cand_id"))
+    knn_a = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("src_id")
+        .agg(F.sum("s6").cast("long").alias("ksum_a"))
+    )
+    wb = Window.partitionBy("cand_id").orderBy(F.desc("s6"), F.asc("src_id"))
+    knn_b = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("cand_id")
+        .agg(F.sum("s6").cast("long").alias("ksum_b"))
+    )
+    margins = (
+        scored.join(knn_a, "src_id")
+        .join(knn_b, "cand_id")
+        .select(
+            "src_id",
+            "cand_id",
+            "s6",
+            F.expr(
+                f"CAST(1000000 * ({2 * MARGIN_K} * s6)"
+                " DIV (ksum_a + ksum_b) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.asc("cand_id")
+    )
+    return (
+        margins.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            F.col("cand_id").alias("matched_id"),
+            F.col("s6").alias("sim_e6"),
+            "margin_ppm",
+            (F.col("margin_ppm") >= MARGIN_KEEP_PPM).alias("keep"),
+        )
+    )
+
+
+MARGIN_BITEXT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, vec_id % 4 AS side,
+         {_DUCK_DVEC.format(c='embedding')} AS v
+  FROM embeddings WHERE vec_id % 4 <= 1),
+a AS (SELECT vec_id AS src_id, v AS av FROM base WHERE side = 0),
+b AS (SELECT vec_id AS cand_id, v AS bv FROM base WHERE side = 1),
+scored AS (
+  SELECT src_id, cand_id,
+         CAST(floor({_DUCK_COS.format(a='av', b='bv')} * 1e6) AS BIGINT) AS s6
+  FROM a CROSS JOIN b),
+knn_a AS (
+  SELECT src_id, CAST(sum(s6) AS BIGINT) AS ksum_a FROM (
+    SELECT src_id, s6,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY s6 DESC, cand_id ASC) AS rn
+    FROM scored) WHERE rn <= {MARGIN_K} GROUP BY 1),
+knn_b AS (
+  SELECT cand_id, CAST(sum(s6) AS BIGINT) AS ksum_b FROM (
+    SELECT cand_id, s6,
+           row_number() OVER (PARTITION BY cand_id
+                              ORDER BY s6 DESC, src_id ASC) AS rn
+    FROM scored) WHERE rn <= {MARGIN_K} GROUP BY 1),
+margins AS (
+  SELECT s.src_id, s.cand_id, s.s6,
+         CAST((1000000 * ({2 * MARGIN_K} * s.s6))
+              // (ka.ksum_a + kb.ksum_b) AS BIGINT) AS margin_ppm
+  FROM scored s JOIN knn_a ka USING (src_id) JOIN knn_b kb USING (cand_id))
+SELECT src_id, cand_id AS matched_id, s6 AS sim_e6, margin_ppm,
+       margin_ppm >= {MARGIN_KEEP_PPM} AS keep
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin_ppm DESC, cand_id ASC) AS rn
+      FROM margins)
+WHERE rn = 1
+"""
+
+
 def _sign_bucket_col() -> Column:
     """Sign pattern of the first 8 dimensions as a '01100101' string —
     the blocking key shared by ``embedding_near_dup`` and the
@@ -705,6 +841,7 @@ QUERIES = {
     "brp_lsh_containment": brp_lsh_containment,
     "ivf_upsert_equivalence": ivf_upsert_equivalence,
     "truncation_recall_report": truncation_recall_report,
+    "margin_bitext_mine": margin_bitext_mine,
 }
 
 ORACLES = {
@@ -716,4 +853,5 @@ ORACLES = {
     "brp_lsh_containment": BRP_CONTAINMENT_ORACLE,
     "ivf_upsert_equivalence": IVF_UPSERT_ORACLE,
     "truncation_recall_report": TRUNCATION_RECALL_ORACLE,
+    "margin_bitext_mine": MARGIN_BITEXT_ORACLE,
 }
