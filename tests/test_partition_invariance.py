@@ -24,7 +24,12 @@ from fxblue_etl_spark.operators.ml import (
     prototype_prune,
     semdedup_prune,
 )
-from fxblue_etl_spark.operators.similarity import brp_lsh_containment
+from fxblue_etl_spark.operators.similarity import (
+    brp_lsh_containment,
+    ivf_upsert_equivalence,
+    margin_bitext_mine,
+    truncation_recall_report,
+)
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
     semantic_topic_slice,
@@ -211,6 +216,12 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         semdedup_prune,
         span_dedup_rewrite,
         prototype_prune,
+        # round-8: the IVF upsert contract's anti-join counts, the
+        # truncation overlap ppms, and the integer-grid margin ranks
+        # must not depend on parallelism
+        ivf_upsert_equivalence,
+        truncation_recall_report,
+        margin_bitext_mine,
     ],
     ids=lambda q: q.__name__,
 )
