@@ -403,6 +403,10 @@ _R9_QUEUE: list[str] = [
     # CCMatrix scoring rule): ratio margin over both endpoints' k-NN
     # neighborhoods, integer-exact on the 1e-6 cosine grid
     "margin_bitext_mine",
+    # its scale path: sign-LSH bucket-join candidates instead of the
+    # bipartite product — the blocking is deterministic, so unlike a
+    # FAISS-backed miner the blocked variant stays hash-certifiable
+    "margin_bitext_mine_blocked",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

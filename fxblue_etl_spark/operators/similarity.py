@@ -499,6 +499,15 @@ def margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s6"),
         ),
     )
+    return _margin_rank_rows(scored)
+
+
+def _margin_rank_rows(scored: DataFrame) -> DataFrame:
+    """Shared margin-scoring tail: ``scored`` holds (src_id, cand_id,
+    s6) — exhaustive bipartite (:func:`margin_bitext_mine`) or
+    bucket-blocked (:func:`margin_bitext_mine_blocked`); the margin
+    algebra downstream is identical, only the candidate set
+    differs."""
     wa = Window.partitionBy("src_id").orderBy(F.desc("s6"), F.asc("cand_id"))
     knn_a = (
         scored.withColumn("rn", F.row_number().over(wa))
@@ -540,6 +549,99 @@ def margin_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("margin_ppm") >= MARGIN_KEEP_PPM).alias("keep"),
         )
     )
+
+
+def margin_bitext_mine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of :func:`margin_bitext_mine`: candidates come
+    from a sign-LSH bucket equi-join (the 8-bit sign pattern both the
+    batch near-dup and the streaming embed gate already block on)
+    instead of the exhaustive bipartite product, and the k-NN margin
+    denominators aggregate over the blocked candidate set only —
+    exactly how CCMatrix-style mining swaps exact k-NN for FAISS
+    candidates, except this blocking is DETERMINISTIC, so the whole
+    operator stays hash-certifiable against the DuckDB oracle rather
+    than rows-only.  Sources whose bucket holds no cross-side
+    candidate drop out (they'd have no mate under this index).
+
+    Scale shape: one hash shuffle on the bucket key replaces the
+    O(|A|·|B|) product — candidate volume is Σ_bucket |A_b|·|B_b|,
+    and a hot bucket is an AQE skew-split, not a task killer.  The
+    margin algebra downstream is byte-identical to the exact
+    operator (:func:`_margin_rank_rows`), so the exact/blocked pair
+    quantifies precisely what the blocking costs in match quality."""
+    from ..io import swap_cache
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    base = swap_cache(
+        "similarity.margin_blk.base",
+        e.filter(F.col("vec_id") % 4 <= 1).select(
+            "vec_id",
+            (F.col("vec_id") % 4).alias("side"),
+            _sign_bucket_col().alias("bucket"),
+            _dvec("embedding").alias("v"),
+        ),
+    )
+    a = base.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("src_id"), "bucket", F.col("v").alias("av")
+    )
+    b = base.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("cand_id"), "bucket", F.col("v").alias("bv")
+    )
+    scored = swap_cache(
+        "similarity.margin_blk.scored",
+        a.join(b, "bucket").select(
+            "src_id",
+            "cand_id",
+            F.floor(cosine(F.col("av"), F.col("bv")) * 1e6)
+            .cast("long")
+            .alias("s6"),
+        ),
+    )
+    return _margin_rank_rows(scored)
+
+
+_DUCK_SIGN_BUCKET = (
+    "list_reduce(list_transform(v[1:8],"
+    " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), (a, x) -> a || x)"
+)
+
+MARGIN_BITEXT_BLOCKED_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, vec_id % 4 AS side,
+         {_DUCK_DVEC.format(c='embedding')} AS v
+  FROM embeddings WHERE vec_id % 4 <= 1),
+sided AS (
+  SELECT vec_id, side, v, {_DUCK_SIGN_BUCKET} AS bucket FROM base),
+a AS (SELECT vec_id AS src_id, bucket, v AS av FROM sided WHERE side = 0),
+b AS (SELECT vec_id AS cand_id, bucket, v AS bv FROM sided WHERE side = 1),
+scored AS (
+  SELECT src_id, cand_id,
+         CAST(floor({_DUCK_COS.format(a='av', b='bv')} * 1e6) AS BIGINT) AS s6
+  FROM a JOIN b USING (bucket)),
+knn_a AS (
+  SELECT src_id, CAST(sum(s6) AS BIGINT) AS ksum_a FROM (
+    SELECT src_id, s6,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY s6 DESC, cand_id ASC) AS rn
+    FROM scored) WHERE rn <= {MARGIN_K} GROUP BY 1),
+knn_b AS (
+  SELECT cand_id, CAST(sum(s6) AS BIGINT) AS ksum_b FROM (
+    SELECT cand_id, s6,
+           row_number() OVER (PARTITION BY cand_id
+                              ORDER BY s6 DESC, src_id ASC) AS rn
+    FROM scored) WHERE rn <= {MARGIN_K} GROUP BY 1),
+margins AS (
+  SELECT s.src_id, s.cand_id, s.s6,
+         CAST((1000000 * ({2 * MARGIN_K} * s.s6))
+              // (ka.ksum_a + kb.ksum_b) AS BIGINT) AS margin_ppm
+  FROM scored s JOIN knn_a ka USING (src_id) JOIN knn_b kb USING (cand_id))
+SELECT src_id, cand_id AS matched_id, s6 AS sim_e6, margin_ppm,
+       margin_ppm >= {MARGIN_KEEP_PPM} AS keep
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin_ppm DESC, cand_id ASC) AS rn
+      FROM margins)
+WHERE rn = 1
+"""
 
 
 MARGIN_BITEXT_ORACLE = f"""
@@ -842,6 +944,7 @@ QUERIES = {
     "ivf_upsert_equivalence": ivf_upsert_equivalence,
     "truncation_recall_report": truncation_recall_report,
     "margin_bitext_mine": margin_bitext_mine,
+    "margin_bitext_mine_blocked": margin_bitext_mine_blocked,
 }
 
 ORACLES = {
@@ -854,4 +957,5 @@ ORACLES = {
     "ivf_upsert_equivalence": IVF_UPSERT_ORACLE,
     "truncation_recall_report": TRUNCATION_RECALL_ORACLE,
     "margin_bitext_mine": MARGIN_BITEXT_ORACLE,
+    "margin_bitext_mine_blocked": MARGIN_BITEXT_BLOCKED_ORACLE,
 }

@@ -28,6 +28,7 @@ from fxblue_etl_spark.operators.similarity import (
     brp_lsh_containment,
     ivf_upsert_equivalence,
     margin_bitext_mine,
+    margin_bitext_mine_blocked,
     truncation_recall_report,
 )
 from fxblue_etl_spark.operators.ml import (
@@ -222,6 +223,7 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         ivf_upsert_equivalence,
         truncation_recall_report,
         margin_bitext_mine,
+        margin_bitext_mine_blocked,
     ],
     ids=lambda q: q.__name__,
 )
