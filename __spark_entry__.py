@@ -407,6 +407,11 @@ _R9_QUEUE: list[str] = [
     # bipartite product — the blocking is deterministic, so unlike a
     # FAISS-backed miner the blocked variant stays hash-certifiable
     "margin_bitext_mine_blocked",
+    # NULLS FIRST/LAST placement probe completing the cross-engine
+    # semantics family (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — explicit forms pinned bit-portable with full-ordering
+    # checksums)
+    "null_ordering_semantics",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -1025,6 +1025,124 @@ GROUP BY 1, 2
 """
 
 
+def null_ordering_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement in ORDER BY, certified cross-engine — the
+    portability trap the division/NOT-IN/try_ probes' siblings cover
+    for arithmetic and predicates: Spark's DEFAULT for ``ASC`` is
+    NULLS FIRST while DuckDB's is NULLS LAST, so any window or sort
+    over a nullable key that omits the modifier silently diverges
+    between engines.  Every ranking in this repo therefore either
+    orders by non-nullable keys or states the placement; this probe
+    pins the EXPLICIT forms as bit-portable and quantifies the trap.
+
+    Per order-status bucket over a nullable derived key
+    (``nullif(o_custkey % 7, 3)``): row count, null count, the count
+    of null-key rows inside the first n_null positions under ``ASC
+    NULLS FIRST`` (must equal n_null) and inside the last n_null
+    positions under ``ASC NULLS LAST`` (ditto), plus full-ordering
+    checksums ``sum(rank · coalesce(key,-1))`` for both placements —
+    a checksum mismatch catches ANY permutation difference, not just
+    misplaced nulls.  One window pass per placement over the same
+    sort key; entirely map-side aggregable after ranking."""
+    o = table(tune(spark), sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.expr("nullif(o_custkey % 7, 3)").cast("long").alias("k"),
+    )
+    wp = Window.partitionBy("o_orderstatus")
+    ranked = base.select(
+        "o_orderstatus",
+        "k",
+        F.expr(
+            "row_number() OVER (PARTITION BY o_orderstatus"
+            " ORDER BY k ASC NULLS FIRST, o_orderkey)"
+        ).alias("rn_first"),
+        F.expr(
+            "row_number() OVER (PARTITION BY o_orderstatus"
+            " ORDER BY k ASC NULLS LAST, o_orderkey)"
+        ).alias("rn_last"),
+    ).select(
+        "*",
+        F.count("*").over(wp).alias("n_all"),
+        F.sum(F.col("k").isNull().cast("long")).over(wp).alias("n_null"),
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("k").isNull().cast("long"))
+            .cast("long")
+            .alias("n_nulls"),
+            F.sum(
+                (
+                    F.col("k").isNull()
+                    & (F.col("rn_first") <= F.col("n_null"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("nulls_at_head_first"),
+            F.sum(
+                (
+                    F.col("k").isNull()
+                    & (F.col("rn_last") > F.col("n_all") - F.col("n_null"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("nulls_at_tail_last"),
+            F.sum(F.col("rn_first") * F.coalesce(F.col("k"), F.lit(-1)))
+            .cast("long")
+            .alias("first_checksum"),
+            F.sum(F.col("rn_last") * F.coalesce(F.col("k"), F.lit(-1)))
+            .cast("long")
+            .alias("last_checksum"),
+        )
+        .withColumn(
+            "placement_exact",
+            (
+                (F.col("nulls_at_head_first") == F.col("n_nulls"))
+                & (F.col("nulls_at_tail_last") == F.col("n_nulls"))
+            ).cast("int"),
+        )
+    )
+
+
+NULL_ORDERING_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(nullif(o_custkey % 7, 3) AS BIGINT) AS k
+  FROM orders),
+ranked AS (
+  SELECT o_orderstatus, k,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY k ASC NULLS FIRST, o_orderkey) AS rn_first,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY k ASC NULLS LAST, o_orderkey) AS rn_last,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n_all,
+         sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_orderstatus) AS n_null
+  FROM base)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(sum(CASE WHEN k IS NULL AND rn_first <= n_null
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nulls_at_head_first,
+       CAST(sum(CASE WHEN k IS NULL AND rn_last > n_all - n_null
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nulls_at_tail_last,
+       CAST(sum(rn_first * coalesce(k, -1)) AS BIGINT) AS first_checksum,
+       CAST(sum(rn_last * coalesce(k, -1)) AS BIGINT) AS last_checksum,
+       CAST(CASE WHEN sum(CASE WHEN k IS NULL AND rn_first <= n_null
+                              THEN 1 ELSE 0 END)
+                    = sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                 AND sum(CASE WHEN k IS NULL AND rn_last > n_all - n_null
+                              THEN 1 ELSE 0 END)
+                    = sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+            THEN 1 ELSE 0 END AS INT) AS placement_exact
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
@@ -1049,6 +1167,7 @@ QUERIES = {
     "xml_roundtrip_extract": xml_roundtrip_extract,
     "not_in_null_semantics": not_in_null_semantics,
     "integer_division_semantics": integer_division_semantics,
+    "null_ordering_semantics": null_ordering_semantics,
 }
 
 ORACLES = {
@@ -1075,4 +1194,5 @@ ORACLES = {
     "xml_roundtrip_extract": XML_ROUNDTRIP_ORACLE,
     "not_in_null_semantics": NOT_IN_NULL_ORACLE,
     "integer_division_semantics": INT_DIV_ORACLE,
+    "null_ordering_semantics": NULL_ORDERING_ORACLE,
 }
