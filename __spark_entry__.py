@@ -412,6 +412,12 @@ _R9_QUEUE: list[str] = [
     # LAST — explicit forms pinned bit-portable with full-ordering
     # checksums)
     "null_ordering_semantics",
+    # stateless streaming ingest quality gate: the batch gate's
+    # row-local signal expressions on a document stream, append mode,
+    # zero state operators (pinned in
+    # tests/test_streaming_state_bounds.py); oracle = the batch
+    # QUALITY_ORACLE verbatim
+    "streaming_quality_gate",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

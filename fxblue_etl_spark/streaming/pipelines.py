@@ -1494,6 +1494,54 @@ FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_b
 """
 
 
+def streaming_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Streaming ingest QUALITY gate: incoming documents are scored
+    row-locally with the SAME signal expressions as the batch gate
+    (``textops.quality_signal_cols`` — length band + stopword
+    presence − punctuation noise) and emit per-doc keep verdicts in
+    append mode with NO state operator at all — the published-cutoff
+    comparison a 100 TB ingest front-door runs per arriving shard,
+    where the cutoffs (here the 0.7 composite threshold; in the
+    CCNet shape, ``perplexity_bucket_cutoffs``'s artifact) are a
+    broadcast-sized static input and every verdict is a pure map.
+
+    The oracle is the batch gate's SQL verbatim: an availableNow
+    pass over the staged corpus must reproduce the batch
+    ``quality_score`` bit-for-bit, pinning the claim — made wherever
+    the repo shares a row-local builder between paths — that the one
+    expression set serves batch and stream unchanged.
+
+    Reference parity: the streaming restatement of the reference's
+    field-validity gates (`RSS PARSER/gcp_rss.py:94-95`), upgraded
+    to content-quality scoring."""
+    from ..operators.textops import quality_signal_cols
+
+    tune(spark)
+    d = _stage_docs_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_tok, n_stop, score = quality_signal_cols()
+    gated = stream_docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 2).alias("quality_score"),
+        (score >= 0.7).cast("int").alias("keep"),
+    )
+    return run_to_table(gated, "append", progress_out=progress_out)
+
+
+from ..operators.textops import QUALITY_ORACLE as STREAMING_QUALITY_ORACLE
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -1514,12 +1562,14 @@ QUERIES = {
     "streaming_lsh_dedup": streaming_lsh_dedup,
     "streaming_lsh_dedup_incremental": streaming_lsh_dedup_incremental,
     "streaming_embed_dedup_incremental": streaming_embed_dedup_incremental,
+    "streaming_quality_gate": streaming_quality_gate,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
     QUERIES["streaming_locf_tws"] = streaming_locf_tws
 
 ORACLES = {
+    "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,

@@ -205,3 +205,22 @@ def test_embed_dedup_incremental_matches_batch_predicate(spark):
         ).collect()
     }
     assert inc1 == inc3
+
+
+def test_streaming_quality_gate_is_stateless(spark, sf_dir):
+    """The streaming quality gate is a pure row-local map in append
+    mode: its progress must report NO state operators at all (a
+    regression that sneaks an aggregation or dedup into the gate
+    would grow checkpoint state with corpus size) — and its verdicts
+    must equal the batch gate's bit-for-bit."""
+    from fxblue_etl_spark.operators.textops import quality_score
+    from fxblue_etl_spark.streaming.pipelines import streaming_quality_gate
+
+    progress: list = []
+    got = sorted(
+        map(tuple, streaming_quality_gate(spark, sf_dir, progress).collect())
+    )
+    assert got == sorted(map(tuple, quality_score(spark, sf_dir).collect()))
+    assert progress, "availableNow run must report progress"
+    for p in progress:
+        assert not (p.get("stateOperators") or []), p["stateOperators"]
