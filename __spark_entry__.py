@@ -420,6 +420,68 @@ _R9_QUEUE: list[str] = [
     "streaming_quality_gate",
 ]
 
+#: ROUND-9 RE-CERT CANDIDATES (pre-planned; NOT wired into the head
+#: until round 9 flips the window logic — the driver's round-8 gate
+#: must certify the round-8 rotation).  Computed from the CORRECTNESS
+#: files assuming the round-8 window lands green: the 20 r2-era rows
+#: (the stalest standing after the r8 window re-freshens its fill),
+#: then the oldest 30 of the r3-era block (alphabetical within a
+#: round).  Round 9's head = flagship + _R9_QUEUE + round-9
+#: code-changed + this list up to the 50-window, truncated from the
+#: tail.
+_R9_RECERT_CANDIDATES: list[str] = [
+    "q20_part_supp_chain",
+    "quality_score",
+    "quantized_topk",
+    "range_join_price_bands",
+    "regression_analytics",
+    "s4_xlsx_registry",
+    "salted_count_events",
+    "salted_join_supplier_revenue",
+    "scd2_customer_dim",
+    "simhash_docs",
+    "temperature_resample",
+    "text_stats",
+    "time_bucket_rollup",
+    "training_shard_roundtrip",
+    "unpivot_lineitem_metrics",
+    "variant_json_shred",
+    "w1_locf_snapshots",
+    "w2_keep_one_per_key",
+    "winsorized_totalprice",
+    "zorder_clustering_stats",
+    "arrow_udf_order_tier",
+    "corpus_split",
+    "dedup_components",
+    "df_prune",
+    "domain_quality_gate",
+    "gapfill_daily_locf",
+    "gopher_repetition",
+    "grouped_map_share",
+    "hourly_event_load",
+    "kmeans_assign_stats",
+    "kmeans_update_centroids",
+    "mixture_allocation",
+    "pandas_udf_log_return",
+    "partitioned_sink_roundtrip",
+    "pii_scrub",
+    "q11_value_concentration",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "quantized_ivf_topk",
+    "retention_cohorts",
+    "rss_datasource_scan",
+    "rss_datasource_stream",
+    "s2_csv_ingest",
+    "s4_account_metadata",
+    "s5_rss_trades_pipeline",
+    "sequence_pack",
+    "stratified_sample",
+    "streaming_csv_merge",
+]
+
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files
 #: after the round-7 window landed green (CORRECTNESS_r07: 50/50) —
 #: the 7 r1-era rows the Arrow-flip re-certs displaced from round

@@ -188,3 +188,44 @@ def test_r8_recert_candidates_consistent():
         and r < newest_included
     ]
     assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r9_recert_candidates_consistent():
+    """The pre-planned round-9 ledger must stay derivable: every
+    entry oracle-backed + registered + already driver-certified
+    (rounds 1-7; the round-8 window re-certs are excluded — they'll
+    be fresh), no overlap with the round-8 window head or the
+    _R9_QUEUE additions, ordered oldest-latest-check-first, holding
+    the globally stalest rows."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R9_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 50
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 7:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    head50 = set(list(qs)[:50])
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 8 already"
+        assert k not in e._R9_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    # globally stalest: no excluded standing row may be staler than
+    # the newest included one (window/queue/flagship exempt)
+    newest_included = max(rounds)
+    exempt = head50 | set(e._R9_QUEUE) | {"flagship_account_pnl"}
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
