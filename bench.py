@@ -60,6 +60,17 @@ HEADLINE = (
     # fourth-wave representatives (APPENDED)
     "bm25_rational_topk",
     "join_skew_report",
+    # round-8 additions (APPENDED — frozen15/frozen27 subtotals are
+    # computed from the first 15/27 entries and stay comparable; the
+    # full `value` covers everything timed).  The exact margin miner
+    # is deliberately NOT benched: margin_bitext_mine_blocked is its
+    # production path and the exact sibling exists as the
+    # ground-truth instrument (COVERAGE.md round-8 stress notes).
+    "ivf_upsert_equivalence",
+    "truncation_recall_report",
+    "margin_bitext_mine_blocked",
+    "streaming_quality_gate",
+    "null_ordering_semantics",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
