@@ -418,6 +418,12 @@ _R9_QUEUE: list[str] = [
     # tests/test_streaming_state_bounds.py); oracle = the batch
     # QUALITY_ORACLE verbatim
     "streaming_quality_gate",
+    # boolean-vocabulary + NULL-concat coercion probe (T-family):
+    # Spark's wide non-ANSI boolean cast vocabulary restated
+    # explicitly in the oracle (DuckDB accepts only true/false/t/f/
+    # 1/0); concat NULL-propagation vs concat_ws skip pinned as the
+    # two portable spellings
+    "bool_concat_coercion",
 ]
 
 #: ROUND-9 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

@@ -704,6 +704,113 @@ FROM orders
 """
 
 
+#: the string vocabulary Spark's non-ANSI BOOLEAN cast accepts —
+#: case-insensitive, whitespace-trimmed (verified empirically on
+#: this Spark: 'TRUE', 'Yes', ' true ' all coerce; 'on'/'off'/'2'
+#: do not).  DuckDB accepts ONLY true/false/t/f/1/0, so an oracle
+#: cannot lean on the engine cast — it must restate this list.
+_BOOL_TRUE = ("true", "t", "yes", "y", "1")
+_BOOL_FALSE = ("false", "f", "no", "n", "0")
+_BOOL_PROBES = (
+    "true", "false", "yes", "no", "y", "n", "1", "0",
+    "TRUE", "Yes", " true ", "on", "off", "2", "",
+)
+
+
+def bool_concat_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-vocabulary and NULL-concat coercion semantics,
+    certified cross-engine — the T-family probe for two traps the
+    division/NOT-IN/null-ordering probes' siblings cover elsewhere:
+
+    * Spark's non-ANSI ``CAST(s AS BOOLEAN)`` accepts a WIDE
+      case-insensitive trimmed vocabulary (true/t/yes/y/1 and
+      false/f/no/n/0 — the reference's registry flags arrive in
+      exactly these shapes) while DuckDB accepts only
+      true/false/t/f/1/0 — so any boolean coercion in a portable
+      pipeline must restate the vocabulary explicitly, which is what
+      the oracle here does (and what a DuckDB-side consumer of this
+      engine's outputs would have to do).
+    * ``concat`` NULL-propagates in Spark but SKIPS nulls in DuckDB;
+      ``concat_ws`` skips in both and ``||`` propagates in both —
+      the two portable spellings, both pinned here.
+
+    One row per probe string: the boolean verdict plus, over the
+    orders rows carrying that probe, counts under null-propagating
+    (``||``-style) and null-skipping (``concat_ws``) concatenation
+    of a sometimes-NULL middle operand.  Entirely map-side
+    aggregable; the probe table is vocabulary-sized."""
+    o = table(tune(spark), sf_dir, "orders")
+    probes = F.array(*[F.lit(p) for p in _BOOL_PROBES])
+    base = o.select(
+        F.element_at(probes, (F.col("o_orderkey") % len(_BOOL_PROBES) + 1).cast("int"))
+        .alias("probe"),
+        F.expr("nullif(CAST(o_orderkey % 3 AS STRING), '0')").alias("mid"),
+    )
+    scored = base.select(
+        "probe",
+        F.col("probe").cast("boolean").alias("as_bool"),
+        # null-propagating concatenation: Spark concat ≡ both
+        # engines' `||` — NULL when any operand is NULL
+        F.concat(F.lit("a"), F.col("mid"), F.lit("b")).alias("c_prop"),
+        # null-skipping concatenation: concat_ws drops NULL operands
+        # in BOTH engines (and DuckDB's concat happens to match it)
+        F.concat_ws("", F.lit("a"), F.col("mid"), F.lit("b")).alias("c_skip"),
+    )
+    return (
+        scored.groupBy("probe")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max(F.col("as_bool").cast("int")).alias("bool_value"),
+            F.max(F.col("as_bool").isNull().cast("int")).alias("bool_is_null"),
+            F.sum(F.col("c_prop").isNull().cast("long"))
+            .cast("long")
+            .alias("n_prop_null"),
+            F.sum(F.col("c_skip").isNull().cast("long"))
+            .cast("long")
+            .alias("n_skip_null"),
+            F.sum(F.length("c_skip")).cast("long").alias("skip_len_sum"),
+        )
+    )
+
+
+def _bool_concat_oracle() -> str:
+    probes_sql = ", ".join(f"({i + 1}, '{p}')" for i, p in enumerate(_BOOL_PROBES))
+    t_list = ", ".join(f"'{v}'" for v in _BOOL_TRUE)
+    f_list = ", ".join(f"'{v}'" for v in _BOOL_FALSE)
+    return f"""
+WITH probes(idx, probe) AS (VALUES {probes_sql}),
+base AS (
+  SELECT p.probe,
+         nullif(CAST(o_orderkey % 3 AS VARCHAR), '0') AS mid
+  FROM orders o JOIN probes p
+    ON p.idx = o.o_orderkey % {len(_BOOL_PROBES)} + 1),
+scored AS (
+  SELECT probe,
+         CASE WHEN lower(trim(probe)) IN ({t_list}) THEN TRUE
+              WHEN lower(trim(probe)) IN ({f_list}) THEN FALSE
+              ELSE NULL END AS as_bool,
+         'a' || mid || 'b' AS c_prop,
+         'a' || coalesce(mid, '') || 'b' AS c_skip
+  FROM base)
+SELECT probe,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN as_bool THEN 1 WHEN NOT as_bool THEN 0 END) AS INT)
+         AS bool_value,
+       CAST(max(CASE WHEN as_bool IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS bool_is_null,
+       CAST(sum(CASE WHEN c_prop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prop_null,
+       CAST(sum(CASE WHEN c_skip IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skip_null,
+       CAST(sum(length(c_skip)) AS BIGINT) AS skip_len_sum
+FROM scored
+GROUP BY probe
+"""
+
+
+BOOL_CONCAT_ORACLE = _bool_concat_oracle()
+
+
 QUERIES = {
     "t1_numeric_coercion": t1_numeric_coercion,
     "t2_timestamp_iso": t2_timestamp_iso,
@@ -719,9 +826,11 @@ QUERIES = {
     "aes_column_roundtrip": aes_column_roundtrip,
     "formatted_number_parse": formatted_number_parse,
     "try_function_semantics": try_function_semantics,
+    "bool_concat_coercion": bool_concat_coercion,
 }
 
 ORACLES = {
+    "bool_concat_coercion": BOOL_CONCAT_ORACLE,
     "t1_numeric_coercion": T1_ORACLE,
     "t2_timestamp_iso": T2_ORACLE,
     "t3_custom_ts_roundtrip": T3_ORACLE,
