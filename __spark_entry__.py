@@ -424,6 +424,10 @@ _R9_QUEUE: list[str] = [
     # 1/0); concat NULL-propagation vs concat_ws skip pinned as the
     # two portable spellings
     "bool_concat_coercion",
+    # calendar-arithmetic probe: end-of-month clamping in both
+    # directions (add_months ≡ ± INTERVAL MONTH), last_day, quarter
+    # trunc, day diffs — pinned as epoch-day checksums per month
+    "calendar_arithmetic_semantics",
 ]
 
 #: ROUND-9 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

@@ -910,6 +910,77 @@ GROUP BY 1
 """
 
 
+def calendar_arithmetic_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar arithmetic, certified cross-engine — the temporal
+    member of the portable-semantics family (division / NOT-IN /
+    null-ordering / boolean-vocabulary probes): month addition with
+    END-OF-MONTH CLAMPING in both directions (Jan 31 + 1 month =
+    Feb 29 on a leap year; Mar 31 − 1 month likewise), ``last_day``,
+    quarter ``date_trunc``, and day differences — Spark's
+    ``add_months`` and DuckDB's ``+ INTERVAL n MONTH`` clamp
+    identically (verified empirically; neither overflows into the
+    next month), so the probe pins the equivalence as epoch-day
+    checksums per order-month bucket rather than leaving it an
+    assumption under every monthly rollup in the repo.
+
+    One groupBy over row-local derivations; group count = distinct
+    (year, month) of the fixture."""
+    o = table(tune(spark), sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    epoch = F.lit("1970-01-01").cast("date")
+    day = lambda c: F.datediff(c, epoch).cast("long")
+    base = o.select(
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        day(F.add_months(d, 1)).alias("plus1"),
+        day(F.add_months(d, -1)).alias("minus1"),
+        day(F.last_day(d)).alias("eom"),
+        day(F.date_trunc("quarter", F.col("o_orderdate")).cast("date")).alias(
+            "qtr"
+        ),
+        F.datediff(F.lit("2030-01-01").cast("date"), d)
+        .cast("long")
+        .alias("to_anchor"),
+    )
+    return base.groupBy("y", "m").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("plus1").cast("long").alias("plus1_daysum"),
+        F.sum("minus1").cast("long").alias("minus1_daysum"),
+        F.sum("eom").cast("long").alias("eom_daysum"),
+        F.sum("qtr").cast("long").alias("qtr_daysum"),
+        F.sum("to_anchor").cast("long").alias("anchor_daysum"),
+    )
+
+
+CALENDAR_ARITH_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)) AS plus1,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate - INTERVAL 1 MONTH AS DATE)) AS minus1,
+         date_diff('day', DATE '1970-01-01',
+                   last_day(CAST(o_orderdate AS DATE))) AS eom,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS qtr,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '2030-01-01')
+           AS to_anchor
+  FROM orders)
+SELECT y, m,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(plus1) AS BIGINT) AS plus1_daysum,
+       CAST(sum(minus1) AS BIGINT) AS minus1_daysum,
+       CAST(sum(eom) AS BIGINT) AS eom_daysum,
+       CAST(sum(qtr) AS BIGINT) AS qtr_daysum,
+       CAST(sum(to_anchor) AS BIGINT) AS anchor_daysum
+FROM base
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -924,9 +995,11 @@ QUERIES = {
     "tz_local_day_rollup": tz_local_day_rollup,
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "portable_countmin_topk": portable_countmin_topk,
+    "calendar_arithmetic_semantics": calendar_arithmetic_semantics,
 }
 
 ORACLES = {
+    "calendar_arithmetic_semantics": CALENDAR_ARITH_ORACLE,
     "asof_purchase_view": ASOF_ORACLE,
     "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
     "range_join_price_bands": RANGE_JOIN_ORACLE,
