@@ -50,6 +50,7 @@ from fxblue_etl_spark.operators.quality import (
     span_dedup_rewrite,
 )
 from fxblue_etl_spark.operators.temporal import (
+    calendar_arithmetic_semantics,
     seasonal_naive_backtest,
     tz_local_day_rollup,
 )
@@ -60,6 +61,7 @@ from fxblue_etl_spark.plans.advanced import (
 )
 from fxblue_etl_spark.operators.cleaning import (
     aes_column_roundtrip,
+    bool_concat_coercion,
     formatted_number_parse,
 )
 from fxblue_etl_spark.plans.advanced import (
@@ -224,6 +226,8 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         truncation_recall_report,
         margin_bitext_mine,
         margin_bitext_mine_blocked,
+        bool_concat_coercion,
+        calendar_arithmetic_semantics,
     ],
     ids=lambda q: q.__name__,
 )
