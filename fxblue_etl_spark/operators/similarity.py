@@ -53,6 +53,13 @@ _DUCK_COS = (
 _DUCK_DVEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
 
 
+#: brute-force top-k depth — the ONE constant both the Spark plan and
+#: COSINE_TOPK_ORACLE's generated SQL derive from (and that TRUNC_K
+#: aliases), so a future edit cannot desynchronize plan and oracle
+#: (round-8 advice)
+COSINE_TOPK_K = 5
+
+
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector
     (vec_id % 50 == 0), excluding self."""
@@ -70,7 +77,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= COSINE_TOPK_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
 
@@ -90,7 +97,7 @@ ranked AS (
                                  ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {COSINE_TOPK_K}
 """
 
 
@@ -308,8 +315,10 @@ FROM embeddings
 #: truncation dims evaluated against the full 64-dim exact top-k
 #: (powers of two, the deploy ladder a Matryoshka-style index offers)
 TRUNC_DIMS = (8, 16, 32)
-#: overlap@k depth — matches cosine_topk_bruteforce's k
-TRUNC_K = 5
+#: overlap@k depth — aliases the brute-force k so the truth set the
+#: oracle derives from COSINE_TOPK_ORACLE can never desynchronize
+#: from the Spark plan's TRUNC_K (round-8 advice)
+TRUNC_K = COSINE_TOPK_K
 
 
 def truncation_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

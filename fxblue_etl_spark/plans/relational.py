@@ -636,8 +636,18 @@ def exact_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_value"
         )
     )
-    return fast.join(med, "event_type").select(
-        "event_type", "n_users", "median_value", "min_value", "max_value"
+    # null-safe equality (round-8 advice): event_type is nullable in
+    # the schema, and a plain equi-join would silently drop a NULL
+    # group that both single-aggregation semantics and the oracle's
+    # GROUP BY keep — <=> keeps the join total over group keys
+    med_k = med.withColumnRenamed("event_type", "event_type_m")
+    return (
+        fast.join(
+            med_k, fast["event_type"].eqNullSafe(med_k["event_type_m"])
+        )
+        .select(
+            "event_type", "n_users", "median_value", "min_value", "max_value"
+        )
     )
 
 

@@ -29,6 +29,7 @@ def test_every_oracle_query_is_certified_or_queued():
     queued = (
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
         | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
+        | set(e._R10_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -47,34 +48,37 @@ def test_rotation_lists_are_disjoint_and_registered():
         for k in e._R5_CERT + e._R6_PENDING + e._R6_RECERT + e._R7_QUEUE
         + e._R7_CODE_CHANGED + e._R7_RECERT_CANDIDATES + e._R8_QUEUE
         + e._R8_CODE_CHANGED + e._R8_RECERT_CANDIDATES + e._R9_QUEUE
+        + e._R9_CODE_CHANGED + e._R9_RECERT_CANDIDATES + e._R10_QUEUE
         if k not in qs
     ]
     assert missing == []
-    # ROUND-8 WINDOW PIN (round-7 verdict item 1): the driver's
-    # window is exactly 50 = flagship + the _R8_QUEUE seven (the
-    # never-driver-checked round-7 additions) + round-8
+    # ROUND-9 WINDOW PIN (standing rotation cadence): the driver's
+    # window is exactly 50 = flagship + the _R9_QUEUE eight (the
+    # never-driver-checked round-8 additions) + round-9
     # lineage-changed re-certs + the stalest standing rows, truncated
     # from the candidates' least-stale TAIL.  A re-shuffle that
     # displaces stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R8_QUEUE
-    expected_head += [q for q in e._R8_CODE_CHANGED if q not in expected_head]
+    expected_head = ["flagship_account_pnl"] + e._R9_QUEUE
+    expected_head += [q for q in e._R9_CODE_CHANGED if q not in expected_head]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R8_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R9_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
-    # round-8 additions must head round 9's rotation, right after the
-    # window, so the never-driver-checked debt clears next round
-    assert list(qs)[50 : 50 + len(e._R9_QUEUE)] == e._R9_QUEUE
+    # round-9 additions must head round 10's rotation, right after
+    # the window, so the never-driver-checked debt clears next round
+    assert (
+        list(qs)[50 : 50 + len(e._R10_QUEUE)] == e._R10_QUEUE
+    )
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one
-    included = set(expected_head) & set(e._R8_RECERT_CANDIDATES)
-    dropped = [q for q in e._R8_RECERT_CANDIDATES if q not in included]
+    included = set(expected_head) & set(e._R9_RECERT_CANDIDATES)
+    dropped = [q for q in e._R9_RECERT_CANDIDATES if q not in included]
     if dropped:
-        order = {q: i for i, q in enumerate(e._R8_RECERT_CANDIDATES)}
+        order = {q: i for i, q in enumerate(e._R9_RECERT_CANDIDATES)}
         assert min(order[q] for q in dropped) > max(
             order[q] for q in included
-        ), "window fill must drop the least-stale tail, not the r1-era head"
+        ), "window fill must drop the least-stale tail, not the r2-era head"
 
 
 def test_rows_only_queries_are_the_documented_set():
@@ -210,7 +214,16 @@ def test_r9_recert_candidates_consistent():
         for k in json.load(open(f)):
             if k in qs:
                 latest[k] = rnd
-    head50 = set(list(qs)[:50])
+    # reconstruct the ROUND-8 window (the round-9 flip changed
+    # list(qs)[:50], but this ledger was derived from what round 8's
+    # gate would re-certify — pin against that construction)
+    r8_head = ["flagship_account_pnl"] + e._R8_QUEUE
+    r8_head += [q for q in e._R8_CODE_CHANGED if q not in r8_head]
+    r8_fill = 50 - len(r8_head)
+    r8_head += [q for q in e._R8_RECERT_CANDIDATES if q not in r8_head][
+        :r8_fill
+    ]
+    head50 = set(r8_head)
     for k in cand:
         assert k in oracles and k in qs, k
         assert k in latest, f"{k} holds no driver row"

@@ -80,3 +80,31 @@ def test_fx_end_to_end_reconciles_sources(spark, sf_dir):
     for r in rows:
         if r["in_csv"]:
             assert r["in_registry"] == 1
+
+
+def test_exact_distinct_keeps_null_event_type_group(spark, tmp_path):
+    """Round-8 advice (medium): the split-aggregation rewrite joins
+    the two aggregate halves on event_type — a plain equi-join would
+    silently DROP a NULL event_type group (NULL != NULL) that both
+    the prior single-aggregation semantics and the oracle's GROUP BY
+    keep.  The null-safe join must keep it."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": [10, 11, 10, 12],
+            "event_type": ["click", "click", None, None],
+            "value": [1.0, 3.0, 5.0, 7.0],
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = relational.exact_distinct_and_quantiles(
+        spark, str(tmp_path)
+    ).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert None in by_type, "NULL event_type group was dropped by the join"
+    assert by_type[None].n_users == 2
+    assert by_type[None].median_value == 5.0
+    assert by_type["click"].n_users == 2

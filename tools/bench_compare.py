@@ -42,11 +42,27 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--threshold=0.15` and `--threshold 0.15` (round-8
+    # advice: the space-separated form documented in the usage line
+    # was previously mis-parsed as a positional argument)
+    argv = sys.argv[1:]
+    args: list[str] = []
     threshold = _FLAT
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1]) if "=" in a else threshold
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                threshold = float(argv[i])
+            else:
+                print(__doc__)
+                return 2
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
