@@ -508,7 +508,14 @@ _R9_CODE_CHANGED: list[str] = [
 #: Queries ADDED in round 9 — placed after the 50-window (the
 #: round-9 rotation must not be displaced); they head round 10's
 #: rotation.  Verified against the DuckDB oracle locally on addition.
-_R10_QUEUE: list[str] = []
+_R10_QUEUE: list[str] = [
+    # KMV / bottom-k (theta-style) distinct sketch with exact set
+    # algebra: union / intersection / Jaccard estimates per event-
+    # type pair from k-smallest-hash sketches alone — the mergeable
+    # set-operation companion to portable_hll_registers (HLL unions
+    # but cannot intersect), built as a salted two-stage tournament
+    "portable_kmv_setops",
+]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files
 #: after the round-7 window landed green (CORRECTNESS_r07: 50/50) —

@@ -648,6 +648,166 @@ FROM regs
 """
 
 
+#: KMV (bottom-k minimum values / theta-sketch) geometry: the k
+#: smallest 60-bit md5-derived distinct-key hashes.  k = 64 so the
+#: fixture exercises BOTH estimator branches tri-scale: sf0.001 has
+#: 15 distinct users per event type (< k → the exact branch), sf0.01+
+#: have 150+ (> k → the (k-1)·2^60/τ branch).
+KMV_K = 64
+#: salt fan-out for the first tournament stage (bounds the per-window
+#: sort group so the 5-key group column never concentrates the shuffle)
+KMV_SALT = 32
+#: hash domain: 60 bits (15 hex chars of md5), matching the HLL hash
+KMV_DOM = 1 << 60
+
+
+def kmv_sketch_table(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group KMV sketch: the ``KMV_K`` smallest distinct 60-bit
+    hashes of ``key_col`` as one sorted array per group — the
+    bottom-k / theta-sketch state (Bar-Yossef et al. 2002; Beyer et
+    al. SIGMOD'07), DETERMINISTIC given the data (unlike HLL's
+    register estimate this sketch IS a set, so mergeability and the
+    set-operation algebra are exact equalities on the sketch).
+
+    Scale shape: the only corpus-sized work is the map-side-combined
+    ``distinct`` on (group, hash); bottom-k then runs as a SALTED
+    two-stage tournament — rank within (group, hash % KMV_SALT) keeps
+    ≤ salt·k survivors per group, the final rank within group sorts
+    only those — so the handful of group keys never concentrates a
+    corpus-sized sort the way a bare ``Window.partitionBy(group)``
+    would (the same tournament shape as ``bm25_rational_topk``).
+    The closing ``collect_list`` gathers ≤ k rows per group — sketch
+    state, bounded by construction."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dh = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w1 = Window.partitionBy("grp", F.col("h") % KMV_SALT).orderBy("h")
+    surv = (
+        dh.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KMV_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        surv.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= KMV_K)
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"))
+    )
+
+
+def portable_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA from KMV sketches, engine-portable: for
+    every unordered pair of event types, the union / intersection /
+    Jaccard estimates derived purely from the two bottom-k sketches
+    of their user_id sets — the theta-sketch workflow (union = bottom
+    k of the merged sketch; ρ = fraction of the union sketch present
+    in both inputs; |A∩B| ≈ ρ·|A∪B|), kept integer-exact so both
+    engines emit bit-identical rows.
+
+    This is the set-operation companion to ``portable_hll_registers``
+    (HLL unions but cannot intersect; KMV does both), and the sketch
+    a corpus pipeline ships per vintage/source so audience-overlap /
+    vintage-churn questions are answered from kilobyte sketches
+    instead of corpus joins.
+
+    Estimator branches (both deterministic, both certified): when the
+    union sketch holds fewer than k hashes the inputs were complete
+    sets and the values are EXACT; at k the estimate is
+    ``(k-1)·2^60 DIV τ`` with τ the k-th smallest union hash
+    (DECIMAL(38,0) / HUGEINT — (k-1)·2^60 ≈ 7.3e19 overflows int64).
+
+    Scale shape: sketch build per :func:`kmv_sketch_table`; the pair
+    stage is a broadcast self-join of #groups sketch rows with all
+    array algebra row-local over ≤ 2k-element arrays."""
+    e = table(tune(spark), sf_dir, "events")
+    sk = kmv_sketch_table(e, "event_type", "user_id")
+    a = sk.select(F.col("grp").alias("type_a"), F.col("ks").alias("ka"))
+    b = sk.select(F.col("grp").alias("type_b"), F.col("ks").alias("kb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .withColumn(
+            "uk",
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("ka", "kb"))),
+                1,
+                KMV_K,
+            ),
+        )
+        .withColumn(
+            "n_common",
+            F.size(
+                F.array_intersect(F.array_intersect("uk", "ka"), "kb")
+            ).cast("long"),
+        )
+        .withColumn(
+            "est_union",
+            F.when(
+                F.size("uk") < KMV_K, F.size("uk").cast("long")
+            ).otherwise(
+                F.expr(
+                    f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_DOM}"
+                    f" DIV element_at(uk, {KMV_K}) AS BIGINT)"
+                )
+            ),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("ka").cast("long").alias("n_a"),
+        F.size("kb").cast("long").alias("n_b"),
+        F.size("uk").cast("long").alias("n_union_sketch"),
+        F.element_at("uk", F.size("uk")).alias("tau"),
+        "est_union",
+        "n_common",
+        F.expr(
+            "CAST(CAST(n_common AS DECIMAL(38,0)) * est_union"
+            " DIV size(uk) AS BIGINT)"
+        ).alias("est_intersect"),
+        F.expr("1000000 * n_common DIV size(uk)")
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+PORTABLE_KMV_ORACLE = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type AS grp,
+         ({_hex15_sql("md5(CAST(user_id AS VARCHAR))")}) AS h
+  FROM events),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM dh),
+sk AS (
+  SELECT grp, list_sort(list(h)) AS ks FROM r WHERE rn <= {KMV_K}
+  GROUP BY 1),
+p AS (
+  SELECT a.grp AS type_a, b.grp AS type_b, a.ks AS ka, b.ks AS kb,
+         (list_sort(list_distinct(list_concat(a.ks, b.ks))))[1:{KMV_K}] AS uk
+  FROM sk a JOIN sk b ON a.grp < b.grp),
+x AS (
+  SELECT type_a, type_b, ka, kb, uk,
+         CAST(len(list_intersect(list_intersect(uk, ka), kb)) AS BIGINT)
+           AS n_common,
+         CAST(CASE WHEN len(uk) < {KMV_K} THEN len(uk)
+              ELSE CAST({KMV_K - 1} AS HUGEINT) * {KMV_DOM} // uk[{KMV_K}]
+              END AS BIGINT) AS est_union
+  FROM p)
+SELECT type_a, type_b,
+       CAST(len(ka) AS BIGINT) AS n_a,
+       CAST(len(kb) AS BIGINT) AS n_b,
+       CAST(len(uk) AS BIGINT) AS n_union_sketch,
+       CAST(uk[len(uk)] AS BIGINT) AS tau,
+       est_union,
+       n_common,
+       CAST(CAST(n_common AS HUGEINT) * est_union // len(uk) AS BIGINT)
+         AS est_intersect,
+       CAST(1000000 * n_common // len(uk) AS BIGINT) AS jaccard_ppm
+FROM x
+"""
+
 
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
@@ -814,6 +974,7 @@ QUERIES = {
     "parquet_agg_pushdown_stats": parquet_agg_pushdown_stats,
     "ndv_catalog_sweep": ndv_catalog_sweep,
     "portable_hll_registers": portable_hll_registers,
+    "portable_kmv_setops": portable_kmv_setops,
 }
 
 ORACLES = {
@@ -829,4 +990,5 @@ ORACLES = {
     "parquet_agg_pushdown_stats": AGG_PUSHDOWN_ORACLE,
     "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
+    "portable_kmv_setops": PORTABLE_KMV_ORACLE,
 }

@@ -121,6 +121,7 @@ from fxblue_etl_spark.plans.dq import dq_audit, gdpr_delete_propagation
 from fxblue_etl_spark.plans.dq import source_length_drift
 from fxblue_etl_spark.operators.tfidf import rare_token_quality, term_salience_topk
 from fxblue_etl_spark.plans.profiling import approx_quantile_contract
+from fxblue_etl_spark.plans.stats import portable_kmv_setops
 
 
 @pytest.mark.parametrize(
@@ -228,6 +229,7 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
         margin_bitext_mine_blocked,
         bool_concat_coercion,
         calendar_arithmetic_semantics,
+        portable_kmv_setops,
     ],
     ids=lambda q: q.__name__,
 )

@@ -231,3 +231,56 @@ def test_bitmap_bucketing_property_random_domains(spark, tmp_path_factory):
         ).to_parquet(f"{d}/customer.parquet")
         row = bitmap_distinct_contract(spark, d).collect()[0]
         assert row["distinct_via_bitmap"] == row["distinct_exact"] == len(set(keys))
+
+
+def test_portable_kmv_is_exactly_mergeable(spark, sf_dir):
+    """kmv(A ∪ B) == bottom-k of (kmv(A) ∪ kmv(B)) — EXACT equality
+    (the sketch is a set of hashes, so merge is set-union + truncate;
+    no estimator is involved in the mergeability contract)."""
+    from fxblue_etl_spark.plans.stats import KMV_K, kmv_sketch_table
+
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    full = {
+        r["grp"]: r["ks"]
+        for r in kmv_sketch_table(e, "event_type", "user_id").collect()
+    }
+    ka = {
+        r["grp"]: r["ks"]
+        for r in kmv_sketch_table(a, "event_type", "user_id").collect()
+    }
+    kb = {
+        r["grp"]: r["ks"]
+        for r in kmv_sketch_table(b, "event_type", "user_id").collect()
+    }
+    for grp, ks in full.items():
+        merged = sorted(set(ka.get(grp, [])) | set(kb.get(grp, [])))[:KMV_K]
+        assert merged == ks, grp
+
+
+def test_portable_kmv_estimates_within_bounds(spark, sf_dir):
+    """Estimator accuracy on the fixture: exact branch (< k distinct)
+    must be EXACT; the τ-branch must land within 3.5σ of the true
+    union cardinality (σ ≈ 1/√(k−2) for KMV)."""
+    from fxblue_etl_spark.plans.stats import KMV_K, portable_kmv_setops
+
+    e = table(spark, sf_dir, "events")
+    rows = portable_kmv_setops(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    sigma = (KMV_K - 2) ** -0.5
+    # exact |A ∪ B| per pair: |A| + |B| − |A ∩ B|
+    sets = {
+        r["event_type"]: set(r["us"])
+        for r in e.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    for r in rows:
+        true_union = len(sets[r["type_a"]] | sets[r["type_b"]])
+        if r["n_union_sketch"] < KMV_K:
+            assert r["est_union"] == true_union
+            assert r["jaccard_ppm"] <= 1000000
+        else:
+            rel = abs(r["est_union"] / true_union - 1)
+            assert rel <= 3.5 * sigma, (r, true_union)
