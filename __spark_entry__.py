@@ -515,6 +515,12 @@ _R10_QUEUE: list[str] = [
     # set-operation companion to portable_hll_registers (HLL unions
     # but cannot intersect), built as a salted two-stage tournament
     "portable_kmv_setops",
+    # q-digest: the deterministic mergeable quantile sketch
+    # completing the portable family (Shrivastava et al. 2004),
+    # level-synchronous compression replayed as 16 generated
+    # MATERIALIZED CTE levels in the oracle; rank-error bound pinned
+    # in pytest
+    "portable_qdigest_quantiles",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -809,6 +809,230 @@ FROM x
 """
 
 
+#: q-digest geometry: 16-level binary tree over the centi-unit value
+#: grid [0, 2^16) — events.value spans [0.01, 490.02] → grid ≤ 49002,
+#: with a documented LEAST(·, 65535) clamp for out-of-range inputs
+QD_L = 16
+QD_DOM = 1 << QD_L
+#: compression parameter k: merge threshold T = max(1, n DIV k);
+#: rank error is bounded by L·T ≈ 16n/256 = n/16 (pinned in pytest)
+QD_K = 256
+#: quantiles the deploy table reports, in ppm
+QD_QS = (250000, 500000, 750000, 950000)
+#: Mersenne modulus for the digest checksum (fits BIGINT)
+QD_MOD = (1 << 61) - 1
+
+
+def _qdigest_compress(pdf):
+    """Level-synchronous q-digest compression (numpy, pure integer —
+    deterministic): for level l = L..1, group the level-l nodes by
+    parent; a family whose count sum ≤ T merges into the parent
+    (which then competes at level l-1), else its children are FINAL
+    sketch nodes.  This is Shrivastava et al. 2004's bottom-up
+    compress restated level-synchronously (the paper walks node-by-
+    node; the synchronous rule is order-free, hence portable — the
+    DuckDB oracle replays the identical rule as 16 generated CTE
+    levels).  Input is the domain-bounded leaf histogram (≤ 2^16
+    rows BY CONSTRUCTION — this is sketch-state compute, not corpus
+    work; the corpus-sized pass is the map-side-combined groupBy
+    that produced the histogram)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["id"].to_numpy(np.int64)
+    cnt = pdf["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    t = max(1, n // QD_K)
+    out_ids, out_cnt = [], []
+    cur_i, cur_c = ids, cnt
+    for _level in range(QD_L, 0, -1):
+        if cur_i.size == 0:
+            break
+        p = cur_i // 2
+        order = np.argsort(p, kind="stable")
+        ps, cs, is_ = p[order], cur_c[order], cur_i[order]
+        uniq, idx = np.unique(ps, return_index=True)
+        fam_sum = np.add.reduceat(cs, idx)
+        merges = fam_sum <= t
+        child_fam = np.searchsorted(uniq, ps)
+        keep = ~merges[child_fam]
+        out_ids.append(is_[keep])
+        out_cnt.append(cs[keep])
+        cur_i, cur_c = uniq[merges], fam_sum[merges]
+    out_ids.append(cur_i)
+    out_cnt.append(cur_c)
+    return pd.DataFrame(
+        {"id": np.concatenate(out_ids), "cnt": np.concatenate(out_cnt)}
+    )
+
+
+def qdigest_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q-digest node table of events.value on the centi-unit
+    grid: ONE corpus-sized map-side-combined groupBy builds the
+    domain-bounded leaf histogram; compression then runs in a single
+    Arrow-batched :func:`_qdigest_compress` group (deliberate single
+    group — the input is ≤ 2^16 rows by construction, the same
+    'sketch-state is small' posture as the portable HLL register
+    table)."""
+    e = table(tune(spark), sf_dir, "events").filter(F.col("value").isNotNull())
+    leaf = (
+        e.select(
+            (
+                F.lit(QD_DOM)
+                + F.least(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("int"),
+                    F.lit(QD_DOM - 1),
+                )
+            ).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        leaf.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _k, pdf: _qdigest_compress(pdf), "id long, cnt long")
+    )
+
+
+def portable_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates read off the portable q-digest — the
+    MERGEABLE quantile sketch completing the portable family (Bloom:
+    membership; HLL: distinct; Count-Min: frequency; KMV: set
+    algebra; q-digest: quantiles).  Unlike KLL/t-digest the q-digest
+    is DETERMINISTIC (no randomness, no merge-order sensitivity), so
+    both engines emit bit-identical sketches and estimates — the
+    property that lets a 100 TB pipeline ship per-partition digests
+    and an engine-agnostic consumer merge + query them.
+
+    Extraction (portable, certified): nodes sorted by (hi, lo, id);
+    running count; for each q the estimate is the range-max of the
+    first node whose cumulative count reaches ceil(q·n) — since hi
+    is non-decreasing along the sort, that is min(hi) over eligible
+    nodes, a plain aggregate in both engines.  Rank-error bound
+    L·(n DIV k) is pinned by the companion pytest against the exact
+    CDF.
+
+    Plan: sketch-sized throughout after the histogram pass; the
+    4-row quantile table broadcasts onto the node table (the
+    sanctioned broadcast-query-set non-equi shape), and the global
+    cumulative window runs over ≤ ~3k sketch nodes (whitelisted —
+    sketch-sized by construction)."""
+    nodes = qdigest_nodes(spark, sf_dir)
+    lv = nodes.select(
+        "id",
+        "cnt",
+        F.expr("CAST(floor(log2(id)) AS INT)").alias("lvl"),
+    ).select(
+        "id",
+        "cnt",
+        F.expr(
+            f"(id - (CAST(1 AS BIGINT) << lvl))"
+            f" * (CAST(1 AS BIGINT) << ({QD_L} - lvl))"
+        ).alias("lo"),
+        F.expr(
+            f"(id - (CAST(1 AS BIGINT) << lvl) + 1)"
+            f" * (CAST(1 AS BIGINT) << ({QD_L} - lvl)) - 1"
+        ).alias("hi"),
+    )
+    cum = lv.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("hi", "lo", "id"))
+    )
+    glob = nodes.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.greatest(
+            F.lit(1).cast("long"), F.expr(f"sum(cnt) DIV {QD_K}")
+        ).alias("t_thresh"),
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr(
+            f"CAST(sum(CAST(id AS DECIMAL(38,0)) * cnt) % {QD_MOD} AS BIGINT)"
+        ).alias("nodes_checksum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in QD_QS])
+        ).alias("q_ppm")
+    )
+    targets = glob.crossJoin(F.broadcast(qs)).withColumn(
+        "target", F.expr("(q_ppm * n_total + 999999) DIV 1000000")
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("q_ppm", "n_total", "t_thresh", "n_nodes", "nodes_checksum")
+        .agg(F.min("hi").cast("long").alias("est_grid"))
+        .select(
+            "q_ppm", "est_grid", "n_total", "t_thresh", "n_nodes",
+            "nodes_checksum",
+        )
+    )
+
+
+def _qdigest_levels_sql() -> str:
+    """The 16 generated compression levels as chained CTEs — the
+    DuckDB replay of :func:`_qdigest_compress` (same level-
+    synchronous rule, same T, same pass-through semantics)."""
+    parts = []
+    for l in range(QD_L, 0, -1):
+        lo, hi = 1 << l, 1 << (l + 1)
+        parts.append(
+            f"f{l} AS MATERIALIZED (\n"
+            f"  SELECT id // 2 AS p, CAST(sum(cnt) AS BIGINT) AS csum\n"
+            f"  FROM s{l} WHERE id >= {lo} AND id < {hi} GROUP BY 1),\n"
+            f"s{l - 1} AS MATERIALIZED (\n"
+            f"  SELECT id, cnt FROM s{l} WHERE id < {lo} OR id >= {hi}\n"
+            f"  UNION ALL\n"
+            f"  SELECT c.id, c.cnt FROM s{l} c JOIN f{l} f ON c.id // 2 = f.p,"
+            f" tot\n"
+            f"    WHERE c.id >= {lo} AND c.id < {hi} AND f.csum > tot.t\n"
+            f"  UNION ALL\n"
+            f"  SELECT f.p AS id, f.csum AS cnt FROM f{l} f, tot"
+            f" WHERE f.csum <= tot.t)"
+        )
+    return ",\n".join(parts)
+
+
+PORTABLE_QDIGEST_ORACLE = f"""
+WITH s{QD_L} AS MATERIALIZED (
+  SELECT {QD_DOM} + least(CAST(floor(value * 100 + 0.5) AS INT),
+                          {QD_DOM - 1}) AS id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         greatest(1, CAST(sum(cnt) AS BIGINT) // {QD_K}) AS t
+  FROM s{QD_L}),
+{_qdigest_levels_sql()},
+nodes AS (
+  SELECT id, cnt, CAST(floor(log2(id)) AS INT) AS lvl FROM s0),
+rng AS (
+  SELECT id, cnt,
+         (id - (CAST(1 AS BIGINT) << lvl))
+           * (CAST(1 AS BIGINT) << ({QD_L} - lvl)) AS lo,
+         (id - (CAST(1 AS BIGINT) << lvl) + 1)
+           * (CAST(1 AS BIGINT) << ({QD_L} - lvl)) - 1 AS hi
+  FROM nodes),
+cum AS (
+  SELECT *, sum(cnt) OVER (ORDER BY hi, lo, id) AS cum FROM rng),
+gl AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+         greatest(1, CAST(sum(cnt) AS BIGINT) // {QD_K}) AS t_thresh,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CAST(id AS HUGEINT) * cnt) % {QD_MOD} AS BIGINT)
+           AS nodes_checksum
+  FROM nodes),
+qs AS (SELECT CAST(unnest({list(QD_QS)}) AS BIGINT) AS q_ppm),
+tg AS (
+  SELECT q_ppm, n_total, t_thresh, n_nodes, nodes_checksum,
+         (q_ppm * n_total + 999999) // 1000000 AS target
+  FROM gl, qs)
+SELECT tg.q_ppm,
+       CAST(min(c.hi) AS BIGINT) AS est_grid,
+       tg.n_total, tg.t_thresh, tg.n_nodes, tg.nodes_checksum
+FROM tg JOIN cum c ON c.cum >= tg.target
+GROUP BY 1, 3, 4, 5, 6
+"""
+
+
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
     o_orderstatus, emitted per contingency cell in exact integer
@@ -975,6 +1199,7 @@ QUERIES = {
     "ndv_catalog_sweep": ndv_catalog_sweep,
     "portable_hll_registers": portable_hll_registers,
     "portable_kmv_setops": portable_kmv_setops,
+    "portable_qdigest_quantiles": portable_qdigest_quantiles,
 }
 
 ORACLES = {
@@ -991,4 +1216,5 @@ ORACLES = {
     "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
+    "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
 }

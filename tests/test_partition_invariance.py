@@ -121,7 +121,10 @@ from fxblue_etl_spark.plans.dq import dq_audit, gdpr_delete_propagation
 from fxblue_etl_spark.plans.dq import source_length_drift
 from fxblue_etl_spark.operators.tfidf import rare_token_quality, term_salience_topk
 from fxblue_etl_spark.plans.profiling import approx_quantile_contract
-from fxblue_etl_spark.plans.stats import portable_kmv_setops
+from fxblue_etl_spark.plans.stats import (
+    portable_kmv_setops,
+    portable_qdigest_quantiles,
+)
 
 
 @pytest.mark.parametrize(
@@ -230,6 +233,7 @@ from fxblue_etl_spark.plans.stats import portable_kmv_setops
         bool_concat_coercion,
         calendar_arithmetic_semantics,
         portable_kmv_setops,
+        portable_qdigest_quantiles,
     ],
     ids=lambda q: q.__name__,
 )

