@@ -521,6 +521,11 @@ _R10_QUEUE: list[str] = [
     # MATERIALIZED CTE levels in the oracle; rank-error bound pinned
     # in pytest
     "portable_qdigest_quantiles",
+    # exact Spearman: tie-correct Pearson-on-ranks with 2x-scaled
+    # integer average ranks computed off the value GRID (no row-level
+    # rank join); Mersenne-mod integer witnesses + floor-ppm rho off
+    # the correctly-rounded double path
+    "spearman_rank_corr",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -1033,6 +1033,160 @@ GROUP BY 1, 3, 4, 5, 6
 """
 
 
+#: Mersenne modulus for the exact-arithmetic witness columns
+SPEAR_MOD = (1 << 61) - 1
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation of lineitem quantity vs
+    extended price per return flag — the tie-correct Pearson-on-ranks
+    form (the d² shortcut is wrong under ties, and l_quantity is
+    massively tied), with average ranks kept INTEGER-exact by the 2×
+    scaling trick: avg_rank2(v) = 2·|{u < v}| + |{u = v}| + 1, so no
+    .5 ever materializes and the scaling cancels inside ρ.
+
+    Ranks come off the VALUE GRID, not the rows: one corpus-sized
+    map-side-combined groupBy builds the (flag, x, y) pair grid
+    (persisted — both marginal grids and the final sums derive from
+    it); cumulative windows then run over the per-flag distinct-value
+    grids, which are domain-bounded (quantity: 50 cents-values;
+    price: bounded by the part×qty price grid) — the same
+    grid-instead-of-rows shape as ``source_length_drift``.  No
+    row-level rank join ever happens.
+
+    Output: exact integer sufficient statistics as Mersenne-mod
+    witnesses (num = n·Σxy−Σx·Σy and the two denominator pieces —
+    DECIMAL(38,0)/HUGEINT inside, exact through ~1e9 rows per group,
+    document-and-emit-raw-sums beyond), plus ρ·1e6 floored from the
+    correctly-rounded double path (cast/multiply/sqrt/divide are all
+    IEEE-correctly-rounded, so both engines floor the same double —
+    the sanctioned floor-ppm spelling, never round-half)."""
+    from ..io import swap_cache
+
+    li = table(tune(spark), sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    pair = swap_cache(
+        "stats.spearman",
+        li.groupBy("g", "x", "y").agg(F.count("*").cast("long").alias("nxy")),
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    xg = (
+        pair.groupBy("g", "x")
+        .agg(F.sum("nxy").cast("long").alias("cx"))
+        .withColumn(
+            "rx2",
+            2
+            * F.coalesce(
+                F.sum("cx").over(
+                    wx.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("cx")
+            + 1,
+        )
+        .drop("cx")
+    )
+    wy = Window.partitionBy("g").orderBy("y")
+    yg = (
+        pair.groupBy("g", "y")
+        .agg(F.sum("nxy").cast("long").alias("cy"))
+        .withColumn(
+            "ry2",
+            2
+            * F.coalesce(
+                F.sum("cy").over(
+                    wy.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("cy")
+            + 1,
+        )
+        .drop("cy")
+    )
+    j = pair.join(xg, ["g", "x"]).join(yg, ["g", "y"])
+    agg = j.groupBy("g").agg(
+        F.sum("nxy").cast("long").alias("n_rows"),
+        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2)").alias("sx"),
+        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * ry2)").alias("sy"),
+        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2 * rx2)").alias("sxx"),
+        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * ry2 * ry2)").alias("syy"),
+        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2 * ry2)").alias("sxy"),
+    )
+    return agg.select(
+        F.col("g").alias("l_returnflag"),
+        "n_rows",
+        F.expr(f"CAST((n_rows * sxy - sx * sy) % {SPEAR_MOD} AS BIGINT)").alias(
+            "num_mod"
+        ),
+        F.expr(f"CAST((n_rows * sxx - sx * sx) % {SPEAR_MOD} AS BIGINT)").alias(
+            "d1_mod"
+        ),
+        F.expr(f"CAST((n_rows * syy - sy * sy) % {SPEAR_MOD} AS BIGINT)").alias(
+            "d2_mod"
+        ),
+        F.expr(
+            "CASE WHEN (n_rows * sxx - sx * sx) > 0"
+            " AND (n_rows * syy - sy * sy) > 0 THEN"
+            " CAST(floor((CAST(n_rows * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n_rows * syy - sy * sy AS DOUBLE))) * 1000000.0)"
+            " AS BIGINT) END"
+        ).alias("rho_e6"),
+    )
+
+
+SPEARMAN_ORACLE = f"""
+WITH pair AS MATERIALIZED (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM lineitem GROUP BY 1, 2, 3),
+xg AS (
+  SELECT g, x,
+         2 * coalesce(sum(cx) OVER (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + cx + 1 AS rx2
+  FROM (SELECT g, x, CAST(sum(nxy) AS BIGINT) AS cx FROM pair GROUP BY 1, 2)),
+yg AS (
+  SELECT g, y,
+         2 * coalesce(sum(cy) OVER (PARTITION BY g ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + cy + 1 AS ry2
+  FROM (SELECT g, y, CAST(sum(nxy) AS BIGINT) AS cy FROM pair GROUP BY 1, 2)),
+j AS (
+  SELECT p.g, p.nxy, xg.rx2, yg.ry2
+  FROM pair p JOIN xg ON p.g = xg.g AND p.x = xg.x
+              JOIN yg ON p.g = yg.g AND p.y = yg.y),
+a AS (
+  SELECT g,
+         CAST(sum(nxy) AS BIGINT) AS n_rows,
+         sum(CAST(nxy AS HUGEINT) * rx2) AS sx,
+         sum(CAST(nxy AS HUGEINT) * ry2) AS sy,
+         sum(CAST(nxy AS HUGEINT) * rx2 * rx2) AS sxx,
+         sum(CAST(nxy AS HUGEINT) * ry2 * ry2) AS syy,
+         sum(CAST(nxy AS HUGEINT) * rx2 * ry2) AS sxy
+  FROM j GROUP BY 1)
+SELECT g AS l_returnflag,
+       n_rows,
+       CAST((n_rows * sxy - sx * sy) % {SPEAR_MOD} AS BIGINT) AS num_mod,
+       CAST((n_rows * sxx - sx * sx) % {SPEAR_MOD} AS BIGINT) AS d1_mod,
+       CAST((n_rows * syy - sy * sy) % {SPEAR_MOD} AS BIGINT) AS d2_mod,
+       CASE WHEN (n_rows * sxx - sx * sx) > 0
+             AND (n_rows * syy - sy * sy) > 0 THEN
+         CAST(floor((CAST(n_rows * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+           * CAST(n_rows * syy - sy * sy AS DOUBLE))) * 1000000.0)
+           AS BIGINT) END AS rho_e6
+FROM a
+"""
+
+
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
     o_orderstatus, emitted per contingency cell in exact integer
@@ -1200,6 +1354,7 @@ QUERIES = {
     "portable_hll_registers": portable_hll_registers,
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
+    "spearman_rank_corr": spearman_rank_corr,
 }
 
 ORACLES = {
@@ -1217,4 +1372,5 @@ ORACLES = {
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
+    "spearman_rank_corr": SPEARMAN_ORACLE,
 }

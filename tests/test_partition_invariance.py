@@ -124,6 +124,7 @@ from fxblue_etl_spark.plans.profiling import approx_quantile_contract
 from fxblue_etl_spark.plans.stats import (
     portable_kmv_setops,
     portable_qdigest_quantiles,
+    spearman_rank_corr,
 )
 
 
@@ -234,6 +235,7 @@ from fxblue_etl_spark.plans.stats import (
         calendar_arithmetic_semantics,
         portable_kmv_setops,
         portable_qdigest_quantiles,
+        spearman_rank_corr,
     ],
     ids=lambda q: q.__name__,
 )

@@ -372,3 +372,60 @@ def test_qdigest_merge_preserves_mass_and_bound(spark, sf_dir):
     # re-compressed node count stays sketch-sized (≈ n/T per level)
     t = max(1, n // QD_K)
     assert len(merged) <= (n // t + 1) * 17
+
+
+def test_spearman_matches_pure_python_reference(spark, sf_dir):
+    """ρ·1e6 must match a from-first-principles Python recompute
+    (average ranks over collected rows, Pearson on ranks with exact
+    Fractions) — the engine's grid-based rank algebra against the
+    naive row-based definition."""
+    from fractions import Fraction
+    from math import isqrt
+
+    from fxblue_etl_spark.plans.stats import spearman_rank_corr
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    groups = {}
+    for r in li:
+        groups.setdefault(r["g"], []).append((r["x"], r["y"]))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = Fraction(i + 1 + j, 2)  # average of ranks i+1..j
+            for k2 in range(i, j):
+                ranks[order[k2]] = r
+            i = j
+        return ranks
+
+    got = {r["l_returnflag"]: r for r in spearman_rank_corr(spark, sf_dir).collect()}
+    for g, pts in groups.items():
+        xs = avg_ranks([p[0] for p in pts])
+        ys = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        rho = float(num) / float(d1 * d2) ** 0.5
+        row = got[g]
+        assert row["n_rows"] == n
+        # floor-ppm of the double path: allow 1 ulp of slack at the
+        # floor boundary vs this reference's different float path
+        assert abs(row["rho_e6"] - int(rho * 1e6 // 1) ) <= 1, (g, row, rho)
+        assert -1000000 <= row["rho_e6"] <= 1000000
