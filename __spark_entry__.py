@@ -526,6 +526,11 @@ _R10_QUEUE: list[str] = [
     # rank join); Mersenne-mod integer witnesses + floor-ppm rho off
     # the correctly-rounded double path
     "spearman_rank_corr",
+    # streaming KMV cardinality monitor: bounded-state (groups x k
+    # rows) incremental sketch merge, incremental == batch rebuild
+    # exactly (KMV truncation is confluent); oracle = the batch
+    # sketch SQL on the full table
+    "streaming_kmv_distinct",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -1542,6 +1542,125 @@ def streaming_quality_gate(
 from ..operators.textops import QUALITY_ORACLE as STREAMING_QUALITY_ORACLE
 
 
+def streaming_kmv_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming distinct-cardinality gate with BOUNDED state: per
+    event type, the KMV bottom-k sketch (``plans.stats.
+    kmv_sketch_table``) maintained incrementally across micro-batches
+    — each batch's sketch merges into the carried state by hash-set
+    union + re-truncate.  KMV truncation is CONFLUENT (each of the
+    global k smallest distinct hashes is among its own batch's k
+    smallest), so the incremental result equals the all-at-once batch
+    sketch EXACTLY and the oracle is the batch sketch SQL on the full
+    table — the same incremental ≡ rebuild contract as the index-
+    upsert family, here for a cardinality monitor.
+
+    State posture: the carried frame is ≤ #groups × k narrow rows
+    (5×64 here) REGARDLESS of stream length — no streaming state
+    store, no watermark, nothing that grows with ingest; per batch
+    the corpus-sized work is the batch's own map-side-combined
+    distinct.  This is the sketch a 100 TB ingest front-door keeps
+    per source to answer "how many distinct users/URLs so far"
+    without ever re-scanning arrivals.
+
+    Reference parity: the streaming analogue of the reference's
+    per-run row-count logging (`CSV PARSER/gcp_csv.py:159-164`),
+    upgraded to mergeable distinct cardinality."""
+    from ..io import release_local_checkpoint
+    from ..plans.stats import KMV_DOM, KMV_K, kmv_sketch_table
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "events", "event_id", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        sk = kmv_sketch_table(batch_df, "event_type", "user_id")
+        if "sk" in state:
+            # union of two ≤k sketches per group → ≤2k hashes:
+            # bounded by construction, so the explode/collect_set
+            # re-truncate is sketch-local work
+            merged = (
+                state["sk"]
+                .unionByName(sk)
+                .select("grp", F.explode("ks").alias("h"))
+                .groupBy("grp")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_set("h")), 1, KMV_K
+                    ).alias("ks")
+                )
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["sk"])
+        else:
+            new = sk.coalesce(1).localCheckpoint()
+        state["sk"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    final = state.pop("sk")
+    return final.select(
+        F.col("grp").alias("event_type"),
+        F.size("ks").cast("long").alias("n_sketch"),
+        F.element_at("ks", F.size("ks")).alias("tau"),
+        F.when(F.size("ks") < KMV_K, F.size("ks").cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_DOM}"
+                f" DIV element_at(ks, {KMV_K}) AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def _stream_kmv_oracle() -> str:
+    from ..plans.stats import KMV_DOM, KMV_K, _hex15_sql
+
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type AS grp,
+         ({_hex15_sql("md5(CAST(user_id AS VARCHAR))")}) AS h
+  FROM events),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM dh),
+sk AS (
+  SELECT grp, list_sort(list(h)) AS ks FROM r WHERE rn <= {KMV_K}
+  GROUP BY 1)
+SELECT grp AS event_type,
+       CAST(len(ks) AS BIGINT) AS n_sketch,
+       CAST(ks[len(ks)] AS BIGINT) AS tau,
+       CAST(CASE WHEN len(ks) < {KMV_K} THEN len(ks)
+            ELSE CAST({KMV_K - 1} AS HUGEINT) * {KMV_DOM} // ks[{KMV_K}]
+            END AS BIGINT) AS est_distinct
+FROM sk
+"""
+
+
+STREAM_KMV_ORACLE = _stream_kmv_oracle()
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -1563,6 +1682,7 @@ QUERIES = {
     "streaming_lsh_dedup_incremental": streaming_lsh_dedup_incremental,
     "streaming_embed_dedup_incremental": streaming_embed_dedup_incremental,
     "streaming_quality_gate": streaming_quality_gate,
+    "streaming_kmv_distinct": streaming_kmv_distinct,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1570,6 +1690,7 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
 
 ORACLES = {
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
+    "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,

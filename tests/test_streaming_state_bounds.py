@@ -224,3 +224,33 @@ def test_streaming_quality_gate_is_stateless(spark, sf_dir):
     assert progress, "availableNow run must report progress"
     for p in progress:
         assert not (p.get("stateOperators") or []), p["stateOperators"]
+
+
+def test_kmv_distinct_incremental_matches_batch_and_split_invariant(spark):
+    """The streaming KMV cardinality monitor must equal the batch
+    sketch EXACTLY (truncation confluence), invariant across
+    micro-batch splits, with NO streaming state store (foreachBatch
+    only; the cross-batch state is the ≤ groups×k sketch frame)."""
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.stats import kmv_sketch_table
+    from fxblue_etl_spark.streaming.pipelines import streaming_kmv_distinct
+
+    batch_sk = {
+        r["grp"]: r["ks"]
+        for r in kmv_sketch_table(
+            table(spark, SF, "events"), "event_type", "user_id"
+        ).collect()
+    }
+    prog: list = []
+    inc3 = {r["event_type"]: r for r in streaming_kmv_distinct(spark, SF, prog).collect()}
+    assert len(prog) >= 3  # genuinely multi-batch
+    assert _peak_state_rows(prog) == 0  # no state store rows
+    assert set(inc3) == set(batch_sk)
+    for grp, ks in batch_sk.items():
+        assert inc3[grp]["n_sketch"] == len(ks)
+        assert inc3[grp]["tau"] == ks[-1]
+    inc1 = {
+        r["event_type"]: tuple(r)
+        for r in streaming_kmv_distinct(spark, SF, n_splits=1).collect()
+    }
+    assert inc1 == {k: tuple(v) for k, v in inc3.items()}
