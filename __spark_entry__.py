@@ -531,6 +531,11 @@ _R10_QUEUE: list[str] = [
     # exactly (KMV truncation is confluent); oracle = the batch
     # sketch SQL on the full table
     "streaming_kmv_distinct",
+    # T-family regex probe: the portable Java-regex/RE2 subset pinned
+    # (explicit classes, anchors, \b, bounded greedy quantifiers,
+    # perl-preference alternation), group-0 empty-string-on-no-match,
+    # and the global-replace spelling divergence carried in the oracle
+    "regex_portability_semantics",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

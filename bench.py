@@ -71,6 +71,14 @@ HEADLINE = (
     "margin_bitext_mine_blocked",
     "streaming_quality_gate",
     "null_ordering_semantics",
+    # round-9 additions (APPENDED — frozen subtotals untouched):
+    # the portable-sketch family completions and the exact rank
+    # statistic; streaming_kmv_distinct is deliberately NOT benched
+    # (its cost is the staged-stream harness, not the operator —
+    # the batch sketch path is timed via portable_kmv_setops)
+    "portable_kmv_setops",
+    "portable_qdigest_quantiles",
+    "spearman_rank_corr",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

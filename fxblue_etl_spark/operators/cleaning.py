@@ -811,6 +811,108 @@ GROUP BY probe
 BOOL_CONCAT_ORACLE = _bool_concat_oracle()
 
 
+#: the portable regex subset probes: (name, pattern) — every pattern
+#: sticks to constructs whose semantics are IDENTICAL between Java
+#: regex (Spark) and RE2 (DuckDB): explicit ASCII char classes,
+#: anchors, \b word boundaries, bounded/greedy quantifiers, and
+#: perl-style first-preference alternation (RE2 deliberately
+#: implements PCRE leftmost-greedy capture semantics, not POSIX
+#: longest-match).  Deliberately EXCLUDED, with the reason, so a
+#: future probe doesn't wander into them: lookaround and
+#: backreferences (absent from RE2), \d/\w/\s shorthands (Unicode
+#: scope differs by engine flags — spell classes explicitly), and
+#: patterns that can match empty (quantified-empty iteration
+#: semantics diverge).
+_REGEX_PROBES = (
+    ("anchor_prefix", "^the "),
+    ("digit_run", "[0-9]+"),
+    ("alternation", "(batch|stream|window)"),
+    ("double_vowel", "[aeiou][aeiou]"),
+    ("word_boundary", "\\bdata\\b"),
+    ("dot_quantifier", "e.?t"),
+    ("greedy_tail", "(an|or)[a-z]*"),
+    ("bounded_repeat", "s{1,2}[a-z]+e"),
+)
+
+
+def regex_portability_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-semantics probe, certified cross-engine — the T-family
+    companion to the boolean/calendar/null-ordering probes, pinning
+    the PORTABLE subset shared by Java regex (Spark) and RE2
+    (DuckDB): for each probe pattern over a mixed text+digits line
+    (doc text prefix + '#doc_id' + lang), the match count, the
+    group-0 extract semantics (both engines return EMPTY STRING, not
+    NULL, on no match — itself a pinned finding), total extracted
+    length, and the global-replace length sum (spelling differs:
+    Spark ``regexp_replace`` is global by default, DuckDB needs the
+    explicit ``'g'`` flag — the oracle carries it).
+
+    Scale shape: pure row-local map + one map-side-combined groupBy
+    over a pattern-count-sized key space."""
+    d = table(tune(spark), sf_dir, "documents")
+    s = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.col("lang"),
+    )
+    base = d.select(s.alias("s"))
+    rows = []
+    for name, pat in _REGEX_PROBES:
+        rows.append(
+            base.select(
+                F.lit(name).alias("probe"),
+                F.col("s").rlike(pat).cast("long").alias("is_match"),
+                F.regexp_extract("s", pat, 0).alias("ext"),
+                F.regexp_replace("s", pat, "_").alias("repl"),
+            )
+        )
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum((F.length("ext") == 0).cast("long"))
+        .cast("long")
+        .alias("n_ext_empty"),
+        F.sum(F.length("ext")).cast("long").alias("ext_len_sum"),
+        F.sum(F.length("repl")).cast("long").alias("repl_len_sum"),
+    )
+
+
+def _regex_portability_oracle() -> str:
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT '{name}' AS probe,
+         CASE WHEN regexp_matches(s, '{pat}') THEN 1 ELSE 0 END AS is_match,
+         regexp_extract(s, '{pat}', 0) AS ext,
+         regexp_replace(s, '{pat}', '_', 'g') AS repl
+  FROM base"""
+        for name, pat in _REGEX_PROBES
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT substr(text, 1, 80) || ' #' || CAST(doc_id AS VARCHAR)
+         || ' ' || lang AS s
+  FROM documents),
+scored AS (
+{branches})
+SELECT probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(is_match) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN length(ext) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ext_empty,
+       CAST(sum(length(ext)) AS BIGINT) AS ext_len_sum,
+       CAST(sum(length(repl)) AS BIGINT) AS repl_len_sum
+FROM scored
+GROUP BY probe
+"""
+
+
+REGEX_PORTABILITY_ORACLE = _regex_portability_oracle()
+
+
 QUERIES = {
     "t1_numeric_coercion": t1_numeric_coercion,
     "t2_timestamp_iso": t2_timestamp_iso,
@@ -827,10 +929,12 @@ QUERIES = {
     "formatted_number_parse": formatted_number_parse,
     "try_function_semantics": try_function_semantics,
     "bool_concat_coercion": bool_concat_coercion,
+    "regex_portability_semantics": regex_portability_semantics,
 }
 
 ORACLES = {
     "bool_concat_coercion": BOOL_CONCAT_ORACLE,
+    "regex_portability_semantics": REGEX_PORTABILITY_ORACLE,
     "t1_numeric_coercion": T1_ORACLE,
     "t2_timestamp_iso": T2_ORACLE,
     "t3_custom_ts_roundtrip": T3_ORACLE,

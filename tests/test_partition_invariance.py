@@ -63,6 +63,7 @@ from fxblue_etl_spark.operators.cleaning import (
     aes_column_roundtrip,
     bool_concat_coercion,
     formatted_number_parse,
+    regex_portability_semantics,
 )
 from fxblue_etl_spark.plans.advanced import (
     integer_division_semantics,
@@ -236,6 +237,7 @@ from fxblue_etl_spark.plans.stats import (
         portable_kmv_setops,
         portable_qdigest_quantiles,
         spearman_rank_corr,
+        regex_portability_semantics,
     ],
     ids=lambda q: q.__name__,
 )
