@@ -272,20 +272,35 @@ def ivf_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("v", F.when(is_reingest, negated).otherwise(F.col("v"))),
         cents,
     )
-    # upserted feeds three consumers, rebuilt two — persist so each
-    # side runs its centroid-argmin pass once
-    upserted, rebuilt = swap_cache("similarity.ivf_upsert", upserted, rebuilt)
+    # ONE full-outer join on the contract key yields all three counts
+    # in a single action (round 9: the previous two-anti-joins +
+    # count + crossJoin shape ran 3 jobs with both sides persisted —
+    # 2.5s → ~1.2s at sf0.1, index is action-overhead-bound at
+    # fixture scale; values and oracle unchanged)
     keys = ["vec_id", "cluster", "v"]
-    n_rows = upserted.agg(F.count("*").cast("long").alias("n_index_rows"))
-    n_up = upserted.join(rebuilt, keys, "left_anti").agg(
-        F.count("*").cast("long").alias("n_only_upsert")
-    )
-    n_rb = rebuilt.join(upserted, keys, "left_anti").agg(
-        F.count("*").cast("long").alias("n_only_rebuild")
-    )
+    u = upserted.select(*keys).withColumn("in_u", F.lit(1))
+    r = rebuilt.select(*keys).withColumn("in_r", F.lit(1))
     return (
-        n_rows.crossJoin(n_up)
-        .crossJoin(n_rb)
+        u.join(r, keys, "full_outer")
+        .agg(
+            F.sum(F.coalesce("in_u", F.lit(0)))
+            .cast("long")
+            .alias("n_index_rows"),
+            F.sum(
+                (F.col("in_u").isNotNull() & F.col("in_r").isNull()).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_only_upsert"),
+            F.sum(
+                (F.col("in_r").isNotNull() & F.col("in_u").isNull()).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_only_rebuild"),
+        )
         .select(
             "n_index_rows",
             "n_only_upsert",
