@@ -121,6 +121,15 @@ def build_10x() -> None:
           FROM read_parquet('{BASE}/orders.parquet'), range(0, 10) t(k)
         ) TO '{TENX}/orders.parquet' (FORMAT PARQUET)
         """)
+    if not os.path.exists(f"{TENX}/lineitem.parquet"):
+        con.execute(f"""
+        COPY (
+          SELECT l_orderkey + k * 100000000 AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{BASE}/lineitem.parquet'), range(0, 10) t(k)
+        ) TO '{TENX}/lineitem.parquet' (FORMAT PARQUET)
+        """)
     if not os.path.exists(f"{TENX}/embeddings.parquet"):
         # original vec_ids survive (k=0), so fixed-centroid inits
         # (vec_id < K) and query sets (vec_id % 50 == 0 over the
