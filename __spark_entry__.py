@@ -536,6 +536,10 @@ _R10_QUEUE: list[str] = [
     # perl-preference alternation), group-0 empty-string-on-no-match,
     # and the global-replace spelling divergence carried in the oracle
     "regex_portability_semantics",
+    # Q12 shape completing the 22-shape TPC-H sweep (surrogate mode
+    # key + shipdate-vs-orderdate lateness; fixture lacks shipmode /
+    # commit / receipt dates -- deviation documented)
+    "q12_shipmode_priority",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

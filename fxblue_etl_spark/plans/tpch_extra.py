@@ -80,6 +80,58 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — late-shipment counts split by order priority class
+    per ship mode: the CASE-conditional two-way count the classic
+    query runs after the lineitem⋈orders join, completing the 22-shape
+    TPC-H sweep (q12 was the one shape without a fixture query).
+
+    DEVIATION, documented: the fixture lineitem carries no
+    l_shipmode/l_commitdate/l_receiptdate, so the mode key is the
+    deterministic surrogate ``MODE_<l_suppkey % 3>`` and "late" is
+    ``l_shipdate > o_orderdate + 60 days`` — the join/filter/CASE-agg
+    plan shape (one fact join on the order key, one
+    map-side-combined groupBy over a mode-bounded key space) is
+    exactly Q12's; only the column spellings differ.
+
+    Scale shape: the only shuffles are the l_orderkey equi-join and
+    the 3-key aggregate; the CASE sums combine map-side.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.concat(F.lit("MODE_"), (F.col("l_suppkey") % 3).cast("string")).alias(
+            "ship_mode"
+        ),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("ship_mode")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT 'MODE_' || CAST(l_suppkey % 3 AS VARCHAR) AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
 def q20_part_supp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers in NATION_9 who shipped >40 units of some PROMO part
     during 1996 — the nested IN-subquery chain:
@@ -335,6 +387,7 @@ GROUP BY 1, 2, 3
 
 QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q20_part_supp_chain": q20_part_supp_chain,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
@@ -345,6 +398,7 @@ QUERIES = {
 
 ORACLES = {
     "q17_small_qty_revenue": Q17_ORACLE,
+    "q12_shipmode_priority": Q12_ORACLE,
     "q20_part_supp_chain": Q20_ORACLE,
     "q2_min_cost_supplier": Q2_ORACLE,
     "q9_profit_by_nation_year": Q9_ORACLE,
