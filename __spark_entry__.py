@@ -540,6 +540,12 @@ _R10_QUEUE: list[str] = [
     # key + shipdate-vs-orderdate lateness; fixture lacks shipmode /
     # commit / receipt dates -- deviation documented)
     "q12_shipmode_priority",
+    # perceptual near-dup for media payloads: 32-segment average-hash
+    # (Arrow-batched byte kernel, integer cross-multiply bits), 4x8
+    # banding with pigeonhole-LOSSLESS recall at Hamming radius 3,
+    # exact verify on candidates -- the similarity companion to
+    # media_dedup_exact
+    "media_ahash_neardup",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -279,11 +279,154 @@ FROM per_sha GROUP BY 1
 """
 
 
+#: aHash geometry: 32 byte-segments → one positive 32-bit hash in a
+#: BIGINT; 4 bands of 8 bits; Hamming threshold 3 (pigeonhole: ≤ 3
+#: differing bits leave ≥ 1 of 4 bands equal, so the band join has
+#: ZERO recall loss at this radius)
+AHASH_SEGS = 32
+AHASH_BANDS = 4
+AHASH_HAM_T = 3
+
+
+def _ahash_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Arrow-batched average-hash kernel over binary payloads — the
+    perceptual-hash stand-in in the family's established shape (the
+    REAL pipeline would decode pixels and DCT here; the byte-segment
+    mean plays the 8×8 luma block's role, and every byte of Spark-side
+    plumbing — schema, banding, bucket join, Hamming verify — is what
+    the real one uses).  Pure integer decisions: bit_j compares
+    seg_sum·n against total·seg_len (cross-multiplied, no division),
+    with segment membership by the forward map (k·S) DIV n — exactly
+    the oracle's ``(i-1)*S // n`` so both engines bucket every byte
+    identically."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = int(b.size)
+            seg_idx = (np.arange(n, dtype=np.int64) * AHASH_SEGS) // n
+            seg_sum = np.bincount(
+                seg_idx, weights=b, minlength=AHASH_SEGS
+            ).astype(np.int64)
+            seg_len = np.bincount(seg_idx, minlength=AHASH_SEGS).astype(
+                np.int64
+            )
+            tot = int(seg_sum.sum())
+            h = 0
+            for j in range(AHASH_SEGS):
+                if int(seg_sum[j]) * n >= tot * int(seg_len[j]):
+                    h |= 1 << (AHASH_SEGS - 1 - j)
+            out.append((doc_id, h))
+        yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+
+def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over media payloads — the
+    similarity-level companion to :func:`media_dedup_exact` (exact
+    digests catch identical bytes; re-encoded/近-identical media needs
+    a perceptual hash): 32-segment average-hash per payload
+    (Arrow-batched kernel), 4×8-bit banding for candidates, exact
+    Hamming ≤ 3 verify on the candidate set.
+
+    Scale shape: payloads never shuffle — the kernel reduces each to
+    one 8-byte hash, and only (doc_id, ahash) rows move; candidates
+    come from the band-bucket equi-join (the minhash-LSH shape, never
+    all-pairs), and the pigeonhole bound makes the banding LOSSLESS
+    at radius 3, so this is exact near-dup, not approximate.  Docs
+    shorter than the segment count are excluded identically in both
+    engines (no stable signature below one byte per segment).
+    """
+    d = table(tune(spark), sf_dir, "documents")
+    payloads = with_binary_payload(d).filter(
+        F.col("media_meta.n_bytes") >= AHASH_SEGS
+    )
+    hashes = payloads.select("doc_id", "payload").mapInPandas(
+        _ahash_batches, "doc_id long, ahash long"
+    )
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(AHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "ahash",
+        "band_idx",
+        F.expr("(ahash >> CAST(8 * band_idx AS INT)) & 255").alias(
+            "band_val"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+    ).filter(F.col("hamming") <= AHASH_HAM_T)
+
+
+MEDIA_AHASH_ORACLE = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {AHASH_SEGS}),
+ch AS MATERIALIZED (
+  SELECT doc_id, n, (i - 1) * {AHASH_SEGS} // n AS seg,
+         ord(substr(text, CAST(i AS INT), 1)) AS c
+  FROM d, unnest(range(1, n + 1)) t(i)),
+segs AS MATERIALIZED (
+  SELECT doc_id, seg, CAST(sum(c) AS BIGINT) AS seg_sum,
+         CAST(count(*) AS BIGINT) AS seg_len,
+         CAST(sum(sum(c)) OVER (PARTITION BY doc_id) AS BIGINT) AS tot,
+         CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM ch GROUP BY 1, 2),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN seg_sum * n >= tot * seg_len
+                  THEN (CAST(1 AS BIGINT)
+                        << CAST({AHASH_SEGS} - 1 - seg AS INT))
+                  ELSE 0 END) AS BIGINT) AS ahash
+  FROM segs GROUP BY 1),
+bands AS (
+  SELECT doc_id, ahash, b AS band_idx,
+         (ahash >> CAST(8 * b AS INT)) & 255 AS band_val
+  FROM h, unnest(range(0, {AHASH_BANDS})) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM_T}
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "media_metadata": media_metadata,
     "media_frame_schedule": media_frame_schedule,
     "media_dedup_exact": media_dedup_exact,
+    "media_ahash_neardup": media_ahash_neardup,
 }
 
 ORACLES = {
@@ -291,4 +434,5 @@ ORACLES = {
     "media_metadata": MEDIA_META_ORACLE,
     "media_frame_schedule": _frame_oracle(),
     "media_dedup_exact": MEDIA_DEDUP_ORACLE,
+    "media_ahash_neardup": MEDIA_AHASH_ORACLE,
 }

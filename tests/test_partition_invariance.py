@@ -122,6 +122,8 @@ from fxblue_etl_spark.plans.dq import dq_audit, gdpr_delete_propagation
 from fxblue_etl_spark.plans.dq import source_length_drift
 from fxblue_etl_spark.operators.tfidf import rare_token_quality, term_salience_topk
 from fxblue_etl_spark.plans.profiling import approx_quantile_contract
+from fxblue_etl_spark.operators.multimodal import media_ahash_neardup
+from fxblue_etl_spark.plans.tpch_extra import q12_shipmode_priority
 from fxblue_etl_spark.plans.stats import (
     portable_kmv_setops,
     portable_qdigest_quantiles,
@@ -238,6 +240,8 @@ from fxblue_etl_spark.plans.stats import (
         portable_qdigest_quantiles,
         spearman_rank_corr,
         regex_portability_semantics,
+        media_ahash_neardup,
+        q12_shipmode_priority,
     ],
     ids=lambda q: q.__name__,
 )
