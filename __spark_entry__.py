@@ -546,6 +546,10 @@ _R10_QUEUE: list[str] = [
     # exact verify on candidates -- the similarity companion to
     # media_dedup_exact
     "media_ahash_neardup",
+    # window FRAME probe: ANSI default RANGE-with-peers over tied
+    # keys certified shared, ROWS-requires-total-order pinned, and
+    # the last_value default-frame trap quantified
+    "window_frame_semantics",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -1143,7 +1143,98 @@ GROUP BY 1
 """
 
 
+def window_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME semantics over tied order keys, certified
+    cross-engine — the companion to ``null_ordering_semantics`` for
+    the other silent window trap: with a tied ORDER BY key the ANSI
+    default frame is RANGE UNBOUNDED PRECEDING → CURRENT ROW, which
+    includes ALL PEERS of the current key (both engines agree — this
+    probe certifies that agreement), while a ROWS frame over ties is
+    nondeterministic unless the ordering is total.  Every portable
+    spelling is therefore one of: default/RANGE over the tied key
+    (tie-safe), or ROWS over a TOTAL order — both pinned here, plus
+    the classic ``last_value`` trap (under the default frame it
+    returns the current peer-group row, not the partition's last;
+    the full-frame spelling is the intended one).
+
+    Per user over day-tied event timestamps: row count, the peer-
+    inclusive running-sum checksum (default frame), the ROWS running-
+    sum checksum over the (day, event_id) total order, the count of
+    rows where default-frame last_value equals the current row
+    (== n_rows when the order is total — the trap quantified), and
+    the full-frame last value.  All integer; windows partition on
+    user_id (thousands of keys — no concentration)."""
+    e = table(tune(spark), sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ts AS DATE)").alias("d"),
+        F.expr("CAST(floor(value * 10000) AS BIGINT)").alias("v"),
+    )
+    w = base.select(
+        "user_id",
+        "v",
+        F.expr(
+            "sum(v) OVER (PARTITION BY user_id ORDER BY d)"
+        ).alias("s_range"),
+        F.expr(
+            "sum(v) OVER (PARTITION BY user_id ORDER BY d, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("s_rows"),
+        F.expr(
+            "last_value(v) OVER (PARTITION BY user_id"
+            " ORDER BY d, event_id)"
+        ).alias("lv_default"),
+        F.expr(
+            "last_value(v) OVER (PARTITION BY user_id"
+            " ORDER BY d, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).alias("lv_full"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("s_range").cast("long").alias("peer_sum_checksum"),
+        F.sum("s_rows").cast("long").alias("rows_sum_checksum"),
+        F.sum((F.col("lv_default") == F.col("v")).cast("long"))
+        .cast("long")
+        .alias("n_lastval_is_current"),
+        F.max("lv_full").alias("last_v_full"),
+        F.min("lv_full").alias("last_v_full_min"),
+    )
+
+
+WINDOW_FRAME_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 10000) AS BIGINT) AS v
+  FROM events),
+w AS (
+  SELECT user_id, v,
+         sum(v) OVER (PARTITION BY user_id ORDER BY d) AS s_range,
+         sum(v) OVER (PARTITION BY user_id ORDER BY d, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_rows,
+         last_value(v) OVER (PARTITION BY user_id ORDER BY d, event_id)
+           AS lv_default,
+         last_value(v) OVER (PARTITION BY user_id ORDER BY d, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS lv_full
+  FROM base)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(s_range) AS BIGINT) AS peer_sum_checksum,
+       CAST(sum(s_rows) AS BIGINT) AS rows_sum_checksum,
+       CAST(sum(CASE WHEN lv_default = v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lastval_is_current,
+       CAST(max(lv_full) AS BIGINT) AS last_v_full,
+       CAST(min(lv_full) AS BIGINT) AS last_v_full_min
+FROM w
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "window_frame_semantics": window_frame_semantics,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "winsorized_totalprice": winsorized_totalprice,
     "mad_outliers": mad_outliers,
@@ -1171,6 +1262,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_frame_semantics": WINDOW_FRAME_ORACLE,
     "unpivot_lineitem_metrics": UNPIVOT_ORACLE,
     "winsorized_totalprice": WINSORIZED_ORACLE,
     "mad_outliers": MAD_ORACLE,

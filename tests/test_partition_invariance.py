@@ -67,6 +67,7 @@ from fxblue_etl_spark.operators.cleaning import (
 )
 from fxblue_etl_spark.plans.advanced import (
     integer_division_semantics,
+    window_frame_semantics,
     xml_roundtrip_extract,
 )
 from fxblue_etl_spark.plans.dq import incremental_agg_maintenance
@@ -242,6 +243,7 @@ from fxblue_etl_spark.plans.stats import (
         regex_portability_semantics,
         media_ahash_neardup,
         q12_shipmode_priority,
+        window_frame_semantics,
     ],
     ids=lambda q: q.__name__,
 )
