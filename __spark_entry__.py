@@ -550,6 +550,11 @@ _R10_QUEUE: list[str] = [
     # keys certified shared, ROWS-requires-total-order pinned, and
     # the last_value default-frame trap quantified
     "window_frame_semantics",
+    # 2-core of the near-dup graph: bounded-superstep peel (degree
+    # aggregate + two semi-joins per round, checkpoint every other
+    # round), oracle replays the identical rounds as generated
+    # MATERIALIZED CTEs; fixpoint-inside-budget pinned by pytest
+    "kcore_decomposition",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

@@ -930,7 +930,96 @@ FROM comp
 CC_UPSERT_ORACLE = _cc_upsert_oracle()
 
 
+#: k-core peel parameters: core order and superstep budget (the peel
+#: reaches fixpoint well inside this on the fixture graphs — pinned
+#: by pytest; at cluster scale the loop is the standard superstep
+#: pattern, each round one degree aggregate + two semi-joins)
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the near-dup pair graph (Seidman 1983; Batagelj
+    & Zaveršnik 2003 peeling): iteratively strip nodes of degree
+    < k until none remain, then report each surviving node with its
+    in-core degree.  This is the density layer BETWEEN the existing
+    graph reads — components say "connected at all", triangles say
+    "locally dense", the k-core says "in the mutually-reinforcing
+    region" — and it is what separates a template FAMILY (dense core
+    of mutual near-dups, safe to collapse aggressively) from a chain
+    of borderline pairs (no core; collapse with care).
+
+    Level-synchronous peel, ``KCORE_ROUNDS`` rounds: per round one
+    map-side-combined degree aggregate and two semi-joins keep only
+    edges whose BOTH endpoints still qualify — the same bounded-
+    superstep shape as :func:`connected_components`, with the
+    lineage checkpointed every other round so the plan never deepens
+    past the round budget.  The DuckDB oracle replays the identical
+    rounds as generated MATERIALIZED CTE levels; a pytest pins that
+    the fixture peel reaches fixpoint inside the budget, so the
+    truncation is not observable."""
+    from ..io import release_local_checkpoint
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+                F.struct(F.col("vec_b").alias("a"), F.col("vec_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    prev = None
+    for r in range(KCORE_ROUNDS):
+        deg = edges.groupBy("a").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= KCORE_K).select("a")
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        if r % 2 == 1:
+            nxt = edges.localCheckpoint()
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = edges = nxt
+    return edges.groupBy(F.col("a").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"d{r} AS MATERIALIZED (\n"
+            f"  SELECT a, count(*) AS c FROM e{r} GROUP BY 1),\n"
+            f"k{r} AS MATERIALIZED (SELECT a FROM d{r} WHERE c >= {KCORE_K}),\n"
+            f"e{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b FROM e{r} e\n"
+            f"  JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a)"
+        )
+    _joined = ",\n".join(rounds)
+    return f"""
+WITH pairs AS MATERIALIZED ({_near_dup_pairs_sql()}),
+e0 AS MATERIALIZED (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+{_joined}
+SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ROUNDS}
+GROUP BY 1
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()
+
+
 QUERIES = {
+    "kcore_decomposition": kcore_decomposition,
     "dedup_components": dedup_components,
     "components_upsert_equivalence": components_upsert_equivalence,
     "dedup_degree_hist": dedup_degree_hist,
@@ -943,6 +1032,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kcore_decomposition": KCORE_ORACLE,
     "dedup_pagerank_exact": PR_EXACT_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "components_upsert_equivalence": CC_UPSERT_ORACLE,

@@ -189,3 +189,42 @@ def test_upsert_components_chained_batches(spark):
     }
     assert up == full
     assert up[8] == 1 and up[10] == 0
+
+
+def test_kcore_fixpoint_inside_budget_and_invariants(spark, sf_dir):
+    """The peel must reach fixpoint inside KCORE_ROUNDS (so the
+    bounded truncation is unobservable), every surviving node must
+    have in-core degree ≥ k, and the 2-core must be a subset of the
+    degree-≥-2 node set of the full graph."""
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.graph import (
+        KCORE_K,
+        kcore_decomposition,
+    )
+    from fxblue_etl_spark.operators.similarity import embedding_near_dup
+
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    ]
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    # python reference peel to fixpoint (unbounded rounds)
+    cur = set(edges)
+    while True:
+        deg = Counter(a for a, _ in cur)
+        keep = {a for a, c in deg.items() if c >= KCORE_K}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = Counter(a for a, _ in cur)
+    got = {
+        r["vec_id"]: r["core_degree"]
+        for r in kcore_decomposition(spark, sf_dir).collect()
+    }
+    assert got == dict(want), "bounded peel != unbounded fixpoint"
+    assert all(d >= KCORE_K for d in got.values())

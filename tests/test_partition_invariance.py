@@ -16,6 +16,7 @@ from fxblue_etl_spark.operators.corpusops import (
 )
 from fxblue_etl_spark.operators.graph import (
     dedup_pagerank_exact,
+    kcore_decomposition,
     split_decontaminate,
 )
 from fxblue_etl_spark.operators.dedup import minhash_lsh_containment
@@ -244,6 +245,7 @@ from fxblue_etl_spark.plans.stats import (
         media_ahash_neardup,
         q12_shipmode_priority,
         window_frame_semantics,
+        kcore_decomposition,
     ],
     ids=lambda q: q.__name__,
 )
