@@ -555,6 +555,11 @@ _R10_QUEUE: list[str] = [
     # round), oracle replays the identical rounds as generated
     # MATERIALIZED CTEs; fixpoint-inside-budget pinned by pytest
     "kcore_decomposition",
+    # percentile_cont made portable: x4-scaled exact integer
+    # interpolation over grid order statistics — the spelling that
+    # sidesteps the decimal-half-boundary divergence the repo's
+    # float-quantile queries deliberately avoid
+    "percentile_cont_exact",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

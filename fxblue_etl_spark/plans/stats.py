@@ -1187,6 +1187,119 @@ FROM a
 """
 
 
+#: quartile positions probed by the exact interpolation, in quarters
+PCTL_QS = (1, 2, 3)
+
+
+def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_cont`` made PORTABLE — the interpolated quantile
+    is the one summary this repo has deliberately avoided (its
+    ``a + (b−a)·frac`` lands on decimal half-boundaries where Spark's
+    HALF_UP and DuckDB's binary rounding disagree); this query is the
+    portable spelling: for q = 1/4, 2/4, 3/4 the position
+    ``q·(n−1)`` has remainder r/4, so the interpolated value times 4
+    is the INTEGER ``(4−r)·a + r·b`` over the two straddling order
+    statistics on the e2 money grid — no float ever materializes.
+
+    Order statistics come off the per-status VALUE GRID (one
+    map-side-combined groupBy; cumulative window over distinct
+    values — the spearman/source_length_drift shape), not a row
+    sort: a(k) is the first grid value whose cumulative count
+    exceeds k.  Emits per (status, quarter): n, the straddling
+    positions, and the ×4-scaled interpolated value — bit-identical
+    in both engines, and exactly 4·percentile_cont when divided by
+    the caller."""
+    from ..io import swap_cache
+
+    o = table(tune(spark), sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    grid = swap_cache(
+        "stats.pctl",
+        o.groupBy("o_orderstatus", "v").agg(F.count("*").alias("c")),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("v")
+    cum = grid.select(
+        "o_orderstatus",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c")
+        .over(Window.partitionBy("o_orderstatus"))
+        .alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in PCTL_QS])
+        ).alias("quarter")
+    )
+    # position q(n-1)/4 = lo + r/4: lo = quarter*(n-1) DIV 4,
+    # r = quarter*(n-1) % 4; a = orderstat(lo), b = orderstat(lo+1)
+    # (b only consulted when r > 0; orderstat(k) 0-based = first v
+    # with cum >= k+1)
+    t = (
+        cum.join(F.broadcast(qs))
+        .withColumn("lo", F.expr("quarter * (n - 1) DIV 4"))
+        .withColumn("r", F.expr("quarter * (n - 1) % 4"))
+    )
+    a = (
+        t.filter(F.col("cum") >= F.col("lo") + 1)
+        .groupBy("o_orderstatus", "quarter", "n", "lo", "r")
+        .agg(F.min("v").alias("a"))
+    )
+    b = (
+        t.filter(F.col("cum") >= F.col("lo") + 2)
+        .groupBy("o_orderstatus", "quarter")
+        .agg(F.min("v").alias("b"))
+    )
+    return (
+        a.join(b, ["o_orderstatus", "quarter"], "left")
+        .select(
+            "o_orderstatus",
+            "quarter",
+            F.col("n").cast("long").alias("n_rows"),
+            "a",
+            F.coalesce("b", "a").alias("b"),
+            F.expr("(4 - r) * a + r * coalesce(b, a)")
+            .cast("long")
+            .alias("pctl_e2_x4"),
+        )
+    )
+
+
+PCTL_CONT_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+grid AS MATERIALIZED (
+  SELECT o_orderstatus, v, count(*) AS c FROM o GROUP BY 1, 2),
+cum AS MATERIALIZED (
+  SELECT o_orderstatus, v,
+         sum(c) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY o_orderstatus) AS n
+  FROM grid),
+qs AS (SELECT CAST(unnest({list(PCTL_QS)}) AS BIGINT) AS quarter),
+t AS (
+  SELECT c.*, q.quarter,
+         q.quarter * (c.n - 1) // 4 AS lo,
+         q.quarter * (c.n - 1) % 4 AS r
+  FROM cum c, qs q),
+a AS (
+  SELECT o_orderstatus, quarter, n, lo, r, min(v) AS a
+  FROM t WHERE cum >= lo + 1 GROUP BY 1, 2, 3, 4, 5),
+b AS (
+  SELECT o_orderstatus, quarter, min(v) AS b
+  FROM t WHERE cum >= lo + 2 GROUP BY 1, 2)
+SELECT a.o_orderstatus, a.quarter,
+       CAST(a.n AS BIGINT) AS n_rows,
+       a.a,
+       coalesce(b.b, a.a) AS b,
+       CAST((4 - a.r) * a.a + a.r * coalesce(b.b, a.a) AS BIGINT)
+         AS pctl_e2_x4
+FROM a LEFT JOIN b USING (o_orderstatus, quarter)
+"""
+
+
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
     o_orderstatus, emitted per contingency cell in exact integer
@@ -1355,6 +1468,7 @@ QUERIES = {
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
+    "percentile_cont_exact": percentile_cont_exact,
 }
 
 ORACLES = {
@@ -1373,4 +1487,5 @@ ORACLES = {
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,
+    "percentile_cont_exact": PCTL_CONT_ORACLE,
 }

@@ -128,6 +128,7 @@ from fxblue_etl_spark.operators.multimodal import media_ahash_neardup
 from fxblue_etl_spark.plans.tpch_extra import q12_shipmode_priority
 from fxblue_etl_spark.plans.stats import (
     portable_kmv_setops,
+    percentile_cont_exact,
     portable_qdigest_quantiles,
     spearman_rank_corr,
 )
@@ -246,6 +247,7 @@ from fxblue_etl_spark.plans.stats import (
         q12_shipmode_priority,
         window_frame_semantics,
         kcore_decomposition,
+        percentile_cont_exact,
     ],
     ids=lambda q: q.__name__,
 )

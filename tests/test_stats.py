@@ -429,3 +429,52 @@ def test_spearman_matches_pure_python_reference(spark, sf_dir):
         # floor boundary vs this reference's different float path
         assert abs(row["rho_e6"] - int(rho * 1e6 // 1) ) <= 1, (g, row, rho)
         assert -1000000 <= row["rho_e6"] <= 1000000
+
+
+def test_percentile_cont_exact_equals_both_native_builtins(spark, sf_dir):
+    """The portable ×4-integer interpolation must equal BOTH engines'
+    native percentile_cont on the same e2 grid — Spark's
+    percentile() and DuckDB's quantile_cont() — exactly (the ×4
+    value is ≤ 2e8 so /4 is exact in binary, making the equality
+    bit-strict, not a tolerance)."""
+    import duckdb
+
+    from fxblue_etl_spark.plans.stats import (
+        PCTL_QS,
+        percentile_cont_exact,
+    )
+
+    got = {
+        (r["o_orderstatus"], r["quarter"]): r
+        for r in percentile_cont_exact(spark, sf_dir).collect()
+    }
+    # Spark native
+    sp = {}
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    for q in PCTL_QS:
+        for r in (
+            o.groupBy("o_orderstatus")
+            .agg(F.expr(f"percentile(v, {q}/4)").alias("p"))
+            .collect()
+        ):
+            sp[(r["o_orderstatus"], q)] = r["p"]
+    # DuckDB native
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/orders.parquet')"
+    )
+    dk = {}
+    for q in PCTL_QS:
+        for status, p in con.sql(
+            "SELECT o_orderstatus,"
+            f" quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT),"
+            f" {q}/4.0) FROM orders GROUP BY 1"
+        ).fetchall():
+            dk[(status, q)] = p
+    assert set(got) == set(sp) == set(dk)
+    for k, r in got.items():
+        assert r["pctl_e2_x4"] == 4 * sp[k] == 4 * dk[k], (k, r, sp[k], dk[k])
