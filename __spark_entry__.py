@@ -560,6 +560,11 @@ _R10_QUEUE: list[str] = [
     # sidesteps the decimal-half-boundary divergence the repo's
     # float-quantile queries deliberately avoid
     "percentile_cont_exact",
+    # FAISS-IVFPQ serving stack: IVF cluster pruning + 4-bit PQ
+    # codes + integer ADC tables — composition of the two certified
+    # halves (quantized_ivf / pq_adc), the configuration a 100 TB
+    # index deploys
+    "ivf_pq_adc_topk",
 ]
 
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files

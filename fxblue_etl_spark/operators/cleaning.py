@@ -858,19 +858,26 @@ def regex_portability_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     base = d.select(s.alias("s"))
-    rows = []
-    for name, pat in _REGEX_PROBES:
-        rows.append(
-            base.select(
-                F.lit(name).alias("probe"),
-                F.col("s").rlike(pat).cast("long").alias("is_match"),
-                F.regexp_extract("s", pat, 0).alias("ext"),
-                F.regexp_replace("s", pat, "_").alias("repl"),
-            )
+    # ONE scan for all probes: per-pattern columns (python-API
+    # literals — no SQL-string escaping surface for the backslash
+    # patterns) unpivoted by a column-referencing stack(), instead of
+    # a union of per-pattern branches that re-reads the corpus once
+    # per pattern (caught by the order-independent scan gate)
+    for i, (_name, pat) in enumerate(_REGEX_PROBES):
+        base = (
+            base.withColumn(f"m_{i}", F.col("s").rlike(pat).cast("long"))
+            .withColumn(f"e_{i}", F.regexp_extract("s", pat, 0))
+            .withColumn(f"r_{i}", F.regexp_replace("s", pat, "_"))
         )
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
+    stack_expr = (
+        f"stack({len(_REGEX_PROBES)}, "
+        + ", ".join(
+            f"'{name}', m_{i}, e_{i}, r_{i}"
+            for i, (name, _pat) in enumerate(_REGEX_PROBES)
+        )
+        + ") AS (probe, is_match, ext, repl)"
+    )
+    u = base.select(F.expr(stack_expr))
     return u.groupBy("probe").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("is_match").cast("long").alias("n_match"),

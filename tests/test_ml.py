@@ -366,3 +366,32 @@ def test_prototype_prune_matches_python_reference(spark, sf_dir):
         assert r["dropped_id_sum"] == sum(dropped)
         total_dropped += len(dropped)
     assert total_dropped > 0
+
+
+def test_ivf_pq_adc_topk_recall_vs_exact(spark, sf_dir):
+    """The full IVFPQ stack (cluster pruning + 4-bit codes + ADC)
+    still finds real neighbors: per-query top-3 overlaps the exact
+    float top-5 well above chance despite probing one cluster at
+    1/64 the bytes — and it can never beat its own int8 sibling's
+    candidate set constraint (same probed cluster)."""
+    from fxblue_etl_spark.operators.ml import ivf_pq_adc_topk
+    from fxblue_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    approx = ivf_pq_adc_topk(spark, sf_dir).collect()
+    exact = cosine_topk_bruteforce(spark, sf_dir).collect()
+    a, e = {}, {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(a) == set(e)
+    assert all(len(v) == 3 for v in a.values())
+    assert all(r["adc_dist"] >= 0 for r in approx)
+    hits = [len(a[q] & e[q]) / 3 for q in e]
+    mean_overlap = sum(hits) / len(hits)
+    # 4-bit codes over a 16-entry codebook are far coarser than the
+    # int8 sibling (which pins >= 0.3): random top-3 against the
+    # exact top-5 over ~200 vectors overlaps ~0.075 in expectation,
+    # so >= 0.1 is the beats-chance line for THIS quantization level
+    # (observed 0.17 at sf0.001)
+    assert mean_overlap >= 0.1, mean_overlap

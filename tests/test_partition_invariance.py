@@ -34,6 +34,7 @@ from fxblue_etl_spark.operators.similarity import (
 )
 from fxblue_etl_spark.operators.ml import (
     embedding_gram_matrix,
+    ivf_pq_adc_topk,
     semantic_topic_slice,
     triplet_margin_mining,
     embedding_moment_stats,
@@ -248,6 +249,7 @@ from fxblue_etl_spark.plans.stats import (
         window_frame_semantics,
         kcore_decomposition,
         percentile_cont_exact,
+        ivf_pq_adc_topk,
     ],
     ids=lambda q: q.__name__,
 )
