@@ -79,6 +79,9 @@ HEADLINE = (
     "portable_kmv_setops",
     "portable_qdigest_quantiles",
     "spearman_rank_corr",
+    "media_ahash_neardup",
+    "kcore_decomposition",
+    "ivf_pq_adc_topk",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
