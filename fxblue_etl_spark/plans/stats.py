@@ -1045,14 +1045,17 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling trick: avg_rank2(v) = 2·|{u < v}| + |{u = v}| + 1, so no
     .5 ever materializes and the scaling cancels inside ρ.
 
-    Ranks come off the VALUE GRID, not the rows: one corpus-sized
-    map-side-combined groupBy builds the (flag, x, y) pair grid
-    (persisted — both marginal grids and the final sums derive from
-    it); cumulative windows then run over the per-flag distinct-value
-    grids, which are domain-bounded (quantity: 50 cents-values;
-    price: bounded by the part×qty price grid) — the same
-    grid-instead-of-rows shape as ``source_length_drift``.  No
-    row-level rank join ever happens.
+    Ranks come off the marginal VALUE GRIDS: both grids derive from
+    one persisted narrow row frame; the quantity grid is
+    vocabulary-sized (≈50 cents-values per flag — broadcast onto the
+    rows), the price grid is the one real shuffle, and the cumulative
+    windows run over the grids — the same grid shape as
+    ``source_length_drift``.  (A (flag, x, y) PAIR grid was measured
+    and rejected: the pair key is near-unique on this data, so the
+    "compression" stage was row-sized pure overhead — best-draw 3.1
+    → 2.2s at sf0.1 removing it, like-for-like load; row-level and
+    pair-level sums are identical integers by Σ_rows f ≡
+    Σ_pairs nxy·f.)
 
     Output: exact integer sufficient statistics as Mersenne-mod
     witnesses (num = n·Σxy−Σx·Σy and the two denominator pieces —
@@ -1063,19 +1066,25 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sanctioned floor-ppm spelling, never round-half)."""
     from ..io import swap_cache
 
-    li = table(tune(spark), sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
-    pair = swap_cache(
+    li = swap_cache(
         "stats.spearman",
-        li.groupBy("g", "x", "y").agg(F.count("*").cast("long").alias("nxy")),
+        table(tune(spark), sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        ),
     )
+    # marginal grids straight off the persisted row frame (round 9:
+    # the earlier (g, x, y) pair-grid stage was pure overhead — the
+    # pair key is near-unique on this data, so the "grid" was
+    # row-sized and its build+joins dominated; Σ_rows f(rx2, ry2)
+    # ≡ Σ_pairs nxy·f, bit-identically).  The quantity grid is
+    # vocabulary-sized → broadcast; the price grid carries the one
+    # real shuffle.
     wx = Window.partitionBy("g").orderBy("x")
     xg = (
-        pair.groupBy("g", "x")
-        .agg(F.sum("nxy").cast("long").alias("cx"))
+        li.groupBy("g", "x")
+        .agg(F.count("*").cast("long").alias("cx"))
         .withColumn(
             "rx2",
             2
@@ -1092,8 +1101,8 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wy = Window.partitionBy("g").orderBy("y")
     yg = (
-        pair.groupBy("g", "y")
-        .agg(F.sum("nxy").cast("long").alias("cy"))
+        li.groupBy("g", "y")
+        .agg(F.count("*").cast("long").alias("cy"))
         .withColumn(
             "ry2",
             2
@@ -1108,14 +1117,14 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("cy")
     )
-    j = pair.join(xg, ["g", "x"]).join(yg, ["g", "y"])
+    j = li.join(F.broadcast(xg), ["g", "x"]).join(yg, ["g", "y"])
     agg = j.groupBy("g").agg(
-        F.sum("nxy").cast("long").alias("n_rows"),
-        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2)").alias("sx"),
-        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * ry2)").alias("sy"),
-        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2 * rx2)").alias("sxx"),
-        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * ry2 * ry2)").alias("syy"),
-        F.expr("sum(CAST(nxy AS DECIMAL(38,0)) * rx2 * ry2)").alias("sxy"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("sum(CAST(rx2 AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(ry2 AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(rx2 AS DECIMAL(38,0)) * rx2)").alias("sxx"),
+        F.expr("sum(CAST(ry2 AS DECIMAL(38,0)) * ry2)").alias("syy"),
+        F.expr("sum(CAST(rx2 AS DECIMAL(38,0)) * ry2)").alias("sxy"),
     )
     return agg.select(
         F.col("g").alias("l_returnflag"),
