@@ -567,6 +567,68 @@ _R10_QUEUE: list[str] = [
     "ivf_pq_adc_topk",
 ]
 
+#: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head
+#: until round 10 flips the window logic — the driver's round-9 gate
+#: must certify the round-9 rotation).  Computed from the CORRECTNESS
+#: files assuming the round-9 window lands green: the r3-era
+#: streaming/source block is now the stalest standing (the r2-era
+#: rows all sit inside the round-9 window), then the oldest of the
+#: r4-era block (alphabetical within a round).  Round 10's head =
+#: flagship + _R10_QUEUE + round-10 code-changed + this list up to
+#: the 50-window, truncated from the tail.
+_R10_RECERT_CANDIDATES: list[str] = [
+    "quantized_ivf_topk",
+    "retention_cohorts",
+    "rss_datasource_scan",
+    "rss_datasource_stream",
+    "s2_csv_ingest",
+    "s4_account_metadata",
+    "s5_rss_trades_pipeline",
+    "sequence_pack",
+    "stratified_sample",
+    "streaming_csv_merge",
+    "streaming_dedup_watermark",
+    "streaming_interval_join",
+    "streaming_locf_stateful",
+    "streaming_session_append",
+    "streaming_session_windows",
+    "streaming_sliding_append",
+    "streaming_sliding_windows",
+    "streaming_tumbling_append",
+    "streaming_tumbling_windows",
+    "udtf_token_explode",
+    "value_percentile_bands",
+    "basket_part_pairs",
+    "chunk_boilerplate",
+    "compact_small_files",
+    "daily_anomaly_days",
+    "dedup_component_size_hist",
+    "dedup_degree_hist",
+    "dedup_triangles",
+    "doc_chunking",
+    "dsir_importance_stats",
+    "dynamic_partition_backfill",
+    "embedding_quantize",
+    "equidepth_histogram",
+    "event_cooccurrence",
+    "event_transition_matrix",
+    "hierarchical_mixture",
+    "interarrival_gaps",
+    "inverted_index_postings",
+    "ivf_multiprobe_topk",
+    "jsonl_tolerant_roundtrip",
+    "label_cohesion_stats",
+    "lm_doc_perplexity",
+    "mcv_stats",
+    "ohlc_bars_hourly",
+    "order_totals_reconciliation",
+    "per_group_sample",
+    "pyds_jsonl_sink_roundtrip",
+    "rag_corpus_prep",
+    "revenue_wow_delta",
+    "rolling_active_users",
+]
+
 #: ROUND-8 RE-CERT CANDIDATES: computed from the CORRECTNESS files
 #: after the round-7 window landed green (CORRECTNESS_r07: 50/50) —
 #: the 7 r1-era rows the Arrow-flip re-certs displaced from round
