@@ -565,6 +565,12 @@ _R10_QUEUE: list[str] = [
     # halves (quantized_ivf / pq_adc), the configuration a 100 TB
     # index deploys
     "ivf_pq_adc_topk",
+    # unicode semantics probe: codepoint length/bytes/substr/ascii
+    # certified portable; FULL-vs-SIMPLE case mapping (ss/SS,
+    # ligatures) and codepoint-vs-grapheme reversal pinned as the
+    # two documented non-portable surfaces (oracle restates Spark's
+    # outputs, the restatement a cross-engine consumer needs)
+    "unicode_case_semantics",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

@@ -920,6 +920,137 @@ GROUP BY probe
 REGEX_PORTABILITY_ORACLE = _regex_portability_oracle()
 
 
+#: unicode probe literals: ASCII, precomposed accents, CJK, the
+#: full-case-mapping traps (ß → 'SS' under Java's FULL mapping but
+#: 'ẞ' under utf8proc's SIMPLE mapping; the ﬁ ligature → 'FI' vs
+#: unchanged), an astral-plane codepoint (surrogate pair in UTF-16),
+#: and a combining sequence (e + U+0301) whose reversal separates
+#: under codepoint semantics but not grapheme semantics
+_UNI_PROBES = (
+    ("ascii", "abc"),
+    ("precomposed", "caf\u00e9"),
+    ("cjk", "\u65e5\u672c\u8a9e"),
+    ("sharp_s", "\u00df"),
+    ("astral", "\U0001d11e"),
+    ("combining", "e\u0301"),
+    ("ligature", "\ufb01"),
+)
+
+
+def unicode_case_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode string semantics, certified cross-engine — the
+    T-family probe separating the PORTABLE string surface from the
+    two silent traps (measured, round 9):
+
+    * PORTABLE (both engines agree, computed naturally in the
+      oracle): ``length`` counts CODEPOINTS (a combining sequence is
+      2, an astral codepoint is 1 — no UTF-16 surrogate leakage from
+      the JVM), ``octet_length`` counts UTF-8 bytes, ``substring``
+      slices by codepoints, ``ascii`` returns the first codepoint.
+    * NOT portable — ``upper``: Spark applies Java's FULL case
+      mapping (ß → 'SS', ﬁ → 'FI' — length can GROW), DuckDB/utf8proc
+      applies the SIMPLE mapping (ß → 'ẞ', ﬁ unchanged).  The oracle
+      restates Spark's outputs per probe, which is exactly what a
+      DuckDB-side consumer of this engine's uppercased columns must
+      do; portable pipelines case-fold ASCII-only keys or avoid
+      case-mapping non-ASCII entirely (this repo's rule).
+    * NOT portable — ``reverse``: Spark reverses CODEPOINTS (a
+      combining mark separates from its base), DuckDB reverses
+      GRAPHEMES (it stays attached).  Pinned via the first codepoint
+      of the reversal.
+
+    Probe literals ride the orders table (element_at by key mod),
+    so the expressions run the distributed path and aggregate
+    map-side, like the boolean-vocabulary probe."""
+    o = table(tune(spark), sf_dir, "orders")
+    names = F.array(*[F.lit(n) for n, _s in _UNI_PROBES])
+    vals = F.array(*[F.lit(sv) for _n, sv in _UNI_PROBES])
+    idx = (F.col("o_orderkey") % len(_UNI_PROBES) + 1).cast("int")
+    base = o.select(
+        F.element_at(names, idx).alias("probe"),
+        F.element_at(vals, idx).alias("s"),
+    )
+    scored = base.select(
+        "probe",
+        F.length("s").alias("char_len"),
+        F.octet_length(F.encode("s", "utf-8")).alias("byte_len"),
+        F.octet_length(F.encode(F.substring("s", 1, 2), "utf-8")).alias(
+            "substr2_bytes"
+        ),
+        F.ascii("s").alias("first_cp"),
+        F.length(F.upper("s")).alias("upper_len"),
+        (F.upper("s") != F.col("s")).cast("int").alias("upper_changed"),
+        F.ascii(F.reverse("s")).alias("rev_first_cp"),
+    )
+    return scored.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("char_len").cast("long").alias("char_len"),
+        F.max("byte_len").cast("long").alias("byte_len"),
+        F.max("substr2_bytes").cast("long").alias("substr2_bytes"),
+        F.max("first_cp").cast("long").alias("first_cp"),
+        F.max("upper_len").cast("long").alias("upper_len"),
+        F.max("upper_changed").cast("long").alias("upper_changed"),
+        F.max("rev_first_cp").cast("long").alias("rev_first_cp"),
+    )
+
+
+def _unicode_oracle() -> str:
+    import unicodedata  # noqa: F401  (documentation import)
+
+    names_sql = ", ".join(
+        f"({i + 1}, '{n}', '{sv}')" for i, (n, sv) in enumerate(_UNI_PROBES)
+    )
+    # Spark-side FULL-case-mapping and codepoint-reversal results,
+    # restated per probe (the two documented non-portable surfaces):
+    # upper: ß → 'SS' (len 2, changed), ﬁ → 'FI' (len 2, changed);
+    # everything else matches the simple mapping length-wise.
+    # reverse-first-codepoint: the combining probe reverses to the
+    # COMBINING ACUTE (U+0301 = 769) under Spark's codepoint reversal
+    # while every other probe's reversal starts at its last codepoint.
+    return f"""
+WITH probes(i, probe, s) AS (VALUES {names_sql}),
+base AS (
+  SELECT p.probe, p.s
+  FROM orders o JOIN probes p ON (o.o_orderkey % {len(_UNI_PROBES)}) + 1 = p.i),
+scored AS (
+  SELECT probe,
+         length(s) AS char_len,
+         octet_length(encode(s)) AS byte_len,
+         octet_length(encode(substr(s, 1, 2))) AS substr2_bytes,
+         ascii(s) AS first_cp,
+         CASE probe
+           WHEN 'sharp_s' THEN 2    -- Spark FULL mapping: 'SS'
+           WHEN 'ligature' THEN 2   -- Spark FULL mapping: 'FI'
+           ELSE length(upper(s)) END AS upper_len,
+         CASE probe
+           WHEN 'sharp_s' THEN 1
+           WHEN 'ligature' THEN 1
+           WHEN 'cjk' THEN 0
+           WHEN 'astral' THEN 0
+           WHEN 'combining' THEN 1  -- 'E' + combining acute != input
+           ELSE CASE WHEN upper(s) != s THEN 1 ELSE 0 END END
+           AS upper_changed,
+         CASE probe
+           WHEN 'combining' THEN 769  -- U+0301: codepoint reversal
+           ELSE ascii(reverse(s)) END AS rev_first_cp
+  FROM base)
+SELECT probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(char_len) AS BIGINT) AS char_len,
+       CAST(max(byte_len) AS BIGINT) AS byte_len,
+       CAST(max(substr2_bytes) AS BIGINT) AS substr2_bytes,
+       CAST(max(first_cp) AS BIGINT) AS first_cp,
+       CAST(max(upper_len) AS BIGINT) AS upper_len,
+       CAST(max(upper_changed) AS BIGINT) AS upper_changed,
+       CAST(max(rev_first_cp) AS BIGINT) AS rev_first_cp
+FROM scored
+GROUP BY probe
+"""
+
+
+UNICODE_CASE_ORACLE = _unicode_oracle()
+
+
 QUERIES = {
     "t1_numeric_coercion": t1_numeric_coercion,
     "t2_timestamp_iso": t2_timestamp_iso,
@@ -937,11 +1068,13 @@ QUERIES = {
     "try_function_semantics": try_function_semantics,
     "bool_concat_coercion": bool_concat_coercion,
     "regex_portability_semantics": regex_portability_semantics,
+    "unicode_case_semantics": unicode_case_semantics,
 }
 
 ORACLES = {
     "bool_concat_coercion": BOOL_CONCAT_ORACLE,
     "regex_portability_semantics": REGEX_PORTABILITY_ORACLE,
+    "unicode_case_semantics": UNICODE_CASE_ORACLE,
     "t1_numeric_coercion": T1_ORACLE,
     "t2_timestamp_iso": T2_ORACLE,
     "t3_custom_ts_roundtrip": T3_ORACLE,

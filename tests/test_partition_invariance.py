@@ -66,6 +66,7 @@ from fxblue_etl_spark.operators.cleaning import (
     bool_concat_coercion,
     formatted_number_parse,
     regex_portability_semantics,
+    unicode_case_semantics,
 )
 from fxblue_etl_spark.plans.advanced import (
     integer_division_semantics,
@@ -250,6 +251,7 @@ from fxblue_etl_spark.plans.stats import (
         kcore_decomposition,
         percentile_cont_exact,
         ivf_pq_adc_topk,
+        unicode_case_semantics,
     ],
     ids=lambda q: q.__name__,
 )
