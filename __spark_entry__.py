@@ -571,6 +571,11 @@ _R10_QUEUE: list[str] = [
     # two documented non-portable surfaces (oracle restates Spark's
     # outputs, the restatement a cross-engine consumer needs)
     "unicode_case_semantics",
+    # storage-encoding advisor: exact run counts / adjacent-delta bit
+    # widths / NDV per column via a block-decomposed adjacency (runs
+    # = block-local starts - boundary continuations, exactly the
+    # global answer) -- the ENCODE companion to zorder's SORT advisor
+    "encoding_advisor_stats",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

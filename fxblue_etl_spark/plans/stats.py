@@ -1309,6 +1309,157 @@ FROM a LEFT JOIN b USING (o_orderstatus, quarter)
 """
 
 
+#: RLE block size for the distributed run decomposition
+ENC_BLK = 4096
+
+
+def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding ADVISOR — the layout decision every columnar
+    sink makes, computed exactly: per candidate column (in the
+    table's physical key order), the run count (would RLE help?),
+    the max adjacent delta's bit width (would delta encoding help?),
+    and the distinct count (would dictionary encoding help?), plus
+    the RLE compression ratio in exact ppm.  The optimizer-stats
+    companion to ``zorder_clustering_stats`` (that one asks how to
+    SORT for locality; this one asks how to ENCODE what the sort
+    produced).
+
+    Scale shape — the run count needs adjacency, not a global sort:
+    rows decompose into ``ENC_BLK``-sized key blocks; runs and
+    deltas compute block-locally (fine-grained windows over
+    (column, block)), and block-BOUNDARY continuations/deltas come
+    from a block-count-sized self-join of per-block (first, last)
+    values — total runs = block-local run starts − boundary
+    continuations, EXACTLY the global answer (the oracle computes
+    the same numbers with one global window per column, which is
+    fine engine-side at fixture scale and pins the decomposition).
+
+    All integer: strings enter as their first codepoint, money on
+    the e2 grid, dates as epoch-day offsets; delta bit width via
+    ``length(bin(x))`` (no float log2)."""
+    o = table(tune(spark), sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "stack(4,"
+            " 'status_cp', CAST(ascii(o_orderstatus) AS BIGINT),"
+            " 'custkey', CAST(o_custkey AS BIGINT),"
+            " 'price_e2', CAST(floor(o_totalprice * 100) AS BIGINT),"
+            " 'order_day', CAST(datediff(o_orderdate, DATE'1992-01-01')"
+            "   AS BIGINT)"
+            ") AS (col_name, v)"
+        ),
+    ).withColumn("blk", F.expr(f"k DIV {ENC_BLK}"))
+    w = Window.partitionBy("col_name", "blk").orderBy("k")
+    flagged = v.withColumn("pv", F.lag("v").over(w)).select(
+        "col_name",
+        "blk",
+        "k",
+        "v",
+        (F.col("pv").isNull() | (F.col("v") != F.col("pv")))
+        .cast("long")
+        .alias("is_start"),
+        F.when(F.col("pv").isNull(), F.lit(0))
+        .otherwise(F.abs(F.col("v") - F.col("pv")))
+        .alias("d"),
+    )
+    per_blk = flagged.groupBy("col_name", "blk").agg(
+        F.count("*").alias("n_b"),
+        F.sum("is_start").alias("starts_b"),
+        F.max("d").alias("dmax_b"),
+        F.expr("min_by(v, k)").alias("first_v"),
+        F.expr("max_by(v, k)").alias("last_v"),
+        F.countDistinct("v").alias("ndv_b"),
+    )
+    nxt = per_blk.select(
+        "col_name",
+        (F.col("blk") - 1).alias("blk"),
+        F.col("first_v").alias("next_first"),
+    )
+    joined = per_blk.join(nxt, ["col_name", "blk"], "left")
+    agg = joined.groupBy("col_name").agg(
+        F.sum("n_b").cast("long").alias("n_rows"),
+        (
+            F.sum("starts_b")
+            - F.coalesce(
+                F.sum(
+                    (F.col("next_first") == F.col("last_v")).cast("long")
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+        F.greatest(
+            F.max("dmax_b"),
+            F.coalesce(
+                F.max(F.abs(F.col("next_first") - F.col("last_v"))),
+                F.lit(0),
+            ),
+        )
+        .cast("long")
+        .alias("delta_max"),
+    )
+    # exact NDV and min/max come from one map-side distinct pass over
+    # the same stacked frame (block-local ndv is not union-exact)
+    nd = v.groupBy("col_name").agg(
+        F.countDistinct("v").cast("long").alias("ndv"),
+        F.min("v").cast("long").alias("v_min"),
+        F.max("v").cast("long").alias("v_max"),
+    )
+    return (
+        agg.join(nd, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "ndv",
+            "v_min",
+            "v_max",
+            "n_runs",
+            F.expr("1000000 * n_runs DIV n_rows")
+            .cast("long")
+            .alias("rle_ratio_ppm"),
+            F.expr(
+                "CAST(CASE WHEN delta_max = 0 THEN 0"
+                " ELSE length(bin(delta_max)) END AS BIGINT)"
+            ).alias("delta_bits"),
+        )
+    )
+
+
+ENCODING_ADVISOR_ORACLE = """
+WITH v AS MATERIALIZED (
+  SELECT o_orderkey AS k, t.col_name, t.v
+  FROM orders, LATERAL (
+    VALUES ('status_cp', CAST(ascii(o_orderstatus) AS BIGINT)),
+           ('custkey', CAST(o_custkey AS BIGINT)),
+           ('price_e2', CAST(floor(o_totalprice * 100) AS BIGINT)),
+           ('order_day', CAST(date_diff('day', DATE '1992-01-01',
+                                        o_orderdate) AS BIGINT))
+  ) t(col_name, v)),
+w AS (
+  SELECT col_name, v,
+         lag(v) OVER (PARTITION BY col_name ORDER BY k) AS pv
+  FROM v),
+per AS (
+  SELECT col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+         CAST(min(v) AS BIGINT) AS v_min,
+         CAST(max(v) AS BIGINT) AS v_max,
+         CAST(sum(CASE WHEN pv IS NULL OR v != pv THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs,
+         CAST(max(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END)
+              AS BIGINT) AS delta_max
+  FROM w GROUP BY 1)
+SELECT col_name, n_rows, ndv, v_min, v_max, n_runs,
+       CAST(1000000 * n_runs // n_rows AS BIGINT) AS rle_ratio_ppm,
+       CAST(CASE WHEN delta_max = 0 THEN 0
+            ELSE length(bin(delta_max)) END AS BIGINT) AS delta_bits
+FROM per
+"""
+
+
 def chi2_contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence for orders.o_orderpriority ×
     o_orderstatus, emitted per contingency cell in exact integer
@@ -1478,6 +1629,7 @@ QUERIES = {
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
     "percentile_cont_exact": percentile_cont_exact,
+    "encoding_advisor_stats": encoding_advisor_stats,
 }
 
 ORACLES = {
@@ -1497,4 +1649,5 @@ ORACLES = {
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,
     "percentile_cont_exact": PCTL_CONT_ORACLE,
+    "encoding_advisor_stats": ENCODING_ADVISOR_ORACLE,
 }

@@ -130,6 +130,7 @@ from fxblue_etl_spark.operators.multimodal import media_ahash_neardup
 from fxblue_etl_spark.plans.tpch_extra import q12_shipmode_priority
 from fxblue_etl_spark.plans.stats import (
     portable_kmv_setops,
+    encoding_advisor_stats,
     percentile_cont_exact,
     portable_qdigest_quantiles,
     spearman_rank_corr,
@@ -252,6 +253,7 @@ from fxblue_etl_spark.plans.stats import (
         percentile_cont_exact,
         ivf_pq_adc_topk,
         unicode_case_semantics,
+        encoding_advisor_stats,
     ],
     ids=lambda q: q.__name__,
 )

@@ -478,3 +478,45 @@ def test_percentile_cont_exact_equals_both_native_builtins(spark, sf_dir):
     assert set(got) == set(sp) == set(dk)
     for k, r in got.items():
         assert r["pctl_e2_x4"] == 4 * sp[k] == 4 * dk[k], (k, r, sp[k], dk[k])
+
+
+def test_encoding_advisor_matches_python_reference(spark, sf_dir):
+    """The block-decomposed run/delta computation must equal a naive
+    sequential pass over the key-ordered rows (runs, max delta, ndv
+    — all exact), including across every block boundary."""
+    from fxblue_etl_spark.plans.stats import encoding_advisor_stats
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey",
+                "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["o_orderkey"])
+    import datetime
+
+    base_day = datetime.date(1992, 1, 1)
+    series = {
+        "status_cp": [ord(r["o_orderstatus"][0]) for r in rows],
+        "custkey": [r["o_custkey"] for r in rows],
+        "price_e2": [int(r["o_totalprice"] * 100 // 1) for r in rows],
+        "order_day": [
+            (r["o_orderdate"].date() - base_day).days for r in rows
+        ],
+    }
+    got = {
+        r["col_name"]: r
+        for r in encoding_advisor_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for name, vs in series.items():
+        runs = 1 + sum(1 for a, b in zip(vs, vs[1:]) if a != b)
+        dmax = max((abs(b - a) for a, b in zip(vs, vs[1:])), default=0)
+        r = got[name]
+        assert r["n_rows"] == len(vs)
+        assert r["n_runs"] == runs, name
+        assert r["ndv"] == len(set(vs))
+        assert (r["delta_bits"] == 0) == (dmax == 0)
+        if dmax:
+            assert r["delta_bits"] == dmax.bit_length(), name
+        assert r["rle_ratio_ppm"] == 1000000 * runs // len(vs)
