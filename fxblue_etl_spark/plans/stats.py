@@ -1328,9 +1328,11 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows decompose into ``ENC_BLK``-sized key blocks; runs and
     deltas compute block-locally (fine-grained windows over
     (column, block)), and block-BOUNDARY continuations/deltas come
-    from a block-count-sized self-join of per-block (first, last)
-    values — total runs = block-local run starts − boundary
-    continuations, EXACTLY the global answer (the oracle computes
+    from a lag over the block-count-sized per-block (first, last)
+    frame — paired by the previous EXISTING block, so key-space gaps
+    (empty block ids) still pair the blocks holding adjacent rows —
+    total runs = block-local run starts − boundary continuations,
+    EXACTLY the global answer (the oracle computes
     the same numbers with one global window per column, which is
     fine engine-side at fixture scale and pins the decomposition).
 
@@ -1371,19 +1373,19 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(v, k)").alias("last_v"),
         F.countDistinct("v").alias("ndv_b"),
     )
-    nxt = per_blk.select(
-        "col_name",
-        (F.col("blk") - 1).alias("blk"),
-        F.col("first_v").alias("next_first"),
-    )
-    joined = per_blk.join(nxt, ["col_name", "blk"], "left")
+    # boundary pairing by the PREVIOUS EXISTING block (lag over the
+    # block-count-sized frame), not blk−1 arithmetic — a gap in the
+    # key space (an empty block id) must still pair the two blocks
+    # that actually hold adjacent rows
+    wb = Window.partitionBy("col_name").orderBy("blk")
+    joined = per_blk.withColumn("prev_last", F.lag("last_v").over(wb))
     agg = joined.groupBy("col_name").agg(
         F.sum("n_b").cast("long").alias("n_rows"),
         (
             F.sum("starts_b")
             - F.coalesce(
                 F.sum(
-                    (F.col("next_first") == F.col("last_v")).cast("long")
+                    (F.col("prev_last") == F.col("first_v")).cast("long")
                 ),
                 F.lit(0),
             )
@@ -1393,7 +1395,7 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.max("dmax_b"),
             F.coalesce(
-                F.max(F.abs(F.col("next_first") - F.col("last_v"))),
+                F.max(F.abs(F.col("prev_last") - F.col("first_v"))),
                 F.lit(0),
             ),
         )

@@ -520,3 +520,38 @@ def test_encoding_advisor_matches_python_reference(spark, sf_dir):
         if dmax:
             assert r["delta_bits"] == dmax.bit_length(), name
         assert r["rle_ratio_ppm"] == 1000000 * runs // len(vs)
+
+
+def test_encoding_advisor_survives_key_gaps(spark, tmp_path):
+    """Sparse keys: an entire empty block id between two rows of the
+    SAME value must still count ONE run (the boundary pairing walks
+    previous EXISTING blocks, not blk−1 arithmetic)."""
+    import datetime
+
+    import pandas as pd
+
+    from fxblue_etl_spark.plans.stats import ENC_BLK, encoding_advisor_stats
+
+    # keys 0, 1, and 3·ENC_BLK (blocks 0 and 3; blocks 1-2 empty),
+    # all the same status/custkey/price/date → exactly one run each
+    keys = [0, 1, 3 * ENC_BLK]
+    pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_custkey": [7] * 3,
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [100.0] * 3,
+            "o_orderdate": pd.to_datetime(
+                [datetime.date(1995, 1, 1)] * 3
+            ),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = {
+        r["col_name"]: r
+        for r in encoding_advisor_stats(spark, str(tmp_path)).collect()
+    }
+    for name, r in got.items():
+        assert r["n_rows"] == 3
+        assert r["n_runs"] == 1, (name, r)
+        assert r["delta_max" if "delta_max" in r else "delta_bits"] == 0 or r["delta_bits"] == 0
