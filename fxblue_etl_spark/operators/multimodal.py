@@ -326,7 +326,7 @@ def _ahash_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
 def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over media payloads — the
     similarity-level companion to :func:`media_dedup_exact` (exact
-    digests catch identical bytes; re-encoded/近-identical media needs
+    digests catch identical bytes; re-encoded / near-identical media needs
     a perceptual hash): 32-segment average-hash per payload
     (Arrow-batched kernel), 4×8-bit banding for candidates, exact
     Hamming ≤ 3 verify on the candidate set.
