@@ -576,6 +576,12 @@ _R10_QUEUE: list[str] = [
     # = block-local starts - boundary continuations, exactly the
     # global answer) -- the ENCODE companion to zorder's SORT advisor
     "encoding_advisor_stats",
+    # its incremental-maintenance contract: report(state(A) u
+    # state(B)) == report(state(A u B)) for a block-aligned key
+    # partition (even/odd block ids -- every interleaved boundary
+    # re-pairs at report time); the newest upsert == rebuild family
+    # member
+    "encoding_upsert_equivalence",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

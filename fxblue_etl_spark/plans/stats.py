@@ -1313,6 +1313,110 @@ FROM a LEFT JOIN b USING (o_orderstatus, quarter)
 ENC_BLK = 4096
 
 
+def _enc_stack(o: DataFrame) -> DataFrame:
+    """The (k, col_name, v, blk) stacked frame the advisor and its
+    incremental-maintenance contract share."""
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "stack(4,"
+            " 'status_cp', CAST(ascii(o_orderstatus) AS BIGINT),"
+            " 'custkey', CAST(o_custkey AS BIGINT),"
+            " 'price_e2', CAST(floor(o_totalprice * 100) AS BIGINT),"
+            " 'order_day', CAST(datediff(o_orderdate, DATE'1992-01-01')"
+            "   AS BIGINT)"
+            ") AS (col_name, v)"
+        ),
+    ).withColumn("blk", F.expr(f"k DIV {ENC_BLK}"))
+
+
+def enc_block_state(v: DataFrame) -> DataFrame:
+    """The per-block encoding state — THE incrementally-maintainable
+    artifact: block-aligned ingest appends per-block rows without
+    touching existing ones (runs/deltas are block-local; boundary
+    pairing happens at report time), so a nightly key-range append
+    costs the batch, not the table.  One row per (column, block)."""
+    w = Window.partitionBy("col_name", "blk").orderBy("k")
+    flagged = v.withColumn("pv", F.lag("v").over(w)).select(
+        "col_name",
+        "blk",
+        "k",
+        "v",
+        (F.col("pv").isNull() | (F.col("v") != F.col("pv")))
+        .cast("long")
+        .alias("is_start"),
+        F.when(F.col("pv").isNull(), F.lit(0))
+        .otherwise(F.abs(F.col("v") - F.col("pv")))
+        .alias("d"),
+    )
+    return flagged.groupBy("col_name", "blk").agg(
+        F.count("*").alias("n_b"),
+        F.sum("is_start").alias("starts_b"),
+        F.max("d").alias("dmax_b"),
+        F.expr("min_by(v, k)").alias("first_v"),
+        F.expr("max_by(v, k)").alias("last_v"),
+    )
+
+
+def enc_value_state(v: DataFrame) -> DataFrame:
+    """The distinct-value state feeding exact NDV/min/max — the
+    value-set index, maintained by insert-only upsert (anti-join or
+    union+distinct, identical results)."""
+    return v.select("col_name", "v").distinct()
+
+
+def _enc_report(per_blk: DataFrame, values: DataFrame) -> DataFrame:
+    """Final advisor assembly from the two state tables."""
+    wb = Window.partitionBy("col_name").orderBy("blk")
+    joined = per_blk.withColumn("prev_last", F.lag("last_v").over(wb))
+    agg = joined.groupBy("col_name").agg(
+        F.sum("n_b").cast("long").alias("n_rows"),
+        (
+            F.sum("starts_b")
+            - F.coalesce(
+                F.sum(
+                    (F.col("prev_last") == F.col("first_v")).cast("long")
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+        F.greatest(
+            F.max("dmax_b"),
+            F.coalesce(
+                F.max(F.abs(F.col("prev_last") - F.col("first_v"))),
+                F.lit(0),
+            ),
+        )
+        .cast("long")
+        .alias("delta_max"),
+    )
+    nd = values.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("ndv"),
+        F.min("v").cast("long").alias("v_min"),
+        F.max("v").cast("long").alias("v_max"),
+    )
+    return (
+        agg.join(nd, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "ndv",
+            "v_min",
+            "v_max",
+            "n_runs",
+            F.expr("1000000 * n_runs DIV n_rows")
+            .cast("long")
+            .alias("rle_ratio_ppm"),
+            F.expr(
+                "CAST(CASE WHEN delta_max = 0 THEN 0"
+                " ELSE length(bin(delta_max)) END AS BIGINT)"
+            ).alias("delta_bits"),
+        )
+    )
+
+
 def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-encoding ADVISOR — the layout decision every columnar
     sink makes, computed exactly: per candidate column (in the
@@ -1340,91 +1444,76 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the e2 grid, dates as epoch-day offsets; delta bit width via
     ``length(bin(x))`` (no float log2)."""
     o = table(tune(spark), sf_dir, "orders")
-    v = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.expr(
-            "stack(4,"
-            " 'status_cp', CAST(ascii(o_orderstatus) AS BIGINT),"
-            " 'custkey', CAST(o_custkey AS BIGINT),"
-            " 'price_e2', CAST(floor(o_totalprice * 100) AS BIGINT),"
-            " 'order_day', CAST(datediff(o_orderdate, DATE'1992-01-01')"
-            "   AS BIGINT)"
-            ") AS (col_name, v)"
-        ),
-    ).withColumn("blk", F.expr(f"k DIV {ENC_BLK}"))
-    w = Window.partitionBy("col_name", "blk").orderBy("k")
-    flagged = v.withColumn("pv", F.lag("v").over(w)).select(
-        "col_name",
-        "blk",
-        "k",
-        "v",
-        (F.col("pv").isNull() | (F.col("v") != F.col("pv")))
-        .cast("long")
-        .alias("is_start"),
-        F.when(F.col("pv").isNull(), F.lit(0))
-        .otherwise(F.abs(F.col("v") - F.col("pv")))
-        .alias("d"),
+    v = _enc_stack(o)
+    return _enc_report(enc_block_state(v), enc_value_state(v))
+
+
+def encoding_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable incremental-maintenance contract for the
+    encoding advisor — the newest member of the upsert ≡ rebuild
+    family (postings / components / band / sign / IVF):
+    ``report(state(A) ∪ state(B)) ≡ report(state(A ∪ B))`` for any
+    BLOCK-ALIGNED partition of the key space (here: even vs odd
+    block ids — stricter than the append-only case, since every
+    interleaved boundary must re-pair correctly at report time).
+    This is the property that lets a nightly key-range append
+    maintain the advisor at batch cost: new per-block rows append,
+    the value-set index takes an insert-only upsert, and no existing
+    state row is touched.
+
+    One summary row, the family's standard shape: report-row count
+    + both full-outer mismatch counts pinned to 0 by the oracle."""
+    o = table(tune(spark), sf_dir, "orders")
+    even = _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 0")))
+    odd = _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 1")))
+    inc_blocks = enc_block_state(even).unionByName(enc_block_state(odd))
+    # insert-only value-set upsert: odd-side values not already
+    # present append (anti-join — the K3 insert-only merge shape)
+    va = enc_value_state(even)
+    vb = enc_value_state(odd)
+    inc_values = va.unionByName(
+        vb.join(va, ["col_name", "v"], "left_anti")
     )
-    per_blk = flagged.groupBy("col_name", "blk").agg(
-        F.count("*").alias("n_b"),
-        F.sum("is_start").alias("starts_b"),
-        F.max("d").alias("dmax_b"),
-        F.expr("min_by(v, k)").alias("first_v"),
-        F.expr("max_by(v, k)").alias("last_v"),
-        F.countDistinct("v").alias("ndv_b"),
-    )
-    # boundary pairing by the PREVIOUS EXISTING block (lag over the
-    # block-count-sized frame), not blk−1 arithmetic — a gap in the
-    # key space (an empty block id) must still pair the two blocks
-    # that actually hold adjacent rows
-    wb = Window.partitionBy("col_name").orderBy("blk")
-    joined = per_blk.withColumn("prev_last", F.lag("last_v").over(wb))
-    agg = joined.groupBy("col_name").agg(
-        F.sum("n_b").cast("long").alias("n_rows"),
-        (
-            F.sum("starts_b")
-            - F.coalesce(
-                F.sum(
-                    (F.col("prev_last") == F.col("first_v")).cast("long")
-                ),
-                F.lit(0),
-            )
-        )
-        .cast("long")
-        .alias("n_runs"),
-        F.greatest(
-            F.max("dmax_b"),
-            F.coalesce(
-                F.max(F.abs(F.col("prev_last") - F.col("first_v"))),
-                F.lit(0),
-            ),
-        )
-        .cast("long")
-        .alias("delta_max"),
-    )
-    # exact NDV and min/max come from one map-side distinct pass over
-    # the same stacked frame (block-local ndv is not union-exact)
-    nd = v.groupBy("col_name").agg(
-        F.countDistinct("v").cast("long").alias("ndv"),
-        F.min("v").cast("long").alias("v_min"),
-        F.max("v").cast("long").alias("v_max"),
-    )
+    inc = _enc_report(inc_blocks, inc_values)
+    full_v = _enc_stack(o)
+    full = _enc_report(enc_block_state(full_v), enc_value_state(full_v))
+    cols = [
+        "col_name", "n_rows", "ndv", "v_min", "v_max", "n_runs",
+        "rle_ratio_ppm", "delta_bits",
+    ]
+    a = inc.select(*cols).withColumn("in_i", F.lit(1))
+    b = full.select(*cols).withColumn("in_f", F.lit(1))
     return (
-        agg.join(nd, "col_name")
-        .select(
-            "col_name",
-            "n_rows",
-            "ndv",
-            "v_min",
-            "v_max",
-            "n_runs",
-            F.expr("1000000 * n_runs DIV n_rows")
+        a.join(b, cols, "full_outer")
+        .agg(
+            F.sum(F.coalesce("in_f", F.lit(0)))
             .cast("long")
-            .alias("rle_ratio_ppm"),
-            F.expr(
-                "CAST(CASE WHEN delta_max = 0 THEN 0"
-                " ELSE length(bin(delta_max)) END AS BIGINT)"
-            ).alias("delta_bits"),
+            .alias("n_report_rows"),
+            F.sum(
+                (F.col("in_i").isNotNull() & F.col("in_f").isNull()).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_only_incremental"),
+            F.sum(
+                (F.col("in_f").isNotNull() & F.col("in_i").isNull()).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_only_rebuild"),
+        )
+        .select(
+            "n_report_rows",
+            "n_only_incremental",
+            "n_only_rebuild",
+            (
+                (F.col("n_only_incremental") == 0)
+                & (F.col("n_only_rebuild") == 0)
+            )
+            .cast("int")
+            .alias("incremental_equals_rebuild"),
         )
     )
 
@@ -1614,6 +1703,17 @@ FROM customer GROUP BY 1
 """
 
 
+
+ENCODING_UPSERT_ORACLE = (
+    "SELECT CAST((SELECT count(*) FROM ("
+    + ENCODING_ADVISOR_ORACLE.strip()
+    + ") r) AS BIGINT) AS n_report_rows,"
+    "       CAST(0 AS BIGINT) AS n_only_incremental,"
+    "       CAST(0 AS BIGINT) AS n_only_rebuild,"
+    "       1 AS incremental_equals_rebuild"
+)
+
+
 QUERIES = {
     "bitmap_distinct_contract": bitmap_distinct_contract,
     "chi2_contingency_cells": chi2_contingency_cells,
@@ -1632,6 +1732,7 @@ QUERIES = {
     "spearman_rank_corr": spearman_rank_corr,
     "percentile_cont_exact": percentile_cont_exact,
     "encoding_advisor_stats": encoding_advisor_stats,
+    "encoding_upsert_equivalence": encoding_upsert_equivalence,
 }
 
 ORACLES = {
@@ -1652,4 +1753,5 @@ ORACLES = {
     "spearman_rank_corr": SPEARMAN_ORACLE,
     "percentile_cont_exact": PCTL_CONT_ORACLE,
     "encoding_advisor_stats": ENCODING_ADVISOR_ORACLE,
+    "encoding_upsert_equivalence": ENCODING_UPSERT_ORACLE,
 }

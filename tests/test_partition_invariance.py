@@ -131,6 +131,7 @@ from fxblue_etl_spark.plans.tpch_extra import q12_shipmode_priority
 from fxblue_etl_spark.plans.stats import (
     portable_kmv_setops,
     encoding_advisor_stats,
+    encoding_upsert_equivalence,
     percentile_cont_exact,
     portable_qdigest_quantiles,
     spearman_rank_corr,
@@ -254,6 +255,7 @@ from fxblue_etl_spark.plans.stats import (
         ivf_pq_adc_topk,
         unicode_case_semantics,
         encoding_advisor_stats,
+        encoding_upsert_equivalence,
     ],
     ids=lambda q: q.__name__,
 )
