@@ -582,6 +582,11 @@ _R10_QUEUE: list[str] = [
     # re-pairs at report time); the newest upsert == rebuild family
     # member
     "encoding_upsert_equivalence",
+    # embedding-level split-leakage audit: eval vectors with a
+    # train-side near-dup in the certified sign-LSH pair set -- the
+    # semantic companion to the n-gram contamination_check (catches
+    # the paraphrase-level overlap n-gram scans cannot see)
+    "semantic_contamination_report",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head

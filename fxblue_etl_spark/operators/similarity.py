@@ -830,6 +830,121 @@ WHERE round({_DUCK_COS.format(a='a.v', b='b.v')}, 6) >= 0.15
 """
 
 
+#: semantic-split geometry: 10 hash buckets, bucket 0 = eval (the
+#: corpus_split 90/10 rule applied to vec ids, distinct salt)
+SEM_SPLIT_MOD = 10
+SEM_SPLIT_SALT = "semsplit|"
+
+
+def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level split-leakage audit — the SEMANTIC companion
+    to the token-level `quality.contamination_check` and the
+    component-level `graph.split_decontaminate`: after a
+    deterministic 90/10 train/eval hash split of the vector ids, an
+    eval vector is LEAKY if it has ANY train-side near-duplicate in
+    the certified sign-LSH pair set — the check an eval-set release
+    runs so benchmark numbers aren't inflated by paraphrase-level
+    overlap that n-gram contamination scans cannot see (the gap
+    SemDeDup/semantic-dedup papers document for web corpora).
+
+    One row: train/eval sizes, cross-split near-dup pair count,
+    distinct leaky eval vectors, and the leak rate in exact ppm.
+
+    Scale shape: the pair set is the bucket-grouped sign-LSH join
+    (never all-pairs); the split column derives row-locally from the
+    id hash; everything after the pair set is pair-sized."""
+    from .corpusops import _hash_bucket
+
+    e = table(tune(spark), sf_dir, "embeddings")
+    split = e.select(
+        "vec_id",
+        (
+            _hash_bucket(F.col("vec_id"), SEM_SPLIT_SALT, SEM_SPLIT_MOD)
+            == 0
+        )
+        .cast("int")
+        .alias("is_eval"),
+    )
+    pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    a = split.select(
+        F.col("vec_id").alias("vec_a"), F.col("is_eval").alias("ev_a")
+    )
+    b = split.select(
+        F.col("vec_id").alias("vec_b"), F.col("is_eval").alias("ev_b")
+    )
+    cross = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(F.col("ev_a") != F.col("ev_b"))
+    )
+    leaky = cross.select(
+        F.when(F.col("ev_a") == 1, F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias("eval_id")
+    ).distinct()
+    counts = split.agg(
+        F.sum((F.col("is_eval") == 0).cast("long"))
+        .cast("long")
+        .alias("n_train"),
+        F.sum("is_eval").cast("long").alias("n_eval"),
+    )
+    return (
+        counts.crossJoin(
+            cross.agg(F.count("*").cast("long").alias("n_cross_pairs"))
+        )
+        .crossJoin(
+            leaky.agg(F.count("*").cast("long").alias("n_leaky_eval"))
+        )
+        .select(
+            "n_train",
+            "n_eval",
+            "n_cross_pairs",
+            "n_leaky_eval",
+            F.expr("1000000 * n_leaky_eval DIV n_eval")
+            .cast("long")
+            .alias("leak_ppm"),
+        )
+    )
+
+
+def _sem_contamination_oracle() -> str:
+    from .corpusops import _hash_bucket_sql
+
+    ev = (
+        f"CASE WHEN ({_hash_bucket_sql('CAST(vec_id AS VARCHAR)', SEM_SPLIT_SALT, SEM_SPLIT_MOD)}) = 0"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH split AS MATERIALIZED (
+  SELECT vec_id, {ev} AS is_eval FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM ({NEAR_DUP_ORACLE.strip()})),
+cross_p AS MATERIALIZED (
+  SELECT p.vec_a, p.vec_b, a.is_eval AS ev_a, b.is_eval AS ev_b
+  FROM pairs p
+  JOIN split a ON p.vec_a = a.vec_id
+  JOIN split b ON p.vec_b = b.vec_id
+  WHERE a.is_eval != b.is_eval),
+leaky AS (
+  SELECT DISTINCT CASE WHEN ev_a = 1 THEN vec_a ELSE vec_b END AS eval_id
+  FROM cross_p),
+c AS (
+  SELECT CAST(sum(CASE WHEN is_eval = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(is_eval) AS BIGINT) AS n_eval
+  FROM split)
+SELECT c.n_train, c.n_eval,
+       CAST((SELECT count(*) FROM cross_p) AS BIGINT) AS n_cross_pairs,
+       CAST((SELECT count(*) FROM leaky) AS BIGINT) AS n_leaky_eval,
+       CAST(1000000 * (SELECT count(*) FROM leaky) // c.n_eval AS BIGINT)
+         AS leak_ppm
+FROM c
+"""
+
+
+SEM_CONTAMINATION_ORACLE = _sem_contamination_oracle()
+
+
 def brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML BucketedRandomProjectionLSH approxSimilarityJoin over
     the embeddings (rows-only: the random projection family is JVM-
@@ -987,6 +1102,7 @@ QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
+    "semantic_contamination_report": semantic_contamination_report,
     "brp_lsh_ml": brp_lsh_ml,
     "brp_lsh_containment": brp_lsh_containment,
     "ivf_upsert_equivalence": ivf_upsert_equivalence,
@@ -999,6 +1115,7 @@ ORACLES = {
     "cosine_topk_bruteforce": COSINE_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "embedding_near_dup": NEAR_DUP_ORACLE,
+    "semantic_contamination_report": SEM_CONTAMINATION_ORACLE,
     # brp_lsh_ml: JVM-seeded projections, rows-only by design; its
     # hash-certified sibling is brp_lsh_containment
     "brp_lsh_containment": BRP_CONTAINMENT_ORACLE,

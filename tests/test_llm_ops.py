@@ -320,3 +320,45 @@ def test_ahash_banding_is_lossless_at_radius(spark, sf_dir):
         assert h == bin(hs[a] ^ hs[b]).count("1")
     # every hash fits the declared 32-bit positive layout
     assert all(0 <= h < (1 << AHASH_SEGS) for h in hs.values())
+
+
+def test_semantic_contamination_matches_python_recompute(spark, sf_dir):
+    """The leak accounting must equal a from-first-principles
+    recompute over the certified near-dup pair set and the hash
+    split (distinct leaky eval ids, cross-pair count, ppm)."""
+    from fxblue_etl_spark.operators.corpusops import _hash_bucket
+    from fxblue_etl_spark.operators.similarity import (
+        SEM_SPLIT_MOD,
+        SEM_SPLIT_SALT,
+        embedding_near_dup,
+        semantic_contamination_report,
+    )
+    from fxblue_etl_spark.io import table
+    from pyspark.sql import functions as F
+
+    ev = {
+        r["vec_id"]: r["e"]
+        for r in table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (
+                _hash_bucket(F.col("vec_id"), SEM_SPLIT_SALT, SEM_SPLIT_MOD)
+                == 0
+            )
+            .cast("int")
+            .alias("e"),
+        )
+        .collect()
+    }
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    ]
+    cross = [(a, b) for a, b in pairs if ev[a] != ev[b]]
+    leaky = {a if ev[a] else b for a, b in cross}
+    row = semantic_contamination_report(spark, sf_dir).collect()[0]
+    assert row["n_eval"] == sum(ev.values())
+    assert row["n_train"] == len(ev) - sum(ev.values())
+    assert row["n_cross_pairs"] == len(cross)
+    assert row["n_leaky_eval"] == len(leaky)
+    assert row["leak_ppm"] == 1000000 * len(leaky) // row["n_eval"]

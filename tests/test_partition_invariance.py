@@ -118,7 +118,10 @@ from fxblue_etl_spark.plans.profiling import (
 )
 from fxblue_etl_spark.plans.stats import bitmap_distinct_contract
 from fxblue_etl_spark.operators.dedup import minhash_lsh_pairs
-from fxblue_etl_spark.operators.similarity import embedding_near_dup
+from fxblue_etl_spark.operators.similarity import (
+    embedding_near_dup,
+    semantic_contamination_report,
+)
 from fxblue_etl_spark.operators.graph import dedup_degree_hist, dedup_triangles
 from fxblue_etl_spark.plans.behavior import event_cooccurrence
 from fxblue_etl_spark.operators.temporal import daily_anomaly_days
@@ -256,6 +259,7 @@ from fxblue_etl_spark.plans.stats import (
         unicode_case_semantics,
         encoding_advisor_stats,
         encoding_upsert_equivalence,
+        semantic_contamination_report,
     ],
     ids=lambda q: q.__name__,
 )
