@@ -29,7 +29,19 @@ _FLAT = 0.10
 
 def _load(path: str) -> dict:
     d = json.load(open(path))
-    d = d.get("parsed", d)  # driver records wrap the JSON line
+    # driver records wrap the JSON line; `parsed` can be present but
+    # null (observed BENCH_r08), in which case try to recover the
+    # line from the `tail` capture before falling back to the wrapper
+    inner = d.get("parsed")
+    if inner is None and isinstance(d.get("tail"), str):
+        t = d["tail"]
+        start = t.find('{"metric"')
+        if start >= 0:
+            try:
+                inner = json.loads(t[start:])
+            except ValueError:
+                inner = None
+    d = inner if isinstance(inner, dict) else d
     qs = d.get("queries", {})
     tainted = set(d.get("load_tainted") or [])
     if not tainted:  # pre-round-8 record: derive from query_loads
