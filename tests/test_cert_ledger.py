@@ -29,7 +29,7 @@ def test_every_oracle_query_is_certified_or_queued():
     queued = (
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
         | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
-        | set(e._R10_QUEUE)
+        | set(e._R10_QUEUE) | set(e._R11_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -49,36 +49,39 @@ def test_rotation_lists_are_disjoint_and_registered():
         + e._R7_CODE_CHANGED + e._R7_RECERT_CANDIDATES + e._R8_QUEUE
         + e._R8_CODE_CHANGED + e._R8_RECERT_CANDIDATES + e._R9_QUEUE
         + e._R9_CODE_CHANGED + e._R9_RECERT_CANDIDATES + e._R10_QUEUE
+        + e._R10_CODE_CHANGED + e._R10_RECERT_CANDIDATES + e._R11_QUEUE
         if k not in qs
     ]
     assert missing == []
-    # ROUND-9 WINDOW PIN (standing rotation cadence): the driver's
-    # window is exactly 50 = flagship + the _R9_QUEUE eight (the
-    # never-driver-checked round-8 additions) + round-9
+    # ROUND-10 WINDOW PIN (standing rotation cadence): the driver's
+    # window is exactly 50 = flagship + the _R10_QUEUE fifteen (the
+    # never-driver-checked round-9 additions) + round-10
     # lineage-changed re-certs + the stalest standing rows, truncated
     # from the candidates' least-stale TAIL.  A re-shuffle that
     # displaces stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R9_QUEUE
-    expected_head += [q for q in e._R9_CODE_CHANGED if q not in expected_head]
+    expected_head = ["flagship_account_pnl"] + e._R10_QUEUE
+    expected_head += [
+        q for q in e._R10_CODE_CHANGED if q not in expected_head
+    ]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R9_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R10_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
-    # round-9 additions must head round 10's rotation, right after
+    # round-10 additions must head round 11's rotation, right after
     # the window, so the never-driver-checked debt clears next round
     assert (
-        list(qs)[50 : 50 + len(e._R10_QUEUE)] == e._R10_QUEUE
+        list(qs)[50 : 50 + len(e._R11_QUEUE)] == e._R11_QUEUE
     )
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one
-    included = set(expected_head) & set(e._R9_RECERT_CANDIDATES)
-    dropped = [q for q in e._R9_RECERT_CANDIDATES if q not in included]
+    included = set(expected_head) & set(e._R10_RECERT_CANDIDATES)
+    dropped = [q for q in e._R10_RECERT_CANDIDATES if q not in included]
     if dropped:
-        order = {q: i for i, q in enumerate(e._R9_RECERT_CANDIDATES)}
+        order = {q: i for i, q in enumerate(e._R10_RECERT_CANDIDATES)}
         assert min(order[q] for q in dropped) > max(
             order[q] for q in included
-        ), "window fill must drop the least-stale tail, not the r2-era head"
+        ), "window fill must drop the least-stale tail, not the r3-era head"
 
 
 def test_rows_only_queries_are_the_documented_set():
@@ -281,7 +284,10 @@ def test_r10_recert_candidates_consistent():
     rounds = [latest[k] for k in cand]
     assert rounds == sorted(rounds), "ledger must be oldest-first"
     newest_included = max(rounds)
-    exempt = head50 | set(e._R10_QUEUE) | {"flagship_account_pnl"}
+    exempt = (
+        head50 | set(e._R10_QUEUE) | set(e._R10_CODE_CHANGED)
+        | {"flagship_account_pnl"}
+    )
     excluded = [
         k
         for k, r in latest.items()
