@@ -931,11 +931,13 @@ CC_UPSERT_ORACLE = _cc_upsert_oracle()
 
 
 #: k-core peel parameters: core order and superstep budget (the peel
-#: reaches fixpoint well inside this on the fixture graphs — pinned
-#: by pytest; at cluster scale the loop is the standard superstep
-#: pattern, each round one degree aggregate + two semi-joins)
+#: reaches fixpoint with ≥2 rounds of headroom on every fixture —
+#: pinned by pytest at sf0.001/sf0.01/sf0.1; 6 was zero-headroom at
+#: sf0.1, the round-9 advice item.  At cluster scale the loop is the
+#: standard superstep pattern, each round one degree aggregate + two
+#: semi-joins)
 KCORE_K = 2
-KCORE_ROUNDS = 6
+KCORE_ROUNDS = 8
 
 
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:

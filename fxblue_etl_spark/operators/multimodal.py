@@ -387,11 +387,24 @@ def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_AHASH_ORACLE = f"""
 WITH d AS MATERIALIZED (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE length(text) >= {AHASH_SEGS}),
+  -- BYTE-based, matching the Spark path exactly: the payload is the
+  -- UTF-8 encoding of text, so iterate octets via hex(encode(..)),
+  -- not codepoints — ord(substr(text,..)) would silently diverge on
+  -- any non-ASCII document (round-9 advice item)
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= {AHASH_SEGS}),
 ch AS MATERIALIZED (
   SELECT doc_id, n, (i - 1) * {AHASH_SEGS} // n AS seg,
-         ord(substr(text, CAST(i AS INT), 1)) AS c
+         (CASE WHEN ord(substr(hx, CAST(2 * i - 1 AS INT), 1)) >= 65
+               THEN ord(substr(hx, CAST(2 * i - 1 AS INT), 1)) - 55
+               ELSE ord(substr(hx, CAST(2 * i - 1 AS INT), 1)) - 48
+          END) * 16
+         + (CASE WHEN ord(substr(hx, CAST(2 * i AS INT), 1)) >= 65
+                 THEN ord(substr(hx, CAST(2 * i AS INT), 1)) - 55
+                 ELSE ord(substr(hx, CAST(2 * i AS INT), 1)) - 48
+            END) AS c
   FROM d, unnest(range(1, n + 1)) t(i)),
 segs AS MATERIALIZED (
   SELECT doc_id, seg, CAST(sum(c) AS BIGINT) AS seg_sum,

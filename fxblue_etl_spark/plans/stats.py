@@ -879,9 +879,14 @@ def qdigest_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             (
                 F.lit(QD_DOM)
-                + F.least(
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("int"),
-                    F.lit(QD_DOM - 1),
+                + F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                            "int"
+                        ),
+                        F.lit(QD_DOM - 1),
+                    ),
                 )
             ).alias("id")
         )
@@ -993,8 +998,8 @@ def _qdigest_levels_sql() -> str:
 
 PORTABLE_QDIGEST_ORACLE = f"""
 WITH s{QD_L} AS MATERIALIZED (
-  SELECT {QD_DOM} + least(CAST(floor(value * 100 + 0.5) AS INT),
-                          {QD_DOM - 1}) AS id,
+  SELECT {QD_DOM} + greatest(0, least(CAST(floor(value * 100 + 0.5) AS INT),
+                                      {QD_DOM - 1})) AS id,
          CAST(count(*) AS BIGINT) AS cnt
   FROM events WHERE value IS NOT NULL GROUP BY 1),
 tot AS (

@@ -3,6 +3,7 @@ graphs plus the cluster-consistency property on the fixture pairs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fxblue_etl_spark.operators.graph import connected_components, dedup_components
@@ -191,22 +192,33 @@ def test_upsert_components_chained_batches(spark):
     assert up[8] == 1 and up[10] == 0
 
 
-def test_kcore_fixpoint_inside_budget_and_invariants(spark, sf_dir):
-    """The peel must reach fixpoint inside KCORE_ROUNDS (so the
-    bounded truncation is unobservable), every surviving node must
-    have in-core degree ≥ k, and the 2-core must be a subset of the
-    degree-≥-2 node set of the full graph."""
+@pytest.mark.parametrize(
+    "fixture_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_kcore_fixpoint_inside_budget_and_invariants(spark, fixture_dir):
+    """The peel must reach fixpoint inside KCORE_ROUNDS WITH ≥2
+    rounds of headroom at EVERY fixture scale (round-9 advice:
+    KCORE_ROUNDS=6 was zero-headroom at sf0.1 — a marginally denser
+    fixture would silently truncate before the true 2-core), every
+    surviving node must have in-core degree ≥ k, and the bounded
+    peel must equal the unbounded python-reference fixpoint."""
     from collections import Counter
 
     from fxblue_etl_spark.operators.graph import (
         KCORE_K,
+        KCORE_ROUNDS,
         kcore_decomposition,
     )
     from fxblue_etl_spark.operators.similarity import embedding_near_dup
 
     pairs = [
         (r["vec_a"], r["vec_b"])
-        for r in embedding_near_dup(spark, sf_dir).collect()
+        for r in embedding_near_dup(spark, fixture_dir).collect()
     ]
     edges = set()
     for a, b in pairs:
@@ -214,6 +226,7 @@ def test_kcore_fixpoint_inside_budget_and_invariants(spark, sf_dir):
         edges.add((b, a))
     # python reference peel to fixpoint (unbounded rounds)
     cur = set(edges)
+    rounds_needed = 0
     while True:
         deg = Counter(a for a, _ in cur)
         keep = {a for a, c in deg.items() if c >= KCORE_K}
@@ -221,10 +234,15 @@ def test_kcore_fixpoint_inside_budget_and_invariants(spark, sf_dir):
         if nxt == cur:
             break
         cur = nxt
+        rounds_needed += 1
+    assert rounds_needed <= KCORE_ROUNDS - 2, (
+        f"peel needs {rounds_needed} rounds at {fixture_dir}; budget "
+        f"{KCORE_ROUNDS} leaves <2 rounds of headroom"
+    )
     want = Counter(a for a, _ in cur)
     got = {
         r["vec_id"]: r["core_degree"]
-        for r in kcore_decomposition(spark, sf_dir).collect()
+        for r in kcore_decomposition(spark, fixture_dir).collect()
     }
     assert got == dict(want), "bounded peel != unbounded fixpoint"
     assert all(d >= KCORE_K for d in got.values())

@@ -322,6 +322,52 @@ def test_ahash_banding_is_lossless_at_radius(spark, sf_dir):
     assert all(0 <= h < (1 << AHASH_SEGS) for h in hs.values())
 
 
+def test_ahash_oracle_agrees_on_non_ascii(spark, tmp_path):
+    """Spark hashes UTF-8 BYTES of the payload; the oracle must too
+    (round-9 advice: the old codepoint-based oracle agreed only
+    because the fixture is ASCII).  Pin parity on a non-ASCII corpus
+    that includes an eligibility-divergence doc: 20 chars × 2 bytes
+    = 40 bytes ≥ AHASH_SEGS but 20 chars < AHASH_SEGS, so a
+    char-based oracle would drop it while the byte-based engine
+    keeps it."""
+    import duckdb
+
+    from fxblue_etl_spark.operators.multimodal import (
+        AHASH_SEGS,
+        MEDIA_AHASH_ORACLE,
+        media_ahash_neardup,
+    )
+
+    base = "héllo wörld ✓ " * 20
+    rows = [
+        (1, base, "a"),
+        (2, base[:-1] + "!", "a"),          # near-dup of 1
+        (3, "çé" * 10, "a"),                # 20 chars, 40 bytes
+        (4, "çé" * 10, "a"),                # exact dup of 3 → hamming 0
+        (5, "совершенно другой текст " * 8, "b"),
+    ]
+    assert len(rows[2][1]) < AHASH_SEGS <= len(rows[2][1].encode())
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in media_ahash_neardup(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(MEDIA_AHASH_ORACLE).fetchall()))
+    assert got == want
+    # the 40-byte/20-char doc pair must be IN the result — proof the
+    # eligibility filter is byte-based in both engines
+    assert (3, 4, 0) in got
+
+
 def test_semantic_contamination_matches_python_recompute(spark, sf_dir):
     """The leak accounting must equal a from-first-principles
     recompute over the certified near-dup pair set and the hash

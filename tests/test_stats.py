@@ -343,9 +343,14 @@ def test_qdigest_merge_preserves_mass_and_bound(spark, sf_dir):
         e.select(
             (
                 F.lit(1 << 16)
-                + F.least(
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("int"),
-                    F.lit((1 << 16) - 1),
+                + F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                            "int"
+                        ),
+                        F.lit((1 << 16) - 1),
+                    ),
                 )
             ).alias("id"),
             (F.col("event_id") % 2).alias("half"),
@@ -372,6 +377,32 @@ def test_qdigest_merge_preserves_mass_and_bound(spark, sf_dir):
     # re-compressed node count stays sketch-sized (≈ n/T per level)
     t = max(1, n // QD_K)
     assert len(merged) <= (n // t + 1) * 17
+
+
+def test_qdigest_leaf_grid_clamps_both_ends(spark):
+    """A negative value must clamp to leaf 0 (id == QD_DOM), not
+    produce an id below 2^16 that would be misread as an internal
+    node — the round-9 advice item.  Mirrors the exact expression in
+    qdigest_nodes / PORTABLE_QDIGEST_ORACLE."""
+    from fxblue_etl_spark.plans.stats import QD_DOM
+
+    df = spark.createDataFrame(
+        [(-5.0,), (-0.004,), (0.0,), (655.34,), (99999.0,)], ["value"]
+    ).select(
+        (
+            F.lit(QD_DOM)
+            + F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("int"),
+                    F.lit(QD_DOM - 1),
+                ),
+            )
+        ).alias("id")
+    )
+    ids = [r["id"] for r in df.collect()]
+    assert ids == [QD_DOM, QD_DOM, QD_DOM, 2 * QD_DOM - 2, 2 * QD_DOM - 1]
+    assert all(QD_DOM <= i < 2 * QD_DOM for i in ids)
 
 
 def test_spearman_matches_pure_python_reference(spark, sf_dir):
