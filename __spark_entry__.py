@@ -601,7 +601,14 @@ _R10_CODE_CHANGED: list[str] = []
 #: Queries ADDED in round 10 — placed after the 50-window (the
 #: round-10 rotation must not be displaced); they head round 11's
 #: rotation.  Verified against the DuckDB oracle locally on addition.
-_R11_QUEUE: list[str] = []
+_R11_QUEUE: list[str] = [
+    # the scale sibling of spearman_rank_corr (round-9 verdict item
+    # 2): the price-grid cumulative rank as a two-level distributed
+    # prefix sum (bucket-local window + broadcast bucket offsets) —
+    # bit-identical output, same oracle, bounded task size where the
+    # simple plan sorts each group's whole value grid in one task
+    "spearman_rank_corr_bucketed",
+]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after

@@ -17,6 +17,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_REPO = Path(__file__).resolve().parent
+
+
+def _default_out_path() -> str:
+    """Builder-written per-round bench record (round-9 verdict item
+    6: the driver's BENCH_r*.json carried ``parsed: null`` two rounds
+    running with only a 2000-char tail surviving, so round-over-round
+    comparison depended on COVERAGE.md prose).  The in-flight round
+    is 1 + the newest CORRECTNESS file on disk — the driver writes
+    CORRECTNESS_r{N} at the END of round N."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(str(_REPO / "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", f))
+    ]
+    n = max(rounds) + 1 if rounds else 0
+    return str(_REPO / f"BENCH_LOCAL_r{n:02d}.json")
+
+
+#: where the full per-query record lands (committed per round so
+#: tools/bench_compare.py consumes two builder-written files
+#: directly); empty string disables the write
+BENCH_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", _default_out_path())
+
 #: Headline set: one representative per operator family — kept to
 #: queries whose runtime reflects engine quality rather than
 #: driver-side row fetch (all are aggregates or bounded outputs).
@@ -246,8 +273,7 @@ def main() -> None:
     frozen_total = round(
         sum(timings.get(n, 0.0) for n in HEADLINE[:FROZEN_N]), 3
     )
-    print(
-        json.dumps(
+    record = (
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -283,8 +309,35 @@ def main() -> None:
                 # forced-HOF sidecar for the Arrow-default lineage
                 "lineage_ab": lineage_ab,
             }
-        )
     )
+    print(json.dumps(record))
+    if BENCH_OUT:
+        # keep a compact summary of any earlier draw this round so a
+        # re-draw doesn't erase the history bench_compare can't hold
+        prev_draws = []
+        out = Path(BENCH_OUT)
+        if out.exists():
+            try:
+                prev = json.load(open(out))
+                prev_draws = prev.get("prev_draws", [])
+                prev_draws.append(
+                    {
+                        k: prev.get(k)
+                        for k in (
+                            "value",
+                            "frozen15_total",
+                            "frozen27_total",
+                            "load_avg_start",
+                            "load_avg_end",
+                            "load_tainted",
+                            "sf",
+                        )
+                    }
+                )
+            except ValueError:
+                pass
+        record["prev_draws"] = prev_draws
+        out.write_text(json.dumps(record, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -1086,24 +1086,7 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≡ Σ_pairs nxy·f, bit-identically).  The quantity grid is
     # vocabulary-sized → broadcast; the price grid carries the one
     # real shuffle.
-    wx = Window.partitionBy("g").orderBy("x")
-    xg = (
-        li.groupBy("g", "x")
-        .agg(F.count("*").cast("long").alias("cx"))
-        .withColumn(
-            "rx2",
-            2
-            * F.coalesce(
-                F.sum("cx").over(
-                    wx.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            )
-            + F.col("cx")
-            + 1,
-        )
-        .drop("cx")
-    )
+    xg = _spearman_xgrid(li)
     wy = Window.partitionBy("g").orderBy("y")
     yg = (
         li.groupBy("g", "y")
@@ -1122,6 +1105,38 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("cy")
     )
+    return _spearman_stats(li, xg, yg)
+
+
+def _spearman_xgrid(li: DataFrame) -> DataFrame:
+    """The vocabulary-sized quantity rank grid (shared by both
+    spearman plans; broadcast onto the rows by the caller)."""
+    wx = Window.partitionBy("g").orderBy("x")
+    return (
+        li.groupBy("g", "x")
+        .agg(F.count("*").cast("long").alias("cx"))
+        .withColumn(
+            "rx2",
+            2
+            * F.coalesce(
+                F.sum("cx").over(
+                    wx.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("cx")
+            + 1,
+        )
+        .drop("cx")
+    )
+
+
+def _spearman_stats(
+    li: DataFrame, xg: DataFrame, yg: DataFrame
+) -> DataFrame:
+    """Shared tail of both spearman plans: join the rank grids back
+    onto the rows and reduce to the exact integer sufficient
+    statistics (Mersenne-mod witnesses + floor-ppm rho)."""
     j = li.join(F.broadcast(xg), ["g", "x"]).join(yg, ["g", "y"])
     agg = j.groupBy("g").agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -1152,6 +1167,89 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("rho_e6"),
     )
+
+
+#: y-grid value-range width per prefix-sum bucket in the bucketed
+#: spearman sibling: price cents span ~[9e4, 1.05e7], so 2^16-wide
+#: buckets give ~160 ordered ranges per group — each bucket's local
+#: window is a bounded task, and the bucket-offset frame is
+#: groups × buckets (tiny, broadcast)
+SPEAR_BUCKET_W = 1 << 16
+
+
+def spearman_rank_corr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE sibling of :func:`spearman_rank_corr` (round-9
+    verdict item 2): bit-identical output — same oracle — but the
+    price-grid cumulative rank runs as a two-level DISTRIBUTED
+    prefix sum instead of one per-group window task.
+
+    The simple plan's ``Window.partitionBy(g).orderBy(y)`` sorts each
+    group's whole value grid (~594k rows/group at sf0.1, growing with
+    data) in a single task; here the grid is cut into fixed
+    value-range buckets (``y div SPEAR_BUCKET_W`` — deterministic,
+    no sampling, no extra pass), the cumulative count runs PER
+    BUCKET in parallel, and per-bucket totals (groups × buckets
+    rows) take the tiny cross-bucket cumulative window that every
+    task then broadcast-joins as its offset: rank2(v) =
+    2·(local_prefix + bucket_offset) + cy + 1.  The fixture-scale
+    A/B keeps the simple window as the default production plan
+    (COVERAGE.md round-9 "Negative A/B" — at fixture scale the extra
+    shuffle costs more than the sort saves); this sibling is the
+    plan a 100× grid runs, certified against the same oracle."""
+    from ..io import swap_cache
+
+    li = swap_cache(
+        "stats.spearman",
+        table(tune(spark), sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        ),
+    )
+    xg = _spearman_xgrid(li)
+    ygrid = (
+        li.groupBy("g", "y")
+        .agg(F.count("*").cast("long").alias("cy"))
+        .withColumn("bkt", (F.col("y") / SPEAR_BUCKET_W).cast("long"))
+    )
+    # level 1: bucket-local cumulative count (parallel across buckets)
+    wloc = Window.partitionBy("g", "bkt").orderBy("y")
+    # level 2: cross-bucket offsets over the tiny per-bucket totals
+    woff = Window.partitionBy("g").orderBy("bkt")
+    boff = (
+        ygrid.groupBy("g", "bkt")
+        .agg(F.sum("cy").alias("bc"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bc").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bc")
+    )
+    yg = (
+        ygrid.join(F.broadcast(boff), ["g", "bkt"])
+        .withColumn(
+            "ry2",
+            2
+            * (
+                F.coalesce(
+                    F.sum("cy").over(
+                        wloc.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("off")
+            )
+            + F.col("cy")
+            + 1,
+        )
+        .select("g", "y", "ry2")
+    )
+    return _spearman_stats(li, xg, yg)
 
 
 SPEARMAN_ORACLE = f"""
@@ -1735,6 +1833,7 @@ QUERIES = {
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
+    "spearman_rank_corr_bucketed": spearman_rank_corr_bucketed,
     "percentile_cont_exact": percentile_cont_exact,
     "encoding_advisor_stats": encoding_advisor_stats,
     "encoding_upsert_equivalence": encoding_upsert_equivalence,
@@ -1756,6 +1855,10 @@ ORACLES = {
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,
+    # the bucketed sibling is bit-identical by construction, so the
+    # same oracle certifies it — the certification IS the claim that
+    # the distributed prefix sum changes the plan, not the answer
+    "spearman_rank_corr_bucketed": SPEARMAN_ORACLE,
     "percentile_cont_exact": PCTL_CONT_ORACLE,
     "encoding_advisor_stats": ENCODING_ADVISOR_ORACLE,
     "encoding_upsert_equivalence": ENCODING_UPSERT_ORACLE,

@@ -405,6 +405,28 @@ def test_qdigest_leaf_grid_clamps_both_ends(spark):
     assert all(QD_DOM <= i < 2 * QD_DOM for i in ids)
 
 
+def test_spearman_bucketed_equals_simple(spark, sf_dir, monkeypatch):
+    """The distributed prefix-sum sibling must be BIT-identical to
+    the simple-window plan — including under a tiny bucket width
+    that forces thousands of buckets, so the bucket-offset algebra
+    is exercised far past the fixture's natural ~160 buckets."""
+    from fxblue_etl_spark.plans import stats
+
+    key = lambda r: tuple(r[c] for c in r.__fields__)
+    simple = sorted(
+        map(key, stats.spearman_rank_corr(spark, sf_dir).collect())
+    )
+    bucketed = sorted(
+        map(key, stats.spearman_rank_corr_bucketed(spark, sf_dir).collect())
+    )
+    assert bucketed == simple
+    monkeypatch.setattr(stats, "SPEAR_BUCKET_W", 1 << 8)
+    tiny = sorted(
+        map(key, stats.spearman_rank_corr_bucketed(spark, sf_dir).collect())
+    )
+    assert tiny == simple
+
+
 def test_spearman_matches_pure_python_reference(spark, sf_dir):
     """ρ·1e6 must match a from-first-principles Python recompute
     (average ranks over collected rows, Pearson on ranks with exact
