@@ -608,6 +608,11 @@ _R11_QUEUE: list[str] = [
     # bit-identical output, same oracle, bounded task size where the
     # simple plan sorts each group's whole value grid in one task
     "spearman_rank_corr_bucketed",
+    # streaming perceptual near-dup gate: empty ahash band index,
+    # probe-then-append per micro-batch, exact Hamming verify on
+    # candidates (pigeonhole-lossless banding) — the media-payload
+    # member of the incremental-gate family (round-9 verdict item 7)
+    "streaming_ahash_dedup_incremental",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

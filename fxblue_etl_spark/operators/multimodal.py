@@ -323,6 +323,34 @@ def _ahash_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         yield pd.DataFrame(out, columns=["doc_id", "ahash"])
 
 
+def ahash_band_rows(docs: DataFrame) -> DataFrame:
+    """``(doc_id, ahash, band_idx, band_val)`` rows for eligible docs
+    (payload ≥ AHASH_SEGS bytes) — the banded index/probe unit shared
+    by the batch near-dup query and the streaming ingest gate.  The
+    kernel reduces each payload to one 8-byte hash on the scan
+    partition; only these narrow band rows ever shuffle."""
+    payloads = with_binary_payload(docs).filter(
+        F.col("media_meta.n_bytes") >= AHASH_SEGS
+    )
+    hashes = payloads.select("doc_id", "payload").mapInPandas(
+        _ahash_batches, "doc_id long, ahash long"
+    )
+    return hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(AHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "ahash",
+        "band_idx",
+        F.expr("(ahash >> CAST(8 * band_idx AS INT)) & 255").alias(
+            "band_val"
+        ),
+    )
+
+
 def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over media payloads — the
     similarity-level companion to :func:`media_dedup_exact` (exact
@@ -339,27 +367,7 @@ def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than the segment count are excluded identically in both
     engines (no stable signature below one byte per segment).
     """
-    d = table(tune(spark), sf_dir, "documents")
-    payloads = with_binary_payload(d).filter(
-        F.col("media_meta.n_bytes") >= AHASH_SEGS
-    )
-    hashes = payloads.select("doc_id", "payload").mapInPandas(
-        _ahash_batches, "doc_id long, ahash long"
-    )
-    bands = hashes.select(
-        "doc_id",
-        "ahash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(AHASH_BANDS)])
-        ).alias("band_idx"),
-    ).select(
-        "doc_id",
-        "ahash",
-        "band_idx",
-        F.expr("(ahash >> CAST(8 * band_idx AS INT)) & 255").alias(
-            "band_val"
-        ),
-    )
+    bands = ahash_band_rows(table(tune(spark), sf_dir, "documents"))
     left = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ahash").alias("ha"),
@@ -385,8 +393,10 @@ def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= AHASH_HAM_T)
 
 
-MEDIA_AHASH_ORACLE = f"""
-WITH d AS MATERIALIZED (
+#: shared oracle fragment: byte-based ahash per eligible doc plus its
+#: band rows — consumed by both the batch near-dup oracle and the
+#: streaming ingest-gate oracle
+_AHASH_CTES = f"""d AS MATERIALIZED (
   -- BYTE-based, matching the Spark path exactly: the payload is the
   -- UTF-8 encoding of text, so iterate octets via hex(encode(..)),
   -- not codepoints — ord(substr(text,..)) would silently diverge on
@@ -422,7 +432,11 @@ h AS MATERIALIZED (
 bands AS (
   SELECT doc_id, ahash, b AS band_idx,
          (ahash >> CAST(8 * b AS INT)) & 255 AS band_val
-  FROM h, unnest(range(0, {AHASH_BANDS})) t(b)),
+  FROM h, unnest(range(0, {AHASH_BANDS})) t(b))"""
+
+
+MEDIA_AHASH_ORACLE = f"""
+WITH {_AHASH_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.ahash AS ha, b.ahash AS hb
@@ -431,6 +445,27 @@ cand AS (
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM_T}
+"""
+
+
+#: streaming ingest-gate oracle: every ELIGIBLE doc with a verdict —
+#: is_dup = some EARLIER-id eligible doc within Hamming AHASH_HAM_T
+#: (banding is pigeonhole-lossless at that radius, so band-candidates
+#: + exact verify equals the all-pairs predicate)
+STREAM_AHASH_ORACLE = f"""
+WITH {_AHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS prior_id,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND b.doc_id < a.doc_id)
+SELECT h.doc_id,
+       CAST(coalesce(max(CASE WHEN bit_count(xor(c.ha, c.hb))
+                              <= {AHASH_HAM_T} THEN 1 ELSE 0 END),
+                     0) AS INT) AS is_dup
+FROM h LEFT JOIN cand c ON c.doc_id = h.doc_id
+GROUP BY 1
 """
 
 

@@ -1481,6 +1481,9 @@ GROUP BY 1
 from ..operators.similarity import (  # noqa: E402
     NEAR_DUP_ORACLE as _NEAR_DUP_ORACLE_REF,
 )
+from ..operators.multimodal import (  # noqa: E402
+    STREAM_AHASH_ORACLE as _STREAM_AHASH_ORACLE_REF,
+)
 
 #: a vector is a dup iff it is the LATER side of a qualifying
 #: sign-bucket cosine ≥ 0.15 pair — the exact batch predicate of
@@ -1492,6 +1495,112 @@ SELECT e.vec_id,
        CAST(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_b
 """
+
+
+def streaming_ahash_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Self-maintaining streaming PERCEPTUAL near-dup gate for media
+    payloads — the third member of the incremental-gate family
+    (:func:`streaming_lsh_dedup_incremental` guards text shingles,
+    :func:`streaming_embed_dedup_incremental` guards embeddings; this
+    guards the binary payload column via the 32-segment average-hash
+    of ``operators.multimodal``).  The band index starts EMPTY and
+    each micro-batch probes it and appends itself.
+
+    Per batch (foreachBatch — no streaming state store): hash +
+    band the batch row-locally (``ahash_band_rows``: the Arrow kernel
+    reduces each payload to one 8-byte hash before anything
+    shuffles), swap the index to the appended frame (localCheckpoint
+    truncates cross-batch lineage; coalesce compacts the
+    union-accreted partitions), then ONE left-outer probe on the
+    (band_idx, band_val) key covers both cross-batch and
+    within-batch priors; candidates verify EXACT Hamming ≤
+    ``AHASH_HAM_T`` on the carried hashes.  Banding is
+    pigeonhole-lossless at that radius, so the gate's verdict equals
+    the all-pairs predicate — and batches arrive in doc_id order
+    (``_stage_docs_splits``), so the final table equals the batch
+    recompute for any split count; the oracle restates exactly that.
+
+    100 TB posture: index state is (doc_id, ahash, band_idx,
+    band_val) — 4 narrow rows per eligible doc, payloads never
+    retained; per batch the work is the scan-local hash kernel plus
+    one hash join on the band key.  Verdicts are append-only and
+    batch-sized.
+
+    Reference parity: extends the reference's cross-run key dedup
+    (`CSV PARSER/gcp_csv.py:148-157`) to perceptual media identity —
+    the ingest-time gate a multimodal training pipeline runs."""
+    from ..io import release_local_checkpoint
+    from ..operators.multimodal import AHASH_HAM_T, ahash_band_rows
+
+    tune(spark)
+    d = _stage_docs_splits(sf_dir, n_splits)
+    schema = spark.read.parquet(d).schema
+    n_par = spark.sparkContext.defaultParallelism
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(n_par)
+    )
+
+    state: dict[str, DataFrame] = {}
+    verdicts: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = ahash_band_rows(batch_df).localCheckpoint()
+        if "index" in state:
+            new_index = (
+                state["index"]
+                .unionByName(bands)
+                .coalesce(n_par)
+                .localCheckpoint()
+            )
+            release_local_checkpoint(state["index"])
+        else:
+            new_index = bands
+        state["index"] = new_index
+        prior = new_index.select(
+            F.col("doc_id").alias("prior_id"),
+            F.col("ahash").alias("prior_hash"),
+            "band_idx",
+            "band_val",
+        )
+        hit = F.when(
+            (F.col("prior_id") < F.col("doc_id"))
+            & (
+                F.expr("CAST(bit_count(ahash ^ prior_hash) AS INT)")
+                <= AHASH_HAM_T
+            ),
+            1,
+        ).otherwise(0)
+        verdicts.append(
+            bands.join(prior, ["band_idx", "band_val"], "left_outer")
+            .groupBy("doc_id")
+            .agg(F.max(hit).cast("int").alias("is_dup"))
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    if "index" in state:
+        release_local_checkpoint(state.pop("index"))
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out
 
 
 def streaming_quality_gate(
@@ -1683,6 +1792,7 @@ QUERIES = {
     "streaming_embed_dedup_incremental": streaming_embed_dedup_incremental,
     "streaming_quality_gate": streaming_quality_gate,
     "streaming_kmv_distinct": streaming_kmv_distinct,
+    "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -1691,6 +1801,7 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
 ORACLES = {
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
+    "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,
     "streaming_session_windows": SESSION_ORACLE,

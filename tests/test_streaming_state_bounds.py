@@ -226,6 +226,51 @@ def test_streaming_quality_gate_is_stateless(spark, sf_dir):
         assert not (p.get("stateOperators") or []), p["stateOperators"]
 
 
+def test_ahash_gate_matches_batch_predicate_and_split_invariant(spark):
+    """The streaming perceptual gate (empty ahash band index,
+    probe-then-append per micro-batch) must flag exactly the LATER
+    side of every batch ``media_ahash_neardup`` pair, cover exactly
+    the eligible-doc set, stay invariant across micro-batch splits,
+    and use NO streaming state store (foreachBatch only; the
+    cross-batch state is the 4-rows-per-doc band index)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.multimodal import (
+        AHASH_SEGS,
+        media_ahash_neardup,
+        with_binary_payload,
+    )
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_ahash_dedup_incremental,
+    )
+
+    dups = {r["doc_b"] for r in media_ahash_neardup(spark, SF).collect()}
+    eligible = {
+        r["doc_id"]
+        for r in with_binary_payload(table(spark, SF, "documents"))
+        .filter(F.col("media_meta.n_bytes") >= AHASH_SEGS)
+        .select("doc_id")
+        .collect()
+    }
+    prog: list = []
+    inc3 = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming_ahash_dedup_incremental(spark, SF, prog).collect()
+    }
+    assert len(prog) >= 3  # genuinely multi-batch
+    assert _peak_state_rows(prog) == 0  # no state store rows
+    assert set(inc3) == eligible
+    assert {d for d, v in inc3.items() if v == 1} == dups
+    inc1 = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming_ahash_dedup_incremental(
+            spark, SF, n_splits=1
+        ).collect()
+    }
+    assert inc1 == inc3
+
+
 def test_kmv_distinct_incremental_matches_batch_and_split_invariant(spark):
     """The streaming KMV cardinality monitor must equal the batch
     sketch EXACTLY (truncation confluence), invariant across
