@@ -613,6 +613,11 @@ _R11_QUEUE: list[str] = [
     # candidates (pigeonhole-lossless banding) — the media-payload
     # member of the incremental-gate family (round-9 verdict item 7)
     "streaming_ahash_dedup_incremental",
+    # chunk-level MinHash/LSH near-dup: dedup BELOW doc granularity
+    # (embedded/paraphrased passages doc-level Jaccard cannot see) —
+    # overlapping 64-token chunks as pseudo-docs through the
+    # certified band lineage, exact cross-doc Jaccard >= 0.6 in ppm
+    "chunk_lsh_neardup",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import fan_out, table
 from ..session import tune
-from .textops import ws_tokens
+from .textops import CHUNK_STRIDE, CHUNK_TOKS, ws_tokens
 
 N_PERM = 12  # minhash permutations
 BAND_ROWS = 3  # rows per LSH band → 4 bands
@@ -451,6 +451,97 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic chunk key = doc_id * CHUNK_KEY_MOD + chunk_idx — collision
+#: free through 2^20 chunks/doc (≈50M tokens at the 48-token stride)
+#: and doc_ids through 2^43; both bounds hold by orders of magnitude
+#: at any plausible corpus shard
+CHUNK_KEY_MOD = 1 << 20
+
+#: exact-Jaccard acceptance threshold for chunk-level near-dup, ppm
+CHUNK_JAC_T_PPM = 600_000
+
+
+def chunk_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level MinHash/LSH near-dup — dedup BELOW document
+    granularity (SlimPajama-style): a doc that embeds a paraphrased
+    passage of another doc never reaches doc-level Jaccard, but its
+    64-token chunks do.  Chunks are the same overlapping windows as
+    ``doc_chunking`` (stride 48) over the NORMALIZED token stream
+    (near-dup semantics — ``chunk_boilerplate`` stays raw-text exact
+    by design), each chunk becomes a pseudo-doc
+    (key = doc_id·2^20 + chunk_idx) through the certified
+    tokenize→minhash→band→bucket-pair lineage
+    (:func:`lsh_candidate_pairs` — shared primitive, one extra query
+    adds zero new hash code), candidates verify EXACT shingle
+    Jaccard, and only CROSS-document pairs ≥ 0.6 survive.
+
+    Output: (doc_a, chunk_a, doc_b, chunk_b) with integer
+    intersection/union witnesses and floor-ppm Jaccard.
+
+    Scale shape: chunking is row-local explode (~n_toks/48 rows per
+    doc); everything after is the doc-level near-dup plan on the
+    chunk stream — one band-bucket shuffle, never all-pairs.  The
+    ~1.3× row multiplication (64/48 overlap) is the price of
+    boundary-straddling passages; at 100 TB the chunk stream remains
+    scan-partitioned and the bucket join's skew posture is unchanged
+    (boilerplate mega-buckets collapse upstream via
+    ``chunk_boilerplate`` exact dedup)."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    base = d.select("doc_id", ws_tokens(_norm_text("text")).alias("toks"))
+    starts = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("toks") - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        ),
+        lambda s: s < F.size("toks"),
+    )
+    ch = base.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "tok_start")
+    )
+    piece = F.slice("toks", F.col("tok_start") + 1, CHUNK_TOKS)
+    pseudo = (
+        ch.select("doc_id", "chunk_idx", piece.alias("ctoks"))
+        .filter(F.size("ctoks") >= 3)
+        .select(
+            (F.col("doc_id") * F.lit(CHUNK_KEY_MOD) + F.col("chunk_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            F.concat_ws(" ", "ctoks").alias("text"),
+        )
+    )
+    cand = lsh_candidate_pairs(pseudo).filter(
+        F.expr(f"doc_a DIV {CHUNK_KEY_MOD} != doc_b DIV {CHUNK_KEY_MOD}")
+    )
+    scored = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_int"),
+        (
+            F.size("sh_a")
+            + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .cast("long")
+        .alias("n_uni"),
+    )
+    return (
+        scored.withColumn(
+            "jac_ppm", F.expr("CAST(1000000 * n_int DIV n_uni AS BIGINT)")
+        )
+        .filter(F.col("jac_ppm") >= CHUNK_JAC_T_PPM)
+        .select(
+            F.expr(f"doc_a DIV {CHUNK_KEY_MOD}").alias("doc_a"),
+            F.expr(f"doc_a % {CHUNK_KEY_MOD}").cast("int").alias("chunk_a"),
+            F.expr(f"doc_b DIV {CHUNK_KEY_MOD}").alias("doc_b"),
+            F.expr(f"doc_b % {CHUNK_KEY_MOD}").cast("int").alias("chunk_b"),
+            "n_int",
+            "n_uni",
+            "jac_ppm",
+        )
+    )
+
+
 def _hex8_sql(var: str, offset: int) -> str:
     """SQL for big-endian base-16 int of 8 hex chars of ``var`` from
     1-based ``offset`` — DuckDB's portable equivalent of Spark's
@@ -511,6 +602,71 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)"""
+
+#: chunk-keyed replay of the LSH chain: normalized chunking
+#: (CHUNKING_ORACLE's start/slice spelling over the NORMALIZED token
+#: list), then the shared shingle→minhash→band fragments keyed on the
+#: synthetic chunk key, cross-document filter inside the bucket join
+CHUNK_LSH_ORACLE = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE}),
+                     s -> s < len(toks)) AS starts
+  FROM norm),
+ck AS (
+  SELECT doc_id * {CHUNK_KEY_MOD} + u.s.i - 1 AS key,
+         toks[u.s.st + 1 : u.s.st + {CHUNK_TOKS}] AS ctoks
+  FROM (SELECT doc_id, toks,
+               unnest(list_transform(starts, (st, i) -> {{'st': st, 'i': i}})) AS s
+        FROM st) u
+  WHERE len(toks[u.s.st + 1 : u.s.st + {CHUNK_TOKS}]) >= 3),
+sh AS (
+  SELECT key,
+         list_distinct(list_transform(
+             range(0, greatest(len(ctoks) - 3, 0) + 1),
+             i -> ctoks[CAST(i AS INT) + 1] || ' ' || ctoks[CAST(i AS INT) + 2] || ' ' || ctoks[CAST(i AS INT) + 3]))
+           AS shingles
+  FROM ck),
+hs AS (
+  SELECT key, shingles, list_transform(shingles, s -> md5(s)) AS ms
+  FROM sh),
+sigs AS (
+  SELECT key, shingles, {SIG_LIST_SQL} AS sig
+  FROM hs),
+bands AS (
+  SELECT key, shingles, CAST(b AS INT) AS band_idx,
+         md5({BAND_SIG_SQL}) AS band_sig
+  FROM sigs, range(0, {N_PERM // BAND_ROWS}) t(b)),
+cand AS (
+  SELECT a.key AS ka, b.key AS kb,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.key < b.key
+   AND a.key // {CHUNK_KEY_MOD} != b.key // {CHUNK_KEY_MOD}
+  GROUP BY 1, 2),
+sc AS (
+  SELECT ka, kb,
+         CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_int,
+         CAST(len(sh_a) + len(sh_b)
+              - len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_uni
+  FROM cand)
+SELECT ka // {CHUNK_KEY_MOD} AS doc_a,
+       CAST(ka % {CHUNK_KEY_MOD} AS INT) AS chunk_a,
+       kb // {CHUNK_KEY_MOD} AS doc_b,
+       CAST(kb % {CHUNK_KEY_MOD} AS INT) AS chunk_b,
+       n_int, n_uni,
+       1000000 * n_int // n_uni AS jac_ppm
+FROM sc
+WHERE 1000000 * n_int // n_uni >= {CHUNK_JAC_T_PPM}
+"""
+
 
 MINHASH_ORACLE = rf"""{CAND_PAIRS_SQL}
 SELECT doc_a, doc_b,
@@ -933,6 +1089,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "edit_distance_pairs": edit_distance_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "chunk_lsh_neardup": chunk_lsh_neardup,
     "simhash_docs": simhash_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_ml": minhash_lsh_ml,
@@ -945,6 +1102,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
     "minhash_lsh_pairs": MINHASH_ORACLE,
+    "chunk_lsh_neardup": CHUNK_LSH_ORACLE,
     "simhash_docs": SIMHASH_ORACLE,
     "ngram_jaccard_pairs": NGRAM_ORACLE,
     # minhash_lsh_ml: rows-only (seeded JVM hash family); its

@@ -322,6 +322,57 @@ def test_ahash_banding_is_lossless_at_radius(spark, sf_dir):
     assert all(0 <= h < (1 << AHASH_SEGS) for h in hs.values())
 
 
+def test_chunk_lsh_catches_embedded_passage_doc_level_misses(
+    spark, tmp_path
+):
+    """The operator's reason to exist, pinned: a 64-token passage
+    embedded at DIFFERENT offsets in two otherwise-unrelated docs is
+    invisible to doc-level Jaccard (far below any near-dup threshold)
+    but must surface as a chunk-level pair — and chunk pairs must
+    never be same-document or below the ppm threshold."""
+    import random
+
+    from fxblue_etl_spark.operators.dedup import (
+        CHUNK_JAC_T_PPM,
+        chunk_lsh_neardup,
+        minhash_lsh_pairs,
+    )
+    from fxblue_etl_spark.operators.textops import CHUNK_STRIDE
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    passage = [vocab[rng.randrange(5000)] for _ in range(64)]
+    filler_a = [vocab[rng.randrange(5000)] for _ in range(300)]
+    filler_b = [vocab[rng.randrange(5000)] for _ in range(300)]
+    rows = [
+        # passage at token 0 of doc 1, at token CHUNK_STRIDE of doc 2
+        (1, " ".join(passage + filler_a), "a"),
+        (2, " ".join(filler_b[:CHUNK_STRIDE] + passage
+                     + filler_b[CHUNK_STRIDE:]), "a"),
+        (3, " ".join(vocab[rng.randrange(5000)] for _ in range(200)), "b"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    doc_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert all(j < 0.5 for j in doc_pairs.values()), doc_pairs
+    got = chunk_lsh_neardup(spark, sf).collect()
+    assert any(
+        (r["doc_a"], r["doc_b"]) == (1, 2) and r["jac_ppm"] == 1_000_000
+        for r in got
+    ), [tuple(r) for r in got]
+    for r in got:
+        assert r["doc_a"] != r["doc_b"]
+        assert r["jac_ppm"] >= CHUNK_JAC_T_PPM
+        assert r["n_int"] <= r["n_uni"]
+
+
 def test_ahash_oracle_agrees_on_non_ascii(spark, tmp_path):
     """Spark hashes UTF-8 BYTES of the payload; the oracle must too
     (round-9 advice: the old codepoint-based oracle agreed only
