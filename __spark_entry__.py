@@ -618,6 +618,15 @@ _R11_QUEUE: list[str] = [
     # overlapping 64-token chunks as pseudo-docs through the
     # certified band lineage, exact cross-doc Jaccard >= 0.6 in ppm
     "chunk_lsh_neardup",
+    # k-anonymity / l-diversity release gate: quasi-identifier group
+    # sizes + sensitive-attribute diversity with risk flags — the
+    # indirect-re-identification companion to pii_scrub
+    "k_anonymity_audit",
+    # zone-map pruning economics: synthetic arrival vs range-clustered
+    # file layouts, min/max maps replayed against a quarterly probe
+    # grid — files skipped / rows scanned / matched / efficiency ppm,
+    # all from O(files) metadata aggregates
+    "zonemap_file_skipping",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

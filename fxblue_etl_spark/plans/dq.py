@@ -711,8 +711,98 @@ GROUP BY 1
 """
 
 
+#: k-anonymity / l-diversity thresholds (Sweeney 2002; Machanavajjhala
+#: et al. 2007): a quasi-identifier group with fewer than K members is
+#: re-identifiable; one whose sensitive attribute takes fewer than L
+#: distinct values leaks it even at k >= K
+K_ANON_K = 5
+L_DIVERSITY_L = 2
+#: account-balance coarsening width for the quasi-identifier (exact
+#: balances are near-unique and would make every group singleton)
+BAL_BUCKET_WIDTH = 1000
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer dimension —
+    the privacy-risk gate a shareable training corpus (or any released
+    extract) runs before publication, complementing `pii_scrub` (which
+    redacts direct identifiers; this measures INDIRECT
+    re-identification risk through quasi-identifier combinations).
+
+    Quasi-identifier = (nationkey, mktsegment, coarsened balance
+    bucket); sensitive attribute = the customer's order priorities
+    (left join so orderless customers still count toward k with l=0).
+    One row per QI group: k (distinct customers), l (distinct
+    priorities), and the two risk flags.  Plan: one left join
+    (shuffle on custkey — the fact side's natural key) feeding one
+    hash aggregate with two count-distincts; at 100 TB the audit runs
+    on the release delta with the identical shape, and the QI
+    grouping keys are low-cardinality so the final agg is tiny.
+    Exact integer contract end to end — the only float op is the
+    IEEE-identical floor(balance / width)."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    qi = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    joined = qi.join(
+        o.select("o_custkey", "o_orderpriority"),
+        qi.c_custkey == F.col("o_custkey"),
+        "left",
+    )
+    k, l = F.col("k_customers"), F.col("l_priorities")
+    return (
+        joined.groupBy("nationkey", "mktsegment", "bal_bucket")
+        .agg(
+            F.count_distinct("c_custkey").cast("long").alias("k_customers"),
+            F.count_distinct("o_orderpriority")
+            .cast("long")
+            .alias("l_priorities"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "bal_bucket",
+            "k_customers",
+            "l_priorities",
+            (k < K_ANON_K).cast("int").alias("at_risk_k"),
+            (l < L_DIVERSITY_L).cast("int").alias("at_risk_l"),
+        )
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH qi AS (
+  SELECT c_custkey,
+         c_nationkey AS nationkey,
+         c_mktsegment AS mktsegment,
+         CAST(floor(c_acctbal / {BAL_BUCKET_WIDTH}) AS BIGINT) AS bal_bucket
+  FROM customer),
+j AS (
+  SELECT qi.nationkey, qi.mktsegment, qi.bal_bucket, qi.c_custkey,
+         o.o_orderpriority
+  FROM qi LEFT JOIN orders o ON qi.c_custkey = o.o_custkey)
+SELECT nationkey, mktsegment, bal_bucket,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS k_customers,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_priorities,
+       CASE WHEN count(DISTINCT c_custkey) < {K_ANON_K}
+            THEN 1 ELSE 0 END AS at_risk_k,
+       CASE WHEN count(DISTINCT o_orderpriority) < {L_DIVERSITY_L}
+            THEN 1 ELSE 0 END AS at_risk_l
+FROM j
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
+    "k_anonymity_audit": k_anonymity_audit,
     "source_length_drift": source_length_drift,
     "order_totals_reconciliation": order_totals_reconciliation,
     "supplier_concentration": supplier_concentration,
@@ -725,6 +815,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_audit": DQ_AUDIT_ORACLE,
+    "k_anonymity_audit": K_ANONYMITY_ORACLE,
     "source_length_drift": LENGTH_DRIFT_ORACLE,
     "order_totals_reconciliation": RECONCILIATION_ORACLE,
     "supplier_concentration": CONCENTRATION_ORACLE,

@@ -1,0 +1,83 @@
+"""Round-10 session additions: k-anonymity/l-diversity audit,
+zone-map file-skipping economics, and the time-series /
+link-prediction family added alongside them.  Each test pins a
+semantic invariant the DuckDB oracle cannot express (the oracle
+certifies cross-engine equality; these certify the CLAIM)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fxblue_etl_spark.io import table
+from fxblue_etl_spark.plans.dq import (
+    K_ANON_K,
+    L_DIVERSITY_L,
+    k_anonymity_audit,
+)
+from fxblue_etl_spark.plans.zorder import zonemap_file_skipping
+
+
+def test_k_anonymity_partition_covers_all_customers(spark, sf_dir):
+    out = k_anonymity_audit(spark, sf_dir).collect()
+    n_customers = table(spark, sf_dir, "customer").count()
+    # QI groups partition the customer set: distinct-customer counts
+    # over disjoint groups must sum to the table cardinality
+    assert sum(r["k_customers"] for r in out) == n_customers
+    for r in out:
+        assert r["k_customers"] >= 1
+        # l counts DISTINCT priorities of the group's orders; a group
+        # can't be more diverse than TPC-H's 5 priority levels
+        assert 0 <= r["l_priorities"] <= 5
+        assert r["at_risk_k"] == int(r["k_customers"] < K_ANON_K)
+        assert r["at_risk_l"] == int(r["l_priorities"] < L_DIVERSITY_L)
+
+
+def test_k_anonymity_flags_are_nontrivial(spark, sf_dir):
+    # the audit is only useful if the fixture exercises the risky
+    # side of the flag; at sf0.01+ (1.5k customers over ~900 QI
+    # groups) both sides appear — sf0.001's 150 customers are ALL in
+    # sub-k groups, which the audit correctly reports
+    out = k_anonymity_audit(spark, sf_dir).collect()
+    ks = {r["at_risk_k"] for r in out}
+    assert 1 in ks
+    n_customers = table(spark, sf_dir, "customer").count()
+    if n_customers >= 1000:
+        assert ks == {0, 1}, ks
+
+
+def test_zonemap_pruning_is_sound_and_clustered_wins(spark, sf_dir):
+    out = zonemap_file_skipping(spark, sf_dir).collect()
+    by = {(r["layout"], r["probe"]): r for r in out}
+    probes = {p for (_, p) in by}
+    assert len(by) == 2 * len(probes)
+    total_rows = table(spark, sf_dir, "lineitem").count()
+    for (layout, probe), r in by.items():
+        # soundness: a skipped file contains no matching rows, so the
+        # surviving files must hold every match
+        assert r["rows_scanned"] >= r["rows_matched"]
+        assert 0 <= r["n_files_skipped"] <= r["n_files"]
+        assert r["rows_scanned"] <= total_rows
+        assert 0 <= r["scan_efficiency_ppm"] <= 1_000_000
+    for probe in probes:
+        arr, clu = by[("arrival", probe)], by[("clustered", probe)]
+        # matched counts are layout-independent by construction
+        assert arr["rows_matched"] == clu["rows_matched"]
+        # the clustering claim: range-clustered files never scan more
+        # than the arrival layout for a range predicate, and for
+        # probes with matches inside the data's domain they scan
+        # strictly less (the arrival layout's zone maps are all-span)
+        assert clu["rows_scanned"] <= arr["rows_scanned"]
+        if clu["rows_matched"] > 0:
+            assert clu["scan_efficiency_ppm"] >= arr["scan_efficiency_ppm"]
+
+
+def test_zonemap_empty_probes_skip_everything_clustered(spark, sf_dir):
+    # quarters outside the shipdate domain (the 1995Q1 head before
+    # 1995-01-02 has matches; 2001Q4 tail after 2001-11-04 partially
+    # matches) — any probe with zero matches must scan zero rows
+    # under the clustered layout (its zone maps tile the day axis)
+    out = zonemap_file_skipping(spark, sf_dir).collect()
+    for r in out:
+        if r["layout"] == "clustered" and r["rows_matched"] == 0:
+            assert r["rows_scanned"] == 0
+            assert r["scan_efficiency_ppm"] == 0
