@@ -627,6 +627,12 @@ _R11_QUEUE: list[str] = [
     # grid — files skipped / rows scanned / matched / efficiency ppm,
     # all from O(files) metadata aggregates
     "zonemap_file_skipping",
+    # multi-pass sorted-neighborhood near-dup: the fourth blocking
+    # family (sort adjacency vs LSH band / simhash prefix / first
+    # token) — bucketed two-level global rank (no single-task sort),
+    # O(docs x window) equi-join candidates, exact bigram-Jaccard
+    # verify; pinned equal to the textbook sort-and-slide by pytest
+    "snm_sorted_neighborhood_pairs",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

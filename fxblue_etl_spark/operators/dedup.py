@@ -1085,8 +1085,179 @@ GROUP BY 1, 2
 """
 
 
+#: sorted-neighborhood geometry: sort-key prefix length, window width
+#: (candidates = rank gap 1..SNM_WINDOW-1 per pass), verify threshold
+SNM_KEY_LEN = 32
+SNM_WINDOW = 4
+SNM_JACCARD_MIN_PPM = 500_000
+
+
+def _snm_global_rank(keyed: DataFrame, pass_id: int) -> DataFrame:
+    """Exact global rank over ``(skey, doc_id)`` WITHOUT a global
+    single-task sort: bucket by the key's first character — buckets
+    are alphabet-bounded and ordering-aligned (every key in bucket
+    'a' sorts before every key in bucket 'b', byte order on the
+    ASCII fixture) — rank within the bucket in parallel, then add
+    each bucket's offset (total count of lexicographically smaller
+    buckets, a triangular join over the ≤ |alphabet| per-bucket
+    totals, broadcast back).  The same two-level prefix-sum shape as
+    ``spearman_rank_corr_bucketed``; no partitionless window."""
+    from pyspark.sql.window import Window
+
+    b = keyed.withColumn("bkt", F.substring("skey", 1, 1))
+    local = b.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("skey", "doc_id")),
+    )
+    counts = b.groupBy("bkt").agg(F.count("*").cast("long").alias("n"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offs = (
+        x.join(y, F.col("y.bkt") < F.col("x.bkt"), "left")
+        .groupBy(F.col("x.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("y.n"), F.lit(0)).cast("long").alias("off"))
+    )
+    return local.join(F.broadcast(offs), "bkt").select(
+        F.lit(pass_id).alias("pass_id"),
+        "doc_id",
+        (F.col("off") + F.col("lrank")).cast("long").alias("rnk"),
+    )
+
+
+def snm_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood (SNM) near-dup — the classic
+    entity-resolution blocking method (Hernández & Stolfo 1995)
+    completing the candidate-generation family: LSH blocks by hash
+    collision, SimHash by bit-prefix, SNM by SORT ADJACENCY — two
+    lexicographic passes (normalized-text prefix; reversed-text
+    prefix, which catches dups that diverge early but share a tail),
+    candidates = pairs within rank distance < SNM_WINDOW in either
+    pass, exact word-bigram Jaccard verify ≥ SNM_JACCARD_MIN_PPM
+    (integer ppm — a k/n quotient must never meet ``round()``).
+
+    Scale shape: per pass the candidate step is O(docs × window) —
+    each ranked row emits SNM_WINDOW-1 integer probe ranks and the
+    join is an equi-join on (pass, rank), one hash shuffle; the rank
+    itself is the bucketed two-level prefix sum (no single-task
+    global sort), so the whole plan is sort-free and pairwise-free.
+    At 100 TB SNM is the cheapest of the four blockers (no signature
+    computation at all); its known blind spot — dups whose sort keys
+    land far apart — is exactly what the multi-pass union and the
+    LSH sibling cover.  Output: pair, how many passes found it, the
+    closest rank gap, verified Jaccard."""
+    from ..io import swap_cache
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    norm = _norm_text("text")
+    d = d.filter(F.size(ws_tokens(norm)) >= 2)
+    # g feeds both rank passes and both sides of the verify join;
+    # ranked feeds the probe side and the join side of the candidate
+    # step — persist each once instead of recomputing per branch
+    g = swap_cache(
+        "dedup.snm_g",
+        d.select(
+            "doc_id",
+            F.substring(norm, 1, SNM_KEY_LEN).alias("k1"),
+            F.substring(F.reverse(norm), 1, SNM_KEY_LEN).alias("k2"),
+            word_shingles("text", k=2).alias("grams"),
+        ),
+    )
+    ranked = swap_cache(
+        "dedup.snm_ranked",
+        _snm_global_rank(g.select("doc_id", F.col("k1").alias("skey")), 1).unionByName(
+            _snm_global_rank(g.select("doc_id", F.col("k2").alias("skey")), 2)
+        ),
+    )
+    probes = ranked.select(
+        "pass_id",
+        F.col("doc_id").alias("low_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW - 1))).alias("gap"),
+        "rnk",
+    ).withColumn("rnk", (F.col("rnk") + F.col("gap")).cast("long"))
+    cand = probes.join(ranked, ["pass_id", "rnk"]).select(
+        "pass_id",
+        F.least("low_id", "doc_id").alias("doc_a"),
+        F.greatest("low_id", "doc_id").alias("doc_b"),
+        "gap",
+    )
+    pairs = cand.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("pass_id").cast("long").alias("n_passes"),
+        F.min("gap").cast("long").alias("min_gap"),
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("gr_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gr_b"))
+    inter = F.size(F.array_intersect("gr_a", "gr_b")).cast("long")
+    union = (
+        F.size("gr_a") + F.size("gr_b") - F.size(F.array_intersect("gr_a", "gr_b"))
+    ).cast("long")
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_passes",
+            "min_gap",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_passes",
+            "min_gap",
+            F.expr("1000000 * n_inter DIV n_union").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= SNM_JACCARD_MIN_PPM)
+    )
+
+
+SNM_ORACLE = rf"""
+WITH prep AS MATERIALIZED (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+         list_filter(regexp_split_to_array(
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         substr(norm, 1, {SNM_KEY_LEN}) AS k1,
+         substr(reverse(norm), 1, {SNM_KEY_LEN}) AS k2,
+         list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]))
+           AS grams
+  FROM prep WHERE len(toks) >= 2),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rnk FROM g),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rnk FROM g),
+cand AS (
+  SELECT 1 AS pass_id, a.doc_id AS ida, b.doc_id AS idb, b.rnk - a.rnk AS gap
+  FROM r1 a JOIN r1 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SNM_WINDOW - 1}
+  UNION ALL
+  SELECT 2, a.doc_id, b.doc_id, b.rnk - a.rnk
+  FROM r2 a JOIN r2 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SNM_WINDOW - 1}),
+pairs AS (
+  SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+         CAST(count(DISTINCT pass_id) AS BIGINT) AS n_passes,
+         CAST(min(gap) AS BIGINT) AS min_gap
+  FROM cand GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_passes, p.min_gap,
+       CAST((1000000 * len(list_intersect(a.grams, b.grams)))
+            // (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN g a ON a.doc_id = p.doc_a
+JOIN g b ON b.doc_id = p.doc_b
+WHERE (1000000 * len(list_intersect(a.grams, b.grams)))
+      // (len(a.grams) + len(b.grams)
+          - len(list_intersect(a.grams, b.grams)))
+      >= {SNM_JACCARD_MIN_PPM}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "snm_sorted_neighborhood_pairs": snm_sorted_neighborhood_pairs,
     "edit_distance_pairs": edit_distance_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "chunk_lsh_neardup": chunk_lsh_neardup,
@@ -1100,6 +1271,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "snm_sorted_neighborhood_pairs": SNM_ORACLE,
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
     "minhash_lsh_pairs": MINHASH_ORACLE,
     "chunk_lsh_neardup": CHUNK_LSH_ORACLE,

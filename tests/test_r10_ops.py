@@ -81,3 +81,70 @@ def test_zonemap_empty_probes_skip_everything_clustered(spark, sf_dir):
         if r["layout"] == "clustered" and r["rows_matched"] == 0:
             assert r["rows_scanned"] == 0
             assert r["scan_efficiency_ppm"] == 0
+
+
+def _snm_bruteforce(rows):
+    """Plain-Python replay of the SNM contract: global sort ranks per
+    pass (the bucketed two-level rank must equal exactly this), rank
+    window, union of passes, bigram-Jaccard verify."""
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip()).lower()
+
+    def grams(t):
+        toks = [x for x in norm(t).split(" ") if x]
+        if len(toks) < 2:
+            return None
+        return {
+            " ".join(toks[i : i + 2]) for i in range(max(len(toks) - 2, 0) + 1)
+        }
+
+    docs = [
+        (r["doc_id"], norm(r["text"]), grams(r["text"]))
+        for r in rows
+        if grams(r["text"]) is not None
+    ]
+    cand = {}
+    for pass_id, key in ((1, lambda n: n[:32]), (2, lambda n: n[::-1][:32])):
+        order = sorted(docs, key=lambda d: (key(d[1]), d[0]))
+        for i, (ida, _, _) in enumerate(order):
+            for gap in (1, 2, 3):
+                if i + gap >= len(order):
+                    break
+                idb = order[i + gap][0]
+                k = (min(ida, idb), max(ida, idb))
+                passes, mg = cand.get(k, (set(), 99))
+                passes.add(pass_id)
+                cand[k] = (passes, min(mg, gap))
+    gr = {d[0]: d[2] for d in docs}
+    out = {}
+    for (a, b), (passes, mg) in cand.items():
+        inter = len(gr[a] & gr[b])
+        j_ppm = (1_000_000 * inter) // (len(gr[a]) + len(gr[b]) - inter)
+        if j_ppm >= 500_000:
+            out[(a, b)] = (len(passes), mg, j_ppm)
+    return out
+
+
+def test_snm_matches_bruteforce_exactly(spark, sf_dir):
+    # the load-bearing claim: the sort-free bucketed two-level rank +
+    # equi-join window reproduces EXACTLY the textbook "sort
+    # globally, slide a window" SNM — pair set, pass counts, gaps,
+    # and verified Jaccard all identical
+    from fxblue_etl_spark.operators.dedup import snm_sorted_neighborhood_pairs
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = _snm_bruteforce(rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_passes"], r["min_gap"], r["jaccard_ppm"])
+        for r in snm_sorted_neighborhood_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the fixture genuinely exercises the operator (near-dup pairs
+    # exist and survive the 0.5 verify threshold)
+    assert len(got) > 0
+    for n_passes, min_gap, j_ppm in got.values():
+        assert 1 <= n_passes <= 2
+        assert 1 <= min_gap <= 3
+        assert j_ppm >= 500_000
