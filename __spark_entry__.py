@@ -633,6 +633,13 @@ _R11_QUEUE: list[str] = [
     # O(docs x window) equi-join candidates, exact bigram-Jaccard
     # verify; pinned equal to the textbook sort-and-slide by pytest
     "snm_sorted_neighborhood_pairs",
+    # DP release histogram: truncated two-sided geometric mechanism
+    # (alpha = 1/2) as an exact integer inverse-CDF ladder over a
+    # keyed md5 draw — the noising member of the privacy family
+    # (pii_scrub redacts, k_anonymity measures, this releases);
+    # deterministic draw certified cross-engine, clamp + sensitivity
+    # contract pinned by pytest
+    "dp_noisy_release",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -800,8 +800,102 @@ GROUP BY 1, 2, 3
 """
 
 
+#: truncated two-sided geometric ("discrete Laplace") mechanism with
+#: ratio alpha = 1/2 (epsilon = ln 2 per released count): P(0) ∝ 2^B,
+#: P(±k) ∝ 2^(B-k), truncated at ±B and renormalized over the exact
+#: integer domain sum(sizes) — every threshold is a precomputed
+#: integer, so the noise draw is pure integer arithmetic in both
+#: engines (no exp/log floats anywhere)
+DP_TRUNC = 10
+_DP_SIZES: list[tuple[int, int]] = [
+    (k, 2 ** (DP_TRUNC - abs(k)) if k else 2**DP_TRUNC)
+    for k in range(-DP_TRUNC, DP_TRUNC + 1)
+]
+DP_DOMAIN = sum(s for _, s in _DP_SIZES)  # 3070 = 2^10 + 2·(2^10 - 1)
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(cumulative_threshold, noise) pairs in ascending order."""
+    acc, out = 0, []
+    for k, s in _DP_SIZES:
+        acc += s
+        out.append((acc, k))
+    return out
+
+
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release histogram — the third member of
+    the privacy-gate family (`pii_scrub` redacts direct identifiers,
+    `k_anonymity_audit` measures indirect risk; this NOISES the
+    released aggregate itself): per-(lang, source) corpus counts with
+    truncated-geometric noise (the discrete analogue of the Laplace
+    mechanism, Ghosh/Roughgarden/Sundararajan 2009) at alpha = 1/2,
+    plus the non-negativity post-processing clamp a published
+    histogram applies.
+
+    The noise draw is DETERMINISTIC keyed randomness — the group
+    key's md5 bucket pushed through the mechanism's exact integer
+    inverse-CDF ladder (precomputed thresholds, no exp/log) — so the
+    DuckDB oracle replays the identical draw and certifies the
+    mechanism's algebra bit-for-bit.  A production deployment swaps
+    the keyed hash for secret randomness; everything else (ladder,
+    truncation, clamp, sensitivity-1 count contract) is exactly this
+    plan.  Scale: one low-cardinality hash aggregate over the corpus;
+    the noise is a row-local CASE over ~21 integer thresholds."""
+    from ..operators.corpusops import _hash_bucket
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("true_n"))
+    u = _hash_bucket(
+        F.concat(F.col("lang"), F.lit("|"), F.col("source")), "dp|", DP_DOMAIN
+    )
+    noise = None
+    for thr, k in _dp_thresholds():
+        noise = (
+            F.when(u < thr, k) if noise is None else noise.when(u < thr, k)
+        )
+    noise = noise.cast("long")
+    return g.select(
+        "lang",
+        "source",
+        "true_n",
+        noise.alias("noise"),
+        F.greatest(F.lit(0).cast("long"), F.col("true_n") + noise).alias(
+            "released_n"
+        ),
+        F.abs(noise).alias("abs_err"),
+    )
+
+
+def _dp_noise_case_sql(u_sql: str) -> str:
+    branches = " ".join(
+        f"WHEN ({u_sql}) < {thr} THEN {k}" for thr, k in _dp_thresholds()
+    )
+    return f"CASE {branches} END"
+
+
+def _dp_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    u = _hash_bucket_sql("lang || '|' || source", "dp|", DP_DOMAIN)
+    noise = _dp_noise_case_sql(u)
+    return f"""
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n
+  FROM documents GROUP BY 1, 2)
+SELECT lang, source, true_n,
+       CAST({noise} AS BIGINT) AS noise,
+       greatest(CAST(0 AS BIGINT), true_n + CAST({noise} AS BIGINT))
+         AS released_n,
+       CAST(abs({noise}) AS BIGINT) AS abs_err
+FROM g
+"""
+
+
 QUERIES = {
     "dq_audit": dq_audit,
+    "dp_noisy_release": dp_noisy_release,
     "k_anonymity_audit": k_anonymity_audit,
     "source_length_drift": source_length_drift,
     "order_totals_reconciliation": order_totals_reconciliation,
@@ -815,6 +909,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_audit": DQ_AUDIT_ORACLE,
+    "dp_noisy_release": _dp_oracle(),
     "k_anonymity_audit": K_ANONYMITY_ORACLE,
     "source_length_drift": LENGTH_DRIFT_ORACLE,
     "order_totals_reconciliation": RECONCILIATION_ORACLE,

@@ -148,3 +148,39 @@ def test_snm_matches_bruteforce_exactly(spark, sf_dir):
         assert 1 <= n_passes <= 2
         assert 1 <= min_gap <= 3
         assert j_ppm >= 500_000
+
+
+def test_dp_noisy_release_mechanism_contract(spark, sf_dir):
+    from fxblue_etl_spark.plans.dq import (
+        DP_DOMAIN,
+        DP_TRUNC,
+        _DP_SIZES,
+        dp_noisy_release,
+    )
+
+    # the ladder IS the mechanism: symmetric, geometric-halving sizes,
+    # exact integer domain
+    sizes = dict(_DP_SIZES)
+    assert DP_DOMAIN == sum(sizes.values())
+    for k in range(1, DP_TRUNC + 1):
+        assert sizes[k] == sizes[-k] == 2 ** (DP_TRUNC - k)
+    assert sizes[0] == 2**DP_TRUNC
+
+    out = dp_noisy_release(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["true_n"] for r in out) == n_docs
+    for r in out:
+        assert -DP_TRUNC <= r["noise"] <= DP_TRUNC
+        assert r["released_n"] == max(0, r["true_n"] + r["noise"])
+        assert r["abs_err"] == abs(r["noise"])
+    # keyed draw is deterministic: a second invocation releases the
+    # identical histogram (the cross-engine certification rests on it)
+    again = {
+        (r["lang"], r["source"]): r["noise"]
+        for r in dp_noisy_release(spark, sf_dir).collect()
+    }
+    assert again == {(r["lang"], r["source"]): r["noise"] for r in out}
+    # utility: the truncated-geometric at alpha=1/2 has E|noise| ~ 0.9;
+    # a released histogram whose mean absolute error drifts past 3
+    # means the ladder (or the bucket hash) broke
+    assert sum(r["abs_err"] for r in out) / len(out) <= 3.0
