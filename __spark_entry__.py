@@ -42,6 +42,7 @@ from fxblue_etl_spark.operators import (
     dedup,
     graph,
     indexing,
+    linkage,
     merge,
     ml,
     multimodal,
@@ -125,6 +126,7 @@ _MODULES = [
     pyds_sink,
     profiling,
     retrieval,
+    linkage,
 ]
 
 #: Queries hash-certified by the driver in round 1 (CORRECTNESS_r01.json):
@@ -640,6 +642,12 @@ _R11_QUEUE: list[str] = [
     # deterministic draw certified cross-engine, clamp + sensitivity
     # contract pinned by pytest
     "dp_noisy_release",
+    # Fellegi-Sunter probabilistic record linkage: blocked candidate
+    # join over a deterministically-derived dirty feed, per-pattern
+    # m/u probabilities and match odds in exact integer ppm — the
+    # keyless entity-resolution layer the reference's exact-key
+    # upserts cannot express
+    "record_linkage_fs",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -1,0 +1,190 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969) — the
+entity-resolution layer ABOVE blocking: given candidate pairs from a
+blocked join, score each field-agreement PATTERN by how much more
+often true matches exhibit it than non-matches (m/u probabilities,
+match odds).  The reference pipeline upserts rows by an exact
+composite key (`CSV PARSER/gcp_csv.py:129-141` — its records arrive
+keyed); a warehouse consolidating records WITHOUT a shared key — the
+classic master-data problem, and the cross-source identity problem an
+LLM corpus has when the same author/site appears under variant
+metadata — needs the probabilistic generalization.
+
+The fixture has no second dirty feed, so the query derives one
+DETERMINISTICALLY from `customer` (keyed md5 buckets decide which
+records lose their name, a dollar off their balance, or their segment — the same
+derivation in both engines), links it back WITHOUT using the key,
+and, because the true key is then known, reports the exact
+Fellegi-Sunter evidence table: per agreement pattern, how many
+candidate pairs, how many are true matches, m = P(pattern | match)
+and u = P(pattern | non-match) as integer ppm, and the match odds
+m/u.  On a real dirty feed the m/u estimation step is EM over the
+same pattern counts; everything downstream of the counts is this
+exact plan.
+
+Scale shape: both sides project off one scan; candidates are an
+equi-join on (nationkey, balance-block) — the feed's block key
+comes from its corrupted balance, so an off-by-one at a block
+boundary costs that true pair (blocking recall < 1, deterministic); the pattern aggregate is ≤ 2^3 rows; totals broadcast
+back as a singleton.  Candidate volume within a block is
+|clean|x|dirty| — at larger scale the block key gains fields
+(name trigram, rounded-balance digit), same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+from .corpusops import _hash_bucket, _hash_bucket_sql
+
+#: corruption rates (percent) for the derived dirty feed
+LNK_NAME_LOSS_PCT = 20
+LNK_BAL_OFFBYONE_PCT = 30
+LNK_SEG_LOSS_PCT = 10
+#: blocking: nationkey x floor(acctbal / LNK_BAL_BLOCK)
+LNK_BAL_BLOCK = 2000
+
+
+def _clean_side(c: DataFrame) -> DataFrame:
+    return c.select(
+        F.col("c_custkey").alias("key_c"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.floor(F.col("c_acctbal") / LNK_BAL_BLOCK).cast("long").alias("blk_bal"),
+        F.col("c_name").alias("name_c"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg_c"),
+    )
+
+
+def _dirty_side(c: DataFrame) -> DataFrame:
+    """The derived dirty feed: every customer re-keyed, with keyed-md5
+    buckets corrupting fields — name gone for ~20%, balance entered
+    off by one dollar for ~30% (every balance arrives floor()-
+    truncated: cents lost), segment gone for ~10%.  The feed's block
+    key comes from the CORRUPTED balance, as a real feed's would —
+    an off-by-one at a block boundary loses that true pair from the
+    candidate set (blocking recall < 1, deterministic in both
+    engines)."""
+    b_name = _hash_bucket(F.col("c_custkey"), "lnkn|", 100)
+    b_bal = _hash_bucket(F.col("c_custkey"), "lnkb|", 100)
+    b_seg = _hash_bucket(F.col("c_custkey"), "lnks|", 100)
+    bal_d = F.floor(F.col("c_acctbal")).cast("long") + F.when(
+        b_bal < LNK_BAL_OFFBYONE_PCT, F.lit(1)
+    ).otherwise(F.lit(0))
+    return c.select(
+        F.col("c_custkey").alias("key_d"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.floor(bal_d / LNK_BAL_BLOCK).cast("long").alias("blk_bal"),
+        F.when(b_name < LNK_NAME_LOSS_PCT, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_name"))
+        .alias("name_d"),
+        bal_d.alias("bal_d"),
+        F.when(b_seg < LNK_SEG_LOSS_PCT, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_d"),
+    )
+
+
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter evidence table over blocked candidate pairs:
+    one row per (name, balance, segment) agreement pattern with pair
+    counts, true-match counts, m/u probabilities in exact integer
+    ppm, and match-odds ppm (NULL when the pattern never occurs among
+    non-matches — infinite evidence).  See module docstring."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    cand = _clean_side(c).join(_dirty_side(c), ["blk_nation", "blk_bal"])
+    pat = cand.select(
+        (F.col("name_c") == F.col("name_d")).cast("int").alias("agree_name"),
+        (F.col("bal_c") == F.col("bal_d")).cast("int").alias("agree_bal"),
+        (F.col("seg_c") == F.col("seg_d")).cast("int").alias("agree_seg"),
+        (F.col("key_c") == F.col("key_d")).cast("long").alias("is_match"),
+    )
+    counts = pat.groupBy("agree_name", "agree_bal", "agree_seg").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_match").cast("long").alias("n_match"),
+        (F.count("*") - F.sum("is_match")).cast("long").alias("n_nonmatch"),
+    )
+    totals = counts.agg(
+        F.sum("n_match").cast("long").alias("tot_m"),
+        F.sum("n_nonmatch").cast("long").alias("tot_u"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    odds = F.when(
+        F.col("n_nonmatch") > 0,
+        F.expr("1000000 * n_match * tot_u DIV (tot_m * n_nonmatch)"),
+    ).cast("long")
+    return j.select(
+        "agree_name",
+        "agree_bal",
+        "agree_seg",
+        "n_pairs",
+        "n_match",
+        "n_nonmatch",
+        F.expr("1000000 * n_match DIV tot_m").cast("long").alias("m_ppm"),
+        F.expr("1000000 * n_nonmatch DIV tot_u").cast("long").alias("u_ppm"),
+        odds.alias("odds_ppm"),
+    )
+
+
+def _fs_oracle() -> str:
+    bn = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnkn|", 100)
+    bb = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnkb|", 100)
+    bs = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnks|", 100)
+    return f"""
+WITH clean AS (
+  SELECT c_custkey AS key_c, c_nationkey AS blk_nation,
+         CAST(floor(c_acctbal / {LNK_BAL_BLOCK}) AS BIGINT) AS blk_bal,
+         c_name AS name_c,
+         CAST(floor(c_acctbal) AS BIGINT) AS bal_c,
+         c_mktsegment AS seg_c
+  FROM customer),
+dirty AS (
+  SELECT c_custkey AS key_d, c_nationkey AS blk_nation,
+         CAST(floor(CAST(CAST(floor(c_acctbal) AS BIGINT)
+              + CASE WHEN ({bb}) < {LNK_BAL_OFFBYONE_PCT} THEN 1 ELSE 0 END
+              AS DOUBLE) / {LNK_BAL_BLOCK}) AS BIGINT) AS blk_bal,
+         CASE WHEN ({bn}) < {LNK_NAME_LOSS_PCT} THEN 'UNKNOWN'
+              ELSE c_name END AS name_d,
+         CAST(floor(c_acctbal) AS BIGINT)
+              + CASE WHEN ({bb}) < {LNK_BAL_OFFBYONE_PCT} THEN 1 ELSE 0 END
+              AS bal_d,
+         CASE WHEN ({bs}) < {LNK_SEG_LOSS_PCT} THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS seg_d
+  FROM customer),
+pat AS (
+  SELECT CAST(name_c = name_d AS INT) AS agree_name,
+         CAST(bal_c = bal_d AS INT) AS agree_bal,
+         CAST(seg_c = seg_d AS INT) AS agree_seg,
+         CAST(key_c = key_d AS BIGINT) AS is_match
+  FROM clean JOIN dirty USING (blk_nation, blk_bal)),
+counts AS (
+  SELECT agree_name, agree_bal, agree_seg,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_match) AS BIGINT) AS n_match,
+         CAST(count(*) - sum(is_match) AS BIGINT) AS n_nonmatch
+  FROM pat GROUP BY 1, 2, 3),
+tot AS (
+  SELECT CAST(sum(n_match) AS BIGINT) AS tot_m,
+         CAST(sum(n_nonmatch) AS BIGINT) AS tot_u
+  FROM counts)
+SELECT agree_name, agree_bal, agree_seg, n_pairs, n_match, n_nonmatch,
+       CAST((1000000 * n_match) // tot_m AS BIGINT) AS m_ppm,
+       CAST((1000000 * n_nonmatch) // tot_u AS BIGINT) AS u_ppm,
+       CASE WHEN n_nonmatch > 0
+            THEN CAST((1000000 * n_match * tot_u)
+                      // (tot_m * n_nonmatch) AS BIGINT)
+            END AS odds_ppm
+FROM counts, tot
+"""
+
+
+QUERIES = {
+    "record_linkage_fs": record_linkage_fs,
+}
+
+ORACLES = {
+    "record_linkage_fs": _fs_oracle(),
+}

@@ -184,3 +184,39 @@ def test_dp_noisy_release_mechanism_contract(spark, sf_dir):
     # a released histogram whose mean absolute error drifts past 3
     # means the ladder (or the bucket hash) broke
     assert sum(r["abs_err"] for r in out) / len(out) <= 3.0
+
+
+def test_record_linkage_fs_evidence_table(spark, sf_dir):
+    from fxblue_etl_spark.operators.linkage import record_linkage_fs
+
+    out = record_linkage_fs(spark, sf_dir).collect()
+    n_cust = table(spark, sf_dir, "customer").count()
+    tot_m = sum(r["n_match"] for r in out)
+    tot_u = sum(r["n_nonmatch"] for r in out)
+    # pattern rows partition the candidate set
+    assert sum(r["n_pairs"] for r in out) == tot_m + tot_u
+    # blocking recall: every true pair survives unless its off-by-one
+    # balance crossed a block boundary (rare) — and a record can never
+    # match more than once
+    assert 0.9 * n_cust <= tot_m <= n_cust
+    # m/u are probabilities over their populations
+    assert sum(r["m_ppm"] for r in out) <= 1_000_000
+    assert sum(r["u_ppm"] for r in out) <= 1_000_000
+    by = {(r["agree_name"], r["agree_bal"], r["agree_seg"]): r for r in out}
+    # name agreement among true matches tracks the 20% knockout rate
+    m_name = sum(r["m_ppm"] for k, r in by.items() if k[0] == 1)
+    assert 700_000 <= m_name <= 900_000
+    # a unique field agreeing is near-conclusive: u(name agrees) ~ 0
+    u_name = sum(r["u_ppm"] for k, r in by.items() if k[0] == 1)
+    assert u_name < 10_000
+    # the Fellegi-Sunter ordering: full agreement carries the highest
+    # finite odds (or is match-only: odds NULL = infinite evidence)
+    full = by.get((1, 1, 1))
+    assert full is not None and full["n_match"] > 0
+    finite = [r["odds_ppm"] for r in out if r["odds_ppm"] is not None]
+    if full["odds_ppm"] is not None:
+        assert full["odds_ppm"] == max(finite)
+    # zero-agreement pairs are overwhelmingly non-matches
+    none_ = by.get((0, 0, 0))
+    if none_ is not None and none_["odds_ppm"] is not None:
+        assert none_["odds_ppm"] < 1_000_000
