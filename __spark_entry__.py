@@ -648,6 +648,13 @@ _R11_QUEUE: list[str] = [
     # keyless entity-resolution layer the reference's exact-key
     # upserts cannot express
     "record_linkage_fs",
+    # top principal direction by LOG-DEPTH power iteration: repeated
+    # integer squaring of the certified Gram (G^64 in 6 BSP rounds —
+    # the near-isotropic spectrum defeats linear-rate iteration),
+    # portable positive-mod floor division, eigenvector within half
+    # a degree of numpy eigh and lambda within grid quantization
+    # (pytest-pinned)
+    "pca_power_iteration",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

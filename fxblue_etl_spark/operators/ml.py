@@ -1378,6 +1378,215 @@ GROUP BY 1, 2
 """
 
 
+#: power-iteration geometry: the matrix iterate lives on a 2^15
+#: integer grid, the output eigenvector on a 2^10 grid;
+#: PCA_SQUARINGS repeated squarings raise the Gram to the 2^6 = 64th
+#: power — the convergence of 64 classic power-method rounds in 6
+#: BSP rounds (the embedding fixture's spectrum is near-isotropic,
+#: lambda2/lambda1 ~ 0.93, so linear-rate iteration would need ~80
+#: rounds to isolate the top axis).
+PCA_MAT_SCALE = 1 << 15
+PCA_SCALE = 1 << 10
+PCA_SQUARINGS = 6
+
+
+def _pmod_floordiv(num: str, den: str, div_op: str) -> str:
+    """Portable FLOOR division for possibly-negative numerators:
+    Spark's ``DIV`` truncates toward zero while DuckDB's ``//``
+    floors, so subtract the positive mod first — the remaining
+    division is exact, where both spellings agree.  ``%`` is the
+    truncated (C-style) remainder in both engines, so
+    ``((a % m) + m) % m`` is the shared positive-mod idiom."""
+    return (
+        f"(({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) "
+        f"{div_op} ({den})"
+    )
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus — the spectral
+    statistic behind PCA whitening, OPQ rotation fitting, and
+    anisotropy diagnostics — by LOG-DEPTH power iteration: repeated
+    SQUARING of the certified integer Gram matrix.  Classic power
+    iteration converges at rate (lambda2/lambda1)^t, ~80 rounds on
+    this near-isotropic fixture; squaring reaches G^(2^k) in k
+    rounds, and at cluster scale each round is a synchronization
+    barrier, so log depth is the deploy shape (the d x d statistic
+    is tiny — the data-scaled work all happens once, inside
+    `embedding_gram_matrix`'s per-partition partials).
+
+    All arithmetic is exact int64 on a fixed grid: each squaring
+    renormalizes to the 2^15 grid via the portable positive-mod
+    floor division (int sums are order-free, so the engines agree
+    bit-for-bit where float iteration would drift ulps per round).
+    The eigenvector is read off as the column of G^64 holding the
+    largest diagonal (min-index tie-break), renormalized to the
+    2^10 grid; one extra plain product gives the infinity-norm
+    eigenvalue estimate lambda ~ max|G v|/SCALE in e3-quant^2 units
+    and its share of total variance (trace) ppm."""
+    from ..io import release_local_checkpoint, swap_cache
+
+    gram = embedding_gram_matrix(spark, sf_dir)
+    full = swap_cache(
+        "ml.pca_gram",
+        gram.select("i", "j", F.col("cross_sum").alias("g")).unionByName(
+            gram.filter("i < j").select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("cross_sum").alias("g"),
+            )
+        ),
+    )
+    g0m = full.agg(
+        F.greatest(F.lit(1).cast("long"), F.max(F.abs("g"))).alias("m")
+    )
+    renorm_h = _pmod_floordiv(f"p * {PCA_MAT_SCALE}", "m", "DIV")
+    h = (
+        full.crossJoin(F.broadcast(g0m))
+        .select(
+            "i",
+            "j",
+            F.expr(_pmod_floordiv(f"g * {PCA_MAT_SCALE}", "m", "DIV"))
+            .cast("long")
+            .alias("h"),
+        )
+        .localCheckpoint()
+    )
+    prev_ckpt = h
+    for _ in range(PCA_SQUARINGS):
+        a = h.select(F.col("i"), F.col("j").alias("k"), F.col("h").alias("ha"))
+        b = h.select(F.col("i").alias("k"), F.col("j"), F.col("h").alias("hb"))
+        p = (
+            a.join(b, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("ha") * F.col("hb")).cast("long").alias("p"))
+        )
+        m = p.agg(
+            F.greatest(F.lit(1).cast("long"), F.max(F.abs("p"))).alias("m")
+        )
+        h = (
+            p.crossJoin(F.broadcast(m))
+            .select("i", "j", F.expr(renorm_h).cast("long").alias("h"))
+            .localCheckpoint()
+        )
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = h
+    # eigenvector = the dominant column of G^64: largest diagonal
+    # entry picks it (min index on ties), then renormalize to the
+    # output grid
+    diag = h.filter("i = j").select("j", "h")
+    mx = diag.agg(F.max("h").alias("mh"))
+    jstar = (
+        diag.crossJoin(F.broadcast(mx))
+        .filter("h = mh")
+        .agg(F.min("j").alias("js"))
+    )
+    col = h.join(F.broadcast(jstar), h.j == F.col("js")).select(
+        F.col("i").alias("dim"), F.col("h").alias("w")
+    )
+    cm = col.agg(
+        F.greatest(F.lit(1).cast("long"), F.max(F.abs("w"))).alias("m")
+    )
+    v = col.crossJoin(F.broadcast(cm)).select(
+        F.col("dim").alias("j"),
+        F.expr(_pmod_floordiv(f"w * {PCA_SCALE}", "m", "DIV"))
+        .cast("long")
+        .alias("v"),
+    )
+    # lambda from one plain product off the converged vector
+    w = (
+        full.join(v, "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+    )
+    wm = w.agg(F.greatest(F.lit(1).cast("long"), F.max(F.abs("w"))).alias("m"))
+    trace = gram.filter("i = j").agg(
+        F.sum("cross_sum").cast("long").alias("tr")
+    )
+    stats = wm.crossJoin(F.broadcast(trace)).select(
+        F.expr(f"m DIV {PCA_SCALE}").cast("long").alias("lam_e3q"),
+        F.expr(f"1000000 * (m DIV {PCA_SCALE}) DIV tr")
+        .cast("long")
+        .alias("ev_ppm"),
+    )
+    return v.crossJoin(F.broadcast(stats)).select(
+        F.col("j").cast("int").alias("dim_i"),
+        F.col("v").cast("long").alias("v_scaled"),
+        "lam_e3q",
+        "ev_ppm",
+        F.lit(PCA_SQUARINGS).alias("n_rounds"),
+    )
+
+
+def _pca_oracle() -> str:
+    sm, s = PCA_MAT_SCALE, PCA_SCALE
+    fd = _pmod_floordiv
+    parts = [
+        """
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+  FROM embeddings),
+gu AS MATERIALIZED (
+  SELECT CAST(ti.iv AS INT) AS i, CAST(tj.jv AS INT) AS j,
+         CAST(sum(qv[ti.iv + 1] * qv[tj.jv + 1]) AS BIGINT) AS g
+  FROM q,
+       unnest(range(0, len(qv))) ti(iv),
+       unnest(range(0, len(qv))) tj(jv)
+  WHERE ti.iv <= tj.jv
+  GROUP BY 1, 2),
+g AS MATERIALIZED (
+  SELECT i, j, g FROM gu
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM gu WHERE i < j),
+g0m AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(abs(g)) AS BIGINT)) AS m
+        FROM g),"""
+        + f"""
+h0 AS MATERIALIZED (
+  SELECT i, j, CAST({fd(f"g * {sm}", "m", "//")} AS BIGINT) AS h
+  FROM g, g0m),"""
+    ]
+    for t in range(1, PCA_SQUARINGS + 1):
+        parts.append(
+            f"""
+p{t} AS MATERIALIZED (
+  SELECT a.i, b.j, CAST(sum(a.h * b.h) AS BIGINT) AS p
+  FROM h{t - 1} a JOIN h{t - 1} b ON a.j = b.i GROUP BY 1, 2),
+m{t} AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(abs(p)) AS BIGINT)) AS m
+         FROM p{t}),
+h{t} AS MATERIALIZED (
+  SELECT i, j, CAST({fd(f"p * {sm}", "m", "//")} AS BIGINT) AS h
+  FROM p{t}, m{t}),"""
+        )
+    t = PCA_SQUARINGS
+    parts.append(
+        f"""
+diag AS (SELECT j, h FROM h{t} WHERE i = j),
+jstar AS (
+  SELECT min(j) AS js FROM diag, (SELECT max(h) AS mh FROM diag) mx
+  WHERE h = mh),
+col AS (
+  SELECT h{t}.i AS dim, h{t}.h AS w FROM h{t}, jstar WHERE h{t}.j = js),
+cm AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(abs(w)) AS BIGINT)) AS m
+       FROM col),
+v AS MATERIALIZED (
+  SELECT dim AS j, CAST({fd(f"w * {s}", "m", "//")} AS BIGINT) AS v
+  FROM col, cm),
+wf AS (
+  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+  FROM g JOIN v ON g.j = v.j GROUP BY 1),
+mf AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(abs(w)) AS BIGINT)) AS m
+       FROM wf),
+tr AS (SELECT CAST(sum(g) AS BIGINT) AS tr FROM g WHERE i = j)
+SELECT CAST(v.j AS INT) AS dim_i, v.v AS v_scaled,
+       CAST(mf.m // {s} AS BIGINT) AS lam_e3q,
+       CAST((1000000 * (mf.m // {s})) // tr AS BIGINT) AS ev_ppm,
+       {PCA_SQUARINGS} AS n_rounds
+FROM v, mf, tr"""
+    )
+    return "".join(parts)
+
+
 #: product-quantization geometry: M_PQ subspaces × (dim / M_PQ) dims,
 #: K_PQ codes per subspace (codebook = the K_PQ lowest vec_ids'
 #: subvectors, the same deterministic-init rule as `_init_centroids`)
@@ -2301,6 +2510,7 @@ QUERIES = {
     "ivf_multiprobe_topk": ivf_multiprobe_topk,
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "pca_power_iteration": pca_power_iteration,
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
@@ -2329,6 +2539,7 @@ ORACLES = {
     "ivf_multiprobe_topk": IVF_MULTIPROBE_ORACLE,
     "embedding_moment_stats": MOMENT_STATS_ORACLE,
     "embedding_gram_matrix": GRAM_ORACLE,
+    "pca_power_iteration": _pca_oracle(),
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,
