@@ -655,6 +655,12 @@ _R11_QUEUE: list[str] = [
     # a degree of numpy eigh and lambda within grid quantization
     # (pytest-pinned)
     "pca_power_iteration",
+    # the spectral member of the upsert==rebuild family: the Gram is
+    # a sum of outer products, so interleaved-split maintenance is
+    # EXACTLY the rebuild on the e3 integer grid (float would be
+    # order-dependent — counterexample pinned in pytest); what keeps
+    # pca_power_iteration maintainable at 100 TB
+    "gram_upsert_equivalence",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

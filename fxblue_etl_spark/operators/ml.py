@@ -1330,10 +1330,18 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is int64 numpy.
 
     Output: upper triangle (i ≤ j): i, j, cross_sum = Σ qᵢ·qⱼ."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    return gram_cells(emb)
+
+
+def gram_cells(emb: DataFrame) -> DataFrame:
+    """The Gram kernel behind :func:`embedding_gram_matrix`, factored
+    so maintenance contracts can run it over a SLICE of the corpus:
+    the Gram is a sum of per-row outer products, so per-partition
+    partials aggregate to the exact answer for whatever rows flow in."""
     import numpy as np
     import pandas as pd
 
-    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
     qv = emb.select(
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
@@ -1585,6 +1593,92 @@ SELECT CAST(v.j AS INT) AS dim_i, v.v AS v_scaled,
 FROM v, mf, tr"""
     )
     return "".join(parts)
+
+
+def gram_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance contract for the Gram statistic — the
+    spectral member of the upsert ≡ rebuild family (postings /
+    components / band / sign / IVF / encoding):  G is a SUM of
+    per-row outer products, so ``state(A) + state(B) ==
+    state(A ∪ B)`` holds EXACTLY on the integer grid for any
+    partition of the corpus (here: even vs odd vec_ids — an
+    interleaved split, stricter than append-only).  This is what
+    keeps `pca_power_iteration` maintainable at 100 TB: a new
+    embedding batch adds its d×d partial into the standing state at
+    batch cost, and the spectral readout never re-scans the corpus.
+    Float accumulation would NOT certify here — addition order
+    differs between the split and full plans — which is exactly why
+    the Gram lives on the e3 integer grid.
+
+    One summary row, the family's standard shape: report-row count
+    + both full-outer mismatch counts pinned to 0 by the oracle."""
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    even = gram_cells(emb.filter(F.col("vec_id") % 2 == 0))
+    odd = gram_cells(emb.filter(F.col("vec_id") % 2 == 1))
+    inc = (
+        even.unionByName(odd)
+        .groupBy("i", "j")
+        .agg(F.sum("cross_sum").cast("long").alias("cross_sum"))
+    )
+    full = gram_cells(emb)
+    keys = ["i", "j", "cross_sum"]
+    a = inc.select(*keys).withColumn("in_i", F.lit(1))
+    b = full.select(*keys).withColumn("in_f", F.lit(1))
+    return (
+        a.join(b, keys, "full_outer")
+        .agg(
+            F.sum(F.coalesce("in_f", F.lit(0))).cast("long").alias("n_report_rows"),
+            F.sum((F.col("in_i").isNotNull() & F.col("in_f").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_only_incremental"),
+            F.sum((F.col("in_f").isNotNull() & F.col("in_i").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_only_rebuild"),
+        )
+        .select(
+            "n_report_rows",
+            "n_only_incremental",
+            "n_only_rebuild",
+            ((F.col("n_only_incremental") == 0) & (F.col("n_only_rebuild") == 0))
+            .cast("int")
+            .alias("incremental_equals_rebuild"),
+        )
+    )
+
+
+def _gram_cells_sql(pred: str) -> str:
+    return f"""
+  SELECT CAST(ti.iv AS INT) AS i, CAST(tj.jv AS INT) AS j,
+         CAST(sum(qv[ti.iv + 1] * qv[tj.jv + 1]) AS BIGINT) AS cross_sum
+  FROM (SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+        FROM embeddings{pred}) q,
+       unnest(range(0, len(qv))) ti(iv),
+       unnest(range(0, len(qv))) tj(jv)
+  WHERE ti.iv <= tj.jv
+  GROUP BY 1, 2"""
+
+
+GRAM_UPSERT_ORACLE = f"""
+WITH ge AS MATERIALIZED ({_gram_cells_sql(" WHERE vec_id % 2 = 0")}),
+go AS MATERIALIZED ({_gram_cells_sql(" WHERE vec_id % 2 = 1")}),
+inc AS MATERIALIZED (
+  SELECT i, j, CAST(sum(cross_sum) AS BIGINT) AS cross_sum
+  FROM (SELECT * FROM ge UNION ALL SELECT * FROM go)
+  GROUP BY 1, 2),
+fullg AS MATERIALIZED ({_gram_cells_sql("")})
+SELECT CAST(count(f.i) AS BIGINT) AS n_report_rows,
+       CAST(sum(CASE WHEN f.i IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_incremental,
+       CAST(sum(CASE WHEN a.i IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_rebuild,
+       CAST(CASE WHEN sum(CASE WHEN f.i IS NULL THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN a.i IS NULL THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS INT) AS incremental_equals_rebuild
+FROM inc a
+FULL OUTER JOIN fullg f
+  ON a.i = f.i AND a.j = f.j AND a.cross_sum = f.cross_sum
+"""
 
 
 #: product-quantization geometry: M_PQ subspaces × (dim / M_PQ) dims,
@@ -2511,6 +2605,7 @@ QUERIES = {
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_gram_matrix": embedding_gram_matrix,
     "pca_power_iteration": pca_power_iteration,
+    "gram_upsert_equivalence": gram_upsert_equivalence,
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
@@ -2540,6 +2635,7 @@ ORACLES = {
     "embedding_moment_stats": MOMENT_STATS_ORACLE,
     "embedding_gram_matrix": GRAM_ORACLE,
     "pca_power_iteration": _pca_oracle(),
+    "gram_upsert_equivalence": GRAM_UPSERT_ORACLE,
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,

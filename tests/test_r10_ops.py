@@ -259,3 +259,25 @@ def test_pca_power_iteration_matches_numpy_eig(spark, sf_dir):
     # infinity-norm eigenvalue off the converged vector sits within
     # grid-quantization distance of the true lambda_max
     assert 0.99 * evals[-1] <= lam <= 1.01 * evals[-1]
+
+
+def test_gram_upsert_equivalence_and_float_counterexample(spark, sf_dir):
+    import numpy as np
+
+    from fxblue_etl_spark.operators.ml import gram_upsert_equivalence
+
+    r = gram_upsert_equivalence(spark, sf_dir).collect()[0]
+    assert r["incremental_equals_rebuild"] == 1
+    assert r["n_only_incremental"] == 0
+    assert r["n_only_rebuild"] == 0
+    assert r["n_report_rows"] == 64 * 65 // 2
+    # the claim's WHY: on the integer grid split-sum == full-sum is
+    # algebra; in float32 the same merge is order-dependent (this is
+    # the counterexample that justifies the e3 grid)
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(10_000) * 1e6).astype(np.float32)
+    full = x.sum(dtype=np.float32)
+    split = x[::2].sum(dtype=np.float32) + x[1::2].sum(dtype=np.float32)
+    assert full != split  # float maintenance would NOT certify
+    xi = np.floor(x).astype(np.int64)
+    assert xi.sum() == xi[::2].sum() + xi[1::2].sum()
