@@ -661,6 +661,18 @@ _R11_QUEUE: list[str] = [
     # order-dependent — counterexample pinned in pytest); what keeps
     # pca_power_iteration maintainable at 100 TB
     "gram_upsert_equivalence",
+    # bitemporal correctness audit: SCD2-style interval reconstruction
+    # from the order history must reproduce raw point-in-time facts
+    # at every probe date — the invariant AS OF / time-travel
+    # consumers rely on; interval route vs fact route compared to the
+    # cent, 4-probe broadcast grid
+    "scd2_asof_consistency",
+    # greedy k-center coreset (Gonzalez 2-approximation): diverse
+    # exemplar selection over embeddings — the coverage complement to
+    # prototype/semdedup pruning; exact integer distances, packed
+    # argmax with min-id tie-break, K broadcast-one-center passes;
+    # pinned equal to the numpy greedy replay by pytest
+    "kcenter_coreset",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -1681,6 +1681,163 @@ FULL OUTER JOIN fullg f
 """
 
 
+#: k-center greedy geometry: coreset size and the argmax packing
+#: shift (dist*SHIFT + (SHIFT-1-vec_id) makes one max() both the
+#: farthest-point selector and its lowest-id tie-break; dm <= 1.03e9
+#: on the e3 grid, so the packed value stays under 2^62)
+KC_K = 8
+KC_SHIFT = 1 << 32
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985) over the embedding
+    corpus — DIVERSE subset selection, the complement of the
+    density-driven samplers (`prototype_prune` keeps typical points,
+    `semdedup_prune` drops redundant ones; k-center maximizes
+    coverage, the shape used for "pick K maximally-different
+    exemplars" curation and the classic 2-approximation to the
+    optimal covering radius).  Exact integer distances on the e3
+    grid; seed = lowest vec_id; each round picks the point farthest
+    from the chosen set (min-id tie-break via the packed argmax) and
+    folds its distance column into the running minimum.
+
+    Scale shape: K passes over the corpus, each a broadcast of ONE
+    new center + a row-local least() — the canonical k-center plan
+    (the distance state is corpus-sized but columnar and checkpointed,
+    never shuffled; the only aggregates are global max/min scalars).
+    Output: the K selected exemplars with the radius each closed
+    (round r's radius = max-min-distance before its pick — a
+    non-increasing sequence) and the final coverage radius."""
+    from ..io import release_local_checkpoint, swap_cache
+
+    def dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings"))
+    pts = swap_cache(
+        "ml.kcenter.pts",
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+            ).alias("qv"),
+        ),
+    )
+    seed = pts.agg(F.min("vec_id").alias("sel_id"))
+    sels = [
+        seed.select(
+            F.lit(1).alias("sel_round"),
+            F.col("sel_id").alias("vec_id"),
+            F.lit(None).cast("long").alias("radius"),
+        )
+    ]
+    cvec = pts.join(F.broadcast(seed), pts.vec_id == F.col("sel_id")).select(
+        F.col("qv").alias("cv")
+    )
+    dmin = (
+        pts.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "qv", dist(F.col("qv"), F.col("cv")).alias("dm"))
+        .localCheckpoint()
+    )
+    prev = dmin
+    for r in range(2, KC_K + 1):
+        pick = (
+            dmin.agg(
+                F.max(
+                    F.col("dm") * KC_SHIFT
+                    + (F.lit(KC_SHIFT - 1) - F.col("vec_id"))
+                ).alias("pk")
+            )
+            .select(
+                F.expr(f"pk DIV {KC_SHIFT}").cast("long").alias("radius"),
+                (F.lit(KC_SHIFT - 1) - F.col("pk") % KC_SHIFT)
+                .cast("long")
+                .alias("sel_id"),
+            )
+            .localCheckpoint()  # 1 row; its dmin is released below
+        )
+        sels.append(
+            pick.select(
+                F.lit(r).alias("sel_round"),
+                F.col("sel_id").alias("vec_id"),
+                "radius",
+            )
+        )
+        cvec = pts.join(F.broadcast(pick), pts.vec_id == F.col("sel_id")).select(
+            F.col("qv").alias("cv")
+        )
+        dmin = (
+            dmin.crossJoin(F.broadcast(cvec))
+            .select(
+                "vec_id",
+                "qv",
+                F.least(F.col("dm"), dist(F.col("qv"), F.col("cv"))).alias("dm"),
+            )
+            .localCheckpoint()
+        )
+        release_local_checkpoint(prev)
+        prev = dmin
+    cover = dmin.agg(F.max("dm").cast("long").alias("coverage_radius"))
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out.crossJoin(F.broadcast(cover)).select(
+        F.col("sel_round").cast("int").alias("sel_round"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "radius",
+        "coverage_radius",
+    )
+
+
+def _kcenter_oracle() -> str:
+    sh = KC_SHIFT
+    d = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        "k -> ({a}[CAST(k AS INT)] - {b}[CAST(k AS INT)]) "
+        "* ({a}[CAST(k AS INT)] - {b}[CAST(k AS INT)]))) AS BIGINT)"
+    )
+    parts = [
+        """
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+  FROM embeddings),
+s1 AS (SELECT min(vec_id) AS sel_id FROM pts),
+c1 AS (SELECT qv AS cv FROM pts, s1 WHERE vec_id = sel_id),"""
+        + f"""
+d1 AS MATERIALIZED (
+  SELECT vec_id, qv, {d.format(a="qv", b="cv")} AS dm FROM pts, c1),"""
+    ]
+    for r in range(2, KC_K + 1):
+        parts.append(
+            f"""
+p{r} AS (SELECT max(dm * {sh} + ({sh} - 1 - vec_id)) AS pk FROM d{r - 1}),
+s{r} AS (SELECT CAST(pk // {sh} AS BIGINT) AS radius,
+                CAST({sh} - 1 - (pk % {sh}) AS BIGINT) AS sel_id FROM p{r}),
+c{r} AS (SELECT qv AS cv FROM pts, s{r} WHERE vec_id = sel_id),
+d{r} AS MATERIALIZED (
+  SELECT d.vec_id, d.qv, least(d.dm, {d.format(a="d.qv", b="cv")}) AS dm
+  FROM d{r - 1} d, c{r}),"""
+        )
+    k = KC_K
+    sel_union = "\nUNION ALL ".join(
+        f"SELECT {r} AS sel_round, CAST(sel_id AS BIGINT) AS vec_id, "
+        + ("CAST(NULL AS BIGINT) AS radius" if r == 1 else "radius")
+        + f", coverage_radius FROM s{r}, cover"
+        for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+cover AS (SELECT CAST(max(dm) AS BIGINT) AS coverage_radius FROM d{k})
+{sel_union}"""
+    )
+    return "".join(parts)
+
+
 #: product-quantization geometry: M_PQ subspaces × (dim / M_PQ) dims,
 #: K_PQ codes per subspace (codebook = the K_PQ lowest vec_ids'
 #: subvectors, the same deterministic-init rule as `_init_centroids`)
@@ -2606,6 +2763,7 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "pca_power_iteration": pca_power_iteration,
     "gram_upsert_equivalence": gram_upsert_equivalence,
+    "kcenter_coreset": kcenter_coreset,
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
@@ -2636,6 +2794,7 @@ ORACLES = {
     "embedding_gram_matrix": GRAM_ORACLE,
     "pca_power_iteration": _pca_oracle(),
     "gram_upsert_equivalence": GRAM_UPSERT_ORACLE,
+    "kcenter_coreset": _kcenter_oracle(),
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,

@@ -981,9 +981,154 @@ GROUP BY 1, 2
 """
 
 
+#: point-in-time probe grid for the interval-reconstruction audit —
+#: four dates inside the orders domain (1995-01..2001-08)
+ASOF_PROBES = ("1996-01-01", "1997-07-01", "1999-01-01", "2000-07-01")
+
+
+def scd2_asof_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal correctness audit: a versioned (SCD2-style) state
+    table rebuilt from the order history must reproduce EXACTLY the
+    point-in-time facts at every probe date — the invariant every
+    time-travel / AS OF consumer silently relies on.  `scd2_customer_dim`
+    certifies the merge mechanics on a two-epoch demo; this certifies
+    the INTERVAL SEMANTICS (``valid_from <= t < valid_to``, NULL = open)
+    against ground truth over the full seven-year history.
+
+    Version table: one row per (customer, order date) carrying
+    cumulative order count and spend cents (exact ints), closed by
+    the next version's date.  For each probe date the audit compares
+    the interval route (match the covering version per customer, sum
+    its cumulative state) with the fact route (filter raw orders to
+    ``<= probe``, aggregate) — counts, order totals, and spend must
+    agree to the cent.
+
+    Scale shape: the version build is one partitioned window over
+    the fact table's natural key; the probe grid is a 4-row
+    broadcast (the sanctioned bounded nested-loop shape — interval
+    probes are not equi-joinable), and each route ends in a
+    probe-grouped aggregate.  At 100 TB the version table IS the
+    stored dim; only the audit's fact route re-scans history."""
+    o = table(tune(spark), sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("o_custkey", "d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    versions = daily.select(
+        "o_custkey",
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_n"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_c"),
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in ASOF_PROBES], "probe_date string"
+    )
+    iv = (
+        versions.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_date"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_date") < F.col("valid_to"))
+            ),
+        )
+        .groupBy("probe_date")
+        .agg(
+            F.count("*").cast("long").alias("n_cust_interval"),
+            F.sum("cum_n").cast("long").alias("n_orders_interval"),
+            F.sum("cum_c").cast("long").alias("spend_cents_interval"),
+        )
+    )
+    fact = (
+        o.join(F.broadcast(probes), F.col("d") <= F.col("probe_date"))
+        .groupBy("probe_date")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_cust_fact"),
+            F.count("*").cast("long").alias("n_orders_fact"),
+            F.sum("cents").cast("long").alias("spend_cents_fact"),
+        )
+    )
+    return iv.join(fact, "probe_date").select(
+        "probe_date",
+        "n_cust_interval",
+        "n_cust_fact",
+        "n_orders_interval",
+        "n_orders_fact",
+        "spend_cents_interval",
+        "spend_cents_fact",
+        (
+            (F.col("n_cust_interval") == F.col("n_cust_fact"))
+            & (F.col("n_orders_interval") == F.col("n_orders_fact"))
+            & (F.col("spend_cents_interval") == F.col("spend_cents_fact"))
+        )
+        .cast("int")
+        .alias("consistent"),
+    )
+
+
+def _asof_consistency_oracle() -> str:
+    probes = ", ".join(f"('{p}')" for p in ASOF_PROBES)
+    return f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS d,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+daily AS (
+  SELECT o_custkey, d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS c
+  FROM o GROUP BY 1, 2),
+versions AS (
+  SELECT o_custkey, d AS valid_from,
+         lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to,
+         CAST(sum(n) OVER (PARTITION BY o_custkey ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c
+  FROM daily),
+probes(probe_date) AS (VALUES {probes}),
+iv AS (
+  SELECT probe_date,
+         CAST(count(*) AS BIGINT) AS n_cust_interval,
+         CAST(sum(cum_n) AS BIGINT) AS n_orders_interval,
+         CAST(sum(cum_c) AS BIGINT) AS spend_cents_interval
+  FROM versions JOIN probes
+    ON valid_from <= probe_date
+   AND (valid_to IS NULL OR probe_date < valid_to)
+  GROUP BY 1),
+fact AS (
+  SELECT probe_date,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_fact,
+         CAST(count(*) AS BIGINT) AS n_orders_fact,
+         CAST(sum(cents) AS BIGINT) AS spend_cents_fact
+  FROM o JOIN probes ON d <= probe_date
+  GROUP BY 1)
+SELECT iv.probe_date, n_cust_interval, n_cust_fact,
+       n_orders_interval, n_orders_fact,
+       spend_cents_interval, spend_cents_fact,
+       CAST(CASE WHEN n_cust_interval = n_cust_fact
+                  AND n_orders_interval = n_orders_fact
+                  AND spend_cents_interval = spend_cents_fact
+            THEN 1 ELSE 0 END AS INT) AS consistent
+FROM iv JOIN fact ON iv.probe_date = fact.probe_date
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
+    "scd2_asof_consistency": scd2_asof_consistency,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
     "heavy_hitters_exact": heavy_hitters_exact,
@@ -1002,6 +1147,7 @@ ORACLES = {
     "calendar_arithmetic_semantics": CALENDAR_ARITH_ORACLE,
     "asof_purchase_view": ASOF_ORACLE,
     "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
+    "scd2_asof_consistency": _asof_consistency_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,
     "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,

@@ -281,3 +281,59 @@ def test_gram_upsert_equivalence_and_float_counterexample(spark, sf_dir):
     assert full != split  # float maintenance would NOT certify
     xi = np.floor(x).astype(np.int64)
     assert xi.sum() == xi[::2].sum() + xi[1::2].sum()
+
+
+def test_scd2_asof_consistency_holds_and_is_load_bearing(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import (
+        ASOF_PROBES,
+        scd2_asof_consistency,
+    )
+
+    out = {r["probe_date"]: r for r in scd2_asof_consistency(spark, sf_dir).collect()}
+    assert set(out) == set(ASOF_PROBES)
+    for r in out.values():
+        # the audited invariant: interval reconstruction == raw facts
+        assert r["consistent"] == 1
+        assert r["n_cust_interval"] == r["n_cust_fact"] > 0
+        assert r["spend_cents_interval"] == r["spend_cents_fact"] > 0
+    # probes are ordered in time, so the as-of state grows monotonically
+    seq = [out[p] for p in ASOF_PROBES]
+    for a, b in zip(seq, seq[1:]):
+        assert a["n_orders_fact"] <= b["n_orders_fact"]
+        assert a["spend_cents_fact"] <= b["spend_cents_fact"]
+
+
+def test_kcenter_coreset_matches_bruteforce_greedy(spark, sf_dir):
+    import numpy as np
+
+    from fxblue_etl_spark.operators.ml import KC_K, kcenter_coreset
+
+    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.floor(np.stack([np.asarray(r["embedding"], float) for r in rows]) * 1e3).astype(np.int64)
+    # plain-Python replay of Gonzalez greedy with min-id tie-breaks
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    sel = [int(ids[0])]
+    dm = ((q - q[0]) ** 2).sum(axis=1)
+    expected = [(1, sel[0], None)]
+    for r in range(2, KC_K + 1):
+        best = int(np.max(dm))
+        cands = ids[dm == best]
+        pick = int(cands.min())
+        expected.append((r, pick, best))
+        pi = int(np.where(ids == pick)[0][0])
+        dm = np.minimum(dm, ((q - q[pi]) ** 2).sum(axis=1))
+        sel.append(pick)
+    out = sorted(
+        (r["sel_round"], r["vec_id"], r["radius"]) for r in kcenter_coreset(spark, sf_dir).collect()
+    )
+    assert out == expected
+    got = kcenter_coreset(spark, sf_dir).collect()
+    cover = {r["coverage_radius"] for r in got}
+    assert cover == {int(dm.max())}
+    # radii are non-increasing (each pick closes the largest gap) and
+    # the final coverage radius is bounded by the last pick's radius
+    radii = [r for _, _, r in expected[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert int(dm.max()) <= radii[-1]
