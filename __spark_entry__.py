@@ -673,6 +673,11 @@ _R11_QUEUE: list[str] = [
     # argmax with min-id tie-break, K broadcast-one-center passes;
     # pinned equal to the numpy greedy replay by pytest
     "kcenter_coreset",
+    # exact two-segment change-point over the daily spend series:
+    # variance-decomposition argmax (S_l^2/n_l + S_r^2/n_r) as a
+    # floor-scaled integer off calendar prefix sums, packed argmax
+    # with min-day tie-break; brute-force replay pinned by pytest
+    "changepoint_detection",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

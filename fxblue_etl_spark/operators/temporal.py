@@ -1125,10 +1125,152 @@ FROM iv JOIN fact ON iv.probe_date = fact.probe_date
 """
 
 
+#: change-point geometry: objective unit (cents per y-unit, $10k —
+#: keeps S_l^2 * n_r <= ~7e16 inside int64 through sf1) and the
+#: argmax packing shift (day index < 2^16)
+CP_UNIT = 1_000_000
+CP_SHIFT = 1 << 16
+
+
+def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-segment change-point detection over the daily spend
+    series — the drift-detection primitive behind "did the
+    distribution shift on day X" monitoring (same family as
+    `daily_anomaly_days`, but structural: it finds the SINGLE best
+    breakpoint rather than flagging outlier days).  Minimizing total
+    two-segment SSE equals MAXIMIZING R(k) = S_l²/n_l + S_r²/n_r
+    (variance decomposition), which this computes as an exact
+    floor-scaled integer from calendar prefix sums: y = daily cents
+    DIV CP_UNIT, R_scaled = (S_l²·n_r + S_r²·n_l) DIV (n_l·n_r) —
+    positive operands, so Spark DIV and DuckDB // agree.  One
+    max() over packed (R_scaled, min-day tie-break) picks the split.
+
+    Scale shape: the series is calendar-bounded (~2.4k rows for the
+    seven-year domain — the data-scaled work is the one daily
+    aggregate), so the prefix-sum window and the argmax run over a
+    bounded frame; the allowlisted global window is the same shape
+    `seasonal_naive_backtest` carries.  Output: the chosen split
+    date, segment sizes and exact mean cents, the split objective,
+    the no-split baseline floor(S²/n), and the gain."""
+    o = table(tune(spark), sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("string").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("y", F.expr(f"cents DIV {CP_UNIT}"))
+    )
+    w = Window.orderBy("d")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        "cents",
+        "y",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("y").over(cum).cast("long").alias("cy"),
+        F.sum("cents").over(cum).cast("long").alias("cc"),
+    )
+    tot = pre.agg(
+        F.max("idx").cast("long").alias("n"),
+        F.max("cy").cast("long").alias("sy"),
+        F.max("cc").cast("long").alias("sc"),
+    )
+    cand = (
+        pre.filter("idx >= 2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "idx",
+            (F.col("cy") - F.col("y")).cast("long").alias("sl"),
+            (F.col("cc") - F.col("cents")).cast("long").alias("scl"),
+            (F.col("idx") - 1).cast("long").alias("nl"),
+            (F.col("sy") - F.col("cy") + F.col("y")).cast("long").alias("sr"),
+            (F.col("sc") - F.col("cc") + F.col("cents"))
+            .cast("long")
+            .alias("scr"),
+            (F.col("n") - F.col("idx") + 1).cast("long").alias("nr"),
+            "n",
+            "sy",
+            "sc",
+        )
+        .withColumn(
+            "rs", F.expr("(sl * sl * nr + sr * sr * nl) DIV (nl * nr)")
+        )
+    )
+    pick = cand.agg(
+        F.max(F.col("rs") * CP_SHIFT + (F.lit(CP_SHIFT - 1) - F.col("idx")))
+        .cast("long")
+        .alias("pk")
+    ).select(
+        (F.lit(CP_SHIFT - 1) - F.col("pk") % CP_SHIFT).cast("long").alias("ki")
+    )
+    return (
+        cand.join(F.broadcast(pick), cand.idx == F.col("ki"))
+        .select(
+            F.col("d").alias("split_date"),
+            F.col("nl").alias("n_days_left"),
+            F.col("nr").alias("n_days_right"),
+            F.expr("scl DIV nl").cast("long").alias("mean_cents_left"),
+            F.expr("scr DIV nr").cast("long").alias("mean_cents_right"),
+            F.col("rs").alias("r_split"),
+            F.expr("(sy * sy) DIV n").cast("long").alias("r_baseline"),
+            (F.col("rs") - F.expr("(sy * sy) DIV n"))
+            .cast("long")
+            .alias("gain"),
+        )
+    )
+
+
+CHANGEPOINT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS VARCHAR) AS d,
+         CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+yd AS (SELECT d, cents, cents // {CP_UNIT} AS y FROM daily),
+pre AS (
+  SELECT d, cents, y,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx,
+         CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cy,
+         CAST(sum(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cc
+  FROM yd),
+tot AS (
+  SELECT CAST(max(idx) AS BIGINT) AS n, CAST(max(cy) AS BIGINT) AS sy,
+         CAST(max(cc) AS BIGINT) AS sc
+  FROM pre),
+cand AS (
+  SELECT d, idx,
+         cy - y AS sl, cc - cents AS scl, idx - 1 AS nl,
+         sy - cy + y AS sr, sc - cc + cents AS scr, n - idx + 1 AS nr,
+         n, sy, sc,
+         (( (cy - y) * (cy - y) * (n - idx + 1)
+          + (sy - cy + y) * (sy - cy + y) * (idx - 1) ))
+           // ((idx - 1) * (n - idx + 1)) AS rs
+  FROM pre, tot WHERE idx >= 2),
+pick AS (
+  SELECT CAST({CP_SHIFT} - 1 - (max(rs * {CP_SHIFT}
+               + ({CP_SHIFT} - 1 - idx)) % {CP_SHIFT}) AS BIGINT) AS ki
+  FROM cand)
+SELECT d AS split_date,
+       CAST(nl AS BIGINT) AS n_days_left,
+       CAST(nr AS BIGINT) AS n_days_right,
+       CAST(scl // nl AS BIGINT) AS mean_cents_left,
+       CAST(scr // nr AS BIGINT) AS mean_cents_right,
+       CAST(rs AS BIGINT) AS r_split,
+       CAST((sy * sy) // n AS BIGINT) AS r_baseline,
+       CAST(rs - (sy * sy) // n AS BIGINT) AS gain
+FROM cand, pick WHERE idx = ki
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
     "scd2_asof_consistency": scd2_asof_consistency,
+    "changepoint_detection": changepoint_detection,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
     "heavy_hitters_exact": heavy_hitters_exact,
@@ -1148,6 +1290,7 @@ ORACLES = {
     "asof_purchase_view": ASOF_ORACLE,
     "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
     "scd2_asof_consistency": _asof_consistency_oracle(),
+    "changepoint_detection": CHANGEPOINT_ORACLE,
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,
     "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,

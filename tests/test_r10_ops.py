@@ -337,3 +337,38 @@ def test_kcenter_coreset_matches_bruteforce_greedy(spark, sf_dir):
     radii = [r for _, _, r in expected[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert int(dm.max()) <= radii[-1]
+
+
+def test_changepoint_matches_bruteforce_and_planted_shift(spark, sf_dir):
+    import numpy as np
+
+    from fxblue_etl_spark.operators.temporal import (
+        CP_UNIT,
+        changepoint_detection,
+    )
+
+    daily = sorted(
+        (r["d"], r["cents"])
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("string").alias("d"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+        .collect()
+    )
+    y = np.array([c // CP_UNIT for _, c in daily], dtype=np.int64)
+    n = len(y)
+    cy = np.cumsum(y)
+    best = None
+    for k in range(2, n + 1):  # 1-based split index: right starts at k
+        sl, nl = int(cy[k - 2]), k - 1
+        sr, nr = int(cy[-1]) - int(cy[k - 2]), n - k + 1
+        rs = (sl * sl * nr + sr * sr * nl) // (nl * nr)
+        if best is None or rs > best[0] or (rs == best[0] and k < best[1]):
+            best = (rs, k)
+    r = changepoint_detection(spark, sf_dir).collect()[0]
+    assert r["split_date"] == daily[best[1] - 1][0]
+    assert r["r_split"] == best[0]
+    assert r["n_days_left"] == best[1] - 1
+    assert r["n_days_left"] + r["n_days_right"] == n
+    # splitting can never score below the single-segment baseline
+    assert r["gain"] >= 0
+    assert r["r_split"] >= r["r_baseline"]
