@@ -678,6 +678,12 @@ _R11_QUEUE: list[str] = [
     # floor-scaled integer off calendar prefix sums, packed argmax
     # with min-day tie-break; brute-force replay pinned by pytest
     "changepoint_detection",
+    # streaming Gram maintenance: per-batch d x d integer partials
+    # added into 2080-row bounded state (the sketch-shaped end of
+    # the incremental-gate family); oracle IS the batch GRAM_ORACLE
+    # — the strongest incremental==rebuild statement the family
+    # makes; split invariance pinned by pytest
+    "streaming_gram_maintenance",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -1770,6 +1770,82 @@ FROM sk
 STREAM_KMV_ORACLE = _stream_kmv_oracle()
 
 
+def streaming_gram_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the Gram statistic — the spectral
+    member of the incremental-gate family, and the live counterpart
+    of the batch `gram_upsert_equivalence` contract: each micro-batch
+    of embeddings collapses to its d×d integer partial
+    (``ml.gram_cells`` — one Arrow pass, ≤ d(d+1)/2 rows leave the
+    batch) and ADDS into the carried state.  Because the Gram is a
+    sum of outer products on the e3 integer grid, the final state
+    must equal the batch rebuild EXACTLY — the oracle is the very
+    same GRAM_ORACLE the batch query certifies against, which is the
+    strongest statement of incremental == rebuild the gate family
+    makes (same output schema, same hashes, zero tolerance).
+
+    State is BOUNDED at d(d+1)/2 = 2 080 rows regardless of corpus
+    size (contrast the band/sign indexes, which grow with the data):
+    this is the sketch-shaped end of the family.  foreachBatch, no
+    state store; per batch one coalesce(1) checkpoint supersedes the
+    previous (released eagerly).  At 100 TB the same plan maintains
+    PCA/whitening statistics at ingest cost, and
+    `pca_power_iteration` reads the standing state instead of
+    re-scanning the corpus."""
+    from ..io import release_local_checkpoint
+    from ..operators.ml import gram_cells
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "embeddings", "vec_id", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream_vecs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = gram_cells(batch_df)
+        if "g" in state:
+            merged = (
+                state["g"]
+                .unionByName(cells)
+                .groupBy("i", "j")
+                .agg(F.sum("cross_sum").cast("long").alias("cross_sum"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["g"])
+        else:
+            new = cells.coalesce(1).localCheckpoint()
+        state["g"] = new
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return state.pop("g").select("i", "j", "cross_sum")
+
+
+def _gram_oracle_ref() -> str:
+    """The streaming maintenance must equal the BATCH Gram exactly —
+    reuse the batch oracle verbatim (incremental == rebuild)."""
+    from ..operators.ml import GRAM_ORACLE
+
+    return GRAM_ORACLE
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -1792,6 +1868,7 @@ QUERIES = {
     "streaming_embed_dedup_incremental": streaming_embed_dedup_incremental,
     "streaming_quality_gate": streaming_quality_gate,
     "streaming_kmv_distinct": streaming_kmv_distinct,
+    "streaming_gram_maintenance": streaming_gram_maintenance,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
 }
 
@@ -1801,6 +1878,7 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
 ORACLES = {
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
+    "streaming_gram_maintenance": _gram_oracle_ref(),
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

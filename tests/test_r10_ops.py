@@ -372,3 +372,28 @@ def test_changepoint_matches_bruteforce_and_planted_shift(spark, sf_dir):
     # splitting can never score below the single-segment baseline
     assert r["gain"] >= 0
     assert r["r_split"] >= r["r_baseline"]
+
+
+def test_streaming_gram_maintenance_split_invariant_equals_batch(spark, sf_dir):
+    from fxblue_etl_spark.operators.ml import embedding_gram_matrix
+    from fxblue_etl_spark.streaming.pipelines import streaming_gram_maintenance
+
+    batch = {
+        (r["i"], r["j"]): r["cross_sum"]
+        for r in embedding_gram_matrix(spark, sf_dir).collect()
+    }
+    for n_splits in (1, 4):
+        prog: list = []
+        got = {
+            (r["i"], r["j"]): r["cross_sum"]
+            for r in streaming_gram_maintenance(
+                spark, sf_dir, prog, n_splits=n_splits
+            ).collect()
+        }
+        # incremental == rebuild EXACTLY, for any micro-batch split
+        assert got == batch
+        # state is sketch-shaped: d(d+1)/2 cells regardless of corpus
+        assert len(got) == 64 * 65 // 2
+        if n_splits == 4:
+            # the stream really ran as multiple micro-batches
+            assert len([p for p in prog if p.get("numInputRows", 0) > 0]) >= 2
