@@ -684,6 +684,12 @@ _R11_QUEUE: list[str] = [
     # — the strongest incremental==rebuild statement the family
     # makes; split invariance pinned by pytest
     "streaming_gram_maintenance",
+    # group-aware CV folds: fold membership keyed by near-dup
+    # COMPONENT so paraphrase twins never straddle a train/eval
+    # boundary — contamination_check detects leakage, this prevents
+    # it; the naive doc-hash counterfactual straddle count is the
+    # quantified win, group straddle computed (0 by construction)
+    "group_aware_folds",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -234,6 +234,139 @@ GROUP BY s
 """
 
 
+#: fold count + salt for the group-aware cross-validation assigner
+CV_FOLDS = 5
+CV_SALT = "cvfold|"
+
+
+def group_aware_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware cross-validation folds — the split-hygiene
+    operator that closes the loop between dedup and evaluation: fold
+    membership is keyed by the near-dup COMPONENT (every vector in a
+    duplicate cluster lands in the same fold), so paraphrase-level
+    twins can never sit on both sides of a train/eval boundary.
+    `contamination_check` / `semantic_contamination_report` DETECT
+    leakage after the fact; this PREVENTS it by construction.
+
+    Per fold: member and component counts, plus the quantified
+    counterfactual — how many near-dup pairs a naive doc-hash fold
+    assignment would have straddled across folds (the leakage the
+    group key removes), and the group-keyed straddle count computed
+    the same way (0 by construction, reported not asserted).
+
+    Scale shape: the pair graph and its components come from the
+    certified blocked lineage (persisted, one pair-finder pass);
+    fold assignment is a row-local hash of the component root; the
+    readout is a FOLDS-sized aggregate plus two pair-sized semi-join
+    counts."""
+    from ..io import swap_cache, table
+    from ..operators.corpusops import _hash_bucket
+    from .similarity import embedding_near_dup
+
+    tune(spark)
+    pairs = swap_cache(
+        "graph.cvfold.pairs",
+        embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b"),
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b").select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    labeled = swap_cache(
+        "graph.cvfold.labeled",
+        vecs.join(comp, "vec_id", "left").select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("comp_id"),
+        ),
+    )
+    fold = _hash_bucket(F.col("comp_id"), CV_SALT, CV_FOLDS)
+    naive = _hash_bucket(F.col("vec_id"), CV_SALT, CV_FOLDS)
+    per_fold = (
+        labeled.select(fold.alias("fold"), "vec_id", "comp_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.count_distinct("comp_id").cast("long").alias("n_components"),
+        )
+    )
+    sides = labeled.select(
+        "vec_id", fold.alias("gf"), naive.alias("nf")
+    )
+    a = sides.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("gf").alias("gf_a"),
+        F.col("nf").alias("nf_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("gf").alias("gf_b"),
+        F.col("nf").alias("nf_b"),
+    )
+    straddle = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .agg(
+            F.sum((F.col("nf_a") != F.col("nf_b")).cast("long"))
+            .cast("long")
+            .alias("naive_straddle_pairs"),
+            F.sum((F.col("gf_a") != F.col("gf_b")).cast("long"))
+            .cast("long")
+            .alias("group_straddle_pairs"),
+        )
+    )
+    return per_fold.crossJoin(F.broadcast(straddle)).select(
+        "fold",
+        "n_vecs",
+        "n_components",
+        "naive_straddle_pairs",
+        "group_straddle_pairs",
+    )
+
+
+def _group_aware_folds_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    fold = _hash_bucket_sql("CAST(comp_id AS VARCHAR)", CV_SALT, CV_FOLDS)
+    gf_a = _hash_bucket_sql("CAST(ca.comp_id AS VARCHAR)", CV_SALT, CV_FOLDS)
+    gf_b = _hash_bucket_sql("CAST(cb.comp_id AS VARCHAR)", CV_SALT, CV_FOLDS)
+    nf_a = _hash_bucket_sql("CAST(p.vec_a AS VARCHAR)", CV_SALT, CV_FOLDS)
+    nf_b = _hash_bucket_sql("CAST(p.vec_b AS VARCHAR)", CV_SALT, CV_FOLDS)
+    return f"""
+WITH RECURSIVE np AS ({_near_dup_pairs_sql()}),
+edges(s, d) AS (
+  SELECT vec_a, vec_b FROM np
+  UNION
+  SELECT vec_b, vec_a FROM np),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+closure AS (
+  SELECT s, d FROM reach UNION SELECT s, s FROM edges),
+comp AS (
+  SELECT s AS vec_id, min(d) AS component FROM closure GROUP BY s),
+labeled AS (
+  SELECT e.vec_id, coalesce(c.component, e.vec_id) AS comp_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id),
+per_fold AS (
+  SELECT ({fold}) AS fold,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(count(DISTINCT comp_id) AS BIGINT) AS n_components
+  FROM labeled GROUP BY 1),
+straddle AS (
+  SELECT CAST(sum(CASE WHEN ({nf_a}) <> ({nf_b}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS naive_straddle_pairs,
+         CAST(sum(CASE WHEN ({gf_a}) <> ({gf_b}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS group_straddle_pairs
+  FROM np p
+  JOIN labeled ca ON p.vec_a = ca.vec_id
+  JOIN labeled cb ON p.vec_b = cb.vec_id)
+SELECT fold, n_vecs, n_components, naive_straddle_pairs,
+       group_straddle_pairs
+FROM per_fold, straddle
+"""
+
+
 def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the near-dup pair graph: how many vectors
     have k near-duplicates. The shape QA reads before trusting a
@@ -1023,6 +1156,7 @@ KCORE_ORACLE = _kcore_oracle()
 QUERIES = {
     "kcore_decomposition": kcore_decomposition,
     "dedup_components": dedup_components,
+    "group_aware_folds": group_aware_folds,
     "components_upsert_equivalence": components_upsert_equivalence,
     "dedup_degree_hist": dedup_degree_hist,
     "dedup_component_size_hist": dedup_component_size_hist,
@@ -1037,6 +1171,7 @@ ORACLES = {
     "kcore_decomposition": KCORE_ORACLE,
     "dedup_pagerank_exact": PR_EXACT_ORACLE,
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
+    "group_aware_folds": _group_aware_folds_oracle(),
     "components_upsert_equivalence": CC_UPSERT_ORACLE,
     "dedup_degree_hist": DEGREE_HIST_ORACLE,
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,

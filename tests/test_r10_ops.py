@@ -397,3 +397,24 @@ def test_streaming_gram_maintenance_split_invariant_equals_batch(spark, sf_dir):
         if n_splits == 4:
             # the stream really ran as multiple micro-batches
             assert len([p for p in prog if p.get("numInputRows", 0) > 0]) >= 2
+
+
+def test_group_aware_folds_prevent_pair_leakage(spark, sf_dir):
+    from fxblue_etl_spark.operators.graph import CV_FOLDS, group_aware_folds
+
+    out = group_aware_folds(spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert 1 <= len(out) <= CV_FOLDS
+    assert sum(r["n_vecs"] for r in out) == n_vecs
+    for r in out:
+        # a fold can't hold more components than members
+        assert 1 <= r["n_components"] <= r["n_vecs"]
+        # the construction guarantee: component-keyed folds never
+        # split a near-dup pair
+        assert r["group_straddle_pairs"] == 0
+        # the counterfactual is the point: naive doc-hash folding
+        # WOULD have leaked pairs across the boundary (4/5 of pairs
+        # in expectation; assert it is at least nonzero when the
+        # fixture has pairs at all)
+        if n_vecs >= 500:
+            assert r["naive_straddle_pairs"] > 0
