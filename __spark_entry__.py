@@ -690,6 +690,12 @@ _R11_QUEUE: list[str] = [
     # it; the naive doc-hash counterfactual straddle count is the
     # quantified win, group straddle computed (0 by construction)
     "group_aware_folds",
+    # training-batch padding economics: arrival-order vs
+    # length-sorted dynamic-padding batches priced exactly (padded
+    # slots, waste ppm) — the batching sibling of sequence_pack;
+    # both global orders via the bucketed two-level rank; the
+    # sorted-wins claim pinned by pytest
+    "padding_waste_report",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

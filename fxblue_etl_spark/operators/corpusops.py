@@ -130,6 +130,139 @@ WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "sample|", 1000)} < {_RATE_SQ
 """
 
 
+#: dynamic-padding batch geometry for the waste report
+PAD_BATCH = 32
+#: ordering-aligned bucket widths for the two-level ranks (id-order
+#: buckets of 1000 ids; length-order buckets of 16 tokens)
+PAD_ID_BKT = 1000
+PAD_LEN_BKT = 16
+
+
+def _ordered_rank(keyed, bkt_col):
+    """Exact global rank over (k, doc_id) without a single-task sort:
+    ordering-aligned buckets (integer division of the sort key keeps
+    cross-bucket order), bucket-local row_number, broadcast offsets
+    from the triangular join over per-bucket totals — the same
+    two-level shape as spearman_rank_corr_bucketed / the SNM rank."""
+    from pyspark.sql.window import Window
+
+    b = keyed.withColumn("bkt", bkt_col)
+    local = b.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("k", "doc_id")),
+    )
+    counts = b.groupBy("bkt").agg(F.count("*").cast("long").alias("n"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offs = (
+        x.join(y, F.col("y.bkt") < F.col("x.bkt"), "left")
+        .groupBy(F.col("x.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("y.n"), F.lit(0)).cast("long").alias("off"))
+    )
+    return local.join(F.broadcast(offs), "bkt").select(
+        "doc_id", "len", (F.col("off") + F.col("lrank")).cast("long").alias("rnk")
+    )
+
+
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding economics — the batching sibling of
+    `sequence_pack` (packing eliminates padding by concatenation;
+    most fine-tune loaders instead PAD each batch to its longest
+    member, and the cost of that depends entirely on batch ORDER).
+    Quantifies the classic fix: per strategy — arrival order
+    (doc_id) vs length-sorted batching — batches of PAD_BATCH pad to
+    the batch max, and the report prices the padded slots exactly:
+    total tokens, padded slots, waste ppm.  The length-sorted
+    strategy's win (near-equal lengths per batch) is the measured
+    number a data-loader team acts on.
+
+    Exact integers end to end; both global orders run as the
+    bucketed two-level rank (integer-division buckets are
+    ordering-aligned, so no single-task sort and no partitionless
+    window).  Scale: two ranks + two PAD_BATCH-grouped aggregates
+    over (corpus / B) batch rows."""
+    from ..io import swap_cache
+
+    d = table(tune(spark), sf_dir, "documents")
+    base = swap_cache(
+        "corpusops.padding",
+        d.select(
+            "doc_id",
+            F.size(ws_tokens(F.col("text"))).cast("long").alias("len"),
+        ),
+    )
+
+    def strategy(name: str, ranked) -> DataFrame:
+        batches = (
+            ranked.withColumn("batch_id", F.expr(f"(rnk - 1) DIV {PAD_BATCH}"))
+            .groupBy("batch_id")
+            .agg(
+                F.count("*").cast("long").alias("bsz"),
+                F.max("len").cast("long").alias("bmax"),
+                F.sum("len").cast("long").alias("btok"),
+            )
+        )
+        return batches.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("btok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bsz") * F.col("bmax")).cast("long").alias("padded_slots"),
+            F.expr(
+                "1000000 * (sum(bsz * bmax) - sum(btok)) DIV sum(bsz * bmax)"
+            )
+            .cast("long")
+            .alias("waste_ppm"),
+        )
+
+    arrival = _ordered_rank(
+        base.select("doc_id", "len", F.col("doc_id").alias("k")),
+        F.expr(f"doc_id DIV {PAD_ID_BKT}"),
+    )
+    bylen = _ordered_rank(
+        base.select("doc_id", "len", F.col("len").alias("k")),
+        F.expr(f"len DIV {PAD_LEN_BKT}"),
+    )
+    return strategy("arrival", arrival).unionByName(strategy("sorted", bylen))
+
+
+PADDING_WASTE_ORACLE = rf"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t != '')) AS BIGINT) AS len
+  FROM documents),
+r_arrival AS (
+  SELECT doc_id, len, row_number() OVER (ORDER BY doc_id) AS rnk FROM base),
+r_sorted AS (
+  SELECT doc_id, len, row_number() OVER (ORDER BY len, doc_id) AS rnk
+  FROM base),
+b_arrival AS (
+  SELECT (rnk - 1) // {PAD_BATCH} AS batch_id,
+         CAST(count(*) AS BIGINT) AS bsz, CAST(max(len) AS BIGINT) AS bmax,
+         CAST(sum(len) AS BIGINT) AS btok
+  FROM r_arrival GROUP BY 1),
+b_sorted AS (
+  SELECT (rnk - 1) // {PAD_BATCH} AS batch_id,
+         CAST(count(*) AS BIGINT) AS bsz, CAST(max(len) AS BIGINT) AS bmax,
+         CAST(sum(len) AS BIGINT) AS btok
+  FROM r_sorted GROUP BY 1)
+SELECT 'arrival' AS strategy,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(btok) AS BIGINT) AS total_tokens,
+       CAST(sum(bsz * bmax) AS BIGINT) AS padded_slots,
+       CAST((1000000 * (sum(bsz * bmax) - sum(btok))) // sum(bsz * bmax)
+            AS BIGINT) AS waste_ppm
+FROM b_arrival
+UNION ALL
+SELECT 'sorted',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(btok) AS BIGINT),
+       CAST(sum(bsz * bmax) AS BIGINT),
+       CAST((1000000 * (sum(bsz * bmax) - sum(btok))) // sum(bsz * bmax)
+            AS BIGINT)
+FROM b_sorted
+"""
+
+
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: docs in stable doc_id order fill
     ~PACK_BUDGET-token bins (bin = exclusive running token sum ÷
@@ -1057,6 +1190,7 @@ FROM rem
 
 
 QUERIES = {
+    "padding_waste_report": padding_waste_report,
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
     "sequence_pack": sequence_pack,
@@ -1075,6 +1209,7 @@ QUERIES = {
 WATERFILL_ORACLE = _waterfill_oracle()
 
 ORACLES = {
+    "padding_waste_report": PADDING_WASTE_ORACLE,
     "corpus_split": CORPUS_SPLIT_ORACLE,
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "sequence_pack": SEQUENCE_PACK_ORACLE,

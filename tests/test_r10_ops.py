@@ -418,3 +418,26 @@ def test_group_aware_folds_prevent_pair_leakage(spark, sf_dir):
         # fixture has pairs at all)
         if n_vecs >= 500:
             assert r["naive_straddle_pairs"] > 0
+
+
+def test_padding_waste_sorted_batching_wins(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import (
+        PAD_BATCH,
+        padding_waste_report,
+    )
+
+    out = {r["strategy"]: r for r in padding_waste_report(spark, sf_dir).collect()}
+    assert set(out) == {"arrival", "sorted"}
+    arr, srt = out["arrival"], out["sorted"]
+    n_docs = table(spark, sf_dir, "documents").count()
+    for r in (arr, srt):
+        assert r["n_batches"] == -(-n_docs // PAD_BATCH)
+        # padded slots can never undercut the real tokens
+        assert r["padded_slots"] >= r["total_tokens"] > 0
+        assert 0 <= r["waste_ppm"] < 1_000_000
+    # strategies see the same corpus
+    assert arr["total_tokens"] == srt["total_tokens"]
+    # the claim being sold: length-sorted batching strictly reduces
+    # padded slots on any corpus with length variance
+    assert srt["padded_slots"] <= arr["padded_slots"]
+    assert srt["waste_ppm"] <= arr["waste_ppm"]
