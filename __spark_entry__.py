@@ -696,6 +696,11 @@ _R11_QUEUE: list[str] = [
     # both global orders via the bucketed two-level rank; the
     # sorted-wins claim pinned by pytest
     "padding_waste_report",
+    # Theil-Sen robust trend over monthly revenue: median pair slope
+    # in floor-divided cents/month (portable pmod division) vs the
+    # exact-integer OLS normal equation — breakdown-point-29% trend
+    # next to the outlier-fragile baseline; brute-force pinned
+    "theilsen_trend",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

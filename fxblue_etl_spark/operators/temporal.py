@@ -1266,11 +1266,121 @@ FROM cand, pick WHERE idx = ki
 """
 
 
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend estimation: the Theil-Sen median slope over
+    monthly revenue — the estimator that survives the outlier months
+    OLS gets dragged by (breakdown point 29% vs 0%).  Exact integer
+    contract: slopes are floor-divided cents-per-month via the
+    portable positive-mod floor division (Spark DIV truncates,
+    DuckDB // floors), the median is the lower order statistic of
+    the pair grid, and the OLS comparison slope comes from the exact
+    rational normal equation floor-divided in the same units.
+
+    Scale shape: the data-scaled work is ONE monthly aggregate; the
+    pair grid is (calendar months)² / 2 — config-sized (~3.2k rows
+    for the seven-year domain), so its rank window is bounded by the
+    calendar, not the data (allowlisted, the seasonal_naive class)."""
+    from .ml import _pmod_floordiv
+
+    o = table(tune(spark), sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("m"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("m")
+    idx = monthly.select(
+        F.row_number().over(w).cast("long").alias("x"), "cents"
+    )
+    a = idx.select(F.col("x").alias("xi"), F.col("cents").alias("yi"))
+    b = idx.select(F.col("x").alias("xj"), F.col("cents").alias("yj"))
+    slope = _pmod_floordiv("yj - yi", "xj - xi", "DIV")
+    pairs = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(
+            F.expr(slope).cast("long").alias("s"),
+            "xi",
+            "xj",
+        )
+    )
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("s", "xi", "xj"))
+    )
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("np"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_pairs))
+        .filter(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .select(F.col("s").alias("ts_slope_cents"), "np")
+    )
+    stats = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
+    )
+    ols = stats.select(
+        "n",
+        F.expr(
+            _pmod_floordiv("n * sxy - sx * sy", "n * sxx - sx * sx", "DIV")
+        )
+        .cast("long")
+        .alias("ols_slope_cents"),
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        F.col("n").alias("n_months"),
+        F.col("np").alias("n_pairs"),
+        "ts_slope_cents",
+        "ols_slope_cents",
+    )
+
+
+def _theilsen_oracle() -> str:
+    from .ml import _pmod_floordiv
+
+    slope = _pmod_floordiv("yj - yi", "xj - xi", "//")
+    ols = _pmod_floordiv("n * sxy - sx * sy", "n * sxx - sx * sx", "//")
+    return f"""
+WITH monthly AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m,
+         CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS x, cents
+  FROM monthly),
+pairs AS (
+  SELECT CAST({slope} AS BIGINT) AS s, xi, xj
+  FROM (SELECT a.x AS xi, a.yi AS yi, b.x AS xj, b.yj AS yj
+        FROM (SELECT x, cents AS yi FROM idx) a
+        JOIN (SELECT x, cents AS yj FROM idx) b ON a.x < b.x)),
+pr AS (SELECT xi AS dummy_xi, xj AS dummy_xj, s,
+              row_number() OVER (ORDER BY s, xi, xj) AS rn
+       FROM pairs),
+np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+med AS (
+  SELECT s AS ts_slope_cents, np FROM pr, np WHERE rn = (np + 1) // 2),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * cents) AS BIGINT) AS sxy
+  FROM idx)
+SELECT n AS n_months, np AS n_pairs, ts_slope_cents,
+       CAST({ols} AS BIGINT) AS ols_slope_cents
+FROM med, stats
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
     "scd2_asof_consistency": scd2_asof_consistency,
     "changepoint_detection": changepoint_detection,
+    "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
     "heavy_hitters_exact": heavy_hitters_exact,
@@ -1291,6 +1401,7 @@ ORACLES = {
     "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
     "scd2_asof_consistency": _asof_consistency_oracle(),
     "changepoint_detection": CHANGEPOINT_ORACLE,
+    "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,
     "heavy_hitters_exact": HEAVY_HITTERS_ORACLE,

@@ -441,3 +441,35 @@ def test_padding_waste_sorted_batching_wins(spark, sf_dir):
     # padded slots on any corpus with length variance
     assert srt["padded_slots"] <= arr["padded_slots"]
     assert srt["waste_ppm"] <= arr["waste_ppm"]
+
+
+def test_theilsen_trend_matches_bruteforce_and_robustness(spark, sf_dir):
+    from fxblue_etl_spark.operators.temporal import theilsen_trend
+
+    monthly = sorted(
+        (r["m"], r["cents"])
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("m")
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+        .collect()
+    )
+    ys = [c for _, c in monthly]
+    n = len(ys)
+    # python // floors, matching the portable pmod floor division
+    slopes = sorted(
+        (ys[j] - ys[i]) // (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    r = theilsen_trend(spark, sf_dir).collect()[0]
+    assert r["n_months"] == n
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["ts_slope_cents"] == slopes[(len(slopes) + 1) // 2 - 1]
+    # OLS on the same data via exact integer normal equation
+    sx = n * (n + 1) // 2
+    sxx = sum(x * x for x in range(1, n + 1))
+    sy = sum(ys)
+    sxy = sum(x * y for x, y in enumerate(ys, 1))
+    assert r["ols_slope_cents"] == (n * sxy - sx * sy) // (n * sxx - sx * sx)
