@@ -701,6 +701,12 @@ _R11_QUEUE: list[str] = [
     # exact-integer OLS normal equation — breakdown-point-29% trend
     # next to the outlier-fragile baseline; brute-force pinned
     "theilsen_trend",
+    # offline retrieval evaluation: Precision@5 / MRR / NDCG for the
+    # certified cosine ranking vs label ground truth, per query
+    # label — all-integer (reciprocal rank = 1e6 DIV rank; NDCG log2
+    # discounts precomputed as integer literals, constant ideal);
+    # python replay pinned by pytest
+    "ranking_metrics_report",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

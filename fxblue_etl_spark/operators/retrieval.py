@@ -400,13 +400,137 @@ FROM e GROUP BY 1
 """
 
 
+#: NDCG discount table, the DP-ladder trick for transcendentals:
+#: D[i] = floor(1e9 / log2(i + 1)) computed ONCE in Python and
+#: embedded as integer literals in both engines — no engine ever
+#: evaluates a log.  IDCG at binary relevance with >= K relevant
+#: docs per label is the constant sum(D).
+import math as _math
+
+NDCG_K = 5
+NDCG_D = [_math.floor(1e9 / _math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+NDCG_IDEAL = sum(NDCG_D)
+
+
+def ranking_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval-evaluation metrics — Precision@K, MRR, NDCG
+    — for the certified exact cosine ranking against label ground
+    truth, aggregated per query label.  The missing readout between
+    the rankers (`cosine_topk_bruteforce`, `bm25_rational_topk`) and
+    the recall contracts (`ann_recall_report` measures approximation
+    vs exact; THIS measures ranking quality vs relevance).
+
+    Exact integer contract everywhere a metric is usually float:
+    reciprocal rank = 1e6 DIV rank; the NDCG log2 discounts are
+    precomputed integer literals (see NDCG_D) with a constant ideal
+    (every label has >= K same-label vectors, pinned in pytest); all
+    means are floor-divided ppm.  Plan: the ranked list is the same
+    broadcast-queries × corpus scan + per-query window the certified
+    top-k carries; metrics are two small aggregates over K·queries
+    rows."""
+    from .similarity import cosine_topk_bruteforce
+
+    tune(spark)
+    ranked = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "ql",
+            "rank",
+            (F.col("ql") == F.col("nl")).cast("long").alias("rel"),
+        )
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d).cast("long") for d in NDCG_D]), F.col("rank")
+    )
+    perq = j.groupBy("query_id", "ql").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg"),
+    )
+    perq = perq.select(
+        "query_id",
+        "ql",
+        F.expr(f"1000000 * hits DIV {NDCG_K}").cast("long").alias("prec_ppm"),
+        F.coalesce(
+            F.expr("1000000 DIV first_rel"), F.lit(0).cast("long")
+        ).alias("rr_ppm"),
+        F.expr(f"1000000 * dcg DIV {NDCG_IDEAL}").cast("long").alias("ndcg_ppm"),
+    )
+    return (
+        perq.groupBy(F.col("ql").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.expr("sum(prec_ppm) DIV count(*)")
+            .cast("long")
+            .alias("mean_precision_ppm"),
+            F.expr("sum(rr_ppm) DIV count(*)").cast("long").alias("mrr_ppm"),
+            F.expr("sum(ndcg_ppm) DIV count(*)")
+            .cast("long")
+            .alias("mean_ndcg_ppm"),
+        )
+    )
+
+
+def _ranking_metrics_oracle() -> str:
+    from .similarity import COSINE_TOPK_ORACLE
+
+    d_list = ", ".join(str(d) for d in NDCG_D)
+    return f"""
+WITH topk AS ({COSINE_TOPK_ORACLE.strip()}),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT t.query_id, lq.label AS ql, t.rank,
+         CAST(lq.label = ln.label AS BIGINT) AS rel
+  FROM topk t
+  JOIN lab lq ON lq.vec_id = t.query_id
+  JOIN lab ln ON ln.vec_id = t.neighbor_id),
+perq AS (
+  SELECT query_id, ql,
+         CAST(sum(rel) AS BIGINT) AS hits,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         CAST(sum(rel * ([{d_list}])[rank]) AS BIGINT) AS dcg
+  FROM j GROUP BY 1, 2),
+pm AS (
+  SELECT query_id, ql,
+         (1000000 * hits) // {NDCG_K} AS prec_ppm,
+         coalesce(1000000 // first_rel, 0) AS rr_ppm,
+         (1000000 * dcg) // {NDCG_IDEAL} AS ndcg_ppm
+  FROM perq)
+SELECT ql AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(prec_ppm) // count(*) AS BIGINT) AS mean_precision_ppm,
+       CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,
+       CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm
+FROM pm GROUP BY 1
+"""
+
+
 QUERIES = {
+    "ranking_metrics_report": ranking_metrics_report,
     "bm25_rational_topk": bm25_rational_topk,
     "rrf_hybrid_fusion": rrf_hybrid_fusion,
     "boolean_retrieval_census": boolean_retrieval_census,
 }
 
 ORACLES = {
+    "ranking_metrics_report": _ranking_metrics_oracle(),
     "bm25_rational_topk": BM25_ORACLE,
     "rrf_hybrid_fusion": RRF_ORACLE,
     "boolean_retrieval_census": BOOLEAN_ORACLE,

@@ -473,3 +473,54 @@ def test_theilsen_trend_matches_bruteforce_and_robustness(spark, sf_dir):
     sy = sum(ys)
     sxy = sum(x * y for x, y in enumerate(ys, 1))
     assert r["ols_slope_cents"] == (n * sxy - sx * sy) // (n * sxx - sx * sx)
+
+
+def test_ranking_metrics_exact_against_python_replay(spark, sf_dir):
+    from fxblue_etl_spark.operators.retrieval import (
+        NDCG_D,
+        NDCG_IDEAL,
+        NDCG_K,
+        ranking_metrics_report,
+    )
+    from fxblue_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    # the constant-ideal precondition: every label holds >= K
+    # same-label vectors (so IDCG == sum(NDCG_D) for every query)
+    labels = [r["label"] for r in table(spark, sf_dir, "embeddings").collect()]
+    from collections import Counter
+
+    assert min(Counter(labels).values()) >= NDCG_K + 1
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    perq = {}
+    for r in cosine_topk_bruteforce(spark, sf_dir).collect():
+        q = r["query_id"]
+        perq.setdefault(q, []).append((r["rank"], lab[r["neighbor_id"]] == lab[q]))
+    expected = {}
+    for q, rows in perq.items():
+        rows.sort()
+        hits = sum(rel for _, rel in rows)
+        first = next((rk for rk, rel in rows if rel), None)
+        dcg = sum(NDCG_D[rk - 1] for rk, rel in rows if rel)
+        expected.setdefault(lab[q], []).append(
+            (
+                1_000_000 * hits // NDCG_K,
+                1_000_000 // first if first else 0,
+                1_000_000 * dcg // NDCG_IDEAL,
+            )
+        )
+    out = {r["label"]: r for r in ranking_metrics_report(spark, sf_dir).collect()}
+    assert set(out) == set(expected)
+    for lbl, triples in expected.items():
+        n = len(triples)
+        r = out[lbl]
+        assert r["n_queries"] == n
+        assert r["mean_precision_ppm"] == sum(t[0] for t in triples) // n
+        assert r["mrr_ppm"] == sum(t[1] for t in triples) // n
+        assert r["mean_ndcg_ppm"] == sum(t[2] for t in triples) // n
+        # metric sanity: ndcg >= precision is NOT generally true, but
+        # all three live in [0, 1e6]
+        for v in (r["mean_precision_ppm"], r["mrr_ppm"], r["mean_ndcg_ppm"]):
+            assert 0 <= v <= 1_000_000
