@@ -707,6 +707,12 @@ _R11_QUEUE: list[str] = [
     # discounts precomputed as integer literals, constant ideal);
     # python replay pinned by pytest
     "ranking_metrics_report",
+    # Merkle-tree snapshot diff: order-canonical leaf/level/root md5
+    # digests over key-aligned blocks; emits exactly the differing
+    # blocks + tree summary — the O(log n) sync primitive
+    # corpus_snapshot_diff scales on; exactness (no false
+    # positives/misses vs the row-level delta) pinned by pytest
+    "merkle_table_digest",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

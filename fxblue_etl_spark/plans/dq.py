@@ -893,7 +893,205 @@ FROM g
 """
 
 
+#: Merkle digest geometry: key-aligned leaf blocks, fan-in per level
+MKL_BLOCK = 512
+MKL_FANIN = 16
+#: deterministic delta: blocks whose id hashes under this rate carry
+#: changed rows; within such a block, rows hashing under the row rate
+MKL_BLOCK_PCT = 10
+MKL_ROW_PCT = 20
+
+
+def merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree snapshot diff — the sync primitive `corpus_snapshot_diff`
+    scales on: instead of diffing ROWS, two table versions exchange
+    O(log n) level digests and recurse only into subtrees whose
+    digests differ, so an incremental replicator moves 10 changed
+    blocks, not the table.  This computes both versions' leaf and
+    root digests and emits exactly the differing leaf blocks plus
+    the tree-level summary.
+
+    Version B derives deterministically from orders (keyed md5: ~10%
+    of key-aligned blocks carry rows with a one-cent price shift), so
+    both engines diff identical inputs.  Digests are
+    order-canonical: leaf = md5 of the block's SORTED row hashes
+    concatenated; parent = md5 of child digests in block order — any
+    engine that sorts equally computes equal digests, which is the
+    portability claim the oracle certifies.
+
+    Scale shape: one shuffle per level with fan-in MKL_FANIN (level
+    sizes n/512, n/8k, …); the diff join runs on block digests, not
+    rows.  At 100 TB the leaf digests ARE the stored manifest and
+    only level-0 recompute touches changed partitions."""
+    from ..operators.corpusops import _hash_bucket
+
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    blk = F.expr(f"o_orderkey DIV {MKL_BLOCK}")
+    b_blk = _hash_bucket(blk, "mklb|", 100)
+    b_row = _hash_bucket(F.col("o_orderkey"), "mklr|", 100)
+    shifted = F.when(
+        (b_blk < MKL_BLOCK_PCT) & (b_row < MKL_ROW_PCT),
+        F.floor(F.col("o_totalprice") * 100).cast("long") + 1,
+    ).otherwise(F.floor(F.col("o_totalprice") * 100).cast("long"))
+
+    def rows(version: str, cents) -> DataFrame:
+        return o.select(
+            blk.cast("long").alias("block_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents.cast("string"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ).alias("rh"),
+        ).withColumn("version", F.lit(version))
+
+    both = rows("a", F.floor(F.col("o_totalprice") * 100).cast("long")).unionByName(
+        rows("b", shifted)
+    )
+    leaves = both.groupBy("version", "block_id").agg(
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("dg"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    # roll up to the root: parent digest = md5 of child digests in
+    # block order (collect_list is order-nondeterministic, so sort
+    # structs of (child_id, digest) — canonical in both engines)
+    def rollup(lv: DataFrame) -> DataFrame:
+        return (
+            lv.withColumn("pid", F.expr(f"block_id DIV {MKL_FANIN}"))
+            .groupBy("version", F.col("pid").alias("block_id"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("block_id", "dg"))
+                            ),
+                            lambda s: s["dg"],
+                        ),
+                    )
+                ).alias("dg")
+            )
+        )
+
+    lvl2 = rollup(rollup(leaves.select("version", "block_id", "dg")))
+    root = lvl2.groupBy("version").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("block_id", "dg"))),
+                    lambda s: s["dg"],
+                ),
+            )
+        ).alias("root_dg")
+    )
+    la = leaves.filter("version = 'a'").select(
+        "block_id", F.col("dg").alias("dg_a"), F.col("n_rows").alias("n_rows_a")
+    )
+    lb = leaves.filter("version = 'b'").select(
+        "block_id", F.col("dg").alias("dg_b"), F.col("n_rows").alias("n_rows_b")
+    )
+    j = la.join(lb, "block_id")
+    summary = j.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum((F.col("dg_a") != F.col("dg_b")).cast("long"))
+        .cast("long")
+        .alias("n_diff_blocks"),
+    )
+    ra = root.filter("version = 'a'").select(F.col("root_dg").alias("root_a"))
+    rb = root.filter("version = 'b'").select(F.col("root_dg").alias("root_b"))
+    roots = ra.crossJoin(rb).select(
+        (F.col("root_a") == F.col("root_b")).cast("int").alias("roots_match")
+    )
+    return (
+        j.filter(F.col("dg_a") != F.col("dg_b"))
+        .crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(roots))
+        .select(
+            "block_id",
+            F.substring("dg_a", 1, 16).alias("digest_a16"),
+            F.substring("dg_b", 1, 16).alias("digest_b16"),
+            "n_rows_a",
+            "n_rows_b",
+            "n_blocks",
+            "n_diff_blocks",
+            "roots_match",
+        )
+    )
+
+
+def _merkle_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    bb = _hash_bucket_sql(
+        f"CAST(o_orderkey // {MKL_BLOCK} AS VARCHAR)", "mklb|", 100
+    )
+    br = _hash_bucket_sql("CAST(o_orderkey AS VARCHAR)", "mklr|", 100)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey // {MKL_BLOCK} AS block_id,
+         o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents_a,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN ({bb}) < {MKL_BLOCK_PCT}
+                   AND ({br}) < {MKL_ROW_PCT} THEN 1 ELSE 0 END AS cents_b,
+         CAST(o_orderdate AS VARCHAR) AS d
+  FROM orders),
+rows_v AS (
+  SELECT 'a' AS version, block_id,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(cents_a AS VARCHAR) || '|' || d) AS rh
+  FROM base
+  UNION ALL
+  SELECT 'b', block_id,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(cents_b AS VARCHAR) || '|' || d)
+  FROM base),
+leaves AS MATERIALIZED (
+  SELECT version, block_id,
+         md5(string_agg(rh, '' ORDER BY rh)) AS dg,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM rows_v GROUP BY 1, 2),
+l1 AS (
+  SELECT version, block_id // {MKL_FANIN} AS block_id,
+         md5(string_agg(dg, '' ORDER BY block_id)) AS dg
+  FROM leaves GROUP BY 1, 2),
+l2 AS (
+  SELECT version, block_id // {MKL_FANIN} AS block_id,
+         md5(string_agg(dg, '' ORDER BY block_id)) AS dg
+  FROM l1 GROUP BY 1, 2),
+root AS (
+  SELECT version, md5(string_agg(dg, '' ORDER BY block_id)) AS root_dg
+  FROM l2 GROUP BY 1),
+j AS (
+  SELECT a.block_id, a.dg AS dg_a, b.dg AS dg_b,
+         a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+  FROM (SELECT * FROM leaves WHERE version = 'a') a
+  JOIN (SELECT * FROM leaves WHERE version = 'b') b USING (block_id)),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CASE WHEN dg_a <> dg_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_diff_blocks
+  FROM j),
+roots AS (
+  SELECT CAST(ra.root_dg = rb.root_dg AS INT) AS roots_match
+  FROM (SELECT root_dg FROM root WHERE version = 'a') ra,
+       (SELECT root_dg FROM root WHERE version = 'b') rb)
+SELECT block_id, substr(dg_a, 1, 16) AS digest_a16,
+       substr(dg_b, 1, 16) AS digest_b16,
+       n_rows_a, n_rows_b, n_blocks, n_diff_blocks, roots_match
+FROM j, summary, roots
+WHERE dg_a <> dg_b
+"""
+
+
 QUERIES = {
+    "merkle_table_digest": merkle_table_digest,
     "dq_audit": dq_audit,
     "dp_noisy_release": dp_noisy_release,
     "k_anonymity_audit": k_anonymity_audit,
@@ -910,6 +1108,7 @@ QUERIES = {
 ORACLES = {
     "dq_audit": DQ_AUDIT_ORACLE,
     "dp_noisy_release": _dp_oracle(),
+    "merkle_table_digest": _merkle_oracle(),
     "k_anonymity_audit": K_ANONYMITY_ORACLE,
     "source_length_drift": LENGTH_DRIFT_ORACLE,
     "order_totals_reconciliation": RECONCILIATION_ORACLE,

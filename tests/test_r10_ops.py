@@ -524,3 +524,38 @@ def test_ranking_metrics_exact_against_python_replay(spark, sf_dir):
         # all three live in [0, 1e6]
         for v in (r["mean_precision_ppm"], r["mrr_ppm"], r["mean_ndcg_ppm"]):
             assert 0 <= v <= 1_000_000
+
+
+def test_merkle_digest_flags_exactly_the_changed_blocks(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import _hash_bucket
+    from fxblue_etl_spark.plans.dq import (
+        MKL_BLOCK,
+        MKL_BLOCK_PCT,
+        MKL_ROW_PCT,
+        merkle_table_digest,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    blk = F.expr(f"o_orderkey DIV {MKL_BLOCK}")
+    changed_blocks = {
+        r["b"]
+        for r in o.select(
+            blk.alias("b"),
+            _hash_bucket(blk, "mklb|", 100).alias("bb"),
+            _hash_bucket(F.col("o_orderkey"), "mklr|", 100).alias("br"),
+        )
+        .filter((F.col("bb") < MKL_BLOCK_PCT) & (F.col("br") < MKL_ROW_PCT))
+        .select("b")
+        .distinct()
+        .collect()
+    }
+    out = merkle_table_digest(spark, sf_dir).collect()
+    # the tree flags EXACTLY the blocks whose rows changed — no false
+    # positives (digest collisions) and no misses
+    assert {r["block_id"] for r in out} == changed_blocks
+    for r in out:
+        assert r["digest_a16"] != r["digest_b16"]
+        # the delta is update-only, so block cardinalities agree
+        assert r["n_rows_a"] == r["n_rows_b"]
+        assert r["n_diff_blocks"] == len(changed_blocks)
+        assert r["roots_match"] == int(len(changed_blocks) == 0)
