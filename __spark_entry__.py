@@ -713,6 +713,12 @@ _R11_QUEUE: list[str] = [
     # corpus_snapshot_diff scales on; exactness (no false
     # positives/misses vs the row-level delta) pinned by pytest
     "merkle_table_digest",
+    # hybrid hot/cold skew join: keys above a frequency threshold
+    # route through a broadcast join against the hot dim slice, the
+    # rest shuffle-hash — the third skew technique beside salting
+    # and AQE, for power-law keys too hot to salt; answer ==
+    # plain join + routing accounting certified, pytest-pinned
+    "hybrid_skew_join_revenue",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

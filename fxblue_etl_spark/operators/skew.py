@@ -197,13 +197,118 @@ FROM agg
 """
 
 
+#: hot-key threshold for the hybrid join: a customer with more
+#: orders than this is routed through the broadcast path
+HYBRID_HOT_MIN = 12
+
+
+def hybrid_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid hot/cold skew join — the THIRD skew technique alongside
+    salting (`salted_join_supplier_revenue`) and AQE skew-split: keys
+    whose fact-side frequency exceeds HYBRID_HOT_MIN route through a
+    broadcast join against the (tiny) hot slice of the dimension,
+    everything else takes the normal shuffle-hash join, and the
+    union is provably the plain join.  At 100 TB this is the shape
+    for power-law keys too hot even for salting (one key >> one
+    executor's memory after an 8-way salt): the hot dim slice is
+    bounded by the number of hot keys, never by their row mass.
+
+    Exact integer contract (revenue in cents); the audit columns
+    carry the routing evidence — hot-key count and per-path row
+    counts — so the oracle certifies both the answer AND the split
+    accounting.  Plan: one fact-side count to find hot keys
+    (broadcast back as a filter), broadcast join for the hot slice,
+    shuffle-hash-hinted join for the cold, union into one
+    nation-level aggregate."""
+    spark = tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    hot_keys = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > HYBRID_HOT_MIN)
+        .select(F.col("o_custkey").alias("hk"))
+    )
+    fact = o.join(
+        F.broadcast(hot_keys), o.o_custkey == F.col("hk"), "left"
+    ).withColumn("is_hot", F.col("hk").isNotNull())
+    hot_dim = c.join(
+        F.broadcast(hot_keys), c.c_custkey == F.col("hk")
+    ).select("c_custkey", "c_nationkey")
+    hot_side = (
+        fact.filter("is_hot")
+        .select("o_custkey", "o_totalprice")
+        .join(F.broadcast(hot_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("path_hot", F.lit(1).cast("long"))
+    )
+    cold_side = (
+        fact.filter("NOT is_hot")
+        .select("o_custkey", "o_totalprice")
+        .join(
+            c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .withColumn("path_hot", F.lit(0).cast("long"))
+    )
+    unioned = hot_side.unionByName(cold_side)
+    per_nation = unioned.groupBy("c_nationkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias(
+            "revenue_cents"
+        ),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    audit = unioned.agg(
+        F.sum("path_hot").cast("long").alias("n_hot_rows"),
+        F.sum(1 - F.col("path_hot")).cast("long").alias("n_cold_rows"),
+    )
+    nhot = hot_keys.agg(F.count("*").cast("long").alias("n_hot_keys"))
+    return (
+        per_nation.crossJoin(F.broadcast(audit))
+        .crossJoin(F.broadcast(nhot))
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            "revenue_cents",
+            "n_orders",
+            "n_hot_keys",
+            "n_hot_rows",
+            "n_cold_rows",
+        )
+    )
+
+
+HYBRID_SKEW_ORACLE = f"""
+WITH hot AS (
+  SELECT o_custkey AS hk FROM orders GROUP BY 1
+  HAVING count(*) > {HYBRID_HOT_MIN}),
+j AS (
+  SELECT o.o_custkey, o.o_totalprice, c.c_nationkey,
+         CASE WHEN h.hk IS NOT NULL THEN 1 ELSE 0 END AS path_hot
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN hot h ON o.o_custkey = h.hk),
+audit AS (
+  SELECT CAST(sum(path_hot) AS BIGINT) AS n_hot_rows,
+         CAST(sum(1 - path_hot) AS BIGINT) AS n_cold_rows
+  FROM j),
+nhot AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_keys FROM hot)
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       n_hot_keys, n_hot_rows, n_cold_rows
+FROM j, audit, nhot
+GROUP BY 1, 4, 5, 6
+"""
+
+
 QUERIES = {
+    "hybrid_skew_join_revenue": hybrid_skew_join_revenue,
     "salted_join_supplier_revenue": salted_join_supplier_revenue,
     "salted_count_events": salted_count_events,
     "join_skew_report": join_skew_report,
 }
 
 ORACLES = {
+    "hybrid_skew_join_revenue": HYBRID_SKEW_ORACLE,
     "salted_join_supplier_revenue": SALTED_JOIN_ORACLE,
     "salted_count_events": SALTED_COUNT_ORACLE,
     "join_skew_report": SKEW_REPORT_ORACLE,

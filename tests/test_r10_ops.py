@@ -559,3 +559,38 @@ def test_merkle_digest_flags_exactly_the_changed_blocks(spark, sf_dir):
         assert r["n_rows_a"] == r["n_rows_b"]
         assert r["n_diff_blocks"] == len(changed_blocks)
         assert r["roots_match"] == int(len(changed_blocks) == 0)
+
+
+def test_hybrid_skew_join_equals_plain_join_with_honest_routing(spark, sf_dir):
+    from fxblue_etl_spark.operators.skew import (
+        HYBRID_HOT_MIN,
+        hybrid_skew_join_revenue,
+    )
+
+    out = hybrid_skew_join_revenue(spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    plain = {
+        r["c_nationkey"]: (r["cents"], r["n"])
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert {r["nationkey"]: (r["revenue_cents"], r["n_orders"]) for r in out} == plain
+    # routing accounting: paths partition the join output
+    r0 = out[0]
+    assert r0["n_hot_rows"] + r0["n_cold_rows"] == sum(n for _, n in plain.values())
+    hot = (
+        o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > HYBRID_HOT_MIN)
+        .collect()
+    )
+    assert r0["n_hot_keys"] == len(hot)
+    assert r0["n_hot_rows"] == sum(r["n"] for r in hot)
+    # the fixture exercises both paths at sf0.01+ (skewed key mass)
+    if o.count() >= 10_000:
+        assert r0["n_hot_keys"] > 0 and r0["n_cold_rows"] > 0
