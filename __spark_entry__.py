@@ -719,6 +719,12 @@ _R11_QUEUE: list[str] = [
     # and AQE, for power-law keys too hot to salt; answer ==
     # plain join + routing accounting certified, pytest-pinned
     "hybrid_skew_join_revenue",
+    # content-defined chunking dedup (rsync/LBFS family): polynomial
+    # rolling-hash boundaries align shared substrings to identical
+    # chunks regardless of offset — the storage-level dedup member;
+    # 16 lag terms x Python-precomputed B^j mod M literals, no UDF;
+    # python replay + real savings pinned by pytest
+    "cdc_chunk_dedup",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

@@ -1255,7 +1255,147 @@ WHERE (1000000 * len(list_intersect(a.grams, b.grams)))
 """
 
 
+#: content-defined chunking geometry (LBFS/rsync family): rolling
+#: window, polynomial base, modulus, and boundary divisor (expected
+#: chunk length).  PW holds B^j mod M as Python-computed literals so
+#: neither engine evaluates a power.
+CDC_W = 16
+CDC_B = 31
+CDC_M = 1 << 25
+CDC_DIV = 64
+CDC_PW = [pow(CDC_B, j, CDC_M) for j in range(CDC_W)]
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the STORAGE-level member of
+    the dedup family (exact/LSH/SimHash/SNM dedupe documents; CDC
+    dedupes the BYTES inside them, the rsync/LBFS/backup-store
+    technique): a polynomial rolling hash over the payload stream
+    cuts chunk boundaries wherever ``h % CDC_DIV == 0``, so shared
+    substrings between near-duplicate documents align to identical
+    chunks REGARDLESS of byte offset — the property fixed-size
+    blocking lacks (one inserted byte shifts every later block).
+    One summary row: chunk counts, distinct-chunk counts, and the
+    exact bytes a content-addressed store would save on this corpus.
+
+    Engine-portable by construction: the fixture is ASCII (pinned by
+    the ahash guard), so the char stream IS the byte stream; the
+    rolling hash is 16 lag terms dotted with Python-precomputed
+    ``B^j mod M`` literals — pure integer arithmetic, no loops, no
+    UDF.  Scale shape: one posexplode to the char grid, one per-doc
+    window for the hash + boundary cumsum, one groupBy to assemble
+    chunks, corpus-level aggregates; everything partitions by
+    doc_id except the final distinct-chunk count (hash-grouped)."""
+    from pyspark.sql.window import Window
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    chars = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.expr("ascii(substring(text, i, 1))").alias("code"),
+        )
+    )
+    # chars is consumed by the hash window AND chunk assembly via one
+    # lineage (window output carries everything forward)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    h = None
+    for j, p in enumerate(CDC_PW):
+        term = (
+            F.coalesce(F.lag("code", j).over(w), F.lit(0)).cast("long") * p
+        )
+        h = term if h is None else h + term
+    hashed = chars.withColumn("h", h % CDC_M)
+    bounded = hashed.withColumn(
+        "is_boundary", (F.col("h") % CDC_DIV == 0).cast("long")
+    ).withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("is_boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    chunks = bounded.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+            )
+        ).alias("ch"),
+        F.count("*").cast("long").alias("clen"),
+    )
+    per_hash = chunks.groupBy("ch").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("clen").cast("long").alias("clen"),
+    )
+    return per_hash.agg(
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        (F.sum("n_copies") - F.count("*")).cast("long").alias("n_dup_chunks"),
+        F.sum(F.col("n_copies") * F.col("clen")).cast("long").alias("bytes_total"),
+        F.sum("clen").cast("long").alias("bytes_stored"),
+        F.expr(
+            "1000000 * (sum(n_copies * clen) - sum(clen))"
+            " DIV sum(n_copies * clen)"
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+    )
+
+
+def _cdc_oracle() -> str:
+    terms = " + ".join(
+        f"CAST(coalesce(lag(code, {j}) OVER win, 0) AS BIGINT) * {p}"
+        for j, p in enumerate(CDC_PW)
+    )
+    return f"""
+WITH chars AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         ascii(substr(text, CAST(t.i AS INT), 1)) AS code
+  FROM documents, unnest(range(1, len(text) + 1)) t(i)),
+hashed AS (
+  SELECT doc_id, i, code, ({terms}) % {CDC_M} AS h
+  FROM chars
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+bounded AS (
+  SELECT doc_id, i, code,
+         coalesce(sum(CASE WHEN h % {CDC_DIV} = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM hashed),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS ch,
+         CAST(count(*) AS BIGINT) AS clen
+  FROM bounded GROUP BY 1, 2),
+per_hash AS (
+  SELECT ch, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(clen) AS BIGINT) AS clen
+  FROM chunks GROUP BY 1)
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(n_copies * clen) AS BIGINT) AS bytes_total,
+       CAST(sum(clen) AS BIGINT) AS bytes_stored,
+       CAST((1000000 * (sum(n_copies * clen) - sum(clen)))
+            // sum(n_copies * clen) AS BIGINT) AS savings_ppm
+FROM per_hash
+"""
+
+
 QUERIES = {
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "dedup_exact": dedup_exact,
     "snm_sorted_neighborhood_pairs": snm_sorted_neighborhood_pairs,
     "edit_distance_pairs": edit_distance_pairs,
@@ -1272,6 +1412,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "snm_sorted_neighborhood_pairs": SNM_ORACLE,
+    "cdc_chunk_dedup": _cdc_oracle(),
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
     "minhash_lsh_pairs": MINHASH_ORACLE,
     "chunk_lsh_neardup": CHUNK_LSH_ORACLE,

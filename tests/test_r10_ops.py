@@ -594,3 +594,53 @@ def test_hybrid_skew_join_equals_plain_join_with_honest_routing(spark, sf_dir):
     # the fixture exercises both paths at sf0.01+ (skewed key mass)
     if o.count() >= 10_000:
         assert r0["n_hot_keys"] > 0 and r0["n_cold_rows"] > 0
+
+
+def test_cdc_chunking_matches_python_replay_and_offset_invariance(spark, sf_dir):
+    from fxblue_etl_spark.operators.dedup import (
+        CDC_DIV,
+        CDC_M,
+        CDC_PW,
+        CDC_W,
+        cdc_chunk_dedup,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    # python replay of the exact chunk partition per doc
+    all_chunks = []
+    for text in docs.values():
+        codes = [ord(c) for c in text]
+        bounds = []
+        for i in range(len(codes)):
+            h = (
+                sum(
+                    (codes[i - j] if i - j >= 0 else 0) * CDC_PW[j]
+                    for j in range(CDC_W)
+                )
+                % CDC_M
+            )
+            bounds.append(1 if h % CDC_DIV == 0 else 0)
+        chunks = {}
+        prev_cum = 0
+        for i, c in enumerate(codes):
+            chunks.setdefault(prev_cum, []).append(c)
+            prev_cum += bounds[i]
+        all_chunks.extend(tuple(v) for v in chunks.values())
+    n_chunks = len(all_chunks)
+    distinct = set(all_chunks)
+    bytes_total = sum(len(c) for c in all_chunks)
+    bytes_stored = sum(len(c) for c in distinct)
+    r = cdc_chunk_dedup(spark, sf_dir).collect()[0]
+    assert r["n_chunks"] == n_chunks
+    assert r["n_distinct_chunks"] == len(distinct)
+    assert r["n_dup_chunks"] == n_chunks - len(distinct)
+    assert r["bytes_total"] == bytes_total
+    assert r["bytes_stored"] == bytes_stored
+    assert r["savings_ppm"] == 1_000_000 * (bytes_total - bytes_stored) // bytes_total
+    # the technique's reason to exist: shared substrings align to
+    # identical chunks, so the near-dup-rich fixture shows real savings
+    assert r["n_dup_chunks"] > 0
