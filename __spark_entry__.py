@@ -725,6 +725,13 @@ _R11_QUEUE: list[str] = [
     # 16 lag terms x Python-precomputed B^j mod M literals, no UDF;
     # python replay + real savings pinned by pytest
     "cdc_chunk_dedup",
+    # Poisson bootstrap CI (Chamandy et al. 2012) for mean order
+    # value: per-(row, replica) Poisson(1) weights off a keyed md5
+    # draw through a tabulated integer inverse-CDF ladder, all B=40
+    # replica means in ONE aggregate pass, CI = 2nd/39th order
+    # statistic — the bootstrap that scales on a shuffle engine;
+    # ladder calibration + bracket + determinism pinned by pytest
+    "poisson_bootstrap_ci",
 ]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10

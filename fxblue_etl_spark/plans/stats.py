@@ -1817,7 +1817,143 @@ ENCODING_UPSERT_ORACLE = (
 )
 
 
+#: Poisson-bootstrap geometry: replica count and the Poisson(1)
+#: inverse-CDF ladder over a 2^20 integer domain — cumulative
+#: thresholds computed ONCE in Python (math.exp/factorial) and
+#: embedded as integer literals in both engines, the same
+#: tabulation trick as the DP release ladder and NDCG discounts.
+#: The tail (k >= 7) is absorbed into the last step.
+BOOT_B = 40
+BOOT_DOM = 1 << 20
+
+
+def _boot_ladder() -> list[tuple[int, int]]:
+    import math
+
+    acc, out = 0.0, []
+    for k in range(8):
+        acc += math.exp(-1) / math.factorial(k)
+        out.append((k, math.floor(acc * BOOT_DOM)))
+    out[-1] = (7, BOOT_DOM)
+    return out
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for mean order value —
+    THE bootstrap that scales on a shuffle engine: true multinomial
+    resampling needs coordinated draws of n rows, but for large n
+    each row's multiplicity is ≈ Poisson(1) INDEPENDENTLY, so every
+    row assigns its own weight per replica from a keyed hash and one
+    aggregate pass computes all B replica means (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+
+    Deterministic keyed randomness again: weight(row, b) = the
+    Poisson(1) integer inverse-CDF ladder applied to the md5 bucket
+    of (orderkey | replica) — both engines replay the identical
+    draw, and everything downstream is exact integer division
+    (replica mean = Σw·cents DIV Σw).  The CI is the 2nd / 39th
+    order statistic of the B = 40 replica means (a 95% percentile
+    interval).  Scale: ONE pass over rows × B weight rows, one
+    B-row aggregate, order statistics over 40 values."""
+    from ..operators.corpusops import _hash_bucket
+
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = _hash_bucket(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("|"), F.col("b")),
+        "boot|",
+        BOOT_DOM,
+    )
+    w = None
+    for k, thr in _boot_ladder():
+        w = F.when(u < thr, k) if w is None else w.when(u < thr, k)
+    w = w.cast("long")
+    means = (
+        reps.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("wc"),
+            F.sum("w").cast("long").alias("ws"),
+        )
+        .select("b", F.expr("wc DIV ws").cast("long").alias("m"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("boot_lo_cents"))
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(
+        F.col("m").alias("boot_hi_cents")
+    )
+    point = o.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("sum(cents) DIV count(*)").cast("long").alias("mean_cents"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            "mean_cents",
+            "boot_lo_cents",
+            "boot_hi_cents",
+            (F.col("boot_hi_cents") - F.col("boot_lo_cents"))
+            .cast("long")
+            .alias("ci_width_cents"),
+            F.lit(BOOT_B).alias("n_replicas"),
+        )
+    )
+
+
+def _boot_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    u = _hash_bucket_sql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(t.b AS VARCHAR)",
+        "boot|",
+        BOOT_DOM,
+    )
+    branches = " ".join(
+        f"WHEN ({u}) < {thr} THEN {k}" for k, thr in _boot_ladder()
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+reps AS (
+  SELECT o_orderkey, cents, CAST(t.b AS BIGINT) AS b,
+         CAST(CASE {branches} END AS BIGINT) AS w
+  FROM o, unnest(range(0, {BOOT_B})) t(b)),
+means AS (
+  SELECT b, CAST(sum(w * cents) // sum(w) AS BIGINT) AS m
+  FROM reps GROUP BY 1),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+  FROM o)
+SELECT n_orders, mean_cents,
+       (SELECT m FROM ranked WHERE rn = 2) AS boot_lo_cents,
+       (SELECT m FROM ranked WHERE rn = {BOOT_B - 1}) AS boot_hi_cents,
+       (SELECT m FROM ranked WHERE rn = {BOOT_B - 1})
+         - (SELECT m FROM ranked WHERE rn = 2) AS ci_width_cents,
+       {BOOT_B} AS n_replicas
+FROM point
+"""
+
+
 QUERIES = {
+    "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "bitmap_distinct_contract": bitmap_distinct_contract,
     "chi2_contingency_cells": chi2_contingency_cells,
     "hll_accuracy_check": hll_accuracy_check,
@@ -1840,6 +1976,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "poisson_bootstrap_ci": _boot_oracle(),
     "bitmap_distinct_contract": BITMAP_ORACLE,
     "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,

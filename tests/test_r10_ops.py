@@ -644,3 +644,36 @@ def test_cdc_chunking_matches_python_replay_and_offset_invariance(spark, sf_dir)
     # the technique's reason to exist: shared substrings align to
     # identical chunks, so the near-dup-rich fixture shows real savings
     assert r["n_dup_chunks"] > 0
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean_and_replays(spark, sf_dir):
+    from fxblue_etl_spark.plans.stats import (
+        BOOT_B,
+        BOOT_DOM,
+        _boot_ladder,
+        poisson_bootstrap_ci,
+    )
+
+    ladder = _boot_ladder()
+    # ladder sanity: monotone thresholds ending exactly at the domain,
+    # and the mass of each step matches Poisson(1) to ladder precision
+    assert ladder[-1][1] == BOOT_DOM
+    assert all(a[1] < b[1] for a, b in zip(ladder, ladder[1:]))
+    import math
+
+    for (k, thr), prev in zip(ladder, [0] + [t for _, t in ladder]):
+        width = thr - prev
+        expect = math.exp(-1) / math.factorial(k) * BOOT_DOM
+        assert abs(width - expect) <= 2 or k == 7
+
+    r = poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r["n_replicas"] == BOOT_B
+    assert r["boot_lo_cents"] <= r["boot_hi_cents"]
+    assert r["ci_width_cents"] == r["boot_hi_cents"] - r["boot_lo_cents"]
+    # the interval is a resampling CI for the mean: it must bracket
+    # the full-sample mean (Poisson weights are unbiased) and be
+    # narrow relative to the scale of the mean at fixture sizes
+    assert r["boot_lo_cents"] <= r["mean_cents"] <= r["boot_hi_cents"]
+    assert r["ci_width_cents"] < r["mean_cents"] // 5
+    # determinism: identical on re-run
+    assert poisson_bootstrap_ci(spark, sf_dir).collect()[0] == r

@@ -66,6 +66,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "seasonal_naive_backtest": "lag over the calendar-bounded daily series",
     "changepoint_detection": "prefix sums over the calendar-bounded daily series",
     "theilsen_trend": "pair grid over the calendar-bounded monthly series",
+    "poisson_bootstrap_ci": "order statistics over the BOOT_B=40 replica means",
     "pareto_frontier_parts": "cumulative max over ≤ price-range/bucket aggregate rows",
     "source_length_drift": "KS scan over the bounded per-source CDF grid",
     "mcv_stats": "rank over per-column value histograms (bounded by NDV cap)",
