@@ -734,6 +734,58 @@ _R11_QUEUE: list[str] = [
     "poisson_bootstrap_ci",
 ]
 
+#: ROUND-11 RE-CERT CANDIDATES (pre-planned at round-10 close, the
+#: a17aa4-style ledger): once CORRECTNESS_r10 lands green, the r3-era
+#: streaming/source block inside the round-10 window becomes
+#: r10-certified and the stalest standing block is the r4-era 42
+#: (alphabetical within the round, per the house staleness order).
+#: Round 11's head = flagship + _R11_QUEUE + _R11_CODE_CHANGED +
+#: this list up to the 50-window, truncated from the tail.
+_R11_RECERT_CANDIDATES: list[str] = [
+    "basket_part_pairs",
+    "chunk_boilerplate",
+    "compact_small_files",
+    "daily_anomaly_days",
+    "dedup_component_size_hist",
+    "dedup_degree_hist",
+    "dedup_triangles",
+    "doc_chunking",
+    "dsir_importance_stats",
+    "dynamic_partition_backfill",
+    "embedding_quantize",
+    "equidepth_histogram",
+    "event_cooccurrence",
+    "event_transition_matrix",
+    "hierarchical_mixture",
+    "interarrival_gaps",
+    "inverted_index_postings",
+    "ivf_multiprobe_topk",
+    "jsonl_tolerant_roundtrip",
+    "label_cohesion_stats",
+    "lm_doc_perplexity",
+    "mcv_stats",
+    "ohlc_bars_hourly",
+    "order_totals_reconciliation",
+    "per_group_sample",
+    "pyds_jsonl_sink_roundtrip",
+    "rag_corpus_prep",
+    "revenue_wow_delta",
+    "rolling_active_users",
+    "sampled_histogram",
+    "session_paths",
+    "sessionize_events",
+    "source_length_drift",
+    "streaming_ohlc_stateful",
+    "supplier_concentration",
+    "term_salience_topk",
+    "text_normalize",
+    "token_bigram_lm",
+    "traffic_seasonality",
+    "training_order_shuffle",
+    "type_correlation_stats",
+    "vocab_coverage",
+]
+
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after
 #: the round-9 window landed green (CORRECTNESS_r09: 50/50): the
