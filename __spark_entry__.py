@@ -12,21 +12,20 @@ swallowed ImportError would make coverage regressions invisible to
 the driver's correctness gate).
 
 ``queries()`` is ordered so the driver's per-round correctness gate
-(which checks entries in dict order, exactly 50 per round across
-rounds 1-8) certifies the queries that don't yet have a driver-side
-CORRECTNESS row, then re-certifies the stalest standing rows.  Round
-9 continues the standing rotation cadence: the head is the flagship
-+ the _R9_QUEUE eight (the round-8 additions — the only
-never-driver-checked oracle-backed queries, locally oracle-verified
-tri-scale and re-verified in one combined pass at round-8 close) +
-any query whose lineage changed in round 9 (_R9_CODE_CHANGED: the
-null-safe split-aggregation join from the round-8 advice) + the
-stalest standing rows from _R9_RECERT_CANDIDATES (the r2-era block
-first; the window-fill truncates from the least-stale tail).  A
-green round-9 gate returns the never-driver-certified count to 0 and
-keeps the oldest standing row ≤5 rounds old.  Round-9 additions
-(_R10_QUEUE) sit immediately after the window so they head round
-10's rotation.
+(which checks entries in dict order, exactly 50 per round) certifies
+the queries that don't yet have a driver-side CORRECTNESS row, then
+re-certifies the stalest standing rows.  Round 10 continues the
+standing rotation cadence: the head is the flagship + the _R10_QUEUE
+fifteen (the round-9 additions, all locally oracle-verified on
+entry) + _R10_CODE_CHANGED (empty — the round-9 advice fixes touch
+queries already in the window) + the stalest standing rows from
+_R10_RECERT_CANDIDATES (the r3-era streaming/source block; the
+window-fill truncates from the least-stale tail).  A green round-10
+gate returns the never-driver-certified count to 0 again.  Round-10
+additions (_R11_QUEUE, all verified green in one combined local
+oracle pass at sf0.01 plus a 335/335 full-surface pass this round)
+sit immediately after the window so they head round 11's rotation;
+_R11_RECERT_CANDIDATES pre-plans that flip (the r4-era block).
 """
 
 from __future__ import annotations
