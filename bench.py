@@ -109,6 +109,21 @@ HEADLINE = (
     "media_ahash_neardup",
     "kcore_decomposition",
     "ivf_pq_adc_topk",
+    # round-10 additions (APPENDED — frozen subtotals untouched):
+    # one representative per new family — the fourth dedup blocker,
+    # the spectral pair, coverage selection, storage-level dedup,
+    # the one-pass bootstrap, keyless linkage, the sync tree, and
+    # the hybrid skew join; the streaming gram gate is deliberately
+    # NOT benched (staged-stream harness cost, not operator cost —
+    # the batch statistic is timed via pca_power_iteration's gram)
+    "snm_sorted_neighborhood_pairs",
+    "pca_power_iteration",
+    "kcenter_coreset",
+    "cdc_chunk_dedup",
+    "poisson_bootstrap_ci",
+    "record_linkage_fs",
+    "merkle_table_digest",
+    "hybrid_skew_join_revenue",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
