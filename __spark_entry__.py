@@ -731,6 +731,12 @@ _R11_QUEUE: list[str] = [
     # statistic — the bootstrap that scales on a shuffle engine;
     # ladder calibration + bracket + determinism pinned by pytest
     "poisson_bootstrap_ci",
+    # hashing-trick text KNN (Weinberger 2009): md5 feature hashing
+    # to 256 dims, sparse dim-equi-join dot products, all-integer
+    # cos^2 ppm ranking (monotone for non-negative TF vectors) —
+    # the embedding-free similarity path a pipeline runs before any
+    # model exists; python replay pinned by pytest
+    "feature_hashing_knn",
 ]
 
 #: ROUND-11 RE-CERT CANDIDATES (pre-planned at round-10 close, the

@@ -989,7 +989,123 @@ WHERE rn = 1
 """
 
 
+#: feature-hashing geometry: dimension count, query-doc stride, and
+#: the top-k per query
+FH_DIMS = 256
+FH_STRIDE = 50
+FH_K = 5
+
+
+def feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text similarity (Weinberger et al. 2009) — the
+    embedding-free vectorizer: each token maps to one of FH_DIMS
+    md5 buckets, a document becomes its sparse integer TF vector,
+    and similarity is exact integer cosine² via the SPARSE dot
+    product (an equi-join on the hashed dimension — posting-list
+    work, never a dense d-dim scan).  The dense-embedding KNN family
+    (cosine_topk_bruteforce → IVF-PQ) assumes a model produced the
+    vectors; this is what a pipeline runs BEFORE any model exists —
+    candidate generation, weak dedup, topic probes on raw text.
+
+    All-integer ranking trick: TF vectors are non-negative, so cos is
+    monotone in cos² = dot²/(‖a‖²·‖b‖²), which stays rational —
+    cos2_ppm = 1e6·dot² DIV (na·nb), exact in int64 (dot ≤ Σtf·tf ≤
+    ~4e5 on this corpus → dot²·1e6 ≤ ~1.3e17).  Top-FH_K per query
+    doc (doc_id % FH_STRIDE == 0), score-desc with id tie-break.
+    Scale: one token pass → (doc, dim, tf); the dot is a dim-keyed
+    equi-join of query rows × corpus rows (FH_DIMS-blocked), and the
+    per-query window partitions by query id."""
+    from ..io import swap_cache
+    from .corpusops import _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = swap_cache(
+        "tfidf.fh",
+        toks.select(
+            "doc_id", _hash_bucket(F.col("tok"), "fh|", FH_DIMS).alias("dim")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("long").alias("tf")),
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    q = tf.filter(F.col("doc_id") % FH_STRIDE == 0).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("tf").alias("tf_q")
+    )
+    dots = (
+        q.join(tf, "dim")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf_q") * F.col("tf")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("nq")),
+            "query_id",
+        )
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.expr("1000000 * dot * dot DIV (nq * n2)")
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos2_ppm"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= FH_K)
+        .select("query_id", "neighbor_id", "cos2_ppm", "rank")
+    )
+
+
+def _fh_oracle() -> str:
+    from .corpusops import _hash_bucket_sql
+
+    dim = _hash_bucket_sql("tok", "fh|", FH_DIMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           trim(lower(text)), '\s+'), x -> x != '')) t(tok)),
+tf AS MATERIALIZED (
+  SELECT doc_id, ({dim}) AS dim, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+norms AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(sum(q.tf * c.tf) AS BIGINT) AS dot
+  FROM tf q JOIN tf c ON q.dim = c.dim AND c.doc_id != q.doc_id
+  WHERE q.doc_id % {FH_STRIDE} = 0
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST((1000000 * d.dot * d.dot) // (nq.n2 * nn.n2) AS BIGINT)
+           AS cos2_ppm
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.query_id
+  JOIN norms nn ON nn.doc_id = d.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos2_ppm,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos2_ppm DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos2_ppm, rank
+FROM ranked WHERE rank <= {FH_K}
+"""
+
+
 QUERIES = {
+    "feature_hashing_knn": feature_hashing_knn,
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
@@ -1003,6 +1119,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_hashing_knn": _fh_oracle(),
     "term_salience_topk": TERM_SALIENCE_ORACLE,
     "rare_token_quality": RARE_TOKEN_ORACLE,
     "token_bigram_lm": BIGRAM_LM_ORACLE,

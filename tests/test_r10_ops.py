@@ -677,3 +677,51 @@ def test_poisson_bootstrap_ci_brackets_the_mean_and_replays(spark, sf_dir):
     assert r["ci_width_cents"] < r["mean_cents"] // 5
     # determinism: identical on re-run
     assert poisson_bootstrap_ci(spark, sf_dir).collect()[0] == r
+
+
+def test_feature_hashing_knn_matches_python_replay(spark, sf_dir):
+    import hashlib
+    import re
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.tfidf import (
+        FH_DIMS,
+        FH_K,
+        FH_STRIDE,
+        feature_hashing_knn,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def vec(text):
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        c = Counter(
+            int(hashlib.md5(f"fh|{t}".encode()).hexdigest()[:8], 16) % FH_DIMS
+            for t in toks
+        )
+        return c
+
+    vs = {d: vec(t) for d, t in docs.items()}
+    n2 = {d: sum(v * v for v in c.values()) for d, c in vs.items()}
+    expected = {}
+    for q in (d for d in docs if d % FH_STRIDE == 0):
+        scored = []
+        for c in docs:
+            if c == q:
+                continue
+            dot = sum(vs[q][k] * vs[c].get(k, 0) for k in vs[q])
+            if dot == 0:
+                continue  # no shared dims -> no row from the sparse join
+            scored.append(((1_000_000 * dot * dot) // (n2[q] * n2[c]), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (ppm, c) in enumerate(scored[:FH_K], 1):
+            expected[(q, c)] = (ppm, rank)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cos2_ppm"], r["rank"])
+        for r in feature_hashing_knn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
