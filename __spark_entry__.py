@@ -737,6 +737,12 @@ _R11_QUEUE: list[str] = [
     # the embedding-free similarity path a pipeline runs before any
     # model exists; python replay pinned by pytest
     "feature_hashing_knn",
+    # hard-negative mining for contrastive training: top hashed-TF
+    # cos^2 neighbors with the certified LSH near-dup pairs
+    # anti-joined away (false-negative poisoning guard) — the
+    # lexical, label-free sibling of triplet_margin_mining;
+    # drop-dups-then-rerank contract pinned by pytest
+    "lexical_hard_negatives",
 ]
 
 #: ROUND-11 RE-CERT CANDIDATES (pre-planned at round-10 close, the

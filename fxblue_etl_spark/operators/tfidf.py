@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..io import fan_out, table
 from ..session import tune
+from .dedup import minhash_lsh_pairs
 from .textops import ws_tokens
 
 #: salient terms kept per document
@@ -996,7 +997,7 @@ FH_STRIDE = 50
 FH_K = 5
 
 
-def feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text similarity (Weinberger et al. 2009) — the
     embedding-free vectorizer: each token maps to one of FH_DIMS
     md5 buckets, a document becomes its sparse integer TF vector,
@@ -1056,6 +1057,14 @@ def feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos2_ppm"),
         )
     )
+    return scored
+
+
+def feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-FH_K hashed-TF cosine neighbors per query doc — see
+    :func:`_fh_scored` for the vectorizer and the all-integer cos²
+    ranking contract."""
+    scored = _fh_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos2_ppm"), F.asc("neighbor_id")
     )
@@ -1066,12 +1075,50 @@ def feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fh_oracle() -> str:
+def lexical_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query doc,
+    the top lexically-similar documents that are NOT near-duplicates
+    — high hashed-TF cos² (so the pair is genuinely confusable) with
+    the certified MinHash/LSH near-dup pairs anti-joined away (so it
+    is not a positive in disguise, the standard false-negative
+    poisoning hazard).  `triplet_margin_mining` mines EMBEDDING-space
+    negatives against labels; this is its lexical, label-free
+    sibling — the miner that runs before any model or label exists.
+
+    Plan: the one persisted hashed-TF scored frame re-ranked after a
+    left-anti join against the symmetrized dup-pair set (pair-sized,
+    never corpus-sized); same all-integer contract as the KNN."""
+    scored = _fh_scored(spark, sf_dir)
+    dups = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = dups.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("neighbor_id")
+    ).unionByName(
+        dups.select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("neighbor_id"),
+        )
+    )
+    kept = scored.join(sym, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos2_ppm"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= FH_K)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "cos2_ppm",
+            "rank",
+        )
+    )
+
+
+def _fh_scored_sql() -> str:
     from .corpusops import _hash_bucket_sql
 
     dim = _hash_bucket_sql("tok", "fh|", FH_DIMS)
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id, t.tok
   FROM documents,
        unnest(list_filter(regexp_split_to_array(
@@ -1087,13 +1134,19 @@ dots AS (
   FROM tf q JOIN tf c ON q.dim = c.dim AND c.doc_id != q.doc_id
   WHERE q.doc_id % {FH_STRIDE} = 0
   GROUP BY 1, 2),
-scored AS (
+scored0 AS (
   SELECT d.query_id, d.neighbor_id,
          CAST((1000000 * d.dot * d.dot) // (nq.n2 * nn.n2) AS BIGINT)
            AS cos2_ppm
   FROM dots d
   JOIN norms nq ON nq.doc_id = d.query_id
   JOIN norms nn ON nn.doc_id = d.neighbor_id),
+scored AS MATERIALIZED (SELECT * FROM scored0)"""
+
+
+def _fh_oracle() -> str:
+    return f"""
+WITH {_fh_scored_sql()},
 ranked AS (
   SELECT query_id, neighbor_id, cos2_ppm,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1104,8 +1157,34 @@ FROM ranked WHERE rank <= {FH_K}
 """
 
 
+def _hard_neg_oracle() -> str:
+    from .dedup import MINHASH_ORACLE
+
+    return f"""
+WITH {_fh_scored_sql()},
+dups AS MATERIALIZED ({MINHASH_ORACLE.strip()}),
+sym AS (
+  SELECT doc_a AS query_id, doc_b AS neighbor_id FROM dups
+  UNION ALL
+  SELECT doc_b, doc_a FROM dups),
+kept AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN sym ON s.query_id = sym.query_id
+               AND s.neighbor_id = sym.neighbor_id
+  WHERE sym.query_id IS NULL),
+ranked AS (
+  SELECT query_id, neighbor_id, cos2_ppm,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos2_ppm DESC, neighbor_id ASC) AS INT) AS rank
+  FROM kept)
+SELECT query_id, neighbor_id AS negative_id, cos2_ppm, rank
+FROM ranked WHERE rank <= {FH_K}
+"""
+
+
 QUERIES = {
     "feature_hashing_knn": feature_hashing_knn,
+    "lexical_hard_negatives": lexical_hard_negatives,
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
@@ -1120,6 +1199,7 @@ QUERIES = {
 
 ORACLES = {
     "feature_hashing_knn": _fh_oracle(),
+    "lexical_hard_negatives": _hard_neg_oracle(),
     "term_salience_topk": TERM_SALIENCE_ORACLE,
     "rare_token_quality": RARE_TOKEN_ORACLE,
     "token_bigram_lm": BIGRAM_LM_ORACLE,

@@ -725,3 +725,38 @@ def test_feature_hashing_knn_matches_python_replay(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_lexical_hard_negatives_exclude_dups_and_rerank(spark, sf_dir):
+    from fxblue_etl_spark.operators.dedup import minhash_lsh_pairs
+    from fxblue_etl_spark.operators.tfidf import (
+        FH_K,
+        _fh_scored,
+        lexical_hard_negatives,
+    )
+
+    negs = lexical_hard_negatives(spark, sf_dir).collect()
+    dups = set()
+    for r in minhash_lsh_pairs(spark, sf_dir).collect():
+        dups.add((r["doc_a"], r["doc_b"]))
+        dups.add((r["doc_b"], r["doc_a"]))
+    scored = {}
+    for r in _fh_scored(spark, sf_dir).collect():
+        scored.setdefault(r["query_id"], []).append(
+            (r["cos2_ppm"], r["neighbor_id"])
+        )
+    for r in negs:
+        # no near-dup may ever surface as a negative
+        assert (r["query_id"], r["negative_id"]) not in dups
+        assert 1 <= r["rank"] <= FH_K
+    # re-ranking is exactly "drop dups, then take top-K"
+    by_q = {}
+    for r in negs:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["negative_id"], r["cos2_ppm"]))
+    for q, rows in by_q.items():
+        cand = sorted(
+            ((ppm, n) for ppm, n in scored[q] if (q, n) not in dups),
+            key=lambda t: (-t[0], t[1]),
+        )[:FH_K]
+        expect = [(i + 1, n, ppm) for i, (ppm, n) in enumerate(cand)]
+        assert sorted(rows) == expect
