@@ -17,8 +17,9 @@ the queries that don't yet have a driver-side CORRECTNESS row, then
 re-certifies the stalest standing rows.  Round 10 continues the
 standing rotation cadence: the head is the flagship + the _R10_QUEUE
 fifteen (the round-9 additions, all locally oracle-verified on
-entry) + _R10_CODE_CHANGED (empty — the round-9 advice fixes touch
-queries already in the window) + the stalest standing rows from
+entry) + _R10_CODE_CHANGED (the Gram-kernel extraction refactor —
+plan bit-identical, re-certified in-window anyway) + the stalest
+standing rows from
 _R10_RECERT_CANDIDATES (the r3-era streaming/source block; the
 window-fill truncates from the least-stale tail).  A green round-10
 gate returns the never-driver-certified count to 0 again.  Round-10
@@ -597,7 +598,14 @@ _R10_QUEUE: list[str] = [
 #: KCORE_ROUNDS headroom, qdigest negative clamp — touch queries
 #: already inside the window via _R10_QUEUE, so they need no slot
 #: here.)
-_R10_CODE_CHANGED: list[str] = []
+_R10_CODE_CHANGED: list[str] = [
+    # round-10 session 2: the Gram kernel was factored to
+    # ``ml.gram_cells`` so the upsert contract and streaming gate
+    # reuse it — the built plan is bit-identical (pure extraction,
+    # re-verified sf0.001+sf0.01 on change), but the certified row's
+    # code text changed, so it re-certifies in-window
+    "embedding_gram_matrix",
+]
 
 #: Queries ADDED in round 10 — placed after the 50-window (the
 #: round-10 rotation must not be displaced); they head round 11's
