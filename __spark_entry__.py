@@ -751,6 +751,12 @@ _R11_QUEUE: list[str] = [
     # lexical, label-free sibling of triplet_margin_mining;
     # drop-dups-then-rerank contract pinned by pytest
     "lexical_hard_negatives",
+    # rank-based quantile normalization onto the corpus reference
+    # distribution (the microarray classic): per-source ranks map to
+    # corpus order statistics via exact floor positions; corpus rank
+    # runs as the bucketed two-level (no global window on the Spark
+    # side); per-source shift magnitudes reported; replay pinned
+    "quantile_normalization",
 ]
 
 #: ROUND-11 RE-CERT CANDIDATES (pre-planned at round-10 close, the

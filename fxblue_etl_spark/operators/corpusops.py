@@ -263,6 +263,90 @@ FROM b_sorted
 """
 
 
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a per-source feature onto
+    the corpus reference distribution — the harmonization step that
+    makes a feature comparable ACROSS sources whose scales drifted
+    (the microarray-normalization classic, and what a quality-score
+    ensemble does before mixing per-source signals): each doc's
+    n_chars maps to the corpus order statistic at its source-relative
+    rank position, so every source's normalized distribution is
+    exactly the corpus distribution restricted to its grid.
+
+    Exact integer contract: source rank r of n_source maps to corpus
+    position 1 + (r-1)·N DIV n_source (floor), and the normalized
+    value is the corpus order statistic there.  Both the source
+    ranks (partitioned window) and the corpus rank (bucketed
+    two-level — ordering-aligned n_chars DIV 64 buckets, no global
+    window) follow the house rank machinery.  Output per source:
+    doc count, floor-mean raw vs normalized chars, and the max
+    absolute doc-level shift — the magnitude of the correction the
+    normalization applied."""
+    from ..io import swap_cache
+
+    d = swap_cache(
+        "corpusops.qnorm",
+        table(tune(spark), sf_dir, "documents").select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("v")
+        ),
+    )
+    n_tot = d.agg(F.count("*").cast("long").alias("n"))
+    # corpus order statistics via the ordering-aligned bucketed rank
+    corpus = _ordered_rank(
+        d.select("doc_id", F.col("v").alias("len"), F.col("v").alias("k")),
+        F.expr("len DIV 64"),
+    ).select(F.col("rnk").alias("pos"), F.col("len").alias("ref_v"))
+    ws = Window.partitionBy("source").orderBy("v", "doc_id")
+    src_ranked = d.withColumn("r", F.row_number().over(ws).cast("long"))
+    src_n = d.groupBy("source").agg(F.count("*").cast("long").alias("ns"))
+    mapped = (
+        src_ranked.join(F.broadcast(src_n), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("pos", F.expr("1 + (r - 1) * n DIV ns"))
+        .join(corpus, "pos")
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(v) DIV count(*)").cast("long").alias("mean_raw"),
+            F.expr("sum(ref_v) DIV count(*)").cast("long").alias("mean_norm"),
+            F.max(F.abs(F.col("ref_v") - F.col("v"))).cast("long").alias(
+                "max_abs_shift"
+            ),
+        )
+    )
+
+
+QNORM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+corpus AS (
+  SELECT CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS pos,
+         v AS ref_v
+  FROM d),
+src_ranked AS (
+  SELECT doc_id, source, v,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS r
+  FROM d),
+src_n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+mapped AS (
+  SELECT s.source, s.v, c.ref_v
+  FROM src_ranked s
+  JOIN src_n USING (source)
+  CROSS JOIN n_tot
+  JOIN corpus c ON c.pos = 1 + (s.r - 1) * n // ns)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) // count(*) AS BIGINT) AS mean_raw,
+       CAST(sum(ref_v) // count(*) AS BIGINT) AS mean_norm,
+       CAST(max(abs(ref_v - v)) AS BIGINT) AS max_abs_shift
+FROM mapped GROUP BY 1
+"""
+
+
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: docs in stable doc_id order fill
     ~PACK_BUDGET-token bins (bin = exclusive running token sum ÷
@@ -1191,6 +1275,7 @@ FROM rem
 
 QUERIES = {
     "padding_waste_report": padding_waste_report,
+    "quantile_normalization": quantile_normalization,
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
     "sequence_pack": sequence_pack,
@@ -1210,6 +1295,7 @@ WATERFILL_ORACLE = _waterfill_oracle()
 
 ORACLES = {
     "padding_waste_report": PADDING_WASTE_ORACLE,
+    "quantile_normalization": QNORM_ORACLE,
     "corpus_split": CORPUS_SPLIT_ORACLE,
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "sequence_pack": SEQUENCE_PACK_ORACLE,

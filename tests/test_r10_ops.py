@@ -760,3 +760,28 @@ def test_lexical_hard_negatives_exclude_dups_and_rerank(spark, sf_dir):
         )[:FH_K]
         expect = [(i + 1, n, ppm) for i, (ppm, n) in enumerate(cand)]
         assert sorted(rows) == expect
+
+
+def test_quantile_normalization_maps_onto_reference(spark, sf_dir):
+    from fxblue_etl_spark.operators.corpusops import quantile_normalization
+
+    out = {r["source"]: r for r in quantile_normalization(spark, sf_dir).collect()}
+    rows = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    ref = sorted((r["n_chars"], r["doc_id"]) for r in rows)
+    vals = [v for v, _ in ref]
+    n = len(vals)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    for src, docs in per_src.items():
+        docs.sort()
+        ns = len(docs)
+        norm = [vals[(rk * n) // ns] for rk in range(ns)]  # rk = r-1; pos-1
+        raw = [v for v, _ in docs]
+        got = out[src]
+        assert got["n_docs"] == ns
+        assert got["mean_raw"] == sum(raw) // ns
+        assert got["mean_norm"] == sum(norm) // ns
+        assert got["max_abs_shift"] == max(abs(a - b) for a, b in zip(norm, raw))
