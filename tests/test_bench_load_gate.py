@@ -62,3 +62,65 @@ def test_env_knobs_parse(monkeypatch):
         monkeypatch.delenv("SPARK_GRAFT_MAX_LOAD")
         monkeypatch.delenv("SPARK_GRAFT_LOAD_WAIT_MAX_S")
         importlib.reload(bench)
+
+
+def _fake_full_record(n_extra: int = 0) -> dict:
+    """A full bench record shaped like main() builds, over the real
+    HEADLINE (plus n_extra synthetic future queries)."""
+    names = list(bench.HEADLINE) + [
+        f"future_round_addition_{i:02d}" for i in range(n_extra)
+    ]
+    timings = {n: 12.345 for n in names}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "frozen15_total": 123.456,
+        "frozen27_total": 234.567,
+        "load_avg_start": 1.23,
+        "load_avg_end": 12.34,
+        "query_loads": {n: 4.56 for n in names},
+        "load_waiver_waited_s": None,
+        "max_start_load": 2.0,
+        "load_tainted": list(names[:13]),
+        "taint_load": 8.0,
+        "redraws": {n: {"first_sec": 1, "redraw_sec": 2} for n in names[:13]},
+        "lineage_ab": {"query": "minhash_lsh_pairs", "arrow_sec": 1.0},
+    }
+
+
+def test_stdout_record_fits_driver_tail_capture():
+    """Round-10 verdict item 1: the ONE stdout line must fit the
+    driver's 2000-char tail even on a worst-case run (all heavy
+    metadata populated) — the full record's detail stays file-only."""
+    import json
+
+    line = json.dumps(bench.compact_stdout_record(_fake_full_record()))
+    assert len(line) <= bench.STDOUT_BUDGET
+    out = json.loads(line)
+    # driver contract fields
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in out
+    # round-over-round comparables requested by the round-10 verdict
+    assert "frozen15_total" in out and "frozen27_total" in out
+    assert out["load_tainted_n"] == 13
+    # heavy fields must NOT ride stdout
+    for k in ("query_loads", "redraws", "prev_draws", "lineage_ab"):
+        assert k not in out
+    # full per-query coverage at today's HEADLINE size
+    assert set(out["queries"]) == set(bench.HEADLINE)
+
+
+def test_stdout_record_truncates_before_overflowing():
+    """If future rounds grow HEADLINE past the budget, the guard cuts
+    the per-query map to frozen27 (flagging it) instead of emitting
+    an unparseable line."""
+    import json
+
+    rec = bench.compact_stdout_record(_fake_full_record(n_extra=40))
+    line = json.dumps(rec)
+    assert len(line) <= bench.STDOUT_BUDGET
+    assert rec.get("queries_truncated") is True
+    assert set(rec["queries"]) == set(bench.HEADLINE[: bench.FROZEN27_N])
