@@ -1008,7 +1008,7 @@ def merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = ra.crossJoin(rb).select(
         (F.col("root_a") == F.col("root_b")).cast("int").alias("roots_match")
     )
-    return (
+    diffs = (
         j.filter(F.col("dg_a") != F.col("dg_b"))
         .crossJoin(F.broadcast(summary))
         .crossJoin(F.broadcast(roots))
@@ -1023,6 +1023,21 @@ def merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roots_match",
         )
     )
+    # sentinel summary row (round-10 advice): identical snapshots
+    # used to return ZERO rows, losing the roots_match evidence and
+    # making the comparison vacuous — the block_id = -1 row carries
+    # the tree summary no matter how many blocks differ
+    sentinel = summary.crossJoin(roots).select(
+        F.lit(-1).cast("long").alias("block_id"),
+        F.lit(None).cast("string").alias("digest_a16"),
+        F.lit(None).cast("string").alias("digest_b16"),
+        F.lit(None).cast("long").alias("n_rows_a"),
+        F.lit(None).cast("long").alias("n_rows_b"),
+        "n_blocks",
+        "n_diff_blocks",
+        "roots_match",
+    )
+    return diffs.unionByName(sentinel)
 
 
 def _merkle_oracle() -> str:
@@ -1087,6 +1102,11 @@ SELECT block_id, substr(dg_a, 1, 16) AS digest_a16,
        n_rows_a, n_rows_b, n_blocks, n_diff_blocks, roots_match
 FROM j, summary, roots
 WHERE dg_a <> dg_b
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       n_blocks, n_diff_blocks, roots_match
+FROM summary, roots
 """
 
 

@@ -358,12 +358,20 @@ def test_changepoint_matches_bruteforce_and_planted_shift(spark, sf_dir):
     n = len(y)
     cy = np.cumsum(y)
     best = None
+    max_rs = 0
     for k in range(2, n + 1):  # 1-based split index: right starts at k
         sl, nl = int(cy[k - 2]), k - 1
         sr, nr = int(cy[-1]) - int(cy[k - 2]), n - k + 1
         rs = (sl * sl * nr + sr * sr * nl) // (nl * nr)
+        max_rs = max(max_rs, rs)
         if best is None or rs > best[0] or (rs == best[0] and k < best[1]):
             best = (rs, k)
+    # packing headroom (round-10 advice): the argmax packs
+    # rs * CP_SHIFT into int64, where Spark would WRAP silently while
+    # DuckDB errors — a divergence, not a caught failure.  Pin the
+    # bound over EVERY candidate split, with 2^16 spare on top of
+    # the 2^16 shift.
+    assert max_rs < 1 << 46, max_rs
     r = changepoint_detection(spark, sf_dir).collect()[0]
     assert r["split_date"] == daily[best[1] - 1][0]
     assert r["r_split"] == best[0]
@@ -550,13 +558,22 @@ def test_merkle_digest_flags_exactly_the_changed_blocks(spark, sf_dir):
         .collect()
     }
     out = merkle_table_digest(spark, sf_dir).collect()
+    # the block_id = -1 sentinel row (round-10 advice) carries the
+    # tree summary even when NO blocks differ — a no-diff run still
+    # certifies roots_match instead of returning zero rows
+    sentinel = [r for r in out if r["block_id"] == -1]
+    assert len(sentinel) == 1
+    assert sentinel[0]["digest_a16"] is None
+    assert sentinel[0]["n_rows_a"] is None
+    diffs = [r for r in out if r["block_id"] != -1]
     # the tree flags EXACTLY the blocks whose rows changed — no false
     # positives (digest collisions) and no misses
-    assert {r["block_id"] for r in out} == changed_blocks
-    for r in out:
+    assert {r["block_id"] for r in diffs} == changed_blocks
+    for r in diffs:
         assert r["digest_a16"] != r["digest_b16"]
         # the delta is update-only, so block cardinalities agree
         assert r["n_rows_a"] == r["n_rows_b"]
+    for r in out:
         assert r["n_diff_blocks"] == len(changed_blocks)
         assert r["roots_match"] == int(len(changed_blocks) == 0)
 
@@ -644,6 +661,31 @@ def test_cdc_chunking_matches_python_replay_and_offset_invariance(spark, sf_dir)
     # the technique's reason to exist: shared substrings align to
     # identical chunks, so the near-dup-rich fixture shows real savings
     assert r["n_dup_chunks"] > 0
+
+
+def test_cdc_empty_text_contributes_no_char_rows(spark):
+    """Round-10 advice: Spark's sequence(1, 0) yields the DESCENDING
+    [1, 0] (two rows) while the oracle's range(1, len+1) is empty —
+    cdc_chunk_dedup gates the explode on length(text) >= 1 so empty
+    documents contribute no char rows in either engine.  Pin both
+    the engine divergence the guard defends against and the guarded
+    lineage's behavior on an empty document."""
+    # the divergence itself: un-guarded sequence(1, 0) is non-empty
+    raw = spark.sql("SELECT size(sequence(1, 0)) AS n").collect()[0]["n"]
+    assert raw == 2  # would emit 2 phantom char rows per empty doc
+    # the guarded char-grid stage (the exact cdc_chunk_dedup shape)
+    d = spark.createDataFrame(
+        [("empty", ""), ("one", "a")], "doc_id string, text string"
+    )
+    chars = (
+        d.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .collect()
+    )
+    assert [(r["doc_id"], r["i"]) for r in chars] == [("one", 1)]
 
 
 def test_poisson_bootstrap_ci_brackets_the_mean_and_replays(spark, sf_dir):
