@@ -1068,17 +1068,30 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-and-emit-raw-sums beyond), plus ρ·1e6 floored from the
     correctly-rounded double path (cast/multiply/sqrt/divide are all
     IEEE-correctly-rounded, so both engines floor the same double —
-    the sanctioned floor-ppm spelling, never round-half)."""
-    from ..io import swap_cache
+    the sanctioned floor-ppm spelling, never round-half).
 
-    li = swap_cache(
-        "stats.spearman",
-        table(tune(spark), sf_dir, "lineitem").select(
-            F.col("l_returnflag").alias("g"),
-            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
-            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-        ),
+    Size-gated dispatch (round-10 verdict item 4): the per-group
+    price-grid row count decides the rank plan — under
+    SPEAR_GATE_ROWS distinct y values per group, the single
+    per-group cumulative window wins (the round-9 fixture A/B:
+    the two-level plan's extra shuffle costs more than the sort
+    saves at fixture scale); above it, the certified bucketed
+    two-level prefix sum engages automatically so the 100× grid
+    never funnels one group's whole value grid into a single sort
+    task.  The estimate is ONE approx_count_distinct aggregate over
+    the persisted row frame (a 3-row collect — bounded by group
+    cardinality, not data), and both plans are bit-identical on the
+    same oracle."""
+    li = _spearman_rows(spark, sf_dir)
+    grid_est = (
+        li.groupBy("g")
+        .agg(F.approx_count_distinct("y").alias("nd"))
+        .agg(F.max("nd").alias("mx"))
+        .collect()[0]["mx"]
+        or 0
     )
+    if grid_est > SPEAR_GATE_ROWS:
+        return _spearman_bucketed_tail(li)
     # marginal grids straight off the persisted row frame (round 9:
     # the earlier (g, x, y) pair-grid stage was pure overhead — the
     # pair key is near-unique on this data, so the "grid" was
@@ -1106,6 +1119,30 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cy")
     )
     return _spearman_stats(li, xg, yg)
+
+
+#: per-group y-grid row count above which spearman_rank_corr routes
+#: through the bucketed two-level prefix sum: the sf0.1 grid is
+#: ~594k rows/group (simple window wins there, round-9 A/B), so the
+#: gate sits at ~5× that — comfortably past every fixture scale,
+#: comfortably before the single-task sort becomes the bottleneck on
+#: a 100× grid.  approx_count_distinct's ~2% rsd cannot straddle a
+#: 5×/100× margin, so the dispatch is stable.
+SPEAR_GATE_ROWS = 3_000_000
+
+
+def _spearman_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted narrow row frame both spearman plans read."""
+    from ..io import swap_cache
+
+    return swap_cache(
+        "stats.spearman",
+        table(tune(spark), sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        ),
+    )
 
 
 def _spearman_xgrid(li: DataFrame) -> DataFrame:
@@ -1195,17 +1232,16 @@ def spearman_rank_corr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B keeps the simple window as the default production plan
     (COVERAGE.md round-9 "Negative A/B" — at fixture scale the extra
     shuffle costs more than the sort saves); this sibling is the
-    plan a 100× grid runs, certified against the same oracle."""
-    from ..io import swap_cache
+    plan a 100× grid runs, certified against the same oracle, and
+    the plan `spearman_rank_corr`'s size gate dispatches to once the
+    per-group grid passes SPEAR_GATE_ROWS."""
+    return _spearman_bucketed_tail(_spearman_rows(spark, sf_dir))
 
-    li = swap_cache(
-        "stats.spearman",
-        table(tune(spark), sf_dir, "lineitem").select(
-            F.col("l_returnflag").alias("g"),
-            F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
-            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-        ),
-    )
+
+def _spearman_bucketed_tail(li: DataFrame) -> DataFrame:
+    """The bucketed two-level rank plan over the persisted row frame
+    (shared by the named bucketed query and the size-gated dispatch
+    in :func:`spearman_rank_corr`)."""
     xg = _spearman_xgrid(li)
     ygrid = (
         li.groupBy("g", "y")

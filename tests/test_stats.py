@@ -427,6 +427,45 @@ def test_spearman_bucketed_equals_simple(spark, sf_dir, monkeypatch):
     assert tiny == simple
 
 
+def test_spearman_size_gate_dispatches_both_ways(spark, sf_dir, monkeypatch):
+    """Round-10 verdict item 4: spearman_rank_corr size-gates its
+    rank plan.  Pin the boundary from both sides — at the standing
+    gate the fixture takes the simple window (its per-group grid is
+    far below SPEAR_GATE_ROWS); with the gate forced to 0 every
+    fixture grid exceeds it, the bucketed tail engages, and the
+    result is bit-identical (one query name, two certified plans)."""
+    from fxblue_etl_spark.plans import stats
+
+    # fixture sits on the simple side of the standing gate
+    li = stats._spearman_rows(spark, sf_dir)
+    grid_max = (
+        li.groupBy("g")
+        .agg(F.countDistinct("y").alias("nd"))
+        .agg(F.max("nd").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert grid_max < stats.SPEAR_GATE_ROWS
+
+    key = lambda r: tuple(r[c] for c in r.__fields__)
+    simple = sorted(
+        map(key, stats.spearman_rank_corr(spark, sf_dir).collect())
+    )
+    bucketed_calls: list[int] = []
+    orig_tail = stats._spearman_bucketed_tail
+
+    def spy(frame):
+        bucketed_calls.append(1)
+        return orig_tail(frame)
+
+    monkeypatch.setattr(stats, "_spearman_bucketed_tail", spy)
+    monkeypatch.setattr(stats, "SPEAR_GATE_ROWS", 0)
+    gated = sorted(
+        map(key, stats.spearman_rank_corr(spark, sf_dir).collect())
+    )
+    assert bucketed_calls == [1], "gate=0 must route through the bucketed tail"
+    assert gated == simple
+
+
 def test_spearman_matches_pure_python_reference(spark, sf_dir):
     """ρ·1e6 must match a from-first-principles Python recompute
     (average ranks over collected rows, Pearson on ranks with exact
