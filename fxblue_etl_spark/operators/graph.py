@@ -1163,7 +1163,10 @@ QUERIES = {
     "dedup_triangles": dedup_triangles,
     "split_decontaminate": split_decontaminate,
     "canonical_doc_selection": canonical_doc_selection,
-    "dedup_pagerank": dedup_pagerank,
+    # dedup_pagerank: REMOVED from the driver surface (round-11,
+    # verdict item 5) — float power iteration drifts ulps per round
+    # across engines; dedup_pagerank_exact (integer rational) is the
+    # driver-checked form (function kept, pytest-covered).
     "dedup_pagerank_exact": dedup_pagerank_exact,
 }
 

@@ -1103,7 +1103,10 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "semantic_contamination_report": semantic_contamination_report,
-    "brp_lsh_ml": brp_lsh_ml,
+    # brp_lsh_ml: REMOVED from the driver surface (round-11, verdict
+    # item 5) — seeded JVM random projections are not oracle-
+    # reproducible; recall is driver-checked through the hash-
+    # certified brp_lsh_containment contract (function kept).
     "brp_lsh_containment": brp_lsh_containment,
     "ivf_upsert_equivalence": ivf_upsert_equivalence,
     "truncation_recall_report": truncation_recall_report,

@@ -830,7 +830,12 @@ QUERIES = {
     "lag_lead_order_gaps": lag_lead_order_gaps,
     "events_json_extract": events_json_extract,
     "exact_distinct_and_quantiles": exact_distinct_and_quantiles,
-    "approx_sketches": approx_sketches,
+    # approx_sketches: REMOVED from the driver surface (round-11,
+    # verdict item 5) — approx_count_distinct/percentile_approx
+    # values are engine-specific by construction, so its driver row
+    # could only ever be the rows-only `no_oracle` check it carried
+    # since r1.  The function remains (pytest-covered demo); the
+    # exact surface is exact_distinct_and_quantiles.
     "pivot_status_by_priority": pivot_status_by_priority,
 }
 
