@@ -836,6 +836,34 @@ _R12_QUEUE: list[str] = [
     # independently REPLAYS the watermark/state algebra from the raw
     # table (ntile staging makes batch contents deterministic)
     "streaming_observed_metrics",
+    # exact two-sample drift tests over the return-flag price
+    # populations, sharing one persisted merged-grid spine with the
+    # bucketed two-level prefix sum (scale-correct from day one):
+    # Mann-Whitney U (2x-scaled integer U, exact tie term, floor-e6
+    # tie-corrected z off one shared expression text) and
+    # Kolmogorov-Smirnov (integer cross-multiplied D numerator,
+    # floor-ppm D, DECIMAL(38,0) 5%-significance compare — no float
+    # ever decides the flag); both brute-force-replay pinned
+    "mann_whitney_u",
+    "ks_two_sample",
+    # t-closeness (Li et al., ICDE 2007): the third rung of the
+    # release-privacy ladder — integer-exact ordered EMD between each
+    # QI group's sensitive-attribute distribution and the corpus's,
+    # DECIMAL(38,0) ppm, risk flag; completes pii_scrub → k_anonymity
+    # → distribution leakage
+    "t_closeness_audit",
+    # Page's CUSUM as a window plan: the sequential drift monitor
+    # companion to changepoint_detection — the classic max(0, ...)
+    # recursion collapsed to the prefix-sum identities S+ = P − min
+    # prefix / S− = max prefix − P on the n-scaled integer series (no
+    # iteration, no float mean); per-direction peak, alarm days
+    "cusum_drift_monitor",
+    # the planning half of table maintenance: offset-bin
+    # (Iceberg-binpack-style) assignment of date-ordered monthly
+    # partitions to COMPACT_TASKS compaction tasks off the manifest,
+    # with per-task fill/skew ppm — compact_small_files executes,
+    # this decides
+    "compaction_tier_plan",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

@@ -1131,6 +1131,150 @@ FROM iv JOIN fact ON iv.probe_date = fact.probe_date
 CP_UNIT = 1_000_000
 CP_SHIFT = 1 << 16
 
+#: CUSUM alarm threshold as percent of total spend (scaled by n)
+CUSUM_H_PCT = 2
+
+
+def cusum_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift monitor over the daily spend series — the
+    SEQUENTIAL companion to `changepoint_detection` (that one finds
+    the single best retrospective split; CUSUM is the running control
+    chart a pipeline keeps to catch drift as it accumulates).  The
+    one-sided statistics are kept integer-exact by clearing the mean
+    with the n-scaling trick: P_i = n·cumsum_i − i·S is the prefix
+    sum of n·(x_i − μ), so the classic recursions S⁺_i = max(0,
+    S⁺_{i−1} + (x_i − μ)) and S⁻ collapse to the window-expressible
+    identities S⁺_i = P_i − min_{j≤i} P_j and S⁻_i = max_{j≤i} P_j −
+    P_i — no iteration, no float mean, both engines agree bit-for-bit.
+
+    Output: one row per direction (pos = spend running above its
+    mean, neg = below): the peak statistic, the peak date (min-date
+    tie-break via struct-max), alarm-day count against h = CUSUM_H_PCT%
+    of total spend (n-scaled), and the calendar length.
+
+    Scale: the series is calendar-bounded (the one daily aggregate is
+    the data-scaled work — same allowlisted bounded global window as
+    `changepoint_detection`/`seasonal_naive_backtest`).  Headroom:
+    |P| ≤ n·S ~ 2^60 at sf100."""
+    o = table(tune(spark), sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("string").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("cents").over(cum).cast("long").alias("cc"),
+    )
+    tot = pre.agg(
+        F.max("idx").cast("long").alias("n"),
+        F.max("cc").cast("long").alias("s"),
+    )
+    p = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "idx",
+        "n",
+        "s",
+        (F.col("cc") * F.col("n") - F.col("idx") * F.col("s"))
+        .cast("long")
+        .alias("p"),
+    )
+    w2 = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    st = p.select(
+        "d",
+        "idx",
+        "n",
+        (F.col("p") - F.min("p").over(w2)).cast("long").alias("s_pos"),
+        (F.max("p").over(w2) - F.col("p")).cast("long").alias("s_neg"),
+        F.expr(f"(s * n * {CUSUM_H_PCT}) DIV 100").cast("long").alias("h"),
+    )
+
+    def side(col: str, name: str) -> DataFrame:
+        return (
+            st.agg(
+                F.max(
+                    F.struct(F.col(col).alias("v"), (-F.col("idx")).alias("ni"))
+                ).alias("b"),
+                F.sum((F.col(col) > F.col("h")).cast("long"))
+                .cast("long")
+                .alias("n_alarm_days"),
+                F.max("n").cast("long").alias("n_days"),
+                F.max("h").cast("long").alias("h_scaled"),
+            )
+            .select(
+                F.lit(name).alias("direction"),
+                "n_days",
+                F.col("b.v").cast("long").alias("max_stat_scaled"),
+                (-F.col("b.ni")).cast("long").alias("peak_idx"),
+                "n_alarm_days",
+                "h_scaled",
+            )
+        )
+
+    agg = side("s_pos", "pos").unionByName(side("s_neg", "neg"))
+    days = st.select(
+        F.col("idx").alias("peak_idx"), F.col("d").alias("peak_date")
+    )
+    return agg.join(days, "peak_idx").select(
+        "direction",
+        "n_days",
+        "max_stat_scaled",
+        "peak_date",
+        "n_alarm_days",
+        "h_scaled",
+    )
+
+
+CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS VARCHAR) AS d,
+         CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+pre AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx,
+         CAST(sum(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM daily),
+tot AS (SELECT CAST(max(idx) AS BIGINT) AS n, CAST(max(cc) AS BIGINT) AS s
+        FROM pre),
+p AS (
+  SELECT d, idx, t.n, t.s,
+         CAST(cc * t.n - idx * t.s AS BIGINT) AS p
+  FROM pre, tot t),
+st AS (
+  SELECT d, idx, n,
+         CAST(p - min(p) OVER win AS BIGINT) AS s_pos,
+         CAST(max(p) OVER win - p AS BIGINT) AS s_neg,
+         CAST((s * n * {CUSUM_H_PCT}) // 100 AS BIGINT) AS h
+  FROM p
+  WINDOW win AS (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)),
+sides AS (
+  SELECT 'pos' AS direction, max(n) AS n_days,
+         (max({{'v': s_pos, 'ni': -idx}})).v AS max_stat_scaled,
+         -(max({{'v': s_pos, 'ni': -idx}})).ni AS peak_idx,
+         CAST(sum(CASE WHEN s_pos > h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarm_days,
+         max(h) AS h_scaled
+  FROM st
+  UNION ALL
+  SELECT 'neg', max(n),
+         (max({{'v': s_neg, 'ni': -idx}})).v,
+         -(max({{'v': s_neg, 'ni': -idx}})).ni,
+         CAST(sum(CASE WHEN s_neg > h THEN 1 ELSE 0 END) AS BIGINT),
+         max(h)
+  FROM st)
+SELECT sd.direction, CAST(sd.n_days AS BIGINT) AS n_days,
+       CAST(sd.max_stat_scaled AS BIGINT) AS max_stat_scaled,
+       st.d AS peak_date,
+       sd.n_alarm_days,
+       CAST(sd.h_scaled AS BIGINT) AS h_scaled
+FROM sides sd JOIN st ON st.idx = sd.peak_idx
+"""
+
 
 def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-segment change-point detection over the daily spend
@@ -1389,6 +1533,7 @@ QUERIES = {
     "asof_tolerance_view": asof_tolerance_view,
     "scd2_asof_consistency": scd2_asof_consistency,
     "changepoint_detection": changepoint_detection,
+    "cusum_drift_monitor": cusum_drift_monitor,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
@@ -1413,6 +1558,7 @@ ORACLES = {
     "asof_tolerance_view": ASOF_TOLERANCE_ORACLE,
     "scd2_asof_consistency": _asof_consistency_oracle(),
     "changepoint_detection": CHANGEPOINT_ORACLE,
+    "cusum_drift_monitor": CUSUM_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,

@@ -800,6 +800,178 @@ GROUP BY 1, 2, 3
 """
 
 
+#: t-closeness risk threshold (ppm of the [0,1] EMD scale): groups
+#: whose ordered-priority distribution sits further than 0.15 from
+#: the corpus distribution are flagged
+T_CLOSE_T_PPM = 150_000
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third member of the release-privacy
+    ladder (`pii_scrub` redacts direct identifiers, `k_anonymity_audit`
+    measures group sizes and l-diversity, this measures DISTRIBUTION
+    leakage): even a k-anonymous, l-diverse group leaks if its
+    sensitive-attribute distribution differs sharply from the
+    corpus's (Li et al., ICDE 2007).  Distance = the Earth Mover's
+    Distance over the ORDERED sensitive attribute (order priority,
+    '1-URGENT' < .. < '5-LOW'), EMD = Σ|cumP − cumQ| / (m−1) — kept
+    integer-exact by cross-multiplying the cumulative shares:
+    t_num = Σ_i |cumG_i·N − cumC_i·n_g|, t_ppm = 1e6·t_num DIV
+    (n_g·N·(m−1)) in DECIMAL(38,0).
+
+    Rows = (customer QI, order priority) pairs — the released fact
+    grain; orderless customers carry no sensitive value and are
+    measured by the k-anonymity audit instead.  Scale: one custkey
+    shuffle, a groups×m grid (m = 5 priorities) via broadcast, all
+    windows bounded by m."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rows = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bal_bucket"),
+    ).join(
+        o.select("o_custkey", F.col("o_orderpriority").alias("pri")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    wp = Window.orderBy("pri")
+    corpus = (
+        rows.groupBy("pri")
+        .agg(F.count("*").cast("long").alias("cc"))
+        .select(
+            "pri",
+            F.sum("cc").over(
+                wp.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("ccum"),
+            F.sum("cc").over(
+                wp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_corpus"),
+            F.count("*").over(
+                wp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long").alias("m"),
+        )
+    )
+    keys = ["nationkey", "mktsegment", "bal_bucket"]
+    groups = rows.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    gcnt = rows.groupBy(*keys, "pri").agg(
+        F.count("*").cast("long").alias("gc")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(corpus))
+        .join(gcnt, keys + ["pri"], "left")
+        .fillna(0, ["gc"])
+    )
+    wg = Window.partitionBy(*keys).orderBy("pri")
+    per = grid.select(
+        *keys,
+        "n_rows",
+        "n_corpus",
+        "m",
+        "pri",
+        "ccum",
+        F.sum("gc").over(
+            wg.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("gcum"),
+    ).filter(
+        # the last cumulative step is identically zero (both CDFs hit
+        # 1) — EMD sums the first m−1 steps
+        F.col("ccum") < F.col("n_corpus")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return (
+        per.groupBy(*keys, "n_rows", "n_corpus", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("gcum") * F.col("n_corpus")
+                    - F.col("ccum") * F.col("n_rows")
+                )
+            )
+            .cast("long")
+            .alias("t_num")
+        )
+        .select(
+            *keys,
+            "n_rows",
+            "t_num",
+            F.expr(
+                f"CAST(({dec.format('1000000')} * t_num)"
+                f" DIV ({dec.format('n_rows')} * n_corpus * (m - 1))"
+                " AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+        .withColumn(
+            "at_risk_t",
+            (F.col("t_ppm") > T_CLOSE_T_PPM).cast("int"),
+        )
+    )
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH rows_v AS (
+  SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS mktsegment,
+         CAST(floor(c.c_acctbal / {BAL_BUCKET_WIDTH}) AS BIGINT)
+           AS bal_bucket,
+         o.o_orderpriority AS pri
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+corpus AS (
+  SELECT pri,
+         CAST(sum(count(*)) OVER (ORDER BY pri
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ccum,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_corpus,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM rows_v GROUP BY pri),
+groups AS (
+  SELECT nationkey, mktsegment, bal_bucket,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM rows_v GROUP BY 1, 2, 3),
+gcnt AS (
+  SELECT nationkey, mktsegment, bal_bucket, pri,
+         CAST(count(*) AS BIGINT) AS gc
+  FROM rows_v GROUP BY 1, 2, 3, 4),
+per AS (
+  SELECT g.nationkey, g.mktsegment, g.bal_bucket, g.n_rows,
+         c.n_corpus, c.m, c.pri, c.ccum,
+         sum(coalesce(x.gc, 0)) OVER (
+           PARTITION BY g.nationkey, g.mktsegment, g.bal_bucket
+           ORDER BY c.pri
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+  FROM groups g
+  CROSS JOIN corpus c
+  LEFT JOIN gcnt x
+    ON x.nationkey = g.nationkey AND x.mktsegment = g.mktsegment
+   AND x.bal_bucket = g.bal_bucket AND x.pri = c.pri),
+agg AS (
+  SELECT nationkey, mktsegment, bal_bucket, n_rows, n_corpus, m,
+         CAST(sum(abs(gcum * n_corpus - ccum * n_rows)) AS BIGINT)
+           AS t_num
+  FROM per
+  WHERE ccum < n_corpus
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT nationkey, mktsegment, bal_bucket, n_rows, t_num,
+       CAST((CAST(1000000 AS HUGEINT) * t_num)
+            // (CAST(n_rows AS HUGEINT) * n_corpus * (m - 1))
+            AS BIGINT) AS t_ppm,
+       CAST(CAST((CAST(1000000 AS HUGEINT) * t_num)
+            // (CAST(n_rows AS HUGEINT) * n_corpus * (m - 1))
+            AS BIGINT) > {T_CLOSE_T_PPM} AS INT) AS at_risk_t
+FROM agg
+"""
+
+
 #: truncated two-sided geometric ("discrete Laplace") mechanism with
 #: ratio alpha = 1/2 (epsilon = ln 2 per released count): P(0) ∝ 2^B,
 #: P(±k) ∝ 2^(B-k), truncated at ±B and renormalized over the exact
@@ -1115,6 +1287,7 @@ QUERIES = {
     "dq_audit": dq_audit,
     "dp_noisy_release": dp_noisy_release,
     "k_anonymity_audit": k_anonymity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "source_length_drift": source_length_drift,
     "order_totals_reconciliation": order_totals_reconciliation,
     "supplier_concentration": supplier_concentration,
@@ -1130,6 +1303,7 @@ ORACLES = {
     "dp_noisy_release": _dp_oracle(),
     "merkle_table_digest": _merkle_oracle(),
     "k_anonymity_audit": K_ANONYMITY_ORACLE,
+    "t_closeness_audit": T_CLOSENESS_ORACLE,
     "source_length_drift": LENGTH_DRIFT_ORACLE,
     "order_totals_reconciliation": RECONCILIATION_ORACLE,
     "supplier_concentration": CONCENTRATION_ORACLE,

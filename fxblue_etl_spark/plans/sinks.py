@@ -235,6 +235,125 @@ FROM orders
 """
 
 
+#: compaction task budget for the tier planner
+COMPACT_TASKS = 8
+
+
+def compaction_tier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNING half of table maintenance (`compact_small_files`
+    executes a rewrite; this decides WHAT to rewrite): given the
+    monthly partition manifest of the orders table (partition → row
+    mass, the size proxy), assign contiguous date-ordered partitions
+    to COMPACT_TASKS compaction tasks by the offset-bin rule —
+    task = exclusive-prefix-mass DIV target — the deterministic
+    bin-packing every LSM/lakehouse compactor (Iceberg binpack,
+    Delta OPTIMIZE) runs, keeping rewritten files range-clustered so
+    min/max pruning survives compaction.
+
+    One row per planned task: file count, row mass, the date range it
+    covers, and its skew vs the ideal target in ppm (the number that
+    says whether one task will straggle).  Scale: the plan runs on
+    the MANIFEST (one map-side-combined aggregate of the table; at
+    100 TB the manifest is the catalog listing — thousands of rows),
+    and the prefix-sum window is manifest-sized, the same allowlisted
+    bounded shape as the calendar series."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    man = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(F.count("*").cast("long").alias("rows_in"))
+    w = Window.orderBy("y", "m")
+    pre = man.select(
+        "y",
+        "m",
+        "rows_in",
+        F.coalesce(
+            F.sum("rows_in").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_excl"),
+    )
+    tot = pre.agg(
+        (F.sum("rows_in").cast("long")).alias("total_rows")
+    ).select(
+        "total_rows",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"total_rows DIV {COMPACT_TASKS}"),
+        ).alias("target"),
+    )
+    assigned = pre.crossJoin(F.broadcast(tot)).select(
+        "y",
+        "m",
+        "rows_in",
+        "target",
+        F.least(
+            F.expr("cum_excl DIV target"), F.lit(COMPACT_TASKS - 1)
+        )
+        .cast("long")
+        .alias("task_id"),
+    )
+    return (
+        assigned.groupBy("task_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("rows_in").cast("long").alias("rows_total"),
+            F.min(F.col("y") * 100 + F.col("m")).cast("long").alias("from_ym"),
+            F.max(F.col("y") * 100 + F.col("m")).cast("long").alias("to_ym"),
+            F.max("target").cast("long").alias("target_rows"),
+        )
+        .select(
+            "task_id",
+            "n_files",
+            "rows_total",
+            "from_ym",
+            "to_ym",
+            F.expr("1000000 * rows_total DIV target_rows")
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+    )
+
+
+COMPACTION_PLAN_ORACLE = f"""
+WITH man AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS rows_in
+  FROM orders GROUP BY 1, 2),
+pre AS (
+  SELECT y, m, rows_in,
+         CAST(coalesce(sum(rows_in) OVER (ORDER BY y, m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_excl
+  FROM man),
+tot AS (
+  SELECT CAST(sum(rows_in) AS BIGINT) AS total_rows,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(sum(rows_in) AS BIGINT) // {COMPACT_TASKS}) AS target
+  FROM pre),
+assigned AS (
+  SELECT p.y, p.m, p.rows_in, t.target,
+         least(p.cum_excl // t.target,
+               CAST({COMPACT_TASKS - 1} AS BIGINT)) AS task_id
+  FROM pre p, tot t)
+SELECT task_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(rows_in) AS BIGINT) AS rows_total,
+       CAST(min(y * 100 + m) AS BIGINT) AS from_ym,
+       CAST(max(y * 100 + m) AS BIGINT) AS to_ym,
+       CAST(1000000 * sum(rows_in) // max(target) AS BIGINT) AS fill_ppm
+FROM assigned
+GROUP BY 1
+"""
+
+
 def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → headered CSV sink → schema'd read-back → rollup.
     Completes the format matrix (parquet / ORC / JSONL / CSV). The
@@ -470,6 +589,7 @@ QUERIES = {
     "dpp_monthly_join": dpp_monthly_join,
     "orc_sink_roundtrip": orc_sink_roundtrip,
     "compact_small_files": compact_small_files,
+    "compaction_tier_plan": compaction_tier_plan,
     "csv_sink_roundtrip": csv_sink_roundtrip,
     "dynamic_partition_backfill": dynamic_partition_backfill,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
@@ -481,6 +601,7 @@ ORACLES = {
     "dpp_monthly_join": DPP_ORACLE,
     "orc_sink_roundtrip": ORC_ROUNDTRIP_ORACLE,
     "compact_small_files": COMPACT_ORACLE,
+    "compaction_tier_plan": COMPACTION_PLAN_ORACLE,
     "csv_sink_roundtrip": CSV_ROUNDTRIP_ORACLE,
     "dynamic_partition_backfill": DPO_BACKFILL_ORACLE,
     "schema_evolution_roundtrip": SCHEMA_EVO_ORACLE,

@@ -1288,6 +1288,263 @@ def _spearman_bucketed_tail(li: DataFrame) -> DataFrame:
     return _spearman_stats(li, xg, yg)
 
 
+def _two_sample_merged_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared spine of the two-sample tests (:func:`mann_whitney_u`,
+    :func:`ks_two_sample`): for every unordered return-flag pair
+    (ga < gb), the MERGED price-cents value grid with both sides'
+    counts and EXCLUSIVE cumulative counts.
+
+    Reuses the persisted spearman row frame (same (g, y) columns,
+    same swap-cache key) and the bucketed two-level prefix sum the
+    spearman scale sibling certified — the cumulative never funnels a
+    pair's whole merged grid into one sort task, so the plan is
+    scale-correct from day one rather than fixture-tuned."""
+    from ..io import swap_cache
+
+    li = _spearman_rows(spark, sf_dir)
+    grid = li.groupBy("g", "y").agg(F.count("*").cast("long").alias("c"))
+    fl = grid.select("g").distinct()
+    pairs = (
+        fl.alias("a")
+        .join(fl.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    a = grid.join(F.broadcast(pairs), grid.g == F.col("ga")).select(
+        "ga", "gb", "y", F.col("c").alias("ca")
+    )
+    b = grid.join(F.broadcast(pairs), grid.g == F.col("gb")).select(
+        "ga", "gb", "y", F.col("c").alias("cb")
+    )
+    mg = (
+        a.join(b, ["ga", "gb", "y"], "full")
+        .fillna(0, ["ca", "cb"])
+        .withColumn("bkt", (F.col("y") / SPEAR_BUCKET_W).cast("long"))
+    )
+    wloc = Window.partitionBy("ga", "gb", "bkt").orderBy("y")
+    woff = Window.partitionBy("ga", "gb").orderBy("bkt")
+    boff = (
+        mg.groupBy("ga", "gb", "bkt")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .select(
+            "ga",
+            "gb",
+            "bkt",
+            F.coalesce(
+                F.sum("ba").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("offa"),
+            F.coalesce(
+                F.sum("bb").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("offb"),
+        )
+    )
+    loc = lambda c: F.coalesce(
+        F.sum(c).over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = mg.join(F.broadcast(boff), ["ga", "gb", "bkt"]).select(
+        "ga",
+        "gb",
+        "y",
+        "ca",
+        "cb",
+        (loc("ca") + F.col("offa")).cast("long").alias("cae"),
+        (loc("cb") + F.col("offb")).cast("long").alias("cbe"),
+    )
+    return swap_cache("stats.twosample_grid", out)
+
+
+#: the SQL twin of _two_sample_merged_grid (simple per-pair windows —
+#: oracle clarity; the integers are identical either way), shared by
+#: both two-sample oracles
+_TWOSAMPLE_GRID_SQL = """
+li AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+grid AS (
+  SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1, 2),
+fl AS (SELECT DISTINCT g FROM grid),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM fl a JOIN fl b ON a.g < b.g),
+mg AS (
+  SELECT coalesce(a.ga, b.ga) AS ga, coalesce(a.gb, b.gb) AS gb,
+         coalesce(a.y, b.y) AS y,
+         coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM (SELECT p.ga, p.gb, g.y, g.c
+        FROM pairs p JOIN grid g ON g.g = p.ga) a
+  FULL JOIN (SELECT p.ga, p.gb, g.y, g.c
+             FROM pairs p JOIN grid g ON g.g = p.gb) b
+    ON a.ga = b.ga AND a.gb = b.gb AND a.y = b.y),
+cum AS (
+  SELECT ga, gb, y, ca, cb,
+         coalesce(sum(ca) OVER (PARTITION BY ga, gb ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cae,
+         coalesce(sum(cb) OVER (PARTITION BY ga, gb ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cbe
+  FROM mg)"""
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney/Wilcoxon rank-sum U between every pair of
+    return-flag populations over price cents — the nonparametric
+    "did this slice's distribution shift" test a data pipeline runs
+    between sources/snapshots where a t-test's normality assumption
+    is indefensible.  U is kept INTEGER-exact by the 2x trick
+    (u2 = 2·U = Σ_v ca(v)·(2·cumB(<v) + cb(v)) — every tie contributes
+    exactly 1/2·2), the tie term Σ(t³−t) over the merged grid is an
+    exact int64, and the normal-approximation z-score (tie-corrected
+    variance) is emitted as the sanctioned floor-e6 of the correctly
+    rounded double path — both engines evaluate the SAME expression
+    text, so the floored double agrees bit-for-bit.
+
+    Scale: grid-sized work after one groupBy; the cumulative runs as
+    the bucketed two-level prefix sum (no per-pair sort task).  u2
+    stays in int64 through ~1e9 rows per side; beyond, emit the raw
+    sufficient statistics (documented, same posture as spearman)."""
+    mg = _two_sample_merged_grid(spark, sf_dir)
+    agg = mg.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cbe") + F.col("cb")))
+        .cast("long")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        "u2_a",
+        "tie_term",
+        F.expr(_MW_Z_EXPR).cast("long").alias("z_e6"),
+    )
+
+
+#: the z-score expression — ONE text evaluated by both engines so the
+#: IEEE double path is identical: z = (U − n_a·n_b/2) / σ with the
+#: tie-corrected σ² = n_a·n_b/12 · ((n+1) − T/(n·(n−1))), spelled off
+#: the 2x-scaled integers as (u2 − n_a·n_b) / (2σ)
+_MW_Z_EXPR = (
+    "CASE WHEN (CAST(n_a AS DOUBLE) * n_b / 12.0)"
+    " * ((n_a + n_b + 1) - CAST(tie_term AS DOUBLE)"
+    "    / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE))) > 0 THEN"
+    " floor(((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)"
+    " / (2.0 * sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)"
+    " * ((n_a + n_b + 1) - CAST(tie_term AS DOUBLE)"
+    "    / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))))) * 1000000.0)"
+    " END"
+)
+
+MANN_WHITNEY_ORACLE = f"""
+WITH {_TWOSAMPLE_GRID_SQL},
+agg AS (
+  SELECT ga, gb,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(ca * (2 * cbe + cb)) AS BIGINT) AS u2_a,
+         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS tie_term
+  FROM cum GROUP BY 1, 2)
+SELECT ga, gb, n_a, n_b, u2_a, tie_term,
+       CAST({_MW_Z_EXPR} AS BIGINT) AS z_e6
+FROM agg
+"""
+
+
+#: KS two-sided 5% critical constant c(0.05)² = 1.358² as an exact
+#: rational (e6 scale) for the integer significance compare
+_KS_C2_E6 = 1_844_164
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between every
+    pair of return-flag price populations: D = max_v |F_a(v) − F_b(v)|
+    kept as the exact integer numerator max |cumA(≤v)·n_b −
+    cumB(≤v)·n_a| over the merged grid (denominator n_a·n_b), with
+    floor-ppm D and the 5% significance flag decided by the
+    all-integer cross-multiplied inequality D² · n_a · n_b > c²(n_a +
+    n_b) in DECIMAL(38,0) — no float ever decides the flag.
+
+    The KS distance is the drift gate a corpus pipeline puts between
+    ingest snapshots (more sensitive to shape changes than the mean
+    tests); the grid/prefix machinery is shared with mann_whitney_u
+    so both tests ride one persisted spine."""
+    mg = _two_sample_merged_grid(spark, sf_dir)
+    tot = mg.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    per_v = mg.join(F.broadcast(tot), ["ga", "gb"]).select(
+        "ga",
+        "gb",
+        F.abs(
+            (F.col("cae") + F.col("ca")) * F.col("n_b")
+            - (F.col("cbe") + F.col("cb")) * F.col("n_a")
+        )
+        .cast("long")
+        .alias("dnum_v"),
+    )
+    agg = (
+        per_v.groupBy("ga", "gb")
+        .agg(F.max("dnum_v").cast("long").alias("d_num"))
+        .join(F.broadcast(tot), ["ga", "gb"])
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return agg.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr(
+            f"CAST(({dec.format('1000000')} * d_num)"
+            f" DIV ({dec.format('n_a')} * n_b) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.expr(
+            f"CAST(({dec.format('d_num')} * d_num * 1000000)"
+            f" > ({dec.format(_KS_C2_E6)} * (n_a + n_b) * n_a * n_b)"
+            " AS INT)"
+        ).alias("sig_05"),
+    )
+
+
+KS_ORACLE = f"""
+WITH {_TWOSAMPLE_GRID_SQL},
+tot AS (
+  SELECT ga, gb, CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM cum GROUP BY 1, 2),
+per_v AS (
+  SELECT c.ga, c.gb,
+         CAST(abs((c.cae + c.ca) * t.n_b - (c.cbe + c.cb) * t.n_a)
+              AS BIGINT) AS dnum_v
+  FROM cum c JOIN tot t USING (ga, gb)),
+agg AS (
+  SELECT ga, gb, CAST(max(dnum_v) AS BIGINT) AS d_num
+  FROM per_v GROUP BY 1, 2)
+SELECT a.ga, a.gb, t.n_a, t.n_b, a.d_num,
+       CAST((CAST(1000000 AS HUGEINT) * a.d_num)
+            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS d_ppm,
+       CAST((CAST(a.d_num AS HUGEINT) * a.d_num * 1000000)
+            > (CAST({_KS_C2_E6} AS HUGEINT) * (t.n_a + t.n_b)
+               * t.n_a * t.n_b) AS INT) AS sig_05
+FROM agg a JOIN tot t USING (ga, gb)
+"""
 SPEARMAN_ORACLE = f"""
 WITH pair AS MATERIALIZED (
   SELECT l_returnflag AS g,
@@ -2009,10 +2266,14 @@ QUERIES = {
     "percentile_cont_exact": percentile_cont_exact,
     "encoding_advisor_stats": encoding_advisor_stats,
     "encoding_upsert_equivalence": encoding_upsert_equivalence,
+    "mann_whitney_u": mann_whitney_u,
+    "ks_two_sample": ks_two_sample,
 }
 
 ORACLES = {
     "poisson_bootstrap_ci": _boot_oracle(),
+    "mann_whitney_u": MANN_WHITNEY_ORACLE,
+    "ks_two_sample": KS_ORACLE,
     "bitmap_distinct_contract": BITMAP_ORACLE,
     "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,

@@ -165,3 +165,228 @@ def test_streaming_observed_metrics_state_bounds_at_sf01(spark):
     # watermark is monotone non-decreasing across batches
     wms = [r["wm_epoch_ms"] for r in rows]
     assert wms == sorted(wms)
+
+
+def _pair_samples(spark, sf_dir):
+    from fxblue_etl_spark.io import table as _t
+
+    rows = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["g"], []).append(r["y"])
+    return by
+
+
+def test_mann_whitney_u_matches_bruteforce(spark, sf_dir):
+    """Pure-python replay: U via pairwise comparison counting (2x
+    scaled: wins count 2, ties count 1), tie term over the merged
+    multiset, z off the identical formula — every cell exact."""
+    import math
+
+    from fxblue_etl_spark.plans.stats import mann_whitney_u
+
+    by = _pair_samples(spark, sf_dir)
+    got = {
+        (r["ga"], r["gb"]): r
+        for r in mann_whitney_u(spark, sf_dir).collect()
+    }
+    assert set(got) == {
+        (a, b) for a in by for b in by if a < b
+    }
+    for (ga, gb), r in got.items():
+        xs, ys = sorted(by[ga]), sorted(by[gb])
+        # counting via merged value histogram (O(V) — the brute pair
+        # loop would be 1e8 at sf0.001 already)
+        from collections import Counter
+
+        cx, cy = Counter(xs), Counter(ys)
+        u2 = 0
+        cum_b = 0
+        for v in sorted(set(cx) | set(cy)):
+            u2 += cx.get(v, 0) * (2 * cum_b + cy.get(v, 0))
+            cum_b += cy.get(v, 0)
+        na, nb = len(xs), len(ys)
+        tie = sum(
+            t ** 3 - t for t in (Counter(xs + ys)).values()
+        )
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert r["u2_a"] == u2
+        assert r["tie_term"] == tie
+        n = na + nb
+        var = (na * nb / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+        z = (u2 - na * nb) / (2.0 * math.sqrt(var))
+        assert r["z_e6"] == math.floor(z * 1e6)
+        # antisymmetry sanity: U_a + U_b == n_a * n_b (2x scale)
+        u2_b = 2 * na * nb - u2
+        assert 0 <= u2_b <= 2 * na * nb
+
+
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from fxblue_etl_spark.plans.stats import _KS_C2_E6, ks_two_sample
+
+    by = _pair_samples(spark, sf_dir)
+    got = {
+        (r["ga"], r["gb"]): r for r in ks_two_sample(spark, sf_dir).collect()
+    }
+    for (ga, gb), r in got.items():
+        cx, cy = Counter(by[ga]), Counter(by[gb])
+        na, nb = sum(cx.values()), sum(cy.values())
+        d_num = 0
+        ca = cb = 0
+        for v in sorted(set(cx) | set(cy)):
+            ca += cx.get(v, 0)
+            cb += cy.get(v, 0)
+            d_num = max(d_num, abs(ca * nb - cb * na))
+        assert (r["n_a"], r["n_b"], r["d_num"]) == (na, nb, d_num)
+        assert r["d_ppm"] == 1_000_000 * d_num // (na * nb)
+        assert r["sig_05"] == int(
+            d_num * d_num * 1_000_000 > _KS_C2_E6 * (na + nb) * na * nb
+        )
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    """Replay the ordered EMD exactly: per QI group, cumulative
+    cross-multiplied distance against the corpus distribution over
+    the 5 ordered priorities."""
+    from fxblue_etl_spark.plans.dq import (
+        BAL_BUCKET_WIDTH,
+        T_CLOSE_T_PPM,
+        t_closeness_audit,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rows = (
+        c.select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / BAL_BUCKET_WIDTH)
+            .cast("long")
+            .alias("bb"),
+        )
+        .join(o.select("o_custkey", "o_orderpriority"), F.col("c_custkey") == F.col("o_custkey"))
+        .select("nk", "seg", "bb", F.col("o_orderpriority").alias("pri"))
+        .collect()
+    )
+    pris = sorted({r["pri"] for r in rows})
+    m = len(pris)
+    from collections import Counter
+
+    corpus = Counter(r["pri"] for r in rows)
+    n_all = len(rows)
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["nk"], r["seg"], r["bb"]), Counter())[r["pri"]] += 1
+    expected = {}
+    for key, cnt in groups.items():
+        n_g = sum(cnt.values())
+        gcum = ccum = t_num = 0
+        for p in pris[:-1]:  # last step is identically zero
+            gcum += cnt.get(p, 0)
+            ccum += corpus[p]
+            t_num += abs(gcum * n_all - ccum * n_g)
+        t_ppm = 1_000_000 * t_num // (n_g * n_all * (m - 1))
+        expected[key] = (n_g, t_num, t_ppm, int(t_ppm > T_CLOSE_T_PPM))
+    got = {
+        (r["nationkey"], r["mktsegment"], r["bal_bucket"]): (
+            r["n_rows"],
+            r["t_num"],
+            r["t_ppm"],
+            r["at_risk_t"],
+        )
+        for r in t_closeness_audit(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the audit is load-bearing on the fixture: distances vary
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_cusum_matches_naive_recursion(spark, sf_dir):
+    """The window identities must equal the textbook recursion
+    S+_i = max(0, S+_{i-1} + n·(x_i − μ)) replayed in python on the
+    n-scaled integer series, peak and alarm counts included."""
+    from fxblue_etl_spark.operators.temporal import (
+        CUSUM_H_PCT,
+        cusum_drift_monitor,
+    )
+
+    daily = sorted(
+        (r["d"], r["cents"])
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("string").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    n = len(daily)
+    s_tot = sum(c for _, c in daily)
+    h = s_tot * n * CUSUM_H_PCT // 100
+    sp = sn = 0
+    exp = {"pos": [0, None, 0], "neg": [0, None, 0]}  # max, peak day, alarms
+    for d, c in daily:
+        dev = n * c - s_tot
+        sp = max(0, sp + dev)
+        sn = max(0, sn - dev)
+        for name, v in (("pos", sp), ("neg", sn)):
+            if v > exp[name][0]:
+                exp[name][0], exp[name][1] = v, d
+            if exp[name][1] is None:
+                exp[name][1] = d  # all-zero series: first day peaks
+            if v > h:
+                exp[name][2] += 1
+    got = {
+        r["direction"]: r for r in cusum_drift_monitor(spark, sf_dir).collect()
+    }
+    for name in ("pos", "neg"):
+        r = got[name]
+        assert r["n_days"] == n
+        assert r["max_stat_scaled"] == exp[name][0]
+        assert r["peak_date"] == exp[name][1]
+        assert r["n_alarm_days"] == exp[name][2]
+        assert r["h_scaled"] == h
+
+
+def test_compaction_tier_plan_is_a_partition_of_the_manifest(spark, sf_dir):
+    """The offset-bin rule must partition the manifest: contiguous
+    date ranges per task, every row accounted for once, fill ppm
+    consistent, task count within budget."""
+    from fxblue_etl_spark.plans.sinks import (
+        COMPACT_TASKS,
+        compaction_tier_plan,
+    )
+
+    out = sorted(
+        compaction_tier_plan(spark, sf_dir).collect(),
+        key=lambda r: r["task_id"],
+    )
+    o = table(spark, sf_dir, "orders")
+    total = o.count()
+    n_months = (
+        o.select(F.year("o_orderdate"), F.month("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert 1 <= len(out) <= COMPACT_TASKS
+    assert sum(r["n_files"] for r in out) == n_months
+    assert sum(r["rows_total"] for r in out) == total
+    target = max(1, total // COMPACT_TASKS)
+    prev_to = None
+    for r in out:
+        assert r["from_ym"] <= r["to_ym"]
+        if prev_to is not None:
+            assert r["from_ym"] > prev_to  # contiguous, non-overlapping
+        prev_to = r["to_ym"]
+        assert r["fill_ppm"] == 1_000_000 * r["rows_total"] // target

@@ -75,6 +75,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "sampled_histogram": "ntile over the bounded sample, not the table",
     # sketch-sized frames (domain-bounded by construction)
     "portable_qdigest_quantiles": "cumulative count over the ≤ ~3k q-digest sketch nodes",
+    # round-11 additions
+    "cusum_drift_monitor": "prefix sums over the calendar-bounded daily series",
+    "t_closeness_audit": "corpus CDF over the m=5 ordered priorities",
+    "compaction_tier_plan": "prefix mass over the monthly manifest (~84 rows)",
 }
 
 
