@@ -864,6 +864,19 @@ _R12_QUEUE: list[str] = [
     # with per-task fill/skew ppm — compact_small_files executes,
     # this decides
     "compaction_tier_plan",
+    # pseudo-relevance-feedback expansion (Rocchio/RM shape): seed
+    # BM25 pass → top-3 feedback docs → 5 mined expansion terms
+    # (fb-tf ranked, df-capped stopword guard) → second certified
+    # rational-BM25 pass over the expanded termset; deterministic end
+    # to end, full python replay pinned
+    "query_expansion_prf",
+    # Hilbert-curve clustering stats over the z-order plane: the
+    # textbook xy2d recurrence as 8 unrolled integer rounds (one
+    # projection per round, arithmetic xor spelling — no engine
+    # bitwise-xor needed); pytest pins the index against the
+    # textbook replay and quantifies the equal-count-split locality
+    # win over Morton order
+    "hilbert_clustering_stats",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

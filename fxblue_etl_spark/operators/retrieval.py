@@ -522,7 +522,219 @@ FROM pm GROUP BY 1
 """
 
 
+#: pseudo-relevance-feedback geometry: feedback depth, expansion
+#: width, final ranking depth, and the stopword guard (an expansion
+#: candidate must appear in fewer than PRF_DF_CAP_PCT% of documents)
+PRF_FB = 3
+PRF_EXP = 5
+PRF_K = 10
+PRF_DF_CAP_PCT = 20
+
+
+def _bm25_scored_dyn(
+    spark: SparkSession, sf_dir: str, terms: DataFrame
+) -> DataFrame:
+    """The rational-BM25 scorer of ``_bm25_scored`` over a DYNAMIC
+    termset (broadcast semi-join in place of the literal ``isin`` —
+    the shape a real per-request query binder uses; the arithmetic is
+    character-identical)."""
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", "lang", ws_tokens("text").alias("toks")
+    )
+    docs = d.select("doc_id", "lang", F.size("toks").alias("dl"), "toks")
+    totals = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_total"),
+    )
+    td = (
+        docs.select("doc_id", "lang", "dl", F.explode("toks").alias("tok"))
+        .join(F.broadcast(terms), "tok", "left_semi")
+        .groupBy("tok", "doc_id", "lang", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_stats = td.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        td.join(F.broadcast(df_stats), "tok")
+        .crossJoin(F.broadcast(totals))  # 1-row scalar totals, by design
+        .withColumn(
+            "r_ppm",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * dl * n_docs"
+                " DIV CAST(l_total AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                "CAST(CAST(1000000000000 AS DECIMAL(38,0))"
+                " * (2 * n_docs - 2 * df + 1) * 22 * tf"
+                " DIV (CAST(2 * df + 1 AS DECIMAL(38,0))"
+                "      * (10000000 * tf + 3000000 + CAST(9 AS DECIMAL(38,0)) * r_ppm))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("score_ppm").cast("long").alias("bm25_ppm"),
+        F.count("*").cast("int").alias("n_terms_hit"),
+    )
+
+
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style,
+    the classic two-pass retrieval composition): run the certified
+    rational BM25 for QUERY_TERMS, take the top PRF_FB feedback
+    documents, mine their PRF_EXP strongest expansion terms (feedback
+    term frequency desc, token asc; terms in ≥ PRF_DF_CAP_PCT% of
+    the corpus are stopword-guarded out; originals excluded), then
+    re-rank the corpus against the EXPANDED termset with the same
+    scorer.  Deterministic end to end — term mining is integer
+    counting, both passes are the certified rational-BM25 integer
+    arithmetic.
+
+    Output: the top PRF_K second-pass documents with rank, score,
+    terms hit, and whether the doc was a feedback seed.
+
+    Scale: pass 1 is the certified BM25 plan; term mining explodes
+    ONLY the PRF_FB feedback documents plus one semi-joined df count
+    for their vocabulary; pass 2 is the BM25 plan with a broadcast
+    termset semi-join.  No stage materializes a global sort
+    (tournament top-k throughout)."""
+    from ..io import swap_cache
+
+    seed = _bm25_scored(spark, sf_dir)
+    order = [F.desc("bm25_ppm"), F.asc("doc_id")]
+    fb = _tournament_topk(seed, order, PRF_FB, F.col("doc_id")).select(
+        "doc_id"
+    )
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    docs = swap_cache(
+        "retrieval.prf_docs",
+        d.select("doc_id", F.explode("toks").alias("tok")),
+    )
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    fb = swap_cache("retrieval.prf_fb", fb)
+    cand = (
+        docs.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(~F.col("tok").isin(*QUERY_TERMS))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+    )
+    cand = swap_cache("retrieval.prf_cand", cand)
+    dfs = (
+        docs.join(F.broadcast(cand.select("tok")), "tok", "left_semi")
+        .select("tok", "doc_id")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    kept = (
+        cand.join(dfs, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 < F.col("n_docs") * PRF_DF_CAP_PCT)
+        .select("tok", "fb_tf")
+    )
+    exp = _tournament_topk(
+        kept, [F.desc("fb_tf"), F.asc("tok")], PRF_EXP, F.col("tok")
+    ).select("tok")
+    terms2 = exp.unionByName(
+        spark.createDataFrame([(t,) for t in QUERY_TERMS], "tok string")
+    ).distinct()
+    scored2 = _bm25_scored_dyn(spark, sf_dir, terms2)
+    top = _tournament_topk(scored2, order, PRF_K, F.col("doc_id"))
+    return top.join(
+        fb.select(F.col("doc_id"), F.lit(1).alias("is_seed_doc")),
+        "doc_id",
+        "left",
+    ).select(
+        "rank",
+        "doc_id",
+        "lang",
+        "bm25_ppm",
+        "n_terms_hit",
+        F.coalesce("is_seed_doc", F.lit(0)).cast("int").alias("is_seed_doc"),
+    )
+
+
+def _bm25_sql(sfx: str, term_pred: str) -> str:
+    """The rational-BM25 oracle fragment with suffixed CTE names and a
+    pluggable term predicate — lets the PRF oracle run the scorer
+    twice (literal seed terms, then the derived expansion set) in one
+    statement without CTE collisions."""
+    return rf"""
+docs{sfx} AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents),
+sized{sfx} AS (
+  SELECT doc_id, lang, len(toks) AS dl, toks FROM docs{sfx}),
+totals{sfx} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS l_total
+  FROM sized{sfx}),
+td{sfx} AS (
+  SELECT tok, doc_id, lang, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM sized{sfx})
+  WHERE {term_pred}
+  GROUP BY 1, 2, 3, 4),
+dfs{sfx} AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM td{sfx} GROUP BY 1),
+scored{sfx} AS (
+  SELECT td{sfx}.doc_id, td{sfx}.lang, td{sfx}.tf, dfs{sfx}.df,
+         td{sfx}.dl, t.n_docs, t.l_total,
+         CAST(CAST(1000000 AS HUGEINT) * td{sfx}.dl * t.n_docs
+              // CAST(t.l_total AS HUGEINT) AS BIGINT) AS r_ppm
+  FROM td{sfx} JOIN dfs{sfx} USING (tok) CROSS JOIN totals{sfx} t),
+perdoc{sfx} AS (
+  SELECT doc_id, lang,
+         CAST(sum(CAST(CAST(1000000000000 AS HUGEINT)
+                       * (2 * n_docs - 2 * df + 1) * 22 * tf
+                       // (CAST(2 * df + 1 AS HUGEINT)
+                           * (10000000 * tf + 3000000
+                              + CAST(9 AS HUGEINT) * r_ppm))
+                       AS BIGINT)) AS BIGINT) AS bm25_ppm,
+         CAST(count(*) AS INT) AS n_terms_hit
+  FROM scored{sfx} GROUP BY 1, 2)"""
+
+
+PRF_ORACLE = f"""
+WITH {_bm25_sql("1", f"tok IN ({_BM25_TERMS_SQL})")},
+fb AS (
+  SELECT doc_id FROM perdoc1 ORDER BY bm25_ppm DESC, doc_id LIMIT {PRF_FB}),
+cand AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS fb_tf
+  FROM (SELECT unnest(s.toks) AS tok
+        FROM sized1 s JOIN fb USING (doc_id))
+  WHERE tok NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY 1),
+dfc AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM sized1)
+  WHERE tok IN (SELECT tok FROM cand)
+  GROUP BY 1),
+kept AS (
+  SELECT c.tok, c.fb_tf
+  FROM cand c JOIN dfc d USING (tok), totals1 n
+  WHERE d.df * 100 < n.n_docs * {PRF_DF_CAP_PCT}),
+exp AS (SELECT tok FROM kept ORDER BY fb_tf DESC, tok LIMIT {PRF_EXP}),
+terms2 AS (
+  SELECT tok FROM exp
+  UNION
+  SELECT unnest([{_BM25_TERMS_SQL}]) AS tok),
+{_bm25_sql("2", "tok IN (SELECT tok FROM terms2)")}
+SELECT CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, lang, bm25_ppm, n_terms_hit,
+       CAST(doc_id IN (SELECT doc_id FROM fb) AS INT) AS is_seed_doc
+FROM perdoc2
+QUALIFY rank <= {PRF_K}
+"""
+
+
 QUERIES = {
+    "query_expansion_prf": query_expansion_prf,
     "ranking_metrics_report": ranking_metrics_report,
     "bm25_rational_topk": bm25_rational_topk,
     "rrf_hybrid_fusion": rrf_hybrid_fusion,
@@ -530,6 +742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "query_expansion_prf": PRF_ORACLE,
     "ranking_metrics_report": _ranking_metrics_oracle(),
     "bm25_rational_topk": BM25_ORACLE,
     "rrf_hybrid_fusion": RRF_ORACLE,

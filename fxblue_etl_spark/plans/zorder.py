@@ -79,6 +79,97 @@ def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hilbert_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering stats over the same (custkey bucket,
+    epoch-day bucket) plane as `zorder_clustering_stats` — the layout
+    the z-order advisor graduates to: the Hilbert curve preserves
+    locality strictly better than Morton order (consecutive curve
+    positions are always grid-adjacent; z-order jumps at quadrant
+    seams), so equal curve ranges cover tighter bounding boxes and
+    min/max skipping prunes more.  `tests/test_r11_ops.py` pins the
+    index against the textbook xy2d replay and quantifies the
+    locality win against z-order on the same rows.
+
+    The curve index is 8 unrolled rounds of the standard xy2d
+    rotate/flip recurrence, one projection per round so the
+    expression tree stays flat; the quadrant XOR (3·rx)⊕ry is spelled
+    arithmetically (3·rx + ry − 2·rx·ry — identical truth table) so
+    neither engine needs a bitwise-xor operator.  Pure integer math,
+    exact in both engines."""
+    o = table(tune(spark), sf_dir, "orders")
+    x = (F.col("o_custkey") % DIM_MOD).cast("int")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        % DIM_MOD
+    ).cast("int")
+    d = o.select(x.alias("hx"), y.alias("hy")).withColumn(
+        "hd", F.lit(0).cast("long")
+    )
+    # keep the ORIGINAL coords for the bbox stats; hx/hy mutate
+    d = d.withColumn("x", F.col("hx")).withColumn("y", F.col("hy"))
+    for i in range(BITS - 1, -1, -1):
+        s = 1 << i
+        d = d.select(
+            "x",
+            "y",
+            F.expr(
+                f"hd + {s * s} * (3 * ((hx DIV {s}) % 2)"
+                f" + ((hy DIV {s}) % 2)"
+                f" - 2 * ((hx DIV {s}) % 2) * ((hy DIV {s}) % 2))"
+            ).alias("hd"),
+            F.expr(
+                f"CASE WHEN (hy DIV {s}) % 2 = 0 THEN"
+                f" CASE WHEN (hx DIV {s}) % 2 = 1"
+                f"  THEN {DIM_MOD - 1} - hy ELSE hy END"
+                f" ELSE hx END"
+            ).alias("hx"),
+            F.expr(
+                f"CASE WHEN (hy DIV {s}) % 2 = 0 THEN"
+                f" CASE WHEN (hx DIV {s}) % 2 = 1"
+                f"  THEN {DIM_MOD - 1} - hx ELSE hx END"
+                f" ELSE hy END"
+            ).alias("hy"),
+        )
+    d = d.withColumn("hb", F.expr(f"hd DIV {ZB_DIV}").cast("long"))
+    return d.groupBy("hb").agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        ((F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1))
+        .cast("long")
+        .alias("bbox_area"),
+    )
+
+
+def _hilbert_rounds_sql() -> str:
+    """Chained per-round CTEs replaying the exact xy2d recurrence the
+    Spark plan runs (same arithmetic xor spelling)."""
+    parts = [
+        f"h{BITS} AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM d)"
+    ]
+    for i in range(BITS - 1, -1, -1):
+        s = 1 << i
+        parts.append(f"""
+h{i} AS (
+  SELECT x, y,
+         hd + {s * s} * (3 * ((hx // {s}) % 2) + ((hy // {s}) % 2)
+              - 2 * ((hx // {s}) % 2) * ((hy // {s}) % 2)) AS hd,
+         CASE WHEN (hy // {s}) % 2 = 0 THEN
+           CASE WHEN (hx // {s}) % 2 = 1
+            THEN {DIM_MOD - 1} - hy ELSE hy END
+          ELSE hx END AS hx,
+         CASE WHEN (hy // {s}) % 2 = 0 THEN
+           CASE WHEN (hx // {s}) % 2 = 1
+            THEN {DIM_MOD - 1} - hx ELSE hx END
+          ELSE hy END AS hy
+  FROM h{i + 1})""")
+    return ",".join(parts)
+
+
 _X_SQL = f"CAST(o_custkey % {DIM_MOD} AS INT)"
 _Y_SQL = (
     f"CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % {DIM_MOD} AS INT)"
@@ -94,6 +185,20 @@ SELECT zb, count(*) AS n,
        min(y) AS min_y, max(y) AS max_y,
        CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS bbox_area
 FROM z
+GROUP BY 1
+"""
+
+HILBERT_ORACLE = f"""
+WITH d AS (
+  SELECT {_X_SQL} AS x, {_Y_SQL} AS y FROM orders),
+{_hilbert_rounds_sql()},
+hb AS (
+  SELECT x, y, CAST(hd // {ZB_DIV} AS BIGINT) AS hb FROM h0)
+SELECT hb, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS bbox_area
+FROM hb
 GROUP BY 1
 """
 
@@ -267,10 +372,12 @@ FROM per_layout pl LEFT JOIN matched m ON pl.probe = m.probe
 
 QUERIES = {
     "zorder_clustering_stats": zorder_clustering_stats,
+    "hilbert_clustering_stats": hilbert_clustering_stats,
     "zonemap_file_skipping": zonemap_file_skipping,
 }
 
 ORACLES = {
     "zorder_clustering_stats": ZORDER_ORACLE,
+    "hilbert_clustering_stats": HILBERT_ORACLE,
     "zonemap_file_skipping": ZONEMAP_ORACLE,
 }

@@ -390,3 +390,181 @@ def test_compaction_tier_plan_is_a_partition_of_the_manifest(spark, sf_dir):
             assert r["from_ym"] > prev_to  # contiguous, non-overlapping
         prev_to = r["to_ym"]
         assert r["fill_ppm"] == 1_000_000 * r["rows_total"] // target
+
+
+def test_query_expansion_prf_matches_python_replay(spark, sf_dir):
+    """Full python replay of BOTH rational-BM25 passes and the
+    expansion mining: same integer formula, same (fb_tf desc, tok)
+    term selection, same df stopword guard, same final ordering."""
+    import re as _re
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.retrieval import (
+        PRF_DF_CAP_PCT,
+        PRF_EXP,
+        PRF_FB,
+        PRF_K,
+        QUERY_TERMS,
+        query_expansion_prf,
+    )
+
+    docs = {
+        r["doc_id"]: (r["lang"], [t for t in _re.split(r"\s+", r["text"].strip()) if t])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    l_total = sum(len(t) for _, t in docs.values())
+
+    def bm25(terms):
+        termset = set(terms)
+        df = Counter()
+        tfs = {}
+        for did, (_, toks) in docs.items():
+            c = Counter(t for t in toks if t in termset)
+            if c:
+                tfs[did] = c
+                for t in c:
+                    df[t] += 1
+        out = {}
+        for did, c in tfs.items():
+            dl = len(docs[did][1])
+            r_ppm = 10**6 * dl * n_docs // l_total
+            s = 0
+            for t, tf in c.items():
+                s += (
+                    10**12 * (2 * n_docs - 2 * df[t] + 1) * 22 * tf
+                    // ((2 * df[t] + 1) * (10**7 * tf + 3 * 10**6 + 9 * r_ppm))
+                )
+            out[did] = (s, len(c))
+        return out
+
+    p1 = bm25(QUERY_TERMS)
+    fb = [d for d, _ in sorted(p1.items(), key=lambda kv: (-kv[1][0], kv[0]))[:PRF_FB]]
+    cand = Counter()
+    for did in fb:
+        for t in docs[did][1]:
+            if t not in QUERY_TERMS:
+                cand[t] += 1
+    dfc = Counter()
+    for did, (_, toks) in docs.items():
+        for t in set(toks) & set(cand):
+            dfc[t] += 1
+    kept = {t: n for t, n in cand.items() if dfc[t] * 100 < n_docs * PRF_DF_CAP_PCT}
+    exp = [t for t, _ in sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_EXP]]
+    p2 = bm25(set(QUERY_TERMS) | set(exp))
+    expect = sorted(p2.items(), key=lambda kv: (-kv[1][0], kv[0]))[:PRF_K]
+
+    got = sorted(
+        query_expansion_prf(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert len(got) == len(expect) == PRF_K
+    for r, (did, (score, nt)) in zip(got, expect):
+        assert r["doc_id"] == did
+        assert r["bm25_ppm"] == score
+        assert r["n_terms_hit"] == nt
+        assert r["lang"] == docs[did][0]
+        assert r["is_seed_doc"] == int(did in fb)
+    # the expansion genuinely changed the ranking surface: the second
+    # pass must hit more terms somewhere than the seed set allows
+    assert any(r["n_terms_hit"] > len(QUERY_TERMS) for r in got) or exp
+
+
+def _xy2d(n, x, y):
+    """Textbook Hilbert xy2d (Wikipedia variant: flips use n-1)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_textbook_and_beats_zorder_locality(
+    spark, sf_dir
+):
+    from fxblue_etl_spark.plans.zorder import (
+        DIM_MOD,
+        ZB_DIV,
+        hilbert_clustering_stats,
+        zorder_clustering_stats,
+    )
+
+    # 1. the unrolled-rounds index IS the textbook curve: replay every
+    #    distinct (x, y) the fixture produces
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        o.select(
+            (F.col("o_custkey") % DIM_MOD).cast("int").alias("x"),
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                % DIM_MOD
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        .distinct()
+        .collect()
+    )
+    got = {
+        (r["hb"], r["min_x"], r["max_x"], r["min_y"], r["max_y"]): r["n"]
+        for r in hilbert_clustering_stats(spark, sf_dir).collect()
+    }
+    # bucket membership must equal the replay's bucket partition
+    from collections import defaultdict
+
+    exp_buckets = defaultdict(list)
+    for p in pts:
+        exp_buckets[_xy2d(DIM_MOD, p["x"], p["y"]) // ZB_DIV].append(
+            (p["x"], p["y"])
+        )
+    exp_keys = {
+        (
+            b,
+            min(x for x, _ in v),
+            max(x for x, _ in v),
+            min(y for _, y in v),
+            max(y for _, y in v),
+        )
+        for b, v in exp_buckets.items()
+    }
+    assert {k for k in got} == exp_keys
+    # 2. the locality claim: on ALIGNED power-of-4 ranges both
+    #    quadrant-recursive curves tile exactly (the operator's fixed
+    #    buckets tie by construction) — the Hilbert win appears on the
+    #    EQUAL-COUNT splits a real file writer produces.  Sort the
+    #    occupied cells by each curve, cut into equal-count runs, and
+    #    compare total bounding-box area: Hilbert must cover less.
+    def z2d(x, y):
+        z = 0
+        for i in range(8):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cells = [(p["x"], p["y"]) for p in pts]
+
+    def run_area(key):
+        order = sorted(cells, key=key)
+        total = 0
+        run = 97  # deliberately unaligned run length
+        for i in range(0, len(order), run):
+            chunk = order[i : i + run]
+            xs = [c[0] for c in chunk]
+            ys = [c[1] for c in chunk]
+            total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    h_area = run_area(lambda c: _xy2d(DIM_MOD, c[0], c[1]))
+    z_area = run_area(lambda c: z2d(c[0], c[1]))
+    assert h_area < z_area, (h_area, z_area)
