@@ -877,6 +877,13 @@ _R12_QUEUE: list[str] = [
     # textbook replay and quantifies the equal-count-split locality
     # win over Morton order
     "hilbert_clustering_stats",
+    # greedy maximum-coverage selection (the submodular (1-1/e)
+    # approximation) over the 3-shingle universe: the lexical
+    # diversity counterpart to kcenter_coreset — 8 argmax rounds,
+    # struct-max picks, covered set bounded by the chosen docs'
+    # vocabulary; oracle replays every round as generated CTEs;
+    # python greedy replay pinned
+    "greedy_max_cover_selection",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

@@ -1273,6 +1273,160 @@ FROM rem
 """
 
 
+
+
+#: greedy max-cover selection depth
+MAXCOV_K = 8
+
+
+def greedy_max_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection (the submodular
+    (1−1/e)-approximation): pick MAXCOV_K documents that together
+    cover the most distinct vocabulary — the lexical-diversity
+    counterpart to `kcenter_coreset` (metric diversity over
+    embeddings) and the selection step instruction-tuning pipelines
+    run to maximize skill/topic coverage under a document budget.
+
+    Each round: per-doc NEW-token gain (anti-join against the covered
+    set), argmax with min-doc_id tie-break (struct-max, no sort), the
+    winner's tokens join the covered set.  The covered set is bounded
+    by the vocabulary of the ≤ MAXCOV_K chosen docs (broadcast-sized
+    at any corpus scale); per-round driver work is one 1-row argmax
+    collect and one bounded count — the sanctioned K-round scalar-cut
+    pattern (`graph.connected_components`' class).  Docs with zero
+    uncovered tokens drop out of the gain frame in BOTH engines, so
+    an exhausted vocabulary degrades identically (fewer rows).
+
+    Output: rank, chosen doc, marginal gain, cumulative coverage and
+    its ppm of the corpus vocabulary."""
+    from ..io import release_local_checkpoint, swap_cache
+    from .dedup import _norm_text, word_shingles
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    # coverage unit = distinct 3-word shingles (the LSH lineage's
+    # unit): the fixture's whitespace VOCABULARY is ~31 tokens (one
+    # doc covers it all — selection would be vacuous), while the
+    # shingle space is corpus-sized and measures passage coverage
+    pairs = swap_cache(
+        "corpusops.maxcov_pairs",
+        d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3).select(
+            "doc_id",
+            F.explode(word_shingles("text")).alias("tok"),
+        ),
+    )
+    vocab_total = pairs.select("tok").distinct().count()
+    covered: DataFrame | None = None
+    rows: list[tuple[int, int, int, int]] = []
+    for k in range(1, MAXCOV_K + 1):
+        uncov = (
+            pairs
+            if covered is None
+            else pairs.join(F.broadcast(covered), "tok", "left_anti")
+        )
+        pick = (
+            uncov.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"), (-F.col("doc_id")).alias("nd")
+                    )
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if pick is None:
+            break
+        doc_id, gain = -pick["nd"], pick["gain"]
+        new_cov = pairs.filter(F.col("doc_id") == doc_id).select("tok")
+        merged = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint()
+        if covered is not None:
+            release_local_checkpoint(covered)
+        covered = merged
+        # greedy gain IS the coverage increment: cum = running sum,
+        # no per-round count action needed
+        prev = rows[-1][3] if rows else 0
+        rows.append((k, int(doc_id), int(gain), prev + int(gain)))
+    out = spark.createDataFrame(
+        rows, "rank int, doc_id long, gain long, cum_tokens long"
+    )
+    return out.select(
+        "rank",
+        "doc_id",
+        "gain",
+        "cum_tokens",
+        F.expr(f"1000000 * cum_tokens DIV {vocab_total}")
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+def _maxcov_oracle() -> str:
+    """MAXCOV_K generated greedy rounds: gain → struct-argmax pick →
+    covered-set union, replaying the loop exactly (including the
+    empty-round degradation)."""
+    parts = [
+        r"""
+norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                  || ' ' || toks[CAST(i AS INT) + 3])) AS shingles
+  FROM norm
+  WHERE len(toks) >= 3),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(shingles) AS tok FROM sh)),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM pairs)"""
+    ]
+    for k in range(1, MAXCOV_K + 1):
+        src = (
+            "pairs"
+            if k == 1
+            else f"(SELECT * FROM pairs WHERE tok NOT IN (SELECT tok FROM c{k - 1}))"
+        )
+        cov_prev = "" if k == 1 else f"SELECT tok FROM c{k - 1} UNION "
+        parts.append(f"""
+g{k} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+         FROM {src} GROUP BY 1),
+p{k} AS (SELECT CAST(-(max({{'g': gain, 'nd': -doc_id}})).nd AS BIGINT)
+                  AS doc_id,
+                CAST((max({{'g': gain, 'nd': -doc_id}})).g AS BIGINT) AS gain
+         FROM g{k} HAVING count(*) > 0),
+c{k} AS MATERIALIZED (
+  {cov_prev}SELECT pr.tok FROM pairs pr JOIN p{k} USING (doc_id))""")
+    gain_sum = lambda k: " + ".join(
+        f"coalesce((SELECT gain FROM p{j}), 0)" for j in range(1, k + 1)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, doc_id, gain,"
+        f" CAST({gain_sum(k)} AS BIGINT) AS cum_tokens"
+        f" FROM p{k}"
+        for k in range(1, MAXCOV_K + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, doc_id, gain, cum_tokens,
+       CAST(1000000 * cum_tokens // (SELECT v FROM vocab) AS BIGINT)
+         AS coverage_ppm
+FROM ({selects})
+"""
+    )
+
+
 QUERIES = {
     "padding_waste_report": padding_waste_report,
     "quantile_normalization": quantile_normalization,
@@ -1284,6 +1438,7 @@ QUERIES = {
     "mixture_allocation": mixture_allocation,
     "hierarchical_mixture": hierarchical_mixture,
     "per_group_sample": per_group_sample,
+    "greedy_max_cover_selection": greedy_max_cover_selection,
     "dsir_importance_stats": dsir_importance_stats,
     "tokenizer_fertility": tokenizer_fertility,
     "weighted_priority_sample": weighted_priority_sample,
@@ -1294,6 +1449,7 @@ QUERIES = {
 WATERFILL_ORACLE = _waterfill_oracle()
 
 ORACLES = {
+    "greedy_max_cover_selection": _maxcov_oracle(),
     "padding_waste_report": PADDING_WASTE_ORACLE,
     "quantile_normalization": QNORM_ORACLE,
     "corpus_split": CORPUS_SPLIT_ORACLE,

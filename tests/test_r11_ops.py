@@ -568,3 +568,45 @@ def test_hilbert_index_matches_textbook_and_beats_zorder_locality(
     h_area = run_area(lambda c: _xy2d(DIM_MOD, c[0], c[1]))
     z_area = run_area(lambda c: z2d(c[0], c[1]))
     assert h_area < z_area, (h_area, z_area)
+
+
+def test_greedy_max_cover_matches_python_greedy(spark, sf_dir):
+    """Exact python replay of the greedy: same shingle universe, same
+    (gain desc, doc_id asc) argmax, same coverage accounting."""
+    from fxblue_etl_spark.operators.dedup import word_shingles
+    from fxblue_etl_spark.operators.corpusops import (
+        MAXCOV_K,
+        greedy_max_cover_selection,
+    )
+
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles("text").alias("sh"))
+        .filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+        .collect()
+    }
+    covered: set = set()
+    expect = []
+    for k in range(1, MAXCOV_K + 1):
+        best = None
+        for did, sh in sets.items():
+            gain = len(sh - covered)
+            if gain > 0 and (best is None or (gain, -did) > (best[0], -best[1])):
+                best = (gain, did)
+        if best is None:
+            break
+        covered |= sets[best[1]]
+        expect.append((k, best[1], best[0], len(covered)))
+    got = sorted(
+        (
+            (r["rank"], r["doc_id"], r["gain"], r["cum_tokens"])
+            for r in greedy_max_cover_selection(spark, sf_dir).collect()
+        )
+    )
+    assert got == expect
+    # greedy gains are non-increasing (submodularity) and coverage
+    # strictly grows
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)
+    assert all(b[3] > a[3] for a, b in zip(got, got[1:]))
