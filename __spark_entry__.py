@@ -70,6 +70,7 @@ from fxblue_etl_spark.plans import (
     zorder,
 )
 from fxblue_etl_spark.sources import (
+    fwf,
     fxblue_csv,
     jsonl,
     pyds_sink,
@@ -86,6 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _MODULES = [
+    fwf,
     relational,
     advanced,
     tpch_more,
@@ -884,6 +886,16 @@ _R12_QUEUE: list[str] = [
     # vocabulary; oracle replays every round as generated CTEs;
     # python greedy replay pinned
     "greedy_max_cover_selection",
+    # interpolated Kneser-Ney bigram smoothing next to the MLE table:
+    # with D = 3/4 the whole probability clears to ONE integer
+    # quotient floored to ppm in DECIMAL(38,0) — continuation-count
+    # redistribution with zero float surface
+    "kneser_ney_bigram_lm",
+    # fixed-width text source (S-family widening): render orders into
+    # a byte-offset layout, read back with substring/try_cast
+    # projections (JVM-side, no UDF), per-status rollup certified
+    # against the source table; line-width gate rides the result
+    "fwf_ingest",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the
@@ -894,7 +906,64 @@ _R12_QUEUE: list[str] = [
 #: by the next r4-era block, alphabetical within the round per the
 #: house staleness order.  Filled at round close once the window
 #: composition is final.
-_R12_RECERT_CANDIDATES: list[str] = []
+_R12_RECERT_CANDIDATES: list[str] = [
+    # the 7 remaining r4-era rows (stalest standing after the
+    # round-11 window re-certifies the other 23), then the r5-era
+    # block, alphabetical within the round per the house staleness
+    # order — computed from CORRECTNESS_r01..r10 (latest check wins)
+    "term_salience_topk",
+    "text_normalize",
+    "token_bigram_lm",
+    "traffic_seasonality",
+    "training_order_shuffle",
+    "type_correlation_stats",
+    "vocab_coverage",
+    "aes_column_roundtrip",
+    "approx_quantile_contract",
+    "arrow_grouped_value_stats",
+    "asof_tolerance_view",
+    "attribution_first_last",
+    "benford_first_digit",
+    "bitmap_distinct_contract",
+    "bm25_rational_topk",
+    "boolean_retrieval_census",
+    "bpe_merge_topk",
+    "corpus_snapshot_diff",
+    "cross_split_lm_eval",
+    "embedding_moment_stats",
+    "freq_items_contract",
+    "fx_ingest_end_to_end",
+    "gdpr_delete_propagation",
+    "hll_accuracy_check",
+    "hll_per_group_contract",
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    "join_skew_report",
+    "langid_confusion",
+    "lateral_topk_per_nation",
+    "media_frame_schedule",
+    "pandas_grouped_agg_gini",
+    "pareto_frontier_parts",
+    "perplexity_bucket_cutoffs",
+    "portable_bloom_contract",
+    "portable_countmin_topk",
+    "portable_hll_registers",
+    "pq_adc_topk",
+    "pq_encode",
+    "pyds_manifest_reader_roundtrip",
+    "quality_lm_calibration",
+    "rrf_hybrid_fusion",
+    "schema_evolution_roundtrip",
+    "setop_multiset_priorities",
+    "streaming_cdc_scd2",
+    "streaming_dlq_split",
+    "streaming_static_enrich",
+    "streaming_windowed_topk",
+    "token_frequency_spectrum",
+    "tokenizer_fertility",
+    "triplet_margin_mining",
+    "weighted_priority_sample",
+]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after

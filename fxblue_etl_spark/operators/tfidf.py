@@ -1182,12 +1182,148 @@ FROM ranked WHERE rank <= {FH_K}
 """
 
 
+
+
+#: Kneser-Ney geometry: absolute discount D = KN_D_NUM/KN_D_DEN and
+#: the report depth
+KN_D_NUM, KN_D_DEN = 3, 4
+KN_TOPK = 20
+
+
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    the MLE table (`token_bigram_lm`) lacks: mass discounted from
+    observed bigrams is redistributed by CONTINUATION counts ("how
+    many contexts precede w2"), the correction that stops frequent-
+    but-context-locked tokens from dominating backoff (Kneser & Ney
+    1995; Chen & Goodman 1999 — the LM smoothing perplexity filters
+    and quality scorers build on).
+
+    Exact rational arithmetic: with D = 3/4 the interpolated
+    probability clears to ONE integer quotient,
+
+      p = ((4c − 3)·T + 3·N1+(w1·)·N1+(·w2)) / (4·c(w1·)·T)
+
+    (T = total distinct bigram types), floored to ppm in
+    DECIMAL(38,0) — no float ever appears, so the engines agree
+    bit-for-bit.  Emitted for the KN_TOPK most frequent bigrams
+    (count desc, head asc, nxt asc) next to the MLE ppm, so the
+    smoothing delta is visible per row.
+
+    Scale shape: every statistic (head mass, head fan-out,
+    continuation counts, type total) is an aggregate of the SAME
+    vocab-bounded pairs table; the top-k is the two-level
+    tournament — no global sort, no corpus re-scan."""
+    from ..io import swap_cache
+    from .corpusops import _hash_bucket
+
+    d = fan_out(table(tune(spark), sf_dir, "documents")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("head"),
+            F.element_at("toks", i + 1).alias("nxt"),
+        ),
+    )
+    pairs = swap_cache(
+        "tfidf.kn_pairs",
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.head").alias("head"), F.col("p.nxt").alias("nxt"))
+        .agg(F.count("*").cast("long").alias("n")),
+    )
+    heads = pairs.groupBy("head").agg(
+        F.sum("n").cast("long").alias("ch"),
+        F.count("*").cast("long").alias("fanout"),
+    )
+    conts = pairs.groupBy("nxt").agg(
+        F.count("*").cast("long").alias("ncont")
+    )
+    total = pairs.agg(F.count("*").cast("long").alias("t_types"))
+    w1 = Window.partitionBy("tb").orderBy(
+        F.desc("n"), F.asc("head"), F.asc("nxt")
+    )
+    w2 = Window.orderBy(F.desc("n"), F.asc("head"), F.asc("nxt"))
+    top = (
+        pairs.withColumn(
+            "tb", _hash_bucket(F.concat_ws("|", "head", "nxt"), "kn|", BIGRAM_BUCKETS)
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KN_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= KN_TOPK)
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return (
+        top.join(F.broadcast(heads), "head")
+        .join(F.broadcast(conts), "nxt")
+        .crossJoin(F.broadcast(total))  # 1-row scalar, by design
+        .select(
+            "rank",
+            "head",
+            "nxt",
+            "n",
+            "ch",
+            "fanout",
+            "ncont",
+            F.expr(
+                f"CAST(({dec.format('1000000')}"
+                f" * ((4 * n - 3) * t_types + 3 * fanout * ncont))"
+                f" DIV ({dec.format('4')} * ch * t_types) AS BIGINT)"
+            ).alias("kn_ppm"),
+            F.expr(
+                f"CAST(({dec.format('1000000')} * n)"
+                f" DIV ({dec.format('ch')}) AS BIGINT)"
+            ).alias("mle_ppm"),
+        )
+    )
+
+
+KNESER_NEY_ORACLE = rf"""
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+pl AS (
+  SELECT toks[CAST(i AS INT) + 1] AS head,
+         toks[CAST(i AS INT) + 2] AS nxt
+  FROM d, unnest(range(0, len(toks) - 1)) u(i)
+  WHERE len(toks) >= 2),
+pairs AS MATERIALIZED (
+  SELECT head, nxt, CAST(count(*) AS BIGINT) AS n FROM pl GROUP BY 1, 2),
+heads AS (
+  SELECT head, CAST(sum(n) AS BIGINT) AS ch,
+         CAST(count(*) AS BIGINT) AS fanout
+  FROM pairs GROUP BY 1),
+conts AS (
+  SELECT nxt, CAST(count(*) AS BIGINT) AS ncont FROM pairs GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM pairs),
+top AS (
+  SELECT head, nxt, n,
+         CAST(row_number() OVER (ORDER BY n DESC, head, nxt) AS INT) AS rank
+  FROM pairs QUALIFY rank <= {KN_TOPK})
+SELECT t.rank, t.head, t.nxt, t.n, h.ch, h.fanout, c.ncont,
+       CAST((CAST(1000000 AS HUGEINT)
+             * ((4 * t.n - 3) * x.t_types + 3 * h.fanout * c.ncont))
+            // (CAST(4 AS HUGEINT) * h.ch * x.t_types) AS BIGINT) AS kn_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * t.n)
+            // CAST(h.ch AS HUGEINT) AS BIGINT) AS mle_ppm
+FROM top t
+JOIN heads h USING (head)
+JOIN conts c USING (nxt)
+CROSS JOIN total x
+"""
+
+
 QUERIES = {
     "feature_hashing_knn": feature_hashing_knn,
     "lexical_hard_negatives": lexical_hard_negatives,
     "term_salience_topk": term_salience_topk,
     "rare_token_quality": rare_token_quality,
     "token_bigram_lm": token_bigram_lm,
+    "kneser_ney_bigram_lm": kneser_ney_bigram_lm,
     "lm_doc_perplexity": lm_doc_perplexity,
     "token_frequency_spectrum": token_frequency_spectrum,
     "perplexity_bucket_cutoffs": perplexity_bucket_cutoffs,
@@ -1203,6 +1339,7 @@ ORACLES = {
     "term_salience_topk": TERM_SALIENCE_ORACLE,
     "rare_token_quality": RARE_TOKEN_ORACLE,
     "token_bigram_lm": BIGRAM_LM_ORACLE,
+    "kneser_ney_bigram_lm": KNESER_NEY_ORACLE,
     "lm_doc_perplexity": LM_PERPLEXITY_ORACLE,
     "token_frequency_spectrum": FREQ_SPECTRUM_ORACLE,
     "perplexity_bucket_cutoffs": PPX_CUTOFFS_ORACLE,

@@ -354,3 +354,53 @@ def test_r11_recert_candidates_consistent():
         and r < newest_included
     ]
     assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r12_recert_candidates_consistent():
+    """The pre-planned round-12 ledger must stay derivable: every
+    entry oracle-backed + registered + already driver-certified
+    (rounds 1-10; the round-11 window re-certs are excluded — they'll
+    be fresh), no overlap with the round-11 window head or the
+    _R12_QUEUE additions, ordered oldest-latest-check-first, holding
+    the globally stalest rows."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R12_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 52
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 10:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    # reconstruct the ROUND-11 window explicitly so later window
+    # flips cannot invalidate this pin
+    r11_head = ["flagship_account_pnl"] + e._R11_QUEUE
+    r11_head += [q for q in e._R11_CODE_CHANGED if q not in r11_head]
+    r11_fill = 50 - len(r11_head)
+    r11_head += [q for q in e._R11_RECERT_CANDIDATES if q not in r11_head][
+        :r11_fill
+    ]
+    head50 = set(r11_head)
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 11 already"
+        assert k not in e._R12_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    newest_included = max(rounds)
+    exempt = (
+        head50 | set(e._R12_QUEUE) | set(e._R11_CODE_CHANGED)
+        | {"flagship_account_pnl"}
+    )
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"

@@ -610,3 +610,117 @@ def test_greedy_max_cover_matches_python_greedy(spark, sf_dir):
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)
     assert all(b[3] > a[3] for a, b in zip(got, got[1:]))
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_dir):
+    """Exact python KN replay: same bigram stats, same D = 3/4
+    single-quotient rational, floored to ppm — plus the smoothing
+    contract (KN discounts observed-bigram mass and never exceeds
+    MLE on top bigrams whose continuation share is below their MLE
+    share)."""
+    import re as _re
+    from collections import Counter
+
+    from fxblue_etl_spark.operators.tfidf import (
+        KN_TOPK,
+        kneser_ney_bigram_lm,
+    )
+
+    toks = [
+        [t for t in _re.split(r"\s+", r["text"].strip()) if t]
+        for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    pairs = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] += 1
+    ch = Counter()
+    fanout = Counter()
+    ncont = Counter()
+    for (a, b), n in pairs.items():
+        ch[a] += n
+        fanout[a] += 1
+        ncont[b] += 1
+    t_types = len(pairs)
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:KN_TOPK]
+    got = sorted(
+        kneser_ney_bigram_lm(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(got) == KN_TOPK
+    for r, ((a, b), n) in zip(got, top):
+        assert (r["head"], r["nxt"], r["n"]) == (a, b, n)
+        assert r["ch"] == ch[a] and r["fanout"] == fanout[a]
+        assert r["ncont"] == ncont[b]
+        kn = (
+            1_000_000 * ((4 * n - 3) * t_types + 3 * fanout[a] * ncont[b])
+        ) // (4 * ch[a] * t_types)
+        assert r["kn_ppm"] == kn
+        assert r["mle_ppm"] == 1_000_000 * n // ch[a]
+        # discounting: observed-bigram KN mass sits below MLE unless
+        # the continuation bonus outweighs the discount
+        if 3 * fanout[a] * ncont[b] < 3 * t_types:
+            assert r["kn_ppm"] <= r["mle_ppm"]
+    # per-head KN masses are probabilities: sum over ALL continuations
+    # of one observed head must be ~1 (within ppm flooring loss)
+    a0 = got[0]["head"]
+    total = 0
+    for (a, b), n in pairs.items():
+        if a != a0:
+            continue
+        total += (
+            1_000_000 * ((4 * n - 3) * t_types + 3 * fanout[a0] * ncont[b])
+        ) // (4 * ch[a0] * t_types)
+    # unobserved continuations carry the rest of the interpolated
+    # mass, so observed mass is <= 1; flooring loses < 1ppm per term
+    assert total <= 1_000_000
+
+
+def test_fwf_roundtrip_parses_every_row_and_width_gates(spark, sf_dir):
+    from fxblue_etl_spark.sources.fwf import (
+        FWF_LINE_WIDTH,
+        _stage_fwf,
+        fwf_ingest,
+        read_fwf,
+    )
+
+    out = {r["o_orderstatus"]: r for r in fwf_ingest(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders")
+    exp = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("total_cents"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exp)
+    for k, r in out.items():
+        assert r["n_orders"] == exp[k]["n_orders"]
+        assert r["total_cents"] == exp[k]["total_cents"]
+        assert r["n_customers"] == exp[k]["n_customers"]
+        assert r["n_bad_width"] == 0  # every rendered line is exact
+    # the width gate is real: every staged line is FWF_LINE_WIDTH chars
+    path = _stage_fwf(spark, sf_dir)
+    lens = (
+        spark.read.text(path)
+        .select(F.length("value").alias("n"))
+        .distinct()
+        .collect()
+    )
+    assert [r["n"] for r in lens] == [FWF_LINE_WIDTH]
+    # tolerant posture (F4): a malformed slice casts to NULL, the read
+    # never raises
+    import tempfile, os, uuid
+
+    bad_dir = os.path.join(tempfile.gettempdir(), f"fwf_bad_{uuid.uuid4().hex[:8]}")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "part.txt"), "w") as f:
+        f.write("garbage-line-not-fixed-width\n")
+    rows = read_fwf(spark, bad_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["o_orderkey"] is None and rows[0]["cents"] is None

@@ -79,6 +79,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "cusum_drift_monitor": "prefix sums over the calendar-bounded daily series",
     "t_closeness_audit": "corpus CDF over the m=5 ordered priorities",
     "compaction_tier_plan": "prefix mass over the monthly manifest (~84 rows)",
+    "kneser_ney_bigram_lm": "tournament merge over ≤ ways·k bigram survivors",
+    "query_expansion_prf": "tournament merges over ≤ ways·k survivors (seed + expansion + final)",
 }
 
 
