@@ -896,6 +896,12 @@ _R12_QUEUE: list[str] = [
     # projections (JVM-side, no UDF), per-status rollup certified
     # against the source table; line-width gate rides the result
     "fwf_ingest",
+    # the assignment step Fellegi-Sunter evidence feeds: reciprocal
+    # best match (mutual-nearest, the deterministic window form of
+    # greedy one-to-one ER assignment) scored by the certified odds
+    # table, infinite-evidence patterns ranked via an explicit
+    # max-int sentinel; precision/recall vs derived ground truth
+    "linkage_greedy_assignment",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

@@ -129,12 +129,13 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fs_oracle() -> str:
+def _cand_sql() -> str:
+    """clean/dirty/cand CTE fragment (shared by the evidence oracle
+    and the assignment oracle)."""
     bn = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnkn|", 100)
     bb = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnkb|", 100)
     bs = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnks|", 100)
-    return f"""
-WITH clean AS (
+    return f"""clean AS (
   SELECT c_custkey AS key_c, c_nationkey AS blk_nation,
          CAST(floor(c_acctbal / {LNK_BAL_BLOCK}) AS BIGINT) AS blk_bal,
          c_name AS name_c,
@@ -154,12 +155,19 @@ dirty AS (
          CASE WHEN ({bs}) < {LNK_SEG_LOSS_PCT} THEN 'UNKNOWN'
               ELSE c_mktsegment END AS seg_d
   FROM customer),
+cand AS (
+  SELECT * FROM clean JOIN dirty USING (blk_nation, blk_bal))"""
+
+
+def _fs_oracle() -> str:
+    return f"""
+WITH {_cand_sql()},
 pat AS (
   SELECT CAST(name_c = name_d AS INT) AS agree_name,
          CAST(bal_c = bal_d AS INT) AS agree_bal,
          CAST(seg_c = seg_d AS INT) AS agree_seg,
          CAST(key_c = key_d AS BIGINT) AS is_match
-  FROM clean JOIN dirty USING (blk_nation, blk_bal)),
+  FROM cand),
 counts AS (
   SELECT agree_name, agree_bal, agree_seg,
          CAST(count(*) AS BIGINT) AS n_pairs,
@@ -181,10 +189,139 @@ FROM counts, tot
 """
 
 
+
+
+#: NULL-odds sentinel for the assignment ordering: a pattern with no
+#: non-match occurrences carries infinite evidence, ranked above any
+#: finite odds in BOTH engines via this explicit max-int coalesce
+LNK_ODDS_INF = (1 << 63) - 1
+
+
+def linkage_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASSIGNMENT step Fellegi-Sunter evidence feeds (the half
+    `record_linkage_fs` stops short of): turn scored candidate pairs
+    into a ONE-TO-ONE clean↔dirty linkage by reciprocal best match —
+    a pair links iff it is the highest-odds candidate for its clean
+    record AND for its dirty record (ties: lowest partner key).
+    Reciprocal-best is the deterministic, window-expressible form of
+    greedy assignment (strict sequential greedy is a global order
+    dependence no shuffle engine should buy; mutual-best is the
+    production ER shape and differs only on evidence-tied chains).
+
+    Pair scores are the certified evidence table's own odds_ppm
+    (joined on the 8-row agreement-pattern key, broadcast), with the
+    infinite-evidence patterns (odds NULL — never seen among
+    non-matches) ranked above any finite odds via LNK_ODDS_INF.
+
+    One summary row: candidates, assignments, correct assignments
+    (key_c = key_d is ground truth — the dirty feed is derived),
+    precision over assignments and recall over the dirty feed, both
+    floor-ppm.  Scale: ranks partition by record key (block-bounded
+    candidate lists), the pattern join is 8 broadcast rows, and the
+    summary is one aggregate."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from ..io import swap_cache
+
+    c = table(spark, sf_dir, "customer")
+    cand = _clean_side(c).join(_dirty_side(c), ["blk_nation", "blk_bal"])
+    scored_pat = record_linkage_fs(spark, sf_dir).select(
+        "agree_name", "agree_bal", "agree_seg", "odds_ppm"
+    )
+    pairs = cand.select(
+        "key_c",
+        "key_d",
+        (F.col("name_c") == F.col("name_d")).cast("int").alias("agree_name"),
+        (F.col("bal_c") == F.col("bal_d")).cast("int").alias("agree_bal"),
+        (F.col("seg_c") == F.col("seg_d")).cast("int").alias("agree_seg"),
+    ).join(F.broadcast(scored_pat), ["agree_name", "agree_bal", "agree_seg"])
+    pairs = swap_cache(
+        "linkage.assign_pairs",
+        pairs.select(
+            "key_c",
+            "key_d",
+            F.coalesce("odds_ppm", F.lit(LNK_ODDS_INF))
+            .cast("long")
+            .alias("score"),
+        ),
+    )
+    wc = Window.partitionBy("key_c").orderBy(
+        F.desc("score"), F.asc("key_d")
+    )
+    wd = Window.partitionBy("key_d").orderBy(
+        F.desc("score"), F.asc("key_c")
+    )
+    assigned = (
+        pairs.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter((F.col("rc") == 1) & (F.col("rd") == 1))
+    )
+    n_dirty = _dirty_side(c).count()
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_candidates")
+    ).crossJoin(
+        assigned.agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum((F.col("key_c") == F.col("key_d")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return agg.select(
+        "n_candidates",
+        "n_assigned",
+        "n_correct",
+        F.expr("1000000 * n_correct DIV n_assigned")
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr(f"1000000 * n_correct DIV {n_dirty}")
+        .cast("long")
+        .alias("recall_ppm"),
+        F.lit(n_dirty).cast("long").alias("n_dirty_records"),
+    )
+
+
+def _assignment_oracle() -> str:
+    return f"""
+WITH fs AS MATERIALIZED ({_fs_oracle()}),
+{_cand_sql()},
+pairs AS MATERIALIZED (
+  SELECT cand.key_c, cand.key_d,
+         coalesce(fs.odds_ppm, {LNK_ODDS_INF}) AS score
+  FROM cand
+  JOIN fs ON fs.agree_name = CAST(cand.name_c = cand.name_d AS INT)
+         AND fs.agree_bal = CAST(cand.bal_c = cand.bal_d AS INT)
+         AND fs.agree_seg = CAST(cand.seg_c = cand.seg_d AS INT)),
+ranked AS (
+  SELECT key_c, key_d,
+         row_number() OVER (PARTITION BY key_c
+                            ORDER BY score DESC, key_d) AS rc,
+         row_number() OVER (PARTITION BY key_d
+                            ORDER BY score DESC, key_c) AS rd
+  FROM pairs),
+assigned AS (
+  SELECT key_c, key_d FROM ranked WHERE rc = 1 AND rd = 1),
+tot AS (
+  SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM assigned) AS BIGINT) AS n_assigned,
+         CAST((SELECT count(*) FROM assigned WHERE key_c = key_d)
+              AS BIGINT) AS n_correct,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_dirty_records)
+SELECT n_candidates, n_assigned, n_correct,
+       CAST(1000000 * n_correct // n_assigned AS BIGINT) AS precision_ppm,
+       CAST(1000000 * n_correct // n_dirty_records AS BIGINT) AS recall_ppm,
+       n_dirty_records
+FROM tot
+"""
+
+
 QUERIES = {
     "record_linkage_fs": record_linkage_fs,
+    "linkage_greedy_assignment": linkage_greedy_assignment,
 }
 
 ORACLES = {
     "record_linkage_fs": _fs_oracle(),
+    "linkage_greedy_assignment": _assignment_oracle(),
 }

@@ -724,3 +724,70 @@ def test_fwf_roundtrip_parses_every_row_and_width_gates(spark, sf_dir):
     rows = read_fwf(spark, bad_dir).collect()
     assert len(rows) == 1
     assert rows[0]["o_orderkey"] is None and rows[0]["cents"] is None
+
+
+def test_linkage_assignment_matches_reciprocal_best_replay(spark, sf_dir):
+    """Python replay of the reciprocal-best assignment over the same
+    scored candidates, plus the one-to-one and quality contracts."""
+    from fxblue_etl_spark.operators.linkage import (
+        LNK_ODDS_INF,
+        _clean_side,
+        _dirty_side,
+        linkage_greedy_assignment,
+        record_linkage_fs,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    odds = {
+        (r["agree_name"], r["agree_bal"], r["agree_seg"]): (
+            r["odds_ppm"] if r["odds_ppm"] is not None else LNK_ODDS_INF
+        )
+        for r in record_linkage_fs(spark, sf_dir).collect()
+    }
+    cand = (
+        _clean_side(c)
+        .join(_dirty_side(c), ["blk_nation", "blk_bal"])
+        .select("key_c", "key_d", "name_c", "name_d", "bal_c", "bal_d", "seg_c", "seg_d")
+        .collect()
+    )
+    scored = [
+        (
+            r["key_c"],
+            r["key_d"],
+            odds[
+                (
+                    int(r["name_c"] == r["name_d"]),
+                    int(r["bal_c"] == r["bal_d"]),
+                    int(r["seg_c"] == r["seg_d"]),
+                )
+            ],
+        )
+        for r in cand
+    ]
+    best_c: dict = {}
+    best_d: dict = {}
+    for kc, kd, s in scored:
+        if kc not in best_c or (s, -kd) > (best_c[kc][0], -best_c[kc][1]):
+            best_c[kc] = (s, kd)
+        if kd not in best_d or (s, -kc) > (best_d[kd][0], -best_d[kd][1]):
+            best_d[kd] = (s, kc)
+    assigned = [
+        (kc, kd)
+        for kc, (_, kd) in best_c.items()
+        if best_d[kd][1] == kc
+    ]
+    n_correct = sum(1 for kc, kd in assigned if kc == kd)
+    n_dirty = len({r["key_d"] for r in cand} | set())  # candidates' dirty side
+    r = linkage_greedy_assignment(spark, sf_dir).collect()[0]
+    assert r["n_candidates"] == len(scored)
+    assert r["n_assigned"] == len(assigned)
+    assert r["n_correct"] == n_correct
+    assert r["precision_ppm"] == 1_000_000 * n_correct // len(assigned)
+    assert r["recall_ppm"] == 1_000_000 * n_correct // r["n_dirty_records"]
+    # one-to-one: no clean or dirty key assigned twice
+    assert len({a for a, _ in assigned}) == len(assigned)
+    assert len({b for _, b in assigned}) == len(assigned)
+    # the assignment is high-precision on the synthetic feed (odds
+    # carry real signal) and recalls most of the feed
+    assert r["precision_ppm"] > 900_000
+    assert r["recall_ppm"] > 500_000
