@@ -128,6 +128,24 @@ HEADLINE = (
     "record_linkage_fs",
     "merkle_table_digest",
     "hybrid_skew_join_revenue",
+    # round-11 additions (APPENDED — frozen subtotals untouched):
+    # one representative per new family — the SlimPajama chunk
+    # rewrite, the two-sample drift test, the privacy EMD, the CUSUM
+    # monitor, the Hilbert layout, KN smoothing, and the fixed-width
+    # source.  Deliberately NOT benched: streaming_observed_metrics
+    # (staged-stream harness cost, per precedent),
+    # greedy_max_cover_selection and query_expansion_prf (K-round /
+    # two-pass compositions whose cost is their certified parts), and
+    # ks_two_sample / compaction_tier_plan / linkage_greedy_assignment
+    # (same spines as benched siblings; the stdout budget guard
+    # prefers one representative per spine)
+    "chunk_dedup_rewrite",
+    "mann_whitney_u",
+    "t_closeness_audit",
+    "cusum_drift_monitor",
+    "hilbert_clustering_stats",
+    "kneser_ney_bigram_lm",
+    "fwf_ingest",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)

@@ -436,7 +436,9 @@ def test_spearman_size_gate_dispatches_both_ways(spark, sf_dir, monkeypatch):
     result is bit-identical (one query name, two certified plans)."""
     from fxblue_etl_spark.plans import stats
 
-    # fixture sits on the simple side of the standing gate
+    # fixture sits on the simple side of the standing gate; the row
+    # count is a sound upper bound on every per-group distinct-y grid
+    n_rows = table(spark, sf_dir, "lineitem").count()
     li = stats._spearman_rows(spark, sf_dir)
     grid_max = (
         li.groupBy("g")
@@ -444,7 +446,7 @@ def test_spearman_size_gate_dispatches_both_ways(spark, sf_dir, monkeypatch):
         .agg(F.max("nd").alias("mx"))
         .collect()[0]["mx"]
     )
-    assert grid_max < stats.SPEAR_GATE_ROWS
+    assert grid_max <= n_rows < stats.SPEAR_GATE_ROWS
 
     key = lambda r: tuple(r[c] for c in r.__fields__)
     simple = sorted(
