@@ -902,6 +902,13 @@ _R12_QUEUE: list[str] = [
     # table, infinite-evidence patterns ranked via an explicit
     # max-int sentinel; precision/recall vs derived ground truth
     "linkage_greedy_assignment",
+    # apply the certified top principal direction: exact integer
+    # projection (e3-quantized embedding x 2^10-grid eigenvector as
+    # 64 expression literals — the direction is a constant-size
+    # statistic), equal-width integer bins, eigenvalue metadata
+    # riding the rows — the consumption step of the Gram -> PCA
+    # lineage
+    "embedding_pca_project",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

@@ -1558,6 +1558,93 @@ FROM v, mf, tr"""
     return "".join(parts)
 
 
+#: projection histogram bins
+PCA_PROJ_BINS = 16
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the certified top principal direction — the consumption
+    step `pca_power_iteration` exists for (whitening, anisotropy
+    diagnostics, 1-d coreset ordering): project every embedding onto
+    the eigenvector and histogram the corpus along it.  The
+    projection is an exact integer dot of the e3-quantized embedding
+    with the 2^10-grid eigenvector (broadcast into the expression as
+    64 literals — the direction is a constant-size statistic, not
+    data), binned into PCA_PROJ_BINS equal-width integer bins between
+    the corpus min/max; the eigenvalue metadata rides each row.
+
+    Scale: one row-local zip_with/aggregate dot per embedding (no
+    shuffle), one 1-row min/max aggregate broadcast back, one bin
+    groupBy — data-scaled work is a single pass whatever the corpus.
+
+    Reference: beyond-reference LLM-pipeline surface (the reference
+    has no vector ops); composition of the certified Gram→PCA
+    lineage."""
+    v_rows = pca_power_iteration(spark, sf_dir).collect()
+    d = max(r["dim_i"] for r in v_rows) + 1
+    v = [0] * d
+    lam = ev = 0
+    for r in v_rows:
+        v[r["dim_i"]] = r["v_scaled"]
+        lam, ev = r["lam_e3q"], r["ev_ppm"]
+    arr = "array({})".format(", ".join(f"{x}L" for x in v))
+    emb = table(tune(spark), sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1e3).cast("long")
+        ).alias("qv"),
+    )
+    proj = emb.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("p"),
+    )
+    mm = proj.agg(
+        F.min("p").cast("long").alias("mn"), F.max("p").cast("long").alias("mx")
+    )
+    b = proj.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"(p - mn) * {PCA_PROJ_BINS} DIV (mx - mn + 1)")
+        .cast("int")
+        .alias("bin_i")
+    )
+    return b.groupBy("bin_i").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    ).select(
+        "bin_i",
+        "n_vectors",
+        F.lit(lam).cast("long").alias("lam_e3q"),
+        F.lit(ev).cast("long").alias("ev_ppm"),
+    )
+
+
+def _pca_project_oracle() -> str:
+    return f"""
+WITH pca AS MATERIALIZED ({_pca_oracle()}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))
+           AS qv
+  FROM embeddings),
+proj AS (
+  SELECT q.vec_id,
+         CAST(sum(q.qv[CAST(p.dim_i AS INT) + 1] * p.v_scaled) AS BIGINT)
+           AS p
+  FROM q, pca p GROUP BY 1),
+mm AS (SELECT CAST(min(p) AS BIGINT) AS mn, CAST(max(p) AS BIGINT) AS mx
+       FROM proj),
+b AS (
+  SELECT CAST((p - mn) * {PCA_PROJ_BINS} // (mx - mn + 1) AS INT) AS bin_i
+  FROM proj, mm)
+SELECT bin_i, CAST(count(*) AS BIGINT) AS n_vectors,
+       (SELECT CAST(any_value(lam_e3q) AS BIGINT) FROM pca) AS lam_e3q,
+       (SELECT CAST(any_value(ev_ppm) AS BIGINT) FROM pca) AS ev_ppm
+FROM b GROUP BY 1
+"""
+
+
 def gram_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance contract for the Gram statistic — the
     spectral member of the upsert ≡ rebuild family (postings /
@@ -2728,6 +2815,7 @@ QUERIES = {
     "embedding_moment_stats": embedding_moment_stats,
     "embedding_gram_matrix": embedding_gram_matrix,
     "pca_power_iteration": pca_power_iteration,
+    "embedding_pca_project": embedding_pca_project,
     "gram_upsert_equivalence": gram_upsert_equivalence,
     "kcenter_coreset": kcenter_coreset,
     "pq_encode": pq_encode,
@@ -2759,6 +2847,7 @@ ORACLES = {
     "embedding_moment_stats": MOMENT_STATS_ORACLE,
     "embedding_gram_matrix": GRAM_ORACLE,
     "pca_power_iteration": _pca_oracle(),
+    "embedding_pca_project": _pca_project_oracle(),
     "gram_upsert_equivalence": GRAM_UPSERT_ORACLE,
     "kcenter_coreset": _kcenter_oracle(),
     "pq_encode": PQ_ENCODE_ORACLE,

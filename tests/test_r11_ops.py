@@ -791,3 +791,46 @@ def test_linkage_assignment_matches_reciprocal_best_replay(spark, sf_dir):
     # carry real signal) and recalls most of the feed
     assert r["precision_ppm"] > 900_000
     assert r["recall_ppm"] > 500_000
+
+
+def test_embedding_pca_project_matches_numpy_and_partitions_corpus(
+    spark, sf_dir
+):
+    """numpy replay of the projection histogram off the SAME
+    eigenvector the operator emits, plus conservation (every vector
+    lands in exactly one bin) and the variance-concentration sanity
+    (the projection spreads across bins — the direction is not
+    degenerate)."""
+    import numpy as np
+
+    from fxblue_etl_spark.operators.ml import (
+        PCA_PROJ_BINS,
+        embedding_pca_project,
+        pca_power_iteration,
+    )
+
+    v = np.zeros(64, dtype=np.int64)
+    for r in pca_power_iteration(spark, sf_dir).collect():
+        v[r["dim_i"]] = r["v_scaled"]
+    emb = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    q = np.floor(emb * 1e3).astype(np.int64)
+    p = q @ v
+    mn, mx = int(p.min()), int(p.max())
+    bins = (p - mn) * PCA_PROJ_BINS // (mx - mn + 1)
+    from collections import Counter
+
+    expect = Counter(int(b) for b in bins)
+    got = {
+        r["bin_i"]: r["n_vectors"]
+        for r in embedding_pca_project(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) == len(emb)
+    # non-degenerate: the top direction spreads the corpus over
+    # multiple bins
+    assert len(got) >= 4
