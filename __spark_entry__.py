@@ -909,6 +909,13 @@ _R12_QUEUE: list[str] = [
     # riding the rows — the consumption step of the Gram -> PCA
     # lineage
     "embedding_pca_project",
+    # streaming CUSUM maintenance: per-batch partial daily spend
+    # merges into calendar-bounded (day, cents) state by keyed SUM
+    # (confluent — boundary-straddling days re-assemble exactly), the
+    # certified CUSUM tail runs over final state, and the oracle IS
+    # the batch CUSUM_ORACLE — the drift-monitor member of the
+    # incremental == rebuild family
+    "streaming_cusum_monitor",
 ]
 
 #: ROUND-12 RE-CERT CANDIDATES (pre-planned at round-11 close, the

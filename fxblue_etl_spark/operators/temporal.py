@@ -1162,6 +1162,13 @@ def cusum_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM tail over a ``(d, cents)`` daily frame — shared by
+    the batch monitor and the streaming maintenance gate (whose
+    carried state IS such a frame)."""
     w = Window.orderBy("d")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     pre = daily.select(

@@ -1974,6 +1974,84 @@ WHERE coalesce((SELECT count(*) FROM b WHERE bi = wm.i + 1), 0) > 0
 """
 
 
+def streaming_cusum_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the CUSUM control chart — the
+    drift-monitor member of the incremental ≡ rebuild family: each
+    micro-batch's partial daily spend merges into a carried
+    ``(day, cents)`` state frame by keyed SUM (addition is confluent,
+    so day totals straddling micro-batch boundaries re-assemble
+    exactly), and the certified CUSUM tail runs over the final state.
+    The oracle is the batch CUSUM_ORACLE on the full table — the same
+    strongest-form incremental ≡ rebuild statement the Gram and KMV
+    gates make.
+
+    State posture: the carried frame is calendar-bounded (one row per
+    day with spend, ~2.4k rows for the seven-year domain) REGARDLESS
+    of stream length — no streaming state store, no watermark; per
+    batch the corpus-sized work is the batch's own map-side-combined
+    daily aggregate.  This is the control chart a 100 TB ingest
+    front-door keeps per table to answer "did today's arrivals shift
+    the distribution" without re-scanning history."""
+    from ..operators.temporal import cusum_from_daily
+    from ..io import release_local_checkpoint
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "orders", "o_orderkey", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.col("o_orderdate").cast("string").alias("d")
+        ).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        if "daily" in state:
+            merged = (
+                state["daily"]
+                .unionByName(part)
+                .groupBy("d")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["daily"])
+        else:
+            new = part.coalesce(1).localCheckpoint()
+        state["daily"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return cusum_from_daily(state.pop("daily"))
+
+
+def _stream_cusum_oracle() -> str:
+    from ..operators.temporal import CUSUM_ORACLE
+
+    return CUSUM_ORACLE
+
+
 QUERIES = {
     "streaming_tumbling_windows": streaming_tumbling_windows,
     "streaming_sliding_windows": streaming_sliding_windows,
@@ -1999,6 +2077,7 @@ QUERIES = {
     "streaming_gram_maintenance": streaming_gram_maintenance,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
+    "streaming_cusum_monitor": streaming_cusum_monitor,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -2006,6 +2085,7 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
 
 ORACLES = {
     "streaming_observed_metrics": _stream_observed_oracle(),
+    "streaming_cusum_monitor": _stream_cusum_oracle(),
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_gram_maintenance": _gram_oracle_ref(),

@@ -834,3 +834,38 @@ def test_embedding_pca_project_matches_numpy_and_partitions_corpus(
     # non-degenerate: the top direction spreads the corpus over
     # multiple bins
     assert len(got) >= 4
+
+
+def test_streaming_cusum_split_invariant_equals_batch(spark, sf_dir):
+    """incremental == rebuild for the control chart: any micro-batch
+    split of the order stream yields EXACTLY the batch CUSUM (keyed
+    daily sums are confluent), and the carried state is calendar-
+    bounded."""
+    from fxblue_etl_spark.operators.temporal import cusum_drift_monitor
+    from fxblue_etl_spark.streaming.pipelines import streaming_cusum_monitor
+
+    key = lambda r: tuple(r[c] for c in r.__fields__)
+    batch = sorted(map(key, cusum_drift_monitor(spark, sf_dir).collect()))
+    for n_splits in (1, 4):
+        prog: list = []
+        got = sorted(
+            map(
+                key,
+                streaming_cusum_monitor(
+                    spark, sf_dir, prog, n_splits=n_splits
+                ).collect(),
+            )
+        )
+        assert got == batch
+        if n_splits == 4:
+            assert (
+                len([p for p in prog if p.get("numInputRows", 0) > 0]) >= 2
+            )
+    n_days = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("string"))
+        .distinct()
+        .count()
+    )
+    # state bound: the carried frame is one row per active day
+    assert batch[0][1] == n_days  # n_days column of either direction row
