@@ -146,6 +146,23 @@ HEADLINE = (
     "hilbert_clustering_stats",
     "kneser_ney_bigram_lm",
     "fwf_ingest",
+    # round-12 widening (APPENDED — frozen subtotals untouched):
+    # the round-11 verdict (item 4) asked for first-exposure numbers
+    # on ALL round-11 additions, reversing the one-per-spine economy
+    # above — in particular ks_two_sample quantifies the
+    # mann_whitney_u spine reuse (the merged-grid swap_cache makes
+    # the second consumer near-free within a session), and the two
+    # staged-stream entries time the harness cost explicitly rather
+    # than leaving it unmeasured.
+    "ks_two_sample",
+    "compaction_tier_plan",
+    "query_expansion_prf",
+    "greedy_max_cover_selection",
+    "linkage_greedy_assignment",
+    "embedding_pca_project",
+    "streaming_cusum_monitor",
+    "streaming_observed_metrics",
+    "scd2_asof_consistency",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
@@ -210,12 +227,23 @@ REDRAW_WAIT_MAX_S = float(
 STDOUT_BUDGET = 1900
 
 
+def _dumps(obj: dict) -> str:
+    """Compact-separator dump — the stdout line's exact encoding
+    (must match the ``print`` in main(), so the budget check below
+    measures the real line; default separators wasted ~145 chars at
+    the round-12 HEADLINE size)."""
+    return json.dumps(obj, separators=(",", ":"))
+
+
 def compact_stdout_record(record: dict) -> dict:
     """The driver-facing subset of a full bench record: contract
     fields (metric/value/unit/queries/sf), the frozen round-over-
     round subtotals, start/end load, and a taint COUNT (names live
     in the detail file).  If the per-query map would push the line
-    past STDOUT_BUDGET, it is cut to the frozen27 subset (then
+    past STDOUT_BUDGET, per-query precision degrades to 0.1s first
+    (full coverage beats centisecond resolution — round-11 verdict
+    item 4 wants EVERY entry's first-exposure number on the driver
+    record), then the map is cut to the frozen27 subset (then
     dropped entirely) — the driver's record stays parseable no
     matter how many queries later rounds append."""
     compact = {
@@ -226,21 +254,82 @@ def compact_stdout_record(record: dict) -> dict:
         "sf": record["sf"],
         "frozen15_total": record["frozen15_total"],
         "frozen27_total": record["frozen27_total"],
+        # start load only — the end load, the per-query loads, and
+        # the detail-file name ride BENCH_OUT (committed per round);
+        # at the round-12 HEADLINE size every stdout char is spoken
+        # for by query names (1,214 chars of the budget), and full
+        # per-query coverage outranks redundant context fields
         "load_avg_start": record["load_avg_start"],
-        "load_avg_end": record["load_avg_end"],
         "load_tainted_n": len(record["load_tainted"]),
-        "detail": Path(BENCH_OUT).name if BENCH_OUT else None,
     }
-    if len(json.dumps(compact)) > STDOUT_BUDGET:
+    if len(_dumps(compact)) > STDOUT_BUDGET:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+    if len(_dumps(compact)) > STDOUT_BUDGET:
         compact["queries"] = {
             k: v
             for k, v in compact["queries"].items()
             if k in HEADLINE[:FROZEN27_N]
         }
         compact["queries_truncated"] = True
-    if len(json.dumps(compact)) > STDOUT_BUDGET:
+    if len(_dumps(compact)) > STDOUT_BUDGET:
         compact["queries"] = {}
     return compact
+
+
+def _redraw_tainted_pass(names, timings, query_loads, measure):
+    """Tainted-entry re-draw (round-7 verdict item 2, per-query gate
+    round-11 verdict item 3): if a co-tenant wave rode part of the
+    run, re-measure exactly the entries whose measurement-end load
+    was >= TAINT_LOAD, replacing a number only when the redraw
+    itself ran below the threshold.  The single up-front wait of
+    rounds 7-11 let one lingering wave void the WHOLE redraw pass
+    (the r11 canonical shipped 17 tainted entries), so each entry
+    now gets its own bounded wait-for-quiet against a SHARED
+    REDRAW_WAIT_MAX_S budget, and an entry whose redraw itself ran
+    hot gets one more attempt while budget remains.  Entries still
+    hot after this stay stamped in load_tainted so readers (and the
+    round deltas) see contaminated numbers as contaminated, not as
+    regressions.  Mutates timings/query_loads in place; returns the
+    per-entry first-draw/redraw record."""
+    redraws: dict[str, dict[str, float]] = {}
+    tainted = [n for n in names if query_loads[n] >= TAINT_LOAD]
+    if not tainted:
+        return redraws
+    t0 = time.time()
+
+    def _wait_quiet() -> bool:
+        while time.time() - t0 < REDRAW_WAIT_MAX_S:
+            if os.getloadavg()[0] < TAINT_LOAD:
+                return True
+            time.sleep(_LOAD_POLL_S)
+        return os.getloadavg()[0] < TAINT_LOAD
+
+    queue = list(tainted)
+    attempts: dict[str, int] = {}
+    while queue:
+        name = queue.pop(0)
+        attempts[name] = attempts.get(name, 0) + 1
+        if not _wait_quiet():
+            break
+        t2, l2 = measure(name)
+        redraws[name] = {
+            "first_sec": redraws.get(name, {}).get(
+                "first_sec", timings[name]
+            ),
+            "first_load": redraws.get(name, {}).get(
+                "first_load", query_loads[name]
+            ),
+            "redraw_sec": t2,
+            "redraw_load": l2,
+            "attempts": attempts[name],
+        }
+        if l2 < TAINT_LOAD:
+            timings[name], query_loads[name] = t2, l2
+        elif attempts[name] < 2:
+            queue.append(name)
+    return redraws
 
 
 def _wait_for_quiet_host() -> tuple[float, float | None]:
@@ -300,33 +389,7 @@ def main() -> None:
         # "regressions" that were exactly such waves)
         timings[name], query_loads[name] = _measure(name)
 
-    # tainted-entry re-draw (round-7 verdict item 2): if a co-tenant
-    # wave rode part of the run, re-measure exactly those entries
-    # once, after the full pass, if the wave has receded — the
-    # re-draw replaces the tainted number only when the re-draw
-    # itself ran below the threshold.  Entries still hot after this
-    # stay stamped in load_tainted so readers (and the round deltas)
-    # see contaminated numbers as contaminated, not as regressions.
-    redraws: dict[str, dict[str, float]] = {}
-    tainted = [n for n in names if query_loads[n] >= TAINT_LOAD]
-    if tainted:
-        t0 = time.time()
-        while (
-            os.getloadavg()[0] >= TAINT_LOAD
-            and time.time() - t0 < REDRAW_WAIT_MAX_S
-        ):
-            time.sleep(_LOAD_POLL_S)
-    if tainted and os.getloadavg()[0] < TAINT_LOAD:
-        for name in tainted:
-            t2, l2 = _measure(name)
-            redraws[name] = {
-                "first_sec": timings[name],
-                "first_load": query_loads[name],
-                "redraw_sec": t2,
-                "redraw_load": l2,
-            }
-            if l2 < TAINT_LOAD:
-                timings[name], query_loads[name] = t2, l2
+    redraws = _redraw_tainted_pass(names, timings, query_loads, _measure)
     load_tainted = sorted(n for n in names if query_loads[n] >= TAINT_LOAD)
 
     # Arrow/HOF lineage sidecar (round-7 verdict item 6): the Arrow
@@ -391,7 +454,7 @@ def main() -> None:
                 "lineage_ab": lineage_ab,
             }
     )
-    print(json.dumps(compact_stdout_record(record)))
+    print(_dumps(compact_stdout_record(record)))
     if BENCH_OUT:
         # keep a compact summary of any earlier draw this round so a
         # re-draw doesn't erase the history bench_compare can't hold
