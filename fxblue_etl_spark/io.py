@@ -264,6 +264,51 @@ def drain_all(spark: SparkSession | None = None) -> int:
     return len(drained)
 
 
+def stage_once(path: str, build) -> str:
+    """Idempotent, crash-safe, concurrency-safe fixture staging
+    (round-11 advice item 3): the former per-site pattern wrote the
+    payload INTO ``path`` and dropped a ``_fxblue_done`` marker
+    after — a crash between write and marker was handled (re-stage),
+    but a concurrent second session could read a half-overwritten
+    directory because mode("overwrite") deletes files before the
+    other process re-checks the marker.
+
+    Here ``build(tmp_dir)`` writes the complete payload into a fresh
+    sibling temp dir, the marker lands inside it, and one atomic
+    ``os.rename`` publishes the whole thing — readers can only ever
+    observe a missing dir or a complete one.  Losing a publish race
+    is fine: the winner's dir is complete by construction, so the
+    loser discards its own temp dir and returns the published path.
+    """
+    import shutil
+    import uuid
+
+    done = os.path.join(path, "_fxblue_done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_fxblue_done"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(done):
+                # stale partial dir from a pre-helper crash: replace
+                # it, tolerating one more concurrent winner
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not os.path.exists(done):
+                        raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

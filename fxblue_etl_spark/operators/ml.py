@@ -1455,10 +1455,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         G[r["i"], r["j"]] = r["cross_sum"]
         G[r["j"], r["i"]] = r["cross_sum"]
     SM, S = PCA_MAT_SCALE, PCA_SCALE
+
     # headroom pins: every int64 product below is bounded before it
-    # runs (numpy wraps silently; the engines would error instead)
+    # runs (numpy wraps silently; the engines would error instead).
+    # Explicit raises, not asserts — `python -O` strips asserts and
+    # a stripped guard would let numpy wrap into a wrong-but-
+    # plausible eigenvector (round-11 advice item 2)
+    def _headroom(value: int, what: str) -> None:
+        if not value < 1 << 62:
+            raise ValueError(f"int64 overflow headroom exceeded: {what}")
+
     m = max(1, int(np.max(np.abs(G))))
-    assert m * SM < 1 << 62, "gram renorm headroom"
+    _headroom(m * SM, "gram renorm")
     H = np.floor_divide(G * SM, m)
     for _ in range(PCA_SQUARINGS):
         # |H| <= SM so |P| <= d * SM^2 = 2^34 and |P * SM| <= 2^49
@@ -1474,7 +1482,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = max(1, int(np.max(np.abs(col))))
     v = np.floor_divide(col * S, cm)
     # lambda from one plain product off the converged vector
-    assert int(np.max(np.abs(G))) * S * d < 1 << 62, "G v headroom"
+    _headroom(int(np.max(np.abs(G))) * S * d, "G v product")
     w = G @ v
     wm = max(1, int(np.max(np.abs(w))))
     tr = int(np.trace(G))

@@ -40,7 +40,16 @@ from ..session import tune
 NEAR_DUP_JACCARD = 0.5
 
 
-def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-level keep-set of the cleaning pipeline — quality gate
+    → language gate → exact dedup (content-md5 window) → near-dup
+    trim (LSH pair graph → components → keep cluster minimum):
+    (doc_id, text, n_tokens, quality_score, pred_lang, content_md5),
+    one row per SURVIVING document.  Extracted from
+    ``llm_corpus_prep`` (round-11 verdict item 6) so the composed
+    release pipeline can consume the certified keep-set at doc
+    granularity; ``llm_corpus_prep`` is exactly this frame's
+    per-language rollup — same plan, same oracle lineage."""
     from ..io import fan_out, swap_cache, table
     from ..operators.dedup import lsh_jaccard_pairs
     from ..operators.graph import connected_components
@@ -138,8 +147,11 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias("doc_id"))
     )
-    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+    return exact_kept.join(losers, "doc_id", "left_anti")
 
+
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    near_kept = llm_survivor_docs(spark, sf_dir)
     # quality_sum as an exact integer e1 sum: the per-doc score is a
     # bit-identical double in both engines (same additions, same
     # order), so floor(score·10) matches exactly and the integer sum
@@ -151,8 +163,10 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LLM_CORPUS_ORACLE = rf"""
-WITH RECURSIVE toks AS (
+#: the survivor keep-set CTE chain (doc-level ``near_kept``), shared
+#: verbatim by LLM_CORPUS_ORACLE and the composed release pipeline's
+#: oracle — one certified SQL lineage, two consumers
+LLM_SURVIVOR_CTES = rf"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS ws,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS lt,
@@ -235,7 +249,10 @@ comp AS (
 near_kept AS (
   SELECT e.* FROM exact_kept e
   LEFT JOIN comp c ON e.doc_id = c.doc_id
-  WHERE c.doc_id IS NULL OR c.doc_id = c.component)
+  WHERE c.doc_id IS NULL OR c.doc_id = c.component)"""
+
+LLM_CORPUS_ORACLE = f"""
+WITH RECURSIVE {LLM_SURVIVOR_CTES}
 SELECT pred_lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
@@ -280,11 +297,14 @@ def training_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         _tempfile.gettempdir(), f"fxblue_sink_{tag}", "training_shards"
     )
-    done = _os.path.join(path, "_fxblue_done")
-    if not _os.path.exists(done):
-        shards.write.partitionBy("split").mode("overwrite").parquet(path)
-        with open(done, "w") as f:
-            f.write("ok")
+    from ..io import stage_once
+
+    stage_once(
+        path,
+        lambda tmp: shards.write.partitionBy("split")
+        .mode("overwrite")
+        .parquet(tmp),
+    )
     back = spark.read.parquet(path)
     return back.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -506,11 +526,129 @@ FROM (SELECT count(*) AS raw_docs, CAST(sum(n_chars) AS BIGINT) AS raw_chars
 RELEASE_MANIFEST_ORACLE = _release_manifest_oracle()
 
 
+def corpus_release_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHAINED corpus-release pipeline (round-11 verdict item 6):
+    where ``corpus_release_manifest`` assembles independent stage
+    AGGREGATES into one row, this query certifies the stages agree on
+    their HAND-OFF SCHEMAS by actually flowing the doc-level keep-set
+    through them — the ``fx_ingest_end_to_end`` discipline applied to
+    the training-data path:
+
+        llm_survivor_docs  (clean → gate → exact dedup → near-dup trim)
+          ⨝ doc_id  split assignment   (the split_decontaminate
+                     group-aware rule over the SAME dup-group spine)
+          ⟕ doc_id  chunk_dedup_rewrite (per-doc rewrite economics)
+          → per (split, pred_lang) release accounting
+
+    ``n_missing_split`` is the hand-off certificate: every surviving
+    document must receive exactly one split (the spine covers ALL
+    docs, survivors are a subset — a schema/coverage drift in either
+    stage makes this nonzero and flips every row's hash).
+
+    Scale shape: each stage keeps its own certified plan; the
+    composition adds two doc-keyed hash joins (survivors ≪ corpus)
+    and one broadcast scalar — nothing new shuffles at corpus size.
+    """
+    from ..operators.corpusops import _hash_bucket
+    from ..operators.dedup import chunk_dedup_rewrite
+    from ..operators.graph import _TRAIN_PCT, _VAL_PCT, _doc_dup_groups
+
+    tune(spark)
+    surv = llm_survivor_docs(spark, sf_dir).select(
+        "doc_id", "pred_lang", "n_tokens", "quality_score"
+    )
+    b = _hash_bucket(F.col("grp"), "dsplit|", 100)
+    sp = _doc_dup_groups(spark, sf_dir).select(
+        "doc_id",
+        F.when(b < _TRAIN_PCT, F.lit("train"))
+        .when(b < _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    rewrite = chunk_dedup_rewrite(spark, sf_dir).select(
+        "doc_id", "chunk_toks_dropped"
+    )
+    joined = surv.join(sp, "doc_id", "left").join(rewrite, "doc_id", "left")
+    miss = joined.agg(
+        F.sum(F.col("split").isNull().cast("long"))
+        .cast("long")
+        .alias("n_missing_split")
+    )
+    return (
+        joined.groupBy("split", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.sum(F.floor(F.col("quality_score") * 10))
+            .cast("long")
+            .alias("quality_sum_e1"),
+            F.sum(F.col("chunk_toks_dropped").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_docs_rewritten"),
+            F.sum(F.coalesce(F.col("chunk_toks_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("chunk_toks_dropped"),
+        )
+        .crossJoin(F.broadcast(miss))  # 1-row certificate, by design
+    )
+
+
+def _release_end_to_end_oracle() -> str:
+    from ..operators.dedup import _chunk_rewrite_oracle
+    from ..operators.graph import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+        _doc_groups_sql,
+    )
+    from ..operators.corpusops import _hash_bucket_sql
+
+    b = _hash_bucket_sql("CAST(grp AS VARCHAR)", "dsplit|", 100)
+    return f"""
+WITH RECURSIVE {LLM_SURVIVOR_CTES},
+rewrite AS MATERIALIZED (
+  SELECT doc_id, chunk_toks_dropped
+  FROM ({_chunk_rewrite_oracle()}) r),
+sp AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN {b} < {_TRAIN_PCT} THEN 'train'
+              WHEN {b} < {_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (WITH RECURSIVE {_doc_groups_sql()}
+        SELECT doc_id, grp FROM assigned) g),
+joined AS (
+  SELECT nk.doc_id, nk.pred_lang, nk.n_tokens, nk.score, sp.split,
+         r.chunk_toks_dropped IS NOT NULL AS rewritten,
+         coalesce(r.chunk_toks_dropped, 0) AS ctd
+  FROM near_kept nk
+  LEFT JOIN sp ON nk.doc_id = sp.doc_id
+  LEFT JOIN rewrite r ON nk.doc_id = r.doc_id),
+miss AS (
+  SELECT CAST(coalesce(sum(CASE WHEN split IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_missing_split
+  FROM joined)
+SELECT j.split, j.pred_lang,
+       count(*) AS n_docs,
+       CAST(sum(j.n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(sum(CAST(floor(round(j.score, 2) * 10) AS BIGINT)) AS BIGINT)
+         AS quality_sum_e1,
+       CAST(sum(CASE WHEN j.rewritten THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_rewritten,
+       CAST(sum(j.ctd) AS BIGINT) AS chunk_toks_dropped,
+       m.n_missing_split
+FROM joined j, miss m
+GROUP BY j.split, j.pred_lang, m.n_missing_split
+"""
+
+
+RELEASE_END_TO_END_ORACLE = _release_end_to_end_oracle()
+
+
 QUERIES = {
     "training_shard_roundtrip": training_shard_roundtrip,
     "llm_corpus_prep": llm_corpus_prep,
     "rag_corpus_prep": rag_corpus_prep,
     "corpus_release_manifest": corpus_release_manifest,
+    "corpus_release_end_to_end": corpus_release_end_to_end,
 }
 
 ORACLES = {
@@ -518,4 +656,5 @@ ORACLES = {
     "training_shard_roundtrip": TRAINING_SHARD_ORACLE,
     "rag_corpus_prep": RAG_CORPUS_ORACLE,
     "corpus_release_manifest": RELEASE_MANIFEST_ORACLE,
+    "corpus_release_end_to_end": RELEASE_END_TO_END_ORACLE,
 }

@@ -25,7 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table, write_partitioned
+from ..io import stage_once, table, write_partitioned
 from ..session import tune
 
 #: the partition predicate certified by the round-trip
@@ -71,12 +71,9 @@ def _monthly_layout(spark: SparkSession, sf_dir: str) -> str:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_by_month")
-    done = os.path.join(path, "_fxblue_done")
-    if not os.path.exists(done):
-        write_partitioned(o, path, ["order_month"])
-        with open(done, "w") as f:
-            f.write("ok")
-    return path
+    return stage_once(
+        path, lambda tmp: write_partitioned(o, tmp, ["order_month"])
+    )
 
 
 def dpp_monthly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,11 +133,7 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "lineitem_orc")
-    done = os.path.join(path, "_fxblue_done")
-    if not os.path.exists(done):
-        li.write.mode("overwrite").orc(path)
-        with open(done, "w") as f:
-            f.write("ok")
+    stage_once(path, lambda tmp: li.write.mode("overwrite").orc(tmp))
     back = spark.read.orc(path).filter(F.col("l_quantity") > 10)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
@@ -193,17 +186,21 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}")
     frag = os.path.join(base, "orders_frag")
     compact = os.path.join(base, "orders_compact")
-    done = os.path.join(compact, "_fxblue_done")
-    if not os.path.exists(done):
-        o.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
-        (
-            spark.read.parquet(frag)
-            .repartitionByRange(COMPACT_FILES, "o_orderdate")
-            .write.mode("overwrite")
-            .parquet(compact)
-        )
-        with open(done, "w") as f:
-            f.write("ok")
+    # two atomic stages: frag publishes complete before compact reads
+    # it, and each dir flips into place in one rename
+    stage_once(
+        frag,
+        lambda tmp: o.repartition(FRAG_FILES)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stage_once(
+        compact,
+        lambda tmp: spark.read.parquet(frag)
+        .repartitionByRange(COMPACT_FILES, "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     back = spark.read.parquet(compact)
     # hash the INVARIANT, not the exact file counts: repartitionByRange
     # writes no file for an empty range partition, so compact-side
@@ -367,11 +364,12 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "customer_csv")
-    done = os.path.join(path, "_fxblue_done")
-    if not os.path.exists(done):
-        c.write.mode("overwrite").option("header", "true").csv(path)
-        with open(done, "w") as f:
-            f.write("ok")
+    stage_once(
+        path,
+        lambda tmp: c.write.mode("overwrite")
+        .option("header", "true")
+        .csv(tmp),
+    )
     back = (
         spark.read.schema(
             "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
@@ -487,16 +485,16 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_evo")
-    done = os.path.join(base, "_fxblue_done")
     old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
     new = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    if not os.path.exists(done):
-        old.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
-        new.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
-        with open(done, "w") as f:
-            f.write("ok")
+
+    def build(tmp: str) -> None:
+        old.write.mode("overwrite").parquet(os.path.join(tmp, "batch=1"))
+        new.write.mode("overwrite").parquet(os.path.join(tmp, "batch=2"))
+
+    stage_once(base, build)
     back = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
     )

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import stage_once, table
 from ..session import tune
 
 #: the staged layout: (column, start [1-based], width, spark type)
@@ -62,25 +62,25 @@ def _stage_fwf(spark: SparkSession, sf_dir: str) -> str:
     layout FWF_SPEC reads back."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_sink_{tag}", "orders_fwf")
-    done = os.path.join(path, "_fxblue_done")
-    if os.path.exists(done):
-        return path
-    o = table(spark, sf_dir, "orders")
-    line = F.concat(
-        F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
-        F.lpad(F.col("o_custkey").cast("string"), 12, " "),
-        F.col("o_orderstatus"),
-        F.lpad(
-            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
-            14,
-            " ",
-        ),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-    )
-    o.select(line.alias("value")).write.mode("overwrite").text(path)
-    with open(done, "w") as f:
-        f.write("ok")
-    return path
+
+    def build(tmp: str) -> None:
+        o = table(spark, sf_dir, "orders")
+        line = F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+            F.lpad(F.col("o_custkey").cast("string"), 12, " "),
+            F.col("o_orderstatus"),
+            F.lpad(
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                14,
+                " ",
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        o.select(line.alias("value")).write.mode("overwrite").text(tmp)
+
+    return stage_once(path, build)
 
 
 def fwf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import table
+from ..io import stage_once, table
 from ..session import tune
 
 #: known-bad lines planted next to the real shards
@@ -53,8 +53,8 @@ _SCHEMA = T.StructType(
 def _jsonl_layout(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"fxblue_jsonl_{tag}", "orders")
-    done = os.path.join(path, "_fxblue_done")
-    if not os.path.exists(done):
+
+    def build(tmp: str) -> None:
         o = table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
@@ -63,12 +63,11 @@ def _jsonl_layout(spark: SparkSession, sf_dir: str) -> str:
             "o_orderdate",
             "o_orderpriority",
         )
-        o.write.mode("overwrite").json(path)
-        with open(os.path.join(path, "part-corrupt.json"), "w") as f:
+        o.write.mode("overwrite").json(tmp)
+        with open(os.path.join(tmp, "part-corrupt.json"), "w") as f:
             f.write("\n".join(CORRUPT_LINES) + "\n")
-        with open(done, "w") as f:
-            f.write("ok")
-    return path
+
+    return stage_once(path, build)
 
 
 def jsonl_tolerant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

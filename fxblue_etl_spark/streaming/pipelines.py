@@ -1927,8 +1927,13 @@ def streaming_observed_metrics(
                 int(so.get("numRowsRemoved", 0)),
             )
         )
-    # data batches + the trailing flush batch (the eviction record)
-    keep = [r for r in rows if r[1] > 0 or r[0] == rows[-1][0]]
+    # data batches + the trailing flush batch (the eviction record);
+    # an empty progress list (empty staged dir, progress-buffer
+    # quirk) yields an empty frame instead of an IndexError on
+    # rows[-1] (round-11 advice item 1)
+    keep = (
+        [r for r in rows if r[1] > 0 or r[0] == rows[-1][0]] if rows else []
+    )
     return spark.createDataFrame(
         keep,
         "batch_id long, n_input_rows long, wm_epoch_ms long,"
