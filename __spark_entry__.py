@@ -1007,6 +1007,15 @@ _R13_QUEUE: list[str] = [
     # n_missing_split hand-off certificate; composes three certified
     # stage lineages and their oracles verbatim
     "corpus_release_end_to_end",
+    # the execute≡plan contract (round-11 verdict item 7): the tier
+    # plan is EXECUTED (task-partitioned rewrite of the monthly
+    # layout) and every planned economic — row mass, month coverage,
+    # fill ppm — is re-measured from the written files next to the
+    # planned number; one_file_per_task certifies the physical goal
+    # from the listing.  compaction_tier_plan itself re-certifies
+    # in-window via _R12_QUEUE after the _compaction_assignment
+    # extraction.
+    "compaction_plan_execute",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -97,3 +97,53 @@ def test_survivor_extraction_preserves_prep_plan(spark):
         )
     )
     assert a == b
+
+
+def test_compaction_execute_matches_plan(spark):
+    """execute(plan) ≡ plan: every executed economic equals its
+    planned twin, and each task's dir holds exactly one file."""
+    from fxblue_etl_spark.plans.sinks import compaction_plan_execute
+
+    rows = compaction_plan_execute(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_months_executed"] == r["n_months_planned"]
+        assert r["rows_executed"] == r["rows_planned"]
+        assert r["exec_from_ym"] == r["from_ym"]
+        assert r["exec_to_ym"] == r["to_ym"]
+        assert r["fill_ppm_executed"] == r["fill_ppm_planned"]
+        assert r["one_file_per_task"] is True
+
+
+def test_compaction_assignment_extraction_preserves_plan(spark):
+    """compaction_tier_plan ≡ rollup(_compaction_assignment): the
+    extraction is pure (the tier plan re-certifies in-window)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.plans.sinks import (
+        _compaction_assignment,
+        compaction_tier_plan,
+    )
+
+    plan = {r["task_id"]: tuple(r) for r in
+            compaction_tier_plan(spark, SF_DIR).collect()}
+    asg = _compaction_assignment(spark, SF_DIR)
+    re = {
+        r["task_id"]: tuple(r)
+        for r in asg.groupBy("task_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("rows_in").cast("long").alias("rows_total"),
+            F.min(F.col("y") * 100 + F.col("m")).cast("long").alias("from_ym"),
+            F.max(F.col("y") * 100 + F.col("m")).cast("long").alias("to_ym"),
+            F.max("target").cast("long").alias("target_rows"),
+        )
+        .select(
+            "task_id", "n_files", "rows_total", "from_ym", "to_ym",
+            F.expr("1000000 * rows_total DIV target_rows")
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+        .collect()
+    }
+    assert plan == re
