@@ -1285,9 +1285,90 @@ def _spearman_bucketed_tail(li: DataFrame) -> DataFrame:
     return _spearman_stats(li, xg, yg)
 
 
-def _two_sample_merged_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared spine of the two-sample tests (:func:`mann_whitney_u`,
-    :func:`ks_two_sample`): for every unordered return-flag pair
+def _two_sample_flag_grid(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[str]]:
+    """Production spine of the two-sample tests (round-11 verdict
+    item 5): ONE wide value grid over price cents — per flag i, the
+    count column ``c{i}`` and the EXCLUSIVE cumulative ``e{i}`` —
+    instead of the per-pair merged grids of
+    :func:`_two_sample_merged_grid_pairwise`.
+
+    Why this wins: the pairwise spine fanned the grid out per pair
+    (2 broadcast joins + a (ga, gb, y) full join ≈ 2× grid rows for
+    3 flags) and ran the bucketed prefix sum once per pair; here the
+    grid is built once, the prefix sum runs once per FLAG COLUMN
+    over the single frame, and every pair statistic becomes a plain
+    column expression (flags are a bounded set — TPC-H return flags,
+    |F| = 3 — so the pair count is a constant, not data).  Measured
+    A/B at sf0.1 is recorded in COVERAGE.md round 12.
+
+    The cumulative stays the bucketed two-level form: bucket-local
+    window + bucket-offset frame, where the offset frame is
+    VALUE-RANGE-scaled (y div 2^16 — ~160 rows at any corpus size),
+    so its global window is bounded exactly like the 40-row
+    bootstrap-replica allowlist entries.
+
+    Returns (grid, flags): grid persisted via swap_cache, flags the
+    sorted bounded flag vocabulary (collected — bounded exactly like
+    the pairwise spine's broadcast pair frame was)."""
+    from ..io import swap_cache
+
+    li = _spearman_rows(spark, sf_dir)
+    flags = sorted(
+        r["g"] for r in li.select("g").distinct().collect()
+    )  # bounded vocabulary (3 return flags), same posture as pairs
+    grid = (
+        li.groupBy("y")
+        .pivot("g", flags)
+        .agg(F.count(F.lit(1)).cast("long"))
+        .na.fill(0)
+    )
+    for i, f in enumerate(flags):
+        grid = grid.withColumnRenamed(f, f"c{i}")
+    grid = grid.withColumn("bkt", (F.col("y") / SPEAR_BUCKET_W).cast("long"))
+    wloc = Window.partitionBy("bkt").orderBy("y")
+    woff = Window.orderBy("bkt")
+    boff = grid.groupBy("bkt").agg(
+        *[F.sum(f"c{i}").alias(f"b{i}") for i in range(len(flags))]
+    )
+    boff = boff.select(
+        "bkt",
+        *[
+            F.coalesce(
+                F.sum(f"b{i}").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias(f"off{i}")
+            for i in range(len(flags))
+        ],
+    )
+    loc = lambda c: F.coalesce(
+        F.sum(c).over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = grid.join(F.broadcast(boff), "bkt").select(
+        "y",
+        *[F.col(f"c{i}") for i in range(len(flags))],
+        *[
+            (loc(f"c{i}") + F.col(f"off{i}")).cast("long").alias(f"e{i}")
+            for i in range(len(flags))
+        ],
+    )
+    return swap_cache("stats.twosample_flaggrid", out), flags
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _two_sample_merged_grid_pairwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-11 per-pair spine, kept as the A/B reference and
+    equality oracle for :func:`_two_sample_flag_grid` (pytest pins
+    both paths bit-identical): for every unordered return-flag pair
     (ga < gb), the MERGED price-cents value grid with both sides'
     counts and EXCLUSIVE cumulative counts.
 
@@ -1402,26 +1483,41 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, so the floored double agrees bit-for-bit.
 
     Scale: grid-sized work after one groupBy; the cumulative runs as
-    the bucketed two-level prefix sum (no per-pair sort task).  u2
-    stays in int64 through ~1e9 rows per side; beyond, emit the raw
-    sufficient statistics (documented, same posture as spearman)."""
-    mg = _two_sample_merged_grid(spark, sf_dir)
-    agg = mg.groupBy("ga", "gb").agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-        F.sum(F.col("ca") * (2 * F.col("cbe") + F.col("cb")))
-        .cast("long")
-        .alias("u2_a"),
-        F.sum(
-            (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            - (F.col("ca") + F.col("cb"))
-        )
-        .cast("long")
-        .alias("tie_term"),
+    the bucketed two-level prefix sum (no per-pair sort task), ONCE
+    over the wide flag grid — each pair's sufficient statistics are
+    plain column expressions folded in one keyless aggregate (flags
+    are a bounded vocabulary, so the aggregate is constant-width).
+    u2 stays in int64 through ~1e9 rows per side; beyond, emit the
+    raw sufficient statistics (documented, same posture as
+    spearman)."""
+    grid, flags = _two_sample_flag_grid(spark, sf_dir)
+    pairs = [
+        (i, j) for i in range(len(flags)) for j in range(len(flags)) if i < j
+    ]
+    aggs = []
+    for i, j in pairs:
+        ci, cj, ej = F.col(f"c{i}"), F.col(f"c{j}"), F.col(f"e{j}")
+        aggs += [
+            F.sum(ci).cast("long").alias(f"na_{i}_{j}"),
+            F.sum(cj).cast("long").alias(f"nb_{i}_{j}"),
+            F.sum(ci * (2 * ej + cj)).cast("long").alias(f"u2_{i}_{j}"),
+            F.sum((ci + cj) * (ci + cj) * (ci + cj) - (ci + cj))
+            .cast("long")
+            .alias(f"tie_{i}_{j}"),
+        ]
+    one = grid.agg(*aggs)
+    stack = ", ".join(
+        f"{_sql_str(flags[i])}, {_sql_str(flags[j])},"
+        f" na_{i}_{j}, nb_{i}_{j}, u2_{i}_{j}, tie_{i}_{j}"
+        for i, j in pairs
     )
-    return agg.select(
+    rows = one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack})"
+            " as (ga, gb, n_a, n_b, u2_a, tie_term)"
+        )
+    )
+    return rows.select(
         "ga",
         "gb",
         "n_a",
@@ -1480,26 +1576,45 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The KS distance is the drift gate a corpus pipeline puts between
     ingest snapshots (more sensitive to shape changes than the mean
     tests); the grid/prefix machinery is shared with mann_whitney_u
-    so both tests ride one persisted spine."""
-    mg = _two_sample_merged_grid(spark, sf_dir)
-    tot = mg.groupBy("ga", "gb").agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
+    so both tests ride one persisted spine.  D's max over the FULL
+    value grid equals the max over the pair's merged grid: both
+    CDFs are step functions constant between their own jump points,
+    so rows where neither side of a pair has mass repeat the
+    previous |difference| and cannot raise the max."""
+    grid, flags = _two_sample_flag_grid(spark, sf_dir)
+    pairs = [
+        (i, j) for i in range(len(flags)) for j in range(len(flags)) if i < j
+    ]
+    tot = grid.agg(
+        *[
+            F.sum(f"c{i}").cast("long").alias(f"n{i}")
+            for i in range(len(flags))
+        ]
     )
-    per_v = mg.join(F.broadcast(tot), ["ga", "gb"]).select(
-        "ga",
-        "gb",
-        F.abs(
-            (F.col("cae") + F.col("ca")) * F.col("n_b")
-            - (F.col("cbe") + F.col("cb")) * F.col("n_a")
+    aggs = []
+    for i, j in pairs:
+        inc_i = F.col(f"e{i}") + F.col(f"c{i}")
+        inc_j = F.col(f"e{j}") + F.col(f"c{j}")
+        aggs.append(
+            F.max(
+                F.abs(inc_i * F.col(f"n{j}") - inc_j * F.col(f"n{i}"))
+            )
+            .cast("long")
+            .alias(f"d_{i}_{j}")
         )
-        .cast("long")
-        .alias("dnum_v"),
+    one = grid.crossJoin(F.broadcast(tot)).agg(*aggs).crossJoin(
+        F.broadcast(tot)
     )
-    agg = (
-        per_v.groupBy("ga", "gb")
-        .agg(F.max("dnum_v").cast("long").alias("d_num"))
-        .join(F.broadcast(tot), ["ga", "gb"])
+    stack = ", ".join(
+        f"{_sql_str(flags[i])}, {_sql_str(flags[j])},"
+        f" n{i}, n{j}, d_{i}_{j}"
+        for i, j in pairs
+    )
+    agg = one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack})"
+            " as (ga, gb, n_a, n_b, d_num)"
+        )
     )
     dec = "CAST({} AS DECIMAL(38,0))"
     return agg.select(

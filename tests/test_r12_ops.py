@@ -147,3 +147,74 @@ def test_compaction_assignment_extraction_preserves_plan(spark):
         .collect()
     }
     assert plan == re
+
+
+def test_two_sample_flag_grid_equals_pairwise_spine(spark):
+    """Round-11 verdict item 5: the wide flag-grid spine must be
+    bit-identical to the round-11 per-pair merged-grid spine on both
+    tests (the pairwise plan is the retained reference; the A/B that
+    made the wide grid the production path is recorded in
+    COVERAGE.md round 12)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.plans import stats as S
+
+    mg = S._two_sample_merged_grid_pairwise(spark, SF_DIR)
+    agg = mg.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cbe") + F.col("cb")))
+        .cast("long")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    old_mw = sorted(
+        map(
+            tuple,
+            agg.select(
+                "ga", "gb", "n_a", "n_b", "u2_a", "tie_term",
+                F.expr(S._MW_Z_EXPR).cast("long").alias("z_e6"),
+            ).collect(),
+        )
+    )
+    new_mw = sorted(map(tuple, S.mann_whitney_u(spark, SF_DIR).collect()))
+    assert new_mw == old_mw
+
+    tot = mg.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    per_v = mg.join(F.broadcast(tot), ["ga", "gb"]).select(
+        "ga",
+        "gb",
+        F.abs(
+            (F.col("cae") + F.col("ca")) * F.col("n_b")
+            - (F.col("cbe") + F.col("cb")) * F.col("n_a")
+        )
+        .cast("long")
+        .alias("dnum_v"),
+    )
+    old_ks = sorted(
+        map(
+            tuple,
+            per_v.groupBy("ga", "gb")
+            .agg(F.max("dnum_v").cast("long").alias("d_num"))
+            .collect(),
+        )
+    )
+    new_ks = sorted(
+        map(
+            tuple,
+            S.ks_two_sample(spark, SF_DIR)
+            .select("ga", "gb", "d_num")
+            .collect(),
+        )
+    )
+    assert new_ks == old_ks

@@ -81,6 +81,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "compaction_tier_plan": "prefix mass over the monthly manifest (~84 rows)",
     "kneser_ney_bigram_lm": "tournament merge over ≤ ways·k bigram survivors",
     "query_expansion_prf": "tournament merges over ≤ ways·k survivors (seed + expansion + final)",
+    # round-12 additions
+    "mann_whitney_u": "bucket-offset prefix over the y-range/2^16 bucket frame (~160 rows, value-range-bounded)",
+    "ks_two_sample": "bucket-offset prefix over the y-range/2^16 bucket frame (~160 rows, value-range-bounded)",
+    "compaction_plan_execute": "inherits compaction_tier_plan's monthly-manifest window (~84 rows)",
 }
 
 
