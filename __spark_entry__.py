@@ -1016,6 +1016,12 @@ _R13_QUEUE: list[str] = [
     # in-window via _R12_QUEUE after the _compaction_assignment
     # extraction.
     "compaction_plan_execute",
+    # PPJoin prefix filtering (Xiao et al., WWW 2008): the LOSSLESS
+    # third blocking strategy next to banded LSH and SNM — the
+    # oracle is the UNBLOCKED all-pairs truth, so the hash match
+    # certifies the filter lost nothing; integer-exact rational
+    # threshold, anti-skewed prefix-token equi-join
+    "prefix_filter_jaccard_pairs",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -1573,8 +1573,138 @@ FROM per_hash
 """
 
 
+#: prefix-filter Jaccard threshold as an exact rational (1/2): the
+#: lossless-blocking guarantee below is an integer-arithmetic theorem
+PF_T_NUM, PF_T_DEN = 1, 2
+
+
+def prefix_filter_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact similarity join by PREFIX FILTERING (PPJoin family,
+    Xiao et al., WWW 2008) — the third blocking strategy next to the
+    banded-LSH equi-join (`minhash_lsh_pairs`, probabilistic) and the
+    sorted neighborhood (`snm_sorted_neighborhood_pairs`, heuristic):
+    unlike both, the prefix filter is LOSSLESS at its threshold — a
+    pair with Jaccard ≥ t MUST share at least one token in either
+    side's (|S| − ⌈t·|S|⌉ + 1)-token prefix when every doc's token
+    set is ordered by one global rank (document frequency ascending,
+    ties by token) — so the ORACLE computes the ALL-PAIRS truth with
+    no blocking at all, and a hash match certifies the filter lost
+    nothing.
+
+    All arithmetic integer-exact: the threshold is the rational
+    PF_T_NUM/PF_T_DEN (J ≥ 1/2 ⟺ 2·|A∩B| ≥ |A∪B|), jaccard_ppm is a
+    floor quotient of two int64 counts, the prefix length uses
+    ceiling division, and the length pre-filter (2·min ≥ max, the
+    PPJoin size bound at t = 1/2) is a pure integer compare.
+
+    Scale shape: the candidate join is an equi-join on PREFIX tokens
+    only — each doc exposes its ~|S|/2 RAREST tokens (global-df
+    rank), so hot tokens never fan out and the join key distribution
+    is anti-skewed by construction; the per-doc rank window
+    partitions by doc_id (bounded by doc length); verification joins
+    the bounded candidate set back to the two gram arrays."""
+    from pyspark.sql.window import Window
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 2)
+    docs = d.select(
+        "doc_id", word_shingles("text", k=2).alias("grams")
+    ).withColumn("sz", F.size("grams").cast("long"))
+    posts = docs.select(
+        "doc_id", "sz", F.explode("grams").alias("gram")
+    )
+    dfreq = posts.groupBy("gram").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gram"))
+    # prefix_len = sz − ⌈t·sz⌉ + 1, with ⌈(n·sz)/d⌉ as (n·sz+d−1) DIV d
+    plen = (
+        F.col("sz")
+        - F.expr(
+            f"(sz * {PF_T_NUM} + {PF_T_DEN - 1}) DIV {PF_T_DEN}"
+        )
+        + 1
+    )
+    prefix = (
+        posts.join(F.broadcast(dfreq), "gram")
+        .withColumn("rn", F.row_number().over(wdoc).cast("long"))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "sz", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter at t = 1/2: J ≥ 1/2 ⟹ sizes
+            # within a factor of 2 — integer-exact, lossless
+            & (
+                2 * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    union = (
+        F.size("grams_a").cast("long")
+        + F.size("grams_b").cast("long")
+        - inter
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(F.col("i") * PF_T_DEN >= F.col("u") * PF_T_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("1000000 * i DIV u").cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+#: the oracle is the UNBLOCKED all-pairs truth — losslessness of the
+#: prefix filter is exactly what a hash match certifies
+PREFIX_FILTER_ORACLE = rf"""
+WITH prep AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]))
+           AS grams
+  FROM prep
+  WHERE len(toks) >= 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(CAST(1000000 AS BIGINT) * len(list_intersect(a.grams, b.grams))
+            // (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) AS BIGINT)
+         AS jaccard_ppm
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * {PF_T_DEN}
+      >= (len(a.grams) + len(b.grams)
+          - len(list_intersect(a.grams, b.grams))) * {PF_T_NUM}
+"""
+
+
 QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
     "dedup_exact": dedup_exact,
     "snm_sorted_neighborhood_pairs": snm_sorted_neighborhood_pairs,
     "edit_distance_pairs": edit_distance_pairs,
@@ -1594,6 +1724,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "prefix_filter_jaccard_pairs": PREFIX_FILTER_ORACLE,
     "snm_sorted_neighborhood_pairs": SNM_ORACLE,
     "cdc_chunk_dedup": _cdc_oracle(),
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,

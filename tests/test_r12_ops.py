@@ -218,3 +218,84 @@ def test_two_sample_flag_grid_equals_pairwise_spine(spark):
         )
     )
     assert new_ks == old_ks
+
+
+def test_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """The PPJoin guarantee, checked against an UNBLOCKED Spark
+    brute force: prefix filtering at t = 1/2 finds exactly the
+    all-pairs truth (no false dismissals; the >= t verify removes
+    false candidates)."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import fan_out, table
+    from fxblue_etl_spark.operators.dedup import (
+        PF_T_DEN,
+        PF_T_NUM,
+        _norm_text,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+    from fxblue_etl_spark.operators.textops import ws_tokens
+
+    got = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(spark, SF_DIR).collect())
+    )
+    d = table(spark, SF_DIR, "documents").filter(
+        F.size(ws_tokens(_norm_text("text"))) >= 2
+    )
+    g = d.select("doc_id", word_shingles("text", k=2).alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    union = F.size("ga").cast("long") + F.size("gb").cast("long") - inter
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(F.col("i") * PF_T_DEN >= F.col("u") * PF_T_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("1000000 * i DIV u").cast("long").alias("jaccard_ppm"),
+        )
+    )
+    assert got == sorted(map(tuple, brute.collect()))
+    assert got, "fixture has no >= 1/2 Jaccard pairs — test is vacuous"
+
+
+def test_prefix_filter_prefixes_are_anti_skewed(spark):
+    """The scale claim: prefix tokens are each doc's RAREST grams, so
+    the hottest join key in the prefix posting list is strictly
+    cooler than the hottest gram overall (the filter removes the
+    skew head instead of fanning it out)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.dedup import (
+        _norm_text,
+        word_shingles,
+    )
+    from fxblue_etl_spark.operators.textops import ws_tokens
+
+    d = table(spark, SF_DIR, "documents").filter(
+        F.size(ws_tokens(_norm_text("text"))) >= 2
+    )
+    docs = d.select(
+        "doc_id", word_shingles("text", k=2).alias("grams")
+    ).withColumn("sz", F.size("grams").cast("long"))
+    posts = docs.select("doc_id", "sz", F.explode("grams").alias("gram"))
+    dfreq = posts.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gram"))
+    plen = F.col("sz") - F.expr("(sz * 1 + 1) DIV 2") + 1
+    prefix = (
+        posts.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(wdoc).cast("long"))
+        .filter(F.col("rn") <= plen)
+    )
+    hottest_all = dfreq.agg(F.max("df")).first()[0]
+    hottest_prefix = (
+        prefix.groupBy("gram").count().agg(F.max("count")).first()[0]
+    )
+    assert hottest_prefix < hottest_all
