@@ -1022,6 +1022,12 @@ _R13_QUEUE: list[str] = [
     # certifies the filter lost nothing; integer-exact rational
     # threshold, anti-skewed prefix-token equi-join
     "prefix_filter_jaccard_pairs",
+    # DBSCAN* (deterministic core-points variant) over the certified
+    # 1-d PCA projection: density-separated mode count + explicit
+    # noise mass, no k chosen; eps-bucket equi-join neighborhoods
+    # (never all-pairs — the oracle does the all-pairs truth),
+    # bucketed two-level run detection and cluster ids
+    "dbscan_projection_clusters",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -1588,6 +1588,35 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: beyond-reference LLM-pipeline surface (the reference
     has no vector ops); composition of the certified Gram→PCA
     lineage."""
+    proj, lam, ev = _pca_projection_frame(spark, sf_dir)
+    mm = proj.agg(
+        F.min("p").cast("long").alias("mn"), F.max("p").cast("long").alias("mx")
+    )
+    b = proj.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"(p - mn) * {PCA_PROJ_BINS} DIV (mx - mn + 1)")
+        .cast("int")
+        .alias("bin_i")
+    )
+    return b.groupBy("bin_i").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    ).select(
+        "bin_i",
+        "n_vectors",
+        F.lit(lam).cast("long").alias("lam_e3q"),
+        F.lit(ev).cast("long").alias("ev_ppm"),
+    )
+
+
+def _pca_projection_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, int]:
+    """(proj, lam_e3q, ev_ppm): every embedding's exact integer
+    projection onto the certified top principal direction — the
+    e3-quantized vector zip_with the 2^10-grid eigenvector embedded
+    as 64 expression literals (the direction is a constant-size
+    statistic, not data).  Extracted from ``embedding_pca_project``
+    (round 12) so the density-clustering consumer shares the
+    lineage; one row-local pass, no shuffle."""
     v_rows = pca_power_iteration(spark, sf_dir).collect()
     d = max(r["dim_i"] for r in v_rows) + 1
     v = [0] * d
@@ -1609,22 +1638,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("p"),
     )
-    mm = proj.agg(
-        F.min("p").cast("long").alias("mn"), F.max("p").cast("long").alias("mx")
-    )
-    b = proj.crossJoin(F.broadcast(mm)).select(
-        F.expr(f"(p - mn) * {PCA_PROJ_BINS} DIV (mx - mn + 1)")
-        .cast("int")
-        .alias("bin_i")
-    )
-    return b.groupBy("bin_i").agg(
-        F.count("*").cast("long").alias("n_vectors")
-    ).select(
-        "bin_i",
-        "n_vectors",
-        F.lit(lam).cast("long").alias("lam_e3q"),
-        F.lit(ev).cast("long").alias("ev_ppm"),
-    )
+    return proj, lam, ev
 
 
 def _pca_project_oracle() -> str:
@@ -1650,6 +1664,192 @@ SELECT bin_i, CAST(count(*) AS BIGINT) AS n_vectors,
        (SELECT CAST(any_value(lam_e3q) AS BIGINT) FROM pca) AS lam_e3q,
        (SELECT CAST(any_value(ev_ppm) AS BIGINT) FROM pca) AS ev_ppm
 FROM b GROUP BY 1
+"""
+
+
+#: DBSCAN* over the 1-d projection: eps = range/DIV (integer,
+#: data-derived but scale-free), a point is core when its closed
+#: eps-ball holds >= MINPTS points (self included)
+DBSCAN_RANGE_DIV = 200
+DBSCAN_MINPTS = 5
+
+
+def dbscan_projection_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Density clustering (DBSCAN*, Campello et al. 2013 — the
+    core-points-only variant whose output is deterministic, unlike
+    classic DBSCAN's order-dependent border assignment) over the
+    certified 1-d PCA projection: the corpus-structure probe that
+    kmeans can't give (no k chosen, noise explicit) — "how many
+    density-separated modes does the embedding corpus have along its
+    principal direction, and how much of it is background?".
+
+    1-d makes the density query exact and cheap: a point is CORE
+    when the closed eps-ball around its projection holds >=
+    DBSCAN_MINPTS points; clusters are maximal runs of core values
+    with consecutive gaps <= eps; everything not at a core value is
+    noise.  eps = (range+1) DIV DBSCAN_RANGE_DIV — integer,
+    scale-free in the projection's units.
+
+    Scale shape: the neighborhood count is an equi-join on eps-width
+    buckets (each value probes 3 buckets — never all-pairs; the
+    oracle does the all-pairs truth), floor-division bucketing via
+    the positive-mod identity so negative projections bucket
+    correctly in both engines; the run-detection lag and the
+    cluster-id prefix sum both run as the bucketed two-level form
+    (bucket-local window + a VALUE-RANGE-bounded bucket frame, ~200
+    buckets by construction at any corpus size)."""
+    from ..io import swap_cache
+
+    proj, lam, ev = _pca_projection_frame(spark, sf_dir)
+    grid = swap_cache(
+        "ml.dbscan_grid",
+        proj.groupBy("p")
+        .agg(F.count("*").cast("long").alias("c"))
+        .crossJoin(
+            F.broadcast(
+                proj.agg(
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.expr(
+                            f"(max(p) - min(p) + 1) DIV {DBSCAN_RANGE_DIV}"
+                        ),
+                    ).alias("eps")
+                )
+            )
+        )
+        # floor division for negative p via the positive-mod identity
+        .withColumn("bkt", F.expr("(p - pmod(p, eps)) DIV eps")),
+    )
+    probe = grid.select(
+        F.col("p").alias("pa"),
+        F.col("c").alias("ca"),
+        F.col("eps").alias("epsa"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    nb = (
+        probe.join(grid, "bkt")
+        .filter(F.abs(F.col("pa") - F.col("p")) <= F.col("epsa"))
+        .groupBy("pa", "ca", "epsa")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    core = nb.filter(F.col("n") >= DBSCAN_MINPTS).select(
+        F.col("pa").alias("p"), F.col("ca").alias("c"), F.col("epsa").alias("eps")
+    )
+    # run detection + cluster ids, bucketed two-level (the cluster
+    # bucket width is 64 eps-widths; the bucket frame is range-
+    # bounded: ~ DBSCAN_RANGE_DIV/64 * density rows)
+    cg = core.withColumn(
+        "cbkt", F.expr("(p - pmod(p, eps * 64)) DIV (eps * 64)")
+    )
+    wloc = Window.partitionBy("cbkt").orderBy("p")
+    wb = Window.orderBy("cbkt")
+    bstats = cg.groupBy("cbkt").agg(F.max("p").alias("bmax"))
+    bprev = bstats.select(
+        "cbkt",
+        F.max("bmax")
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_bmax"),
+    )
+    st = (
+        cg.join(F.broadcast(bprev), "cbkt")
+        .withColumn(
+            "pv", F.coalesce(F.lag("p").over(wloc), F.col("prev_bmax"))
+        )
+        .withColumn(
+            "s",
+            (
+                F.col("pv").isNull()
+                | (F.col("p") - F.col("pv") > F.col("eps"))
+            ).cast("long"),
+        )
+    )
+    boff = st.groupBy("cbkt").agg(F.sum("s").alias("bs"))
+    boff = boff.select(
+        "cbkt",
+        F.coalesce(
+            F.sum("bs").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("soff"),
+    )
+    cl = st.join(F.broadcast(boff), "cbkt").withColumn(
+        "cluster_id",
+        (
+            F.coalesce(
+                F.sum("s").over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
+                F.lit(0),
+            )
+            + F.col("soff")
+        ).cast("long"),
+    )
+    noise = (
+        grid.agg(F.sum("c").alias("tot"))
+        .crossJoin(core.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ct")))
+        .select((F.col("tot") - F.col("ct")).cast("long").alias("noise_points"))
+    )
+    return (
+        cl.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_core_values"),
+            F.sum("c").cast("long").alias("n_core_points"),
+            F.min("p").cast("long").alias("p_min"),
+            F.max("p").cast("long").alias("p_max"),
+            F.max("eps").cast("long").alias("eps"),
+        )
+        .crossJoin(F.broadcast(noise))  # 1-row scalar, by design
+    )
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+WITH pca AS MATERIALIZED ({_pca_oracle()}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))
+           AS qv
+  FROM embeddings),
+proj AS (
+  SELECT q.vec_id,
+         CAST(sum(q.qv[CAST(p.dim_i AS INT) + 1] * p.v_scaled) AS BIGINT)
+           AS p
+  FROM q, pca p GROUP BY 1),
+grid AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM proj GROUP BY 1),
+e AS (SELECT greatest(CAST(1 AS BIGINT),
+                      (max(p) - min(p) + 1) // {DBSCAN_RANGE_DIV}) AS eps
+      FROM proj),
+nb AS (
+  SELECT a.p, a.c, CAST(sum(b.c) AS BIGINT) AS n
+  FROM grid a, grid b, e
+  WHERE abs(a.p - b.p) <= e.eps
+  GROUP BY 1, 2),
+core AS (SELECT p, c FROM nb WHERE n >= {DBSCAN_MINPTS}),
+lagd AS (SELECT p, c, lag(p) OVER (ORDER BY p) AS pv FROM core),
+st AS (
+  SELECT p, c,
+         CASE WHEN pv IS NULL OR p - pv > (SELECT eps FROM e)
+              THEN 1 ELSE 0 END AS s
+  FROM lagd),
+cl AS (
+  SELECT p, c,
+         CAST(sum(s) OVER (ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cluster_id
+  FROM st)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_core_values,
+       CAST(sum(c) AS BIGINT) AS n_core_points,
+       CAST(min(p) AS BIGINT) AS p_min,
+       CAST(max(p) AS BIGINT) AS p_max,
+       (SELECT CAST(eps AS BIGINT) FROM e) AS eps,
+       (SELECT CAST((SELECT sum(c) FROM grid)
+                    - coalesce((SELECT sum(c) FROM core), 0) AS BIGINT))
+         AS noise_points
+FROM cl
+GROUP BY 1
 """
 
 
@@ -2824,6 +3024,7 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "pca_power_iteration": pca_power_iteration,
     "embedding_pca_project": embedding_pca_project,
+    "dbscan_projection_clusters": dbscan_projection_clusters,
     "gram_upsert_equivalence": gram_upsert_equivalence,
     "kcenter_coreset": kcenter_coreset,
     "pq_encode": pq_encode,
@@ -2856,6 +3057,7 @@ ORACLES = {
     "embedding_gram_matrix": GRAM_ORACLE,
     "pca_power_iteration": _pca_oracle(),
     "embedding_pca_project": _pca_project_oracle(),
+    "dbscan_projection_clusters": _dbscan_oracle(),
     "gram_upsert_equivalence": GRAM_UPSERT_ORACLE,
     "kcenter_coreset": _kcenter_oracle(),
     "pq_encode": PQ_ENCODE_ORACLE,
