@@ -1028,6 +1028,11 @@ _R13_QUEUE: list[str] = [
     # (never all-pairs — the oracle does the all-pairs truth),
     # bucketed two-level run detection and cluster ids
     "dbscan_projection_clusters",
+    # the set-membership member of the upsert ≡ rebuild family: a
+    # Bloom filter is a bitwise OR, so merge(build(A), build(B)) ==
+    # build(A ∪ B) word-for-word on any split — certified on the
+    # interleaved even-key split with checksums the oracle replays
+    "bloom_upsert_equivalence",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

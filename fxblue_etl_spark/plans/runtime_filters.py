@@ -86,6 +86,53 @@ BLOOM_K = 3
 BLOOM_WORD = 32
 
 
+def _bloom_positions(df: DataFrame) -> DataFrame:
+    """(o_orderkey, bit): the BLOOM_K md5-derived bit positions per
+    key — the portable hash family both engines reproduce.
+    Extracted from ``portable_bloom_contract`` (round 12) so the
+    upsert contract shares the family byte-for-byte."""
+    pos = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"bloom{i}|"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOOM_M
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+    return df.select("o_orderkey", F.explode(pos).alias("bit"))
+
+
+def _bloom_words(members: DataFrame) -> DataFrame:
+    """(word_idx, word): the serialized filter — per-member bits OR-
+    folded into 32-bit words (the distributed build: per-partition
+    partial OR, then word-wise OR)."""
+    return (
+        _bloom_positions(members)
+        .select(
+            (F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
 def portable_bloom_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A Bloom filter built, serialized, and probed ENTIRELY in
     relational operators — the engine-portable sketch (md5-derived
@@ -108,42 +155,8 @@ def portable_bloom_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-bits-set aggregate per probe key."""
     o = table(tune(spark), sf_dir, "orders").select("o_orderkey").distinct()
     members = o.filter(F.col("o_orderkey") % 2 == 0)
-
-    def positions(df: DataFrame) -> DataFrame:
-        pos = F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"bloom{i}|"),
-                                    F.col("o_orderkey").cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % BLOOM_M
-                )
-                for i in range(BLOOM_K)
-            ]
-        )
-        return df.select("o_orderkey", F.explode(pos).alias("bit"))
-
-    words = (
-        positions(members)
-        .select(
-            (F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))").alias("mask"),
-        )
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(mask)").alias("word"))
-    )
-    probes = positions(o).select(
+    words = _bloom_words(members)
+    probes = _bloom_positions(o).select(
         "o_orderkey",
         (F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx"),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))").alias("mask"),
@@ -210,12 +223,134 @@ FROM verdict
 PORTABLE_BLOOM_ORACLE = _bloom_oracle()
 
 
+def bloom_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance contract for the portable Bloom filter
+    — the set-membership member of the upsert ≡ rebuild family
+    (postings / components / band / sign / IVF / encoding / Gram /
+    KMV / CUSUM): a Bloom filter is a bitwise OR of per-member bit
+    patterns, so ``merge(build(A), build(B)) == build(A ∪ B)`` holds
+    EXACTLY word-for-word for ANY split of the member set.  Here the
+    even-orderkey member set splits interleaved (key % 4 == 0 vs
+    key % 4 == 2 — stricter than append-only), both halves build
+    independently, the word tables OR-merge on word_idx, and the
+    contract compares every word against the one-shot rebuild.
+
+    This is the property that makes the sketch maintainable at
+    100 TB ingest: streaming partial filters OR into the serving
+    filter with no rebuild and no drift, the exact same algebra the
+    per-partition distributed build already uses.
+
+    Output is one row: word counts for each side, the word-wise
+    mismatch count (must be 0), the checksums of merged and rebuilt
+    filters, and the verdict boolean.  The oracle replays the
+    one-shot build and emits the same columns — every value is
+    independently derivable from the member set alone."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    members = o.filter(F.col("o_orderkey") % 2 == 0)
+    base = _bloom_words(members.filter(F.col("o_orderkey") % 4 == 0))
+    delta = _bloom_words(members.filter(F.col("o_orderkey") % 4 == 2))
+    merged = (
+        base.select("word_idx", F.col("word").alias("wa"))
+        .join(
+            delta.select("word_idx", F.col("word").alias("wb")),
+            "word_idx",
+            "full",
+        )
+        .select(
+            "word_idx",
+            (
+                F.coalesce(F.col("wa"), F.lit(0)).bitwiseOR(
+                    F.coalesce(F.col("wb"), F.lit(0))
+                )
+            ).alias("word"),
+        )
+    )
+    full = _bloom_words(members)
+    cmp = (
+        merged.select("word_idx", F.col("word").alias("wm"))
+        .join(
+            full.select("word_idx", F.col("word").alias("wf")),
+            "word_idx",
+            "full",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(
+                (
+                    F.coalesce(F.col("wm"), F.lit(-1))
+                    != F.coalesce(F.col("wf"), F.lit(-2))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+            F.sum(F.coalesce(F.col("wm"), F.lit(0))).cast("long").alias("merged_checksum"),
+            F.sum(F.coalesce(F.col("wf"), F.lit(0))).cast("long").alias("rebuild_checksum"),
+        )
+    )
+    counts = (
+        base.agg(F.count("*").cast("long").alias("n_words_base"))
+        .crossJoin(
+            F.broadcast(
+                delta.agg(F.count("*").cast("long").alias("n_words_delta"))
+            )
+        )
+    )
+    return cmp.crossJoin(F.broadcast(counts)).select(
+        "n_words",
+        "n_words_base",
+        "n_words_delta",
+        "n_mismatch",
+        "merged_checksum",
+        "rebuild_checksum",
+        (F.col("n_mismatch") == 0).cast("int").alias("merge_equals_rebuild"),
+    )
+
+
+def _bloom_upsert_oracle() -> str:
+    from ..operators.dedup import _hex8_sql
+
+    legs = []
+    for i in range(BLOOM_K):
+        md5_sql = f"md5('bloom{i}|' || CAST(o_orderkey AS VARCHAR))"
+        legs.append(
+            f"SELECT o_orderkey, ({_hex8_sql(md5_sql, 1)}) % {BLOOM_M} AS bit"
+            " FROM keys"
+        )
+    pos_legs = " UNION ALL ".join(legs)
+    return f"""
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+pos AS ({pos_legs}),
+words AS (
+  SELECT bit // {BLOOM_WORD} AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD} AS INT)) AS word
+  FROM pos GROUP BY 1),
+wb AS (
+  SELECT bit // {BLOOM_WORD} AS word_idx,
+         count(*) AS n
+  FROM pos WHERE o_orderkey % 4 = 0 GROUP BY 1),
+wd AS (
+  SELECT bit // {BLOOM_WORD} AS word_idx,
+         count(*) AS n
+  FROM pos WHERE o_orderkey % 4 = 2 GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
+       (SELECT CAST(count(*) AS BIGINT) FROM wb) AS n_words_base,
+       (SELECT CAST(count(*) AS BIGINT) FROM wd) AS n_words_delta,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT CAST(sum(word) AS BIGINT) FROM words) AS merged_checksum,
+       (SELECT CAST(sum(word) AS BIGINT) FROM words) AS rebuild_checksum,
+       1 AS merge_equals_rebuild
+"""
+
+
 QUERIES = {
     "bloom_filter_join": bloom_filter_join,
     "portable_bloom_contract": portable_bloom_contract,
+    "bloom_upsert_equivalence": bloom_upsert_equivalence,
 }
 
 ORACLES = {
     "bloom_filter_join": BLOOM_JOIN_ORACLE,
     "portable_bloom_contract": PORTABLE_BLOOM_ORACLE,
+    "bloom_upsert_equivalence": _bloom_upsert_oracle(),
 }

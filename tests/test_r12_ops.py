@@ -299,3 +299,18 @@ def test_prefix_filter_prefixes_are_anti_skewed(spark):
         prefix.groupBy("gram").count().agg(F.max("count")).first()[0]
     )
     assert hottest_prefix < hottest_all
+
+
+def test_bloom_upsert_merge_is_exact(spark):
+    """The OR-merge algebra: zero word mismatches, identical
+    checksums, verdict true — and the split is real (both halves
+    contribute words)."""
+    from fxblue_etl_spark.plans.runtime_filters import (
+        bloom_upsert_equivalence,
+    )
+
+    r = bloom_upsert_equivalence(spark, SF_DIR).first()
+    assert r["n_mismatch"] == 0
+    assert r["merge_equals_rebuild"] == 1
+    assert r["merged_checksum"] == r["rebuild_checksum"]
+    assert r["n_words_base"] > 0 and r["n_words_delta"] > 0
