@@ -1033,6 +1033,11 @@ _R13_QUEUE: list[str] = [
     # build(A ∪ B) word-for-word on any split — certified on the
     # interleaved even-key split with checksums the oracle replays
     "bloom_upsert_equivalence",
+    # association rules with confidence/lift over the basket pairs:
+    # both directed rules per surviving pair, ppm-integer measures in
+    # DECIMAL(38,0), 10%-confidence deploy gate; reuses the row-local
+    # pair-explosion plan (no |lineitem|^2 self-join)
+    "association_rules_topk",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -492,6 +492,106 @@ HAVING count(*) >= {BASKET_MIN_SUPPORT}
 """
 
 
+#: rule gate: keep rules with confidence >= 10% (ppm scale)
+RULE_CONF_MIN_PPM = 100_000
+
+
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES over the basket pairs — the step after
+    ``basket_part_pairs``'s frequent itemsets: every surviving pair
+    unfolds into both directed rules X→Y and Y→X with the three
+    classic measures, all integer-exact on the ppm grid —
+    confidence = supp(XY)/supp(X) and lift =
+    supp(XY)·N / (supp(X)·supp(Y)) as DECIMAL(38,0) floor quotients
+    (N = basket count; lift > 1e6 ppm ⟺ positive association).
+    Rules below RULE_CONF_MIN_PPM confidence are dropped — the gate
+    a recommender actually deploys.
+
+    Scale shape: reuses the pair plan (row-local pair explosion, no
+    |lineitem|² self-join), adds one item-support aggregate
+    (part-cardinality-bounded, broadcast onto the pairs) and one
+    1-row basket-count scalar — nothing new shuffles at data scale.
+    """
+    lp = (
+        table(tune(spark), sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = basket_part_pairs(spark, sf_dir)
+    isup = lp.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("isup")
+    )
+    n = lp.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    rules = pairs.select(
+        F.col("part_x").alias("ante"),
+        F.col("part_y").alias("cons"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_y").alias("ante"),
+            F.col("part_x").alias("cons"),
+            "support",
+        )
+    )
+    enriched = (
+        rules.join(
+            F.broadcast(isup.withColumnRenamed("l_partkey", "ante")), "ante"
+        )
+        .withColumnRenamed("isup", "supp_ante")
+        .join(
+            F.broadcast(isup.withColumnRenamed("l_partkey", "cons")), "cons"
+        )
+        .withColumnRenamed("isup", "supp_cons")
+        .crossJoin(F.broadcast(n))
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return enriched.select(
+        "ante",
+        "cons",
+        F.col("support").cast("long").alias("support"),
+        F.col("supp_ante").cast("long").alias("supp_ante"),
+        F.col("supp_cons").cast("long").alias("supp_cons"),
+        F.expr(
+            f"CAST({dec.format('1000000')} * support DIV supp_ante AS BIGINT)"
+        ).alias("confidence_ppm"),
+        F.expr(
+            f"CAST({dec.format('1000000')} * support * n_baskets"
+            f" DIV ({dec.format('supp_ante')} * supp_cons) AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).filter(F.col("confidence_ppm") >= RULE_CONF_MIN_PPM)
+
+
+ASSOC_RULES_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+         CAST(count(*) AS BIGINT) AS support
+  FROM lp a JOIN lp b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}),
+rules AS (
+  SELECT part_x AS ante, part_y AS cons, support FROM pairs
+  UNION ALL
+  SELECT part_y AS ante, part_x AS cons, support FROM pairs),
+isup AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS isup FROM lp GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM lp)
+SELECT r.ante, r.cons, r.support,
+       sa.isup AS supp_ante, sc.isup AS supp_cons,
+       CAST(CAST(1000000 AS HUGEINT) * r.support // sa.isup AS BIGINT)
+         AS confidence_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * r.support * n.n_baskets
+            // (CAST(sa.isup AS HUGEINT) * sc.isup) AS BIGINT) AS lift_ppm
+FROM rules r
+JOIN isup sa ON sa.l_partkey = r.ante
+JOIN isup sc ON sc.l_partkey = r.cons, n
+WHERE CAST(1000000 AS HUGEINT) * r.support // sa.isup >= {RULE_CONF_MIN_PPM}
+"""
+
+
 def revenue_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week revenue deltas per order priority: weekly e2
     totals with the previous week's total and the signed delta ppm
@@ -627,6 +727,7 @@ QUERIES = {
     "type_correlation_stats": type_correlation_stats,
     "rfm_segmentation": rfm_segmentation,
     "basket_part_pairs": basket_part_pairs,
+    "association_rules_topk": association_rules_topk,
     "revenue_wow_delta": revenue_wow_delta,
     "attribution_first_last": attribution_first_last,
 }
@@ -638,6 +739,7 @@ ORACLES = {
     "type_correlation_stats": TYPE_CORR_ORACLE,
     "rfm_segmentation": RFM_ORACLE,
     "basket_part_pairs": BASKET_ORACLE,
+    "association_rules_topk": ASSOC_RULES_ORACLE,
     "revenue_wow_delta": WOW_DELTA_ORACLE,
     "attribution_first_last": ATTRIBUTION_ORACLE,
 }

@@ -314,3 +314,26 @@ def test_bloom_upsert_merge_is_exact(spark):
     assert r["merge_equals_rebuild"] == 1
     assert r["merged_checksum"] == r["rebuild_checksum"]
     assert r["n_words_base"] > 0 and r["n_words_delta"] > 0
+
+
+def test_association_rules_measures_are_consistent(spark):
+    """Rule measures: lift is symmetric under rule direction, both
+    directions of each surviving pair appear unless the confidence
+    gate trims one, and confidence respects its definition."""
+    from fxblue_etl_spark.plans.behavior import (
+        RULE_CONF_MIN_PPM,
+        association_rules_topk,
+    )
+
+    rows = association_rules_topk(spark, SF_DIR).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert r["confidence_ppm"] >= RULE_CONF_MIN_PPM
+        assert r["confidence_ppm"] == 1_000_000 * r["support"] // r["supp_ante"]
+        key = tuple(sorted((r["ante"], r["cons"])))
+        by_pair.setdefault(key, []).append(r)
+    # lift is direction-independent: both rules of a pair carry the
+    # same lift_ppm whenever both survive the gate
+    for rs in by_pair.values():
+        assert len({r["lift_ppm"] for r in rs}) == 1
