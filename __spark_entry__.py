@@ -1038,6 +1038,11 @@ _R13_QUEUE: list[str] = [
     # DECIMAL(38,0), 10%-confidence deploy gate; reuses the row-local
     # pair-explosion plan (no |lineitem|^2 self-join)
     "association_rules_topk",
+    # Neyman optimal stratified-sampling design: budget apportioned
+    # by N_h x MAD_h (the square-root-free dispersion form — D_h an
+    # exact integer, weight e6-floored in DECIMAL(38,0)) through the
+    # certified Hamilton rule, with an oversubscription cap
+    "neyman_allocation",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -632,6 +632,132 @@ FROM ranked
 """
 
 
+#: sampling budget apportioned by the Neyman design
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-style OPTIMAL stratified-sampling design (Neyman 1934):
+    apportion a sample budget across strata proportionally to
+    N_h · dispersion_h — the allocation that minimizes the variance
+    of the stratified estimator, the design step a data-quality team
+    runs before auditing a 100 TB corpus (uniform per-stratum
+    sampling over-samples homogeneous strata and starves volatile
+    ones).
+
+    Exactness: the classic N_h·σ_h weight needs a square root, so
+    this uses the MAD form — dispersion = mean absolute deviation —
+    whose weight N_h·MAD_h = D_h/N_h is rational with
+    D_h = Σ_i |N_h·x_i − S_h| an exact integer (x = n_chars,
+    S_h = Σx).  The weight is floored to the e6 grid
+    (``1e6·D_h DIV N_h`` in DECIMAL(38,0) — D_h alone can pass int64
+    at ~1e8 rows/stratum), then the budget apportions by the exact
+    largest-remainder (Hamilton) rule `mixture_allocation` certified.
+    ``capped_quota`` guards oversubscription (quota > availability).
+
+    Scale shape: two map-side-combined corpus aggregates (moments,
+    then deviations against the broadcast per-stratum moments); the
+    apportionment windows run on the stratum frame (≤ languages —
+    config-sized, the allowlisted mixture pattern)."""
+    d = table(tune(spark), sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    mom = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = (
+        d.join(F.broadcast(mom), "lang")
+        .select(
+            "lang",
+            F.abs(
+                F.col("n_docs") * F.col("x") - F.col("s")
+            ).cast("decimal(38,0)").alias("ad"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("ad").alias("d_sum"))
+    )
+    strata = mom.join(dev, "lang").select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * d_sum DIV n_docs"
+            " AS DECIMAL(38,0))"
+        ).alias("w"),
+    )
+    w_all = Window.partitionBy()
+    scored = strata.withColumn("wsum", F.sum("w").over(w_all)).select(
+        "lang",
+        "n_docs",
+        F.col("w").cast("long").alias("weight_e6"),
+        F.expr(f"CAST({NEYMAN_BUDGET} * w DIV wsum AS BIGINT)").alias(
+            "base_quota"
+        ),
+        F.expr(f"CAST(({NEYMAN_BUDGET} * w) % wsum AS DECIMAL(38,0))").alias(
+            "rem"
+        ),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover",
+            F.lit(NEYMAN_BUDGET) - F.sum("base_quota").over(w_all),
+        )
+        .withColumn("extra", (F.col("rank") <= F.col("leftover")).cast("int"))
+        .select(
+            "lang",
+            "n_docs",
+            "weight_e6",
+            "base_quota",
+            "extra",
+            (F.col("base_quota") + F.col("extra"))
+            .cast("long")
+            .alias("final_quota"),
+            F.least(
+                F.col("base_quota") + F.col("extra"), F.col("n_docs")
+            )
+            .cast("long")
+            .alias("capped_quota"),
+        )
+    )
+
+
+NEYMAN_ORACLE = f"""
+WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+mom AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM d GROUP BY 1),
+dev AS (
+  SELECT d.lang, sum(CAST(abs(m.n_docs * d.x - m.s) AS HUGEINT)) AS d_sum
+  FROM d JOIN mom m USING (lang) GROUP BY 1),
+strata AS (
+  SELECT m.lang, m.n_docs,
+         CAST(1000000 AS HUGEINT) * v.d_sum // m.n_docs AS w
+  FROM mom m JOIN dev v USING (lang)),
+scored AS (
+  SELECT lang, n_docs, w,
+         ({NEYMAN_BUDGET} * w) // (SELECT sum(w) FROM strata) AS base_quota,
+         ({NEYMAN_BUDGET} * w) % (SELECT sum(w) FROM strata) AS rem
+  FROM strata),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rank,
+         {NEYMAN_BUDGET} - sum(base_quota) OVER () AS leftover
+  FROM scored)
+SELECT lang, n_docs,
+       CAST(w AS BIGINT) AS weight_e6,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(CASE WHEN rank <= leftover THEN 1 ELSE 0 END AS INT) AS extra,
+       CAST(base_quota + CASE WHEN rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS final_quota,
+       CAST(least(base_quota + CASE WHEN rank <= leftover THEN 1 ELSE 0 END,
+                  n_docs) AS BIGINT) AS capped_quota
+FROM ranked
+"""
+
+
 def hierarchical_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level largest-remainder apportionment: the language quotas
     of ``mixture_allocation`` subdivided across each language's
@@ -1436,6 +1562,7 @@ QUERIES = {
     "df_prune": df_prune,
     "temperature_resample": temperature_resample,
     "mixture_allocation": mixture_allocation,
+    "neyman_allocation": neyman_allocation,
     "hierarchical_mixture": hierarchical_mixture,
     "per_group_sample": per_group_sample,
     "greedy_max_cover_selection": greedy_max_cover_selection,
@@ -1458,6 +1585,7 @@ ORACLES = {
     "df_prune": DF_PRUNE_ORACLE,
     "temperature_resample": TEMPERATURE_ORACLE,
     "mixture_allocation": MIXTURE_ORACLE,
+    "neyman_allocation": NEYMAN_ORACLE,
     "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
     "per_group_sample": PER_GROUP_SAMPLE_ORACLE,
     "dsir_importance_stats": DSIR_ORACLE,

@@ -337,3 +337,25 @@ def test_association_rules_measures_are_consistent(spark):
     # same lift_ppm whenever both survive the gate
     for rs in by_pair.values():
         assert len({r["lift_ppm"] for r in rs}) == 1
+
+
+def test_neyman_allocation_properties(spark):
+    """Design invariants: quotas sum exactly to the budget (Hamilton
+    never over/under-fills), weights follow the N·MAD ordering, and
+    the cap respects availability."""
+    from fxblue_etl_spark.operators.corpusops import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    rows = neyman_allocation(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["final_quota"] for r in rows) == NEYMAN_BUDGET
+    for r in rows:
+        assert 0 <= r["capped_quota"] <= min(r["final_quota"], r["n_docs"])
+        assert r["extra"] in (0, 1)
+    # allocation is monotone in the weight (same budget, same sum):
+    # a strictly larger weight never receives a smaller base quota
+    by_w = sorted(rows, key=lambda r: r["weight_e6"])
+    for a, b in zip(by_w, by_w[1:]):
+        assert a["base_quota"] <= b["base_quota"]
