@@ -1043,6 +1043,11 @@ _R13_QUEUE: list[str] = [
     # exact integer, weight e6-floored in DECIMAL(38,0)) through the
     # certified Hamilton rule, with an oversubscription cap
     "neyman_allocation",
+    # rank-biased overlap between the lexical and dense legs: the
+    # top-weighted retriever-agreement metric, exact-rational over
+    # the fixed 10^K·2520 denominator (prefix-sum literals — no
+    # window, no float); reuses the certified RRF tournament legs
+    "ranking_rbo_report",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -103,6 +103,29 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
       score_ppm = (1e6 · (2N-2df+1) · 22·tf · 1e6)
                   DIV ((2df+1) · (10e6·tf + 3e6 + 9·r_ppm))
     """
+    scored = _bm25_candidates(spark, sf_dir).withColumn(
+        "score_ppm",
+        F.expr(
+            "CAST(CAST(1000000000000 AS DECIMAL(38,0))"
+            " * (2 * n_docs - 2 * df + 1) * 22 * tf"
+            " DIV (CAST(2 * df + 1 AS DECIMAL(38,0))"
+            "      * (10000000 * tf + 3000000 + CAST(9 AS DECIMAL(38,0)) * r_ppm))"
+            " AS BIGINT)"
+        ),
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("score_ppm").cast("long").alias("bm25_ppm"),
+        F.count("*").cast("int").alias("n_terms_hit"),
+    )
+
+
+def _bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scorer-input frame — query-term postings with tf, df,
+    corpus totals, and the exact-integer length ratio r_ppm —
+    extracted from ``_bm25_scored`` (round 12) so parameter-variant
+    scorers share the candidate lineage; the isin filter still runs
+    before the groupBy shuffle, so non-query tokens never leave the
+    scan stage."""
     d = fan_out(table(tune(spark), sf_dir, "documents")).select(
         "doc_id", "lang", ws_tokens("text").alias("toks")
     )
@@ -111,9 +134,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("l_total"),
     )
-    # postings of the query terms ONLY — the isin filter runs before
-    # the groupBy shuffle, so non-query tokens never leave the scan
-    # stage
     td = (
         docs.select("doc_id", "lang", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*QUERY_TERMS))
@@ -121,7 +141,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     df_stats = td.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
-    scored = (
+    return (
         td.join(F.broadcast(df_stats), "tok")
         .crossJoin(F.broadcast(totals))  # 1-row scalar totals, by design
         .withColumn(
@@ -131,20 +151,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV CAST(l_total AS DECIMAL(38,0)) AS BIGINT)"
             ),
         )
-        .withColumn(
-            "score_ppm",
-            F.expr(
-                "CAST(CAST(1000000000000 AS DECIMAL(38,0))"
-                " * (2 * n_docs - 2 * df + 1) * 22 * tf"
-                " DIV (CAST(2 * df + 1 AS DECIMAL(38,0))"
-                "      * (10000000 * tf + 3000000 + CAST(9 AS DECIMAL(38,0)) * r_ppm))"
-                " AS BIGINT)"
-            ),
-        )
-    )
-    return scored.groupBy("doc_id", "lang").agg(
-        F.sum("score_ppm").cast("long").alias("bm25_ppm"),
-        F.count("*").cast("int").alias("n_terms_hit"),
     )
 
 
@@ -205,17 +211,15 @@ QUALIFY rank <= {BM25_K}
 """
 
 
-def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: fuse the rational-BM25 lexical ranking with
-    an int8-quantized cosine ranking (query = embedding of vec_id
-    RRF_QUERY_VEC, fixture doc_id == vec_id alignment per
-    FIXTURES.md) by reciprocal-rank fusion.
-
-    Each leg contributes ``floor(1e9 / (RRF_C + rank))`` for its
-    top-RRF_DEPTH documents (0 when absent from a leg); the fused
-    top-RRF_K is returned with deterministic tiebreak (fused score
-    desc, doc_id asc).  1e9 // (60+rank) is exact unit-fraction
-    arithmetic — no float surface anywhere in the fusion."""
+def _rrf_rank_legs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two top-RRF_DEPTH ranking legs — rational-BM25 lexical
+    and int8-cosine dense (query = vec RRF_QUERY_VEC) — as
+    (doc_id, bm25_rank) / (doc_id, dense_rank).  Extracted from
+    ``rrf_hybrid_fusion`` (round 12) so the rank-agreement report
+    shares the certified legs; both legs are tournament top-k, never
+    a global sort."""
     bm25 = _tournament_topk(
         _bm25_scored(spark, sf_dir),
         [F.desc("bm25_ppm"), F.asc("doc_id")],
@@ -243,7 +247,21 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         RRF_DEPTH,
         F.col("doc_id"),
     ).select("doc_id", F.col("rank").alias("dense_rank"))
+    return bm25, dense
 
+
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the rational-BM25 lexical ranking with
+    an int8-quantized cosine ranking (query = embedding of vec_id
+    RRF_QUERY_VEC, fixture doc_id == vec_id alignment per
+    FIXTURES.md) by reciprocal-rank fusion.
+
+    Each leg contributes ``floor(1e9 / (RRF_C + rank))`` for its
+    top-RRF_DEPTH documents (0 when absent from a leg); the fused
+    top-RRF_K is returned with deterministic tiebreak (fused score
+    desc, doc_id asc).  1e9 // (60+rank) is exact unit-fraction
+    arithmetic — no float surface anywhere in the fusion."""
+    bm25, dense = _rrf_rank_legs(spark, sf_dir)
     fused = (
         bm25.join(dense, "doc_id", "full_outer")
         .withColumn(
@@ -268,8 +286,9 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RRF_ORACLE = f"""
-WITH {_BM25_SCORED_SQL},
+#: the two ranking legs (lexical + dense), shared by RRF_ORACLE and
+#: the RBO oracle — one certified SQL lineage, two consumers
+_RRF_LEGS_SQL = f"""{_BM25_SCORED_SQL},
 bm25_leg AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS INT)
@@ -293,7 +312,10 @@ dense_leg AS (
            AS dense_rank
   FROM qd c CROSS JOIN qv
   WHERE c.vec_id != {RRF_QUERY_VEC}
-  QUALIFY dense_rank <= {RRF_DEPTH}),
+  QUALIFY dense_rank <= {RRF_DEPTH})"""
+
+RRF_ORACLE = f"""
+WITH {_RRF_LEGS_SQL},
 fused AS (
   SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
          coalesce(CAST(1000000000 // ({RRF_C} + b.bm25_rank) AS BIGINT), 0)
@@ -307,6 +329,151 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS INT)
        doc_id, rrf_e9, bm25_rank, dense_rank
 FROM fused
 QUALIFY fused_rank <= {RRF_K}
+"""
+
+
+#: RBO evaluation depth and persistence p = RBO_P_NUM/RBO_P_DEN
+RBO_K = 10
+RBO_P_NUM, RBO_P_DEN = 9, 10
+#: exact-rational machinery: term d of RBO's sum is
+#: p^(d-1)·A_d/d = A_d·N_d / DEN with N_d = 9^(d-1)·10^(K-d)·(2520/d)
+#: and DEN = 10^K·2520 (2520 = lcm(1..10), so every N_d is integer);
+#: _RBO_PREFIX[i] = Σ_{d<=i-1} N_d lets a doc matched at depth m
+#: contribute Σ_{d'=m..d} N_d' = PREFIX[d+1] − PREFIX[m] — no window
+_RBO_N = [
+    (RBO_P_NUM ** (d - 1)) * (RBO_P_DEN ** (RBO_K - d)) * (2520 // d)
+    for d in range(1, RBO_K + 1)
+]
+_RBO_PREFIX = [0]
+for _n in _RBO_N:
+    _RBO_PREFIX.append(_RBO_PREFIX[-1] + _n)
+_RBO_DEN = (RBO_P_DEN ** RBO_K) * 2520
+
+
+def ranking_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between two
+    PARAMETERIZATIONS of the BM25 ranker — k1=1.2, b=0.75 (the
+    certified default) vs k1=2.0, b=0.25 (weak length normalization,
+    slow tf saturation) — the top-weighted "how sensitive is my
+    ranking to scorer parameters" audit a retrieval team runs before
+    locking BM25 constants (plain set-overlap misses WHERE the lists
+    disagree; RBO discounts depth-d disagreement by p^d, so a rank
+    1↔2 swap moves it while a 9↔10 swap barely does).
+
+    One row per depth d = 1..RBO_K: the overlap |L_d ∩ S_d|, the
+    agreement ratio, and the truncated RBO_d — all EXACT integers:
+    RBO's p^(d-1)/d terms are rationals over the fixed denominator
+    10^K·2520, precomputed as prefix-sum literals, so a doc matched
+    at depth m contributes PREFIX[d+1] − PREFIX[m] to every report
+    row d ≥ m and the e6 floor quotient is decided in DECIMAL(38,0),
+    never float.  (The lexical-vs-dense RBO on this fixture is
+    identically zero — the legs share no top-K member — so the
+    parameter-sensitivity pair is the pair that makes the metric
+    load-bearing; the alt spelling ``6·tf / (2e6·tf + 3e6 + r_ppm)``
+    is the same rational-BM25 algebra at the new constants.)
+
+    Both legs reuse the certified ``_bm25_candidates`` postings
+    (tournament top-k, no global sort); the depth×match join is a
+    ≤ K×K nested loop over two broadcast-bounded frames — constant
+    work at any corpus size."""
+    cand = _bm25_candidates(spark, sf_dir)
+    alt = cand.withColumn(
+        "score_ppm",
+        F.expr(
+            "CAST(CAST(1000000000000 AS DECIMAL(38,0))"
+            " * (2 * n_docs - 2 * df + 1) * 6 * tf"
+            " DIV (CAST(2 * df + 1 AS DECIMAL(38,0))"
+            "      * (2000000 * tf + 3000000 + CAST(r_ppm AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ),
+    ).groupBy("doc_id").agg(
+        F.sum("score_ppm").cast("long").alias("alt_ppm")
+    )
+    leg1 = _tournament_topk(
+        _bm25_scored(spark, sf_dir),
+        [F.desc("bm25_ppm"), F.asc("doc_id")],
+        RBO_K,
+        F.col("doc_id"),
+    ).select("doc_id", F.col("rank").alias("r1"))
+    leg2 = _tournament_topk(
+        alt,
+        [F.desc("alt_ppm"), F.asc("doc_id")],
+        RBO_K,
+        F.col("doc_id"),
+    ).select("doc_id", F.col("rank").alias("r2"))
+    matched = leg1.join(leg2, "doc_id").select(
+        F.greatest(F.col("r1"), F.col("r2")).alias("m")
+    )
+    depth = spark.range(1, RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    pre = F.array(*[F.lit(x) for x in _RBO_PREFIX])
+    per = depth.join(
+        F.broadcast(matched), F.col("m") <= F.col("d"), "left"
+    ).groupBy("d").agg(
+        F.count("m").cast("long").alias("overlap_d"),
+        F.coalesce(
+            F.sum(
+                F.element_at(pre, F.col("d") + 1)
+                - F.element_at(pre, F.col("m"))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("rbo_num"),
+    )
+    return per.select(
+        "d",
+        "overlap_d",
+        F.expr("1000000 * overlap_d DIV d").cast("long").alias(
+            "agreement_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * rbo_num"
+            f" DIV {_RBO_DEN} AS BIGINT)"
+        ).alias("rbo_e6"),
+    )
+
+
+def _rbo_oracle() -> str:
+    pre = "[" + ", ".join(str(x) for x in _RBO_PREFIX) + "]"
+    return f"""
+WITH {_BM25_SCORED_SQL},
+perdoc2 AS (
+  SELECT doc_id,
+         CAST(sum(CAST(CAST(1000000000000 AS HUGEINT)
+                       * (2 * n_docs - 2 * df + 1) * 6 * tf
+                       // (CAST(2 * df + 1 AS HUGEINT)
+                           * (2000000 * tf + 3000000
+                              + CAST(r_ppm AS HUGEINT)))
+                       AS BIGINT)) AS BIGINT) AS alt_ppm
+  FROM scored GROUP BY 1),
+leg1 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS INT)
+           AS r1
+  FROM perdoc QUALIFY r1 <= {RBO_K}),
+leg2 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY alt_ppm DESC, doc_id ASC) AS INT)
+           AS r2
+  FROM perdoc2 QUALIFY r2 <= {RBO_K}),
+matched AS (
+  SELECT greatest(a.r1, b.r2) AS m
+  FROM leg1 a JOIN leg2 b ON a.doc_id = b.doc_id),
+depth AS (SELECT CAST(t.d AS INT) AS d FROM range(1, {RBO_K + 1}) t(d)),
+pre(a) AS (SELECT {pre}),
+per AS (
+  SELECT depth.d,
+         CAST(count(m.m) AS BIGINT) AS overlap_d,
+         CAST(coalesce(sum((SELECT a FROM pre)[depth.d + 1]
+                           - (SELECT a FROM pre)[m.m]), 0) AS HUGEINT)
+           AS rbo_num
+  FROM depth LEFT JOIN matched m ON m.m <= depth.d
+  GROUP BY 1)
+SELECT d, overlap_d,
+       CAST(1000000 * overlap_d // d AS BIGINT) AS agreement_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * rbo_num // {_RBO_DEN} AS BIGINT)
+         AS rbo_e6
+FROM per
 """
 
 
@@ -738,6 +905,7 @@ QUERIES = {
     "ranking_metrics_report": ranking_metrics_report,
     "bm25_rational_topk": bm25_rational_topk,
     "rrf_hybrid_fusion": rrf_hybrid_fusion,
+    "ranking_rbo_report": ranking_rbo_report,
     "boolean_retrieval_census": boolean_retrieval_census,
 }
 
@@ -746,5 +914,6 @@ ORACLES = {
     "ranking_metrics_report": _ranking_metrics_oracle(),
     "bm25_rational_topk": BM25_ORACLE,
     "rrf_hybrid_fusion": RRF_ORACLE,
+    "ranking_rbo_report": _rbo_oracle(),
     "boolean_retrieval_census": BOOLEAN_ORACLE,
 }

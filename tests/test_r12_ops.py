@@ -359,3 +359,40 @@ def test_neyman_allocation_properties(spark):
     by_w = sorted(rows, key=lambda r: r["weight_e6"])
     for a, b in zip(by_w, by_w[1:]):
         assert a["base_quota"] <= b["base_quota"]
+
+
+def test_rbo_is_exact_rational_and_monotone(spark):
+    """RBO invariants: the e6 values match a Fraction replay of the
+    truncated RBO from the matched depths, the series is
+    non-decreasing in depth, and bounded by 1e6."""
+    from fractions import Fraction
+
+    from fxblue_etl_spark.operators.retrieval import (
+        RBO_K,
+        ranking_rbo_report,
+    )
+
+    rows = {r["d"]: r for r in ranking_rbo_report(spark, SF_DIR).collect()}
+    assert sorted(rows) == list(range(1, RBO_K + 1))
+    # replay the matched depths from the report itself: overlap_d is
+    # cumulative in d, so the per-depth increments reconstruct the
+    # multiset of match depths m exactly
+    ms = []
+    prev_overlap = 0
+    for d in range(1, RBO_K + 1):
+        ms += [d] * (rows[d]["overlap_d"] - prev_overlap)
+        prev_overlap = rows[d]["overlap_d"]
+    p = Fraction(9, 10)
+    prev = -1
+    for d in range(1, RBO_K + 1):
+        a_ds = [sum(1 for m in ms if m <= dd) for dd in range(1, d + 1)]
+        rbo = (1 - p) * sum(
+            p ** (dd - 1) * Fraction(a, dd)
+            for dd, a in zip(range(1, d + 1), a_ds)
+        )
+        expect = (1_000_000 * rbo.numerator) // rbo.denominator
+        assert rows[d]["rbo_e6"] == expect
+        assert rows[d]["overlap_d"] == a_ds[-1]
+        assert prev <= rows[d]["rbo_e6"] <= 1_000_000
+        prev = rows[d]["rbo_e6"]
+    assert ms, "legs share no top-K docs — fixture made the test vacuous"
