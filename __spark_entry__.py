@@ -1048,6 +1048,11 @@ _R13_QUEUE: list[str] = [
     # the fixed 10^K·2520 denominator (prefix-sum literals — no
     # window, no float); reuses the certified RRF tournament legs
     "ranking_rbo_report",
+    # 64-bit SimHash Hamming near-dup with 4x16 pigeonhole banding —
+    # lossless at radius 3, the weighted-profile drift detector next
+    # to the set-overlap family (the certified 32-bit demo signature
+    # saturates on this corpus: 15% of ALL pairs at radius 3)
+    "simhash_hamming_neardup",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -1573,6 +1573,179 @@ FROM per_hash
 """
 
 
+#: SimHash near-dup radius: 4 bands of 16 bits over a 64-bit
+#: signature make banding LOSSLESS at Hamming <= 3 (pigeonhole).
+#: 64 bits, not the certified 32-bit demo signature: on a corpus
+#: whose token profiles are similar, 32 bits saturate (measured:
+#: Hamming <= 3 matched 15% of ALL pairs at sf0.001 — not a
+#: detector) while the 64-bit tail keeps random pairs ~32 bits apart
+SIMHAM_T = 3
+SIMHAM_BANDS = 4
+
+
+def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo, hi): the 64-bit majority-vote SimHash as two
+    BIGINT 32-bit words (md5 hex chars 1-8 and 9-16 per token give
+    two independent hash streams; two words stay clear of the sign
+    bit).  Shared by the near-dup operator and its brute-force
+    losslessness pin."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    toks = F.array_distinct(ws_tokens(_norm_text("text")))
+
+    def word(offset: int) -> Column:
+        th = lambda t: F.conv(
+            F.substring(F.md5(t), offset, 8), 16, 10
+        ).cast("long")
+        hashes = F.transform(toks, th)
+
+        def _vote(b):
+            def merge(acc, h):
+                return acc + F.when(
+                    ((h / (2 ** b)).cast("long") % 2) == 1, 1
+                ).otherwise(-1)
+
+            return merge
+
+        votes = [
+            F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+            for b in range(32)
+        ]
+        return sum(
+            (
+                F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+                for b, v in enumerate(votes)
+            ),
+            start=F.lit(0).cast("long"),
+        )
+
+    return d.select("doc_id", word(1).alias("lo"), word(9).alias("hi"))
+
+
+def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document near-dup pairs by SimHash Hamming distance — the
+    signature-level TEXT sibling of ``media_ahash_neardup`` (same
+    pigeonhole machinery, different modality): a 64-bit majority-vote
+    signature per document (the `simhash_docs` vote at doubled
+    width — md5 hex chars 1-8 and 9-16 give two independent 32-bit
+    token hash streams, carried as two BIGINT words to stay clear of
+    sign-bit trouble), banded 4×16 bits for candidates, exact
+    Hamming ≤ SIMHAM_T verify on the candidate set.  With 4 bands
+    and radius 3, at least one band is untouched by any ≤3-bit
+    difference, so the banding is LOSSLESS — exact Hamming near-dup,
+    not approximate (Manku et al., WWW 2007 run the same multi-index
+    trick at web scale).
+
+    Complements the shingle-based detectors: MinHash/prefix-filter
+    measure SET overlap, SimHash Hamming measures WEIGHTED-profile
+    drift — production dedup stacks run both.
+
+    Scale shape: signatures are one row-local fold per doc (no
+    shuffle), candidates come from the band-bucket equi-join (never
+    all-pairs), verification is two bit_counts per candidate."""
+    from ..io import swap_cache
+
+    sh = swap_cache("dedup.simham_sigs", _simhash64_sigs(spark, sf_dir))
+    bands = sh.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"({'lo' if i < 2 else 'hi'}"
+                            f" DIV {65536 ** (i % 2)}) % 65536"
+                        ).alias("band_val"),
+                    )
+                    for i in range(SIMHAM_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "lo", "hi", "b.band_idx", "b.band_val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("la"),
+        F.col("hi").alias("qa"),
+        "band_idx",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lb"),
+        F.col("hi").alias("qb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "la", "qa", "lb", "qb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(bit_count(la ^ lb) + bit_count(qa ^ qb) AS INT)"
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= SIMHAM_T)
+
+
+def _simham_oracle() -> str:
+    def votes_sql(offset: int) -> str:
+        h = _hex8_sql("md5(tok)", offset)
+        return (
+            f"[list_reduce(list_transform(t, tok -> "
+            f"CASE WHEN CAST(floor(({h}) / power(2, CAST(b AS INT)))"
+            f" AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END), (a, x) -> a + x)"
+            f" FOR b IN range(0, 32)]"
+        )
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '')) AS t
+  FROM documents),
+votes AS (
+  SELECT doc_id, {votes_sql(1)} AS v1, {votes_sql(9)} AS v9
+  FROM toks),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_reduce(list_transform(range(0, 32), b ->
+              CASE WHEN v1[CAST(b AS INT) + 1] > 0
+                   THEN CAST(power(2, CAST(b AS INT)) AS BIGINT)
+                   ELSE 0 END), (a, x) -> a + x) AS BIGINT) AS lo,
+         CAST(list_reduce(list_transform(range(0, 32), b ->
+              CASE WHEN v9[CAST(b AS INT) + 1] > 0
+                   THEN CAST(power(2, CAST(b AS INT)) AS BIGINT)
+                   ELSE 0 END), (a, x) -> a + x) AS BIGINT) AS hi
+  FROM votes),
+bands AS (
+  SELECT doc_id, lo, hi, CAST(b AS INT) AS band_idx,
+         (CASE WHEN b < 2 THEN lo ELSE hi END
+          // CAST(power(65536, CAST(b % 2 AS INT)) AS BIGINT)) % 65536
+           AS band_val
+  FROM sig, range(0, {SIMHAM_BANDS}) t(b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.lo) AS la, any_value(a.hi) AS qa,
+         any_value(b.lo) AS lb, any_value(b.hi) AS qb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(la, lb)) + bit_count(xor(qa, qb)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(la, lb)) + bit_count(xor(qa, qb)) <= {SIMHAM_T}
+"""
+
+
 #: prefix-filter Jaccard threshold as an exact rational (1/2): the
 #: lossless-blocking guarantee below is an integer-arithmetic theorem
 PF_T_NUM, PF_T_DEN = 1, 2
@@ -1712,6 +1885,7 @@ QUERIES = {
     "chunk_lsh_neardup": chunk_lsh_neardup,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
     "simhash_docs": simhash_docs,
+    "simhash_hamming_neardup": simhash_hamming_neardup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     # minhash_lsh_ml: REMOVED from the driver surface (round-11,
     # verdict item 5) — Spark ML's seeded JVM hash families are not
@@ -1732,6 +1906,7 @@ ORACLES = {
     "chunk_lsh_neardup": CHUNK_LSH_ORACLE,
     "chunk_dedup_rewrite": _chunk_rewrite_oracle(),
     "simhash_docs": SIMHASH_ORACLE,
+    "simhash_hamming_neardup": _simham_oracle(),
     "ngram_jaccard_pairs": NGRAM_ORACLE,
     # minhash_lsh_ml: rows-only (seeded JVM hash family); its
     # hash-certified sibling is minhash_lsh_containment

@@ -396,3 +396,33 @@ def test_rbo_is_exact_rational_and_monotone(spark):
         assert prev <= rows[d]["rbo_e6"] <= 1_000_000
         prev = rows[d]["rbo_e6"]
     assert ms, "legs share no top-K docs — fixture made the test vacuous"
+
+
+def test_simhash_hamming_banding_is_lossless(spark):
+    """Pigeonhole guarantee: the banded candidate join finds exactly
+    the pairs a brute-force 64-bit Hamming scan over the SAME
+    signature frame finds at radius SIMHAM_T."""
+    from fxblue_etl_spark.operators.dedup import (
+        SIMHAM_T,
+        _simhash64_sigs,
+        simhash_hamming_neardup,
+    )
+
+    got = sorted(
+        map(tuple, simhash_hamming_neardup(spark, SF_DIR).collect())
+    )
+    sigs = _simhash64_sigs(spark, SF_DIR).collect()
+    brute = sorted(
+        (a["doc_id"], b["doc_id"],
+         bin(a["lo"] ^ b["lo"]).count("1")
+         + bin(a["hi"] ^ b["hi"]).count("1"))
+        for i, a in enumerate(sigs)
+        for b in sigs[i + 1:]
+        if bin(a["lo"] ^ b["lo"]).count("1")
+        + bin(a["hi"] ^ b["hi"]).count("1") <= SIMHAM_T
+    )
+    brute = sorted(
+        (min(x, y), max(x, y), h) for x, y, h in brute
+    )
+    assert got == brute
+    assert got, "no near-dup pairs at radius 3 — vacuous fixture"
