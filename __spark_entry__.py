@@ -1053,6 +1053,11 @@ _R13_QUEUE: list[str] = [
     # to the set-overlap family (the certified 32-bit demo signature
     # saturates on this corpus: 15% of ALL pairs at radius 3)
     "simhash_hamming_neardup",
+    # streaming maintenance of the portable Bloom filter: per-batch
+    # partial word tables bit_or-merge into 512-word bounded state;
+    # the oracle IS the batch words build (incremental == rebuild,
+    # word-for-word; OR idempotence makes replays harmless)
+    "streaming_bloom_maintenance",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

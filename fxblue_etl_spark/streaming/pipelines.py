@@ -1846,6 +1846,102 @@ def _gram_oracle_ref() -> str:
     return GRAM_ORACLE
 
 
+def streaming_bloom_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the portable Bloom filter — the
+    set-membership member of the incremental-gate family and the
+    live counterpart of the batch ``bloom_upsert_equivalence``
+    contract: each micro-batch of orders collapses to its partial
+    word table (`runtime_filters._bloom_words` over the batch's even
+    keys — ≤ BLOOM_M/32 = 512 rows leave the batch) and bit_or-merges
+    into the carried state.  A Bloom filter is a bitwise OR, so the
+    final state must equal the batch build WORD-FOR-WORD — the
+    oracle is the batch words build itself, the strongest
+    incremental == rebuild statement (same schema, same hashes, zero
+    tolerance), and OR's idempotence means replayed/duplicate keys
+    across micro-batches cannot corrupt state.
+
+    State is BOUNDED at 512 words regardless of corpus size — the
+    sketch-shaped end of the family next to the Gram.  foreachBatch,
+    no state store; per batch one coalesce(1) checkpoint supersedes
+    the previous (released eagerly).  At 100 TB this plan maintains
+    the serving-side membership filter at ingest cost; the join
+    pruning in `bloom_filter_join` reads the standing state."""
+    from ..io import release_local_checkpoint
+    from ..plans.runtime_filters import _bloom_words
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "orders", "o_orderkey", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        members = (
+            batch_df.select("o_orderkey")
+            .distinct()
+            .filter(F.col("o_orderkey") % 2 == 0)
+        )
+        words = _bloom_words(members)
+        if "w" in state:
+            merged = (
+                state["w"]
+                .unionByName(words)
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(word)").alias("word"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["w"])
+        else:
+            new = words.coalesce(1).localCheckpoint()
+        state["w"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return state.pop("w").select("word_idx", "word")
+
+
+def _bloom_words_oracle() -> str:
+    """The streaming maintenance must equal the BATCH word table
+    exactly — the same member set and hash family as the batch
+    contracts in plans/runtime_filters.py."""
+    from ..operators.dedup import _hex8_sql
+    from ..plans.runtime_filters import BLOOM_K, BLOOM_M, BLOOM_WORD
+
+    legs = []
+    for i in range(BLOOM_K):
+        md5_sql = f"md5('bloom{i}|' || CAST(o_orderkey AS VARCHAR))"
+        legs.append(
+            f"SELECT o_orderkey, ({_hex8_sql(md5_sql, 1)}) % {BLOOM_M} AS bit"
+            " FROM keys"
+        )
+    pos_legs = " UNION ALL ".join(legs)
+    return f"""
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+pos AS ({pos_legs})
+SELECT bit // {BLOOM_WORD} AS word_idx,
+       bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD} AS INT)) AS word
+FROM pos GROUP BY 1
+"""
+
+
 #: streaming_observed_metrics geometry: micro-batch count, watermark
 #: delay, and tumbling-window width in ms — the oracle replays the
 #: watermark/state algebra off these exact constants
@@ -2080,6 +2176,7 @@ QUERIES = {
     "streaming_quality_gate": streaming_quality_gate,
     "streaming_kmv_distinct": streaming_kmv_distinct,
     "streaming_gram_maintenance": streaming_gram_maintenance,
+    "streaming_bloom_maintenance": streaming_bloom_maintenance,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
@@ -2094,6 +2191,7 @@ ORACLES = {
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_gram_maintenance": _gram_oracle_ref(),
+    "streaming_bloom_maintenance": _bloom_words_oracle(),
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

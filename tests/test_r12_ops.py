@@ -426,3 +426,32 @@ def test_simhash_hamming_banding_is_lossless(spark):
     )
     assert got == brute
     assert got, "no near-dup pairs at radius 3 — vacuous fixture"
+
+
+def test_streaming_bloom_matches_batch_and_multibatch(spark):
+    """Incremental ≡ rebuild for the streaming Bloom maintenance:
+    the multi-split streamed state equals the single-split (≡ batch)
+    state word-for-word, and the run really processed multiple
+    micro-batches."""
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_bloom_maintenance,
+    )
+
+    progress: list = []
+    multi = sorted(
+        map(
+            tuple,
+            streaming_bloom_maintenance(
+                spark, SF_DIR, progress, n_splits=4
+            ).collect(),
+        )
+    )
+    single = sorted(
+        map(
+            tuple,
+            streaming_bloom_maintenance(spark, SF_DIR, n_splits=1).collect(),
+        )
+    )
+    assert multi == single
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 4
