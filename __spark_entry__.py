@@ -1058,6 +1058,13 @@ _R13_QUEUE: list[str] = [
     # the oracle IS the batch words build (incremental == rebuild,
     # word-for-word; OR idempotence makes replays harmless)
     "streaming_bloom_maintenance",
+    # the cardinality and frequency members of the upsert ≡ rebuild
+    # family: HLL register tables MAX-merge, portable CMS counter
+    # tables SUM-merge — per-vintage sketches roll up to any range
+    # with zero drift; both contracts compare every cell against the
+    # one-shot rebuild with oracle-replayed checksums
+    "hll_upsert_equivalence",
+    "countmin_upsert_equivalence",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

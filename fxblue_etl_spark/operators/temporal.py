@@ -323,6 +323,37 @@ def _cms_buckets(key, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH):
     )
 
 
+def _cms_md5_buckets(key):
+    """The ENGINE-NEUTRAL (md5-derived) Count-Min bucket array —
+    extracted from ``portable_countmin_topk`` (round 12) so the
+    upsert contract shares the hash family byte-for-byte (the
+    xxhash64 family in ``_cms_buckets`` is Spark-private)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cms{i}|"), key.cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_WIDTH
+                ).alias("b"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+
+
 def count_min_table(df: DataFrame, key_col: str) -> DataFrame:
     """Build a Count-Min sketch as a (d, b, cnt) DataFrame: explode each
     key into its d buckets, one groupBy. Fully distributed — the
@@ -375,29 +406,7 @@ def portable_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estimate ≥ exact) is re-assertable cross-engine here because
     both engines agree on every collision."""
     l = _t(spark, sf_dir, "lineitem")
-
-    def md5_buckets(key):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("d"),
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"cms{i}|"), key.cast("string"))),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % _CMS_WIDTH
-                    ).alias("b"),
-                )
-                for i in range(_CMS_DEPTH)
-            ]
-        )
-
+    md5_buckets = _cms_md5_buckets
     counters = (
         l.select(F.explode(md5_buckets(F.col("l_partkey"))).alias("db"))
         .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
@@ -449,6 +458,107 @@ GROUP BY 1, 2
 
 
 PORTABLE_CMS_ORACLE = _portable_cms_oracle()
+
+
+def countmin_upsert_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-maintenance contract for the portable Count-Min
+    sketch — the frequency member of the upsert ≡ rebuild family
+    (Bloom ORs, HLL MAXes, the Gram and CMS ADD): counter tables are
+    per-cell sums, so ``sum-merge(cms(A), cms(B)) == cms(A ∪ B)``
+    holds EXACTLY for any split of the stream — per-vintage sketches
+    roll up to any range without raw data, and deletes work by
+    negative merge.  Split: interleaved even/odd l_orderkey; the
+    contract compares every (d, b) cell against the one-shot rebuild
+    and emits checksums the oracle re-derives from the stream alone.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+
+    def cms(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(_cms_md5_buckets(F.col("l_partkey"))).alias("db")
+            )
+            .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    base = cms(l.filter(F.col("l_orderkey") % 2 == 0))
+    delta = cms(l.filter(F.col("l_orderkey") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = cms(l)
+    cmp = (
+        merged.select("d", "b", F.col("cnt").alias("cm"))
+        .join(
+            full.select("d", "b", F.col("cnt").alias("cf")),
+            ["d", "b"],
+            "full",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(
+                (
+                    F.coalesce(F.col("cm"), F.lit(-1))
+                    != F.coalesce(F.col("cf"), F.lit(-2))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+            F.sum(F.coalesce(F.col("cm"), F.lit(0)))
+            .cast("long")
+            .alias("merged_mass"),
+            F.sum(F.coalesce(F.col("cf"), F.lit(0)))
+            .cast("long")
+            .alias("rebuild_mass"),
+        )
+    )
+    counts = base.agg(
+        F.count("*").cast("long").alias("n_cells_base")
+    ).crossJoin(
+        F.broadcast(
+            delta.agg(F.count("*").cast("long").alias("n_cells_delta"))
+        )
+    )
+    return cmp.crossJoin(F.broadcast(counts)).select(
+        "n_cells",
+        "n_cells_base",
+        "n_cells_delta",
+        "n_mismatch",
+        "merged_mass",
+        "rebuild_mass",
+        (F.col("n_mismatch") == 0).cast("int").alias("merge_equals_rebuild"),
+    )
+
+
+def _cms_upsert_oracle() -> str:
+    from .dedup import _hex8_sql
+
+    def bucket(i: int) -> str:
+        md5_sql = f"md5('cms{i}|' || CAST(l_partkey AS VARCHAR))"
+        return f"({_hex8_sql(md5_sql, 1)}) % {_CMS_WIDTH}"
+
+    legs = " UNION ALL ".join(
+        f"SELECT l_orderkey, {i} AS d, {bucket(i)} AS b FROM lineitem"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH pos AS ({legs}),
+ft AS (SELECT d, b, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY 1, 2),
+cb AS (SELECT d, b FROM pos WHERE l_orderkey % 2 = 0 GROUP BY 1, 2),
+cd AS (SELECT d, b FROM pos WHERE l_orderkey % 2 = 1 GROUP BY 1, 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ft) AS n_cells,
+       (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_cells_base,
+       (SELECT CAST(count(*) AS BIGINT) FROM cd) AS n_cells_delta,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM ft) AS merged_mass,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM ft) AS rebuild_mass,
+       1 AS merge_equals_rebuild
+"""
 
 
 def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,6 +1666,7 @@ QUERIES = {
     "tz_local_day_rollup": tz_local_day_rollup,
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "portable_countmin_topk": portable_countmin_topk,
+    "countmin_upsert_equivalence": countmin_upsert_equivalence,
     "calendar_arithmetic_semantics": calendar_arithmetic_semantics,
 }
 
@@ -1579,4 +1690,5 @@ ORACLES = {
     "tz_local_day_rollup": TZ_LOCAL_DAY_ORACLE,
     "seasonal_naive_backtest": SEASONAL_NAIVE_ORACLE,
     "portable_countmin_topk": PORTABLE_CMS_ORACLE,
+    "countmin_upsert_equivalence": _cms_upsert_oracle(),
 }

@@ -648,6 +648,109 @@ FROM regs
 """
 
 
+def hll_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance contract for the portable HyperLogLog
+    — the cardinality member of the upsert ≡ rebuild family (Bloom
+    OR-merges, KMV bottom-k-merges, the Gram adds; HLL MAX-merges):
+    register tables are per-bucket maxima, so
+    ``max-merge(regs(A), regs(B)) == regs(A ∪ B)`` holds EXACTLY for
+    any split of the key stream — the property that lets per-vintage
+    sketches roll up to any time range at 100 TB without touching
+    raw data.  Split: interleaved even/odd event_id (stricter than
+    append-only); the contract compares every register against the
+    one-shot rebuild and emits checksums the oracle re-derives from
+    the key stream alone.  The pytest mergeability pin
+    (test_stats.py) checks the same algebra in-process; this query
+    makes it a DRIVER-CERTIFIED row like the rest of the family."""
+    e = table(tune(spark), sf_dir, "events")
+    base = hll_register_table(
+        e.filter(F.col("event_id") % 2 == 0), "event_id"
+    )
+    delta = hll_register_table(
+        e.filter(F.col("event_id") % 2 == 1), "event_id"
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = hll_register_table(e, "event_id")
+    cmp = (
+        merged.select("bucket", F.col("rho").alias("rm"))
+        .join(
+            full.select("bucket", F.col("rho").alias("rf")),
+            "bucket",
+            "full",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_registers"),
+            F.sum(
+                (
+                    F.coalesce(F.col("rm"), F.lit(-1))
+                    != F.coalesce(F.col("rf"), F.lit(-2))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+            F.sum(
+                F.coalesce(F.col("rm"), F.lit(0))
+                + F.col("bucket") * 64
+            )
+            .cast("long")
+            .alias("merged_checksum"),
+            F.sum(
+                F.coalesce(F.col("rf"), F.lit(0))
+                + F.col("bucket") * 64
+            )
+            .cast("long")
+            .alias("rebuild_checksum"),
+        )
+    )
+    counts = base.agg(
+        F.count("*").cast("long").alias("n_registers_base")
+    ).crossJoin(
+        F.broadcast(
+            delta.agg(F.count("*").cast("long").alias("n_registers_delta"))
+        )
+    )
+    return cmp.crossJoin(F.broadcast(counts)).select(
+        "n_registers",
+        "n_registers_base",
+        "n_registers_delta",
+        "n_mismatch",
+        "merged_checksum",
+        "rebuild_checksum",
+        (F.col("n_mismatch") == 0).cast("int").alias("merge_equals_rebuild"),
+    )
+
+
+HLL_UPSERT_ORACLE = f"""
+WITH h AS (
+  SELECT event_id,
+         ({_hex15_sql("md5(CAST(event_id AS VARCHAR))")}) AS h
+  FROM events),
+x AS (
+  SELECT event_id, h % {HLL_M} AS bucket, h // {HLL_M} AS r FROM h),
+rr AS (
+  SELECT event_id, bucket,
+         CASE WHEN r = 0 THEN {HLL_W + 1}
+              ELSE strpos(lpad(bin(r), {HLL_W}, '0'), '1') END AS rho
+  FROM x),
+regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1),
+rb AS (SELECT bucket FROM rr WHERE event_id % 2 = 0 GROUP BY 1),
+rd AS (SELECT bucket FROM rr WHERE event_id % 2 = 1 GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM regs) AS n_registers,
+       (SELECT CAST(count(*) AS BIGINT) FROM rb) AS n_registers_base,
+       (SELECT CAST(count(*) AS BIGINT) FROM rd) AS n_registers_delta,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT CAST(sum(rho + bucket * 64) AS BIGINT) FROM regs)
+         AS merged_checksum,
+       (SELECT CAST(sum(rho + bucket * 64) AS BIGINT) FROM regs)
+         AS rebuild_checksum,
+       1 AS merge_equals_rebuild
+"""
+
+
 #: KMV (bottom-k minimum values / theta-sketch) geometry: the k
 #: smallest 60-bit md5-derived distinct-key hashes.  k = 64 so the
 #: fixture exercises BOTH estimator branches tri-scale: sf0.001 has
@@ -2371,6 +2474,7 @@ QUERIES = {
     "parquet_agg_pushdown_stats": parquet_agg_pushdown_stats,
     "ndv_catalog_sweep": ndv_catalog_sweep,
     "portable_hll_registers": portable_hll_registers,
+    "hll_upsert_equivalence": hll_upsert_equivalence,
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
@@ -2398,6 +2502,7 @@ ORACLES = {
     "parquet_agg_pushdown_stats": AGG_PUSHDOWN_ORACLE,
     "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
+    "hll_upsert_equivalence": HLL_UPSERT_ORACLE,
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,

@@ -455,3 +455,22 @@ def test_streaming_bloom_matches_batch_and_multibatch(spark):
     assert multi == single
     data_batches = [p for p in progress if p["numInputRows"] > 0]
     assert len(data_batches) >= 4
+
+
+def test_hll_and_cms_upsert_contracts(spark):
+    """Sketch-merge algebra: zero mismatches, identical checksums,
+    both halves contribute."""
+    from fxblue_etl_spark.operators.temporal import (
+        countmin_upsert_equivalence,
+    )
+    from fxblue_etl_spark.plans.stats import hll_upsert_equivalence
+
+    h = hll_upsert_equivalence(spark, SF_DIR).first()
+    assert h["n_mismatch"] == 0 and h["merge_equals_rebuild"] == 1
+    assert h["merged_checksum"] == h["rebuild_checksum"]
+    assert h["n_registers_base"] > 0 and h["n_registers_delta"] > 0
+
+    c = countmin_upsert_equivalence(spark, SF_DIR).first()
+    assert c["n_mismatch"] == 0 and c["merge_equals_rebuild"] == 1
+    assert c["merged_mass"] == c["rebuild_mass"]
+    assert c["n_cells_base"] > 0 and c["n_cells_delta"] > 0
