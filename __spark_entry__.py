@@ -1065,6 +1065,11 @@ _R13_QUEUE: list[str] = [
     # one-shot rebuild with oracle-replayed checksums
     "hll_upsert_equivalence",
     "countmin_upsert_equivalence",
+    # TANE level-1 FD discovery with the valid sample-prune theorem
+    # (an FD refuted on any subset is refuted on the superset): all
+    # counts on a deterministic 10% bucket sample first, exact
+    # full-table distincts only for the survivors
+    "fd_discovery_sweep",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -323,6 +323,157 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fd_discovery_sweep geometry: the orders columns swept (level-1
+#: TANE lattice) and the deterministic 10% sample bucket used for
+#: the pruning phase
+FD_SWEEP_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+FD_SWEEP_SAMPLE_PCT = 10
+
+
+def fd_discovery_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY (TANE level 1, Huhtala et al.
+    1999) over every ordered column pair of orders — where
+    ``functional_dependency_audit`` CHECKS a fixed candidate list,
+    this one finds the candidates: FD A→B holds iff
+    countDistinct(A) == countDistinct(A, B).
+
+    Scale design — sample-prune then exact-verify: a level-1 sweep
+    needs one exact distinct count per column and per pair (an
+    |pairs|-way expand of the scan — real money at 100 TB), but an
+    FD that FAILS on any subset fails on the superset (violations
+    only accumulate), so phase 1 computes all counts on a
+    deterministic 10% md5-bucket sample and PRUNES every pair the
+    sample already refutes; phase 2 pays the exact full-table
+    distinct counts only for the survivors.  The sample verdicts are
+    a bounded 1-row collect (21 integers).  Pruned pairs emit
+    (holds=0, counts=-1) — the refutation is already proven; the
+    oracle replays the same bucket rule, prune set, and survivor
+    counts.
+
+    Output: one row per ordered pair (det → dep) with the prune
+    flag, exact distinct counts (survivors only), and the verdict.
+    The fixture makes both verdicts real: o_orderkey → * all hold;
+    o_custkey → o_orderstatus fails."""
+    from ..operators.corpusops import _hash_bucket
+
+    cols = FD_SWEEP_COLS
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    t = table(tune(spark), sf_dir, "orders")
+    samp = t.filter(
+        _hash_bucket(
+            F.col("o_orderkey").cast("string"), "fdsweep|", 100
+        )
+        < FD_SWEEP_SAMPLE_PCT
+    )
+    s_aggs = [
+        F.countDistinct(c).cast("long").alias(f"c_{c}") for c in cols
+    ] + [
+        F.countDistinct(F.struct(a, b)).cast("long").alias(f"p_{a}__{b}")
+        for a, b in pairs
+    ]
+    srow = samp.agg(*s_aggs).first()
+    # directed prune verdicts from the sample (bounded driver read)
+    pruned = {
+        (a, b): srow[f"c_{a}"] != srow[f"p_{a}__{b}"]
+        for a, b in pairs
+    } | {
+        (b, a): srow[f"c_{b}"] != srow[f"p_{a}__{b}"]
+        for a, b in pairs
+    }
+    surv_cols = sorted(
+        {d for (d, _), pr in pruned.items() if not pr}
+        | {e for (d, e), pr in pruned.items() if not pr}
+    )
+    surv_pairs = [
+        (a, b) for a, b in pairs
+        if not pruned[(a, b)] or not pruned[(b, a)]
+    ]
+    f_aggs = [
+        F.countDistinct(c).cast("long").alias(f"c_{c}") for c in surv_cols
+    ] + [
+        F.countDistinct(F.struct(a, b)).cast("long").alias(f"p_{a}__{b}")
+        for a, b in surv_pairs
+    ]
+    full = t.agg(*f_aggs) if f_aggs else None
+    # assemble: pruned rows are literals (their refutation is already
+    # proven by the sample); survivor rows read the one full-
+    # aggregate row
+    lit_rows = [
+        (det, dep)
+        for a, b in pairs
+        for det, dep in ((a, b), (b, a))
+        if pruned[(det, dep)]
+    ]
+    out = None
+    if lit_rows:
+        out = spark.createDataFrame(
+            [(d, e, 1, -1, -1, 0) for d, e in lit_rows],
+            "det string, dep string, pruned_by_sample int,"
+            " n_det long, n_pair long, holds int",
+        )
+    for a, b in pairs:
+        for det, dep in ((a, b), (b, a)):
+            if pruned[(det, dep)]:
+                continue
+            piece = full.select(
+                F.lit(det).alias("det"),
+                F.lit(dep).alias("dep"),
+                F.lit(0).alias("pruned_by_sample"),
+                F.col(f"c_{det}").alias("n_det"),
+                F.col(f"p_{a}__{b}").alias("n_pair"),
+                (F.col(f"c_{det}") == F.col(f"p_{a}__{b}"))
+                .cast("int")
+                .alias("holds"),
+            )
+            out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def _fd_sweep_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    cols = FD_SWEEP_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    b = _hash_bucket_sql("CAST(o_orderkey AS VARCHAR)", "fdsweep|", 100)
+    s_sel = ", ".join(
+        [f"count(DISTINCT {c}) AS c_{c}" for c in cols]
+        + [
+            f"count(DISTINCT ({a}, {b2})) AS p_{a}__{b2}"
+            for a, b2 in pairs
+        ]
+    )
+    legs = []
+    for a, b2 in pairs:
+        for det, dep in ((a, b2), (b2, a)):
+            legs.append(f"""
+SELECT '{det}' AS det, '{dep}' AS dep,
+       CAST(CASE WHEN s.c_{det} != s.p_{a}__{b2} THEN 1 ELSE 0 END AS INT)
+         AS pruned_by_sample,
+       CAST(CASE WHEN s.c_{det} != s.p_{a}__{b2} THEN -1
+                 ELSE f.c_{det} END AS BIGINT) AS n_det,
+       CAST(CASE WHEN s.c_{det} != s.p_{a}__{b2} THEN -1
+                 ELSE f.p_{a}__{b2} END AS BIGINT) AS n_pair,
+       CAST(CASE WHEN s.c_{det} != s.p_{a}__{b2} THEN 0
+                 WHEN f.c_{det} = f.p_{a}__{b2} THEN 1
+                 ELSE 0 END AS INT) AS holds
+FROM s, f""")
+    return f"""
+WITH samp AS (SELECT * FROM orders WHERE {b} < {FD_SWEEP_SAMPLE_PCT}),
+s AS (SELECT {s_sel} FROM samp),
+f AS (SELECT {s_sel} FROM orders)
+{" UNION ALL ".join(legs)}
+"""
+
+
 def _fd_oracle() -> str:
     legs = []
     for name, tbl, lhs, rhs in FD_CANDIDATES:
@@ -510,6 +661,7 @@ QUERIES = {
     "approx_quantile_contract": approx_quantile_contract,
     "pareto_frontier_parts": pareto_frontier_parts,
     "functional_dependency_audit": functional_dependency_audit,
+    "fd_discovery_sweep": fd_discovery_sweep,
 }
 
 ORACLES = {
@@ -519,4 +671,5 @@ ORACLES = {
     "approx_quantile_contract": QUANTILE_CONTRACT_ORACLE,
     "pareto_frontier_parts": PARETO_ORACLE,
     "functional_dependency_audit": FD_AUDIT_ORACLE,
+    "fd_discovery_sweep": _fd_sweep_oracle(),
 }

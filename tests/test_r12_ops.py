@@ -474,3 +474,31 @@ def test_hll_and_cms_upsert_contracts(spark):
     assert c["n_mismatch"] == 0 and c["merge_equals_rebuild"] == 1
     assert c["merged_mass"] == c["rebuild_mass"]
     assert c["n_cells_base"] > 0 and c["n_cells_delta"] > 0
+
+
+def test_fd_discovery_sweep_verdicts(spark):
+    """Discovery ground truth: every o_orderkey→* FD holds (orderkey
+    is the PK), at least one non-key FD is refuted, and pruned rows
+    are exactly the sample-refuted ones (counts -1, holds 0)."""
+    from fxblue_etl_spark.plans.profiling import (
+        FD_SWEEP_COLS,
+        fd_discovery_sweep,
+    )
+
+    rows = {(r["det"], r["dep"]): r
+            for r in fd_discovery_sweep(spark, SF_DIR).collect()}
+    n = len(FD_SWEEP_COLS)
+    assert len(rows) == n * (n - 1)
+    for dep in FD_SWEEP_COLS:
+        if dep == "o_orderkey":
+            continue
+        r = rows[("o_orderkey", dep)]
+        assert r["holds"] == 1 and r["pruned_by_sample"] == 0
+        assert r["n_det"] == r["n_pair"] > 0
+    assert any(r["holds"] == 0 for r in rows.values())
+    for r in rows.values():
+        if r["pruned_by_sample"] == 1:
+            assert r["holds"] == 0
+            assert r["n_det"] == -1 and r["n_pair"] == -1
+        else:
+            assert (r["holds"] == 1) == (r["n_det"] == r["n_pair"])
