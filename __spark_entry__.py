@@ -1070,6 +1070,11 @@ _R13_QUEUE: list[str] = [
     # counts on a deterministic 10% bucket sample first, exact
     # full-table distincts only for the survivors
     "fd_discovery_sweep",
+    # inactivity-threshold sensitivity sweep: k session knobs priced
+    # in ONE pass over one shared per-user lag/lead window (session
+    # count = sum of start indicators; single-event sessions derived
+    # without sessionizing)
+    "session_gap_sensitivity",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -167,6 +167,129 @@ GROUP BY user_id, session_seq
 """
 
 
+#: inactivity thresholds swept (seconds): 5 min / 15 min / 30 min /
+#: 60 min — the knob-tuning grid an analytics team actually compares
+SESSION_GAPS_S = (300, 900, 1800, 3600)
+
+
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-threshold sensitivity sweep: session counts and
+    per-session event economics at every SESSION_GAPS_S threshold in
+    ONE pass — the tuning readout behind `sessionize_events`'s fixed
+    30-minute knob (pick the threshold where the session count curve
+    flattens; re-running the full sessionizer per candidate pays the
+    user-keyed shuffle k times for one decision).
+
+    All k thresholds share the single per-user lag window: each
+    event's gap classifies against every threshold as k row-local
+    indicator columns, and one aggregate emits the k session counts
+    (a session-start indicator sums to the session count exactly).
+    Output per threshold: sessions, events-per-session ppm, the
+    single-event-session count (the over-fragmentation signal), and
+    mean session span seconds (ppm floor).
+
+    Scale: the same one user-keyed shuffle the sessionizer pays,
+    paid ONCE for the whole sweep; the aggregate is constant-width.
+    Single-event sessions per threshold need each session's size —
+    that is a second pass over the sessionized frame per threshold,
+    so instead the count is derived WITHOUT sessionizing: a session
+    is single-event iff its start's NEXT event (same user) also
+    starts a session (or doesn't exist) — one lead() on the shared
+    window, still one pass."""
+    e = table(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    tsl = F.col("ts").cast("long")
+    gap = tsl - F.lag(tsl).over(w)
+    next_gap = F.lead(tsl).over(w) - tsl
+    rows = e.select(
+        *[
+            (gap.isNull() | (gap > g)).cast("long").alias(f"s_{g}")
+            for g in SESSION_GAPS_S
+        ],
+        *[
+            (
+                (gap.isNull() | (gap > g))
+                & (F.lead(tsl).over(w).isNull() | (next_gap > g))
+            )
+            .cast("long")
+            .alias(f"solo_{g}")
+            for g in SESSION_GAPS_S
+        ],
+        *[
+            F.when(~(gap.isNull() | (gap > g)), gap)
+            .otherwise(F.lit(0))
+            .alias(f"span_{g}")
+            for g in SESSION_GAPS_S
+        ],
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[F.sum(f"s_{g}").cast("long").alias(f"ns_{g}") for g in SESSION_GAPS_S],
+        *[
+            F.sum(f"solo_{g}").cast("long").alias(f"nsolo_{g}")
+            for g in SESSION_GAPS_S
+        ],
+        *[
+            F.sum(f"span_{g}").cast("long").alias(f"sp_{g}")
+            for g in SESSION_GAPS_S
+        ],
+    )
+    stack = ", ".join(
+        f"{g}, ns_{g}, nsolo_{g}, sp_{g}" for g in SESSION_GAPS_S
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(SESSION_GAPS_S)}, {stack})"
+            " as (gap_s, n_sessions, n_single_event, span_sum_s)"
+        ),
+        "n_events",
+    ).select(
+        F.col("gap_s").cast("long").alias("gap_s"),
+        "n_sessions",
+        "n_single_event",
+        "n_events",
+        F.expr("1000000 * n_events DIV n_sessions")
+        .cast("long")
+        .alias("events_per_session_ppm"),
+        F.expr("1000000 * span_sum_s DIV n_sessions")
+        .cast("long")
+        .alias("mean_span_s_ppm"),
+    )
+
+
+def _session_gap_oracle() -> str:
+    legs = []
+    for g in SESSION_GAPS_S:
+        legs.append(f"""
+SELECT CAST({g} AS BIGINT) AS gap_s,
+       CAST(sum(s) AS BIGINT) AS n_sessions,
+       CAST(sum(solo) AS BIGINT) AS n_single_event,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(1000000 AS HUGEINT) * count(*) // sum(s) AS BIGINT)
+         AS events_per_session_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * sum(sp) // sum(s) AS BIGINT)
+         AS mean_span_s_ppm
+FROM (
+  SELECT CASE WHEN pg IS NULL OR pg > {g} THEN 1 ELSE 0 END AS s,
+         CASE WHEN (pg IS NULL OR pg > {g})
+                   AND (ng IS NULL OR ng > {g}) THEN 1 ELSE 0 END AS solo,
+         CASE WHEN NOT (pg IS NULL OR pg > {g}) THEN pg ELSE 0 END AS sp
+  FROM gaps)""")
+    return f"""
+WITH gaps AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+             AS BIGINT) AS pg,
+         CAST(floor(epoch(lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+             AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS ng
+  FROM events)
+{" UNION ALL ".join(legs)}
+"""
+
+
 def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILT-IN batch ``session_window`` aggregation over the same
     30-minute inactivity gap as the hand-rolled `sessionize_events` —
@@ -396,6 +519,7 @@ QUERIES = {
     "w1_locf_snapshots": w1_locf_snapshots,
     "w2_keep_one_per_key": w2_keep_one_per_key,
     "sessionize_events": sessionize_events,
+    "session_gap_sensitivity": session_gap_sensitivity,
     "session_window_native": session_window_native,
     "interarrival_gaps": interarrival_gaps,
     "session_paths": session_paths,
@@ -406,6 +530,7 @@ ORACLES = {
     "w1_locf_snapshots": W1_ORACLE,
     "w2_keep_one_per_key": W2_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
+    "session_gap_sensitivity": _session_gap_oracle(),
     "session_window_native": SESSION_WINDOW_NATIVE_ORACLE,
     "interarrival_gaps": INTERARRIVAL_ORACLE,
     "session_paths": SESSION_PATHS_ORACLE,

@@ -502,3 +502,25 @@ def test_fd_discovery_sweep_verdicts(spark):
             assert r["n_det"] == -1 and r["n_pair"] == -1
         else:
             assert (r["holds"] == 1) == (r["n_det"] == r["n_pair"])
+
+
+def test_session_gap_sensitivity_matches_sessionizer(spark):
+    """The sweep's 1800s row must agree with the full sessionizer:
+    same session count, same single-event-session count; session
+    counts are monotone non-increasing in the threshold."""
+    from fxblue_etl_spark.operators.windows import (
+        session_gap_sensitivity,
+        sessionize_events,
+    )
+
+    rows = {r["gap_s"]: r
+            for r in session_gap_sensitivity(spark, SF_DIR).collect()}
+    sess = sessionize_events(spark, SF_DIR).collect()
+    assert rows[1800]["n_sessions"] == len(sess)
+    assert rows[1800]["n_single_event"] == sum(
+        1 for s in sess if s["n_events"] == 1
+    )
+    gaps = sorted(rows)
+    for a, b in zip(gaps, gaps[1:]):
+        assert rows[a]["n_sessions"] >= rows[b]["n_sessions"]
+    assert rows[gaps[0]]["n_events"] == rows[gaps[-1]]["n_events"]
