@@ -1075,6 +1075,12 @@ _R13_QUEUE: list[str] = [
     # count = sum of start indicators; single-event sessions derived
     # without sessionizing)
     "session_gap_sensitivity",
+    # DELETE-side IVM: invertible aggregates retract by subtraction,
+    # min/max re-derive only for groups whose deleted batch touched
+    # the standing extreme (the bounded repair path retract-stream
+    # engines run) — the oracle recomputes retained rows AND replays
+    # which groups needed repair
+    "ivm_delete_maintenance",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -641,6 +641,118 @@ GROUP BY 1
 """
 
 
+def ivm_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-side incremental view maintenance — the retraction
+    sibling of ``incremental_agg_maintenance`` (which certifies
+    append merges): when a delete batch lands (here the GDPR-style
+    ``o_orderkey % 10 == 3`` cohort), the maintained per-status
+    totals are repaired WITHOUT a full recompute:
+
+    - INVERTIBLE aggregates (count, integer sum) retract by plain
+      subtraction of the delete batch's own partial — O(batch);
+    - NON-invertible aggregates (min/max) cannot subtract: the
+      standing extreme is re-derived ONLY for groups whose deleted
+      batch touched it (deleted-min == standing-min or deleted-max
+      == standing-max) — the bounded re-read every real IVM engine
+      (Materialize, DBSP, Flink retract streams) performs for
+      MIN/MAX, made visible here by the ``minmax_repaired`` flag.
+
+    The oracle recomputes the retained rows from scratch and replays
+    the repair-flag predicate — maintenance must be indistinguishable
+    from recompute, including WHICH groups needed the repair path.
+
+    Scale: two partial aggregates (standing + delete batch), one
+    groups-sized broadcast of the repair set, and one filtered
+    re-aggregate over only the repaired groups' retained rows."""
+    o = table(tune(spark), sf_dir, "orders")
+    dels = o.filter(F.col("o_orderkey") % 10 == 3)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dmax"),
+        )
+
+    standing = partial(o)
+    dpart = partial(dels).select(
+        "o_orderstatus",
+        F.col("n").alias("n_d"),
+        F.col("cents").alias("cents_d"),
+        F.col("dmin").alias("dmin_d"),
+        F.col("dmax").alias("dmax_d"),
+    )
+    merged = standing.join(F.broadcast(dpart), "o_orderstatus", "left").select(
+        "o_orderstatus",
+        (F.col("n") - F.coalesce(F.col("n_d"), F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.col("cents") - F.coalesce(F.col("cents_d"), F.lit(0)))
+        .cast("long")
+        .alias("price_cents"),
+        "dmin",
+        "dmax",
+        (
+            (F.col("dmin_d") == F.col("dmin"))
+            | (F.col("dmax_d") == F.col("dmax"))
+        )
+        .cast("int")
+        .alias("minmax_repaired"),
+    ).na.fill({"minmax_repaired": 0})
+    repair_keys = merged.filter(F.col("minmax_repaired") == 1).select(
+        "o_orderstatus"
+    )
+    repaired = (
+        o.filter(F.col("o_orderkey") % 10 != 3)
+        .join(F.broadcast(repair_keys), "o_orderstatus", "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("rmin"),
+            F.max("o_orderdate").alias("rmax"),
+        )
+    )
+    return merged.join(F.broadcast(repaired), "o_orderstatus", "left").select(
+        "o_orderstatus",
+        "n_orders",
+        "price_cents",
+        F.coalesce(F.col("rmin"), F.col("dmin"))
+        .cast("string")
+        .alias("first_date"),
+        F.coalesce(F.col("rmax"), F.col("dmax"))
+        .cast("string")
+        .alias("last_date"),
+        "minmax_repaired",
+    )
+
+
+IVM_DELETE_ORACLE = """
+WITH dels AS (SELECT * FROM orders WHERE o_orderkey % 10 = 3),
+standing AS (
+  SELECT o_orderstatus, min(o_orderdate) AS dmin, max(o_orderdate) AS dmax
+  FROM orders GROUP BY 1),
+dmm AS (
+  SELECT o_orderstatus, min(o_orderdate) AS dmin_d, max(o_orderdate) AS dmax_d
+  FROM dels GROUP BY 1)
+SELECT r.o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(r.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(min(r.o_orderdate) AS VARCHAR) AS first_date,
+       CAST(max(r.o_orderdate) AS VARCHAR) AS last_date,
+       CAST(coalesce(max(CASE WHEN m.dmin_d = s.dmin
+                               OR m.dmax_d = s.dmax THEN 1 ELSE 0 END), 0)
+            AS INT) AS minmax_repaired
+FROM orders r
+JOIN standing s USING (o_orderstatus)
+LEFT JOIN dmm m USING (o_orderstatus)
+WHERE r.o_orderkey % 10 != 3
+GROUP BY 1
+"""
+
+
 def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN maintenance — the denormalized-view sibling of
     ``incremental_agg_maintenance``: when a delta batch of orders
@@ -1295,6 +1407,7 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "file_metadata_lineage": file_metadata_lineage,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "ivm_delete_maintenance": ivm_delete_maintenance,
     "incremental_join_maintenance": incremental_join_maintenance,
 }
 
@@ -1311,5 +1424,6 @@ ORACLES = {
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "file_metadata_lineage": FILE_METADATA_ORACLE,
     "incremental_agg_maintenance": INCREMENTAL_AGG_ORACLE,
+    "ivm_delete_maintenance": IVM_DELETE_ORACLE,
     "incremental_join_maintenance": INCREMENTAL_JOIN_ORACLE,
 }

@@ -524,3 +524,23 @@ def test_session_gap_sensitivity_matches_sessionizer(spark):
     for a, b in zip(gaps, gaps[1:]):
         assert rows[a]["n_sessions"] >= rows[b]["n_sessions"]
     assert rows[gaps[0]]["n_events"] == rows[gaps[-1]]["n_events"]
+
+
+def test_ivm_delete_maintenance_is_load_bearing(spark):
+    """The repair path must actually fire on this fixture (at least
+    one group's extreme was deleted) AND at least one group must
+    skip it — both branches exercised; retained counts reconcile
+    with the full table minus the delete batch."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.plans.dq import ivm_delete_maintenance
+
+    rows = ivm_delete_maintenance(spark, SF_DIR).collect()
+    assert rows
+    flags = {r["minmax_repaired"] for r in rows}
+    assert 1 in flags, "no group needed min/max repair — vacuous"
+    o = table(spark, SF_DIR, "orders")
+    full = o.count()
+    dels = o.filter(F.col("o_orderkey") % 10 == 3).count()
+    assert sum(r["n_orders"] for r in rows) == full - dels
