@@ -1081,6 +1081,11 @@ _R13_QUEUE: list[str] = [
     # engines run) — the oracle recomputes retained rows AND replays
     # which groups needed repair
     "ivm_delete_maintenance",
+    # dedup-threshold sensitivity: one banded-LSH verified-pair pass
+    # feeds k per-threshold component runs (graph-sized, never k
+    # corpus scans); per threshold: edges, clustered docs,
+    # components, keep-one drop count, largest cluster
+    "dedup_threshold_sensitivity",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -651,6 +651,122 @@ def split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Jaccard thresholds swept by dedup_threshold_sensitivity (ppm) —
+#: all >= the 0.5 banding floor, so the LSH candidate set is complete
+#: for every leg
+DEDUP_T_PPM = (500_000, 600_000, 700_000, 800_000)
+
+
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-threshold sensitivity sweep: the knob-tuning readout
+    behind every near-dup pipeline's fixed Jaccard cut (0.5 here,
+    DECON_J = 0.8 for decontamination) — for each candidate
+    threshold, how many edges survive, how many documents cluster,
+    how many components form, and how many documents a
+    keep-one-per-cluster dedup would DROP.  Pick the threshold where
+    the drop-count curve elbows; re-running the full pipeline per
+    candidate pays the LSH banding k times for one decision.
+
+    One banded-LSH pair pass (exact verified Jaccard ≥ the 0.5
+    banding floor, computed ONCE and persisted) feeds all k legs:
+    each leg filters the verified pairs at its threshold and runs
+    the bounded-superstep connected components over its (smaller)
+    pair graph — the pair graph ≪ corpus, so k component runs cost
+    k × (graph supersteps), never k corpus scans.
+
+    Integer discipline: thresholds compare as ppm against the
+    round(jaccard, 6) both engines share (the DECON_J spelling)."""
+    from ..io import fan_out, swap_cache, table
+    from ..session import tune
+    from .dedup import lsh_jaccard_pairs
+
+    docs = fan_out(table(tune(spark), sf_dir, "documents"))
+    pairs = swap_cache(
+        "graph.threshold_pairs",
+        lsh_jaccard_pairs(docs).select(
+            "doc_a",
+            "doc_b",
+            (F.round("jaccard", 6) * 1e6).cast("long").alias("j_ppm"),
+        ),
+    )
+    out = None
+    for t in DEDUP_T_PPM:
+        edges = pairs.filter(F.col("j_ppm") >= t).select("doc_a", "doc_b")
+        comp = connected_components(edges, src="doc_a", dst="doc_b")
+        sizes = comp.groupBy("component").agg(
+            F.count("*").cast("long").alias("sz")
+        )
+        leg = (
+            edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .crossJoin(
+                F.broadcast(
+                    sizes.agg(
+                        F.coalesce(F.count(F.lit(1)), F.lit(0))
+                        .cast("long")
+                        .alias("n_components"),
+                        F.coalesce(F.sum("sz"), F.lit(0))
+                        .cast("long")
+                        .alias("n_docs_clustered"),
+                        F.coalesce(F.max("sz"), F.lit(0))
+                        .cast("long")
+                        .alias("max_component"),
+                    )
+                )
+            )
+            .select(
+                F.lit(t).cast("long").alias("t_ppm"),
+                "n_edges",
+                "n_docs_clustered",
+                "n_components",
+                (F.col("n_docs_clustered") - F.col("n_components"))
+                .cast("long")
+                .alias("n_dropped"),
+                "max_component",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _dedup_threshold_oracle() -> str:
+    from .dedup import MINHASH_ORACLE
+
+    legs = []
+    for t in DEDUP_T_PPM:
+        legs.append(f"""
+SELECT CAST({t} AS BIGINT) AS t_ppm,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs{t}) AS n_edges,
+       CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+       CAST(coalesce(count(*), 0) AS BIGINT) AS n_components,
+       CAST(coalesce(sum(sz) - count(*), 0) AS BIGINT) AS n_dropped,
+       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_component
+FROM (SELECT component, count(*) AS sz FROM comp{t} GROUP BY 1)""")
+    closures = []
+    for t in DEDUP_T_PPM:
+        closures.append(f"""pairs{t} AS (
+  SELECT doc_a, doc_b FROM allp
+  WHERE CAST(round(jaccard, 6) * 1e6 AS BIGINT) >= {t}),
+edges{t}(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs{t}
+  UNION
+  SELECT doc_b, doc_a FROM pairs{t}),
+reach{t}(s, d) AS (
+  SELECT s, d FROM edges{t}
+  UNION
+  SELECT r.s, e.d FROM reach{t} r JOIN edges{t} e ON r.d = e.s),
+closure{t} AS (
+  SELECT s, d FROM reach{t} UNION SELECT s, s FROM edges{t}),
+comp{t} AS (
+  SELECT s AS doc_id, min(d) AS component FROM closure{t} GROUP BY s)""")
+    return f"""
+WITH RECURSIVE allp AS MATERIALIZED ({MINHASH_ORACLE}),
+{", ".join(closures)}
+{" UNION ALL ".join(legs)}
+"""
+
+
 def canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last step of a real dedup pipeline: for every multi-doc
     near-dup cluster pick ONE canonical document — highest quality
@@ -1162,6 +1278,7 @@ QUERIES = {
     "dedup_component_size_hist": dedup_component_size_hist,
     "dedup_triangles": dedup_triangles,
     "split_decontaminate": split_decontaminate,
+    "dedup_threshold_sensitivity": dedup_threshold_sensitivity,
     "canonical_doc_selection": canonical_doc_selection,
     # dedup_pagerank: REMOVED from the driver surface (round-11,
     # verdict item 5) — float power iteration drifts ulps per round
@@ -1180,5 +1297,6 @@ ORACLES = {
     "dedup_component_size_hist": COMPONENT_SIZE_HIST_ORACLE,
     "dedup_triangles": TRIANGLES_ORACLE,
     "split_decontaminate": SPLIT_DECON_ORACLE,
+    "dedup_threshold_sensitivity": _dedup_threshold_oracle(),
     "canonical_doc_selection": CANONICAL_ORACLE,
 }

@@ -544,3 +544,31 @@ def test_ivm_delete_maintenance_is_load_bearing(spark):
     full = o.count()
     dels = o.filter(F.col("o_orderkey") % 10 == 3).count()
     assert sum(r["n_orders"] for r in rows) == full - dels
+
+
+def test_dedup_threshold_sensitivity_monotone(spark):
+    """Raising the threshold can only shrink the graph: edges,
+    clustered docs, drop counts, and max component are all monotone
+    non-increasing; the 0.5 leg matches the raw pair pass."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import fan_out, table
+    from fxblue_etl_spark.operators.dedup import lsh_jaccard_pairs
+    from fxblue_etl_spark.operators.graph import (
+        dedup_threshold_sensitivity,
+    )
+
+    rows = {r["t_ppm"]: r
+            for r in dedup_threshold_sensitivity(spark, SF_DIR).collect()}
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        for c in ("n_edges", "n_docs_clustered", "n_dropped",
+                  "max_component"):
+            assert rows[a][c] >= rows[b][c]
+    n_pairs = (
+        lsh_jaccard_pairs(fan_out(table(spark, SF_DIR, "documents")))
+        .filter(F.round("jaccard", 6) >= 0.5)
+        .count()
+    )
+    assert rows[500_000]["n_edges"] == n_pairs
+    assert rows[ts[0]]["n_edges"] > rows[ts[-1]]["n_edges"] >= 0
