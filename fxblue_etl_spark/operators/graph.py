@@ -652,9 +652,13 @@ def split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Jaccard thresholds swept by dedup_threshold_sensitivity (ppm) —
-#: all >= the 0.5 banding floor, so the LSH candidate set is complete
-#: for every leg
-DEDUP_T_PPM = (500_000, 600_000, 700_000, 800_000)
+#: all >= the 0.05 floor of the certified word-bigram pair pass, so
+#: the candidate set is complete for every leg.  (The MinHash pair
+#: graph is the wrong spine for a sweep on THIS corpus: its
+#: templated near-dups all sit at J >= 0.8, so every leg is
+#: identical — measured before switching to the bigram graph, whose
+#: 0.05 floor exposes the real elbow.)
+DEDUP_T_PPM = (50_000, 100_000, 200_000, 500_000)
 
 
 def dedup_threshold_sensitivity(
@@ -669,23 +673,24 @@ def dedup_threshold_sensitivity(
     the drop-count curve elbows; re-running the full pipeline per
     candidate pays the LSH banding k times for one decision.
 
-    One banded-LSH pair pass (exact verified Jaccard ≥ the 0.5
-    banding floor, computed ONCE and persisted) feeds all k legs:
-    each leg filters the verified pairs at its threshold and runs
-    the bounded-superstep connected components over its (smaller)
-    pair graph — the pair graph ≪ corpus, so k component runs cost
+    One blocked word-bigram pair pass (the certified
+    ``ngram_jaccard_pairs`` graph, exact Jaccard ≥ its 0.05 floor,
+    computed ONCE and persisted) feeds all k legs: each leg filters
+    the verified pairs at its threshold and runs the
+    bounded-superstep connected components over its (smaller) pair
+    graph — the pair graph ≪ corpus, so k component runs cost
     k × (graph supersteps), never k corpus scans.
 
     Integer discipline: thresholds compare as ppm against the
     round(jaccard, 6) both engines share (the DECON_J spelling)."""
-    from ..io import fan_out, swap_cache, table
+    from ..io import swap_cache
     from ..session import tune
-    from .dedup import lsh_jaccard_pairs
+    from .dedup import ngram_jaccard_pairs
 
-    docs = fan_out(table(tune(spark), sf_dir, "documents"))
+    tune(spark)
     pairs = swap_cache(
         "graph.threshold_pairs",
-        lsh_jaccard_pairs(docs).select(
+        ngram_jaccard_pairs(spark, sf_dir).select(
             "doc_a",
             "doc_b",
             (F.round("jaccard", 6) * 1e6).cast("long").alias("j_ppm"),
@@ -731,7 +736,7 @@ def dedup_threshold_sensitivity(
 
 
 def _dedup_threshold_oracle() -> str:
-    from .dedup import MINHASH_ORACLE
+    from .dedup import NGRAM_ORACLE
 
     legs = []
     for t in DEDUP_T_PPM:
@@ -761,7 +766,7 @@ closure{t} AS (
 comp{t} AS (
   SELECT s AS doc_id, min(d) AS component FROM closure{t} GROUP BY s)""")
     return f"""
-WITH RECURSIVE allp AS MATERIALIZED ({MINHASH_ORACLE}),
+WITH RECURSIVE allp AS MATERIALIZED ({NGRAM_ORACLE}),
 {", ".join(closures)}
 {" UNION ALL ".join(legs)}
 """

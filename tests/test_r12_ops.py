@@ -550,10 +550,7 @@ def test_dedup_threshold_sensitivity_monotone(spark):
     """Raising the threshold can only shrink the graph: edges,
     clustered docs, drop counts, and max component are all monotone
     non-increasing; the 0.5 leg matches the raw pair pass."""
-    from pyspark.sql import functions as F
-
-    from fxblue_etl_spark.io import fan_out, table
-    from fxblue_etl_spark.operators.dedup import lsh_jaccard_pairs
+    from fxblue_etl_spark.operators.dedup import ngram_jaccard_pairs
     from fxblue_etl_spark.operators.graph import (
         dedup_threshold_sensitivity,
     )
@@ -565,10 +562,10 @@ def test_dedup_threshold_sensitivity_monotone(spark):
         for c in ("n_edges", "n_docs_clustered", "n_dropped",
                   "max_component"):
             assert rows[a][c] >= rows[b][c]
-    n_pairs = (
-        lsh_jaccard_pairs(fan_out(table(spark, SF_DIR, "documents")))
-        .filter(F.round("jaccard", 6) >= 0.5)
-        .count()
-    )
-    assert rows[500_000]["n_edges"] == n_pairs
+    # the lowest leg (== the pair pass's own 0.05 floor) is the raw
+    # certified bigram pair graph
+    assert rows[50_000]["n_edges"] == ngram_jaccard_pairs(
+        spark, SF_DIR
+    ).count()
+    # the sweep is load-bearing on this fixture: a real elbow exists
     assert rows[ts[0]]["n_edges"] > rows[ts[-1]]["n_edges"] >= 0
