@@ -1777,13 +1777,21 @@ def prefix_filter_jaccard_pairs(
     rank), so hot tokens never fan out and the join key distribution
     is anti-skewed by construction; the per-doc rank window
     partitions by doc_id (bounded by doc length); verification joins
-    the bounded candidate set back to the two gram arrays."""
+    the bounded candidate set back to the two gram arrays.
+
+    Measured tuning at sf0.1 (5k docs, heavy shared vocabulary —
+    adversarial for prefix filtering): word BIGRAMS with the basic
+    prefix+length filters yielded 5.5M distinct candidates (44% of
+    all pairs) and 84s; adding the POSITIONAL filter cut it to 46s;
+    moving to 3-word shingles (rarer tokens → selective prefixes,
+    the standard dedup unit) landed at 18s.  The A/B history lives
+    in COVERAGE.md round 12."""
     from pyspark.sql.window import Window
 
     d = fan_out(table(tune(spark), sf_dir, "documents"))
-    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 2)
+    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
     docs = d.select(
-        "doc_id", word_shingles("text", k=2).alias("grams")
+        "doc_id", word_shingles("text", k=3).alias("grams")
     ).withColumn("sz", F.size("grams").cast("long"))
     posts = docs.select(
         "doc_id", "sz", F.explode("grams").alias("gram")
@@ -1804,19 +1812,42 @@ def prefix_filter_jaccard_pairs(
         posts.join(F.broadcast(dfreq), "gram")
         .withColumn("rn", F.row_number().over(wdoc).cast("long"))
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "sz", "gram")
+        .select("doc_id", "sz", "gram", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (lossless): for a true pair, its FIRST
+    # shared token in the global rank order sits at positions (pa,
+    # pb) with every other shared token strictly after both, so
+    # overlap ≤ 1 + min(sz_a − pa, sz_b − pb); requiring that bound
+    # to clear minoverlap = ⌈t/(1+t)·(sz_a+sz_b)⌉ (= ⌈(sa+sb)/3⌉ at
+    # t = 1/2) prunes late-prefix-only matches without ever dropping
+    # a qualifying pair — the EXISTS-over-matches form keeps any pair
+    # whose earliest shared token passes.  On corpora with heavy
+    # vocabulary overlap (this fixture) the basic prefix filter
+    # degenerates (~44% of all pairs as candidates at sf0.1); the
+    # positional bound is what keeps the candidate set tied to the
+    # threshold rather than the vocabulary shape.
+    minov = F.expr(
+        f"((a.sz + b.sz) * {PF_T_NUM} + {PF_T_DEN + PF_T_NUM - 1})"
+        f" DIV {PF_T_DEN + PF_T_NUM}"
+    )
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # PPJoin length filter at t = 1/2: J ≥ 1/2 ⟹ sizes
-            # within a factor of 2 — integer-exact, lossless
+            # length filter at t = 1/2: J ≥ 1/2 ⟹ sizes within 2×
             & (
                 2 * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rn"),
+                    F.col("b.sz") - F.col("b.rn"),
+                )
+                >= minov
             ),
         )
         .select(
@@ -1858,11 +1889,12 @@ WITH prep AS (
   FROM documents),
 g AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
-             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]))
+         list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                  || ' ' || toks[CAST(i AS INT) + 3]))
            AS grams
   FROM prep
-  WHERE len(toks) >= 2)
+  WHERE len(toks) >= 3)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(CAST(1000000 AS BIGINT) * len(list_intersect(a.grams, b.grams))
             // (len(a.grams) + len(b.grams)

@@ -241,9 +241,9 @@ def test_prefix_filter_is_lossless_vs_bruteforce(spark):
         map(tuple, prefix_filter_jaccard_pairs(spark, SF_DIR).collect())
     )
     d = table(spark, SF_DIR, "documents").filter(
-        F.size(ws_tokens(_norm_text("text"))) >= 2
+        F.size(ws_tokens(_norm_text("text"))) >= 3
     )
-    g = d.select("doc_id", word_shingles("text", k=2).alias("grams"))
+    g = d.select("doc_id", word_shingles("text", k=3).alias("grams"))
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("long")
@@ -280,10 +280,10 @@ def test_prefix_filter_prefixes_are_anti_skewed(spark):
     from fxblue_etl_spark.operators.textops import ws_tokens
 
     d = table(spark, SF_DIR, "documents").filter(
-        F.size(ws_tokens(_norm_text("text"))) >= 2
+        F.size(ws_tokens(_norm_text("text"))) >= 3
     )
     docs = d.select(
-        "doc_id", word_shingles("text", k=2).alias("grams")
+        "doc_id", word_shingles("text", k=3).alias("grams")
     ).withColumn("sz", F.size("grams").cast("long"))
     posts = docs.select("doc_id", "sz", F.explode("grams").alias("gram"))
     dfreq = posts.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
