@@ -163,6 +163,14 @@ HEADLINE = (
     "streaming_cusum_monitor",
     "streaming_observed_metrics",
     "scd2_asof_consistency",
+    # ROUND-13 ROTATION NOTE: the 16 round-12 additions carry
+    # first-exposure numbers in COVERAGE.md round 12 (measured
+    # outside HEADLINE — the 62-entry stdout line is at the driver's
+    # tail-capture budget).  Next round: rotate them in and retire
+    # the round-11 one-exposure spine duplicates (ks_two_sample,
+    # compaction_tier_plan, linkage_greedy_assignment,
+    # query_expansion_prf, greedy_max_cover_selection) whose cost is
+    # their benched siblings' — keeping stdout coverage full.
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
