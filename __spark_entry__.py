@@ -1086,6 +1086,11 @@ _R13_QUEUE: list[str] = [
     # corpus scans); per threshold: edges, clustered docs,
     # components, keep-one drop count, largest cluster
     "dedup_threshold_sensitivity",
+    # the mergeable-sketch use case end to end: per-day HLL register
+    # vintages MAX-merge into every 7-day rolling window (days x 256
+    # rows answer any window, no re-scan), with the exact rolling
+    # distinct and signed err_ppm alongside
+    "hll_rolling_distinct",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

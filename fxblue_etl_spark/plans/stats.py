@@ -751,6 +751,190 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM regs) AS n_registers,
 """
 
 
+#: rolling-distinct window width (days) for hll_rolling_distinct
+HLL_ROLL_DAYS = 7
+
+#: linear-counting table for HLL's small-range correction:
+#: floor(1e6·ln(m/V)) for V = 1..m empty registers — computed ONCE
+#: here and injected as literals into BOTH engines, so no runtime ln
+#: ulp can diverge (the BENFORD_PPM discipline)
+import math as _math  # noqa: E402
+
+HLL_LINEAR_E6 = [
+    _math.floor(1e6 * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+]
+
+
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mergeable-sketch use case: rolling 7-day distinct users
+    per day WITHOUT re-scanning raw data — per-day HLL register
+    vintages MAX-merge across the window (the algebra
+    ``hll_upsert_equivalence`` certifies), so a 100 TB events table
+    answers every rolling window from days × 256 register rows.
+    The exact rolling distinct rides alongside (here checkable; at
+    scale it is the O(window · data) recompute the sketch replaces)
+    with the signed error in ppm — the accuracy-vs-cost readout that
+    justifies the sketch.
+
+    Scale shape: one corpus pass builds the per-day vintages
+    (groupBy(day, bucket) MAX); the rolling merge is a 7-way explode
+    over the DAYS×256 register table (calendar-bounded); the exact
+    side is one distinct + a 7-way explode over (day, user) pairs.
+    All integers — the estimate is the portable-HLL DECIMAL(38,0)
+    quotient, bit-identical cross-engine."""
+    e = table(tune(spark), sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    x = e.select("day", h.alias("h")).select(
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("r"),
+    )
+    rho = F.when(F.col("r") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.expr("bin(r)"), HLL_W, "0"), "1")
+    )
+    vintages = (
+        x.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # each vintage day serves the next HLL_ROLL_DAYS report days
+    fan = vintages.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(HLL_ROLL_DAYS - 1))
+        ).alias("off"),
+        F.expr("date_add(day, off)").alias("rday"),
+        "bucket",
+        "rho",
+    )
+    # only report days whose full lineage exists (clip to the data's
+    # day range so partial leading windows don't skew)
+    days = e.select("day").distinct()
+    merged = (
+        fan.join(days.withColumnRenamed("day", "rday"), "rday")
+        .groupBy("rday", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    contrib = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 1} - rho AS INT))"
+    )
+    # standard small-range (linear counting) branch: with V > 0 empty
+    # registers and a raw estimate <= 2.5m, est = m·ln(m/V) — the
+    # raw harmonic estimator is badly biased at low cardinality
+    # (measured 189 vs exact 15 before the branch).  ln comes from
+    # the precomputed HLL_LINEAR_E6 literal table, never runtime.
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LINEAR_E6]), F.col("n_empty")
+    )
+    est = merged.groupBy("rday").agg(
+        (
+            F.sum(contrib)
+            + (F.lit(HLL_M) - F.count("*"))
+            * F.lit(1 << (HLL_W + 1)).cast("long")
+        ).alias("harmonic_scaled"),
+        (F.lit(HLL_M) - F.count("*")).cast("int").alias("n_empty"),
+    ).select(
+        "rday",
+        "n_empty",
+        F.expr(
+            f"CAST(CAST({HLL_ALPHA_M2_E6} AS DECIMAL(38,0))"
+            f" * {1 << (HLL_W + 1)} DIV harmonic_scaled DIV 1000000"
+            " AS BIGINT)"
+        ).alias("raw_est"),
+    ).select(
+        "rday",
+        F.when(
+            (F.col("n_empty") > 0)
+            & (F.col("raw_est") * 2 <= 5 * HLL_M),
+            (F.lit(HLL_M).cast("long") * lin - F.pmod(
+                F.lit(HLL_M).cast("long") * lin, F.lit(1_000_000)
+            )) / F.lit(1_000_000),
+        )
+        .otherwise(F.col("raw_est"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    exact = (
+        e.distinct()
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(HLL_ROLL_DAYS - 1))
+            ).alias("off"),
+            F.expr("date_add(day, off)").alias("rday"),
+            "user_id",
+        )
+        .join(days.withColumnRenamed("day", "rday"), "rday")
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "rday").select(
+        F.col("rday").cast("string").alias("day"),
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (est_distinct"
+            " - exact_distinct) DIV exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+HLL_ROLLING_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+h AS (
+  SELECT day, ({_hex15_sql("md5(CAST(user_id AS VARCHAR))")}) AS h
+  FROM e),
+x AS (
+  SELECT day, h % {HLL_M} AS bucket, h // {HLL_M} AS r FROM h),
+rr AS (
+  SELECT day, bucket,
+         CASE WHEN r = 0 THEN {HLL_W + 1}
+              ELSE strpos(lpad(bin(r), {HLL_W}, '0'), '1') END AS rho
+  FROM x),
+vint AS (SELECT day, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM e),
+fan AS (
+  SELECT day + CAST(t.o AS INT) AS rday, bucket, rho
+  FROM vint, range(0, {HLL_ROLL_DAYS}) t(o)),
+merged AS (
+  SELECT f.rday, f.bucket, max(f.rho) AS rho
+  FROM fan f JOIN days d ON d.day = f.rday
+  GROUP BY 1, 2),
+raw AS (
+  SELECT rday,
+         CAST({HLL_M} - count(*) AS INT) AS n_empty,
+         CAST(CAST({HLL_ALPHA_M2_E6} AS HUGEINT)
+              * (CAST(1 AS BIGINT) << {HLL_W + 1})
+              // (sum(CAST(1 AS BIGINT) << CAST({HLL_W + 1} - rho AS INT))
+                  + ({HLL_M} - count(*))
+                    * (CAST(1 AS BIGINT) << {HLL_W + 1}))
+              // 1000000 AS BIGINT) AS raw_est
+  FROM merged GROUP BY 1),
+est AS (
+  SELECT rday,
+         CAST(CASE WHEN n_empty > 0 AND raw_est * 2 <= 5 * {HLL_M}
+                   THEN ({HLL_M} * ([{", ".join(str(x) for x in HLL_LINEAR_E6)}])[n_empty]) // 1000000
+                   ELSE raw_est END AS BIGINT) AS est_distinct
+  FROM raw),
+ex AS (
+  SELECT f.rday, CAST(count(DISTINCT f.user_id) AS BIGINT) AS exact_distinct
+  FROM (SELECT DISTINCT day, user_id FROM e) du,
+       LATERAL (SELECT du.day + CAST(t.o AS INT) AS rday, du.user_id
+                FROM range(0, {HLL_ROLL_DAYS}) t(o)) f
+  JOIN days d ON d.day = f.rday
+  GROUP BY 1)
+SELECT CAST(est.rday AS VARCHAR) AS day,
+       est.est_distinct,
+       ex.exact_distinct,
+       CAST(CAST(1000000 AS HUGEINT) * (est.est_distinct - ex.exact_distinct)
+            // ex.exact_distinct AS BIGINT) AS err_ppm
+FROM est JOIN ex ON est.rday = ex.rday
+"""
+
+
 #: KMV (bottom-k minimum values / theta-sketch) geometry: the k
 #: smallest 60-bit md5-derived distinct-key hashes.  k = 64 so the
 #: fixture exercises BOTH estimator branches tri-scale: sf0.001 has
@@ -2475,6 +2659,7 @@ QUERIES = {
     "ndv_catalog_sweep": ndv_catalog_sweep,
     "portable_hll_registers": portable_hll_registers,
     "hll_upsert_equivalence": hll_upsert_equivalence,
+    "hll_rolling_distinct": hll_rolling_distinct,
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
@@ -2503,6 +2688,7 @@ ORACLES = {
     "ndv_catalog_sweep": NDV_CATALOG_ORACLE,
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
     "hll_upsert_equivalence": HLL_UPSERT_ORACLE,
+    "hll_rolling_distinct": HLL_ROLLING_ORACLE,
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,

