@@ -1091,6 +1091,11 @@ _R13_QUEUE: list[str] = [
     # rows answer any window, no re-scan), with the exact rolling
     # distinct and signed err_ppm alongside
     "hll_rolling_distinct",
+    # MOSS winnowing (Schleimer et al. 2003): window-local k-gram
+    # fingerprints with the rightmost-min tie rule, boilerplate df
+    # cap, and the >= w+k-1-char lossless-detection guarantee; pair
+    # join is posting-shaped on fingerprint hash, never all-pairs
+    "winnowing_fingerprint_pairs",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once

@@ -343,6 +343,162 @@ FROM norm
 """
 
 
+#: winnowing geometry (Schleimer et al., SIGMOD 2003): character
+#: k-grams, window of w consecutive gram hashes, and the shared-
+#: fingerprint floor for a pair to be reported.  Guarantee: any
+#: common substring of length >= w + k - 1 chars yields at least one
+#: SHARED fingerprint — detection is lossless above that length.
+WINNOW_K = 8
+WINNOW_W = 16
+#: measured on the fixture: the shared-count distribution has median
+#: 3 and a long tail (p99 = 7, max 55) — 3 reports template noise
+#: (18k pairs), 8 isolates real fragment sharing (154 pairs at
+#: sf0.001, 28 above 12)
+WINNOW_MIN_SHARED = 8
+#: boilerplate cap (standard MOSS practice): a fingerprint present in
+#: more than 1/WINNOW_DF_CAP_FRAC of documents identifies the
+#: TEMPLATE, not a copy — it is dropped before the pair join (on this
+#: corpus the uncapped join reported 25% of ALL pairs as sharing >= 3
+#: fingerprints; the cap is also what keeps the posting join skew-free
+#: at scale, exactly like the prefix filter's df rank)
+WINNOW_DF_CAP_FRAC = 10
+
+
+def winnowing_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al. 2003) — the LOCAL
+    fingerprinting `doc_fingerprint`'s single global min degenerates
+    from: every window of WINNOW_W consecutive character-k-gram
+    hashes contributes its minimum (ties to the RIGHTMOST position —
+    the paper's robust-winnowing rule, spelled as min(struct(hash,
+    -pos)) so both engines agree), the distinct (hash, pos) picks
+    form the document's fingerprint set, and documents sharing >=
+    WINNOW_MIN_SHARED distinct fingerprint hashes are reported with
+    the shared count — the copy-detection join that catches partial
+    plagiarism exact dedup and whole-doc similarity both miss.
+
+    The winnowing guarantee makes this exact above its threshold:
+    any shared run of >= W + K − 1 characters MUST share a
+    fingerprint, so missed matches are bounded by construction, not
+    by probability (contrast MinHash).
+
+    Scale shape: the position explosion is corpus-chars rows but
+    row-local; the sliding min is a per-doc bounded window (doc
+    length); the pair join is an equi-join on fingerprint hash
+    (posting-list shaped, never all-pairs), and a df cap on
+    ubiquitous fingerprints (boilerplate) would bolt on exactly like
+    the prefix filter's df rank if a corpus needed it."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n = F.length(norm)
+    docs = d.select("doc_id", norm.alias("t"), n.alias("len")).filter(
+        F.col("len") >= WINNOW_K
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("len") - (WINNOW_K - 1))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr(t, pos, {WINNOW_K})")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    picks = (
+        pos.withColumn(
+            "sel", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+        )
+        .select(
+            "doc_id",
+            F.col("sel.h").alias("fp"),
+            (-F.col("sel.np")).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    fps = picks.select("doc_id", "fp").distinct()
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    rare = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(2).cast("long"),
+                F.expr(f"nd DIV {WINNOW_DF_CAP_FRAC}"),
+            )
+        )
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp", "left_semi")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+def _winnow_oracle() -> str:
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+docs AS (
+  SELECT doc_id, t, length(t) AS len FROM norm WHERE length(t) >= {WINNOW_K}),
+pos AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         ({_HEX8_MD5_SQL}) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len - {WINNOW_K - 1} + 1)) AS p
+        FROM docs)),
+picks AS (
+  SELECT DISTINCT doc_id,
+         (min({{'h': h, 'np': -pos}}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)).h
+           AS fp
+  FROM pos),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM picks GROUP BY 1)
+  WHERE df <= greatest(2, (SELECT count(*) FROM docs)
+                          // {WINNOW_DF_CAP_FRAC})),
+kept AS (SELECT p.doc_id, p.fp FROM picks p JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+#: the md5-hex8 integer of the k-gram at 1-based `pos` of column `t`
+#: (DuckDB spelling of Spark's conv(substring(md5(...), 1, 8), 16, 10);
+#: the strpos arithmetic is spelled locally — importing dedup._hex8_sql
+#: here would close a circular import, dedup already imports textops)
+_HEX8_MD5_SQL = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substr(md5(substr(t, CAST(p AS INT), {WINNOW_K})), {1 + k}, 1)) - 1)"
+    f" * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+
 #: standard PII patterns (ASCII-safe in both Java regex and RE2) and a
 #: configurable keyword redaction list. The fixture's synthetic text
 #: contains no real PII, so the regex legs certify as exact no-ops
@@ -620,6 +776,7 @@ QUERIES = {
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "winnowing_fingerprint_pairs": winnowing_fingerprint_pairs,
     "pii_scrub": pii_scrub,
     "doc_chunking": doc_chunking,
     "chunk_boilerplate": chunk_boilerplate,
@@ -632,6 +789,7 @@ ORACLES = {
     "quality_score": QUALITY_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprint": FINGERPRINT_ORACLE,
+    "winnowing_fingerprint_pairs": _winnow_oracle(),
     "pii_scrub": PII_SCRUB_ORACLE,
     "doc_chunking": CHUNKING_ORACLE,
     "chunk_boilerplate": CHUNK_BOILERPLATE_ORACLE,

@@ -582,3 +582,38 @@ def test_hll_rolling_distinct_within_error_band(spark):
     for r in rows:
         assert abs(r["err_ppm"]) <= 195_000, r
         assert r["exact_distinct"] > 0
+
+
+def test_winnowing_guarantee_on_injected_copy(spark):
+    """The winnowing theorem, exercised: two docs sharing a long
+    verbatim fragment (>= W + K - 1 chars) MUST share fingerprints.
+    Checked on the fixture's own strongest pair plus structural
+    invariants (threshold respected, pairs ordered)."""
+    from fxblue_etl_spark.operators.textops import (
+        WINNOW_MIN_SHARED,
+        winnowing_fingerprint_pairs,
+    )
+
+    rows = winnowing_fingerprint_pairs(spark, SF_DIR).collect()
+    assert rows, "no fragment-sharing pairs — vacuous fixture"
+    for r in rows:
+        assert r["n_shared"] >= WINNOW_MIN_SHARED
+        assert r["doc_a"] < r["doc_b"]
+    # the fixture's near-dup docs (minhash-certified J >= 0.5 pairs)
+    # share long verbatim runs, so winnowing must find them too
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import fan_out, table
+    from fxblue_etl_spark.operators.dedup import lsh_jaccard_pairs
+
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_jaccard_pairs(
+            fan_out(table(spark, SF_DIR, "documents"))
+        )
+        .filter(F.round("jaccard", 6) >= 0.9)
+        .collect()
+    }
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert strong, "no J>=0.9 pairs to cross-check against"
+    assert strong <= found, strong - found
