@@ -995,6 +995,20 @@ _R12_CODE_CHANGED: list[str] = [
     # same plan, oracle text verified byte-identical, but the code
     # text changed, so it re-certifies in-window
     "llm_corpus_prep",
+    # round 12: _bloom_positions/_bloom_words extracted so
+    # bloom_upsert_equivalence and streaming_bloom_maintenance share
+    # the portable hash family byte-for-byte — plan/oracle unchanged,
+    # code text changed, so it re-certifies
+    "portable_bloom_contract",
+    # round 12: _rrf_rank_legs extracted for ranking_rbo_report's
+    # original draft; RRF's oracle text verified byte-identical, code
+    # text changed, so it re-certifies
+    "rrf_hybrid_fusion",
+    # round 12: the md5 bucket array moved to module level
+    # (_cms_md5_buckets) so countmin_upsert_equivalence shares the
+    # engine-neutral hash family — plan/oracle unchanged, code text
+    # changed, so it re-certifies
+    "portable_countmin_topk",
 ]
 
 #: Queries ADDED in round 12 — placed after the 50-window (the
@@ -1098,13 +1112,69 @@ _R13_QUEUE: list[str] = [
     "winnowing_fingerprint_pairs",
 ]
 
-#: ROUND-13 RE-CERT CANDIDATES — pre-planned at round-12 close once
-#: the window composition is final (the standing ledger pattern):
-#: after CORRECTNESS_r12 lands green, the stalest standing rows are
-#: the _R12_RECERT_CANDIDATES tail the 34-slot fill truncated,
-#: then the next-stalest era block, alphabetical within the round
-#: per the house staleness order.
-_R13_RECERT_CANDIDATES: list[str] = []
+#: ROUND-13 RE-CERT CANDIDATES (pre-planned at round-12 close, the
+#: standing ledger pattern): once CORRECTNESS_r12 lands green, the
+#: stalest standing rows are the 19 r5-era entries the 30-slot fill
+#: truncated (minus the three that re-enter through
+#: _R12_CODE_CHANGED), then the r6-era block — oldest latest-check
+#: first, alphabetical within the round, computed from
+#: CORRECTNESS_r01..r11 with the round-12 window exempted.
+_R13_RECERT_CANDIDATES: list[str] = [
+    "media_frame_schedule",
+    "pandas_grouped_agg_gini",
+    "pareto_frontier_parts",
+    "perplexity_bucket_cutoffs",
+    "portable_hll_registers",
+    "pq_adc_topk",
+    "pq_encode",
+    "pyds_manifest_reader_roundtrip",
+    "quality_lm_calibration",
+    "schema_evolution_roundtrip",
+    "setop_multiset_priorities",
+    "streaming_cdc_scd2",
+    "streaming_dlq_split",
+    "streaming_static_enrich",
+    "streaming_windowed_topk",
+    "token_frequency_spectrum",
+    "tokenizer_fertility",
+    "triplet_margin_mining",
+    "weighted_priority_sample",
+    "ann_recall_report",
+    "argmax_order_per_customer",
+    "capped_waterfill_allocation",
+    "catalog_snapshot_manifest",
+    "chi2_contingency_cells",
+    "collated_group_counts",
+    "corrupt_file_tolerant_read",
+    "csv_multiline_roundtrip",
+    "decimal_money_totals",
+    "dedup_pagerank_exact",
+    "file_metadata_lineage",
+    "formatted_number_parse",
+    "functional_dependency_audit",
+    "integer_division_semantics",
+    "jl_sign_projection",
+    "join_cardinality_estimate",
+    "knn_graph_build",
+    "knn_label_eval",
+    "listagg_top_customers",
+    "map_column_stats",
+    "map_in_arrow_char_profile",
+    "media_dedup_exact",
+    "ndv_catalog_sweep",
+    "ngram_novelty_scores",
+    "not_in_null_semantics",
+    "observed_ingest_metrics",
+    "order_status_transpose",
+    "pandas_api_lang_stats",
+    "parameterized_sql_orders",
+    "parquet_agg_pushdown_stats",
+    "pyds_stream_sink_roundtrip",
+    "rare_token_quality",
+    "rfm_segmentation",
+    "seasonal_naive_backtest",
+    "semantic_topic_slice",
+]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after

@@ -77,11 +77,18 @@ def test_rotation_lists_are_disjoint_and_registered():
         list(qs)[50 : 50 + len(e._R13_QUEUE)] == e._R13_QUEUE
     )
     # the truncation must drop only from the tail: every candidate
-    # excluded from the window is no staler than every included one
-    included = set(expected_head) & set(e._R12_RECERT_CANDIDATES)
-    dropped = [q for q in e._R12_RECERT_CANDIDATES if q not in included]
+    # excluded from the window is no staler than every included one.
+    # Code-changed entries enter through their own door, not the
+    # fill — exclude them from the tail-drop analysis (a candidate
+    # pulled in by a code change is not a fill decision).
+    cand = [
+        q for q in e._R12_RECERT_CANDIDATES
+        if q not in e._R12_CODE_CHANGED
+    ]
+    included = set(expected_head) & set(cand)
+    dropped = [q for q in cand if q not in included]
     if dropped:
-        order = {q: i for i, q in enumerate(e._R12_RECERT_CANDIDATES)}
+        order = {q: i for i, q in enumerate(cand)}
         assert min(order[q] for q in dropped) > max(
             order[q] for q in included
         ), "window fill must drop the least-stale tail, not the stale head"
@@ -397,6 +404,56 @@ def test_r12_recert_candidates_consistent():
     newest_included = max(rounds)
     exempt = (
         head50 | set(e._R12_QUEUE) | set(e._R11_CODE_CHANGED)
+        | {"flagship_account_pnl"}
+    )
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r13_recert_candidates_consistent():
+    """The pre-planned round-13 ledger must stay derivable: every
+    entry oracle-backed + registered + already driver-certified
+    (rounds 1-11; the round-12 window re-certs are excluded — they'll
+    be fresh), no overlap with the round-12 window head or the
+    _R13_QUEUE additions, ordered oldest-latest-check-first, holding
+    the globally stalest rows."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R13_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 54
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 11:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    # reconstruct the ROUND-12 window explicitly so later window
+    # flips cannot invalidate this pin
+    r12_head = ["flagship_account_pnl"] + e._R12_QUEUE
+    r12_head += [q for q in e._R12_CODE_CHANGED if q not in r12_head]
+    r12_fill = 50 - len(r12_head)
+    r12_head += [q for q in e._R12_RECERT_CANDIDATES if q not in r12_head][
+        :r12_fill
+    ]
+    head50 = set(r12_head)
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 12 already"
+        assert k not in e._R13_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    newest_included = max(rounds)
+    exempt = (
+        head50 | set(e._R13_QUEUE) | set(e._R12_CODE_CHANGED)
         | {"flagship_account_pnl"}
     )
     excluded = [
