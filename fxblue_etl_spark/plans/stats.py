@@ -20,6 +20,8 @@ The MCV pass is two map-side-combined aggregates, scale-linear.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -758,10 +760,8 @@ HLL_ROLL_DAYS = 7
 #: floor(1e6·ln(m/V)) for V = 1..m empty registers — computed ONCE
 #: here and injected as literals into BOTH engines, so no runtime ln
 #: ulp can diverge (the BENFORD_PPM discipline)
-import math as _math  # noqa: E402
-
 HLL_LINEAR_E6 = [
-    _math.floor(1e6 * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+    math.floor(1e6 * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
 ]
 
 
