@@ -77,6 +77,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "portable_qdigest_quantiles": "cumulative count over the ≤ ~3k q-digest sketch nodes",
     # round-11 additions
     "cusum_drift_monitor": "prefix sums over the calendar-bounded daily series",
+    "streaming_cusum_monitor": "the same certified CUSUM tail (cusum_from_daily) over the calendar-bounded daily state",
     "t_closeness_audit": "corpus CDF over the m=5 ordered priorities",
     "compaction_tier_plan": "prefix mass over the monthly manifest (~84 rows)",
     "kneser_ney_bigram_lm": "tournament merge over ≤ ways·k bigram survivors",
