@@ -1110,6 +1110,13 @@ _R13_QUEUE: list[str] = [
     # cap, and the >= w+k-1-char lossless-detection guarantee; pair
     # join is posting-shaped on fingerprint hash, never all-pairs
     "winnowing_fingerprint_pairs",
+    # MMR diversity re-ranking (Carbonell & Goldstein 1998): the
+    # serving step between plain top-k (redundant) and k-center
+    # (query-blind) — rel/max-sim recursion on the e3 integer grid,
+    # λ=1/2 cleared to 2·score = rel − maxsim, K packed-argmax rounds
+    # over a bounded relevance pool (the corpus-scaled work is one
+    # relevance pass + a tournament)
+    "mmr_diverse_topk",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES (pre-planned at round-12 close, the

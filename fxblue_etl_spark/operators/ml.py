@@ -1939,6 +1939,190 @@ FULL OUTER JOIN fullg f
 """
 
 
+#: MMR geometry: query vector id, relevance candidate-pool size,
+#: re-ranked results, and λ = 1/2 (score×2 = rel − max-sim, exact
+#: integer on the e3 grid)
+MMR_QUERY_VEC = 0
+MMR_POOL = 50
+MMR_K = 8
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware serving step between plain
+    top-k (`cosine_topk_bruteforce`: redundant near-duplicates crowd
+    the list) and pure diversity (`kcenter_coreset`: ignores the
+    query): each round picks the candidate maximizing
+    λ·rel(q, i) − (1−λ)·max_{j∈S} sim(i, j), trading relevance
+    against redundancy with what is already selected.
+
+    Exact integers end to end: rel and sim are e3-grid dot products
+    (int64), λ = 1/2 clears the score to ``2·score = rel − maxsim``,
+    and the per-round argmax uses the k-center packed struct-max
+    (min-id tie-break, no sort).  Round 1 is pure relevance (S = ∅).
+
+    Scale shape: the corpus-scaled work is ONE relevance pass + the
+    MMR_POOL tournament (the classic MMR deployment re-ranks a
+    bounded retrieval pool, not the corpus); the K rounds then run
+    on the ≤ MMR_POOL-row pool — each a broadcast of ONE new
+    selection and a row-local greatest() fold, `kcenter_coreset`'s
+    plan with max-similarity in place of min-distance."""
+    from ..io import release_local_checkpoint
+
+    emb = fan_out(table(tune(spark), sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e3).cast("long"),
+        ).alias("qv"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qvec = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("qv").alias("qq")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(qvec))  # 1-row query vector, by design
+        .select("vec_id", "qv", dot(F.col("qv"), F.col("qq")).alias("rel"))
+    )
+    w1 = Window.partitionBy(
+        F.pmod(F.col("vec_id"), F.lit(8))
+    ).orderBy(F.desc("rel"), F.asc("vec_id"))
+    w2 = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= MMR_POOL)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("vec_id", "qv", "rel")
+        .localCheckpoint()
+    )
+    state = pool.withColumn("msim", F.lit(None).cast("long"))
+    rows: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    for k in range(1, MMR_K + 1):
+        # 2·MMR score; round 1 (msim NULL) is pure relevance
+        score = F.col("rel") - F.coalesce(F.col("msim"), F.lit(0))
+        pick = (
+            state.filter(~F.col("vec_id").isin(chosen) if chosen else F.lit(True))
+            .agg(
+                F.max(
+                    F.struct(
+                        score.alias("s"),
+                        (-F.col("vec_id")).alias("nd"),
+                        F.col("rel").alias("r"),
+                        F.coalesce(F.col("msim"), F.lit(0)).alias("m"),
+                    )
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if pick is None:
+            break
+        vid = -pick["nd"]
+        rows.append((k, int(vid), int(pick["r"]), int(pick["m"])))
+        chosen.append(int(vid))
+        cv = pool.filter(F.col("vec_id") == vid).select(
+            F.col("qv").alias("cv")
+        )
+        new_state = (
+            state.crossJoin(F.broadcast(cv))
+            .select(
+                "vec_id",
+                "qv",
+                "rel",
+                F.greatest(
+                    F.coalesce(F.col("msim"), F.lit(-(1 << 62))),
+                    dot(F.col("qv"), F.col("cv")),
+                ).alias("msim"),
+            )
+            .localCheckpoint()
+        )
+        release_local_checkpoint(state)
+        state = new_state
+    release_local_checkpoint(state)
+    release_local_checkpoint(pool)
+    out = spark.createDataFrame(
+        rows, "rank int, vec_id long, rel long, msim_at_pick long"
+    )
+    return out.select(
+        "rank", "vec_id", "rel", "msim_at_pick",
+        (F.col("rel") - F.col("msim_at_pick")).cast("long").alias("mmr2"),
+    )
+
+
+def _mmr_oracle() -> str:
+    """MMR_K generated greedy rounds over the relevance pool —
+    the `greedy_max_cover_selection` oracle pattern applied to the
+    rel/max-sim recursion."""
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)])) AS BIGINT)"
+    )
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))
+           AS qv
+  FROM embeddings),
+qq AS (SELECT qv AS v FROM q WHERE vec_id = {MMR_QUERY_VEC}),
+scored AS (
+  SELECT q.vec_id, q.qv,
+         {dot.format(a="q.qv", b="qq.v")} AS rel
+  FROM q, qq WHERE q.vec_id != {MMR_QUERY_VEC}),
+pool AS MATERIALIZED (
+  SELECT vec_id, qv, rel
+  FROM scored
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id ASC) <= {MMR_POOL})"""
+    ]
+    parts.append(
+        f"""
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {dot.format(a="a.qv", b="b.qv")} AS s
+  FROM pool a JOIN pool b ON a.vec_id != b.vec_id)"""
+    )
+    for k in range(1, MMR_K + 1):
+        prev_sel = ", ".join(f"(SELECT vec_id FROM s{i})" for i in range(1, k))
+        notin = (
+            f"WHERE p.vec_id NOT IN ({prev_sel})" if k > 1 else ""
+        )
+        if k == 1:
+            ms = "CAST(0 AS BIGINT)"
+        else:
+            ms = (
+                f"(SELECT max(s.s) FROM sims s WHERE s.va = p.vec_id"
+                f" AND s.vb IN ({prev_sel}))"
+            )
+        parts.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, {ms} AS msim
+  FROM pool p {notin}),
+s{k} AS MATERIALIZED (
+  SELECT CAST(-(max({{'s': rel - msim, 'nd': -vec_id, 'r': rel,
+                      'm': msim}})).nd AS BIGINT) AS vec_id,
+         CAST((max({{'s': rel - msim, 'nd': -vec_id, 'r': rel,
+                     'm': msim}})).r AS BIGINT) AS rel,
+         CAST((max({{'s': rel - msim, 'nd': -vec_id, 'r': rel,
+                     'm': msim}})).m AS BIGINT) AS msim
+  FROM m{k})""")
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, rel, msim AS msim_at_pick,"
+        f" rel - msim AS mmr2 FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + legs
+
+
 #: k-center greedy geometry: coreset size and the argmax packing
 #: shift (dist*SHIFT + (SHIFT-1-vec_id) makes one max() both the
 #: farthest-point selector and its lowest-id tie-break; dm <= 1.03e9
@@ -3027,6 +3211,7 @@ QUERIES = {
     "dbscan_projection_clusters": dbscan_projection_clusters,
     "gram_upsert_equivalence": gram_upsert_equivalence,
     "kcenter_coreset": kcenter_coreset,
+    "mmr_diverse_topk": mmr_diverse_topk,
     "pq_encode": pq_encode,
     "pq_adc_topk": pq_adc_topk,
     "knn_label_eval": knn_label_eval,
@@ -3060,6 +3245,7 @@ ORACLES = {
     "dbscan_projection_clusters": _dbscan_oracle(),
     "gram_upsert_equivalence": GRAM_UPSERT_ORACLE,
     "kcenter_coreset": _kcenter_oracle(),
+    "mmr_diverse_topk": _mmr_oracle(),
     "pq_encode": PQ_ENCODE_ORACLE,
     "pq_adc_topk": PQ_ADC_ORACLE,
     "knn_label_eval": KNN_LABEL_ORACLE,

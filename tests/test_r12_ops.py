@@ -617,3 +617,31 @@ def test_winnowing_guarantee_on_injected_copy(spark):
     found = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert strong, "no J>=0.9 pairs to cross-check against"
     assert strong <= found, strong - found
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """MMR invariants: rank 1 is the pure-relevance argmax over the
+    pool; every pick's mmr2 equals rel − msim; and the selection
+    genuinely diverges from the plain top-K relevance list on this
+    fixture (the diversity term is load-bearing).  Note mmr2 is NOT
+    monotone across rounds: a candidate anti-correlated with the
+    selected set (negative max-sim) can out-score round 1's
+    pure-relevance pick — by design."""
+    from fxblue_etl_spark.operators.ml import (
+        MMR_K,
+        mmr_diverse_topk,
+    )
+
+    rows = sorted(
+        mmr_diverse_topk(spark, SF_DIR).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == MMR_K
+    assert rows[0]["msim_at_pick"] == 0
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+    for r in rows:
+        assert r["mmr2"] == r["rel"] - r["msim_at_pick"]
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    # diversity is load-bearing: MMR's picks differ from the pure
+    # relevance top-K ORDER
+    by_rel = sorted(rows, key=lambda r: (-r["rel"], r["vec_id"]))
+    assert [r["vec_id"] for r in rows] != [r["vec_id"] for r in by_rel]
