@@ -1117,6 +1117,11 @@ _R13_QUEUE: list[str] = [
     # over a bounded relevance pool (the corpus-scaled work is one
     # relevance pass + a tournament)
     "mmr_diverse_topk",
+    # split-conformal prediction gate: the distribution-free
+    # per-type upper bound (calibration k = ceil((n+1)(1-alpha))-th
+    # order statistic via the bucketed two-level cum — no per-type
+    # sort) with the test-split coverage audit in floor ppm
+    "conformal_quantile_gate",
 ]
 
 #: ROUND-13 RE-CERT CANDIDATES (pre-planned at round-12 close, the

@@ -753,6 +753,162 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM regs) AS n_registers,
 """
 
 
+#: split-conformal geometry: miscoverage α = NUM/DEN and the
+#: calibration/test split bucket (user-hash < 50 → calibration)
+CONF_A_NUM, CONF_A_DEN = 1, 10
+CONF_CAL_PCT = 50
+
+
+def conformal_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction gate (Vovk et al.; the
+    distribution-free upper bound every ML-ops anomaly gate should
+    use instead of a hand-tuned z-score): per event type, the
+    calibration split's ⌈(n+1)(1−α)⌉-th smallest value becomes the
+    threshold, and exchangeability alone guarantees the test split's
+    coverage ≥ 1−α in expectation — no normality assumption, unlike
+    `mad_outliers`' robust-z cousins.  All integer: values on the e4
+    grid, the conformal rank k = ⌈(n+1)(1−α)⌉ by ceiling division,
+    coverage in floor ppm.
+
+    Scale shape: the k-th order statistic per type is NOT a per-type
+    sort — the (type, value) grid takes the bucketed two-level
+    exclusive-cum (the two-sample/spearman spine pattern,
+    partitionBy(type, bucket) + a type-keyed offset frame), and the
+    threshold is min value whose inclusive cum clears k (one
+    aggregate).  The test-side audit is a broadcast threshold join.
+    """
+    from ..io import swap_cache
+
+    e = table(tune(spark), sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v"),
+        _stats_hash_bucket(F.col("user_id").cast("string"), "conf|", 100)
+        .alias("b"),
+    )
+    e = swap_cache("stats.conformal_rows", e)
+    cal = e.filter(F.col("b") < CONF_CAL_PCT)
+    grid = cal.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("c")
+    ).withColumn("bkt", (F.col("v") / SPEAR_BUCKET_W).cast("long"))
+    wloc = Window.partitionBy("event_type", "bkt").orderBy("v")
+    woff = Window.partitionBy("event_type").orderBy("bkt")
+    boff = grid.groupBy("event_type", "bkt").agg(
+        F.sum("c").alias("bc")
+    ).select(
+        "event_type",
+        "bkt",
+        F.coalesce(
+            F.sum("bc").over(woff.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+    )
+    cums = grid.join(F.broadcast(boff), ["event_type", "bkt"]).select(
+        "event_type",
+        "v",
+        (
+            F.coalesce(
+                F.sum("c").over(
+                    wloc.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            )
+            + F.col("off")
+        )
+        .cast("long")
+        .alias("cum_incl"),
+    )
+    k = cal.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cal")
+    ).select(
+        "event_type",
+        "n_cal",
+        F.expr(
+            f"((n_cal + 1) * ({CONF_A_DEN} - {CONF_A_NUM})"
+            f" + {CONF_A_DEN - 1}) DIV {CONF_A_DEN}"
+        )
+        .cast("long")
+        .alias("k_rank"),
+    )
+    thr = (
+        cums.join(F.broadcast(k), "event_type")
+        .filter(F.col("cum_incl") >= F.col("k_rank"))
+        .groupBy("event_type")
+        .agg(F.min("v").cast("long").alias("threshold_e4"))
+        .join(F.broadcast(k), "event_type")
+    )
+    test = e.filter(F.col("b") >= CONF_CAL_PCT)
+    return (
+        test.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n_cal", "k_rank", "threshold_e4")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum((F.col("v") <= F.col("threshold_e4")).cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "k_rank",
+            "threshold_e4",
+            "n_test",
+            "n_covered",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_covered"
+                " DIV n_test AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def _stats_hash_bucket(key, salt: str, mod: int):
+    from ..operators.corpusops import _hash_bucket
+
+    return _hash_bucket(key, salt, mod)
+
+
+def _conformal_oracle() -> str:
+    from ..operators.corpusops import _hash_bucket_sql
+
+    b = _hash_bucket_sql("CAST(user_id AS VARCHAR)", "conf|", 100)
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 1e4) AS BIGINT) AS v,
+         {b} AS b
+  FROM events),
+cal AS (SELECT * FROM e WHERE b < {CONF_CAL_PCT}),
+k AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+         ((count(*) + 1) * ({CONF_A_DEN} - {CONF_A_NUM})
+          + {CONF_A_DEN - 1}) // {CONF_A_DEN} AS k_rank
+  FROM cal GROUP BY 1),
+cums AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_incl
+  FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        FROM cal GROUP BY 1, 2)),
+thr AS (
+  SELECT c.event_type, CAST(min(c.v) AS BIGINT) AS threshold_e4
+  FROM cums c JOIN k USING (event_type)
+  WHERE c.cum_incl >= k.k_rank
+  GROUP BY 1)
+SELECT t.event_type, k.n_cal, CAST(k.k_rank AS BIGINT) AS k_rank,
+       thr.threshold_e4,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.v <= thr.threshold_e4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(CAST(1000000 AS HUGEINT)
+            * sum(CASE WHEN t.v <= thr.threshold_e4 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM e t JOIN thr USING (event_type) JOIN k USING (event_type)
+WHERE t.b >= {CONF_CAL_PCT}
+GROUP BY 1, 2, 3, 4
+"""
+
+
 #: rolling-distinct window width (days) for hll_rolling_distinct
 HLL_ROLL_DAYS = 7
 
@@ -2660,6 +2816,7 @@ QUERIES = {
     "portable_hll_registers": portable_hll_registers,
     "hll_upsert_equivalence": hll_upsert_equivalence,
     "hll_rolling_distinct": hll_rolling_distinct,
+    "conformal_quantile_gate": conformal_quantile_gate,
     "portable_kmv_setops": portable_kmv_setops,
     "portable_qdigest_quantiles": portable_qdigest_quantiles,
     "spearman_rank_corr": spearman_rank_corr,
@@ -2689,6 +2846,7 @@ ORACLES = {
     "portable_hll_registers": PORTABLE_HLL_ORACLE,
     "hll_upsert_equivalence": HLL_UPSERT_ORACLE,
     "hll_rolling_distinct": HLL_ROLLING_ORACLE,
+    "conformal_quantile_gate": _conformal_oracle(),
     "portable_kmv_setops": PORTABLE_KMV_ORACLE,
     "portable_qdigest_quantiles": PORTABLE_QDIGEST_ORACLE,
     "spearman_rank_corr": SPEARMAN_ORACLE,

@@ -645,3 +645,23 @@ def test_mmr_trades_relevance_for_diversity(spark):
     # relevance top-K ORDER
     by_rel = sorted(rows, key=lambda r: (-r["rel"], r["vec_id"]))
     assert [r["vec_id"] for r in rows] != [r["vec_id"] for r in by_rel]
+
+
+def test_conformal_gate_coverage_guarantee(spark):
+    """The conformal guarantee, empirically: every event type's test
+    coverage is >= 1 - alpha minus finite-sample slack (3 sigma of
+    a Bernoulli(0.9) mean at the observed n_test), the threshold is
+    a real calibration value, and k is the conformal rank."""
+    from fxblue_etl_spark.plans.stats import (
+        CONF_A_DEN,
+        CONF_A_NUM,
+        conformal_quantile_gate,
+    )
+
+    rows = conformal_quantile_gate(spark, SF_DIR).collect()
+    assert rows
+    target = 1 - CONF_A_NUM / CONF_A_DEN
+    for r in rows:
+        assert r["k_rank"] == -(-(r["n_cal"] + 1) * 9 // 10)
+        slack = 3 * (target * (1 - target) / r["n_test"]) ** 0.5
+        assert r["coverage_ppm"] / 1e6 >= target - slack, r
