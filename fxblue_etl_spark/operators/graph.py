@@ -693,7 +693,15 @@ def dedup_threshold_sensitivity(
         ngram_jaccard_pairs(spark, sf_dir).select(
             "doc_a",
             "doc_b",
-            (F.round("jaccard", 6) * 1e6).cast("long").alias("j_ppm"),
+            # round-to-nearest BEFORE the long cast: Spark's bare
+            # cast truncates while DuckDB's CAST AS BIGINT rounds,
+            # so doubles like 0.333333*1e6 = 333332.999... would
+            # differ by 1 ppm between engines for any threshold
+            # landing just below its integer boundary (round-12
+            # advice item 1)
+            F.round(F.round("jaccard", 6) * 1e6)
+            .cast("long")
+            .alias("j_ppm"),
         ),
     )
     out = None
@@ -752,7 +760,7 @@ FROM (SELECT component, count(*) AS sz FROM comp{t} GROUP BY 1)""")
     for t in DEDUP_T_PPM:
         closures.append(f"""pairs{t} AS (
   SELECT doc_a, doc_b FROM allp
-  WHERE CAST(round(jaccard, 6) * 1e6 AS BIGINT) >= {t}),
+  WHERE CAST(round(round(jaccard, 6) * 1e6) AS BIGINT) >= {t}),
 edges{t}(s, d) AS (
   SELECT doc_a, doc_b FROM pairs{t}
   UNION

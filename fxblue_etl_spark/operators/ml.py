@@ -2115,9 +2115,14 @@ s{k} AS MATERIALIZED (
          CAST((max({{'s': rel - msim, 'nd': -vec_id, 'r': rel,
                      'm': msim}})).m AS BIGINT) AS msim
   FROM m{k})""")
+    # vec_id IS NOT NULL: a pool smaller than MMR_K exhausts early —
+    # Spark's loop breaks and emits fewer rows, while max() over an
+    # empty m{k} would still emit one all-NULL row per remaining
+    # round; the guard makes both sides truncate identically
+    # (round-12 advice item 4 — unreachable at fixture scale)
     legs = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, vec_id, rel, msim AS msim_at_pick,"
-        f" rel - msim AS mmr2 FROM s{k}"
+        f" rel - msim AS mmr2 FROM s{k} WHERE vec_id IS NOT NULL"
         for k in range(1, MMR_K + 1)
     )
     return "WITH " + ",".join(parts) + "\n" + legs

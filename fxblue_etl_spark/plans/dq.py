@@ -714,17 +714,27 @@ def ivm_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("rmax"),
         )
     )
-    return merged.join(F.broadcast(repaired), "o_orderstatus", "left").select(
-        "o_orderstatus",
-        "n_orders",
-        "price_cents",
-        F.coalesce(F.col("rmin"), F.col("dmin"))
-        .cast("string")
-        .alias("first_date"),
-        F.coalesce(F.col("rmax"), F.col("dmax"))
-        .cast("string")
-        .alias("last_date"),
-        "minmax_repaired",
+    return (
+        merged.join(F.broadcast(repaired), "o_orderstatus", "left")
+        # a delete cohort that empties a whole group DROPS the group
+        # (matching the recompute oracle, which never sees it);
+        # without this the maintained side would emit n_orders=0
+        # with extremes coalesced to the deleted rows' dates
+        # (round-12 advice item 2 — unreachable on the TPC-H
+        # fixture, latent on degenerate data)
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "price_cents",
+            F.coalesce(F.col("rmin"), F.col("dmin"))
+            .cast("string")
+            .alias("first_date"),
+            F.coalesce(F.col("rmax"), F.col("dmax"))
+            .cast("string")
+            .alias("last_date"),
+            "minmax_repaired",
+        )
     )
 
 

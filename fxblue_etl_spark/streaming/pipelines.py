@@ -1918,6 +1918,98 @@ def streaming_bloom_maintenance(
     return state.pop("w").select("word_idx", "word")
 
 
+def streaming_hll_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the portable HyperLogLog — the
+    CARDINALITY member of the live incremental-gate family, closing
+    the mergeable-sketch story end-to-end (round-12 verdict item 5):
+    Bloom now has batch contract + streaming maintenance, HLL had
+    only the batch ``hll_upsert_equivalence`` and the vintage
+    roll-up (``hll_rolling_distinct``) — this is the sketch a 100 TB
+    ingest actually maintains LIVE.
+
+    Each micro-batch of events collapses to its partial register
+    table (``plans.stats.hll_register_table`` over the batch's
+    event_ids — ≤ HLL_M = 256 rows leave the batch) and MAX-merges
+    into the carried state.  Register tables are per-bucket maxima,
+    so the final state must equal the batch build REGISTER-FOR-
+    REGISTER — the oracle IS the batch register build (same hash
+    family, zero tolerance), and MAX's idempotence means replayed
+    keys across micro-batches cannot corrupt state.
+
+    State is BOUNDED at 256 rows regardless of stream length —
+    foreachBatch, no state store; per batch one coalesce(1)
+    checkpoint supersedes the previous (released eagerly)."""
+    from ..io import release_local_checkpoint
+    from ..plans.stats import hll_register_table
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "events", "event_id", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        regs = hll_register_table(batch_df.select("event_id"), "event_id")
+        if "r" in state:
+            merged = (
+                state["r"]
+                .unionByName(regs)
+                .groupBy("bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["r"])
+        else:
+            new = regs.coalesce(1).localCheckpoint()
+        state["r"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return (
+        state.pop("r")
+        .select("bucket", F.col("rho").cast("long").alias("rho"))
+    )
+
+
+def _hll_regs_oracle() -> str:
+    """The streaming maintenance must equal the BATCH register table
+    exactly — the same 60-bit md5 hash family as the batch contracts
+    in plans/stats.py."""
+    from ..plans.stats import HLL_M, HLL_W, _hex15_sql
+
+    return f"""
+WITH h AS (
+  SELECT ({_hex15_sql("md5(CAST(event_id AS VARCHAR))")}) AS h
+  FROM events),
+x AS (
+  SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS r FROM h),
+rr AS (
+  SELECT bucket,
+         CASE WHEN r = 0 THEN {HLL_W + 1}
+              ELSE strpos(lpad(bin(r), {HLL_W}, '0'), '1') END AS rho
+  FROM x)
+SELECT bucket, CAST(max(rho) AS BIGINT) AS rho FROM rr GROUP BY 1
+"""
+
+
 def _bloom_words_oracle() -> str:
     """The streaming maintenance must equal the BATCH word table
     exactly — the same member set and hash family as the batch
@@ -2177,6 +2269,7 @@ QUERIES = {
     "streaming_kmv_distinct": streaming_kmv_distinct,
     "streaming_gram_maintenance": streaming_gram_maintenance,
     "streaming_bloom_maintenance": streaming_bloom_maintenance,
+    "streaming_hll_maintenance": streaming_hll_maintenance,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
@@ -2192,6 +2285,7 @@ ORACLES = {
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_gram_maintenance": _gram_oracle_ref(),
     "streaming_bloom_maintenance": _bloom_words_oracle(),
+    "streaming_hll_maintenance": _hll_regs_oracle(),
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

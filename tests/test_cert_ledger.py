@@ -30,7 +30,7 @@ def test_every_oracle_query_is_certified_or_queued():
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
         | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
         | set(e._R10_QUEUE) | set(e._R11_QUEUE) | set(e._R12_QUEUE)
-        | set(e._R13_QUEUE)
+        | set(e._R13_QUEUE) | set(e._R14_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -53,28 +53,30 @@ def test_rotation_lists_are_disjoint_and_registered():
         + e._R10_CODE_CHANGED + e._R10_RECERT_CANDIDATES + e._R11_QUEUE
         + e._R11_CODE_CHANGED + e._R11_RECERT_CANDIDATES + e._R12_QUEUE
         + e._R12_CODE_CHANGED + e._R12_RECERT_CANDIDATES + e._R13_QUEUE
+        + e._R13_CODE_CHANGED + e._R13_RECERT_CANDIDATES + e._R14_QUEUE
+        + e._R14_RECERT_CANDIDATES
         if k not in qs
     ]
     assert missing == []
-    # ROUND-12 WINDOW PIN (standing rotation cadence): the driver's
-    # window is exactly 50 = flagship + the _R12_QUEUE fifteen
-    # (the never-driver-checked round-11 additions) + round-12
+    # ROUND-13 WINDOW PIN (standing rotation cadence): the driver's
+    # window is exactly 50 = flagship + the _R13_QUEUE twenty
+    # (the never-driver-checked round-12 additions) + round-13
     # lineage-changed re-certs + the stalest standing rows, truncated
     # from the candidates' least-stale TAIL.  A re-shuffle that
     # displaces stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R12_QUEUE
+    expected_head = ["flagship_account_pnl"] + e._R13_QUEUE
     expected_head += [
-        q for q in e._R12_CODE_CHANGED if q not in expected_head
+        q for q in e._R13_CODE_CHANGED if q not in expected_head
     ]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R12_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R13_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
-    # round-12 additions must head round 13's rotation, right after
+    # round-13 additions must head round 14's rotation, right after
     # the window, so the never-driver-checked debt clears next round
     assert (
-        list(qs)[50 : 50 + len(e._R13_QUEUE)] == e._R13_QUEUE
+        list(qs)[50 : 50 + len(e._R14_QUEUE)] == e._R14_QUEUE
     )
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one.
@@ -82,8 +84,8 @@ def test_rotation_lists_are_disjoint_and_registered():
     # fill — exclude them from the tail-drop analysis (a candidate
     # pulled in by a code change is not a fill decision).
     cand = [
-        q for q in e._R12_RECERT_CANDIDATES
-        if q not in e._R12_CODE_CHANGED
+        q for q in e._R13_RECERT_CANDIDATES
+        if q not in e._R13_CODE_CHANGED
     ]
     included = set(expected_head) & set(cand)
     dropped = [q for q in cand if q not in included]
