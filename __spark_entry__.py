@@ -1205,6 +1205,22 @@ _R14_QUEUE: list[str] = [
     # idempotence makes replays harmless) — the cardinality sketch a
     # 100 TB ingest maintains live, certified live
     "streaming_hll_maintenance",
+    # the frequency member completing the live sketch trio: CMS
+    # counter tables SUM-merge per batch into d·w bounded state; the
+    # oracle IS the batch counter table, and because SUM is not
+    # idempotent the gate also certifies exactly-once batch delivery
+    "streaming_cms_maintenance",
+    # EWMA control chart (Roberts 1959): the third classical drift
+    # monitor next to CUSUM and the retrospective changepoint — with
+    # α = 1/4 the recursion is an integer shift ((x + 3s) >> 2), the
+    # ±50% alarm band is plain integer compare, and the oracle
+    # replays the recursion as a weekly-grain recursive CTE
+    "ewma_control_chart",
+    # FastSS deletion-neighborhood blocking (Bocek et al. 2007): the
+    # LOSSLESS edit-distance-1 similarity join — variants equi-join,
+    # never all-pairs; the oracle is the all-pairs levenshtein truth
+    # so the hash match certifies the blocking lost nothing
+    "fastss_editdist1_pairs",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -1180,6 +1180,71 @@ WHERE levenshtein(a.text, b.text) * {LEV_RATIO} <= least(a.n_chars, b.n_chars)
 """
 
 
+def fastss_editdist1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity join by DELETION-NEIGHBORHOOD
+    blocking (FastSS, Bocek et al. 2007) — the LOSSLESS counterpart
+    of `edit_distance_pairs`' length-band heuristic: two strings are
+    within edit distance 1 iff they share a member of their deletion
+    neighborhoods (the string itself plus every single-character
+    deletion), so the equi-join on variants provably finds EVERY
+    ed ≤ 1 pair — substitution pairs share the deletion at the
+    differing position, insert/delete pairs contain each other's
+    full string.  The oracle is the all-pairs levenshtein truth (the
+    |len diff| ≤ 1 prefilter is implied by the threshold), so the
+    hash match certifies the blocking lost nothing.
+
+    Substrate: customer names — the entity-key-typo shape record
+    linkage dedupes (the documents fixture's 31-token vocabulary is
+    too small to exercise blocking).  Scale shape: len+1 variants
+    per name (posting-shaped explode), one variant equi-join (never
+    all-pairs — that's the oracle's job), one O(len) levenshtein per
+    candidate.  At 100 TB the variant table is (len+1)·|names| rows
+    and the join is bucket-shaped on variant hash."""
+    c = table(tune(spark), sf_dir, "customer").select("c_name")
+    variants = c.select(
+        F.col("c_name").alias("name"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)),"
+                    " i -> concat(substring(c_name, 1, i - 1),"
+                    " substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 1)
+
+
+FASTSS_ED1_ORACLE = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name
+ AND abs(len(a.c_name) - len(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment over the LSH candidate pairs:
     ``|A∩B| / |A|`` (and ``/ |B|``) as integer ppm. Jaccard misses
@@ -1925,6 +1990,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "snm_sorted_neighborhood_pairs": snm_sorted_neighborhood_pairs,
     "edit_distance_pairs": edit_distance_pairs,
+    "fastss_editdist1_pairs": fastss_editdist1_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "chunk_lsh_neardup": chunk_lsh_neardup,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
@@ -1946,6 +2012,7 @@ ORACLES = {
     "snm_sorted_neighborhood_pairs": SNM_ORACLE,
     "cdc_chunk_dedup": _cdc_oracle(),
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
+    "fastss_editdist1_pairs": FASTSS_ED1_ORACLE,
     "minhash_lsh_pairs": MINHASH_ORACLE,
     "chunk_lsh_neardup": CHUNK_LSH_ORACLE,
     "chunk_dedup_rewrite": _chunk_rewrite_oracle(),

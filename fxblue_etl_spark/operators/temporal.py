@@ -1393,6 +1393,124 @@ FROM sides sd JOIN st ON st.idx = sd.peak_idx
 """
 
 
+#: EWMA chart geometry: smoothing α = 1/4 (s' = (x + 3s) >> 2 — the
+#: shift keeps the recursion integer-exact with floor semantics both
+#: engines share on non-negative values) and the relative alarm band
+#: (alarm when 2·|x − s_prev| > s_prev, i.e. a ±50% departure from
+#: the smoothed baseline)
+EWMA_SHIFT = 2
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over the per-priority weekly
+    spend series — the third classical drift monitor next to CUSUM
+    (`cusum_drift_monitor`, accumulating) and the retrospective
+    changepoint (`changepoint_detection`, single split): EWMA reacts
+    to LEVEL shifts with exponentially-forgotten memory, the chart
+    ops teams actually keep per segment.
+
+    Integer discipline: with α = 1/4 the recursion clears to
+    s_t = (x_t + 3·s_{t-1}) >> 2 — a shift, exact on the non-negative
+    cents domain and identical to DuckDB's // 4 floor; the alarm test
+    2·|x − s_prev| > s_prev and the deviation mass Σ|x − s_prev| are
+    plain integer arithmetic, so the whole chart is float-free.  The
+    week key is epoch-day // 7 — engine-neutral, no ISO-week
+    semantics.  The oracle replays the recursion as a recursive CTE
+    (frontier = one row per priority, depth = calendar weeks — the
+    weekly grain keeps the oracle's sequential replay ~1 s where the
+    daily grain measured 24 s; the Spark fold is grain-indifferent).
+
+    Scale shape: ONE data-scaled partial aggregate (week × priority),
+    then a 5-row fold over calendar-bounded arrays (`F.aggregate`,
+    row-local — no window, no shuffle beyond the group-by).  At
+    100 TB the fold input is still |calendar| × |segments| rows."""
+    o = table(tune(spark), sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
+        .cast("long")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    arr = daily.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list(F.struct("wk", "cents"))).alias("xs")
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("alarms"),
+        F.lit(0).cast("long").alias("dev"),
+    )
+
+    def step(acc, x):
+        first = acc["s"] < 0
+        dev = F.abs(x["cents"] - acc["s"])
+        return F.struct(
+            F.when(first, x["cents"])
+            .otherwise(
+                F.shiftright(x["cents"] + 3 * acc["s"], EWMA_SHIFT)
+            )
+            .cast("long")
+            .alias("s"),
+            (
+                acc["alarms"]
+                + F.when(
+                    ~first & (2 * dev > acc["s"]), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alarms"),
+            (acc["dev"] + F.when(first, F.lit(0)).otherwise(dev))
+            .cast("long")
+            .alias("dev"),
+        )
+
+    folded = arr.select(
+        "o_orderpriority",
+        F.size("xs").cast("long").alias("n_weeks"),
+        F.aggregate("xs", init, step).alias("acc"),
+    )
+    return folded.select(
+        "o_orderpriority",
+        "n_weeks",
+        F.col("acc.s").alias("ewma_final"),
+        F.col("acc.alarms").alias("n_alarms"),
+        F.col("acc.dev").alias("dev_mass"),
+    ).orderBy("o_orderpriority")
+
+
+EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS pr,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT pr, cents,
+         row_number() OVER (PARTITION BY pr ORDER BY wk) AS i
+  FROM daily),
+r AS (
+  SELECT pr, i, cents AS s, CAST(0 AS BIGINT) AS alarms,
+         CAST(0 AS BIGINT) AS dev
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.pr, x.i, (x.cents + 3 * r.s) // 4,
+         r.alarms + CASE WHEN 2 * abs(x.cents - r.s) > r.s
+                         THEN 1 ELSE 0 END,
+         r.dev + abs(x.cents - r.s)
+  FROM r JOIN idx x ON x.pr = r.pr AND x.i = r.i + 1)
+SELECT pr AS o_orderpriority,
+       CAST(max(i) AS BIGINT) AS n_weeks,
+       CAST(max_by(s, i) AS BIGINT) AS ewma_final,
+       CAST(max_by(alarms, i) AS BIGINT) AS n_alarms,
+       CAST(max_by(dev, i) AS BIGINT) AS dev_mass
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-segment change-point detection over the daily spend
     series — the drift-detection primitive behind "did the
@@ -1651,6 +1769,7 @@ QUERIES = {
     "scd2_asof_consistency": scd2_asof_consistency,
     "changepoint_detection": changepoint_detection,
     "cusum_drift_monitor": cusum_drift_monitor,
+    "ewma_control_chart": ewma_control_chart,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
@@ -1677,6 +1796,7 @@ ORACLES = {
     "scd2_asof_consistency": _asof_consistency_oracle(),
     "changepoint_detection": CHANGEPOINT_ORACLE,
     "cusum_drift_monitor": CUSUM_ORACLE,
+    "ewma_control_chart": EWMA_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,

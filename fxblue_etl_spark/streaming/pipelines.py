@@ -2010,6 +2010,109 @@ SELECT bucket, CAST(max(rho) AS BIGINT) AS rho FROM rr GROUP BY 1
 """
 
 
+def streaming_cms_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the portable Count-Min sketch — the
+    FREQUENCY member completing the live incremental-gate trio
+    (Bloom OR-merges, HLL MAX-merges, CMS SUM-merges): with this the
+    three portable sketches a 100 TB ingest serves membership /
+    cardinality / frequency from are ALL certified live against
+    their batch rebuilds, not just as batch contracts.
+
+    Each micro-batch of lineitem collapses to its partial counter
+    table (the engine-neutral ``_cms_md5_buckets`` hash family over
+    the batch's l_partkeys — ≤ d·w = 32,768 cells leave the batch)
+    and SUM-merges into the carried state.  Counter tables are
+    per-cell sums, so the final state must equal the batch build
+    CELL-FOR-CELL — the oracle IS the batch counter table.  One
+    semantic difference from the OR/MAX siblings, stated rather than
+    hidden: SUM is NOT idempotent, so this gate additionally
+    certifies the harness's exactly-once batch delivery (a replayed
+    micro-batch would show up as a cell-mass surplus against the
+    rebuild, which OR/MAX would silently absorb).
+
+    State is BOUNDED at d·w cells regardless of stream length —
+    foreachBatch, no state store; per batch one coalesce(1)
+    checkpoint supersedes the previous (released eagerly)."""
+    from ..io import release_local_checkpoint
+    from ..operators.temporal import _cms_md5_buckets
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "lineitem", "l_orderkey", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.explode(_cms_md5_buckets(F.col("l_partkey"))).alias("db")
+            )
+            .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        if "c" in state:
+            merged = (
+                state["c"]
+                .unionByName(part)
+                .groupBy("d", "b")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["c"])
+        else:
+            new = part.coalesce(1).localCheckpoint()
+        state["c"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return state.pop("c").select(
+        F.col("d").cast("long").alias("d"),
+        F.col("b").cast("long").alias("b"),
+        "cnt",
+    )
+
+
+def _cms_counter_oracle() -> str:
+    """The streaming maintenance must equal the BATCH counter table
+    exactly — the same engine-neutral md5 hash family as the batch
+    contracts in operators/temporal.py."""
+    from ..operators.dedup import _hex8_sql
+    from ..operators.temporal import _CMS_DEPTH, _CMS_WIDTH
+
+    def leg(i: int) -> str:
+        md5_sql = f"md5('cms{i}|' || CAST(l_partkey AS VARCHAR))"
+        return (
+            f"SELECT {i} AS d, ({_hex8_sql(md5_sql, 1)}) % {_CMS_WIDTH}"
+            " AS b FROM lineitem"
+        )
+
+    legs = " UNION ALL ".join(leg(i) for i in range(_CMS_DEPTH))
+    return f"""
+WITH pos AS ({legs})
+SELECT CAST(d AS BIGINT) AS d, CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pos GROUP BY 1, 2
+"""
+
+
 def _bloom_words_oracle() -> str:
     """The streaming maintenance must equal the BATCH word table
     exactly — the same member set and hash family as the batch
@@ -2270,6 +2373,7 @@ QUERIES = {
     "streaming_gram_maintenance": streaming_gram_maintenance,
     "streaming_bloom_maintenance": streaming_bloom_maintenance,
     "streaming_hll_maintenance": streaming_hll_maintenance,
+    "streaming_cms_maintenance": streaming_cms_maintenance,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
@@ -2286,6 +2390,7 @@ ORACLES = {
     "streaming_gram_maintenance": _gram_oracle_ref(),
     "streaming_bloom_maintenance": _bloom_words_oracle(),
     "streaming_hll_maintenance": _hll_regs_oracle(),
+    "streaming_cms_maintenance": _cms_counter_oracle(),
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

@@ -64,6 +64,41 @@ def test_streaming_hll_matches_batch_register_table(spark):
     assert streamed == batch
 
 
+def test_streaming_cms_matches_batch_and_multibatch(spark):
+    """Incremental ≡ rebuild for the streaming CMS maintenance: the
+    multi-split streamed counter state equals the single-split
+    (≡ batch) state cell-for-cell — because SUM is not idempotent,
+    this equality also certifies exactly-once batch delivery."""
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_cms_maintenance,
+    )
+
+    progress: list = []
+    multi = sorted(
+        map(
+            tuple,
+            streaming_cms_maintenance(
+                spark, SF_DIR, progress, n_splits=4
+            ).collect(),
+        )
+    )
+    single = sorted(
+        map(
+            tuple,
+            streaming_cms_maintenance(spark, SF_DIR, n_splits=1).collect(),
+        )
+    )
+    assert multi == single
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 4
+    # total cell mass = depth × row count (every key lands in every row)
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.temporal import _CMS_DEPTH
+
+    n = table(spark, SF_DIR, "lineitem").count()
+    assert sum(r[2] for r in single) == _CMS_DEPTH * n
+
+
 def test_simhash_sigs_exclude_empty_docs(spark):
     """Advice item 3 pin: a whitespace-only document gets NO SimHash
     signature (the all-zero signature would pair every empty doc at
