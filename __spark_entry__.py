@@ -1221,6 +1221,23 @@ _R14_QUEUE: list[str] = [
     # never all-pairs; the oracle is the all-pairs levenshtein truth
     # so the hash match certifies the blocking lost nothing
     "fastss_editdist1_pairs",
+    # Mann-Kendall monotonic-trend test (Kendall 1975): the
+    # significance companion to theilsen_trend — S and the
+    # tie-corrected 18·Var(S) exact integers, the 95% test cleared
+    # to (|S|−1)²·18·2500 > 9604·var18 (z² as a rational), per
+    # priority segment over the calendar-bounded weekly pair grid
+    "mann_kendall_trend",
+    # Cohen's kappa between the marker language classifier and the
+    # stored label: chance-corrected agreement as exact floor-ppm
+    # rationals (κ can be negative — portable positive-mod floor
+    # division keeps Spark DIV and DuckDB // identical)
+    "classifier_agreement_kappa",
+    # append-side IVM for sessionization — the non-algebraic member
+    # of the incremental family: only the boundary (last standing
+    # session vs first delta session) can merge, so the repair is
+    # one users-sized join; the oracle recomputes AND replays which
+    # users took the merge path
+    "incremental_session_maintenance",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

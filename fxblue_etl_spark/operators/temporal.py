@@ -1763,6 +1763,168 @@ FROM med, stats
 """
 
 
+#: Mann-Kendall critical value as an exact rational: z²(0.975) =
+#: 1.96² = 9604/2500 — the significance test clears to the integer
+#: compare (|S|−1)²·18·2500 > 9604·var18 (var18 = 18·Var(S), itself
+#: exact via the tie-corrected formula)
+MK_Z2_NUM, MK_Z2_DEN = 9604, 2500
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST per priority segment — the
+    significance companion to `theilsen_trend` (that one estimates
+    the robust slope; this one answers "is there a monotonic trend
+    at all?" without assuming linearity or any distribution):
+    S = Σ_{i<j} sign(y_j − y_i) over the weekly spend series, with
+    the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)] / 18 (Kendall 1975).
+
+    Everything is integer-exact: S is a sum of signs, var18 carries
+    18·Var(S) un-divided, and the 95% two-sided test with continuity
+    correction clears to (|S|−1)²·18·2500 > 9604·var18 (z² = 1.96²
+    as the exact rational 9604/2500) — no sqrt, no float, both
+    engines agree bit-for-bit.
+
+    Scale shape: ONE data-scaled partial aggregate (week ×
+    priority); the pair grid is (calendar weeks)²/2 per segment —
+    calendar-bounded (~65k pairs per priority on the 7-year domain),
+    the `theilsen_trend` class.  At 100 TB the pair grid does not
+    grow."""
+    from ..io import swap_cache
+
+    o = table(tune(spark), sf_dir, "orders")
+    # one data-scaled scan; the weekly frame (calendar × priorities)
+    # feeds three aggregates (S, n, ties) — cache it so the corpus
+    # is read once
+    weekly = swap_cache(
+        "temporal.mk_weekly",
+        o.groupBy(
+            "o_orderpriority",
+            F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
+            .cast("long")
+            .alias("wk"),
+        ).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        ),
+    )
+    a = weekly.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("wk").alias("wi"),
+        F.col("cents").alias("yi"),
+    )
+    b = weekly.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("wk").alias("wj"),
+        F.col("cents").alias("yj"),
+    )
+    s = (
+        a.join(b, ["pr"])
+        .filter(F.col("wi") < F.col("wj"))
+        .groupBy("pr")
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), 1)
+                .when(F.col("yj") < F.col("yi"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+        )
+    )
+    nt = weekly.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_weeks")
+    )
+    ties = (
+        weekly.groupBy("o_orderpriority", "cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    merged = (
+        nt.join(ties, "o_orderpriority")
+        .join(
+            s.withColumnRenamed("pr", "o_orderpriority"),
+            "o_orderpriority",
+        )
+        .select(
+            "o_orderpriority",
+            "n_weeks",
+            "s_stat",
+            (
+                F.col("n_weeks")
+                * (F.col("n_weeks") - 1)
+                * (2 * F.col("n_weeks") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+            "tie_term",
+        )
+    )
+    sig = (
+        (F.abs(F.col("s_stat")) - 1)
+        * (F.abs(F.col("s_stat")) - 1)
+        * F.lit(18 * MK_Z2_DEN)
+        > F.lit(MK_Z2_NUM) * F.col("var18")
+    ) & (F.abs(F.col("s_stat")) >= 1)
+    return merged.select(
+        "o_orderpriority",
+        "n_weeks",
+        "s_stat",
+        "var18",
+        "tie_term",
+        sig.cast("int").alias("significant"),
+        F.when(F.col("s_stat") > 0, F.lit("inc"))
+        .when(F.col("s_stat") < 0, F.lit("dec"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    ).orderBy("o_orderpriority")
+
+
+MANN_KENDALL_ORACLE = f"""
+WITH weekly AS (
+  SELECT o_orderpriority AS pr,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT a.pr,
+         CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM weekly a JOIN weekly b ON a.pr = b.pr AND a.wk < b.wk
+  GROUP BY 1),
+nt AS (SELECT pr, CAST(count(*) AS BIGINT) AS n_weeks FROM weekly GROUP BY 1),
+ties AS (
+  SELECT pr, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT pr, cents, count(*) AS t FROM weekly GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT nt.pr AS o_orderpriority, nt.n_weeks, s.s_stat,
+       CAST(nt.n_weeks * (nt.n_weeks - 1) * (2 * nt.n_weeks + 5)
+            - ties.tie_term AS BIGINT) AS var18,
+       ties.tie_term,
+       CAST(CASE WHEN abs(s.s_stat) >= 1
+                  AND (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1)
+                      * {18 * MK_Z2_DEN}
+                      > {MK_Z2_NUM} * (nt.n_weeks * (nt.n_weeks - 1)
+                        * (2 * nt.n_weeks + 5) - ties.tie_term)
+            THEN 1 ELSE 0 END AS INT) AS significant,
+       CASE WHEN s.s_stat > 0 THEN 'inc'
+            WHEN s.s_stat < 0 THEN 'dec' ELSE 'flat' END AS direction
+FROM nt JOIN ties ON nt.pr = ties.pr JOIN s ON nt.pr = s.pr
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -1770,6 +1932,7 @@ QUERIES = {
     "changepoint_detection": changepoint_detection,
     "cusum_drift_monitor": cusum_drift_monitor,
     "ewma_control_chart": ewma_control_chart,
+    "mann_kendall_trend": mann_kendall_trend,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
@@ -1797,6 +1960,7 @@ ORACLES = {
     "changepoint_detection": CHANGEPOINT_ORACLE,
     "cusum_drift_monitor": CUSUM_ORACLE,
     "ewma_control_chart": EWMA_ORACLE,
+    "mann_kendall_trend": MANN_KENDALL_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,

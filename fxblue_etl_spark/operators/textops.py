@@ -771,6 +771,127 @@ FROM cells
 """
 
 
+def _kappa_floordiv(num: str, den: str, div_op: str) -> str:
+    """Portable FLOOR division for possibly-negative numerators —
+    the ``operators.ml._pmod_floordiv`` idiom, inlined here because
+    importing ml at module-exec time closes an import cycle
+    (textops ← dedup ← ml)."""
+    return (
+        f"(({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) "
+        f"{div_op} ({den})"
+    )
+
+
+def classifier_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between the marker-based language classifier and
+    the stored label — the CHANCE-CORRECTED agreement statistic next
+    to `langid_confusion`'s raw matrix (a classifier that answers
+    'en' for everything scores 40% raw agreement on a 40%-English
+    corpus but κ = 0; model-assisted pipeline gates should publish
+    the corrected number).
+
+    Exact-rational arithmetic end to end: with N docs, D observed
+    agreements and chance mass C = Σ_k row_k·col_k,
+
+        κ = (N·D − C) / (N² − C)
+
+    emitted as floor-ppm via the portable positive-mod floor
+    division (κ can be negative, where Spark DIV truncates but
+    DuckDB // floors) alongside floor-ppm p_o = D/N and
+    p_e = C/N².  No float touches the statistic.
+
+    Scale shape: one row-local scoring pass, one catalog-bounded
+    cell aggregate (≤ |langs|² rows), then margins and the κ
+    quotient on a single-row frame — the corpus is scanned once."""
+    preds = lang_id(spark, sf_dir).select("label_lang", "pred_lang")
+    cells = preds.groupBy("label_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rows = cells.groupBy(F.col("label_lang").alias("k")).agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    cols = cells.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.sum("n").cast("long").alias("col_n")
+    )
+    chance = (
+        rows.join(cols, "k")
+        .agg(
+            F.sum(F.col("row_n") * F.col("col_n"))
+            .cast("long")
+            .alias("chance_mass")
+        )
+    )
+    base = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("label_lang") == F.col("pred_lang"), F.col("n")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return (
+        base.crossJoin(F.broadcast(chance))
+        .select(
+            "n_docs",
+            "n_agree",
+            "chance_mass",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_agree"
+                " DIV n_docs AS BIGINT)"
+            ).alias("po_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * chance_mass"
+                " DIV (n_docs * n_docs) AS BIGINT)"
+            ).alias("pe_ppm"),
+            F.expr(
+                "CAST("
+                + _kappa_floordiv(
+                    "CAST(1000000 AS DECIMAL(38,0))"
+                    " * (n_docs * n_agree - chance_mass)",
+                    "(n_docs * n_docs - chance_mass)",
+                    "DIV",
+                )
+                + " AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+def _kappa_oracle() -> str:
+    kappa = _kappa_floordiv(
+        "CAST(1000000 AS HUGEINT) * (n_docs * n_agree - chance_mass)",
+        "(n_docs * n_docs - chance_mass)",
+        "//",
+    )
+    return f"""
+WITH preds AS ({LANG_ID_ORACLE}),
+cells AS (
+  SELECT label_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM preds GROUP BY 1, 2),
+marg AS (
+  SELECT CAST(sum(r.row_n * c.col_n) AS BIGINT) AS chance_mass
+  FROM (SELECT label_lang AS k, sum(n) AS row_n FROM cells GROUP BY 1) r
+  JOIN (SELECT pred_lang AS k, sum(n) AS col_n FROM cells GROUP BY 1) c
+    ON r.k = c.k),
+base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN label_lang = pred_lang THEN n ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM cells)
+SELECT n_docs, n_agree, chance_mass,
+       CAST(CAST(1000000 AS HUGEINT) * n_agree // n_docs AS BIGINT)
+         AS po_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * chance_mass
+            // (n_docs * n_docs) AS BIGINT) AS pe_ppm,
+       CAST({kappa} AS BIGINT) AS kappa_ppm
+FROM base, marg
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -782,6 +903,7 @@ QUERIES = {
     "chunk_boilerplate": chunk_boilerplate,
     "text_normalize": text_normalize,
     "langid_confusion": langid_confusion,
+    "classifier_agreement_kappa": classifier_agreement_kappa,
 }
 
 ORACLES = {
@@ -795,4 +917,5 @@ ORACLES = {
     "chunk_boilerplate": CHUNK_BOILERPLATE_ORACLE,
     "text_normalize": TEXT_NORMALIZE_ORACLE,
     "langid_confusion": LANGID_CONFUSION_ORACLE,
+    "classifier_agreement_kappa": _kappa_oracle(),
 }

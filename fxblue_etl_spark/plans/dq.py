@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import table
 from ..session import tune
@@ -833,6 +834,153 @@ GROUP BY 1
 """
 
 
+#: session-IVM geometry: the inactivity gap shared with
+#: ``sessionize_events`` (30 min) and the event-time cut fraction
+#: (median — the append split replays ingest order in EVENT TIME,
+#: the dimension sessions actually live on)
+SESS_IVM_GAP_S = 1800
+
+
+def incremental_session_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Append-side IVM for SESSIONIZATION — the non-algebraic member
+    of the incremental-maintenance family: counts and sums merge by
+    ⊕ (`incremental_agg_maintenance`), but a session is a
+    gaps-and-islands construct, so appending events can MERGE the
+    standing tail session with the delta's head session.  The repair
+    is still O(delta): per user, only the LAST standing session can
+    be affected (delta sessions after the first are separated by
+    > gap inside the delta by construction), so the maintained
+    per-user summary needs exactly one boundary test —
+    first_delta_ts − last_base_ts ≤ gap ⇒ n_sessions =
+    base + delta − 1, else base + delta.
+
+    This is the stateful-session analogue of what
+    `streaming_session_windows` does with a state store, certified
+    here as relational algebra: the oracle recomputes sessionization
+    over the full table AND replays which users took the
+    boundary-merge path.
+
+    Scale shape: two per-user window passes (each over its own
+    partition of the data, O(base)+O(delta) — never the full table
+    twice), one users-sized join for the boundary test.  At 100 TB
+    the delta pass is the only recurring cost."""
+    spark = tune(spark)
+    e = table(spark, sf_dir, "events")
+    # the cut lives on floored epoch SECONDS (percentile_disc needs a
+    # numeric; the second grain is also what the gap algebra uses, so
+    # both engines bucket the boundary identically)
+    cut_s = e.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY CAST(ts AS LONG))"
+        )
+    ).collect()[0][0]
+    base = e.filter(F.col("ts").cast("long") <= cut_s)
+    delta = e.filter(F.col("ts").cast("long") > cut_s)
+
+    def summarize(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        gap = F.col("ts").cast("long") - F.lag(
+            F.col("ts").cast("long")
+        ).over(w)
+        new_sess = (gap.isNull() | (gap > SESS_IVM_GAP_S)).cast("int")
+        return (
+            df.withColumn("ns", new_sess)
+            .groupBy("user_id")
+            .agg(
+                F.sum("ns").cast("long").alias("n_sessions"),
+                F.count("*").cast("long").alias("n_events"),
+                F.min(F.col("ts").cast("long")).alias("first_s"),
+                F.max(F.col("ts").cast("long")).alias("last_s"),
+            )
+        )
+
+    b = summarize(base).select(
+        "user_id",
+        F.col("n_sessions").alias("nb"),
+        F.col("n_events").alias("eb"),
+        F.col("last_s").alias("last_b"),
+    )
+    d = summarize(delta).select(
+        "user_id",
+        F.col("n_sessions").alias("nd"),
+        F.col("n_events").alias("ed"),
+        F.col("first_s").alias("first_d"),
+    )
+    merged = b.join(d, "user_id", "full").select(
+        "user_id",
+        (
+            F.coalesce(F.col("nb"), F.lit(0))
+            + F.coalesce(F.col("nd"), F.lit(0))
+            - F.when(
+                F.col("last_b").isNotNull()
+                & F.col("first_d").isNotNull()
+                & (
+                    F.col("first_d") - F.col("last_b")
+                    <= SESS_IVM_GAP_S
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_sessions"),
+        (
+            F.coalesce(F.col("eb"), F.lit(0))
+            + F.coalesce(F.col("ed"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_events"),
+        (
+            F.col("last_b").isNotNull()
+            & F.col("first_d").isNotNull()
+            & (F.col("first_d") - F.col("last_b") <= SESS_IVM_GAP_S)
+        )
+        .cast("int")
+        .alias("boundary_merged"),
+    )
+    return merged.orderBy("user_id")
+
+
+SESSION_IVM_ORACLE = f"""
+WITH cut AS (
+  SELECT quantile_disc(CAST(floor(epoch(ts)) AS BIGINT), 0.5) AS c
+  FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC))) AS BIGINT)
+                   > {SESS_IVM_GAP_S}
+                   OR lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+recomputed AS (
+  SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM marked GROUP BY 1),
+bounds AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       <= (SELECT c FROM cut)
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS last_b,
+         min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       > (SELECT c FROM cut)
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_d
+  FROM events GROUP BY 1)
+SELECT r.user_id, r.n_sessions, r.n_events,
+       CAST(CASE WHEN b.last_b IS NOT NULL AND b.first_d IS NOT NULL
+                  AND b.first_d - b.last_b <= {SESS_IVM_GAP_S}
+            THEN 1 ELSE 0 END AS INT) AS boundary_merged
+FROM recomputed r JOIN bounds b ON r.user_id = b.user_id
+ORDER BY 1
+"""
+
+
 #: k-anonymity / l-diversity thresholds (Sweeney 2002; Machanavajjhala
 #: et al. 2007): a quasi-identifier group with fewer than K members is
 #: re-identifiable; one whose sensitive attribute takes fewer than L
@@ -1419,6 +1567,7 @@ QUERIES = {
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "ivm_delete_maintenance": ivm_delete_maintenance,
     "incremental_join_maintenance": incremental_join_maintenance,
+    "incremental_session_maintenance": incremental_session_maintenance,
 }
 
 ORACLES = {
@@ -1436,4 +1585,5 @@ ORACLES = {
     "incremental_agg_maintenance": INCREMENTAL_AGG_ORACLE,
     "ivm_delete_maintenance": IVM_DELETE_ORACLE,
     "incremental_join_maintenance": INCREMENTAL_JOIN_ORACLE,
+    "incremental_session_maintenance": SESSION_IVM_ORACLE,
 }
