@@ -1192,7 +1192,14 @@ _R13_RECERT_CANDIDATES: list[str] = [
 #: Queries whose CODE/LINEAGE changed in round 13 — re-certified
 #: inside the 50-window.  Append here whenever a round-13 change
 #: alters a certified query's plan or its oracle SQL text.
-_R13_CODE_CHANGED: list[str] = []
+_R13_CODE_CHANGED: list[str] = [
+    # round 13 (verdict item 6): chunk_dedup_rewrite gained an
+    # output-level swap_cache so co-scheduled consumers
+    # (corpus_release_end_to_end) reuse the whole lineage — plan
+    # semantics unchanged, code text changed, so it re-certifies
+    # in-window
+    "chunk_dedup_rewrite",
+]
 
 #: Queries ADDED in round 13 — placed after the 50-window (the
 #: round-13 rotation must not be displaced); they head round 14's

@@ -638,17 +638,27 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_chunks_dropped"),
         F.sum("n_toks").cast("long").alias("chunk_toks_dropped"),
     )
-    return per_doc_all.join(per_doc_drop, "doc_id").select(
-        "doc_id",
-        "n_chunks",
-        "n_chunks_dropped",
-        "chunk_toks",
-        "chunk_toks_dropped",
-        F.expr(
-            "1000000 * (chunk_toks - chunk_toks_dropped) DIV chunk_toks"
-        )
-        .cast("long")
-        .alias("keep_ppm"),
+    # output-level cache (round-12 verdict item 6): the per-doc
+    # rewrite economics feed corpus_release_end_to_end and any other
+    # co-scheduled consumer — cache the FINAL frame (affected docs
+    # only, ≪ corpus) so the chain pays this lineage once per
+    # session instead of once per consumer
+    from ..io import swap_cache as _swap
+
+    return _swap(
+        "dedup.chunk_rewrite_out",
+        per_doc_all.join(per_doc_drop, "doc_id").select(
+            "doc_id",
+            "n_chunks",
+            "n_chunks_dropped",
+            "chunk_toks",
+            "chunk_toks_dropped",
+            F.expr(
+                "1000000 * (chunk_toks - chunk_toks_dropped) DIV chunk_toks"
+            )
+            .cast("long")
+            .alias("keep_ppm"),
+        ),
     )
 
 

@@ -834,11 +834,17 @@ GROUP BY 1
 """
 
 
-#: session-IVM geometry: the inactivity gap shared with
-#: ``sessionize_events`` (30 min) and the event-time cut fraction
-#: (median — the append split replays ingest order in EVENT TIME,
-#: the dimension sessions actually live on)
-SESS_IVM_GAP_S = 1800
+#: session-IVM geometry: a 24 h inactivity gap (visit grain) and the
+#: median event-time cut.  The 30-minute grain of
+#: ``sessionize_events`` would leave the boundary-merge branch DEAD
+#: on this fixture (measured: the minimum cross-cut user gap at
+#: sf0.01 is ~4 h, so no user ever merges and the contract would
+#: certify only the trivial path); at the visit grain 91/150 users
+#: take the merge branch, so the repair algebra is actually
+#: exercised.  The gap is a knob, not a semantic
+#: (session_gap_sensitivity sweeps it); the IVM algebra is
+#: grain-independent.
+SESS_IVM_GAP_S = 86400
 
 
 def incremental_session_maintenance(
