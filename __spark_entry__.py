@@ -1245,6 +1245,22 @@ _R14_QUEUE: list[str] = [
     # one users-sized join; the oracle recomputes AND replays which
     # users took the merge path
     "incremental_session_maintenance",
+    # temperature-based data mixing at τ = 1/2 (the multilingual
+    # LLM sampling rule): per-language token mass → exact integer
+    # sqrt (float sqrt + ±1 integer correction — exact for n < 2^52)
+    # → certified Hamilton apportionment → epoch factor in ppm
+    "mixture_temperature_weights",
+    # streaming maintenance of the EWMA chart: per-batch partial
+    # weekly spend SUM-merges into calendar-bounded state, the
+    # certified ewma_from_weekly fold runs over final state, and the
+    # oracle IS the batch EWMA_ORACLE — the level-shift monitor
+    # joins CUSUM in the live drift family
+    "streaming_ewma_monitor",
+    # leave-one-source-out ablation: k sources priced from ONE
+    # (lang, source) token aggregate — share of corpus and the
+    # max per-language composition shift (floor-ppm) if the source
+    # were dropped, shifted language named
+    "source_ablation_report",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

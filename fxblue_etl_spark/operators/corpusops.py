@@ -632,6 +632,303 @@ FROM ranked
 """
 
 
+def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation accounting — the question a
+    data curator asks before dropping or renegotiating a source:
+    what fraction of the corpus leaves with source s, and how far
+    does the per-language composition shift without it?  k sources
+    are priced from ONE (lang, source) aggregate — never k corpus
+    scans (the `dedup_threshold_sensitivity` / `session_gap_
+    sensitivity` one-pass-sweep discipline).
+
+    Integer contract: composition shares are floor-ppm of token
+    mass; the reported shift is max over languages of
+    |share_without(l) − share_with(l)| with the shifted language
+    named (ties to the lexically smallest).  A missing (lang,
+    source) cell counts 0 via the langs × sources cross frame —
+    both bounded by the catalog, not the corpus.
+
+    Scale shape: one map-side-combined (lang, source) token
+    aggregate is the only corpus-sized work; everything after runs
+    on a |langs|·|sources| grid."""
+    from ..io import swap_cache
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    # the config-sized grid feeds six consumers below — cache it so
+    # the corpus-sized token aggregate runs exactly once
+    grid = swap_cache(
+        "corpusops.ablation_grid",
+        d.select(
+            "lang",
+            "source",
+            F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("toks"),
+        ),
+    )
+    langs = grid.select("lang").distinct()
+    sources = grid.select("source").distinct()
+    by_lang = grid.groupBy("lang").agg(
+        F.sum("toks").cast("long").alias("t_l")
+    )
+    by_src = grid.groupBy("source").agg(
+        F.sum("toks").cast("long").alias("t_s"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+    total = grid.agg(F.sum("toks").cast("long").alias("t")).collect()[0][
+        "t"
+    ]
+    cross = (
+        langs.crossJoin(sources)
+        .join(grid.select("lang", "source", "toks"), ["lang", "source"], "left")
+        .na.fill({"toks": 0})
+        .join(F.broadcast(by_lang), "lang")
+        .join(F.broadcast(by_src), "source")
+    )
+    with_ppm = F.expr(
+        f"CAST(CAST(1000000 AS DECIMAL(38,0)) * t_l DIV {total} AS BIGINT)"
+    )
+    without_ppm = F.expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * (t_l - toks)"
+        f" DIV ({total} - t_s) AS BIGINT)"
+    )
+    shifted = cross.select(
+        "source",
+        "lang",
+        "n_docs",
+        "t_s",
+        F.abs(without_ppm - with_ppm).cast("long").alias("shift_ppm"),
+    )
+    best = shifted.groupBy("source").agg(
+        F.max(
+            F.struct(
+                F.col("shift_ppm").alias("v"),
+                # lexicographic-smallest lang on ties: invert via
+                # unicode complement is overkill — a struct-max on
+                # (v, negated-rank) needs a rank; use min(lang) among
+                # argmax rows instead, derived below
+                F.col("lang").alias("lang"),
+            )
+        ).alias("b"),
+        F.max("n_docs").alias("_nd"),
+        F.max("t_s").alias("_ts"),
+    )
+    # struct-max tie-break picks the lexicographically LARGEST lang
+    # among equal shifts; re-derive the smallest explicitly so the
+    # tiebreak is the documented one
+    argmin = (
+        shifted.join(
+            best.select(
+                "source", F.col("b.v").alias("max_shift_ppm")
+            ),
+            "source",
+        )
+        .filter(F.col("shift_ppm") == F.col("max_shift_ppm"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("shifted_lang"))
+    )
+    return (
+        by_src.join(F.broadcast(argmin), "source")
+        .join(
+            F.broadcast(
+                best.select("source", F.col("b.v").alias("max_shift_ppm"))
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("t_s").alias("n_tokens"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * t_s"
+                f" DIV {total} AS BIGINT)"
+            ).alias("share_ppm"),
+            "max_shift_ppm",
+            "shifted_lang",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_ABLATION_ORACLE = r"""
+WITH grid AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t != ''))) AS BIGINT) AS toks
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM grid),
+by_lang AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS t_l FROM grid GROUP BY 1),
+by_src AS (
+  SELECT source, CAST(sum(toks) AS BIGINT) AS t_s,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs
+  FROM grid GROUP BY 1),
+crossg AS (
+  SELECT l.lang, s.source, coalesce(g.toks, 0) AS toks, bl.t_l, bs.t_s
+  FROM (SELECT DISTINCT lang FROM grid) l
+  CROSS JOIN (SELECT DISTINCT source FROM grid) s
+  LEFT JOIN grid g ON g.lang = l.lang AND g.source = s.source
+  JOIN by_lang bl ON bl.lang = l.lang
+  JOIN by_src bs ON bs.source = s.source),
+shifted AS (
+  SELECT source, lang,
+         abs(CAST(1000000 AS HUGEINT) * (t_l - toks) // ((SELECT t FROM tot) - t_s)
+             - CAST(1000000 AS HUGEINT) * t_l // (SELECT t FROM tot))
+           AS shift_ppm
+  FROM crossg),
+best AS (
+  SELECT source, CAST(max(shift_ppm) AS BIGINT) AS max_shift_ppm
+  FROM shifted GROUP BY 1),
+arg AS (
+  SELECT s.source, min(s.lang) AS shifted_lang
+  FROM shifted s JOIN best b
+    ON s.source = b.source AND s.shift_ppm = b.max_shift_ppm
+  GROUP BY 1)
+SELECT bs.source, bs.n_docs, bs.t_s AS n_tokens,
+       CAST(CAST(1000000 AS HUGEINT) * bs.t_s // (SELECT t FROM tot)
+            AS BIGINT) AS share_ppm,
+       b.max_shift_ppm, a.shifted_lang
+FROM by_src bs JOIN best b ON bs.source = b.source
+JOIN arg a ON bs.source = a.source
+ORDER BY 1
+"""
+
+
+#: temperature-sampling token budget (τ = 1/2 mixing)
+TEMP_BUDGET = 500_000
+
+
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based training-data mixing at τ = 1/2 — the
+    sampling rule multilingual LLM pipelines actually use
+    (p_l ∝ n_l^τ; τ = 1 reproduces natural proportions and drowns
+    low-resource languages, τ → 0 flattens to uniform and over-epochs
+    them; τ = 1/2 is the standard compromise): per-language token
+    mass → √-damped weight → Hamilton-apportioned token budget →
+    implied epoch factor.
+
+    Exactness: n^(1/2) is irrational, but the INTEGER square root is
+    not — ``isqrt(n) = floor(√n)`` is computed as the float sqrt
+    followed by a ±1 integer correction (s ← s − [s² > n];
+    s ← s + [(s+1)² ≤ n]), which repairs any double-rounding drift
+    by exact integer multiplication, so both engines produce the
+    exact isqrt for any n < 2⁵².  The apportionment is the certified
+    largest-remainder rule of `mixture_allocation`, and the epoch
+    factor floor(1e6·quota/n_l) is integer ppm.
+
+    Scale shape: one map-side-combined token aggregate is the only
+    corpus-sized work; the weight/apportionment frame is
+    |languages| rows with a bounded window."""
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    toks = (
+        d.select(
+            "lang",
+            F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens_total"))
+    )
+    s0 = F.expr(
+        "CAST(floor(sqrt(CAST(n_tokens_total AS DOUBLE))) AS BIGINT)"
+    )
+    s1 = s0 - (s0 * s0 > F.col("n_tokens_total")).cast("long")
+    isq = s1 + ((s1 + 1) * (s1 + 1) <= F.col("n_tokens_total")).cast(
+        "long"
+    )
+    weighted = toks.select(
+        "lang", "n_tokens_total", isq.alias("weight_isqrt")
+    )
+    w_all = Window.partitionBy()
+    scored = weighted.select(
+        "lang",
+        "n_tokens_total",
+        "weight_isqrt",
+        F.sum("weight_isqrt").over(w_all).alias("wsum"),
+    ).select(
+        "lang",
+        "n_tokens_total",
+        "weight_isqrt",
+        F.expr(f"{TEMP_BUDGET} * weight_isqrt DIV wsum").alias(
+            "base_quota"
+        ),
+        F.expr(f"({TEMP_BUDGET} * weight_isqrt) % wsum").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover",
+            F.lit(TEMP_BUDGET) - F.sum("base_quota").over(w_all),
+        )
+        .withColumn(
+            "extra", (F.col("rank") <= F.col("leftover")).cast("int")
+        )
+        .select(
+            "lang",
+            "n_tokens_total",
+            "weight_isqrt",
+            F.col("base_quota").cast("long").alias("base_quota"),
+            "extra",
+            (F.col("base_quota") + F.col("extra"))
+            .cast("long")
+            .alias("final_quota"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * (base_quota + extra)"
+                " DIV n_tokens_total AS BIGINT)"
+            ).alias("epochs_ppm"),
+        )
+    )
+
+
+TEMP_MIX_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t != ''))) AS BIGINT)
+           AS n_tokens_total
+  FROM documents GROUP BY 1),
+isq0 AS (
+  SELECT lang, n_tokens_total,
+         CAST(floor(sqrt(CAST(n_tokens_total AS DOUBLE))) AS BIGINT) AS s0
+  FROM toks),
+isq1 AS (
+  SELECT lang, n_tokens_total,
+         s0 - CASE WHEN s0 * s0 > n_tokens_total THEN 1 ELSE 0 END AS s1
+  FROM isq0),
+weighted AS (
+  SELECT lang, n_tokens_total,
+         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens_total
+                   THEN 1 ELSE 0 END AS weight_isqrt
+  FROM isq1),
+scored AS (
+  SELECT lang, n_tokens_total, weight_isqrt,
+         ({TEMP_BUDGET} * weight_isqrt) // sum(weight_isqrt) OVER ()
+           AS base_quota,
+         ({TEMP_BUDGET} * weight_isqrt) % sum(weight_isqrt) OVER ()
+           AS rem
+  FROM weighted),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rank,
+         {TEMP_BUDGET} - sum(base_quota) OVER () AS leftover
+  FROM scored)
+SELECT lang, n_tokens_total, CAST(weight_isqrt AS BIGINT) AS weight_isqrt,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(rank <= leftover AS INT) AS extra,
+       CAST(base_quota + CAST(rank <= leftover AS INT) AS BIGINT)
+         AS final_quota,
+       CAST(CAST(1000000 AS HUGEINT)
+            * (base_quota + CAST(rank <= leftover AS INT))
+            // n_tokens_total AS BIGINT) AS epochs_ppm
+FROM ranked
+"""
+
+
 #: sampling budget apportioned by the Neyman design
 NEYMAN_BUDGET = 10_000
 
@@ -1562,6 +1859,8 @@ QUERIES = {
     "df_prune": df_prune,
     "temperature_resample": temperature_resample,
     "mixture_allocation": mixture_allocation,
+    "mixture_temperature_weights": mixture_temperature_weights,
+    "source_ablation_report": source_ablation_report,
     "neyman_allocation": neyman_allocation,
     "hierarchical_mixture": hierarchical_mixture,
     "per_group_sample": per_group_sample,
@@ -1585,6 +1884,8 @@ ORACLES = {
     "df_prune": DF_PRUNE_ORACLE,
     "temperature_resample": TEMPERATURE_ORACLE,
     "mixture_allocation": MIXTURE_ORACLE,
+    "mixture_temperature_weights": TEMP_MIX_ORACLE,
+    "source_ablation_report": SOURCE_ABLATION_ORACLE,
     "neyman_allocation": NEYMAN_ORACLE,
     "hierarchical_mixture": HIERARCHICAL_MIXTURE_ORACLE,
     "per_group_sample": PER_GROUP_SAMPLE_ORACLE,

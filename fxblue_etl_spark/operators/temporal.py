@@ -1425,7 +1425,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local — no window, no shuffle beyond the group-by).  At
     100 TB the fold input is still |calendar| × |segments| rows."""
     o = table(tune(spark), sf_dir, "orders")
-    daily = o.groupBy(
+    weekly = o.groupBy(
         "o_orderpriority",
         F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
         .cast("long")
@@ -1435,7 +1435,14 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    arr = daily.groupBy("o_orderpriority").agg(
+    return ewma_from_weekly(weekly)
+
+
+def ewma_from_weekly(weekly: DataFrame) -> DataFrame:
+    """The EWMA fold over a ``(o_orderpriority, wk, cents)`` weekly
+    frame — shared by the batch chart and the streaming maintenance
+    gate (whose carried state IS such a frame)."""
+    arr = weekly.groupBy("o_orderpriority").agg(
         F.sort_array(F.collect_list(F.struct("wk", "cents"))).alias("xs")
     )
     init = F.struct(

@@ -2270,6 +2270,88 @@ WHERE coalesce((SELECT count(*) FROM b WHERE bi = wm.i + 1), 0) > 0
 """
 
 
+def _stream_ewma_oracle() -> str:
+    """The streamed EWMA state must reproduce the batch chart
+    exactly — the oracle IS the batch recursion replay."""
+    from ..operators.temporal import EWMA_ORACLE
+
+    return EWMA_ORACLE
+
+
+def streaming_ewma_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming maintenance of the EWMA control chart — the
+    level-shift monitor joining CUSUM in the live drift family
+    (`streaming_cusum_monitor` watches accumulation; EWMA watches
+    the exponentially-forgotten baseline): each micro-batch's
+    partial weekly spend merges into a carried
+    ``(o_orderpriority, wk, cents)`` state frame by keyed SUM
+    (confluent — week totals straddling micro-batch boundaries
+    re-assemble exactly), and the certified EWMA fold
+    (`temporal.ewma_from_weekly`) runs over the final state.  The
+    oracle is the batch EWMA_ORACLE on the full table — incremental
+    ≡ rebuild in its strongest form.
+
+    State posture: calendar × priorities rows REGARDLESS of stream
+    length — no state store, no watermark; per batch the
+    corpus-sized work is the batch's own map-side-combined weekly
+    aggregate."""
+    from ..io import release_local_checkpoint
+    from ..operators.temporal import ewma_from_weekly
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "orders", "o_orderkey", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy(
+            "o_orderpriority",
+            F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
+            .cast("long")
+            .alias("wk"),
+        ).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        if "weekly" in state:
+            merged = (
+                state["weekly"]
+                .unionByName(part)
+                .groupBy("o_orderpriority", "wk")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
+            new = merged.coalesce(1).localCheckpoint()
+            release_local_checkpoint(state["weekly"])
+        else:
+            new = part.coalesce(1).localCheckpoint()
+        state["weekly"] = new
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    return ewma_from_weekly(state.pop("weekly"))
+
+
 def streaming_cusum_monitor(
     spark: SparkSession,
     sf_dir: str,
@@ -2377,6 +2459,7 @@ QUERIES = {
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
+    "streaming_ewma_monitor": streaming_ewma_monitor,
 }
 
 if _has_protobuf():  # pragma: no cover — env-dependent registration
@@ -2385,6 +2468,7 @@ if _has_protobuf():  # pragma: no cover — env-dependent registration
 ORACLES = {
     "streaming_observed_metrics": _stream_observed_oracle(),
     "streaming_cusum_monitor": _stream_cusum_oracle(),
+    "streaming_ewma_monitor": _stream_ewma_oracle(),
     "streaming_quality_gate": STREAMING_QUALITY_ORACLE,
     "streaming_kmv_distinct": STREAM_KMV_ORACLE,
     "streaming_gram_maintenance": _gram_oracle_ref(),

@@ -88,6 +88,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "compaction_plan_execute": "inherits compaction_tier_plan's monthly-manifest window (~84 rows)",
     "dbscan_projection_clusters": "prefix max/sum over the 64-eps-wide cluster-bucket frame (value-range-bounded, ~3 rows at DIV=200)",
     "neyman_allocation": "Hamilton apportionment over the per-stratum design table (config-sized, the mixture_allocation pattern)",
+    "mixture_temperature_weights": "Hamilton apportionment over the per-lang temperature-weight table (config-sized, the mixture_allocation pattern)",
     "ranking_rbo_report": "inherits the RRF legs' tournament merges over ≤ ways·k survivors",
 }
 
