@@ -1261,6 +1261,15 @@ _R14_QUEUE: list[str] = [
     # max per-language composition shift (floor-ppm) if the source
     # were dropped, shifted language named
     "source_ablation_report",
+    # time-weighted average (TimescaleDB time_weight / kdb twap):
+    # LOCF holding-duration weights on the irregular event series,
+    # one partitioned lead window + one floor division, with the
+    # unweighted mean alongside so the sampling bias is visible
+    "twap_by_event_type",
+    # greedy debounce dedup (keep iff > T after the last KEPT event):
+    # the sequential rule windowed dedup cannot express — per-user
+    # integer-state fold, recursive-CTE oracle
+    "jitter_dedup_events",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -1770,6 +1770,79 @@ FROM med, stats
 """
 
 
+def twap_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type — the
+    hypertable aggregate (TimescaleDB `time_weight`, kdb `twap`)
+    that a plain AVG silently fakes on irregular series: each
+    observation is held (LOCF) until the next one, so its weight is
+    its HOLDING DURATION, not 1.  The reference's FX domain prices
+    positions exactly this way between quote ticks.
+
+    Integer contract: value is floored to e4 ticks, durations are
+    epoch-second differences, and the TWAP is one floor division of
+    Σ(v_e4·dur) by Σ(dur) — plus the unweighted mean alongside so
+    the irregular-sampling bias is visible in the output.  The last
+    observation per type has no successor and carries zero weight
+    (the standard half-open convention; both engines agree).
+
+    Scale shape: one partitioned (never global) lead window over
+    (type, ts), one aggregate.  At 100 TB the window is
+    hash-partitioned by type — no coordination beyond the shuffle."""
+    e = table(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ts_s = F.col("ts").cast("long")
+    dur = (F.lead(ts_s).over(w) - ts_s).alias("dur")
+    v = F.floor(F.col("value") * 1e4).cast("long").alias("v_e4")
+    rows = e.select("event_type", v, dur).filter(
+        F.col("dur").isNotNull()
+    )
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dur").cast("long").alias("span_s"),
+            F.sum(F.col("v_e4") * F.col("dur"))
+            .cast("long")
+            .alias("pv_sum"),
+            F.sum("v_e4").cast("long").alias("v_sum"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "span_s",
+            F.expr(
+                "CAST(CAST(pv_sum AS DECIMAL(38,0)) DIV span_s AS BIGINT)"
+            ).alias("twap_e4"),
+            F.expr(
+                "CAST(CAST(v_sum AS DECIMAL(38,0)) DIV n_intervals"
+                " AS BIGINT)"
+            ).alias("mean_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TWAP_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(value * 10000) AS BIGINT) AS v_e4,
+         lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+             (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS span_s,
+       CAST(CAST(sum(v_e4 * dur) AS HUGEINT) // sum(dur) AS BIGINT)
+         AS twap_e4,
+       CAST(CAST(sum(v_e4) AS HUGEINT) // count(*) AS BIGINT) AS mean_e4
+FROM seq WHERE dur IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: Mann-Kendall critical value as an exact rational: z²(0.975) =
 #: 1.96² = 9604/2500 — the significance test clears to the integer
 #: compare (|S|−1)²·18·2500 > 9604·var18 (var18 = 18·Var(S), itself
@@ -1940,6 +2013,7 @@ QUERIES = {
     "cusum_drift_monitor": cusum_drift_monitor,
     "ewma_control_chart": ewma_control_chart,
     "mann_kendall_trend": mann_kendall_trend,
+    "twap_by_event_type": twap_by_event_type,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
@@ -1968,6 +2042,7 @@ ORACLES = {
     "cusum_drift_monitor": CUSUM_ORACLE,
     "ewma_control_chart": EWMA_ORACLE,
     "mann_kendall_trend": MANN_KENDALL_ORACLE,
+    "twap_by_event_type": TWAP_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,

