@@ -1270,6 +1270,15 @@ _R14_QUEUE: list[str] = [
     # the sequential rule windowed dedup cannot express — per-user
     # integer-state fold, recursive-CTE oracle
     "jitter_dedup_events",
+    # the LSH planning table: 1 − (1 − j^r)^b per candidate (b, r)
+    # geometry in stepwise-floor ppm, with each geometry's
+    # corpus-MEASURED candidate count alongside (Σ C(bucket,2) over
+    # the 24-perm signature stream — pairs never materialize)
+    "lsh_s_curve_planner",
+    # Fellegi-Sunter threshold sensitivity: k declare-match odds
+    # cutoffs priced from the ONE 8-row evidence table — declared /
+    # correct / precision / blocked recall per cutoff in floor-ppm
+    "linkage_threshold_sensitivity",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -1190,6 +1190,236 @@ WHERE levenshtein(a.text, b.text) * {LEV_RATIO} <= least(a.n_chars, b.n_chars)
 """
 
 
+#: 24-permutation universal-hash family for the S-curve planner —
+#: same generator formula as PERM_A/PERM_B (the first 12 entries
+#: coincide), kept separate so the certified 12-perm oracle text
+#: (_A_SQL/_B_SQL) is untouched
+PERM_A24 = [(2654435761 * (p + 1)) % 2**30 | 1 for p in range(24)]
+PERM_B24 = [(2246822519 * (p + 1)) % 2**30 for p in range(24)]
+
+
+def _scurve_sigs(docs: DataFrame) -> DataFrame:
+    """doc_id → 24-perm minhash signature (the planner's budget) —
+    the `minhash_signatures` fold at doubled width."""
+    sh_df = docs.select(
+        "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
+    )
+    hashes = F.transform(
+        "shingles",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    hs_df = sh_df.select(
+        "doc_id", F.explode(F.array(hashes)).alias("hs")
+    )
+    sig = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(2**62).cast("long"), 24),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(PERM_A24[p]) * h + F.lit(PERM_B24[p]))
+                    % F.lit(MERSENNE_31)
+                    for p in range(24)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return hs_df.select("doc_id", F.explode(F.array(sig)).alias("sig"))
+
+
+#: S-curve planning grid: candidate (bands, rows) geometries with
+#: b·r ≤ 2·N_PERM (what a 24-permutation budget could buy) and the
+#: Jaccard thresholds the curve is evaluated at (ppm)
+SCURVE_GEOMS = ((2, 6), (3, 4), (4, 3), (6, 2), (4, 6), (6, 4), (8, 3))
+SCURVE_J_PPM = (100000, 300000, 500000, 700000, 900000)
+
+
+def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH PLANNING TABLE — how production picks (bands, rows):
+    for a pair at Jaccard j, one band of r rows collides with
+    probability j^r and at least one of b bands collides with
+    probability 1 − (1 − j^r)^b (the S-curve).  The planner
+    evaluates every candidate geometry at every threshold and also
+    reports each geometry's CORPUS-MEASURED candidate-pair count —
+    theory and measured cost side by side, which is exactly the
+    trade a tuning engineer stares at.
+
+    Exactness: probabilities are kept in ppm with floor after every
+    multiply (p·q → (p·q) DIV 1e6) — each step is integer, so both
+    engines replay the identical arithmetic (exact rational powers
+    overflow DECIMAL(38,0) at b=8, hence the documented stepwise
+    floor; error < b+r ppm, irrelevant at planning granularity).
+    The corpus measurement reuses the certified signature lineage:
+    one md5 per shingle, per-geometry band buckets, Σ C(bucket, 2).
+
+    Scale shape: the theory grid is |geoms|·|thresholds| literal
+    rows; the measured column is one signature pass + one
+    bucket-count aggregate per geometry over signatures (corpus
+    rows, map-side combined — never materializes pairs)."""
+    from ..io import swap_cache
+
+    def powf(p_expr: str, k: int) -> str:
+        out = "CAST(1000000 AS BIGINT)"
+        for _ in range(k):
+            out = f"(({out}) * ({p_expr}) DIV 1000000)"
+        return out
+
+    legs = []
+    for b, r in SCURVE_GEOMS:
+        for j in SCURVE_J_PPM:
+            jr = powf(str(j), r)
+            hit = f"1000000 - {powf(f'1000000 - {jr}', b)}"
+            legs.append(
+                f"SELECT {b} AS bands, {r} AS rows_per_band,"
+                f" CAST({j} AS BIGINT) AS j_ppm,"
+                f" CAST({jr} AS BIGINT) AS band_hit_ppm,"
+                f" CAST({hit} AS BIGINT) AS pair_found_ppm"
+            )
+        # negative j marks the measured-cost row for the geometry
+        legs.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,"
+            f" CAST(-1 AS BIGINT) AS j_ppm,"
+            f" CAST(0 AS BIGINT) AS band_hit_ppm,"
+            f" CAST(0 AS BIGINT) AS pair_found_ppm"
+        )
+    theory = tune(spark).sql(" UNION ALL ".join(legs))
+
+    d = fan_out(table(spark, sf_dir, "documents"))
+    # 24-permutation signature stream (the planner's budget), same
+    # universal-hash family as the certified 12-perm lineage
+    sigs = swap_cache("dedup.scurve_sigs", _scurve_sigs(d))
+    measured = None
+    for b, r in SCURVE_GEOMS:
+        bands = sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[i * r + k]
+                                    for k in range(r)
+                                ],
+                            ).alias("key"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bk")
+        )
+        cand = (
+            bands.groupBy("bk.band", "bk.key")
+            .agg(F.count("*").cast("long").alias("n"))
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2"))
+                .cast("long")
+                .alias("n_candidates")
+            )
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+            )
+        )
+        measured = cand if measured is None else measured.unionByName(cand)
+    return (
+        theory.join(
+            F.broadcast(measured), ["bands", "rows_per_band"], "left"
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "j_ppm",
+            "band_hit_ppm",
+            "pair_found_ppm",
+            F.when(F.col("j_ppm") < 0, F.col("n_candidates"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("measured_candidates"),
+        )
+        .orderBy("bands", "rows_per_band", "j_ppm")
+    )
+
+
+def _scurve_oracle() -> str:
+    def powf(p_expr: str, k: int) -> str:
+        out = "CAST(1000000 AS BIGINT)"
+        for _ in range(k):
+            out = f"(({out}) * ({p_expr}) // 1000000)"
+        return out
+
+    legs = []
+    for b, r in SCURVE_GEOMS:
+        for j in SCURVE_J_PPM:
+            jr = powf(str(j), r)
+            hit = f"1000000 - {powf(f'1000000 - {jr}', b)}"
+            legs.append(
+                f"SELECT {b} AS bands, {r} AS rows_per_band,"
+                f" CAST({j} AS BIGINT) AS j_ppm,"
+                f" CAST({jr} AS BIGINT) AS band_hit_ppm,"
+                f" CAST({hit} AS BIGINT) AS pair_found_ppm"
+            )
+        legs.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,"
+            f" CAST(-1 AS BIGINT) AS j_ppm, CAST(0 AS BIGINT),"
+            f" CAST(0 AS BIGINT)"
+        )
+    # the measured column replays the 24-perm signature lineage per
+    # geometry: same md5/universal-hash family as SIG_LIST_SQL but at
+    # n_perm = 24
+    a24 = "[" + ", ".join(str(a) for a in PERM_A24) + "]"
+    b24 = "[" + ", ".join(str(b_) for b_ in PERM_B24) + "]"
+    sig24 = (
+        f"[list_min(list_transform(ms, m -> "
+        f"(({a24})[CAST(p AS INT) + 1] * ({_hex8_sql('m', 1)})"
+        f" + ({b24})[CAST(p AS INT) + 1]) % {MERSENNE_31}))"
+        f" FOR p IN range(0, {2 * N_PERM})]"
+    )
+    meas_legs = []
+    for b, r in SCURVE_GEOMS:
+        band_key = " || '|' || ".join(
+            f"CAST(sig[CAST(band AS INT) * {r} + {k + 1}] AS VARCHAR)"
+            for k in range(r)
+        )
+        meas_legs.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidates
+FROM (SELECT band, key, count(*) AS n
+      FROM (SELECT band, {band_key} AS key
+            FROM sigs, range(0, {b}) t(band))
+      GROUP BY 1, 2)""")
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                  || ' ' || toks[CAST(i AS INT) + 3])) AS shingles
+  FROM norm WHERE len(toks) >= 3),
+hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ms FROM sh),
+sigs AS MATERIALIZED (SELECT doc_id, {sig24} AS sig FROM hs),
+measured AS ({" UNION ALL ".join(meas_legs)}),
+theory AS ({" UNION ALL ".join(legs)})
+SELECT t.bands, t.rows_per_band, t.j_ppm, t.band_hit_ppm,
+       t.pair_found_ppm,
+       CAST(CASE WHEN t.j_ppm < 0 THEN m.n_candidates ELSE 0 END
+            AS BIGINT) AS measured_candidates
+FROM theory t LEFT JOIN measured m
+  ON t.bands = m.bands AND t.rows_per_band = m.rows_per_band
+ORDER BY 1, 2, 3
+"""
+
+
 def fastss_editdist1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 similarity join by DELETION-NEIGHBORHOOD
     blocking (FastSS, Bocek et al. 2007) — the LOSSLESS counterpart
@@ -2001,6 +2231,7 @@ QUERIES = {
     "snm_sorted_neighborhood_pairs": snm_sorted_neighborhood_pairs,
     "edit_distance_pairs": edit_distance_pairs,
     "fastss_editdist1_pairs": fastss_editdist1_pairs,
+    "lsh_s_curve_planner": lsh_s_curve_planner,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "chunk_lsh_neardup": chunk_lsh_neardup,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
@@ -2023,6 +2254,7 @@ ORACLES = {
     "cdc_chunk_dedup": _cdc_oracle(),
     "edit_distance_pairs": EDIT_DISTANCE_ORACLE,
     "fastss_editdist1_pairs": FASTSS_ED1_ORACLE,
+    "lsh_s_curve_planner": _scurve_oracle(),
     "minhash_lsh_pairs": MINHASH_ORACLE,
     "chunk_lsh_neardup": CHUNK_LSH_ORACLE,
     "chunk_dedup_rewrite": _chunk_rewrite_oracle(),

@@ -316,12 +316,98 @@ FROM tot
 """
 
 
+#: odds thresholds swept (ppm): even odds, 10:1, 100:1, and the
+#: infinite-evidence-only policy
+LNK_T_PPM = (1_000_000, 10_000_000, 100_000_000, LNK_ODDS_INF)
+
+
+def linkage_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Match-threshold sensitivity for the Fellegi-Sunter linkage —
+    the `dedup_threshold_sensitivity` discipline applied to ER: k
+    declare-a-match odds cutoffs priced from ONE evidence pass (the
+    certified 8-row agreement-pattern table carries every pair's
+    score, so the sweep is arithmetic over patterns — never k
+    candidate scans).  Per threshold: declared pairs, true matches
+    among them, precision, and blocked recall (over the true matches
+    the blocking admits — the blocking loss is `record_linkage_fs`'s
+    concern, not the threshold's), all floor-ppm.
+
+    This is the curve an ER operator reads to trade review workload
+    (declared) against leakage (recall) before picking the cutoff
+    the assignment step consumes."""
+    from ..io import swap_cache
+
+    # the 8-row evidence table feeds all k legs — cache it so the
+    # candidate join runs once, not once per threshold
+    ev = swap_cache(
+        "linkage.threshold_ev",
+        record_linkage_fs(spark, sf_dir).select(
+            "n_pairs",
+            "n_match",
+            F.coalesce("odds_ppm", F.lit(LNK_ODDS_INF)).alias("odds_eff"),
+        ),
+    )
+    totals = ev.agg(F.sum("n_match").cast("long").alias("tot_m"))
+    out = None
+    for t in LNK_T_PPM:
+        leg = (
+            ev.filter(F.col("odds_eff") >= t)
+            .agg(
+                F.coalesce(F.sum("n_pairs"), F.lit(0))
+                .cast("long")
+                .alias("n_declared"),
+                F.coalesce(F.sum("n_match"), F.lit(0))
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(t).cast("long").alias("t_ppm"),
+                "n_declared",
+                "n_correct",
+                F.expr(
+                    "CAST(CASE WHEN n_declared > 0 THEN"
+                    " 1000000 * n_correct DIV n_declared"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "CAST(1000000 * n_correct DIV tot_m AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _threshold_sensitivity_oracle() -> str:
+    legs = []
+    for t in LNK_T_PPM:
+        legs.append(f"""
+SELECT CAST({t} AS BIGINT) AS t_ppm,
+       CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_declared,
+       CAST(coalesce(sum(n_match), 0) AS BIGINT) AS n_correct,
+       CAST(CASE WHEN coalesce(sum(n_pairs), 0) > 0
+                 THEN 1000000 * sum(n_match) // sum(n_pairs)
+                 ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(1000000 * coalesce(sum(n_match), 0)
+            // (SELECT sum(n_match) FROM ev) AS BIGINT) AS recall_ppm
+FROM ev WHERE coalesce(odds_ppm, {LNK_ODDS_INF}) >= {t}""")
+    return f"""
+WITH ev AS MATERIALIZED ({_fs_oracle()})
+{" UNION ALL ".join(legs)}
+"""
+
+
 QUERIES = {
     "record_linkage_fs": record_linkage_fs,
     "linkage_greedy_assignment": linkage_greedy_assignment,
+    "linkage_threshold_sensitivity": linkage_threshold_sensitivity,
 }
 
 ORACLES = {
     "record_linkage_fs": _fs_oracle(),
     "linkage_greedy_assignment": _assignment_oracle(),
+    "linkage_threshold_sensitivity": _threshold_sensitivity_oracle(),
 }
