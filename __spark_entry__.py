@@ -1279,6 +1279,11 @@ _R14_QUEUE: list[str] = [
     # cutoffs priced from the ONE 8-row evidence table — declared /
     # correct / precision / blocked recall per cutoff in floor-ppm
     "linkage_threshold_sensitivity",
+    # gap-fill by linear interpolation (TimescaleDB interpolate next
+    # to the existing locf): portable positive-mod floor division on
+    # the possibly-negative slope numerator; same grid plan as the
+    # LOCF sibling plus two bounded per-user windows
+    "gapfill_linear_interp",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

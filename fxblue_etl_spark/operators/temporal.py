@@ -606,6 +606,112 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the other hypertable fill
+    mode next to `gapfill_daily_locf` (TimescaleDB `interpolate` vs
+    `locf`): a missing day takes the straight line between its
+    surrounding observations instead of holding the left one.
+
+    Integer contract: day values are e4-floored; the interpolant
+    v0 + (v1−v0)·(day−d0) ÷ (d1−d0) uses the portable positive-mod
+    FLOOR division (v1 < v0 makes the numerator negative, where
+    Spark DIV truncates but DuckDB // floors).  The grid spans each
+    user's [first, last] observed day, so every gap day has both
+    neighbors by construction.
+
+    Plan shape: the LOCF sibling's grid (one daily agg, sequence
+    explode, co-partitioned join) plus two bounded per-user windows
+    (last-non-null backward, first-non-null forward) — still one
+    shuffle on user_id."""
+    e = table(tune(spark), sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e4)).cast("long").alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("v0", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("p0", F.last(obs_day, ignorenulls=True).over(w_prev))
+        .withColumn("v1", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("p1", F.first(obs_day, ignorenulls=True).over(w_next))
+    )
+    num = "(v1 - v0) * datediff(day, p0)"
+    den = "datediff(p1, p0)"
+    interp = F.expr(
+        f"v0 + (({num}) - ((({num}) % ({den}) + ({den})) % ({den})))"
+        f" DIV ({den})"
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("interp_value_e4"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )
+
+
+GAPFILL_LINEAR_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span),
+j AS (
+  SELECT g.user_id, g.day, d.v,
+         last_value(d.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0,
+         first_value(d.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+         first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE v0 + ((v1 - v0) * date_diff('day', p0, day)
+                       - (((v1 - v0) * date_diff('day', p0, day))
+                          % date_diff('day', p0, p1)
+                          + date_diff('day', p0, p1))
+                         % date_diff('day', p0, p1))
+                      // date_diff('day', p0, p1)
+            END AS BIGINT) AS interp_value_e4,
+       CAST(v IS NULL AS INT) AS is_gap
+FROM j
+"""
+
+
 GAPFILL_ORACLE = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
@@ -2014,6 +2120,7 @@ QUERIES = {
     "ewma_control_chart": ewma_control_chart,
     "mann_kendall_trend": mann_kendall_trend,
     "twap_by_event_type": twap_by_event_type,
+    "gapfill_linear_interp": gapfill_linear_interp,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
     "time_bucket_rollup": time_bucket_rollup,
@@ -2043,6 +2150,7 @@ ORACLES = {
     "ewma_control_chart": EWMA_ORACLE,
     "mann_kendall_trend": MANN_KENDALL_ORACLE,
     "twap_by_event_type": TWAP_ORACLE,
+    "gapfill_linear_interp": GAPFILL_LINEAR_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,
     "time_bucket_rollup": TIME_BUCKET_ORACLE,
