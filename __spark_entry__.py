@@ -1288,12 +1288,64 @@ _R14_QUEUE: list[str] = [
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the
 #: standing ledger pattern): once CORRECTNESS_r13 lands green, the
-#: stalest standing rows are the r5/r6-era entries the round-13
-#: 29-slot fill truncated — oldest latest-check first, alphabetical
-#: within the round, computed from CORRECTNESS_r01..r12 with the
-#: round-13 window exempted.  Filled at round close once the window
-#: composition is final.
-_R14_RECERT_CANDIDATES: list[str] = []
+#: stalest standing rows are the r6-era entries (latest check r6,
+#: alphabetical — the round-13 29-slot fill re-certified everything
+#: staler), then the r7-era block head.  Computed from
+#: CORRECTNESS_r01..r12 (latest check wins) with the round-13
+#: window exempted; round 14's head = flagship + _R14_QUEUE +
+#: _R14_CODE_CHANGED + this list truncated from the tail at 50.
+_R14_RECERT_CANDIDATES: list[str] = [
+    "dedup_pagerank_exact",
+    "file_metadata_lineage",
+    "formatted_number_parse",
+    "functional_dependency_audit",
+    "integer_division_semantics",
+    "jl_sign_projection",
+    "join_cardinality_estimate",
+    "knn_graph_build",
+    "knn_label_eval",
+    "listagg_top_customers",
+    "map_column_stats",
+    "map_in_arrow_char_profile",
+    "media_dedup_exact",
+    "ndv_catalog_sweep",
+    "ngram_novelty_scores",
+    "not_in_null_semantics",
+    "observed_ingest_metrics",
+    "order_status_transpose",
+    "pandas_api_lang_stats",
+    "parameterized_sql_orders",
+    "parquet_agg_pushdown_stats",
+    "pyds_stream_sink_roundtrip",
+    "rare_token_quality",
+    "rfm_segmentation",
+    "seasonal_naive_backtest",
+    "semantic_topic_slice",
+    "session_window_native",
+    "shuffle_hash_segment_revenue",
+    "split_centroid_drift",
+    "sql_udf_percent_parse",
+    "streaming_interval_join_outer",
+    "temperature_sweep",
+    "token_pmi_topk",
+    "token_weighted_median_quality",
+    "try_function_semantics",
+    "tz_local_day_rollup",
+    "udtf_null_profile",
+    "xml_roundtrip_extract",
+    "anti_customers_no_orders",
+    "brp_lsh_containment",
+    "csv_normalize_pipeline",
+    "cube_order_status",
+    "d3_last_write_wins",
+    "embedding_norm_stats",
+    "events_json_extract",
+    "exists_suppliers_shipping",
+    "f2_f3_record_filters",
+    "grouping_sets_status",
+    "kmeans_iterate_exact",
+    "lag_lead_order_gaps",
+]
 
 #: ROUND-10 RE-CERT CANDIDATES (wired into the head by the round-10
 #: window flip below).  Computed from the CORRECTNESS files after
