@@ -190,12 +190,20 @@ HEADLINE = (
     "session_gap_sensitivity",
     "ivm_delete_maintenance",
     "dedup_threshold_sensitivity",
-    # ROUND-14 ROTATION NOTE: the four round-12 late additions
-    # (hll_rolling_distinct, winnowing_fingerprint_pairs,
-    # mmr_diverse_topk, conformal_quantile_gate) carry
-    # first-exposure numbers in COVERAGE.md round 13 (measured
-    # outside HEADLINE); rotate them in next round with the same
-    # out-rotation economy if the stdout budget needs it.
+    # ROUND-14 ROTATION NOTE: first-exposure numbers for the four
+    # round-12 late additions (hll_rolling_distinct,
+    # winnowing_fingerprint_pairs, mmr_diverse_topk,
+    # conformal_quantile_gate) and all 15 benchable round-13
+    # additions (streaming_hll/cms/ewma maintenance, ewma chart,
+    # fastss ed1, mann-kendall, kappa, session IVM, temperature mix,
+    # source ablation, twap, jitter dedup, s-curve planner, linkage
+    # sweep, linear gapfill) live in COVERAGE.md rounds 12-13
+    # (measured outside HEADLINE — the 68-entry stdout line is at
+    # the driver's tail-capture budget even at integer precision).
+    # Next round: rotate in one representative per NEW family
+    # (fastss_editdist1_pairs, lsh_s_curve_planner,
+    # mixture_temperature_weights, twap_by_event_type) and retire
+    # four more one-exposure spine duplicates to hold the budget.
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
@@ -268,7 +276,12 @@ FROZEN_SETTLE_MAX_S = float(
 #: — the driver-contract fields plus the frozen subtotals and a
 #: taint count — and the full detail lands only in BENCH_OUT.  The
 #: guard below keeps the line parseable even as HEADLINE grows.
-STDOUT_BUDGET = 1900
+#: 1900 → 1980 at round 13: the 68-entry HEADLINE's worst case (every
+#: value two digits at integer precision) measures 1,949 chars — the
+#: driver captures a 2000-char TAIL and this line prints last, so a
+#: ≤1980 line always survives whole; the old 100-char headroom bought
+#: nothing but coverage truncation
+STDOUT_BUDGET = 1980
 
 
 def _dumps(obj: dict) -> str:
