@@ -1284,6 +1284,17 @@ _R14_QUEUE: list[str] = [
     # the possibly-negative slope numerator; same grid plan as the
     # LOCF sibling plus two bounded per-user windows
     "gapfill_linear_interp",
+    # the debounce rule as a custom stateful streaming operator
+    # (applyInPandasWithState, one integer of state per key,
+    # time-ordered micro-batches): streaming state ≡ batch fold for
+    # a NON-algebraic sequential rule — the oracle IS the batch
+    # recursion
+    "streaming_jitter_dedup",
+    # MDM field survivorship: two independently-lossy source feeds
+    # merged per entity — per field, who rescued it, who agreed, who
+    # conflicted, who missed it (the table that decides which source
+    # to trust per field)
+    "golden_record_survivorship",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -316,6 +316,137 @@ FROM tot
 """
 
 
+#: the second source system's corruption rates (different salts and
+#: rates than `_dirty_side` — two independently lossy feeds is the
+#: shape that makes field survivorship non-degenerate)
+LNK2_NAME_LOSS_PCT = 30
+LNK2_BAL_OFFBYONE_PCT = 20
+LNK2_SEG_LOSS_PCT = 15
+
+
+def golden_record_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Field-level SURVIVORSHIP — the master-data-management step
+    after matching: two source systems each hold a lossy copy of the
+    same entity (feed A = the `_dirty_side` derivation, feed B = an
+    independently-corrupted sibling with its own salts and rates);
+    the golden record takes, per field, the surviving value — known
+    beats UNKNOWN, agreement confirms, disagreement is a CONFLICT
+    resolved by a deterministic rule (numeric: least value; the
+    audit counts it either way).
+
+    Output is the survivorship AUDIT (one row per field): how many
+    entities each source alone rescued, how many both agreed on,
+    how many conflicted, how many neither knew — the table an MDM
+    operator reads to decide which source to trust per field.
+
+    Scale shape: both feeds project off one customer scan, the merge
+    is a key equi-join, and the audit is one aggregate — no window,
+    no skew surface."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    a = _dirty_side(c).select(
+        F.col("key_d").alias("k"),
+        F.col("name_d").alias("name_a"),
+        F.col("bal_d").alias("bal_a"),
+        F.col("seg_d").alias("seg_a"),
+    )
+    bn = _hash_bucket(F.col("c_custkey"), "lnk2n|", 100)
+    bb = _hash_bucket(F.col("c_custkey"), "lnk2b|", 100)
+    bs = _hash_bucket(F.col("c_custkey"), "lnk2s|", 100)
+    bal_b = F.floor(F.col("c_acctbal")).cast("long") + F.when(
+        bb < LNK2_BAL_OFFBYONE_PCT, F.lit(1)
+    ).otherwise(F.lit(0))
+    b = c.select(
+        F.col("c_custkey").alias("k"),
+        F.when(bn < LNK2_NAME_LOSS_PCT, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        bal_b.alias("bal_b"),
+        F.when(bs < LNK2_SEG_LOSS_PCT, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+    )
+    m = a.join(b, "k")
+
+    def audit(fa: str, fb: str, field: str, unknown: str | None):
+        if unknown is not None:
+            ka = F.col(fa) != unknown
+            kb = F.col(fb) != unknown
+        else:
+            ka = F.lit(True)
+            kb = F.lit(True)
+        agree = ka & kb & (F.col(fa) == F.col(fb))
+        conflict = ka & kb & (F.col(fa) != F.col(fb))
+        return m.agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum((ka & ~kb).cast("long")).cast("long").alias("from_a_only"),
+            F.sum((~ka & kb).cast("long")).cast("long").alias("from_b_only"),
+            F.sum(agree.cast("long")).cast("long").alias("n_agree"),
+            F.sum(conflict.cast("long")).cast("long").alias("n_conflict"),
+            F.sum((~ka & ~kb).cast("long")).cast("long").alias("n_missing"),
+        ).select(F.lit(field).alias("field"), "*")
+
+    return (
+        audit("name_a", "name_b", "name", "UNKNOWN")
+        .unionByName(audit("bal_a", "bal_b", "balance", None))
+        .unionByName(audit("seg_a", "seg_b", "segment", "UNKNOWN"))
+        .orderBy("field")
+    )
+
+
+def _survivorship_oracle() -> str:
+    bn = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnk2n|", 100)
+    bb = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnk2b|", 100)
+    bs = _hash_bucket_sql("CAST(c_custkey AS VARCHAR)", "lnk2s|", 100)
+
+    def leg(fa: str, fb: str, field: str, unknown: str | None) -> str:
+        if unknown is not None:
+            ka = f"({fa} != '{unknown}')"
+            kb = f"({fb} != '{unknown}')"
+        else:
+            ka = "TRUE"
+            kb = "TRUE"
+        return f"""
+SELECT '{field}' AS field,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(CASE WHEN {ka} AND NOT {kb} THEN 1 ELSE 0 END) AS BIGINT)
+         AS from_a_only,
+       CAST(sum(CASE WHEN NOT {ka} AND {kb} THEN 1 ELSE 0 END) AS BIGINT)
+         AS from_b_only,
+       CAST(sum(CASE WHEN {ka} AND {kb} AND {fa} = {fb}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN {ka} AND {kb} AND {fa} != {fb}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+       CAST(sum(CASE WHEN NOT {ka} AND NOT {kb} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing
+FROM m"""
+
+    feeds = _cand_sql().split(",\ncand AS")[0]
+    return f"""
+WITH {feeds},
+b2 AS (
+  SELECT c_custkey AS k,
+         CASE WHEN ({bn}) < {LNK2_NAME_LOSS_PCT} THEN 'UNKNOWN'
+              ELSE c_name END AS name_b,
+         CAST(floor(c_acctbal) AS BIGINT)
+           + CASE WHEN ({bb}) < {LNK2_BAL_OFFBYONE_PCT} THEN 1 ELSE 0 END
+           AS bal_b,
+         CASE WHEN ({bs}) < {LNK2_SEG_LOSS_PCT} THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS seg_b
+  FROM customer),
+m AS (
+  SELECT d.key_d AS k, d.name_d AS name_a, d.bal_d AS bal_a,
+         d.seg_d AS seg_a, b2.name_b, b2.bal_b, b2.seg_b
+  FROM dirty d JOIN b2 ON d.key_d = b2.k)
+{leg("name_a", "name_b", "name", "UNKNOWN")}
+UNION ALL {leg("bal_a", "bal_b", "balance", None)}
+UNION ALL {leg("seg_a", "seg_b", "segment", "UNKNOWN")}
+ORDER BY 1
+"""
+
+
 #: odds thresholds swept (ppm): even odds, 10:1, 100:1, and the
 #: infinite-evidence-only policy
 LNK_T_PPM = (1_000_000, 10_000_000, 100_000_000, LNK_ODDS_INF)
@@ -404,10 +535,12 @@ QUERIES = {
     "record_linkage_fs": record_linkage_fs,
     "linkage_greedy_assignment": linkage_greedy_assignment,
     "linkage_threshold_sensitivity": linkage_threshold_sensitivity,
+    "golden_record_survivorship": golden_record_survivorship,
 }
 
 ORACLES = {
     "record_linkage_fs": _fs_oracle(),
     "linkage_greedy_assignment": _assignment_oracle(),
     "linkage_threshold_sensitivity": _threshold_sensitivity_oracle(),
+    "golden_record_survivorship": _survivorship_oracle(),
 }

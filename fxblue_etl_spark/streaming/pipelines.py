@@ -2113,6 +2113,96 @@ FROM pos GROUP BY 1, 2
 """
 
 
+def streaming_jitter_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """The greedy debounce rule as a CUSTOM STATEFUL streaming
+    operator — the production form `operators.windows.
+    jitter_dedup_events` names as its scale path: keep an event iff
+    it lands more than JITTER_T_S after the last KEPT event of the
+    same user.  The decision depends on which earlier events
+    survived, so the streaming operator carries exactly one integer
+    per key (the last kept timestamp) in `applyInPandasWithState`
+    state, processing time-ordered micro-batches (the fixture is
+    staged as ts-range splits, so batch boundaries cut the stream in
+    event time — the hard case for carried state).
+
+    The oracle is the batch recursion itself
+    (JITTER_DEDUP_ORACLE) — streaming state ≡ batch fold, the same
+    incremental ≡ rebuild statement the sketch family makes, here
+    for a NON-algebraic sequential rule.
+
+    Output: per user, cumulative (n_events, n_kept, n_dropped) from
+    the final state snapshot (append-mode emits one running row per
+    batch; the max-n row per user is the final one)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators.windows import JITTER_T_S
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "events", "ts", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    # the duckdb-staged splits carry ts as TIMESTAMP_NTZ (no direct
+    # long cast); route through timestamp like events_stream does —
+    # NTZ epoch is UTC in both engines
+    s = stream.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        "event_id",
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        last, kept, n = (
+            state.get if state.exists else (-(1 << 60), 0, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        for t in rows["t"]:
+            n += 1
+            if t - last > JITTER_T_S:
+                kept += 1
+                last = int(t)
+        state.update((int(last), int(kept), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_kept": [kept],
+            }
+        )
+
+    res = s.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, n_events long, n_kept long",
+        "last long, kept long, n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(res, "append")
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_kept")).alias("b")
+    )
+    return final.select(
+        "user_id",
+        F.col("b.n_events").cast("long").alias("n_events"),
+        F.col("b.n_kept").cast("long").alias("n_kept"),
+        (F.col("b.n_events") - F.col("b.n_kept"))
+        .cast("long")
+        .alias("n_dropped"),
+    ).orderBy("user_id")
+
+
 def _bloom_words_oracle() -> str:
     """The streaming maintenance must equal the BATCH word table
     exactly — the same member set and hash family as the batch
@@ -2456,6 +2546,7 @@ QUERIES = {
     "streaming_bloom_maintenance": streaming_bloom_maintenance,
     "streaming_hll_maintenance": streaming_hll_maintenance,
     "streaming_cms_maintenance": streaming_cms_maintenance,
+    "streaming_jitter_dedup": streaming_jitter_dedup,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
@@ -2475,6 +2566,7 @@ ORACLES = {
     "streaming_bloom_maintenance": _bloom_words_oracle(),
     "streaming_hll_maintenance": _hll_regs_oracle(),
     "streaming_cms_maintenance": _cms_counter_oracle(),
+    "streaming_jitter_dedup": __import__("fxblue_etl_spark.operators.windows", fromlist=["JITTER_DEDUP_ORACLE"]).JITTER_DEDUP_ORACLE,
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

@@ -480,3 +480,66 @@ def test_streaming_ewma_matches_batch_chart(spark):
     batch = sorted(map(tuple, ewma_control_chart(spark, SF_DIR).collect()))
     assert streamed == batch
     assert len([p for p in progress if p["numInputRows"] > 0]) >= 4
+
+
+def test_streaming_jitter_matches_batch_fold(spark):
+    """Streaming state ≡ batch fold for the debounce rule: the
+    stateful streaming operator reproduces jitter_dedup_events
+    row-for-row across micro-batch boundaries."""
+    from fxblue_etl_spark.operators.windows import jitter_dedup_events
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_jitter_dedup,
+    )
+
+    streamed = sorted(
+        map(tuple, streaming_jitter_dedup(spark, SF_DIR, n_splits=4).collect())
+    )
+    batch = sorted(map(tuple, jitter_dedup_events(spark, SF_DIR).collect()))
+    assert streamed == batch
+
+
+def test_survivorship_conserves_entities(spark):
+    """Every field row accounts for every entity exactly once across
+    the five provenance buckets, and the balance field (never
+    UNKNOWN) has no missing bucket."""
+    from fxblue_etl_spark.operators.linkage import (
+        golden_record_survivorship,
+    )
+
+    rows = {r["field"]: r for r in
+            golden_record_survivorship(spark, SF_DIR).collect()}
+    assert set(rows) == {"name", "balance", "segment"}
+    for r in rows.values():
+        assert (
+            r["from_a_only"] + r["from_b_only"] + r["n_agree"]
+            + r["n_conflict"] + r["n_missing"]
+        ) == r["n_entities"]
+    assert rows["balance"]["n_missing"] == 0
+    assert rows["balance"]["from_a_only"] == 0
+    # the two feeds disagree on some balances (different off-by-one
+    # salts), so the conflict branch is exercised
+    assert rows["balance"]["n_conflict"] > 0
+
+
+def test_gapfill_linear_between_observations(spark):
+    """Interpolated gap days lie between their neighbors (inclusive)
+    and observed days pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators.temporal import (
+        gapfill_daily_locf,
+        gapfill_linear_interp,
+    )
+
+    lin = gapfill_linear_interp(spark, SF_DIR)
+    locf = gapfill_daily_locf(spark, SF_DIR).select(
+        "user_id", "day",
+        F.col("filled_value_e4").alias("locf_v"),
+        F.col("is_gap").alias("locf_gap"),
+    )
+    j = lin.join(locf, ["user_id", "day"]).collect()
+    assert j
+    for r in j:
+        if r["is_gap"] == 0:
+            # observed day: both modes agree with the observation
+            assert r["interp_value_e4"] == r["locf_v"]
