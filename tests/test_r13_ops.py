@@ -543,3 +543,115 @@ def test_gapfill_linear_between_observations(spark):
         if r["is_gap"] == 0:
             # observed day: both modes agree with the observation
             assert r["interp_value_e4"] == r["locf_v"]
+
+
+def test_source_ablation_equals_per_source_recompute(spark):
+    """The one-pass sweep's composition shifts equal k brute-force
+    leave-one-out recomputes (the claim that makes it a sweep, not
+    an approximation) — replayed driver-side from the same grid."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.io import table
+    from fxblue_etl_spark.operators.corpusops import (
+        source_ablation_report,
+        ws_tokens,
+    )
+
+    got = {r["source"]: r for r in
+           source_ablation_report(spark, SF_DIR).collect()}
+    grid = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "lang", "source",
+            F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tok").cast("long").alias("toks"))
+        .collect()
+    )
+    langs = sorted({r["lang"] for r in grid})
+    sources = sorted({r["source"] for r in grid})
+    cell = {(r["lang"], r["source"]): r["toks"] for r in grid}
+    t_l = {l: sum(cell.get((l, s), 0) for s in sources) for l in langs}
+    total = sum(t_l.values())
+    for s in sources:
+        t_s = sum(cell.get((l, s), 0) for l in langs)
+        best, best_lang = -1, None
+        for l in langs:
+            with_ppm = 1_000_000 * t_l[l] // total
+            without_ppm = (
+                1_000_000 * (t_l[l] - cell.get((l, s), 0))
+                // (total - t_s)
+            )
+            shift = abs(without_ppm - with_ppm)
+            if shift > best or (shift == best and l < best_lang):
+                best, best_lang = shift, l
+        assert (got[s]["max_shift_ppm"], got[s]["shifted_lang"]) == (
+            best,
+            best_lang,
+        ), s
+
+
+def test_scurve_theory_matches_python_replay(spark):
+    """The stepwise-floor ppm powers equal a driver-side integer
+    replay for every (geometry, threshold) cell, and the curve is
+    monotone in j for every geometry."""
+    from fxblue_etl_spark.operators.dedup import (
+        SCURVE_GEOMS,
+        SCURVE_J_PPM,
+        lsh_s_curve_planner,
+    )
+
+    rows = lsh_s_curve_planner(spark, SF_DIR).collect()
+    theory = {
+        (r["bands"], r["rows_per_band"], r["j_ppm"]): r
+        for r in rows
+        if r["j_ppm"] >= 0
+    }
+
+    def powf(p, k):
+        out = 1_000_000
+        for _ in range(k):
+            out = out * p // 1_000_000
+        return out
+
+    for b, r_ in SCURVE_GEOMS:
+        prev = -1
+        for j in SCURVE_J_PPM:
+            jr = powf(j, r_)
+            hit = 1_000_000 - powf(1_000_000 - jr, b)
+            got = theory[(b, r_, j)]
+            assert (got["band_hit_ppm"], got["pair_found_ppm"]) == (
+                jr,
+                hit,
+            )
+            assert hit >= prev
+            prev = hit
+    # measured candidate counts: more bands with fewer rows each ⇒
+    # at least as many candidates as fewer, wider bands at the same
+    # signature budget (b·r equal): (8,3) ≥ (4,6) on any corpus
+    meas = {
+        (r["bands"], r["rows_per_band"]): r["measured_candidates"]
+        for r in rows
+        if r["j_ppm"] < 0
+    }
+    assert meas[(8, 3)] >= meas[(4, 6)]
+    assert meas[(4, 3)] >= meas[(2, 6)]
+
+
+def test_linkage_sweep_is_monotone(spark):
+    """Raising the odds cutoff can only shrink the declared set and
+    raise (or hold) precision; recall is non-increasing."""
+    from fxblue_etl_spark.operators.linkage import (
+        linkage_threshold_sensitivity,
+    )
+
+    rows = sorted(
+        linkage_threshold_sensitivity(spark, SF_DIR).collect(),
+        key=lambda r: r["t_ppm"],
+    )
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_declared"] <= lo["n_declared"]
+        assert hi["n_correct"] <= lo["n_correct"]
+        assert hi["recall_ppm"] <= lo["recall_ppm"]
+        assert hi["precision_ppm"] >= lo["precision_ppm"]
