@@ -1295,6 +1295,12 @@ _R14_QUEUE: list[str] = [
     # conflicted, who missed it (the table that decides which source
     # to trust per field)
     "golden_record_survivorship",
+    # Kaplan-Meier survival over customer order lifetimes: the
+    # censoring-aware retention curve (right-censored inside the
+    # 26-week window) with the survival product in stepwise-floor
+    # ppm — one data-scaled (first, last) aggregate, then a
+    # calendar-bounded fold; oracle replays as a recursive CTE
+    "kaplan_meier_retention",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

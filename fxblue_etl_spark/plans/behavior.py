@@ -720,8 +720,138 @@ FROM win WHERE event_type = 'purchase'
 """
 
 
+#: Kaplan-Meier geometry: customer tenure is measured in epoch-weeks
+#: (the engine-neutral datediff // 7 key) over the ORDER history —
+#: the events fixture spans only ~a month with every user active to
+#: the end (measured: zero churn at any grain), while orders span
+#: seven years with ~half the customers' last order well inside the
+#: window — and a customer whose LAST order falls within this many
+#: weeks of the corpus end is right-CENSORED (still active), not
+#: churned
+KM_CENSOR_W = 26
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of CUSTOMER activity — the distribution-free
+    retention curve (Kaplan & Meier 1958) that handles the fact a
+    panel always ends mid-observation: a customer still ordering near the
+    corpus end is right-CENSORED at their observed tenure, not
+    counted as churned (the naive "retention = active/total" curve
+    `retention_cohorts` draws is biased low for exactly this reason
+    — this estimator is the unbiased companion).
+
+    Per tenure week t: at-risk n_t (tenure ≥ t), churn events d_t
+    (last event at tenure t, not censored), censorings c_t, and the
+    survival ppm S_t = floor-product Π(1 − d_i/n_i) — stepwise floor
+    after each multiply, the `lsh_s_curve_planner` discipline, so
+    both engines replay identical integer arithmetic (error < #steps
+    ppm, irrelevant at curve granularity).
+
+    Scale shape: ONE data-scaled per-user (first, last) aggregate;
+    everything after runs on a tenure-indexed frame bounded by
+    calendar weeks — the fold is a single ≤|weeks|-element
+    `F.aggregate`, no global window over data."""
+    o = table(tune(spark), sf_dir, "orders")
+    wk = F.expr(
+        "datediff(o_orderdate, DATE'1970-01-01') DIV 7"
+    ).cast("long")
+    per_user = o.select("o_custkey", wk.alias("wk")).groupBy(
+        "o_custkey"
+    ).agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    wmax = per_user.agg(F.max("w1").alias("m")).collect()[0]["m"]
+    ten = per_user.select(
+        (F.col("w1") - F.col("w0")).cast("long").alias("t"),
+        (F.col("w1") > wmax - KM_CENSOR_W).cast("long").alias("censored"),
+    )
+    cells = ten.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    arr = cells.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("xs"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("total"),
+    )
+    # fold ascending tenure: at-risk = users not yet consumed;
+    # survival = stepwise-floor product in ppm; emit one struct per
+    # tenure row (calendar-bounded array)
+    init = F.struct(
+        F.col("total").alias("risk"),
+        F.lit(1_000_000).cast("long").alias("s"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_at_risk: BIGINT,"
+            " d_churned: BIGINT, c_censored: BIGINT, s_ppm: BIGINT>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, x):
+        s_new = F.floor(
+            acc["s"] * (acc["risk"] - x["d"]) / acc["risk"]
+        ).cast("long")
+        row = F.struct(
+            x["t"].alias("t"),
+            acc["risk"].alias("n_at_risk"),
+            x["d"].alias("d_churned"),
+            x["c"].alias("c_censored"),
+            s_new.alias("s_ppm"),
+        )
+        return F.struct(
+            (acc["risk"] - x["d"] - x["c"]).alias("risk"),
+            s_new.alias("s"),
+            F.array_append(acc["out"], row).alias("out"),
+        )
+
+    folded = arr.select(
+        F.explode(F.aggregate("xs", init, step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.d_churned").alias("d_churned"),
+        F.col("r.c_censored").alias("c_censored"),
+        F.col("r.s_ppm").alias("s_ppm"),
+    ).orderBy("t")
+
+
+KAPLAN_MEIER_ORACLE = f"""
+WITH RECURSIVE pu AS (
+  SELECT o_custkey,
+         min((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w0,
+         max((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w1
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(w1) AS m FROM pu),
+tenr AS (
+  SELECT w1 - w0 AS t,
+         CASE WHEN w1 > (SELECT m FROM mx) - {KM_CENSOR_W}
+              THEN 1 ELSE 0 END AS censored
+  FROM pu),
+cells AS (
+  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM tenr GROUP BY 1),
+idx AS MATERIALIZED (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i FROM cells),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM cells),
+r AS (
+  SELECT i, t, d, c,
+         (SELECT total FROM tot) AS n_at_risk,
+         CAST(floor(CAST(1000000 AS BIGINT)
+              * ((SELECT total FROM tot) - d)
+              / (SELECT total FROM tot)) AS BIGINT) AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.t, x.d, x.c,
+         r.n_at_risk - r.d - r.c,
+         CAST(floor(r.s * (r.n_at_risk - r.d - r.c - x.d)
+                    / (r.n_at_risk - r.d - r.c)) AS BIGINT)
+  FROM r JOIN idx x ON x.i = r.i + 1)
+SELECT t, n_at_risk, d AS d_churned, c AS c_censored, s AS s_ppm
+FROM r ORDER BY t
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
+    "kaplan_meier_retention": kaplan_meier_retention,
     "event_cooccurrence": event_cooccurrence,
     "rolling_active_users": rolling_active_users,
     "type_correlation_stats": type_correlation_stats,
@@ -734,6 +864,7 @@ QUERIES = {
 
 ORACLES = {
     "retention_cohorts": RETENTION_ORACLE,
+    "kaplan_meier_retention": KAPLAN_MEIER_ORACLE,
     "event_cooccurrence": COOCCURRENCE_ORACLE,
     "rolling_active_users": ROLLING_ACTIVE_ORACLE,
     "type_correlation_stats": TYPE_CORR_ORACLE,

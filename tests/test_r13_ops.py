@@ -655,3 +655,26 @@ def test_linkage_sweep_is_monotone(spark):
         assert hi["n_correct"] <= lo["n_correct"]
         assert hi["recall_ppm"] <= lo["recall_ppm"]
         assert hi["precision_ppm"] >= lo["precision_ppm"]
+
+
+def test_kaplan_meier_is_valid_survival_curve(spark):
+    """S is non-increasing from ≤1e6, the at-risk ledger conserves
+    (risk_next = risk − d − c), and both churn and censoring
+    branches are exercised on the fixture."""
+    from fxblue_etl_spark.plans.behavior import kaplan_meier_retention
+
+    rows = sorted(
+        kaplan_meier_retention(spark, SF_DIR).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows and rows[0]["s_ppm"] <= 1_000_000
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["s_ppm"] <= lo["s_ppm"]
+        assert hi["n_at_risk"] == (
+            lo["n_at_risk"] - lo["d_churned"] - lo["c_censored"]
+        )
+    assert sum(r["d_churned"] for r in rows) > 0
+    assert sum(r["c_censored"] for r in rows) > 0
+    # the ledger empties exactly
+    last = rows[-1]
+    assert last["n_at_risk"] == last["d_churned"] + last["c_censored"]
