@@ -14,17 +14,17 @@ the driver's correctness gate).
 ``queries()`` is ordered so the driver's per-round correctness gate
 (which checks entries in dict order, exactly 50 per round) certifies
 the queries that don't yet have a driver-side CORRECTNESS row, then
-re-certifies the stalest standing rows.  Round 13 continues the
-standing rotation cadence: the head is the flagship + the _R13_QUEUE
-twenty (the round-12 additions, all locally oracle-verified on
-entry) + _R13_CODE_CHANGED (queries whose plan or oracle text
-changed in round 13 — re-certified in-window) + the stalest standing
-rows from _R13_RECERT_CANDIDATES (the r5-era entries the round-12
-fill truncated, then the r6-era block; the window-fill truncates
-from the least-stale tail).  A green round-13 gate returns the
-never-driver-certified count to 0 again.  Round-13 additions
-(_R14_QUEUE, locally oracle-verified on entry) sit immediately after
-the window so they head round 14's rotation; _R14_RECERT_CANDIDATES
+re-certifies the stalest standing rows.  Round 14 continues the
+standing rotation cadence: the head is the flagship + the _R14_QUEUE
+eighteen (the round-13 additions, all locally oracle-verified on
+entry) + _R14_CODE_CHANGED (queries whose plan or oracle text
+changed in round 14 — the pair-mass-capped detectors — re-certified
+in-window) + the stalest standing rows from _R14_RECERT_CANDIDATES
+(the r6-era block first, then the r7-era head; the window-fill
+truncates from the least-stale tail).  A green round-14 gate returns
+the never-driver-certified count to 0 again.  Round-14 additions
+(_R15_QUEUE, locally oracle-verified on entry) sit immediately after
+the window so they head round 15's rotation; _R15_RECERT_CANDIDATES
 pre-plans that flip at round close.
 """
 
@@ -1303,6 +1303,30 @@ _R14_QUEUE: list[str] = [
     "kaplan_meier_retention",
 ]
 
+#: Queries whose LINEAGE CHANGED in round 14 (so their standing
+#: driver rows no longer certify the current code) — re-certify
+#: in-window.  Round-14 advice/verdict fixes that touched queries
+#: already heading the window via _R14_QUEUE (lsh_s_curve_planner's
+#: <3-token signature filter, twap_by_event_type's pmod-floor +
+#: zero-span guard, classifier_agreement_kappa's degenerate guard,
+#: source_ablation_report's single-source guard) need no extra slot.
+_R14_CODE_CHANGED: list[str] = [
+    # round-14 verdict item 4: per-component pair-mass emission cap
+    # with an overflow marker (exact up to the cap, explicit beyond)
+    # on the two super-linear detectors
+    "winnowing_fingerprint_pairs",
+    "dedup_threshold_sensitivity",
+    # refactored (spine extracted for the capped sibling) — plan
+    # unchanged, code text changed, so it re-certifies in-window
+    "ngram_jaccard_pairs",
+]
+
+#: Queries ADDED in round 14 — placed after the 50-window (the
+#: round-14 rotation must not be displaced); they head round 15's
+#: rotation.  Verified against the DuckDB oracle locally on
+#: addition.
+_R15_QUEUE: list[str] = []
+
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the
 #: standing ledger pattern): once CORRECTNESS_r13 lands green, the
 #: stalest standing rows are the r6-era entries (latest check r6,
@@ -1651,26 +1675,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         merged.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Round-13 gate window (50 entries = the driver's exact window
-    # size, observed rounds 1-12):
+    # Round-14 gate window (50 entries = the driver's exact window
+    # size, observed rounds 1-13):
     # 1. the flagship (always certified),
-    # 2. the _R13_QUEUE twenty (round-12 additions, the only
+    # 2. the _R14_QUEUE eighteen (round-13 additions, the only
     #    never-driver-checked oracle-backed queries) — debt drops
-    #    20 → 0,
-    # 3. queries whose lineage changed in round 13
-    #    (_R13_CODE_CHANGED),
-    # 4. the stalest standing rows (_R13_RECERT_CANDIDATES — the
-    #    r5-era entries the round-12 fill truncated, then the r6-era
-    #    block) truncated from the TAIL to fill the window at
-    #    exactly 50.
-    # Beyond the window: _R14_QUEUE (round-13 additions head round
-    # 14), then the round-12 window order, then standing rows.
+    #    18 → 0,
+    # 3. queries whose lineage changed in round 14
+    #    (_R14_CODE_CHANGED: the pair-mass-capped detectors),
+    # 4. the stalest standing rows (_R14_RECERT_CANDIDATES — the
+    #    r6-era block first, then the r7-era head) truncated from
+    #    the TAIL to fill the window at exactly 50.
+    # Beyond the window: _R15_QUEUE (round-14 additions head round
+    # 15), then the round-13 window order, then standing rows.
     head = ["flagship_account_pnl"]
-    head += _R13_QUEUE
-    head += [q for q in _R13_CODE_CHANGED if q not in head]
-    fill = 50 - len(head)
-    head += [q for q in _R13_RECERT_CANDIDATES if q not in head][:fill]
     head += _R14_QUEUE
+    head += [q for q in _R14_CODE_CHANGED if q not in head]
+    fill = 50 - len(head)
+    head += [q for q in _R14_RECERT_CANDIDATES if q not in head][:fill]
+    head += _R15_QUEUE
+    head += [q for q in _R13_QUEUE if q not in head]
+    head += [q for q in _R13_CODE_CHANGED if q not in head]
+    head += [q for q in _R13_RECERT_CANDIDATES if q not in head]
     head += [q for q in _R12_QUEUE if q not in head]
     head += [q for q in _R12_CODE_CHANGED if q not in head]
     head += [q for q in _R12_RECERT_CANDIDATES if q not in head]

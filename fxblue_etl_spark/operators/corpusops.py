@@ -695,12 +695,18 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(1000000 AS DECIMAL(38,0)) * (t_l - toks)"
         f" DIV ({total} - t_s) AS BIGINT)"
     )
+    # single-source corpus: dropping the only source leaves nothing
+    # to measure composition on (total = t_s divides by zero) —
+    # define the shift as 0 on both engines (round-13 advice item 3)
     shifted = cross.select(
         "source",
         "lang",
         "n_docs",
         "t_s",
-        F.abs(without_ppm - with_ppm).cast("long").alias("shift_ppm"),
+        F.when(F.col("t_s") == F.lit(total), F.lit(0))
+        .otherwise(F.abs(without_ppm - with_ppm))
+        .cast("long")
+        .alias("shift_ppm"),
     )
     best = shifted.groupBy("source").agg(
         F.max(
@@ -775,9 +781,11 @@ crossg AS (
   JOIN by_src bs ON bs.source = s.source),
 shifted AS (
   SELECT source, lang,
-         abs(CAST(1000000 AS HUGEINT) * (t_l - toks) // ((SELECT t FROM tot) - t_s)
-             - CAST(1000000 AS HUGEINT) * t_l // (SELECT t FROM tot))
-           AS shift_ppm
+         CASE WHEN t_s = (SELECT t FROM tot) THEN 0
+              ELSE abs(CAST(1000000 AS HUGEINT) * (t_l - toks)
+                         // ((SELECT t FROM tot) - t_s)
+                   - CAST(1000000 AS HUGEINT) * t_l // (SELECT t FROM tot))
+         END AS shift_ppm
   FROM crossg),
 best AS (
   SELECT source, CAST(max(shift_ppm) AS BIGINT) AS max_shift_ppm

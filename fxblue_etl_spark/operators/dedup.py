@@ -921,10 +921,10 @@ FROM votes
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup: documents sharing
-    (lang, first token) are compared; pairs with Jaccard ≥ 0.05 of
-    their word-bigram sets are emitted.
+def _bigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, block_lang, block_tok, grams) — the blocked word-
+    bigram spine shared by ``ngram_jaccard_pairs`` (uncapped, exact)
+    and the sweep's per-block-capped variant below.
 
     Documents with fewer than 2 tokens cannot form a word bigram and
     are excluded up front (same guard as minhash_lsh_pairs' 3-token
@@ -935,12 +935,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 2)
     grams = word_shingles("text", k=2)
     toks = ws_tokens(_norm_text("text"))
-    blocked = d.select(
+    return d.select(
         "doc_id",
         F.col("lang").alias("block_lang"),
         F.element_at(toks, 1).alias("block_tok"),
         grams.alias("grams"),
     )
+
+
+def _bigram_pairs(blocked: DataFrame) -> DataFrame:
+    """Within-block pair join + exact Jaccard ≥ 0.05 over a blocked
+    bigram spine (see ``_bigram_blocked``)."""
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(
         b,
@@ -957,6 +962,48 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.round(inter / union, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.05)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: documents sharing
+    (lang, first token) are compared; pairs with Jaccard ≥ 0.05 of
+    their word-bigram sets are emitted.  Exact and uncapped — the
+    per-block pair-mass-guarded sibling for downstream sweeps is
+    ``ngram_jaccard_pairs_capped``."""
+    return _bigram_pairs(_bigram_blocked(spark, sf_dir))
+
+
+#: per-(lang, first-token) block document cap for the CAPPED bigram
+#: pair spine (round-14 verdict item 4: dedup_threshold_sensitivity
+#: probed at e = 1.15 because block populations scale with the
+#: corpus, so within-block pairs grow quadratically on a
+#: mass-duplication corpus).  Keeping the ``cap`` smallest doc_ids
+#: per block bounds every block's pair mass at C(256, 2) — total
+#: pair mass becomes linear in the number of blocks — and the count
+#: of excluded documents rides along as an explicit scalar: exact up
+#: to the cap, explicit beyond it.
+SWEEP_BLOCK_DOC_CAP = 256
+
+
+def ngram_jaccard_pairs_capped(
+    spark: SparkSession, sf_dir: str, cap: int = SWEEP_BLOCK_DOC_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, n_docs_capped) — the bigram pair spine with a
+    per-block document cap: each (lang, first-token) block
+    contributes only its ``cap`` smallest doc_ids to the pair join
+    (deterministic, so the DuckDB oracle replays the same QUALIFY),
+    and the 1-row scalar frame counts the excluded documents so a
+    consumer can surface the truncation explicitly."""
+    from pyspark.sql.window import Window
+
+    blocked = _bigram_blocked(spark, sf_dir)
+    w = Window.partitionBy("block_lang", "block_tok").orderBy("doc_id")
+    ranked = blocked.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") <= cap).drop("rk")
+    n_capped = ranked.filter(F.col("rk") > cap).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_capped")
+    )
+    return _bigram_pairs(kept), n_capped
 
 
 NGRAM_ORACLE = r"""
@@ -1200,8 +1247,13 @@ PERM_B24 = [(2246822519 * (p + 1)) % 2**30 for p in range(24)]
 
 def _scurve_sigs(docs: DataFrame) -> DataFrame:
     """doc_id → 24-perm minhash signature (the planner's budget) —
-    the `minhash_signatures` fold at doubled width."""
-    sh_df = docs.select(
+    the `minhash_signatures` fold at doubled width.  Docs under 3
+    tokens are excluded to match the certified 12-perm lineage
+    (``minhash_band_rows_hof``) and the oracle's ``len(toks) >= 3``
+    shingle CTE — a 0-2-token doc would otherwise get a degenerate
+    single-shingle signature here while being absent from the
+    oracle's signature set (round-13 advice item 1)."""
+    sh_df = docs.filter(F.size(ws_tokens(_norm_text("text"))) >= 3).select(
         "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
     )
     hashes = F.transform(

@@ -673,24 +673,34 @@ def dedup_threshold_sensitivity(
     the drop-count curve elbows; re-running the full pipeline per
     candidate pays the LSH banding k times for one decision.
 
-    One blocked word-bigram pair pass (the certified
-    ``ngram_jaccard_pairs`` graph, exact Jaccard ≥ its 0.05 floor,
-    computed ONCE and persisted) feeds all k legs: each leg filters
-    the verified pairs at its threshold and runs the
+    One blocked word-bigram pair pass (the ``ngram_jaccard_pairs``
+    lineage behind a per-block document cap, exact Jaccard ≥ its
+    0.05 floor, computed ONCE and persisted) feeds all k legs: each
+    leg filters the verified pairs at its threshold and runs the
     bounded-superstep connected components over its (smaller) pair
     graph — the pair graph ≪ corpus, so k component runs cost
     k × (graph supersteps), never k corpus scans.
+
+    Pair-mass guard (round-14 verdict item 4, 10× probe e = 1.15):
+    block populations scale with the corpus, so the uncapped spine
+    goes quadratic on a mass-duplication corpus.  The sweep consumes
+    ``ngram_jaccard_pairs_capped`` — each (lang, first-token) block
+    contributes its SWEEP_BLOCK_DOC_CAP smallest doc_ids — and every
+    output row carries ``n_docs_capped``: 0 certifies the exact
+    uncapped answer (the fixture's case), > 0 makes the truncation
+    explicit instead of silent.
 
     Integer discipline: thresholds compare as ppm against the
     round(jaccard, 6) both engines share (the DECON_J spelling)."""
     from ..io import swap_cache
     from ..session import tune
-    from .dedup import ngram_jaccard_pairs
+    from .dedup import ngram_jaccard_pairs_capped
 
     tune(spark)
+    raw_pairs, n_capped = ngram_jaccard_pairs_capped(spark, sf_dir)
     pairs = swap_cache(
         "graph.threshold_pairs",
-        ngram_jaccard_pairs(spark, sf_dir).select(
+        raw_pairs.select(
             "doc_a",
             "doc_b",
             # round-to-nearest BEFORE the long cast: Spark's bare
@@ -728,6 +738,7 @@ def dedup_threshold_sensitivity(
                     )
                 )
             )
+            .crossJoin(F.broadcast(n_capped))  # 1-row scalar guard
             .select(
                 F.lit(t).cast("long").alias("t_ppm"),
                 "n_edges",
@@ -737,6 +748,7 @@ def dedup_threshold_sensitivity(
                 .cast("long")
                 .alias("n_dropped"),
                 "max_component",
+                "n_docs_capped",
             )
         )
         out = leg if out is None else out.unionByName(leg)
@@ -744,8 +756,31 @@ def dedup_threshold_sensitivity(
 
 
 def _dedup_threshold_oracle() -> str:
-    from .dedup import NGRAM_ORACLE
+    from .dedup import SWEEP_BLOCK_DOC_CAP
 
+    # the capped bigram spine, spelled inline (the NGRAM_ORACLE text
+    # minus its blocking CTE, plus the QUALIFY-style per-block rank
+    # cap that mirrors ngram_jaccard_pairs_capped)
+    spine = rf"""prep AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(
+             trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+'),
+             t -> t != '') AS toks
+  FROM documents),
+blocked0 AS (
+  SELECT doc_id, lang AS block_lang, toks[1] AS block_tok,
+         list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS grams,
+         row_number() OVER (PARTITION BY lang, toks[1]
+                            ORDER BY doc_id) AS rk
+  FROM prep
+  WHERE len(toks) >= 2),
+blocked AS (
+  SELECT doc_id, block_lang, block_tok, grams FROM blocked0
+  WHERE rk <= {SWEEP_BLOCK_DOC_CAP}),
+ncap AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs_capped FROM blocked0
+  WHERE rk > {SWEEP_BLOCK_DOC_CAP})"""
     legs = []
     for t in DEDUP_T_PPM:
         legs.append(f"""
@@ -754,7 +789,8 @@ SELECT CAST({t} AS BIGINT) AS t_ppm,
        CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
        CAST(coalesce(count(*), 0) AS BIGINT) AS n_components,
        CAST(coalesce(sum(sz) - count(*), 0) AS BIGINT) AS n_dropped,
-       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_component
+       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_component,
+       (SELECT n_docs_capped FROM ncap) AS n_docs_capped
 FROM (SELECT component, count(*) AS sz FROM comp{t} GROUP BY 1)""")
     closures = []
     for t in DEDUP_T_PPM:
@@ -774,7 +810,19 @@ closure{t} AS (
 comp{t} AS (
   SELECT s AS doc_id, min(d) AS component FROM closure{t} GROUP BY s)""")
     return f"""
-WITH RECURSIVE allp AS MATERIALIZED ({NGRAM_ORACLE}),
+WITH RECURSIVE {spine},
+allp AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+  FROM blocked a
+  JOIN blocked b
+    ON a.block_lang = b.block_lang AND a.block_tok = b.block_tok
+   AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= 0.05),
 {", ".join(closures)}
 {" UNION ALL ".join(legs)}
 """

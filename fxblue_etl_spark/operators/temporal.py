@@ -1889,11 +1889,19 @@ def twap_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(v_e4·dur) by Σ(dur) — plus the unweighted mean alongside so
     the irregular-sampling bias is visible in the output.  The last
     observation per type has no successor and carries zero weight
-    (the standard half-open convention; both engines agree).
+    (the standard half-open convention; both engines agree).  Both
+    quotients use the portable positive-mod FLOOR idiom
+    (``_pmod_floordiv``) so a negative Σ(v_e4·dur) divides
+    identically under Spark's truncating ``DIV`` and DuckDB's
+    flooring ``//``, and a zero span (all same-type events at one
+    timestamp) yields NULL on both engines rather than an engine-
+    dependent divide-by-zero (round-13 advice item 2).
 
     Scale shape: one partitioned (never global) lead window over
     (type, ts), one aggregate.  At 100 TB the window is
     hash-partitioned by type — no coordination beyond the shuffle."""
+    from .ml import _pmod_floordiv
+
     e = table(tune(spark), sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.asc("ts"), F.asc("event_id")
@@ -1919,18 +1927,35 @@ def twap_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
             "span_s",
             F.expr(
-                "CAST(CAST(pv_sum AS DECIMAL(38,0)) DIV span_s AS BIGINT)"
+                "CASE WHEN span_s = 0 THEN NULL ELSE CAST("
+                + _pmod_floordiv(
+                    "CAST(pv_sum AS DECIMAL(38,0))", "span_s", "DIV"
+                )
+                + " AS BIGINT) END"
             ).alias("twap_e4"),
             F.expr(
-                "CAST(CAST(v_sum AS DECIMAL(38,0)) DIV n_intervals"
-                " AS BIGINT)"
+                "CAST("
+                + _pmod_floordiv(
+                    "CAST(v_sum AS DECIMAL(38,0))", "n_intervals", "DIV"
+                )
+                + " AS BIGINT)"
             ).alias("mean_e4"),
         )
         .orderBy("event_type")
     )
 
 
-TWAP_ORACLE = """
+def _twap_oracle() -> str:
+    from .ml import _pmod_floordiv
+
+    twap = _pmod_floordiv(
+        "CAST(sum(v_e4 * dur) AS HUGEINT)", "sum(dur)", "//"
+    )
+    mean = _pmod_floordiv("CAST(sum(v_e4) AS HUGEINT)", "count(*)", "//")
+    # DuckDB's integer // TRUNCATES toward zero exactly like Spark's
+    # DIV (measured: -8331 // 10 = -833), so BOTH engines need the
+    # positive-mod floor idiom for the documented floor semantics
+    return f"""
 WITH seq AS (
   SELECT event_type,
          CAST(floor(value * 10000) AS BIGINT) AS v_e4,
@@ -1941,9 +1966,9 @@ WITH seq AS (
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(dur) AS BIGINT) AS span_s,
-       CAST(CAST(sum(v_e4 * dur) AS HUGEINT) // sum(dur) AS BIGINT)
-         AS twap_e4,
-       CAST(CAST(sum(v_e4) AS HUGEINT) // count(*) AS BIGINT) AS mean_e4
+       CASE WHEN sum(dur) = 0 THEN NULL
+            ELSE CAST({twap} AS BIGINT) END AS twap_e4,
+       CAST({mean} AS BIGINT) AS mean_e4
 FROM seq WHERE dur IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
@@ -2149,7 +2174,7 @@ ORACLES = {
     "cusum_drift_monitor": CUSUM_ORACLE,
     "ewma_control_chart": EWMA_ORACLE,
     "mann_kendall_trend": MANN_KENDALL_ORACLE,
-    "twap_by_event_type": TWAP_ORACLE,
+    "twap_by_event_type": _twap_oracle(),
     "gapfill_linear_interp": GAPFILL_LINEAR_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,

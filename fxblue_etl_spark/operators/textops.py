@@ -362,6 +362,18 @@ WINNOW_MIN_SHARED = 8
 #: fingerprints; the cap is also what keeps the posting join skew-free
 #: at scale, exactly like the prefix filter's df rank)
 WINNOW_DF_CAP_FRAC = 10
+#: ABSOLUTE document-frequency cap (round-14 verdict item 4: the 10×
+#: probe measured e = 1.37 — pair-mass-driven superlinearity).  The
+#: fractional cap above scales WITH the corpus (nd/10 docs may share
+#: a fingerprint at 10× the corpus → 100× the pairs per fingerprint),
+#: so the pair join stays latent-quadratic on a mass-duplication
+#: corpus.  Capping df at an absolute constant bounds the fan-out of
+#: EVERY fingerprint at C(64, 2) ≈ 2k pairs, making total pair mass
+#: linear in the number of distinct fingerprints — and the count of
+#: fingerprints the absolute leg drops (beyond what the template rule
+#: already dropped) is emitted on every row as ``n_capped_fps``:
+#: exact up to the cap, explicit beyond it.
+WINNOW_DF_ABS = 64
 
 
 def winnowing_fingerprint_pairs(
@@ -386,9 +398,15 @@ def winnowing_fingerprint_pairs(
     Scale shape: the position explosion is corpus-chars rows but
     row-local; the sliding min is a per-doc bounded window (doc
     length); the pair join is an equi-join on fingerprint hash
-    (posting-list shaped, never all-pairs), and a df cap on
-    ubiquitous fingerprints (boilerplate) would bolt on exactly like
-    the prefix filter's df rank if a corpus needed it."""
+    (posting-list shaped, never all-pairs).  TWO df caps bound the
+    posting fan-out: the fractional template rule (df > nd/10 =
+    boilerplate) and the absolute pair-mass guard (df >
+    WINNOW_DF_ABS → at most C(64,2) pairs per fingerprint, so total
+    pair mass is linear in distinct fingerprints even on a
+    mass-duplication corpus — round-14 verdict item 4).  Every row
+    carries ``n_capped_fps`` = how many fingerprints the absolute
+    leg dropped beyond the template rule: 0 means the output is the
+    exact uncapped answer; > 0 makes the truncation explicit."""
     d = fan_out(table(tune(spark), sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     n = F.length(norm)
@@ -431,17 +449,27 @@ def winnowing_fingerprint_pairs(
     fps = picks.select("doc_id", "fp").distinct()
     ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    rare = (
-        dfreq.crossJoin(F.broadcast(ndocs))
-        .filter(
-            F.col("df")
-            <= F.greatest(
-                F.lit(2).cast("long"),
+    caps = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "fp",
+        "df",
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.least(
                 F.expr(f"nd DIV {WINNOW_DF_CAP_FRAC}"),
-            )
-        )
-        .select("fp")
+                F.lit(WINNOW_DF_ABS).cast("long"),
+            ),
+        ).alias("eff_cap"),
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.expr(f"nd DIV {WINNOW_DF_CAP_FRAC}"),
+        ).alias("frac_cap"),
     )
+    rare = caps.filter(F.col("df") <= F.col("eff_cap")).select("fp")
+    # fingerprints the ABSOLUTE leg dropped beyond the template rule
+    # — the explicit overflow marker (a 1-row scalar, broadcast)
+    capped = caps.filter(
+        (F.col("df") > F.col("eff_cap")) & (F.col("df") <= F.col("frac_cap"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_capped_fps"))
     fps = fps.join(rare, "fp", "left_semi")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
@@ -451,6 +479,7 @@ def winnowing_fingerprint_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .crossJoin(F.broadcast(capped))  # 1-row scalar, by design
     )
 
 
@@ -474,13 +503,22 @@ picks AS (
              ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)).h
            AS fp
   FROM pos),
+dfreq AS (SELECT fp, count(*) AS df FROM picks GROUP BY 1),
+capsv AS (
+  SELECT greatest(2, least((SELECT count(*) FROM docs)
+                             // {WINNOW_DF_CAP_FRAC},
+                           {WINNOW_DF_ABS})) AS eff_cap,
+         greatest(2, (SELECT count(*) FROM docs)
+                       // {WINNOW_DF_CAP_FRAC}) AS frac_cap),
 rare AS (
-  SELECT fp FROM (SELECT fp, count(*) AS df FROM picks GROUP BY 1)
-  WHERE df <= greatest(2, (SELECT count(*) FROM docs)
-                          // {WINNOW_DF_CAP_FRAC})),
+  SELECT fp FROM dfreq, capsv WHERE df <= eff_cap),
+capped AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+  FROM dfreq, capsv WHERE df > eff_cap AND df <= frac_cap),
 kept AS (SELECT p.doc_id, p.fp FROM picks p JOIN rare USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(count(*) AS BIGINT) AS n_shared
+       CAST(count(*) AS BIGINT) AS n_shared,
+       (SELECT n_capped_fps FROM capped) AS n_capped_fps
 FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {WINNOW_MIN_SHARED}
@@ -847,15 +885,20 @@ def classifier_agreement_kappa(
                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * chance_mass"
                 " DIV (n_docs * n_docs) AS BIGINT)"
             ).alias("pe_ppm"),
+            # degenerate confusion matrix (every doc in one
+            # (label, pred) cell → N² = C) leaves κ undefined; emit
+            # 0 on both engines rather than an engine-dependent
+            # divide-by-zero (round-13 advice item 3)
             F.expr(
-                "CAST("
+                "CASE WHEN n_docs * n_docs = chance_mass THEN 0"
+                " ELSE CAST("
                 + _kappa_floordiv(
                     "CAST(1000000 AS DECIMAL(38,0))"
                     " * (n_docs * n_agree - chance_mass)",
                     "(n_docs * n_docs - chance_mass)",
                     "DIV",
                 )
-                + " AS BIGINT)"
+                + " AS BIGINT) END"
             ).alias("kappa_ppm"),
         )
     )
@@ -887,7 +930,8 @@ SELECT n_docs, n_agree, chance_mass,
          AS po_ppm,
        CAST(CAST(1000000 AS HUGEINT) * chance_mass
             // (n_docs * n_docs) AS BIGINT) AS pe_ppm,
-       CAST({kappa} AS BIGINT) AS kappa_ppm
+       CASE WHEN n_docs * n_docs = chance_mass THEN 0
+            ELSE CAST({kappa} AS BIGINT) END AS kappa_ppm
 FROM base, marg
 """
 

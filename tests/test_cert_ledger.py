@@ -30,7 +30,7 @@ def test_every_oracle_query_is_certified_or_queued():
         set(e._R5_CERT) | set(e._R6_PENDING) | set(e._R6_RECERT)
         | set(e._R7_QUEUE) | set(e._R8_QUEUE) | set(e._R9_QUEUE)
         | set(e._R10_QUEUE) | set(e._R11_QUEUE) | set(e._R12_QUEUE)
-        | set(e._R13_QUEUE) | set(e._R14_QUEUE)
+        | set(e._R13_QUEUE) | set(e._R14_QUEUE) | set(e._R15_QUEUE)
     )
     orphans = [
         k for k in qs if k in oracles and k not in checked and k not in queued
@@ -54,29 +54,29 @@ def test_rotation_lists_are_disjoint_and_registered():
         + e._R11_CODE_CHANGED + e._R11_RECERT_CANDIDATES + e._R12_QUEUE
         + e._R12_CODE_CHANGED + e._R12_RECERT_CANDIDATES + e._R13_QUEUE
         + e._R13_CODE_CHANGED + e._R13_RECERT_CANDIDATES + e._R14_QUEUE
-        + e._R14_RECERT_CANDIDATES
+        + e._R14_CODE_CHANGED + e._R14_RECERT_CANDIDATES + e._R15_QUEUE
         if k not in qs
     ]
     assert missing == []
-    # ROUND-13 WINDOW PIN (standing rotation cadence): the driver's
-    # window is exactly 50 = flagship + the _R13_QUEUE twenty
-    # (the never-driver-checked round-12 additions) + round-13
+    # ROUND-14 WINDOW PIN (standing rotation cadence): the driver's
+    # window is exactly 50 = flagship + the _R14_QUEUE eighteen
+    # (the never-driver-checked round-13 additions) + round-14
     # lineage-changed re-certs + the stalest standing rows, truncated
     # from the candidates' least-stale TAIL.  A re-shuffle that
     # displaces stale rows with fresh ones fails here.
-    expected_head = ["flagship_account_pnl"] + e._R13_QUEUE
+    expected_head = ["flagship_account_pnl"] + e._R14_QUEUE
     expected_head += [
-        q for q in e._R13_CODE_CHANGED if q not in expected_head
+        q for q in e._R14_CODE_CHANGED if q not in expected_head
     ]
     fill = 50 - len(expected_head)
     expected_head += [
-        q for q in e._R13_RECERT_CANDIDATES if q not in expected_head
+        q for q in e._R14_RECERT_CANDIDATES if q not in expected_head
     ][:fill]
     assert list(qs)[:50] == expected_head
-    # round-13 additions must head round 14's rotation, right after
+    # round-14 additions must head round 15's rotation, right after
     # the window, so the never-driver-checked debt clears next round
     assert (
-        list(qs)[50 : 50 + len(e._R14_QUEUE)] == e._R14_QUEUE
+        list(qs)[50 : 50 + len(e._R15_QUEUE)] == e._R15_QUEUE
     )
     # the truncation must drop only from the tail: every candidate
     # excluded from the window is no staler than every included one.
@@ -84,8 +84,8 @@ def test_rotation_lists_are_disjoint_and_registered():
     # fill — exclude them from the tail-drop analysis (a candidate
     # pulled in by a code change is not a fill decision).
     cand = [
-        q for q in e._R13_RECERT_CANDIDATES
-        if q not in e._R13_CODE_CHANGED
+        q for q in e._R14_RECERT_CANDIDATES
+        if q not in e._R14_CODE_CHANGED
     ]
     included = set(expected_head) & set(cand)
     dropped = [q for q in cand if q not in included]
@@ -456,6 +456,56 @@ def test_r13_recert_candidates_consistent():
     newest_included = max(rounds)
     exempt = (
         head50 | set(e._R13_QUEUE) | set(e._R12_CODE_CHANGED)
+        | {"flagship_account_pnl"}
+    )
+    excluded = [
+        k
+        for k, r in latest.items()
+        if k not in cand and k in oracles and k not in exempt
+        and r < newest_included
+    ]
+    assert excluded == [], f"staler rows missing from the ledger: {excluded}"
+
+
+def test_r14_recert_candidates_consistent():
+    """The pre-planned round-14 ledger must stay derivable: every
+    entry oracle-backed + registered + already driver-certified
+    (rounds 1-12; the round-13 window re-certs are excluded — they'll
+    be fresh), no overlap with the round-13 window head or the
+    _R14_QUEUE additions, ordered oldest-latest-check-first, holding
+    the globally stalest rows."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    cand = e._R14_RECERT_CANDIDATES
+    assert len(cand) == len(set(cand)) == 50
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 12:
+            continue
+        for k in json.load(open(f)):
+            if k in qs:
+                latest[k] = rnd
+    # reconstruct the ROUND-13 window explicitly so later window
+    # flips cannot invalidate this pin
+    r13_head = ["flagship_account_pnl"] + e._R13_QUEUE
+    r13_head += [q for q in e._R13_CODE_CHANGED if q not in r13_head]
+    r13_fill = 50 - len(r13_head)
+    r13_head += [q for q in e._R13_RECERT_CANDIDATES if q not in r13_head][
+        :r13_fill
+    ]
+    head50 = set(r13_head)
+    for k in cand:
+        assert k in oracles and k in qs, k
+        assert k in latest, f"{k} holds no driver row"
+        assert k not in head50, f"{k} is re-certified by round 13 already"
+        assert k not in e._R14_QUEUE
+    rounds = [latest[k] for k in cand]
+    assert rounds == sorted(rounds), "ledger must be oldest-first"
+    newest_included = max(rounds)
+    exempt = (
+        head50 | set(e._R14_QUEUE) | set(e._R13_CODE_CHANGED)
         | {"flagship_account_pnl"}
     )
     excluded = [

@@ -11,7 +11,8 @@ Missing dimension tables (customer, nation, ...) are linked from the
 
 Usage: python tools/stress_r12.py [query ...]   (default: the pair/
 graph-shaped r12 additions first, then the aggregate-shaped rest)
-Writes detail to /tmp/stress_r12.json.
+Writes detail to ``OUT`` (default /tmp/stress_r12.json; wrapper
+scripts like stress_r13 repoint it before calling ``main``).
 """
 
 from __future__ import annotations
@@ -26,6 +27,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.scale_stress import BASE, TENX, build_10x  # noqa: E402
+
+#: detail-output path — a module constant so round wrappers
+#: (stress_r13, ...) can repoint it without overwriting this round's
+#: record (round-13 advice item 4)
+OUT = Path("/tmp/stress_r12.json")
 
 #: probe order: candidate-pair / graph-shaped queries first (the ones
 #: whose 10× growth can be super-linear), then the aggregate-shaped
@@ -99,7 +105,7 @@ def main() -> None:
             )
         print(f"{name}: {json.dumps(rec)}", flush=True)
         out[name] = rec
-    Path("/tmp/stress_r12.json").write_text(json.dumps(out, indent=1))
+    OUT.write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

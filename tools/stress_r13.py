@@ -40,10 +40,8 @@ DEFAULT = [
 
 if __name__ == "__main__":
     sys.argv = [sys.argv[0]] + (sys.argv[1:] or DEFAULT)
-    stress_r12.DEFAULT = sys.argv[1:]
-    stress_r12.Path = Path
-    # reuse the r12 harness wholesale; only the query list differs
-    import json
-    import types
-
+    # reuse the r12 harness wholesale; only the query list and the
+    # detail-output path differ (round-13 advice item 4: an r13 run
+    # must not clobber the r12 record)
+    stress_r12.OUT = Path("/tmp/stress_r13.json")
     stress_r12.main()
