@@ -1325,7 +1325,15 @@ _R14_CODE_CHANGED: list[str] = [
 #: round-14 rotation must not be displaced); they head round 15's
 #: rotation.  Verified against the DuckDB oracle locally on
 #: addition.
-_R15_QUEUE: list[str] = []
+_R15_QUEUE: list[str] = [
+    # SUBSTRING-granular dedup (round-13 verdict item 5, "What's
+    # missing #3"): the k-token duplicated-span rewrite — rolling
+    # 8-token gram postings → canonical-first-occurrence keying (one
+    # BIGINT min per gram) → coverage explode → token anti-join →
+    # byte-certified surviving text md5.  Never forms document
+    # pairs; every stage linear in corpus tokens.
+    "duplicated_span_rewrite",
+]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the
 #: standing ledger pattern): once CORRECTNESS_r13 lands green, the

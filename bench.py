@@ -159,8 +159,11 @@ HEADLINE = (
     # the second consumer near-free within a session), and the two
     # staged-stream entries time the harness cost explicitly rather
     # than leaving it unmeasured.
-    "embedding_pca_project",
-    "scd2_asof_consistency",
+    # (round-14 out-rotations from this pair, same one-per-spine
+    # economy as the r11/r13 retirements: embedding_pca_project —
+    # its cost is the pca_power_iteration gram spine, benched below;
+    # scd2_asof_consistency — the streaming_cdc_scd2 spine is frozen
+    # above.  Both carry r12 first-exposure + r13 HEADLINE numbers.)
     # round-13 rotation (planned at bench.py round-12 close and in
     # the round-12 verdict item 3): the 16 benchable round-12
     # additions rotate IN (their first-exposure numbers live in
@@ -176,7 +179,6 @@ HEADLINE = (
     # and the r12 record carries the measured harness number.
     "corpus_release_end_to_end",
     "compaction_plan_execute",
-    "prefix_filter_jaccard_pairs",
     "dbscan_projection_clusters",
     "bloom_upsert_equivalence",
     "association_rules_topk",
@@ -184,26 +186,32 @@ HEADLINE = (
     "ranking_rbo_report",
     "simhash_hamming_neardup",
     "streaming_bloom_maintenance",
-    "hll_upsert_equivalence",
-    "countmin_upsert_equivalence",
+    # (round-14 out-rotations: hll_upsert_equivalence and
+    # countmin_upsert_equivalence — the upsert≡rebuild family keeps
+    # bloom_upsert_equivalence as its benched representative and all
+    # three carry r12 first-exposure + r13 HEADLINE numbers)
     "fd_discovery_sweep",
     "session_gap_sensitivity",
     "ivm_delete_maintenance",
     "dedup_threshold_sensitivity",
-    # ROUND-14 ROTATION NOTE: first-exposure numbers for the four
-    # round-12 late additions (hll_rolling_distinct,
-    # winnowing_fingerprint_pairs, mmr_diverse_topk,
-    # conformal_quantile_gate) and all 15 benchable round-13
-    # additions (streaming_hll/cms/ewma maintenance, ewma chart,
-    # fastss ed1, mann-kendall, kappa, session IVM, temperature mix,
-    # source ablation, twap, jitter dedup, s-curve planner, linkage
-    # sweep, linear gapfill) live in COVERAGE.md rounds 12-13
-    # (measured outside HEADLINE — the 68-entry stdout line is at
-    # the driver's tail-capture budget even at integer precision).
-    # Next round: rotate in one representative per NEW family
-    # (fastss_editdist1_pairs, lsh_s_curve_planner,
-    # mixture_temperature_weights, twap_by_event_type) and retire
-    # four more one-exposure spine duplicates to hold the budget.
+    # round-14 rotation (planned in the round-13 ROTATION NOTE and
+    # round-13 verdict item 3): one representative per new round-13
+    # family rotates IN (the other 14 benchable r13 additions carry
+    # COVERAGE.md round-13 first-exposure numbers and stay
+    # measured-outside); four one-exposure spine duplicates rotate
+    # OUT (named above) to hold the stdout budget.
+    "fastss_editdist1_pairs",
+    "lsh_s_curve_planner",
+    "mixture_temperature_weights",
+    "twap_by_event_type",
+    # TIMED LAST by design (round-13 verdict items 2+3): the one
+    # >20s exact pair join on the surface — an honest output-driven
+    # PPJoin (e = 0.79), but its measurement ramps the 1-minute load
+    # past the taint threshold, so running it last stops it
+    # pre-loading every entry behind it.  Keeping it in HEADLINE
+    # (rather than a measured-outside slot) preserves its
+    # round-over-round number.
+    "prefix_filter_jaccard_pairs",
 )
 
 #: the frozen round-1..3 comparison subset (first 15 of HEADLINE)
@@ -252,9 +260,19 @@ TAINT_LOAD = float(os.environ.get("SPARK_GRAFT_TAINT_LOAD", "8.0"))
 #: chance to recede before declaring the re-draw impossible (same
 #: posture as the start gate — never stall a driver-invoked bench
 #: indefinitely)
+#: 180 → 420 at round 14 (round-13 verdict item 1: the r13 driver
+#: draw's wave outlived the 180s budget, so the quiet-gate never
+#: opened and tainted first draws became the recorded totals; the
+#: extra four minutes are only ever spent when entries ARE tainted)
 REDRAW_WAIT_MAX_S = float(
-    os.environ.get("SPARK_GRAFT_REDRAW_WAIT_MAX_S", "180")
+    os.environ.get("SPARK_GRAFT_REDRAW_WAIT_MAX_S", "420")
 )
+
+#: bounded attempts per tainted entry (round-13 verdict item 1:
+#: "attempts > 1" — a redraw that itself ran hot gets more chances
+#: while the shared budget lasts, instead of poisoning the record
+#: permanently on a busy hour)
+REDRAW_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_REDRAW_ATTEMPTS", "3"))
 
 #: dedicated-frozen-pass settle gate (round-12 verdict item 1): after
 #: warming ONLY the frozen27 subset, wait (bounded) for the warmup's
@@ -393,7 +411,7 @@ def _redraw_tainted_pass(names, timings, query_loads, measure):
         }
         if l2 < TAINT_LOAD:
             timings[name], query_loads[name] = t2, l2
-        elif attempts[name] < 2:
+        elif attempts[name] < REDRAW_MAX_ATTEMPTS:
             queue.append(name)
     return redraws
 
@@ -472,19 +490,44 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     query_loads: dict[str, float] = {}
+    # inter-entry gate (round-13 verdict item 1b: the r13 frozen
+    # pass went quiet at go [2.73] and ramped to 15.56 INSIDE the
+    # pass — the pass taints itself if the gate only runs at start).
+    # Before each frozen entry, a bounded wait lets a co-tenant wave
+    # recede; the threshold is TAINT_LOAD, not FROZEN_SETTLE_LOAD,
+    # because the bench's own 1-minute decay sits at 4-6 between
+    # entries and gating on 3.0 would stall every step on self-load.
+    inter_budget_t0 = time.time()
     for name in frozen:
+        while (
+            time.time() - inter_budget_t0 < FROZEN_SETTLE_MAX_S * 2
+            and os.getloadavg()[0] >= TAINT_LOAD
+        ):
+            time.sleep(_LOAD_POLL_S)
         # per-query 1-minute load at measurement end: co-tenant load
         # arrives in waves, so a start/end pair can't say WHICH
         # entries ran hot — this can (rounds 6-7 adjudicated three
         # "regressions" that were exactly such waves)
         timings[name], query_loads[name] = _measure(name)
+    # frozen-tainted redraw HERE, before the rest of HEADLINE is even
+    # warmed (round-13 advice item 5: a late redraw runs under
+    # exactly the HEADLINE-growth self-load the dedicated pass
+    # exists to exclude) — so the frozen15/27 subtotals come from
+    # post-redraw values measured in the dedicated-pass posture
+    frozen_redraws = _redraw_tainted_pass(
+        frozen, timings, query_loads, _measure
+    )
     frozen_pass_end_load = round(os.getloadavg()[0], 2)
     for name in rest:
         qs[name](spark, SF_DIR).limit(1).collect()
     for name in rest:
         timings[name], query_loads[name] = _measure(name)
 
-    redraws = _redraw_tainted_pass(names, timings, query_loads, _measure)
+    # end-of-run redraw covers the non-frozen entries only: frozen
+    # entries already had their settle-gated chance above, and a
+    # whole-run-context redraw would reintroduce the level shift the
+    # dedicated pass removed
+    redraws = _redraw_tainted_pass(rest, timings, query_loads, _measure)
     load_tainted = sorted(n for n in names if query_loads[n] >= TAINT_LOAD)
 
     # Arrow/HOF lineage sidecar (round-7 verdict item 6): the Arrow
@@ -531,6 +574,11 @@ def main() -> None:
                     "mode": "dedicated",
                     "go_load": frozen_go_load,
                     "end_load": frozen_pass_end_load,
+                    # round-14: frozen entries redraw INSIDE the
+                    # dedicated pass (before the rest of HEADLINE is
+                    # warmed), so subtotals are post-redraw values at
+                    # dedicated-pass posture
+                    "redraws": frozen_redraws,
                 },
                 # 1-minute host load at start/end: bench numbers on a
                 # shared host swing ±30% with co-tenant load — readers

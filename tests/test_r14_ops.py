@@ -254,3 +254,76 @@ def test_scurve_signatures_exclude_short_docs(spark, tmp_path):
         r["doc_id"] for r in _scurve_sigs(sdf).select("doc_id").distinct().collect()
     }
     assert ids == {3}
+
+
+def test_duplicated_span_rewrite_semantics(spark, tmp_path):
+    """Hand-checkable corpus: doc 2 repeats doc 1's 8-token opening
+    span verbatim, doc 3 shares nothing.  The canonical (first)
+    occurrence survives untouched; doc 2 loses exactly the covered
+    tokens; doc 3 is byte-identical in and out."""
+    import hashlib
+
+    from fxblue_etl_spark.operators.dedup import duplicated_span_rewrite
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{span} tail one",
+                f"{span} different ending here",
+                "completely unrelated text with no duplicated span at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    d = tmp_path / "span"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_span_rewrite(spark, str(d)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 is canonical: nothing removed
+    assert got[1]["n_removed"] == 0
+    assert got[1]["kept_md5"] == md5(f"{span} tail one")
+    # doc 2: the 8 duplicated tokens go, the rest survives in order
+    assert got[2]["n_removed"] == 8
+    assert got[2]["kept_md5"] == md5("different ending here")
+    # doc 3 untouched
+    assert got[3]["n_removed"] == 0
+    assert got[3]["kept_md5"] == md5(
+        "completely unrelated text with no duplicated span at all"
+    )
+
+
+def test_duplicated_span_rewrite_internal_repeat(spark, tmp_path):
+    """A doc that repeats ITS OWN 8-token span keeps the first
+    occurrence and sheds the second — the within-doc case."""
+    from fxblue_etl_spark.operators.dedup import duplicated_span_rewrite
+
+    span = "one two three four five six seven eight"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [f"{span} middle {span}"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [0],
+        }
+    )
+    d = tmp_path / "ispan"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    (row,) = duplicated_span_rewrite(spark, str(d)).collect()
+    assert row["n_tokens"] == 17
+    assert row["n_removed"] == 8
