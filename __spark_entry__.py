@@ -1333,6 +1333,26 @@ _R15_QUEUE: list[str] = [
     # byte-certified surviving text md5.  Never forms document
     # pairs; every stage linear in corpus tokens.
     "duplicated_span_rewrite",
+    # maximum drawdown per user over the event value series — the
+    # FX path statistic (running peak − value, maximized), one
+    # partitioned window + argmin-join trough tie-break
+    "max_drawdown_by_user",
+    # Holt's linear (double exponential) smoothing, α = β = 1/2 as
+    # portable floor-halvings, with one-step MAE vs the naive
+    # carry-forward — the trend-aware member next to EWMA
+    "holt_linear_forecast",
+    # Nelson-Aalen cumulative hazard over the censored KM tenure
+    # frame — additive (no stepwise-floor caveat), the rates
+    # companion to the survival curve
+    "nelson_aalen_hazard",
+    # exact Kruskal-Wallis H (k-sample omnibus rank test) off the
+    # shared two-sample flag grid: 2x-trick ranks, DECIMAL(38)
+    # R2² terms, tie-corrected, fixed chi²(df=2) rational decision
+    "kruskal_wallis_test",
+    # Benford first-digit forensic audit of order totals: fixed
+    # literal log-curve expectations in ppm, observed floor-ppm
+    # shares, MAD-style max deviation scalar
+    "benford_digit_audit",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -2136,6 +2136,226 @@ ORDER BY 1
 """
 
 
+def max_drawdown_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the event value series — the
+    path statistic every FX account report leads with (the reference
+    domain prices account equity between snapshots; drawdown =
+    running peak minus current value, maximized over time) and a
+    prefix-scan shape no plain aggregate expresses: peak_t =
+    max(v_1..v_t), dd_t = peak_t − v_t, max over t.
+
+    Integer contract: values floor to e4 ticks; the trough is the
+    EARLIEST event attaining the maximal drawdown (min event_id among
+    argmax rows — the derived-argmin idiom of
+    ``source_ablation_report``), so ties resolve identically in both
+    engines.  Users whose series never declines report drawdown 0
+    with the first event as trough.
+
+    Scale shape: one partitioned running-max window over (user, ts)
+    — hash-partitioned by user, no global window — then two
+    per-user aggregates and one broadcast-sized argmax join-back."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+        F.col("ts"),
+    )
+    dd = base.select(
+        "user_id",
+        "event_id",
+        "v_e4",
+        (F.max("v_e4").over(w) - F.col("v_e4")).alias("dd_e4"),
+    )
+    stats = dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("v_e4").cast("long").alias("peak_e4"),
+        F.max("dd_e4").cast("long").alias("max_drawdown_e4"),
+    )
+    trough = (
+        dd.join(
+            stats.select(
+                "user_id", F.col("max_drawdown_e4").alias("mdd")
+            ),
+            "user_id",
+        )
+        .filter(F.col("dd_e4") == F.col("mdd"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").cast("long").alias("trough_event_id"))
+    )
+    return stats.join(trough, "user_id").orderBy("user_id")
+
+
+MAX_DRAWDOWN_ORACLE = """
+WITH dd AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 10000) AS BIGINT) AS v_e4,
+         max(CAST(floor(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(floor(value * 10000) AS BIGINT) AS dd_e4
+  FROM events),
+stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(v_e4) AS BIGINT) AS peak_e4,
+         CAST(max(dd_e4) AS BIGINT) AS max_drawdown_e4
+  FROM dd GROUP BY 1),
+trough AS (
+  SELECT d.user_id, CAST(min(d.event_id) AS BIGINT) AS trough_event_id
+  FROM dd d JOIN stats s
+    ON d.user_id = s.user_id AND d.dd_e4 = s.max_drawdown_e4
+  GROUP BY 1)
+SELECT s.user_id, s.n_events, s.peak_e4, s.max_drawdown_e4,
+       t.trough_event_id
+FROM stats s JOIN trough t ON s.user_id = t.user_id
+ORDER BY 1
+"""
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over the
+    per-priority weekly spend series — the trend-aware forecaster
+    between the level-only EWMA chart and the seasonal-naive
+    backtest: level l_t and trend b_t carry forward, and the
+    one-step forecast is l + b.
+
+    Integer discipline: with α = β = 1/2 both recursions clear to
+    single floor-halvings —
+
+        l_t = (y_t + l_{t-1} + b_{t-1}) pdiv 2
+        b_t = (l_t − l_{t-1} + b_{t-1}) pdiv 2
+
+    where pdiv is the portable positive-mod FLOOR division (b can go
+    negative on a declining series; Spark's shiftright(…, 1) is an
+    arithmetic shift = floor, and the oracle spells the same floor
+    via the ``_pmod_floordiv`` idiom because DuckDB's integer ``//``
+    truncates).  Initialization: l_1 = y_1, b_1 = 0 (documented; the
+    backtest error skips t = 1).  Alongside the forecast the fold
+    accumulates Σ|y_t − (l+b)_{t-1}| (Holt one-step MAE mass) and
+    Σ|y_t − y_{t-1}| (naive MAE mass) so forecast skill vs the naive
+    carry-forward is visible in one row per segment.
+
+    Scale shape: ONE data-scaled partial aggregate (week ×
+    priority), then a |segments|-row fold over calendar-bounded
+    arrays — the ``ewma_control_chart`` shape exactly."""
+    o = table(tune(spark), sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderpriority",
+        F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
+        .cast("long")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    arr = weekly.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list(F.struct("wk", "cents"))).alias("xs")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("prev_y"),
+        F.lit(0).cast("long").alias("holt_mae"),
+        F.lit(0).cast("long").alias("naive_mae"),
+    )
+
+    def step(acc, x):
+        first = acc["l"].isNull()
+        y = x["cents"]
+        l_new = F.shiftright(y + acc["l"] + acc["b"], 1)
+        b_new = F.shiftright(l_new - acc["l"] + acc["b"], 1)
+        return F.struct(
+            F.when(first, y).otherwise(l_new).cast("long").alias("l"),
+            F.when(first, F.lit(0))
+            .otherwise(b_new)
+            .cast("long")
+            .alias("b"),
+            y.cast("long").alias("prev_y"),
+            (
+                acc["holt_mae"]
+                + F.when(first, F.lit(0)).otherwise(
+                    F.abs(y - (acc["l"] + acc["b"]))
+                )
+            )
+            .cast("long")
+            .alias("holt_mae"),
+            (
+                acc["naive_mae"]
+                + F.when(first, F.lit(0)).otherwise(
+                    F.abs(y - acc["prev_y"])
+                )
+            )
+            .cast("long")
+            .alias("naive_mae"),
+        )
+
+    folded = arr.select(
+        "o_orderpriority",
+        F.size("xs").cast("long").alias("n_weeks"),
+        F.aggregate("xs", init, step).alias("acc"),
+    )
+    return folded.select(
+        "o_orderpriority",
+        "n_weeks",
+        F.col("acc.l").alias("level_final"),
+        F.col("acc.b").alias("trend_final"),
+        (F.col("acc.l") + F.col("acc.b"))
+        .cast("long")
+        .alias("forecast_next"),
+        F.col("acc.holt_mae").alias("holt_mae_mass"),
+        F.col("acc.naive_mae").alias("naive_mae_mass"),
+    ).orderBy("o_orderpriority")
+
+
+def _holt_oracle() -> str:
+    from .ml import _pmod_floordiv
+
+    l_new = _pmod_floordiv("x.cents + r.l + r.b", "2", "//")
+    # DuckDB disallows a lateral alias inside the recursive member,
+    # so the level update is inlined textually into the trend update
+    return f"""
+WITH RECURSIVE weekly AS (
+  SELECT o_orderpriority AS pr,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT pr, cents,
+         row_number() OVER (PARTITION BY pr ORDER BY wk) AS i
+  FROM weekly),
+r AS (
+  SELECT pr, i, cents AS l, CAST(0 AS BIGINT) AS b,
+         cents AS prev_y, CAST(0 AS BIGINT) AS holt_mae,
+         CAST(0 AS BIGINT) AS naive_mae
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.pr, x.i,
+         ({l_new}),
+         ({_pmod_floordiv(f"({l_new}) - r.l + r.b", "2", "//")}),
+         x.cents,
+         r.holt_mae + abs(x.cents - (r.l + r.b)),
+         r.naive_mae + abs(x.cents - r.prev_y)
+  FROM r
+  JOIN idx x ON x.pr = r.pr AND x.i = r.i + 1)
+SELECT pr AS o_orderpriority,
+       CAST(max(i) AS BIGINT) AS n_weeks,
+       CAST(max_by(l, i) AS BIGINT) AS level_final,
+       CAST(max_by(b, i) AS BIGINT) AS trend_final,
+       CAST(max_by(l, i) + max_by(b, i) AS BIGINT) AS forecast_next,
+       CAST(max_by(holt_mae, i) AS BIGINT) AS holt_mae_mass,
+       CAST(max_by(naive_mae, i) AS BIGINT) AS naive_mae_mass
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -2145,6 +2365,8 @@ QUERIES = {
     "ewma_control_chart": ewma_control_chart,
     "mann_kendall_trend": mann_kendall_trend,
     "twap_by_event_type": twap_by_event_type,
+    "max_drawdown_by_user": max_drawdown_by_user,
+    "holt_linear_forecast": holt_linear_forecast,
     "gapfill_linear_interp": gapfill_linear_interp,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
@@ -2175,6 +2397,8 @@ ORACLES = {
     "ewma_control_chart": EWMA_ORACLE,
     "mann_kendall_trend": MANN_KENDALL_ORACLE,
     "twap_by_event_type": _twap_oracle(),
+    "max_drawdown_by_user": MAX_DRAWDOWN_ORACLE,
+    "holt_linear_forecast": _holt_oracle(),
     "gapfill_linear_interp": GAPFILL_LINEAR_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,

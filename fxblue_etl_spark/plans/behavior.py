@@ -849,9 +849,130 @@ FROM r ORDER BY t
 """
 
 
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same censored
+    customer-tenure frame as ``kaplan_meier_retention`` — the
+    additive companion to KM's multiplicative survival: H(t) =
+    Σ_{i ≤ t} d_i/n_i, the estimator actuaries and reliability
+    engineers read when RATES matter (a flat hazard segment means
+    constant churn risk; a rising one means wear-out).  KM answers
+    "what fraction survives"; Nelson-Aalen answers "how hard is the
+    hazard accumulating" — the two disagree exactly where churn
+    concentrates, which is why both belong on the surface.
+
+    Integer contract: each increment is floor(1e6·d_i/n_i) ppm and
+    the cumulative hazard is the plain SUM of those floored
+    increments — no product, so unlike KM no stepwise-floor caveat
+    is even needed; both engines add identical integers.  The
+    censoring rule, the tenure grid, and the one bounded
+    ``.collect()`` (1-row scalar max, the KM precedent) are shared
+    with KM by construction.
+
+    Scale shape: identical to KM — one data-scaled per-user
+    aggregate, then a calendar-bounded fold."""
+    o = table(tune(spark), sf_dir, "orders")
+    wk = F.expr(
+        "datediff(o_orderdate, DATE'1970-01-01') DIV 7"
+    ).cast("long")
+    per_user = o.select("o_custkey", wk.alias("wk")).groupBy(
+        "o_custkey"
+    ).agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    wmax = per_user.agg(F.max("w1").alias("m")).collect()[0]["m"]
+    ten = per_user.select(
+        (F.col("w1") - F.col("w0")).cast("long").alias("t"),
+        (F.col("w1") > wmax - KM_CENSOR_W).cast("long").alias("censored"),
+    )
+    cells = ten.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    arr = cells.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("xs"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("total"),
+    )
+    init = F.struct(
+        F.col("total").alias("risk"),
+        F.lit(0).cast("long").alias("h"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_at_risk: BIGINT,"
+            " d_churned: BIGINT, h_inc_ppm: BIGINT, h_cum_ppm: BIGINT>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, x):
+        inc = F.floor(F.lit(1_000_000) * x["d"] / acc["risk"]).cast(
+            "long"
+        )
+        h_new = (acc["h"] + inc).cast("long")
+        row = F.struct(
+            x["t"].alias("t"),
+            acc["risk"].alias("n_at_risk"),
+            x["d"].alias("d_churned"),
+            inc.alias("h_inc_ppm"),
+            h_new.alias("h_cum_ppm"),
+        )
+        return F.struct(
+            (acc["risk"] - x["d"] - x["c"]).alias("risk"),
+            h_new.alias("h"),
+            F.array_append(acc["out"], row).alias("out"),
+        )
+
+    folded = arr.select(
+        F.explode(F.aggregate("xs", init, step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.d_churned").alias("d_churned"),
+        F.col("r.h_inc_ppm").alias("h_inc_ppm"),
+        F.col("r.h_cum_ppm").alias("h_cum_ppm"),
+    ).orderBy("t")
+
+
+NELSON_AALEN_ORACLE = f"""
+WITH pu AS (
+  SELECT o_custkey,
+         min((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w0,
+         max((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w1
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(w1) AS m FROM pu),
+tenr AS (
+  SELECT w1 - w0 AS t,
+         CASE WHEN w1 > (SELECT m FROM mx) - {KM_CENSOR_W}
+              THEN 1 ELSE 0 END AS censored
+  FROM pu),
+cells AS (
+  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM tenr GROUP BY 1),
+risk AS (
+  -- at-risk before tenure t = everyone minus all earlier exits;
+  -- additive, so the oracle needs no recursion: a running window
+  -- over the tenure grid replays the fold exactly
+  SELECT t, d, c,
+         (SELECT sum(d + c) FROM cells)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM cells),
+inc AS (
+  SELECT t, n_at_risk, d,
+         CAST(floor(CAST(1000000 AS BIGINT) * d / n_at_risk)
+              AS BIGINT) AS h_inc_ppm
+  FROM risk)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       d AS d_churned, h_inc_ppm,
+       CAST(sum(h_inc_ppm) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS h_cum_ppm
+FROM inc ORDER BY t
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "kaplan_meier_retention": kaplan_meier_retention,
+    "nelson_aalen_hazard": nelson_aalen_hazard,
     "event_cooccurrence": event_cooccurrence,
     "rolling_active_users": rolling_active_users,
     "type_correlation_stats": type_correlation_stats,
@@ -865,6 +986,7 @@ QUERIES = {
 ORACLES = {
     "retention_cohorts": RETENTION_ORACLE,
     "kaplan_meier_retention": KAPLAN_MEIER_ORACLE,
+    "nelson_aalen_hazard": NELSON_AALEN_ORACLE,
     "event_cooccurrence": COOCCURRENCE_ORACLE,
     "rolling_active_users": ROLLING_ACTIVE_ORACLE,
     "type_correlation_stats": TYPE_CORR_ORACLE,

@@ -1558,6 +1558,108 @@ FROM summary, roots
 """
 
 
+#: Benford first-digit expectations, floor-ppm of log10(1 + 1/d) —
+#: FIXED literal constants (no runtime log10, no float surface; the
+#: `KW_CHI2_DF2_PPM` posture).  Natural multi-magnitude amounts
+#: follow these; fabricated or truncated feeds don't — the classic
+#: forensic data-quality screen.
+BENFORD_PPM = {
+    1: 301_029, 2: 176_091, 3: 124_938, 4: 96_910, 5: 79_181,
+    6: 66_946, 7: 57_991, 8: 51_152, 9: 45_757,
+}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic DQ screen for fabricated, truncated, or unit-mangled
+    monetary feeds: natural amounts spanning magnitudes put ~30.1%
+    of first digits at 1, and a feed that diverges hard from the
+    log-curve was usually generated, clipped, or re-scaled
+    somewhere upstream.  One row per digit: observed count,
+    observed floor-ppm share, the fixed expected ppm, the absolute
+    deviation, and the max deviation across digits (the MAD-style
+    headline the audit gates on) as a broadcast scalar.
+
+    Integer contract: the first significant digit of the cents
+    amount is character one of its decimal spelling (identical in
+    both engines for positive integers — no float log10); shares
+    are floor-ppm of exact counts; expectations are fixed literal
+    constants.  No float touches the audit.
+
+    Scale shape: one map-side-combinable 9-group aggregate over the
+    scan; everything after runs on 9 rows."""
+    o = table(tune(spark), sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digits = o.select(cents.alias("cents")).filter(
+        F.col("cents") > 0
+    ).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    exp_arr = F.array(
+        *[F.lit(BENFORD_PPM[d]).cast("long") for d in range(1, 10)]
+    )
+    per = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n DIV n_total"
+                " AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.element_at(exp_arr, F.col("digit")).alias("exp_ppm"),
+        )
+        .select(
+            "digit",
+            "n",
+            "obs_ppm",
+            "exp_ppm",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm"))
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+    )
+    mad = per.agg(
+        F.max("dev_ppm").cast("long").alias("max_dev_ppm")
+    )
+    return per.crossJoin(F.broadcast(mad)).orderBy("digit")
+
+
+def _benford_oracle() -> str:
+    exp_case = " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+per AS (
+  SELECT digit, n,
+         CAST(CAST(1000000 AS HUGEINT) * n // (SELECT n_total FROM tot)
+              AS BIGINT) AS obs_ppm,
+         CAST(CASE digit {exp_case} END AS BIGINT) AS exp_ppm
+  FROM counts),
+dev AS (
+  SELECT digit, n, obs_ppm, exp_ppm,
+         CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm
+  FROM per)
+SELECT digit, n, obs_ppm, exp_ppm, dev_ppm,
+       (SELECT CAST(max(dev_ppm) AS BIGINT) FROM dev) AS max_dev_ppm
+FROM dev ORDER BY digit
+"""
+
+
 QUERIES = {
     "merkle_table_digest": merkle_table_digest,
     "dq_audit": dq_audit,
@@ -1574,6 +1676,7 @@ QUERIES = {
     "ivm_delete_maintenance": ivm_delete_maintenance,
     "incremental_join_maintenance": incremental_join_maintenance,
     "incremental_session_maintenance": incremental_session_maintenance,
+    "benford_digit_audit": benford_digit_audit,
 }
 
 ORACLES = {
@@ -1592,4 +1695,5 @@ ORACLES = {
     "ivm_delete_maintenance": IVM_DELETE_ORACLE,
     "incremental_join_maintenance": INCREMENTAL_JOIN_ORACLE,
     "incremental_session_maintenance": SESSION_IVM_ORACLE,
+    "benford_digit_audit": _benford_oracle(),
 }

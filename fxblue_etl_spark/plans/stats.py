@@ -2100,6 +2100,150 @@ SELECT a.ga, a.gb, t.n_a, t.n_b, a.d_num,
                * t.n_a * t.n_b) AS INT) AS sig_05
 FROM agg a JOIN tot t USING (ga, gb)
 """
+
+
+#: chi-square 95% critical value for df = 2 (three return-flag
+#: groups) as a fixed ppm rational — the MK_Z2 posture: the test
+#: clears to one integer compare, no distribution function at
+#: runtime
+KW_CHI2_DF2_PPM = 5_991_465
+
+
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H across the k = 3 return-flag
+    populations over price cents — the k-SAMPLE generalization of
+    `mann_whitney_u` (MW answers "do these TWO slices differ";
+    KW answers "does ANY of the k differ" in one test, the omnibus
+    a pipeline runs before pairwise drilldowns so k² pairwise tests
+    don't inflate the false-positive rate).
+
+    Integer discipline end to end: ranks stay exact via the 2x
+    trick over the ONE merged value grid (2·avgrank(v) = 2·excl_cum
+    + cnt + 1 — integers even at half-rank ties), per-group 2x rank
+    sums R2_g and the tie mass Σ(t³−t) are int64, and
+
+        H = 3·Σ_g (R2_g² div n_g) / (N(N+1)) − 3(N+1)
+
+    is emitted as stepwise-floor ppm in DECIMAL(38,0)/HUGEINT (R2²
+    reaches ~1e22 at sf0.1 — past int64, inside both engines'
+    38-digit integers; the two ~1e12-ppm terms cancel to the O(H)
+    statistic, floors replayed identically).  The tie-corrected
+    H/C and the 95% decision against the fixed chi²(df=2) rational
+    KW_CHI2_DF2_PPM are the same stepwise-floor arithmetic.
+
+    Scale shape: everything after the ONE value-grid groupBy (the
+    shared `_two_sample_flag_grid` spine, grid ≈ distinct prices)
+    is constant-width column algebra — k is a bounded vocabulary,
+    so no per-pair fan-out, no data-scaled window."""
+    grid, flags = _two_sample_flag_grid(spark, sf_dir)
+    k = len(flags)
+    ct = sum(F.col(f"c{i}") for i in range(k))
+    et = sum(F.col(f"e{i}") for i in range(k))
+    aggs = []
+    for i in range(k):
+        aggs += [
+            F.sum(F.col(f"c{i}")).cast("long").alias(f"n_{i}"),
+            F.sum(F.col(f"c{i}") * (2 * et + ct + 1))
+            .cast("long")
+            .alias(f"r2_{i}"),
+        ]
+    aggs.append(
+        F.sum(ct * ct * ct - ct).cast("long").alias("tie_term")
+    )
+    one = grid.agg(*aggs)
+    n_total = " + ".join(f"n_{i}" for i in range(k))
+    sum_term = " + ".join(
+        f"(CAST(r2_{i} AS DECIMAL(38,0)) * r2_{i} DIV n_{i})"
+        for i in range(k)
+    )
+    one = one.select(
+        "*",
+        F.expr(f"CAST({n_total} AS BIGINT)").alias("n_total"),
+        F.expr(f"CAST({sum_term} AS DECIMAL(38,0))").alias("sum_term"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(CAST(3000000 AS DECIMAL(38,0)) * sum_term"
+            " DIV (CAST(n_total AS DECIMAL(38,0)) * (n_total + 1))"
+            " AS BIGINT) - 3000000 * (n_total + 1)"
+        ).alias("h_ppm"),
+        F.expr(
+            "1000000 - CAST(CAST(1000000 AS DECIMAL(38,0)) * tie_term"
+            " DIV (CAST(n_total AS DECIMAL(38,0)) * n_total * n_total"
+            " - n_total) AS BIGINT)"
+        ).alias("c_ppm"),
+    )
+    one = one.select(
+        "*",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * h_ppm DIV c_ppm"
+            " AS BIGINT)"
+        ).alias("h_corr_ppm"),
+    )
+    stack = ", ".join(
+        f"{_sql_str(flags[i])}, n_{i}, r2_{i}" for i in range(k)
+    )
+    return one.select(
+        F.expr(f"stack({k}, {stack}) as (g, n_g, r2_sum)"),
+        "n_total",
+        "tie_term",
+        "h_ppm",
+        "c_ppm",
+        "h_corr_ppm",
+        F.expr(
+            f"CAST(h_corr_ppm > {KW_CHI2_DF2_PPM} AS INT)"
+        ).alias("significant"),
+    ).orderBy("g")
+
+
+KRUSKAL_WALLIS_ORACLE = f"""
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+grid AS (
+  SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1, 2),
+tot AS (SELECT y, CAST(sum(c) AS BIGINT) AS ct FROM grid GROUP BY 1),
+cumt AS (
+  SELECT y, ct,
+         coalesce(sum(ct) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS et
+  FROM tot),
+ranked AS (
+  SELECT g.g, g.c, 2 * t.et + t.ct + 1 AS r2
+  FROM grid g JOIN cumt t ON g.y = t.y),
+pg AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * r2) AS BIGINT) AS r2_sum
+  FROM ranked GROUP BY 1),
+tie AS (SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_term
+        FROM tot),
+nn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total FROM pg),
+st AS (
+  SELECT CAST(sum(CAST(r2_sum AS HUGEINT) * r2_sum // n_g) AS HUGEINT)
+           AS sum_term
+  FROM pg),
+h AS (
+  SELECT CAST(CAST(3000000 AS HUGEINT) * st.sum_term
+              // (CAST(nn.n_total AS HUGEINT) * (nn.n_total + 1))
+              AS BIGINT) - 3000000 * (nn.n_total + 1) AS h_ppm,
+         1000000 - CAST(CAST(1000000 AS HUGEINT) * tie.tie_term
+              // (CAST(nn.n_total AS HUGEINT) * nn.n_total * nn.n_total
+                  - nn.n_total) AS BIGINT) AS c_ppm
+  FROM st, nn, tie),
+hc AS (
+  SELECT h_ppm, c_ppm,
+         CAST(CAST(1000000 AS HUGEINT) * h_ppm // c_ppm AS BIGINT)
+           AS h_corr_ppm
+  FROM h)
+SELECT pg.g, pg.n_g, pg.r2_sum, nn.n_total, tie.tie_term,
+       hc.h_ppm, hc.c_ppm, hc.h_corr_ppm,
+       CAST(hc.h_corr_ppm > {KW_CHI2_DF2_PPM} AS INT) AS significant
+FROM pg, nn, tie, hc
+ORDER BY pg.g
+"""
+
+
 SPEARMAN_ORACLE = f"""
 WITH pair AS MATERIALIZED (
   SELECT l_returnflag AS g,
@@ -2826,12 +2970,14 @@ QUERIES = {
     "encoding_upsert_equivalence": encoding_upsert_equivalence,
     "mann_whitney_u": mann_whitney_u,
     "ks_two_sample": ks_two_sample,
+    "kruskal_wallis_test": kruskal_wallis_test,
 }
 
 ORACLES = {
     "poisson_bootstrap_ci": _boot_oracle(),
     "mann_whitney_u": MANN_WHITNEY_ORACLE,
     "ks_two_sample": KS_ORACLE,
+    "kruskal_wallis_test": KRUSKAL_WALLIS_ORACLE,
     "bitmap_distinct_contract": BITMAP_ORACLE,
     "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,
