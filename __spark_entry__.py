@@ -1353,6 +1353,21 @@ _R15_QUEUE: list[str] = [
     # literal log-curve expectations in ppm, observed floor-ppm
     # shares, MAD-style max deviation scalar
     "benford_digit_audit",
+    # exact total-variation distance per source vs the pooled token
+    # distribution (the one classical divergence that stays rational
+    # — no logs), most-shifted token named
+    "vocab_divergence_report",
+    # EXACT Shapley values of the vocabulary-coverage game via the
+    # closed form φ = Σ 1/df(token) — data valuation without 2^k
+    # coalitions; efficiency-axiom conservation pinned
+    "shapley_vocab_coverage",
+    # 5/95 winsorized vs raw mean per priority: exact rank-based
+    # clamp thresholds, the robust-monitoring readout
+    "winsorized_stats",
+    # the drawdown monitor LIVE: per-user (peak, max_dd, trough, n)
+    # integer state in applyInPandasWithState over time-ordered
+    # micro-batches; the oracle IS the batch window+argmin operator
+    "streaming_drawdown_monitor",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -1858,6 +1858,219 @@ FROM ({selects})
     )
 
 
+def vocab_divergence_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source vocabulary drift vs the corpus — exact total-
+    variation distance between each source's token distribution and
+    the pooled distribution, the screen that catches a source whose
+    LANGUAGE changed (scraper drift, encoding break, template
+    takeover) before it poisons the training mix.  TV is the one
+    classical divergence that stays a RATIONAL of integer counts
+    (KL needs logs): TV(p, q) = ½ Σ_t |p_t − q_t| =
+    Σ_t |n_t·M − m_t·N_s| / (2·N_s·M) — one DECIMAL(38)/HUGEINT
+    floor-division per source, no per-term flooring at all.  The
+    most-shifted token is named per source (max |n·M − m·N_s|, ties
+    to the lexically smallest — the `source_ablation_report`
+    argmin idiom).
+
+    Scale shape: ONE (source, token) corpus aggregate feeds
+    everything; the divergence is a per-source sum over the
+    vocabulary grid (grid ≪ corpus), the argmax a second bounded
+    aggregate over the same grid."""
+    from ..io import swap_cache
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    grid = swap_cache(
+        "corpusops.vocab_grid",
+        d.select(
+            "source",
+            F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias(
+                "tok"
+            ),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")),
+    )
+    by_src = grid.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("vocab_s"),
+    )
+    by_tok = grid.groupBy("tok").agg(
+        F.sum("n").cast("long").alias("m")
+    )
+    total = grid.agg(F.sum("n").cast("long").alias("mm")).collect()[0][
+        "mm"
+    ]
+    # the full (source × vocab) cross frame: a token absent from a
+    # source still contributes |0·M − m·N_s| to that source's TV
+    srcs = grid.select("source").distinct()
+    cross = (
+        srcs.crossJoin(by_tok)
+        .join(grid, ["source", "tok"], "left")
+        .na.fill({"n": 0})
+        .join(F.broadcast(by_src), "source")
+    )
+    diff = (
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.lit(total)
+            - F.col("m").cast("decimal(38,0)") * F.col("n_s")
+        )
+    ).alias("adiff")
+    per_tok = cross.select(
+        "source", "tok", "n_s", "vocab_s", diff
+    )
+    tv = per_tok.groupBy("source").agg(
+        F.max("n_s").alias("_ns"),
+        F.max("vocab_s").alias("_vs"),
+        F.sum("adiff").alias("dsum"),
+        F.max("adiff").alias("dmax"),
+    )
+    top = (
+        per_tok.join(
+            tv.select("source", F.col("dmax").alias("dm")), "source"
+        )
+        .filter(F.col("adiff") == F.col("dm"))
+        .groupBy("source")
+        .agg(F.min("tok").alias("top_shift_token"))
+    )
+    return (
+        tv.join(F.broadcast(top), "source")
+        .select(
+            "source",
+            F.col("_ns").cast("long").alias("n_tokens"),
+            F.col("_vs").cast("long").alias("vocab_size"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * dsum"
+                f" DIV (CAST(2 AS DECIMAL(38,0)) * _ns * {total})"
+                " AS BIGINT)"
+            ).alias("tv_ppm"),
+            "top_shift_token",
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_DIVERGENCE_ORACLE = r"""
+WITH grid AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\s+'), t -> t != '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2),
+by_src AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_s,
+         CAST(count(*) AS BIGINT) AS vocab_s
+  FROM grid GROUP BY 1),
+by_tok AS (SELECT tok, CAST(sum(n) AS BIGINT) AS m FROM grid GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS mm FROM grid),
+crossg AS (
+  SELECT s.source, t.tok, coalesce(g.n, 0) AS n, t.m, bs.n_s, bs.vocab_s
+  FROM (SELECT DISTINCT source FROM grid) s
+  CROSS JOIN by_tok t
+  LEFT JOIN grid g ON g.source = s.source AND g.tok = t.tok
+  JOIN by_src bs ON bs.source = s.source),
+diffs AS (
+  SELECT source, tok, n_s, vocab_s,
+         abs(CAST(n AS HUGEINT) * (SELECT mm FROM tot)
+             - CAST(m AS HUGEINT) * n_s) AS adiff
+  FROM crossg),
+tv AS (
+  SELECT source, max(n_s) AS n_s, max(vocab_s) AS vocab_s,
+         sum(adiff) AS dsum, max(adiff) AS dmax
+  FROM diffs GROUP BY 1),
+top AS (
+  SELECT d.source, min(d.tok) AS top_shift_token
+  FROM diffs d JOIN tv ON d.source = tv.source AND d.adiff = tv.dmax
+  GROUP BY 1)
+SELECT tv.source, CAST(tv.n_s AS BIGINT) AS n_tokens,
+       CAST(tv.vocab_s AS BIGINT) AS vocab_size,
+       CAST(CAST(1000000 AS HUGEINT) * tv.dsum
+            // (CAST(2 AS HUGEINT) * tv.n_s * (SELECT mm FROM tot))
+            AS BIGINT) AS tv_ppm,
+       top.top_shift_token
+FROM tv JOIN top ON tv.source = top.source
+ORDER BY tv.source
+"""
+
+
+def shapley_vocab_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley values of the vocabulary-coverage game — data
+    valuation with a closed form: with coalition value v(S) =
+    |∪_{s∈S} vocab(s)| (distinct tokens covered), a token held by
+    exactly the source set T contributes 1/|T| to each holder's
+    Shapley value (by symmetry over orderings: a holder is credited
+    iff it precedes the rest of T), so
+
+        φ_src = Σ_{t ∈ vocab(src)} 1 / df(t)
+
+    — no 2^k coalition enumeration, just the (source, token) grid
+    and each token's source-frequency.  Emitted as the sum of
+    floor(1e6/df) integer credits (both engines floor each term
+    identically; Σφ then reconciles to 1e6·|vocab| minus the
+    documented floor dust).  ``n_unique`` (df = 1 tokens — the
+    tokens the corpus LOSES if the source goes) rides along, making
+    this the principled companion to `source_ablation_report`'s
+    mass-based view.
+
+    Scale shape: one (source, token) aggregate + one token-df
+    aggregate + one grid join — all linear in distinct (source,
+    token) pairs, nothing pairwise."""
+    from ..io import swap_cache
+
+    d = fan_out(table(tune(spark), sf_dir, "documents"))
+    grid = swap_cache(
+        "corpusops.vocab_grid",
+        d.select(
+            "source",
+            F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias(
+                "tok"
+            ),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")),
+    )
+    df_tok = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        grid.join(df_tok, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum((F.col("df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) DIV df"))
+            .cast("long")
+            .alias("shapley_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+SHAPLEY_VOCAB_ORACLE = r"""
+WITH grid AS (
+  SELECT source, tok
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\s+'), t -> t != '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2),
+df_tok AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM grid GROUP BY 1)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(sum(CAST(1000000 AS BIGINT) // d.df) AS BIGINT) AS shapley_e6
+FROM grid g JOIN df_tok d ON g.tok = d.tok
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "padding_waste_report": padding_waste_report,
     "quantile_normalization": quantile_normalization,
@@ -1878,6 +2091,8 @@ QUERIES = {
     "weighted_priority_sample": weighted_priority_sample,
     "temperature_sweep": temperature_sweep,
     "capped_waterfill_allocation": capped_waterfill_allocation,
+    "vocab_divergence_report": vocab_divergence_report,
+    "shapley_vocab_coverage": shapley_vocab_coverage,
 }
 
 WATERFILL_ORACLE = _waterfill_oracle()
@@ -1902,4 +2117,6 @@ ORACLES = {
     "weighted_priority_sample": WEIGHTED_SAMPLE_ORACLE,
     "temperature_sweep": TEMPERATURE_SWEEP_ORACLE,
     "capped_waterfill_allocation": WATERFILL_ORACLE,
+    "vocab_divergence_report": VOCAB_DIVERGENCE_ORACLE,
+    "shapley_vocab_coverage": SHAPLEY_VOCAB_ORACLE,
 }

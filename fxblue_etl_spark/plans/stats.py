@@ -2244,6 +2244,123 @@ ORDER BY pg.g
 """
 
 
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments per order priority — the robust-mean
+    readout every monitoring dashboard should prefer over the raw
+    mean (one fat-fingered 1000× amount moves a raw mean for a
+    month; the 5/95-winsorized mean clamps it to the tail
+    boundary): exact rank-based P5/P95 cents thresholds (value at
+    1-indexed rank ⌈n/20⌉ and ⌈19n/20⌉, ties broken by order key so
+    both engines pick the same row), values clamped into [p5, p95],
+    and both the raw and winsorized floor-mean emitted side by side
+    so the robustness delta is visible.
+
+    Integer contract: cents, ranks, and ⌈·⌉ spelled as
+    (n + 19) DIV 20 / (19·n + 19) DIV 20 — all integer, floor
+    divisions on non-negative operands where both engines agree.
+
+    Scale shape: one partitioned (never global) rank window per
+    group, one broadcast threshold join-back, one aggregate."""
+    o = table(tune(spark), sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("pr").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "pr", "cents", F.row_number().over(w).alias("rn")
+    )
+    cnt = ranked.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    marks = cnt.select(
+        "pr",
+        "n",
+        F.expr("(n + 19) DIV 20").alias("lo_rank"),
+        F.expr("(19 * n + 19) DIV 20").alias("hi_rank"),
+    )
+    thr = (
+        ranked.join(F.broadcast(marks), "pr")
+        .filter(
+            (F.col("rn") == F.col("lo_rank"))
+            | (F.col("rn") == F.col("hi_rank"))
+        )
+        .groupBy("pr")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("lo_rank"), F.col("cents"))
+            ).alias("p5_cents"),
+            F.min(
+                F.when(F.col("rn") == F.col("hi_rank"), F.col("cents"))
+            ).alias("p95_cents"),
+        )
+    )
+    clamped = base.join(F.broadcast(thr), "pr").select(
+        "pr",
+        "cents",
+        "p5_cents",
+        "p95_cents",
+        F.greatest(
+            F.col("p5_cents"), F.least(F.col("p95_cents"), F.col("cents"))
+        ).alias("wcents"),
+    )
+    return (
+        clamped.groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("p5_cents").cast("long").alias("p5_cents"),
+            F.max("p95_cents").cast("long").alias("p95_cents"),
+            F.expr(
+                "CAST(CAST(sum(cents) AS DECIMAL(38,0)) DIV count(*)"
+                " AS BIGINT)"
+            ).alias("raw_mean_cents"),
+            F.expr(
+                "CAST(CAST(sum(wcents) AS DECIMAL(38,0)) DIV count(*)"
+                " AS BIGINT)"
+            ).alias("wins_mean_cents"),
+        )
+        .orderBy("pr")
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS pr,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+ranked AS (
+  SELECT pr, cents,
+         row_number() OVER (PARTITION BY pr
+                            ORDER BY cents, o_orderkey) AS rn
+  FROM base),
+marks AS (
+  SELECT pr, CAST(count(*) AS BIGINT) AS n,
+         (count(*) + 19) // 20 AS lo_rank,
+         (19 * count(*) + 19) // 20 AS hi_rank
+  FROM base GROUP BY 1),
+thr AS (
+  SELECT r.pr,
+         min(CASE WHEN r.rn = m.lo_rank THEN r.cents END) AS p5_cents,
+         min(CASE WHEN r.rn = m.hi_rank THEN r.cents END) AS p95_cents
+  FROM ranked r JOIN marks m ON r.pr = m.pr
+  WHERE r.rn = m.lo_rank OR r.rn = m.hi_rank
+  GROUP BY 1)
+SELECT b.pr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(t.p5_cents) AS BIGINT) AS p5_cents,
+       CAST(max(t.p95_cents) AS BIGINT) AS p95_cents,
+       CAST(CAST(sum(b.cents) AS HUGEINT) // count(*) AS BIGINT)
+         AS raw_mean_cents,
+       CAST(CAST(sum(greatest(t.p5_cents,
+                              least(t.p95_cents, b.cents))) AS HUGEINT)
+            // count(*) AS BIGINT) AS wins_mean_cents
+FROM base b JOIN thr t ON b.pr = t.pr
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SPEARMAN_ORACLE = f"""
 WITH pair AS MATERIALIZED (
   SELECT l_returnflag AS g,
@@ -2971,6 +3088,7 @@ QUERIES = {
     "mann_whitney_u": mann_whitney_u,
     "ks_two_sample": ks_two_sample,
     "kruskal_wallis_test": kruskal_wallis_test,
+    "winsorized_stats": winsorized_stats,
 }
 
 ORACLES = {
@@ -2978,6 +3096,7 @@ ORACLES = {
     "mann_whitney_u": MANN_WHITNEY_ORACLE,
     "ks_two_sample": KS_ORACLE,
     "kruskal_wallis_test": KRUSKAL_WALLIS_ORACLE,
+    "winsorized_stats": WINSORIZED_ORACLE,
     "bitmap_distinct_contract": BITMAP_ORACLE,
     "chi2_contingency_cells": CHI2_ORACLE,
     "hll_accuracy_check": HLL_ACCURACY_ORACLE,

