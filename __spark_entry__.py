@@ -1368,6 +1368,11 @@ _R15_QUEUE: list[str] = [
     # integer state in applyInPandasWithState over time-ordered
     # micro-batches; the oracle IS the batch window+argmin operator
     "streaming_drawdown_monitor",
+    # isotonic (PAVA) regression through the exact minimax
+    # characterization — three data-parallel passes over a bounded
+    # interval grid instead of the sequential pool loop; monotone +
+    # pooling behavior property-pinned
+    "isotonic_weekly_fit",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -2356,6 +2356,139 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def isotonic_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (non-decreasing) regression of the weekly spend
+    series per priority — the PAVA fit (pool-adjacent-violators;
+    sklearn's classifier-calibration workhorse) computed through its
+    exact MINIMAX characterization instead of the sequential pool
+    loop:
+
+        ŷ_i = max_{j ≤ i} min_{k ≥ i} avg(y_j..y_k)
+
+    which turns an inherently sequential algorithm into three
+    data-parallel passes over a bounded interval grid: (1) all
+    O(n²) interval floor-averages from prefix sums, (2) a suffix-min
+    window per (segment, j), (3) a max-aggregate per (segment, i).
+    Monotonicity of the result holds by construction for ANY inner
+    value function — so the floor-cents averages (S div len,
+    non-negative, both engines truncate identically) keep the fit
+    deterministic and integer without disturbing isotonicity.
+
+    Why it's on the surface: isotonic fits are how pipelines
+    calibrate model scores against outcomes and how monotone trends
+    are extracted without a parametric form — and the minimax
+    formulation is the shape that survives 100 TB: the grid is
+    |calendar|² per segment (bounded, ~68k rows here), never
+    data-scaled.
+
+    Output: one row per (priority, week) with the observed and
+    fitted cents; the fit is non-decreasing in week within each
+    priority (property-pinned)."""
+    o = table(tune(spark), sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderpriority",
+        F.expr("datediff(o_orderdate, DATE'1970-01-01') DIV 7")
+        .cast("long")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("wk")
+    idx = weekly.select(
+        "o_orderpriority",
+        "wk",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("psum"),
+    )
+    n_per = idx.groupBy("o_orderpriority").agg(
+        F.max("i").alias("n")
+    )
+    # interval grid: for each right end k, every left end j <= k;
+    # avg(j, k) = (psum_k - psum_{j-1}) div (k - j + 1)
+    left = idx.select(
+        "o_orderpriority",
+        F.col("i").alias("j"),
+        (F.col("psum") - F.col("cents")).alias("pbefore"),
+    )
+    grid = (
+        idx.select(
+            "o_orderpriority", F.col("i").alias("k"), "psum"
+        )
+        .join(left, "o_orderpriority")
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "o_orderpriority",
+            "j",
+            "k",
+            F.expr(
+                "CAST((psum - pbefore) DIV (k - j + 1) AS BIGINT)"
+            ).alias("iavg"),
+        )
+    )
+    wsuf = (
+        Window.partitionBy("o_orderpriority", "j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suf = grid.select(
+        "o_orderpriority",
+        "j",
+        "k",
+        F.min("iavg").over(wsuf).alias("suffmin"),
+    )
+    fit = suf.groupBy("o_orderpriority", F.col("k").alias("i")).agg(
+        F.max("suffmin").cast("long").alias("fit_cents")
+    )
+    return (
+        idx.join(fit, ["o_orderpriority", "i"])
+        .select(
+            "o_orderpriority",
+            "wk",
+            F.col("cents").alias("y_cents"),
+            "fit_cents",
+        )
+        .orderBy("o_orderpriority", "wk")
+    )
+
+
+ISOTONIC_ORACLE = """
+WITH weekly AS (
+  SELECT o_orderpriority AS pr,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+idx AS (
+  SELECT pr, wk, cents,
+         row_number() OVER (PARTITION BY pr ORDER BY wk) AS i,
+         sum(cents) OVER (PARTITION BY pr ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+  FROM weekly),
+grid AS (
+  SELECT a.pr, b.i AS j, a.i AS k,
+         (a.psum - (b.psum - b.cents)) // (a.i - b.i + 1) AS iavg
+  FROM idx a JOIN idx b ON a.pr = b.pr AND b.i <= a.i),
+suf AS (
+  SELECT pr, j, k,
+         min(iavg) OVER (PARTITION BY pr, j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS suffmin
+  FROM grid),
+fit AS (
+  SELECT pr, k AS i, CAST(max(suffmin) AS BIGINT) AS fit_cents
+  FROM suf GROUP BY 1, 2)
+SELECT idx.pr AS o_orderpriority, idx.wk, idx.cents AS y_cents,
+       fit.fit_cents
+FROM idx JOIN fit ON idx.pr = fit.pr AND idx.i = fit.i
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_tolerance_view": asof_tolerance_view,
@@ -2367,6 +2500,7 @@ QUERIES = {
     "twap_by_event_type": twap_by_event_type,
     "max_drawdown_by_user": max_drawdown_by_user,
     "holt_linear_forecast": holt_linear_forecast,
+    "isotonic_weekly_fit": isotonic_weekly_fit,
     "gapfill_linear_interp": gapfill_linear_interp,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
@@ -2399,6 +2533,7 @@ ORACLES = {
     "twap_by_event_type": _twap_oracle(),
     "max_drawdown_by_user": MAX_DRAWDOWN_ORACLE,
     "holt_linear_forecast": _holt_oracle(),
+    "isotonic_weekly_fit": ISOTONIC_ORACLE,
     "gapfill_linear_interp": GAPFILL_LINEAR_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,

@@ -402,3 +402,48 @@ def test_vocab_divergence_zero_for_identical_distribution(spark, tmp_path):
     )
     rows = vocab_divergence_report(spark, str(d)).collect()
     assert all(r["tv_ppm"] == 0 for r in rows)
+
+
+def test_isotonic_fit_properties(spark, tmp_path):
+    """The minimax isotonic fit must (a) be non-decreasing within
+    each segment on the real fixture, (b) leave an already-monotone
+    series untouched, and (c) pool a strict violator pair to its
+    floor-average — the PAVA behaviors, hand-checked."""
+    from fxblue_etl_spark.operators.temporal import isotonic_weekly_fit
+
+    rows = isotonic_weekly_fit(spark, SF_DIR).collect()
+    by_pr: dict = {}
+    for r in rows:
+        by_pr.setdefault(r["o_orderpriority"], []).append(
+            (r["wk"], r["fit_cents"])
+        )
+    for pr, seq in by_pr.items():
+        fits = [f for _, f in sorted(seq)]
+        assert fits == sorted(fits), f"fit not monotone for {pr}"
+
+    # hand case: orders for one synthetic priority, weekly totals
+    # 100, 300, 200, 400 cents → PAVA pools (300, 200) to 250 each
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1, 1, 1, 1],
+            "o_orderstatus": ["F"] * 4,
+            "o_totalprice": [1.00, 3.00, 2.00, 4.00],
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-02", "1995-01-09", "1995-01-16", "1995-01-23"]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    d = tmp_path / "iso"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False),
+        d / "orders.parquet",
+    )
+    got = sorted(
+        (r["wk"], r["y_cents"], r["fit_cents"])
+        for r in isotonic_weekly_fit(spark, str(d)).collect()
+    )
+    assert [g[1] for g in got] == [100, 300, 200, 400]
+    assert [g[2] for g in got] == [100, 250, 250, 400]
