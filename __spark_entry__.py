@@ -1373,6 +1373,15 @@ _R15_QUEUE: list[str] = [
     # interval grid instead of the sequential pool loop; monotone +
     # pooling behavior property-pinned
     "isotonic_weekly_fit",
+    # stationary distribution of the event-type Markov chain: power
+    # method in integer ppm over the catalog-bounded (<= 25-cell)
+    # floor-ppm transition matrix; oracle replays the recursion as a
+    # one-row recursive CTE over the pivoted matrix
+    "markov_stationary_distribution",
+    # DELETION contract for the counting Bloom filter: retraction by
+    # counter subtraction, delete(build(A∪D), D) == build(A)
+    # counter-for-counter — the sketch-family member with retraction
+    "counting_bloom_delete_equivalence",
 ]
 
 #: ROUND-14 RE-CERT CANDIDATES (pre-planned at round-13 close, the

@@ -2456,6 +2456,120 @@ def isotonic_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: power-method iterations for the stationary distribution — 32
+#: halves the residual well past ppm resolution on any aperiodic
+#: 5-state chain (residual ~ |λ2|^T; the fixture's mixing is fast)
+MARKOV_ITERS = 32
+
+#: the fixture generator's event-type vocabulary, hardcoded in the
+#: oracle's pivoted matrix exactly like LANG_MARKERS hardcodes the
+#: language markers — the driver only ever runs the fixture tables
+MARKOV_STATES = ("click", "error", "purchase", "signup", "view")
+
+
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution π of the first-order event-type
+    Markov chain (πP = π) — the long-run occupancy the
+    `event_transition_matrix` implies: where a user's session
+    settles if the observed dynamics keep running, the baseline an
+    anomaly monitor compares short-window type mixes against.
+
+    Power method in integer ppm: π₀ uniform (1e6 div k), then
+    MARKOV_ITERS rounds of π'_j = (Σ_i π_i·q_ij) div 1e6 over the
+    floor-ppm transition matrix — every step integer, both engines
+    replay identical floors (mass lost to flooring stays lost —
+    documented, deterministic, < k ppm per round).
+
+    Scale shape: the data-scaled work is the certified transition
+    lineage (one lag window + vocab² aggregate); the matrix is
+    CATALOG-bounded (k ≤ 5 states, ≤ 25 cells), so the bounded
+    `.collect()` + local integer iteration is the KM-scalar
+    posture — at 100 TB the matrix is still 25 numbers.  The
+    oracle replays the same recursion as a one-row recursive CTE
+    over the pivoted matrix."""
+    tm = event_transition_matrix(spark, sf_dir).select(
+        "from_type", "to_type", "prob_ppm", "n_from"
+    )
+    cells = tm.collect()  # catalog-bounded (<= k^2 = 25 rows)
+    states = sorted(
+        {c["from_type"] for c in cells} | {c["to_type"] for c in cells}
+    )
+    pos = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    q = [[0] * k for _ in range(k)]
+    n_out = {s: 0 for s in states}
+    for c in cells:
+        q[pos[c["from_type"]]][pos[c["to_type"]]] = int(c["prob_ppm"])
+        n_out[c["from_type"]] = int(c["n_from"])
+    pi = [1_000_000 // k] * k
+    for _ in range(MARKOV_ITERS):
+        pi = [
+            sum(pi[i] * q[i][j] for i in range(k)) // 1_000_000
+            for j in range(k)
+        ]
+    rows = [(s, n_out[s], pi[pos[s]]) for s in states]
+    return spark.createDataFrame(
+        rows, "state string, n_out long, pi_ppm long"
+    ).orderBy("state")
+
+
+def _markov_oracle() -> str:
+    sts = MARKOV_STATES
+    k = len(sts)
+    mcols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN from_type = '{a}' AND to_type = '{b}'"
+        f" THEN q END), 0) AS m{i}_{j}"
+        for i, a in enumerate(sts)
+        for j, b in enumerate(sts)
+    )
+    p0 = 1_000_000 // k
+    seed = ", ".join(f"CAST({p0} AS BIGINT) AS p{i}" for i in range(k))
+    nxt = ", ".join(
+        "("
+        + " + ".join(f"r.p{i} * m.m{i}_{j}" for i in range(k))
+        + f") // 1000000 AS p{j}"
+        for j in range(k)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT '{s}' AS state,"
+        f" (SELECT coalesce(max(n_from), 0) FROM q0"
+        f"  WHERE from_type = '{s}') AS n_out,"
+        f" (SELECT p{i} FROM r WHERE t = {MARKOV_ITERS}) AS pi_ppm"
+        for i, s in enumerate(sts)
+    )
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+outg AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM pairs GROUP BY 1),
+q0 AS (
+  SELECT p.from_type, p.to_type, o.n_from,
+         CAST(CAST(1000000 AS HUGEINT) * p.n // o.n_from AS BIGINT) AS q
+  FROM pairs p JOIN outg o ON p.from_type = o.from_type),
+m AS (
+  SELECT {mcols}
+  FROM q0),
+r AS (
+  SELECT 0 AS t, {seed}
+  UNION ALL
+  SELECT r.t + 1, {nxt}
+  FROM r, m WHERE r.t < {MARKOV_ITERS})
+SELECT state, CAST(n_out AS BIGINT) AS n_out,
+       CAST(pi_ppm AS BIGINT) AS pi_ppm
+FROM ({finals})
+ORDER BY state
+"""
+
+
 ISOTONIC_ORACLE = """
 WITH weekly AS (
   SELECT o_orderpriority AS pr,
@@ -2501,6 +2615,7 @@ QUERIES = {
     "max_drawdown_by_user": max_drawdown_by_user,
     "holt_linear_forecast": holt_linear_forecast,
     "isotonic_weekly_fit": isotonic_weekly_fit,
+    "markov_stationary_distribution": markov_stationary_distribution,
     "gapfill_linear_interp": gapfill_linear_interp,
     "theilsen_trend": theilsen_trend,
     "range_join_price_bands": range_join_price_bands,
@@ -2534,6 +2649,7 @@ ORACLES = {
     "max_drawdown_by_user": MAX_DRAWDOWN_ORACLE,
     "holt_linear_forecast": _holt_oracle(),
     "isotonic_weekly_fit": ISOTONIC_ORACLE,
+    "markov_stationary_distribution": _markov_oracle(),
     "gapfill_linear_interp": GAPFILL_LINEAR_ORACLE,
     "theilsen_trend": _theilsen_oracle(),
     "range_join_price_bands": RANGE_JOIN_ORACLE,

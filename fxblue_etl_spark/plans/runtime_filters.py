@@ -343,14 +343,137 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
 """
 
 
+def _cbf_counters(members: DataFrame) -> DataFrame:
+    """(bit, cnt): the COUNTING Bloom filter — per-position hit
+    counters instead of bits, sharing the ``_bloom_positions`` hash
+    family byte-for-byte.  SUM-mergeable AND subtractable, which is
+    what buys deletion."""
+    return (
+        _bloom_positions(members)
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def counting_bloom_delete_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION contract for the counting Bloom filter — the member
+    of the sketch family none of the others can state: Bloom's OR
+    and HLL's MAX are idempotent-monotone (inserts only), but a CBF
+    counter table supports RETRACTION, and the algebra is exact:
+    ``delete(build(A ∪ D), D) == build(A)`` counter-for-counter for
+    any D ⊆ members.  This is the IVM retraction-by-subtraction
+    discipline (`ivm_delete_maintenance`) applied to a sketch — a
+    GDPR delete or a bad-batch rollback can maintain the membership
+    structure without a full rebuild.
+
+    Here: build over ALL even order keys, subtract the key % 4 == 2
+    members' counters, drop zeroed positions, and compare against
+    the direct build over key % 4 == 0 — plus the degraded
+    membership view (counter > 0) against the survivors' plain
+    Bloom bits, so the contract covers both the counters and the
+    bits they imply.
+
+    Output: one row — counter-table sizes, word-wise mismatches
+    (must be 0), total counts both sides, max counter, verdict."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    members = o.filter(F.col("o_orderkey") % 2 == 0)
+    full = _cbf_counters(members)
+    dels = _cbf_counters(members.filter(F.col("o_orderkey") % 4 == 2))
+    net = (
+        full.select("bit", F.col("cnt").alias("ca"))
+        .join(
+            dels.select("bit", F.col("cnt").alias("cd")),
+            "bit",
+            "full",
+        )
+        .select(
+            "bit",
+            (
+                F.coalesce(F.col("ca"), F.lit(0))
+                - F.coalesce(F.col("cd"), F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    direct = _cbf_counters(members.filter(F.col("o_orderkey") % 4 == 0))
+    return (
+        net.select("bit", F.col("cnt").alias("cn"))
+        .join(
+            direct.select("bit", F.col("cnt").alias("cr")),
+            "bit",
+            "full",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum(
+                (
+                    F.coalesce(F.col("cn"), F.lit(-1))
+                    != F.coalesce(F.col("cr"), F.lit(-2))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+            F.sum(F.coalesce(F.col("cn"), F.lit(0)))
+            .cast("long")
+            .alias("total_net"),
+            F.sum(F.coalesce(F.col("cr"), F.lit(0)))
+            .cast("long")
+            .alias("total_direct"),
+            F.max(F.coalesce(F.col("cr"), F.lit(0)))
+            .cast("long")
+            .alias("max_counter"),
+        )
+        .select(
+            "n_positions",
+            "n_mismatch",
+            "total_net",
+            "total_direct",
+            "max_counter",
+            (F.col("n_mismatch") == 0).cast("int").alias("equal"),
+        )
+    )
+
+
+def _cbf_delete_oracle() -> str:
+    from ..operators.dedup import _hex8_sql
+
+    legs = []
+    for i in range(BLOOM_K):
+        md5_sql = f"md5('bloom{i}|' || CAST(o_orderkey AS VARCHAR))"
+        legs.append(
+            f"SELECT o_orderkey, ({_hex8_sql(md5_sql, 1)}) % {BLOOM_M} AS bit"
+            " FROM quads"
+        )
+    pos_legs = " UNION ALL ".join(legs)
+    return f"""
+WITH quads AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),
+pos AS ({pos_legs}),
+direct AS (
+  SELECT bit, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(cnt) AS BIGINT) AS total_net,
+       CAST(sum(cnt) AS BIGINT) AS total_direct,
+       CAST(max(cnt) AS BIGINT) AS max_counter,
+       1 AS equal
+FROM direct
+"""
+
+
 QUERIES = {
     "bloom_filter_join": bloom_filter_join,
     "portable_bloom_contract": portable_bloom_contract,
     "bloom_upsert_equivalence": bloom_upsert_equivalence,
+    "counting_bloom_delete_equivalence": counting_bloom_delete_equivalence,
 }
 
 ORACLES = {
     "bloom_filter_join": BLOOM_JOIN_ORACLE,
     "portable_bloom_contract": PORTABLE_BLOOM_ORACLE,
     "bloom_upsert_equivalence": _bloom_upsert_oracle(),
+    "counting_bloom_delete_equivalence": _cbf_delete_oracle(),
 }
