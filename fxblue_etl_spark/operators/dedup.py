@@ -1245,6 +1245,63 @@ PERM_A24 = [(2654435761 * (p + 1)) % 2**30 | 1 for p in range(24)]
 PERM_B24 = [(2246822519 * (p + 1)) % 2**30 for p in range(24)]
 
 
+_SCURVE_SIG_SCHEMA = "doc_id bigint, sig array<bigint>"
+
+
+def _scurve_sigs_arrow_fn(batches):
+    """``mapInPandas`` worker for :func:`_scurve_sigs`: the
+    normalize → shingle → md5 → 24-perm universal-hash-min chain in
+    numpy/hashlib, bit-identical to the HOF fold (hashlib md5 ==
+    Spark md5; products < 2^62 stay exact in int64) — the same
+    lineage split as :func:`_band_rows_arrow_fn`, which measured
+    ~45% faster than the interpreted expression fold."""
+    import hashlib
+    import re as _re
+
+    import numpy as _np
+    import pandas as _pd
+
+    ws = _re.compile(_JAVA_WS_RE)
+    a_vec = _np.array(PERM_A24, dtype=_np.int64)
+    b_vec = _np.array(PERM_B24, dtype=_np.int64)
+    for pdf in batches:
+        out_doc, out_sig = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(text, str):
+                continue  # null text is filtered by the HOF lineage too
+            doc_id = None if _pd.isna(doc_id) else int(doc_id)
+            toks = [t for t in ws.split(text.lower()) if t]
+            if len(toks) < 3:
+                continue
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3])
+                    for i in range(max(len(toks) - 3, 0) + 1)
+                )
+            )
+            hs = _np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=_np.int64,
+                count=len(sh),
+            )
+            sig = (
+                ((hs[:, None] * a_vec[None, :]) + b_vec[None, :])
+                % MERSENNE_31
+            ).min(axis=0)
+            out_doc.append(doc_id)
+            out_sig.append(sig.tolist())
+        if out_doc:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.array(out_doc, dtype="Int64"),
+                    "sig": out_sig,
+                }
+            )
+
+
 def _scurve_sigs(docs: DataFrame) -> DataFrame:
     """doc_id → 24-perm minhash signature (the planner's budget) —
     the `minhash_signatures` fold at doubled width.  Docs under 3
@@ -1252,7 +1309,16 @@ def _scurve_sigs(docs: DataFrame) -> DataFrame:
     (``minhash_band_rows_hof``) and the oracle's ``len(toks) >= 3``
     shingle CTE — a 0-2-token doc would otherwise get a degenerate
     single-shingle signature here while being absent from the
-    oracle's signature set (round-13 advice item 1)."""
+    oracle's signature set (round-13 advice item 1).
+
+    Default lineage is the Arrow kernel above (r14 optimization
+    round, guide §4.2); ``USE_ARROW_SIGNATURES = False`` restores the
+    pure-JVM HOF fold, cross-checked bit-identical in
+    ``tests/test_arrow_signatures.py``."""
+    if USE_ARROW_SIGNATURES:
+        return docs.select("doc_id", "text").mapInPandas(
+            _scurve_sigs_arrow_fn, _SCURVE_SIG_SCHEMA
+        )
     sh_df = docs.filter(F.size(ws_tokens(_norm_text("text"))) >= 3).select(
         "doc_id", F.explode(F.array(word_shingles("text"))).alias("shingles")
     )
@@ -1342,42 +1408,37 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 24-permutation signature stream (the planner's budget), same
     # universal-hash family as the certified 12-perm lineage
     sigs = swap_cache("dedup.scurve_sigs", _scurve_sigs(d))
-    measured = None
-    for b, r in SCURVE_GEOMS:
-        bands = sigs.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[i * r + k]
-                                    for k in range(r)
-                                ],
-                            ).alias("key"),
-                        )
-                        for i in range(b)
-                    ]
-                )
-            ).alias("bk")
+    # ONE exploded pass over the signature stream for ALL geometries
+    # (r14 optimization round): the former per-geometry loop ran 7
+    # separate two-exchange aggregate jobs over the persisted sigs
+    # (38 Exchanges total); tagging each band struct with its
+    # (bands, rows_per_band) and aggregating once is the identical
+    # integer arithmetic — Σ C(bucket, 2) per geometry — at 2
+    # Exchanges (guide §2.4).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rpb"),
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                "|", *[F.col("sig")[i * r + k] for k in range(r)]
+            ).alias("key"),
         )
-        cand = (
-            bands.groupBy("bk.band", "bk.key")
-            .agg(F.count("*").cast("long").alias("n"))
-            .agg(
-                F.sum(F.expr("n * (n - 1) DIV 2"))
-                .cast("long")
-                .alias("n_candidates")
-            )
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_candidates",
-            )
+        for b, r in SCURVE_GEOMS
+        for i in range(b)
+    ]
+    measured = (
+        sigs.select(F.explode(F.array(*band_structs)).alias("bk"))
+        .groupBy("bk.bands", "bk.rpb", "bk.band", "bk.key")
+        .agg(F.count("*").cast("long").alias("n"))
+        .groupBy("bands", "rpb")
+        .agg(
+            F.sum(F.expr("n * (n - 1) DIV 2"))
+            .cast("long")
+            .alias("n_candidates")
         )
-        measured = cand if measured is None else measured.unionByName(cand)
+        .withColumnRenamed("rpb", "rows_per_band")
+    )
     return (
         theory.join(
             F.broadcast(measured), ["bands", "rows_per_band"], "left"
@@ -2157,11 +2218,21 @@ def prefix_filter_jaccard_pairs(
     in COVERAGE.md round 12."""
     from pyspark.sql.window import Window
 
+    from ..io import swap_cache
+
     d = fan_out(table(tune(spark), sf_dir, "documents"))
     d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
-    docs = d.select(
-        "doc_id", word_shingles("text", k=3).alias("grams")
-    ).withColumn("sz", F.size("grams").cast("long"))
+    # Persist the shingled frame: four consumers (df build, prefix
+    # postings, and the two verification sides) otherwise re-execute
+    # the normalize→tokenize→shingle tree per consumer — the scan
+    # sweep's classic shape, and the dominant cost of the 21.6s r13
+    # canonical draw (r14 optimization round, guide §2.4/§5).
+    docs = swap_cache(
+        "dedup.pf_docs",
+        d.select(
+            "doc_id", word_shingles("text", k=3).alias("grams")
+        ).withColumn("sz", F.size("grams").cast("long")),
+    )
     posts = docs.select(
         "doc_id", "sz", F.explode("grams").alias("gram")
     )

@@ -201,3 +201,54 @@ def test_pre_gate_arrow_equals_hof_adversarial(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     assert _pg_canon(_survivors_arrow(docs)) == _pg_canon(_survivors_hof(docs))
+
+
+def _canon24(df):
+    return sorted(
+        ((r["doc_id"], tuple(r["sig"])) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+
+
+def test_scurve24_arrow_equals_hof_on_fixture(spark, sf_dir, monkeypatch):
+    from fxblue_etl_spark.operators import dedup
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    arrow = dedup._scurve_sigs(docs)
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    hof = dedup._scurve_sigs(docs)
+    got, want = _canon24(arrow), _canon24(hof)
+    assert got == want
+    assert got, "fixture must produce signatures"
+    assert all(len(sig) == 24 for _d, sig in got)
+
+
+def test_scurve24_arrow_equals_hof_on_adversarial_frame(spark, monkeypatch):
+    from fxblue_etl_spark.operators import dedup
+
+    rows = [
+        (1, "  leading and trailing   \t\n  whitespace mix here  "),
+        (2, "tabs\tbetween\ttokens\tand\tmore\ttokens"),
+        (3, "exactly three tokens"),
+        (4, "two tokens"),  # < 3 tokens: excluded
+        (5, ""),  # empty: excluded
+        (6, None),  # null: excluded
+        (7, "MiXeD CaSe TOKENS normalize THE same WAY"),
+        (8, "dup dup dup dup dup dup"),  # one distinct shingle
+        (9, "a b c a b c a b c d"),  # repeated shingles
+        (10, "newline\nseparated\ntokens\nwith\x0cformfeed\x0bvertical"),
+        (11, "exactly three tokens"),  # exact dup of doc 3
+        (16, "nbsp\xa0separated\xa0tokens maybe different split here"),
+        (None, "null doc id with enough tokens here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrow = dedup._scurve_sigs(docs)
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    hof = dedup._scurve_sigs(docs)
+    got, want = _canon24(arrow), _canon24(hof)
+    assert got == want
+    ids = {d for d, _s in got}
+    assert {4, 5, 6}.isdisjoint(ids) and {1, 2, 3, 11} <= ids
+    assert None in ids, "null-doc_id row must pass through, as in HOF"
+    sig = dict(got)
+    assert sig[3] == sig[11], "exact-dup docs share the signature"
