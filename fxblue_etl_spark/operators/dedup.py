@@ -921,6 +921,52 @@ FROM votes
 """
 
 
+_BIGRAM_BLOCKED_SCHEMA = (
+    "doc_id bigint, block_lang string, block_tok string,"
+    " grams array<string>"
+)
+
+
+def _bigram_blocked_arrow_fn(batches):
+    """``mapInPandas`` worker for :func:`_bigram_blocked` —
+    byte-identical to the JVM expression tree (same tokenizer
+    contract as :func:`_band_rows_arrow_fn`; first-occurrence shingle
+    order preserved)."""
+    import re as _re
+
+    import pandas as _pd
+
+    ws = _re.compile(_JAVA_WS_RE)
+    for pdf in batches:
+        out = {"doc_id": [], "block_lang": [], "block_tok": [], "grams": []}
+        for doc_id, lang, text in zip(
+            pdf["doc_id"], pdf["lang"], pdf["text"]
+        ):
+            if not isinstance(text, str):
+                continue  # null text is filtered by the JVM lineage too
+            toks = [t for t in ws.split(text.lower()) if t]
+            if len(toks) < 2:
+                continue
+            out["doc_id"].append(
+                None if _pd.isna(doc_id) else int(doc_id)
+            )
+            out["block_lang"].append(
+                lang if isinstance(lang, str) else None
+            )
+            out["block_tok"].append(toks[0])
+            out["grams"].append(
+                list(
+                    dict.fromkeys(
+                        f"{toks[i]} {toks[i + 1]}"
+                        for i in range(len(toks) - 1)
+                    )
+                )
+            )
+        if out["doc_id"]:
+            out["doc_id"] = _pd.array(out["doc_id"], dtype="Int64")
+            yield _pd.DataFrame(out)
+
+
 def _bigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, block_lang, block_tok, grams) — the blocked word-
     bigram spine shared by ``ngram_jaccard_pairs`` (uncapped, exact)
@@ -930,8 +976,16 @@ def _bigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded up front (same guard as minhash_lsh_pairs' 3-token
     filter: Spark's concat_ws skips the missing second token while
     SQL || propagates NULL, so partial grams diverge across engines).
-    """
+
+    Default lineage is the Arrow kernel above (r14 optimization
+    round, guide §4.2; parity pinned in
+    tests/test_arrow_signatures.py); ``USE_ARROW_SIGNATURES = False``
+    restores the pure-JVM tree."""
     d = fan_out(table(tune(spark), sf_dir, "documents"))
+    if USE_ARROW_SIGNATURES:
+        return d.select("doc_id", "lang", "text").mapInPandas(
+            _bigram_blocked_arrow_fn, _BIGRAM_BLOCKED_SCHEMA
+        )
     d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 2)
     grams = word_shingles("text", k=2)
     toks = ws_tokens(_norm_text("text"))
@@ -970,7 +1024,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     their word-bigram sets are emitted.  Exact and uncapped — the
     per-block pair-mass-guarded sibling for downstream sweeps is
     ``ngram_jaccard_pairs_capped``."""
-    return _bigram_pairs(_bigram_blocked(spark, sf_dir))
+    from ..io import swap_cache
+
+    # persist the spine: both sides of the within-block self-join
+    # otherwise re-execute the tokenize→shingle tree (r14
+    # optimization round, guide §2.4)
+    return _bigram_pairs(
+        swap_cache("dedup.bigram_blocked", _bigram_blocked(spark, sf_dir))
+    )
 
 
 #: per-(lang, first-token) block document cap for the CAPPED bigram
@@ -996,10 +1057,20 @@ def ngram_jaccard_pairs_capped(
     consumer can surface the truncation explicitly."""
     from pyspark.sql.window import Window
 
-    blocked = _bigram_blocked(spark, sf_dir)
+    from ..io import swap_cache
+
+    # persist the spine once (shingle tree) and the capped keep-set
+    # once (the rank window): the former shape re-executed the
+    # tokenize→shingle tree per join side and the window per
+    # consumer (r14 optimization round, guide §2.4)
+    blocked = swap_cache(
+        "dedup.bigram_blocked", _bigram_blocked(spark, sf_dir)
+    )
     w = Window.partitionBy("block_lang", "block_tok").orderBy("doc_id")
     ranked = blocked.withColumn("rk", F.row_number().over(w))
-    kept = ranked.filter(F.col("rk") <= cap).drop("rk")
+    kept = swap_cache(
+        "dedup.bigram_kept", ranked.filter(F.col("rk") <= cap).drop("rk")
+    )
     n_capped = ranked.filter(F.col("rk") > cap).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_capped")
     )
@@ -1243,6 +1314,49 @@ WHERE levenshtein(a.text, b.text) * {LEV_RATIO} <= least(a.n_chars, b.n_chars)
 #: (_A_SQL/_B_SQL) is untouched
 PERM_A24 = [(2654435761 * (p + 1)) % 2**30 | 1 for p in range(24)]
 PERM_B24 = [(2246822519 * (p + 1)) % 2**30 for p in range(24)]
+
+
+_GRAMS3_SCHEMA = "doc_id bigint, grams array<string>, sz bigint"
+
+
+def _grams3_arrow_fn(batches):
+    """``mapInPandas`` worker producing the (doc_id, distinct 3-word
+    shingles, shingle count) frame of the prefix-filter join —
+    byte-identical to ``word_shingles(text, k=3)`` over the
+    ``size(ws_tokens) >= 3`` filter (same tokenizer contract as
+    :func:`_band_rows_arrow_fn`, including first-occurrence shingle
+    order, which array_distinct preserves on the JVM side)."""
+    import re as _re
+
+    import pandas as _pd
+
+    ws = _re.compile(_JAVA_WS_RE)
+    for pdf in batches:
+        out_doc, out_gr, out_sz = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(text, str):
+                continue  # null text is filtered by the JVM lineage too
+            doc_id = None if _pd.isna(doc_id) else int(doc_id)
+            toks = [t for t in ws.split(text.lower()) if t]
+            if len(toks) < 3:
+                continue
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3])
+                    for i in range(max(len(toks) - 3, 0) + 1)
+                )
+            )
+            out_doc.append(doc_id)
+            out_gr.append(sh)
+            out_sz.append(len(sh))
+        if out_doc:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.array(out_doc, dtype="Int64"),
+                    "grams": out_gr,
+                    "sz": _pd.array(out_sz, dtype="Int64"),
+                }
+            )
 
 
 _SCURVE_SIG_SCHEMA = "doc_id bigint, sig array<bigint>"
@@ -1553,7 +1667,11 @@ def fastss_editdist1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — that's the oracle's job), one O(len) levenshtein per
     candidate.  At 100 TB the variant table is (len+1)·|names| rows
     and the join is bucket-shaped on variant hash."""
-    c = table(tune(spark), sf_dir, "customer").select("c_name")
+    # fan_out: the single-file customer scan is ONE split, which
+    # serialized the whole variant explode + join build on one core
+    # (measured 3.2s for the 285k-row variant frame alone at sf0.1;
+    # r14 optimization round, guide §2.5 input skew).
+    c = fan_out(table(tune(spark), sf_dir, "customer").select("c_name"))
     variants = c.select(
         F.col("c_name").alias("name"),
         F.explode(
@@ -1566,13 +1684,19 @@ def fastss_editdist1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("v"),
-    )
+    # join on the 8-byte xxhash64 of the variant, not the variant
+    # string itself (guide §2.3 "narrower types"): candidates stay a
+    # SUPERSET of the true deletion-neighborhood matches (equal
+    # variants always collide; a stray hash collision can only add a
+    # candidate), and the exact levenshtein verification downstream
+    # keeps precisely the ed ≤ 1 pairs either way — output unchanged.
+    ).select("name", F.xxhash64("v").alias("vh"))
     a = variants.alias("a")
     b = variants.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.v") == F.col("b.v"))
+            (F.col("a.vh") == F.col("b.vh"))
             & (F.col("a.name") < F.col("b.name")),
         )
         .select(
@@ -2001,13 +2125,81 @@ SIMHAM_T = 3
 SIMHAM_BANDS = 4
 
 
+_SIMHAM_SIG_SCHEMA = "doc_id bigint, lo bigint, hi bigint"
+
+
+def _simham_sigs_arrow_fn(batches):
+    """``mapInPandas`` worker for :func:`_simhash64_sigs`: the
+    normalize → distinct-token → md5 → per-bit majority vote in
+    numpy/hashlib, bit-identical to the HOF fold — Spark's
+    ``(h / 2**b) cast long % 2`` equals ``(h >> b) & 1`` exactly for
+    h < 2^32 (double division by a power of two is exact there), and
+    votes are commutative sums, so token order cannot matter.  The
+    HOF lineage evaluates 64 interpreted per-bit fold expressions per
+    document; this kernel is one vectorized bit-matrix sum (guide
+    §4.2)."""
+    import hashlib
+    import re as _re
+
+    import numpy as _np
+    import pandas as _pd
+
+    ws = _re.compile(_JAVA_WS_RE)
+    bits = _np.arange(32, dtype=_np.int64)
+    pow2 = _np.int64(1) << bits
+    for pdf in batches:
+        out_doc, out_lo, out_hi = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(text, str):
+                continue  # null text has no tokens in the HOF lineage
+            doc_id = None if _pd.isna(doc_id) else int(doc_id)
+            toks = list(
+                dict.fromkeys(t for t in ws.split(text.lower()) if t)
+            )
+            if not toks:
+                continue  # whitespace-only doc: excluded on both sides
+            digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+
+            def word(col0: int, col1: int) -> int:
+                hs = _np.fromiter(
+                    (int(d[col0:col1], 16) for d in digs),
+                    dtype=_np.int64,
+                    count=len(digs),
+                )
+                votes = (
+                    2 * ((hs[:, None] >> bits[None, :]) & 1) - 1
+                ).sum(axis=0)
+                return int(pow2[votes > 0].sum())
+
+            out_doc.append(doc_id)
+            out_lo.append(word(0, 8))
+            out_hi.append(word(8, 16))
+        if out_doc:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.array(out_doc, dtype="Int64"),
+                    "lo": _np.array(out_lo, dtype=_np.int64),
+                    "hi": _np.array(out_hi, dtype=_np.int64),
+                }
+            )
+
+
 def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lo, hi): the 64-bit majority-vote SimHash as two
     BIGINT 32-bit words (md5 hex chars 1-8 and 9-16 per token give
     two independent hash streams; two words stay clear of the sign
     bit).  Shared by the near-dup operator and its brute-force
-    losslessness pin."""
+    losslessness pin.
+
+    Default lineage is the Arrow kernel above (r14 optimization
+    round); ``USE_ARROW_SIGNATURES = False`` restores the pure-JVM
+    64-fold vote, cross-checked bit-identical in
+    ``tests/test_arrow_signatures.py``."""
     d = fan_out(table(tune(spark), sf_dir, "documents"))
+    if USE_ARROW_SIGNATURES:
+        return d.select("doc_id", "text").mapInPandas(
+            _simham_sigs_arrow_fn, _SIMHAM_SIG_SCHEMA
+        )
     toks = F.array_distinct(ws_tokens(_norm_text("text")))
 
     def word(offset: int) -> Column:
@@ -2221,18 +2413,27 @@ def prefix_filter_jaccard_pairs(
     from ..io import swap_cache
 
     d = fan_out(table(tune(spark), sf_dir, "documents"))
-    d = d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
     # Persist the shingled frame: four consumers (df build, prefix
     # postings, and the two verification sides) otherwise re-execute
     # the normalize→tokenize→shingle tree per consumer — the scan
     # sweep's classic shape, and the dominant cost of the 21.6s r13
-    # canonical draw (r14 optimization round, guide §2.4/§5).
-    docs = swap_cache(
-        "dedup.pf_docs",
-        d.select(
-            "doc_id", word_shingles("text", k=3).alias("grams")
-        ).withColumn("sz", F.size("grams").cast("long")),
-    )
+    # canonical draw (r14 optimization round, guide §2.4/§5).  The
+    # shingle tree itself is the next cost (6.8s of the remaining
+    # 7s): default lineage is the Arrow kernel (guide §4.2),
+    # bit-identical to the expression path (parity pinned in
+    # tests/test_arrow_signatures.py); USE_ARROW_SIGNATURES = False
+    # restores the pure-JVM tree.
+    if USE_ARROW_SIGNATURES:
+        shingled = d.select("doc_id", "text").mapInPandas(
+            _grams3_arrow_fn, _GRAMS3_SCHEMA
+        )
+    else:
+        shingled = (
+            d.filter(F.size(ws_tokens(_norm_text("text"))) >= 3)
+            .select("doc_id", word_shingles("text", k=3).alias("grams"))
+            .withColumn("sz", F.size("grams").cast("long"))
+        )
+    docs = swap_cache("dedup.pf_docs", shingled)
     posts = docs.select(
         "doc_id", "sz", F.explode("grams").alias("gram")
     )

@@ -2964,6 +2964,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistic of the B = 40 replica means (a 95% percentile
     interval).  Scale: ONE pass over rows × B weight rows, one
     B-row aggregate, order statistics over 40 values."""
+    from ..io import fan_out
     from ..operators.corpusops import _hash_bucket
 
     tune(spark)
@@ -2971,7 +2972,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    reps = o.select(
+    # fan_out: the single-file orders scan is ONE split, which
+    # serialized the rows × B md5 draws on one core (measured 8.3s
+    # for the weight stage alone at sf0.1; r14 optimization round,
+    # guide §2.5 input skew)
+    reps = fan_out(o).select(
         "o_orderkey",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
@@ -2981,9 +2986,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot|",
         BOOT_DOM,
     )
+    # materialize the md5 bucket ONCE as a column before the ladder:
+    # each when() branch referencing the raw expression re-evaluates
+    # the md5+conv chain per branch it falls through (no
+    # cross-branch CSE), up to |ladder|× per row
+    reps = reps.withColumn("u", u)
     w = None
     for k, thr in _boot_ladder():
-        w = F.when(u < thr, k) if w is None else w.when(u < thr, k)
+        cond = F.col("u") < thr
+        w = F.when(cond, k) if w is None else w.when(cond, k)
     w = w.cast("long")
     means = (
         reps.select("b", "cents", w.alias("w"))

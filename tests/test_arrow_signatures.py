@@ -252,3 +252,153 @@ def test_scurve24_arrow_equals_hof_on_adversarial_frame(spark, monkeypatch):
     assert None in ids, "null-doc_id row must pass through, as in HOF"
     sig = dict(got)
     assert sig[3] == sig[11], "exact-dup docs share the signature"
+
+
+def _canon_simham(df):
+    return sorted(
+        ((r["doc_id"], r["lo"], r["hi"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1], t[2]),
+    )
+
+
+def test_simham_arrow_equals_hof_on_fixture(spark, sf_dir, monkeypatch):
+    from fxblue_etl_spark.operators import dedup
+
+    arrow = dedup._simhash64_sigs(spark, sf_dir)
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    hof = dedup._simhash64_sigs(spark, sf_dir)
+    got, want = _canon_simham(arrow), _canon_simham(hof)
+    assert got == want
+    assert got, "fixture must produce signatures"
+
+
+def test_simham_arrow_equals_hof_on_adversarial_frame(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # _simhash64_sigs reads the documents table itself, so stage an
+    # adversarial documents.parquet in a temp sf_dir
+    rows = [
+        (1, "  leading and trailing   \t\n  whitespace mix here  "),
+        (2, "tabs\tbetween\ttokens"),
+        (3, "one"),  # single token: INCLUDED (size > 0)
+        (5, ""),  # empty: excluded
+        (6, None),  # null: excluded
+        (7, "MiXeD CaSe TOKENS normalize THE same WAY"),
+        (8, "dup dup dup dup"),  # one distinct token
+        (9, " \t\n "),  # whitespace-only: excluded
+        (16, "nbsp\xa0glued\xa0token"),  # \xa0 is NOT Java \s
+        (None, "null doc id with tokens"),
+    ]
+    from fxblue_etl_spark.operators import dedup
+
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    arrow = dedup._simhash64_sigs(spark, str(tmp_path))
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    hof = dedup._simhash64_sigs(spark, str(tmp_path))
+    got, want = _canon_simham(arrow), _canon_simham(hof)
+    assert got == want
+    ids = {d for d, *_ in got}
+    assert {5, 6, 9}.isdisjoint(ids) and {1, 2, 3, 7, 8, 16} <= ids
+    assert None in ids, "null-doc_id row must pass through, as in HOF"
+
+
+def _canon_grams(df):
+    return sorted(
+        ((r["doc_id"], tuple(r["grams"]), r["sz"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+
+
+def test_grams3_arrow_equals_jvm_on_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators import dedup
+
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    arrow = d.mapInPandas(dedup._grams3_arrow_fn, dedup._GRAMS3_SCHEMA)
+    jvm = (
+        d.filter(
+            F.size(dedup.ws_tokens(dedup._norm_text("text"))) >= 3
+        )
+        .select("doc_id", dedup.word_shingles("text", k=3).alias("grams"))
+        .withColumn("sz", F.size("grams").cast("long"))
+    )
+    got, want = _canon_grams(arrow), _canon_grams(jvm)
+    assert got == want
+    assert got, "fixture must produce shingled docs"
+
+
+def test_grams3_arrow_equals_jvm_on_adversarial_frame(spark):
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators import dedup
+
+    rows = [
+        (1, "  leading and trailing   \t\n  whitespace mix here  "),
+        (3, "exactly three tokens"),
+        (4, "two tokens"),  # < 3 tokens: excluded
+        (5, ""),  # excluded
+        (6, None),  # excluded
+        (8, "dup dup dup dup dup dup"),  # one distinct shingle
+        (9, "a b c a b c a b c d"),  # repeated shingles, order matters
+        (16, "nbsp\xa0separated\xa0tokens maybe different split here"),
+        (None, "null doc id with enough tokens here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrow = d.mapInPandas(dedup._grams3_arrow_fn, dedup._GRAMS3_SCHEMA)
+    jvm = (
+        d.filter(
+            F.size(dedup.ws_tokens(dedup._norm_text("text"))) >= 3
+        )
+        .select("doc_id", dedup.word_shingles("text", k=3).alias("grams"))
+        .withColumn("sz", F.size("grams").cast("long"))
+    )
+    got, want = _canon_grams(arrow), _canon_grams(jvm)
+    assert got == want
+    ids = {d_ for d_, *_ in got}
+    assert {4, 5, 6}.isdisjoint(ids) and {1, 3, 8, 9, 16} <= ids
+    assert None in ids
+
+
+def test_bigram_blocked_arrow_equals_jvm(spark, sf_dir, tmp_path, monkeypatch):
+    from fxblue_etl_spark.operators import dedup
+
+    def canon(df):
+        return sorted(
+            (
+                (r["doc_id"], r["block_lang"], r["block_tok"], tuple(r["grams"]))
+                for r in df.collect()
+            ),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1] or "", t[2]),
+        )
+
+    # fixture parity
+    arrow = dedup._bigram_blocked(spark, sf_dir)
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    jvm = dedup._bigram_blocked(spark, sf_dir)
+    got, want = canon(arrow), canon(jvm)
+    assert got == want and got
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", True)
+
+    # adversarial parity (incl. null lang, 1-token and empty docs)
+    rows = [
+        (1, "en", "two tokens here and more"),
+        (2, None, "null lang tokens"),
+        (3, "de", "one"),  # < 2 tokens: excluded
+        (4, "fr", ""),  # excluded
+        (5, "es", None),  # excluded
+        (6, "en", "DUP dup DUP dup"),  # case-folds to repeated bigrams
+        (None, "en", "null doc id tokens"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    arrow = dedup._bigram_blocked(spark, str(tmp_path))
+    monkeypatch.setattr(dedup, "USE_ARROW_SIGNATURES", False)
+    jvm = dedup._bigram_blocked(spark, str(tmp_path))
+    got, want = canon(arrow), canon(jvm)
+    assert got == want
+    ids = {d for d, *_ in got}
+    assert {3, 4, 5}.isdisjoint(ids) and {1, 2, 6} <= ids and None in ids
