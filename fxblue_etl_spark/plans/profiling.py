@@ -367,7 +367,14 @@ def fd_discovery_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
     ]
-    t = table(tune(spark), sf_dir, "orders")
+    # fan_out: the 21-way countDistinct Expand multiplies the scan
+    # ×|aggs| BEFORE the partial aggregate, and the single-file orders
+    # scan is one split — the whole expand ran on one core (measured
+    # 4.9-7.6s for the full aggregate alone at sf0.1; r14 optimization
+    # round, guide §2.5)
+    from ..io import fan_out
+
+    t = fan_out(table(tune(spark), sf_dir, "orders"))
     samp = t.filter(
         _hash_bucket(
             F.col("o_orderkey").cast("string"), "fdsweep|", 100
@@ -403,7 +410,19 @@ def fd_discovery_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.struct(a, b)).cast("long").alias(f"p_{a}__{b}")
         for a, b in surv_pairs
     ]
-    full = t.agg(*f_aggs) if f_aggs else None
+    # persist the 1-row exact-count aggregate: the former shape
+    # unioned one select per survivor off the un-persisted frame,
+    # re-executing the multi-countDistinct expand once per survivor —
+    # |survivors| full-table passes at scale (r14 optimization round,
+    # guide §2.4); with the persist the expand runs once and every
+    # union branch reads the cached row
+    from ..io import swap_cache
+
+    full = (
+        swap_cache("profiling.fd_full", t.agg(*f_aggs))
+        if f_aggs
+        else None
+    )
     # assemble: pruned rows are literals (their refutation is already
     # proven by the sample); survivor rows read the one full-
     # aggregate row

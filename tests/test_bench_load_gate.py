@@ -183,3 +183,39 @@ def test_redraw_pass_budget_exhaustion_keeps_taint(monkeypatch):
     )
     assert redraws == {}
     assert timings["q1"] == 5.0 and loads["q1"] == 9.5
+
+
+def test_redraw_pass_never_replaces_with_slower(monkeypatch):
+    """Round 14: a quiet-stamped redraw that measures SLOWER than the
+    first draw must not replace it — late redraws run under earlier
+    redraws' decay and their end-of-measurement load stamp can read
+    quiet while the median was contaminated.  Contention only ever
+    inflates a deterministic computation, so the smaller draw wins;
+    the record keeps both."""
+    _scripted_loads(monkeypatch, [1.0])
+    timings = {"q1": 2.0}
+    loads = {"q1": 9.5}  # first draw stamped hot (self-load)
+
+    redraws = bench._redraw_tainted_pass(
+        ["q1"], timings, loads, lambda n: (7.7, 4.8)
+    )
+    # slower quiet redraw recorded but NOT adopted
+    assert redraws["q1"]["redraw_sec"] == 7.7
+    assert timings["q1"] == 2.0 and loads["q1"] == 9.5
+    assert redraws["q1"]["attempts"] == 1
+
+
+def test_redraw_pass_slower_quiet_redraw_not_retried(monkeypatch):
+    """A quiet-but-slower redraw is a final verdict (the first number
+    stands); only a HOT redraw earns another attempt."""
+    _scripted_loads(monkeypatch, [1.0])
+    timings = {"q1": 2.0}
+    loads = {"q1": 9.5}
+    calls = []
+
+    def measure(name):
+        calls.append(name)
+        return 7.7, 4.8
+
+    bench._redraw_tainted_pass(["q1"], timings, loads, measure)
+    assert calls == ["q1"]
