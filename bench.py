@@ -471,6 +471,24 @@ def main() -> None:
 
     from fxblue_etl_spark.io import drain_all
 
+    def _steal_total() -> tuple[int, int]:
+        """(steal jiffies, total jiffies) from /proc/stat — the
+        co-tenant signal the 1-minute loadavg CANNOT see: loadavg
+        counts this VM's runnable tasks, while a noisy hypervisor
+        neighbour steals cycles invisibly (measured 7.4% steal under
+        full load during the r14 draws, and draw-over-draw swings of
+        2-3× on byte-identical code at loadavg < 3).  Recorded per
+        query in the detail file so taint adjudication is
+        evidence-based instead of forensic."""
+        try:
+            parts = open("/proc/stat").readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return vals[7], sum(vals)
+        except Exception:
+            return 0, 0
+
+    query_steal: dict[str, float] = {}
+
     def _measure(name: str) -> tuple[float, float]:
         """One median-of-N_RUNS measurement of a query, with the
         1-minute load at measurement end.  Drains the swap-cache
@@ -478,6 +496,7 @@ def main() -> None:
         exactly like a cold driver call, and blocks from other
         queries' slots don't pressure the store mid-measurement."""
         drain_all(spark)
+        s0, j0 = _steal_total()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.time()
@@ -486,6 +505,9 @@ def main() -> None:
             # (all headline queries are aggregates/bounded outputs)
             _ = df.limit(10000).collect()
             runs.append(time.time() - t0)
+        s1, j1 = _steal_total()
+        if j1 > j0:
+            query_steal[name] = round(100.0 * (s1 - s0) / (j1 - j0), 2)
         return round(statistics.median(runs), 3), round(os.getloadavg()[0], 2)
 
     # let the frozen warmup's own load drain (bounded) so the frozen
@@ -600,6 +622,10 @@ def main() -> None:
                 # attributes mid-run co-tenant waves to the entries
                 # they actually contaminated
                 "query_loads": query_loads,
+                # hypervisor steal %% across each query's measurement
+                # window (loadavg is blind to co-tenants OUTSIDE the
+                # VM; steal is the direct evidence — round 14)
+                "query_steal_pct": query_steal,
                 # None = started below MAX_START_LOAD; a number = the
                 # host never went quiet within the wait budget and the
                 # run proceeded anyway after waiting this many seconds
