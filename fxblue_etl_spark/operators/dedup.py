@@ -2592,8 +2592,15 @@ def duplicated_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``textops.winnowing_fingerprint_pairs``) and CDC
     (``cdc_chunk_dedup``) lineages' machinery."""
     d = fan_out(table(tune(spark), sf_dir, "documents"))
-    base = d.select(
-        "doc_id", ws_tokens(_norm_text("text")).alias("toks")
+    from ..io import swap_cache
+
+    # persist the tokenized stream (three consumers: gram explode,
+    # token rows, per-doc totals) and the gram postings (two: the
+    # duplicate stats and the occurrence classification) — the r14
+    # scan sweep measured 4 documents scans in this plan (guide §2.4)
+    base = swap_cache(
+        "dedup.span_base",
+        d.select("doc_id", ws_tokens(_norm_text("text")).alias("toks")),
     )
     grams = (
         base.filter(F.size("toks") >= SPAN_K)
@@ -2612,6 +2619,7 @@ def duplicated_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    grams = swap_cache("dedup.span_grams", grams)
     gstats = grams.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.min(

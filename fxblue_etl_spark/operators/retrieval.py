@@ -134,11 +134,21 @@ def _bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("l_total"),
     )
-    td = (
+    from ..io import swap_cache
+
+    # persist the query-term postings (≤ |terms| × docs rows): the
+    # df aggregate and the scorer join both consume td, and every
+    # parameter-variant scorer (rbo's alt leg, PRF's two passes)
+    # re-enters this builder — CacheManager dedups by logical plan,
+    # so repeated invocations inside one report share the one cached
+    # build (r14 scan sweep: ranking_rbo_report at 6 documents
+    # scans; guide §2.4)
+    td = swap_cache(
+        "retrieval.bm25_td",
         docs.select("doc_id", "lang", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*QUERY_TERMS))
         .groupBy("tok", "doc_id", "lang", "dl")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(F.count("*").cast("long").alias("tf")),
     )
     df_stats = td.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     return (
@@ -597,11 +607,19 @@ def ranking_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     from .similarity import cosine_topk_bruteforce
 
+    from ..io import swap_cache
+
     tune(spark)
     ranked = cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
     )
-    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # persist the (vec_id, label) frame — both relevance sides
+    # (query label, neighbor label) consume it (r14 scan sweep:
+    # 4 embeddings scans; guide §2.4)
+    lab = swap_cache(
+        "retrieval.rankm_lab",
+        table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+    )
     j = (
         ranked.join(
             lab.select(

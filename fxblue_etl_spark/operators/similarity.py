@@ -853,17 +853,25 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the pair set is the bucket-grouped sign-LSH join
     (never all-pairs); the split column derives row-locally from the
     id hash; everything after the pair set is pair-sized."""
+    from ..io import swap_cache
     from .corpusops import _hash_bucket
 
     e = table(tune(spark), sf_dir, "embeddings")
-    split = e.select(
-        "vec_id",
-        (
-            _hash_bucket(F.col("vec_id"), SEM_SPLIT_SALT, SEM_SPLIT_MOD)
-            == 0
-        )
-        .cast("int")
-        .alias("is_eval"),
+    # persist the (vec_id, is_eval) split — three consumers (both
+    # pair-annotation sides and the size counts) otherwise re-scan
+    # embeddings each (r14 scan sweep: 7 embeddings scans here;
+    # guide §2.4)
+    split = swap_cache(
+        "similarity.semcon_split",
+        e.select(
+            "vec_id",
+            (
+                _hash_bucket(F.col("vec_id"), SEM_SPLIT_SALT, SEM_SPLIT_MOD)
+                == 0
+            )
+            .cast("int")
+            .alias("is_eval"),
+        ),
     )
     pairs = embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
     a = split.select(
@@ -872,10 +880,14 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     b = split.select(
         F.col("vec_id").alias("vec_b"), F.col("is_eval").alias("ev_b")
     )
-    cross = (
+    # persist the annotated cross-split pair set (pair-sized): its
+    # two consumers (the pair count and the leaky-eval distinct)
+    # otherwise re-run the whole sign-LSH pair pipeline each
+    cross = swap_cache(
+        "similarity.semcon_cross",
         pairs.join(a, "vec_a")
         .join(b, "vec_b")
-        .filter(F.col("ev_a") != F.col("ev_b"))
+        .filter(F.col("ev_a") != F.col("ev_b")),
     )
     leaky = cross.select(
         F.when(F.col("ev_a") == 1, F.col("vec_a"))

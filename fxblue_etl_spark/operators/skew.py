@@ -220,14 +220,22 @@ def hybrid_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast back as a filter), broadcast join for the hot slice,
     shuffle-hash-hinted join for the cold, union into one
     nation-level aggregate."""
+    from ..io import swap_cache
+
     spark = tune(spark)
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    hot_keys = (
+    # persist the hot-key set (bounded by the number of hot keys,
+    # never their row mass): it feeds the fact-side tag, the hot dim
+    # slice, and the audit scalar — un-persisted, each reference
+    # re-ran the full fact-side frequency count (the r14 scan sweep
+    # measured 11 orders scans in this one plan; guide §2.4)
+    hot_keys = swap_cache(
+        "skew.hybrid_hot_keys",
         o.groupBy("o_custkey")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > HYBRID_HOT_MIN)
-        .select(F.col("o_custkey").alias("hk"))
+        .select(F.col("o_custkey").alias("hk")),
     )
     fact = o.join(
         F.broadcast(hot_keys), o.o_custkey == F.col("hk"), "left"
@@ -250,15 +258,26 @@ def hybrid_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("path_hot", F.lit(0).cast("long"))
     )
     unioned = hot_side.unionByName(cold_side)
-    per_nation = unioned.groupBy("c_nationkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias(
-            "revenue_cents"
+    # fold the routing audit INTO the nation aggregate (one pass over
+    # the unioned fact join instead of two — its second consumer was
+    # re-executing both join paths; guide §2.4), then derive the
+    # global audit scalars from the tiny persisted per-nation frame:
+    # Σ path_hot over nation groups IS the row-level hot count
+    per_nation = swap_cache(
+        "skew.hybrid_per_nation",
+        unioned.groupBy("c_nationkey").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias(
+                "revenue_cents"
+            ),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("path_hot").cast("long").alias("_hot_rows"),
         ),
-        F.count("*").cast("long").alias("n_orders"),
     )
-    audit = unioned.agg(
-        F.sum("path_hot").cast("long").alias("n_hot_rows"),
-        F.sum(1 - F.col("path_hot")).cast("long").alias("n_cold_rows"),
+    audit = per_nation.agg(
+        F.sum("_hot_rows").cast("long").alias("n_hot_rows"),
+        (F.sum("n_orders") - F.sum("_hot_rows"))
+        .cast("long")
+        .alias("n_cold_rows"),
     )
     nhot = hot_keys.agg(F.count("*").cast("long").alias("n_hot_keys"))
     return (

@@ -484,8 +484,18 @@ def countmin_upsert_equivalence(
             .agg(F.count("*").cast("long").alias("cnt"))
         )
 
-    base = cms(l.filter(F.col("l_orderkey") % 2 == 0))
-    delta = cms(l.filter(F.col("l_orderkey") % 2 == 1))
+    from ..io import swap_cache
+
+    # persist the two partial counter tables (d·w-bounded — the
+    # stored sketch states): the SUM-merge and the cell-count audit
+    # both consume each side; un-persisted the md5 bucket pass re-ran
+    # per consumer — 5 lineitem scans in this plan (r14 scan sweep;
+    # guide §2.4); 3 after, the contract's three builds
+    base, delta = swap_cache(
+        "temporal.cms_upsert_parts",
+        cms(l.filter(F.col("l_orderkey") % 2 == 0)),
+        cms(l.filter(F.col("l_orderkey") % 2 == 1)),
+    )
     merged = (
         base.unionByName(delta)
         .groupBy("d", "b")
@@ -1385,12 +1395,22 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     """The CUSUM tail over a ``(d, cents)`` daily frame — shared by
     the batch monitor and the streaming maintenance gate (whose
     carried state IS such a frame)."""
+    from ..io import swap_cache
+
     w = Window.orderBy("d")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    pre = daily.select(
-        "d",
-        F.row_number().over(w).cast("long").alias("idx"),
-        F.sum("cents").over(cum).cast("long").alias("cc"),
+    # persist the two calendar-bounded frames: `pre` feeds the total
+    # scalar AND the P-series, `st` feeds both direction aggregates
+    # and the peak-date lookup — un-persisted, the daily aggregate
+    # re-ran per consumer (r14 scan sweep: 6 orders scans in the
+    # batch monitor's plan; guide §2.4)
+    pre = swap_cache(
+        "temporal.cusum_pre",
+        daily.select(
+            "d",
+            F.row_number().over(w).cast("long").alias("idx"),
+            F.sum("cents").over(cum).cast("long").alias("cc"),
+        ),
     )
     tot = pre.agg(
         F.max("idx").cast("long").alias("n"),
@@ -1406,13 +1426,18 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
         .alias("p"),
     )
     w2 = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
-    st = p.select(
-        "d",
-        "idx",
-        "n",
-        (F.col("p") - F.min("p").over(w2)).cast("long").alias("s_pos"),
-        (F.max("p").over(w2) - F.col("p")).cast("long").alias("s_neg"),
-        F.expr(f"(s * n * {CUSUM_H_PCT}) DIV 100").cast("long").alias("h"),
+    st = swap_cache(
+        "temporal.cusum_st",
+        p.select(
+            "d",
+            "idx",
+            "n",
+            (F.col("p") - F.min("p").over(w2)).cast("long").alias("s_pos"),
+            (F.max("p").over(w2) - F.col("p")).cast("long").alias("s_neg"),
+            F.expr(f"(s * n * {CUSUM_H_PCT}) DIV 100")
+            .cast("long")
+            .alias("h"),
+        ),
     )
 
     def side(col: str, name: str) -> DataFrame:
@@ -1654,15 +1679,24 @@ def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("y", F.expr(f"cents DIV {CP_UNIT}"))
     )
+    from ..io import swap_cache
+
     w = Window.orderBy("d")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    pre = daily.select(
-        "d",
-        "cents",
-        "y",
-        F.row_number().over(w).cast("long").alias("idx"),
-        F.sum("y").over(cum).cast("long").alias("cy"),
-        F.sum("cents").over(cum).cast("long").alias("cc"),
+    # persist the calendar-bounded prefix frame (total scalar + split
+    # candidates) and the candidate frame (argmax pick + final row):
+    # un-persisted, the daily aggregate re-ran per consumer — 4
+    # orders scans in this plan (r14 scan sweep; guide §2.4)
+    pre = swap_cache(
+        "temporal.cp_pre",
+        daily.select(
+            "d",
+            "cents",
+            "y",
+            F.row_number().over(w).cast("long").alias("idx"),
+            F.sum("y").over(cum).cast("long").alias("cy"),
+            F.sum("cents").over(cum).cast("long").alias("cc"),
+        ),
     )
     tot = pre.agg(
         F.max("idx").cast("long").alias("n"),
@@ -1691,6 +1725,7 @@ def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rs", F.expr("(sl * sl * nr + sr * sr * nl) DIV (nl * nr)")
         )
     )
+    cand = swap_cache("temporal.cp_cand", cand)
     # packing headroom (round-10 advice): rs * CP_SHIFT must stay
     # inside int64 — Spark would wrap silently where DuckDB errors,
     # turning overflow into a cross-engine DIVERGENCE.  rs <= S²/n on
@@ -1792,20 +1827,30 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    from ..io import swap_cache
+
     w = Window.orderBy("m")
-    idx = monthly.select(
-        F.row_number().over(w).cast("long").alias("x"), "cents"
+    # persist the calendar-bounded month index (both pair-grid sides
+    # and the OLS sufficient statistics consume it) and the ~months²/2
+    # pair grid (rank window + count): un-persisted, the monthly
+    # aggregate re-ran per consumer — 5 orders scans in this plan
+    # (r14 scan sweep; guide §2.4)
+    idx = swap_cache(
+        "temporal.theilsen_idx",
+        monthly.select(
+            F.row_number().over(w).cast("long").alias("x"), "cents"
+        ),
     )
     a = idx.select(F.col("x").alias("xi"), F.col("cents").alias("yi"))
     b = idx.select(F.col("x").alias("xj"), F.col("cents").alias("yj"))
     slope = _pmod_floordiv("yj - yi", "xj - xi", "DIV")
-    pairs = (
-        a.join(b, F.col("xi") < F.col("xj"))
-        .select(
+    pairs = swap_cache(
+        "temporal.theilsen_pairs",
+        a.join(b, F.col("xi") < F.col("xj")).select(
             F.expr(slope).cast("long").alias("s"),
             "xi",
             "xj",
-        )
+        ),
     )
     ranked = pairs.withColumn(
         "rn", F.row_number().over(Window.orderBy("s", "xi", "xj"))

@@ -446,7 +446,16 @@ def winnowing_fingerprint_pairs(
         )
         .distinct()
     )
-    fps = picks.select("doc_id", "fp").distinct()
+    from ..io import swap_cache
+
+    # persist the per-doc fingerprint set (fingerprints ≪ character
+    # positions): un-persisted, the df count, the template semi-join
+    # rebuild, and BOTH pair-join sides each re-ran the full
+    # explode→md5→sliding-window pipeline — the r14 scan sweep
+    # measured 8 documents scans in this one plan (guide §2.4)
+    fps = swap_cache(
+        "textops.winnow_fps", picks.select("doc_id", "fp").distinct()
+    )
     ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("df"))
     caps = dfreq.crossJoin(F.broadcast(ndocs)).select(
@@ -464,6 +473,10 @@ def winnowing_fingerprint_pairs(
             F.expr(f"nd DIV {WINNOW_DF_CAP_FRAC}"),
         ).alias("frac_cap"),
     )
+    # caps feeds both the rare keep-set and the overflow marker —
+    # persist it (fingerprint-vocabulary-sized) so the df aggregate
+    # over the cached fingerprint set runs once
+    caps = swap_cache("textops.winnow_caps", caps)
     rare = caps.filter(F.col("df") <= F.col("eff_cap")).select("fp")
     # fingerprints the ABSOLUTE leg dropped beyond the template rule
     # — the explicit overflow marker (a 1-row scalar, broadcast)

@@ -512,12 +512,22 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part-cardinality-bounded, broadcast onto the pairs) and one
     1-row basket-count scalar — nothing new shuffles at data scale.
     """
-    lp = (
+    from ..io import swap_cache
+
+    # persist the distinct basket-item frame (item support + basket
+    # count share it) and the min-support pair set (both rule
+    # directions consume it): un-persisted this plan re-ran the
+    # lineitem distinct and the whole pair pipeline per consumer —
+    # 5 lineitem scans (r14 scan sweep; guide §2.4)
+    lp = swap_cache(
+        "behavior.assoc_lp",
         table(tune(spark), sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
     )
-    pairs = basket_part_pairs(spark, sf_dir)
+    pairs = swap_cache(
+        "behavior.assoc_pairs", basket_part_pairs(spark, sf_dir)
+    )
     isup = lp.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("isup")
     )

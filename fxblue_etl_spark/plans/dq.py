@@ -686,7 +686,16 @@ def ivm_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dmin").alias("dmin_d"),
         F.col("dmax").alias("dmax_d"),
     )
-    merged = standing.join(F.broadcast(dpart), "o_orderstatus", "left").select(
+    from ..io import swap_cache
+
+    # persist the groups-sized merged state: its two consumers (the
+    # repair key set and the final assembly) otherwise re-ran both
+    # partial aggregates each — 5 orders scans in this plan (r14
+    # scan sweep; guide §2.4); 3 after (standing + delete partial +
+    # the bounded repair re-read, the documented IVM minimum)
+    merged = swap_cache(
+        "dq.ivm_del_merged",
+        standing.join(F.broadcast(dpart), "o_orderstatus", "left").select(
         "o_orderstatus",
         (F.col("n") - F.coalesce(F.col("n_d"), F.lit(0)))
         .cast("long")
@@ -702,7 +711,8 @@ def ivm_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("minmax_repaired"),
-    ).na.fill({"minmax_repaired": 0})
+        ).na.fill({"minmax_repaired": 0}),
+    )
     repair_keys = merged.filter(F.col("minmax_repaired") == 1).select(
         "o_orderstatus"
     )
@@ -1400,9 +1410,22 @@ def merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = rows("a", F.floor(F.col("o_totalprice") * 100).cast("long")).unionByName(
         rows("b", shifted)
     )
-    leaves = both.groupBy("version", "block_id").agg(
-        F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("dg"),
-        F.count("*").cast("long").alias("n_rows"),
+    # persist the leaf manifest (blocks-sized, n/MKL_BLOCK — exactly
+    # the artifact a real replicator stores): its three consumers
+    # (the two diff sides and the root rollup) each re-ran BOTH
+    # versions' full-table row-hash passes un-persisted — the r14
+    # scan sweep measured 10 orders scans in this one plan
+    # (guide §2.4)
+    from ..io import swap_cache
+
+    leaves = swap_cache(
+        "dq.merkle_leaves",
+        both.groupBy("version", "block_id").agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("rh")))
+            ).alias("dg"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
     )
     # roll up to the root: parent digest = md5 of child digests in
     # block order (collect_list is order-nondeterministic, so sort
@@ -1597,8 +1620,17 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counts = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    from ..io import swap_cache
+
+    # persist the 9-row digit counts and the 9-row report: their
+    # second consumers (total scalar, MAD scalar) otherwise re-ran
+    # the full scan aggregate each — 4 orders scans in this plan
+    # (r14 scan sweep; guide §2.4)
+    counts = swap_cache(
+        "dq.benford_counts",
+        digits.groupBy("digit").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
     )
     tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
     exp_arr = F.array(
@@ -1625,6 +1657,7 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_ppm"),
         )
     )
+    per = swap_cache("dq.benford_per", per)
     mad = per.agg(
         F.max("dev_ppm").cast("long").alias("max_dev_ppm")
     )

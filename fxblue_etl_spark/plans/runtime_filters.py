@@ -245,11 +245,22 @@ def bloom_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters, and the verdict boolean.  The oracle replays the
     one-shot build and emits the same columns — every value is
     independently derivable from the member set alone."""
+    from ..io import swap_cache
+
     tune(spark)
     o = table(spark, sf_dir, "orders").select("o_orderkey").distinct()
     members = o.filter(F.col("o_orderkey") % 2 == 0)
-    base = _bloom_words(members.filter(F.col("o_orderkey") % 4 == 0))
-    delta = _bloom_words(members.filter(F.col("o_orderkey") % 4 == 2))
+    # persist the two partial word tables (BLOOM_WORDS-sized — these
+    # ARE the sketch states a real pipeline stores): the OR-merge and
+    # the word-count audit both consume each side, so un-persisted
+    # the member md5 pass re-ran per consumer — 5 orders scans in
+    # this plan (r14 scan sweep; guide §2.4); 3 after, exactly the
+    # contract's three builds
+    base, delta = swap_cache(
+        "rtf.bloom_upsert_parts",
+        _bloom_words(members.filter(F.col("o_orderkey") % 4 == 0)),
+        _bloom_words(members.filter(F.col("o_orderkey") % 4 == 2)),
+    )
     merged = (
         base.select("word_idx", F.col("word").alias("wa"))
         .join(

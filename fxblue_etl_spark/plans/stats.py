@@ -664,12 +664,22 @@ def hll_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key stream alone.  The pytest mergeability pin
     (test_stats.py) checks the same algebra in-process; this query
     makes it a DRIVER-CERTIFIED row like the rest of the family."""
+    from ..io import swap_cache
+
     e = table(tune(spark), sf_dir, "events")
-    base = hll_register_table(
-        e.filter(F.col("event_id") % 2 == 0), "event_id"
-    )
-    delta = hll_register_table(
-        e.filter(F.col("event_id") % 2 == 1), "event_id"
+    # persist the two partial register tables (HLL_M-bounded — the
+    # stored sketch states): the MAX-merge and the register-count
+    # audit both consume each side; un-persisted the member hash pass
+    # re-ran per consumer — 5 events scans in this plan (r14 scan
+    # sweep; guide §2.4); 3 after, the contract's three builds
+    base, delta = swap_cache(
+        "stats.hll_upsert_parts",
+        hll_register_table(
+            e.filter(F.col("event_id") % 2 == 0), "event_id"
+        ),
+        hll_register_table(
+            e.filter(F.col("event_id") % 2 == 1), "event_id"
+        ),
     )
     merged = (
         base.unionByName(delta)
@@ -967,8 +977,14 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rho",
     )
     # only report days whose full lineage exists (clip to the data's
-    # day range so partial leading windows don't skew)
-    days = e.select("day").distinct()
+    # day range so partial leading windows don't skew); persisted —
+    # the sketch-side and exact-side clips both consume it, and
+    # un-persisted each re-scanned events (r14 scan sweep: 4 events
+    # scans; 3 after — vintages, days, and the deliberate exact
+    # companion)
+    from ..io import swap_cache as _swap
+
+    days = _swap("stats.hll_roll_days", e.select("day").distinct())
     merged = (
         fan.join(days.withColumnRenamed("day", "rday"), "rday")
         .groupBy("rday", "bucket")
@@ -2675,9 +2691,21 @@ def encoding_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One summary row, the family's standard shape: report-row count
     + both full-outer mismatch counts pinned to 0 by the oracle."""
+    from ..io import swap_cache
+
     o = table(tune(spark), sf_dir, "orders")
-    even = _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 0")))
-    odd = _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 1")))
+    # persist each stacked value frame: both state builders (block
+    # and value set) consume every stack, and the value-set upsert
+    # reads the even side twice more — un-persisted that was 7
+    # orders scans in one plan (r14 scan sweep; guide §2.4).  Three
+    # persisted stacks = exactly the three logically-required passes
+    # (the contract builds the inc side AND the rebuild side).
+    even, odd, full_v = swap_cache(
+        "stats.enc_stacks",
+        _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 0"))),
+        _enc_stack(o.filter(F.expr(f"(o_orderkey DIV {ENC_BLK}) % 2 = 1"))),
+        _enc_stack(o),
+    )
     inc_blocks = enc_block_state(even).unionByName(enc_block_state(odd))
     # insert-only value-set upsert: odd-side values not already
     # present append (anti-join — the K3 insert-only merge shape)
@@ -2687,7 +2715,6 @@ def encoding_upsert_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb.join(va, ["col_name", "v"], "left_anti")
     )
     inc = _enc_report(inc_blocks, inc_values)
-    full_v = _enc_stack(o)
     full = _enc_report(enc_block_state(full_v), enc_value_state(full_v))
     cols = [
         "col_name", "n_rows", "ndv", "v_min", "v_max", "n_runs",

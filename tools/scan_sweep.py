@@ -69,6 +69,20 @@ GATE_WHITELIST = {
     # MAD needs median → deviations → flagging: near the pass minimum
     # for a two-level order statistic
     "mad_outliers": 4,
+    # Reviewed round 14 (the r14 sweep caught 20 unreviewed shapes;
+    # 18 were fixed with io.swap_cache — see OPTIMIZATION_r14.md —
+    # and these two are compositions whose extra passes are the
+    # design):
+    # PRF = TWO full certified-BM25 passes (seed ranking, then
+    # re-ranking under the expanded termset — the second pass's terms
+    # are data-derived, so its postings cannot share the literal
+    # QUERY_TERMS cache) plus the feedback-vocabulary df pass
+    "query_expansion_prf": 8,
+    # three certified pipelines chained at doc granularity (survivor
+    # keep-set, dup-group split spine, chunk rewrite) — each keeps
+    # its own certified plan and needs the corpus at least once; the
+    # manifest sibling is whitelisted at 6 for the same reason
+    "corpus_release_end_to_end": 4,
     # UNION of three priority-class branches — multiset semantics
     "setop_multiset_priorities": 4,
 }
