@@ -405,7 +405,12 @@ def portable_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their d counters, min per key.  The CMS one-sided guarantee
     (estimate ≥ exact) is re-assertable cross-engine here because
     both engines agree on every collision."""
-    l = _t(spark, sf_dir, "lineitem")
+    from ..io import fan_out
+
+    # narrow projection + fan_out: the md5 bucket explode is per-row
+    # CPU work; a single-split fixture scan serializes it on one core
+    # (no-op at real scale — guide §2.5 input skew)
+    l = fan_out(_t(spark, sf_dir, "lineitem").select("l_partkey"))
     md5_buckets = _cms_md5_buckets
     counters = (
         l.select(F.explode(md5_buckets(F.col("l_partkey"))).alias("db"))
@@ -473,7 +478,16 @@ def countmin_upsert_equivalence(
     contract compares every (d, b) cell against the one-shot rebuild
     and emits checksums the oracle re-derives from the stream alone.
     """
-    l = _t(spark, sf_dir, "lineitem")
+    from ..io import fan_out, swap_cache
+
+    # narrow projection before the (possible) fan_out repartition so
+    # only the two needed columns ever shuffle (guide §2.3); fan_out
+    # because the md5 bucket explode is per-row CPU work and a
+    # single-split fixture scan would serialize ~12 md5s/row on one
+    # core (no-op at real scale — guide §2.5 input skew)
+    l = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
 
     def cms(df: DataFrame) -> DataFrame:
         return (
@@ -484,18 +498,27 @@ def countmin_upsert_equivalence(
             .agg(F.count("*").cast("long").alias("cnt"))
         )
 
-    from ..io import swap_cache
-
-    # persist the two partial counter tables (d·w-bounded — the
-    # stored sketch states): the SUM-merge and the cell-count audit
-    # both consume each side; un-persisted the md5 bucket pass re-ran
-    # per consumer — 5 lineitem scans in this plan (r14 scan sweep;
-    # guide §2.4); 3 after, the contract's three builds
-    base, delta = swap_cache(
+    # ONE parity-tagged build pass yields BOTH partial counter tables
+    # (base = even-l_orderkey rows, delta = odd): grouping by
+    # (parity, d, b) over all rows produces, per parity value, exactly
+    # the cell counts the former per-side filter+build computed —
+    # count over a disjoint split is the split of the count.  The
+    # persisted frame stays sketch-state-bounded (≤ 2·d·w rows) and
+    # the contract's REBUILD side below remains an independent
+    # one-shot pass over the stream, so merge ≡ rebuild is still
+    # certified end-to-end, now from 2 stream passes instead of 3
+    # (guide §2.4; r14 scan sweep had already cut 5 → 3).
+    parts = swap_cache(
         "temporal.cms_upsert_parts",
-        cms(l.filter(F.col("l_orderkey") % 2 == 0)),
-        cms(l.filter(F.col("l_orderkey") % 2 == 1)),
+        l.select(
+            (F.col("l_orderkey") % 2).alias("par"),
+            F.explode(_cms_md5_buckets(F.col("l_partkey"))).alias("db"),
+        )
+        .groupBy("par", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt")),
     )
+    base = parts.filter(F.col("par") == 0).drop("par")
+    delta = parts.filter(F.col("par") == 1).drop("par")
     merged = (
         base.unionByName(delta)
         .groupBy("d", "b")

@@ -447,3 +447,54 @@ def test_isotonic_fit_properties(spark, tmp_path):
     )
     assert [g[1] for g in got] == [100, 300, 200, 400]
     assert [g[2] for g in got] == [100, 250, 250, 400]
+
+
+def test_cms_parity_build_equals_per_side_builds(spark):
+    """r14 optimization pin: countmin_upsert_equivalence now derives
+    its base/delta partial counter tables from ONE parity-tagged
+    build pass (groupBy(par, d, b)) instead of two per-side
+    filter+explode passes.  The refactor is sound iff, per parity,
+    the single-pass cells equal the old per-side builds
+    cell-for-cell — counts over a disjoint split ARE the split of
+    the counts, pinned here against the literal old shape."""
+    from pyspark.sql import functions as F
+
+    from fxblue_etl_spark.operators.temporal import _cms_md5_buckets
+
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def old_side(parity: int):
+        return (
+            l.filter(F.col("l_orderkey") % 2 == parity)
+            .select(F.explode(_cms_md5_buckets(F.col("l_partkey"))).alias("db"))
+            .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    parts = (
+        l.select(
+            (F.col("l_orderkey") % 2).alias("par"),
+            F.explode(_cms_md5_buckets(F.col("l_partkey"))).alias("db"),
+        )
+        .groupBy("par", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    for parity in (0, 1):
+        new_cells = {
+            (r["d"], r["b"]): r["cnt"]
+            for r in parts.filter(F.col("par") == parity).collect()
+        }
+        old_cells = {
+            (r["d"], r["b"]): r["cnt"] for r in old_side(parity).collect()
+        }
+        assert new_cells == old_cells, f"parity {parity} cells diverge"
+    # the contract query itself still certifies merge == rebuild
+    from fxblue_etl_spark.operators.temporal import (
+        countmin_upsert_equivalence,
+    )
+
+    row = countmin_upsert_equivalence(spark, SF_DIR).first()
+    assert row["merge_equals_rebuild"] == 1
+    assert row["n_mismatch"] == 0
