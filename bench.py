@@ -40,7 +40,12 @@ def _default_out_path() -> str:
         if (m := re.search(r"_r(\d+)\.json$", f))
     ]
     n = max(rounds) + 1 if rounds else 0
-    return str(_REPO / f"BENCH_LOCAL_r{n:02d}.json")
+    # cpu count in the name (round-14 verdict What's-wrong #4): the
+    # driver's 8-core scaling run OVERWROTE the 32-core detail file
+    # because the path keyed on round only — both runs of a round must
+    # land side by side
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    return str(_REPO / f"BENCH_LOCAL_r{n:02d}_c{cpus}.json")
 
 
 #: where the full per-query record lands (committed per round so
@@ -339,16 +344,22 @@ def compact_stdout_record(record: dict) -> dict:
     }
     if len(_dumps(compact)) > STDOUT_BUDGET:
         compact["queries"] = {
-            k: round(v, 1) for k, v in compact["queries"].items()
+            k: max(0.1, round(v, 1)) for k, v in compact["queries"].items()
         }
     if len(_dumps(compact)) > STDOUT_BUDGET:
         # round-13: at the 71-entry HEADLINE even 0.1s precision
         # overflows — degrade to integer-decisecond-free seconds
         # before sacrificing coverage (full coverage still beats
         # resolution; BENCH_LOCAL_r{N}.json keeps the millisecond
-        # detail and is committed every round)
+        # detail and is committed every round).
+        # round-15 (r14 verdict What's-wrong #1): integer rounding
+        # printed measured sub-second entries as 0 and the driver's
+        # comparator counted them dropped (asof_purchase_view 0.543s,
+        # ohlc_bars_hourly 0.554s) — a measured entry must never emit
+        # as 0, so values under 0.95s keep one decimal floored at 0.1
         compact["queries"] = {
-            k: int(round(v)) for k, v in compact["queries"].items()
+            k: (int(round(v)) if v >= 0.95 else max(0.1, round(v, 1)))
+            for k, v in compact["queries"].items()
         }
     if len(_dumps(compact)) > STDOUT_BUDGET:
         compact["queries"] = {
@@ -489,16 +500,32 @@ def main() -> None:
 
     query_steal: dict[str, float] = {}
 
+    from fxblue_etl_spark.operators.dedup import clear_band_memo
+    from fxblue_etl_spark.operators.graph import clear_spine_memo
+
     def _measure(name: str) -> tuple[float, float]:
         """One median-of-N_RUNS measurement of a query, with the
         1-minute load at measurement end.  Drains the swap-cache
         store first so each timed run pays its own cache build
         exactly like a cold driver call, and blocks from other
-        queries' slots don't pressure the store mid-measurement."""
+        queries' slots don't pressure the store mid-measurement.
+
+        Round-15 (r14 verdict What's-wrong #3): the fixture-
+        fingerprint index memos (_BAND_IDX_MEMO, _GRP_MEMO) are now
+        drained too — previously runs 2..N of an index-backed entry
+        timed index SERVING, not building, so the recorded median for
+        minhash_lsh_pairs / containment_pairs / the graph spine
+        understated the per-call cost.  Expect those entries to rise
+        vs r14; that honesty is the point (each timed run now pays
+        the full build, like a cold driver call)."""
         drain_all(spark)
         s0, j0 = _steal_total()
         runs = []
         for _ in range(N_RUNS):
+            # per-RUN, not per-median: with the clears outside the
+            # loop, runs 2..N would still probe run 1's memoized index
+            clear_band_memo()
+            clear_spine_memo()
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             # full execution; limit only caps driver-side transfer

@@ -114,6 +114,26 @@ def test_stdout_record_fits_driver_tail_capture():
     assert set(out["queries"]) == set(bench.HEADLINE)
 
 
+def test_stdout_record_never_prints_measured_entry_as_zero():
+    """Round-14 verdict What's-wrong #1: integer-precision degrade
+    printed measured sub-second entries as 0 and the driver's
+    comparator counted them dropped_from_bench (asof_purchase_view
+    0.543s, ohlc_bars_hourly 0.554s).  At every degrade level a
+    measured entry must emit >= 0.1."""
+    rec = _fake_full_record()
+    names = list(rec["queries"])
+    for n in names[:13]:
+        rec["queries"][n] = 0.543
+    rec["queries"][names[13]] = 0.04  # pathological: sub-decisecond
+    out = bench.compact_stdout_record(rec)
+    assert len(bench._dumps(out)) <= bench.STDOUT_BUDGET
+    assert out.get("queries_truncated") is None  # full coverage kept
+    assert all(v >= 0.1 for v in out["queries"].values())
+    # sub-second entries keep a decimal even at the integer level
+    assert out["queries"][names[0]] == 0.5
+    assert out["queries"][names[13]] == 0.1
+
+
 def test_stdout_record_truncates_before_overflowing():
     """If future rounds grow HEADLINE past the budget, the guard cuts
     the per-query map to frozen27 (flagging it) instead of emitting
